@@ -1,0 +1,158 @@
+"""The iterative batch-SOM training plan.
+
+One Spark job per epoch, shaped exactly like MLlib's KMeans iteration
+(SURVEY.md §3.1 "Spark lifecycle"):
+
+    driver:    decay η, σ; hoist ‖w‖² if cacheable; broadcast (W_flat, ‖w‖²)
+    executors: mapInArrow over the persisted features — per partition, one
+               GEMM-accumulated partial (numerator, denominator) pair
+    exchange:  partials collected directly when the partition count is
+               small; at scale, a bucketed ``groupBy().applyInPandas`` tree
+               level first reduces P partials to ``agg_fanout`` rows so the
+               driver never materializes O(P) tensors
+    driver:    W ← where(den ≠ 0, num/den, W); rebroadcast next epoch
+
+Contrasts with the reference's dask path (xpysom.py:545-558), which
+re-ships the codebook inside every task closure: we torrent-broadcast it
+once per epoch, and the input DataFrame is persisted so epochs 2..T never
+re-scan the source (SURVEY.md §4 O13).  Per-epoch traffic is
+O(partitions · x·y·d) regardless of data size — the property that makes
+this hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..functions.distances import codebook_sq_norms
+from .exchange import feature_matrix, ship_package
+
+_PARTIAL_SCHEMA = "bucket int, num binary, den binary"
+
+
+def _partial_update_factory(bc, kernel, influence, ux, uy, shape, dtype,
+                            fanout):
+    """Build the per-partition update for ``mapInArrow``.
+
+    The closure carries only the tiny model plumbing (grids, kernel names);
+    the per-epoch tensors travel via the broadcast ``bc``.  Inside, per
+    Arrow batch (= mini-batch, SURVEY.md §4 O7):
+    BMU argmin → neighborhood·η → ``den += Σ g`` and ``num += gᵀ·X``
+    (one GEMM per batch, parity with xpysom.py:420-443).
+    """
+    x, y, d = shape
+
+    def fn(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        w_flat, w_sq, eta, sig = bc.value
+        num = np.zeros((x * y, d), dtype=dtype)
+        den = np.zeros((x, y), dtype=dtype)
+        for batch in batches:
+            X = feature_matrix(batch.column(0), d, dtype)
+            if len(X) == 0:
+                continue
+            idx = kernel(X, w_flat, w_sq).argmin(axis=1)
+            g = influence(ux[idx], uy[idx], sig) * eta  # (n, x, y)
+            den += g.sum(axis=0)
+            num += np.dot(g.reshape(len(X), -1).T, X)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pa.RecordBatch.from_pydict(
+            {
+                "bucket": pa.array([pid % fanout], pa.int32()),
+                "num": pa.array([num.tobytes()], pa.binary()),
+                "den": pa.array([den.tobytes()], pa.binary()),
+            }
+        )
+
+    return fn
+
+
+def _sum_partial_rows(rows, shape, dtype):
+    x, y, d = shape
+    num = np.zeros((x * y, d), dtype=dtype)
+    den = np.zeros((x, y), dtype=dtype)
+    for r in rows:
+        num += np.frombuffer(r["num"], dtype=dtype).reshape(x * y, d)
+        den += np.frombuffer(r["den"], dtype=dtype).reshape(x, y)
+    return num, den
+
+
+def _make_bucket_reducer(shape, dtype):
+    x, y, d = shape
+
+    def reduce_bucket(pdf):
+        import pandas as pd
+
+        num = np.zeros((x * y, d), dtype=dtype)
+        den = np.zeros((x, y), dtype=dtype)
+        for blob in pdf["num"]:
+            num += np.frombuffer(blob, dtype=dtype).reshape(x * y, d)
+        for blob in pdf["den"]:
+            den += np.frombuffer(blob, dtype=dtype).reshape(x, y)
+        return pd.DataFrame({"num": [num.tobytes()], "den": [den.tobytes()]})
+
+    return reduce_bucket
+
+
+def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
+    """Run the epoch loop against a DataFrame; mutates ``som._weights``."""
+    from pyspark.storagelevel import StorageLevel
+
+    if iter_end is None:
+        iter_end = num_epochs
+    spark = df.sparkSession
+    ship_package(spark)
+    sc = spark.sparkContext
+
+    feats = df.select(df[som.features_col].alias("features"))
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    n_parts = feats.rdd.getNumPartitions()
+    two_level = n_parts > som.collect_threshold
+
+    x, y, d = som._weights.shape
+    shape = (x, y, d)
+    W = som._weights.astype(som.dtype)
+    kernel = som._distance
+    influence = som._influence
+    ux, uy = som._ux, som._uy
+
+    try:
+        for t in range(iter_beg, iter_end):
+            t0 = time.time()
+            eta = float(som._decay(som._learning_rate, som._learning_rateN,
+                                   t, num_epochs))
+            sig = float(som._decay(som._sigma, som._sigmaN, t, num_epochs))
+            w_flat = W.reshape(-1, d)
+            w_sq = codebook_sq_norms(w_flat) if kernel.can_cache else None
+            bc = sc.broadcast((w_flat, w_sq, eta, sig))
+
+            fn = _partial_update_factory(
+                bc, kernel, influence, ux, uy, shape, som.dtype,
+                som.agg_fanout if two_level else 1,
+            )
+            partials = feats.mapInArrow(fn, _PARTIAL_SCHEMA)
+            if two_level:
+                partials = partials.groupBy("bucket").applyInPandas(
+                    _make_bucket_reducer(shape, som.dtype),
+                    "num binary, den binary",
+                )
+            num, den = _sum_partial_rows(partials.collect(), shape, som.dtype)
+            bc.unpersist(blocking=False)
+
+            den3 = den[:, :, None]
+            W = np.where(den3 != 0, num.reshape(shape) / den3, W)
+            if verbose:
+                print(
+                    "epoch %d/%d  eta=%.4f sigma=%.4f  %.2fs"
+                    % (t + 1, iter_end, eta, sig, time.time() - t0)
+                )
+    finally:
+        feats.unpersist()
+
+    som._weights = W
+    return som

@@ -1,0 +1,74 @@
+"""Table readers and feature-extraction views.
+
+The SOM consumes any fixed-width numeric matrix (reference ingestion
+dispatch, xpysom.py:484-510 — S1-S6 in SURVEY.md §2.1).  On Spark the
+native form is a DataFrame with an ``array<float>`` column; these helpers
+build it declaratively so Catalyst keeps column pruning + predicate
+pushdown on the parquet scan (only the referenced columns are read).
+
+``LINEITEM_FEATURES`` is the canonical 8-feature extraction over the
+driver's TPC-H-ish ``lineitem`` (FIXTURES.md F7), expressed as plain SQL
+strings so the DuckDB oracle can evaluate the *identical* float64
+expressions.  Features are scaled to O(1) so accumulated sums stay
+well-conditioned for cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+#: (name, sql_expr) — identical text evaluated by Spark and DuckDB
+LINEITEM_FEATURES = (
+    ("f1", "l_quantity / 50.0"),
+    ("f2", "l_extendedprice / 100000.0"),
+    ("f3", "l_discount * 10.0"),
+    ("f4", "l_tax * 10.0"),
+    ("f5", "l_linenumber / 7.0"),
+    ("f6", "(l_suppkey % 100) / 100.0"),
+    ("f7", "(l_partkey % 100) / 100.0"),
+    ("f8", "(l_orderkey % 1000) / 1000.0"),
+)
+
+LINEITEM_KEYS = ("l_orderkey", "l_linenumber")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table: ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def features_from_columns(df: DataFrame, cols, out="features",
+                          keep=()) -> DataFrame:
+    """Assemble numeric columns into an ``array<float>`` features column
+    (the VectorAssembler analog for our array-typed model input)."""
+    arr = F.array(*[F.col(c).cast("float") for c in cols]).alias(out)
+    return df.select(*[F.col(k) for k in keep], arr)
+
+
+def lineitem_features(spark: SparkSession, sf_dir: str, keys=True,
+                      dtype="float") -> DataFrame:
+    """The canonical SOM input view over lineitem (FIXTURES.md F7).
+
+    Returns ``(l_orderkey, l_linenumber, features array<dtype>)``; the
+    feature expressions are pushed into the scan projection, so the
+    parquet reader prunes to exactly the referenced columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = F.array(
+        *[F.expr(expr).cast(dtype) for _name, expr in LINEITEM_FEATURES]
+    ).alias("features")
+    cols = [F.col(k) for k in LINEITEM_KEYS] if keys else []
+    return li.select(*cols, feats)
+
+
+def lineitem_features_sql_cte(table="lineitem") -> str:
+    """DuckDB-side CTE body computing the identical feature columns."""
+    exprs = ",\n       ".join(
+        f"CAST({expr} AS DOUBLE) AS {name}" for name, expr in LINEITEM_FEATURES
+    )
+    return (f"SELECT l_orderkey, l_linenumber,\n       {exprs}\n"
+            f"FROM {table}")

@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are declarative DataFrame plans (no Python UDFs), designed so
+the expensive parts are map-side combinable aggregations and key-bucketed
+joins — the shapes that survive a 100 TB corpus:
+
+* **exact**: hash-groupBy on the normalized-text MD5 — one shuffle on the
+  fingerprint, map-side partial aggregation for the group sizes.
+* **MinHash + LSH**: shingle → k minhashes (explode + min-agg, map-side
+  combinable) → band keys → bucket self-join (candidates only) → exact
+  Jaccard verification on the candidate set.  No O(n²) stage anywhere.
+* **SimHash**: 32-bit fingerprint as a single narrow expression
+  (operators.text.simhash32) → byte-band bucket join → Hamming ≤ t verify
+  via xor/bit_count.
+* **embedding cosine**: see operators.similarity (hyperplane-LSH buckets).
+
+Each has an exact DuckDB twin in __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash32
+
+#: (a_i, b_i) coefficients for the k minhash permutations h'(x) = (a·x+b) % p
+MINHASH_K = 8
+MINHASH_SEED = 7
+
+
+def minhash_coefficients(k: int = MINHASH_K, seed: int = MINHASH_SEED):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, HASH_PRIME, size=k).astype(np.int64)
+    b = rng.randint(0, HASH_PRIME, size=k).astype(np.int64)
+    return list(map(int, a)), list(map(int, b))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: (fingerprint, keeper id, group size)."""
+    return (df.select(md5_fingerprint(text_col).alias("fp"), F.col(id_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def dedup_exact_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The deduplicated table itself: keep the min-id row per fingerprint.
+    One shuffle on the fingerprint; survives any scale."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(md5_fingerprint(text_col)).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The explode is linear in corpus token count; the downstream min-agg is
+    map-side combinable, so this is the scalable MinHash front end.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short
+    # docs explicitly instead of relying on greatest()
+    body = (f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', "
+            + ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+            + "))")
+    shingles = (f"CASE WHEN size({toks}) < {n} "
+                f"THEN array() ELSE {body} END")
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.expr(shingles)).alias("shingle"))
+            .distinct())
+
+
+def _shingle_hash_expr(col: str) -> str:
+    """Polynomial rolling hash of a shingle string (BIGINT, mod 2³¹−1) —
+    byte-identical to the DuckDB twin."""
+    return (f"CASE WHEN length({col}) = 0 THEN 0 ELSE "
+            f"aggregate(transform(sequence(1, length({col})), "
+            f"i -> ascii(substring({col}, i, 1))), 0L, "
+            f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_PRIME}) END")
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = MINHASH_K, n: int = 3,
+                       seed: int = MINHASH_SEED) -> DataFrame:
+    """(id, mh_0 … mh_{k-1}) MinHash signature per document.
+
+    Documents with no shingles (fewer than n tokens) are dropped —
+    they cannot be near-duplicates under this scheme.
+    """
+    a, b = minhash_coefficients(k, seed)
+    sh = word_shingles(df, text_col, id_col, n)
+    h = sh.select("id", F.expr(_shingle_hash_expr("shingle")).alias("h"))
+    aggs = [F.min(((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % HASH_PRIME))
+            .alias(f"mh_{i}") for i in range(k)]
+    return h.groupBy("id").agg(*aggs)
+
+
+def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
+                       rows_per_band: int = 2) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band: (id_a, id_b)."""
+    n_bands = k // rows_per_band
+    bands = []
+    for bnd in range(n_bands):
+        cols = [f"mh_{bnd * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws(":", F.lit(str(bnd)), *[F.col(c) for c in cols])
+        bands.append(sigs.select(F.col("id"), key.alias("band_key")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.select(F.col("id").alias("id_a"),
+                         F.col("shingle").alias("sh_a"))
+    sb = shingles.select(F.col("id").alias("id_b"),
+                         F.col("shingle").alias("sh_b"))
+    inter = (pairs.join(sa, "id_a").join(sb, "id_b")
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
+                      threshold: float = 0.5, k: int = MINHASH_K,
+                      n: int = 3) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs with exact verification:
+    (id_a, id_b, jaccard ≥ threshold)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    pairs = minhash_band_pairs(sigs, k)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: byte-band candidates (any of the four
+    8-bit bands equal ⇒ candidate — guarantees recall for Hamming ≤ 3 by
+    pigeonhole) verified with bit_count(xor) ≤ max_hamming."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash32(text_col).alias("sh"))
+    bands = []
+    for b in range(4):
+        key = F.concat_ws(":", F.lit(str(b)),
+                          F.shiftright(F.col("sh"), 8 * b) % 256)
+        bands.append(sh.select("id", "sh", key.alias("band_key")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all DataFrame-declarative:
+
+* ``cosine_topk`` — exact brute-force top-k: **broadcast** the (small)
+  query set against the corpus scan, JVM-side zip_with/aggregate dot
+  product in float64, per-query window top-k.  One corpus scan, no
+  shuffle of the corpus — the correct 100 TB plan when queries are few.
+* ``near_dup_pairs`` — exact all-pairs cosine ≥ threshold (self-join);
+  intended for small/medium tables or as the verification stage.
+* ``hyperplane_lsh_buckets`` / ``lsh_near_dup_pairs`` — random-hyperplane
+  sign-bucket LSH: each vector gets a b-bit bucket id (narrow pass),
+  candidates are generated only within buckets, then exactly verified.
+  The scale path for all-pairs similarity.
+* ``som_ivf_topk`` — IVF-style ANN using a trained SparkSom as the coarse
+  quantizer: corpus bucketed by BMU cell once, queries probe their
+  ``nprobe`` nearest cells.  (The SOM *is* the index — the engine's own
+  clusterer feeding its ANN, SURVEY.md §2 "beyond the reference".)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> str:
+    """float64 dot product of two array<float> columns — identical
+    arithmetic to the DuckDB oracle twin (left-to-right accumulation)."""
+    return (f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0D, (acc, v) -> acc + v)")
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors per query:
+    (query_id, neighbor_id, rank, sim).
+
+    The query side is broadcast, so the plan is a single corpus scan with
+    a broadcast nested-loop join — no corpus shuffle at any scale.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = joined.select(
+        "query_id", "neighbor_id",
+        F.expr(cosine_expr("q_vec", "c_vec")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs near-duplicates: (id_a, id_b, sim ≥ threshold).
+    O(n²) — use for small tables or as the LSH verification stage."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.expr(cosine_expr("va", "vb")).alias("sim"))
+            .where(F.col("sim") >= threshold))
+
+
+def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """b-bit random-hyperplane bucket per vector (narrow, no shuffle).
+    Vectors with equal sign pattern across all hyperplanes share a bucket;
+    cosine-close vectors collide with high probability."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bit_terms = []
+    for j in range(n_bits):
+        lit = "array(" + ", ".join(repr(float(v)) for v in planes[j]) + ")"
+        bit_terms.append(
+            f"CASE WHEN {dot_expr(vec_col, lit)} >= 0 "
+            f"THEN shiftleft(1L, {j}) ELSE 0L END")
+    bucket = " + ".join(bit_terms)
+    return df.select(F.col(id_col), F.col(vec_col),
+                     F.expr(bucket).alias("bucket"))
+
+
+def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                       n_bits: int = 8, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Bucketed near-duplicate search: candidates within LSH buckets only,
+    exactly verified. The join shuffles on the bucket key — bounded work
+    per bucket instead of O(n²)."""
+    bk = hyperplane_lsh_buckets(df, dim, n_bits, seed, id_col, vec_col)
+    a = bk.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("va"), "bucket")
+    b = bk.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vb"), "bucket")
+    return (a.join(b, ["bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.expr(cosine_expr("va", "vb")).alias("sim"))
+            .where(F.col("sim") >= threshold)
+            .distinct())
+
+
+def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
+                 query_ids, k: int = 5, nprobe: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with the trained SOM as coarse quantizer.
+
+    Corpus rows are assigned their BMU cell once (narrow scoring pass —
+    cache the result across query batches); each query probes its
+    ``nprobe`` nearest cells, so only ~nprobe/(x·y) of the corpus is
+    scanned per query.  Returns (query_id, rank, neighbor_id, sim).
+    """
+    from ..functions.distances import euclidean
+
+    spark = corpus.sparkSession
+    old_feat = som.features_col
+    som.features_col = vec_col
+    try:
+        bucketed = som.transform(corpus, ("cluster_id",))
+    finally:
+        som.features_col = old_feat
+
+    w_flat = som._weights.reshape(-1, som._input_len)
+    dist = euclidean(np.asarray(queries_np, dtype=float), w_flat)
+    probes = np.argsort(dist, axis=1)[:, :nprobe]
+    rows = []
+    for qid, vec, cells in zip(query_ids, queries_np, probes):
+        rows.append((int(qid), [float(v) for v in vec],
+                     [int(c) for c in cells]))
+    q = spark.createDataFrame(
+        rows, "query_id bigint, q_vec array<float>, cells array<bigint>")
+    joined = bucketed.join(
+        F.broadcast(q),
+        F.expr("array_contains(cells, cluster_id)"))
+    sims = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(cosine_expr("q_vec", vec_col)).alias("sim"))
+    sims = sims.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))

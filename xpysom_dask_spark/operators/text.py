@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a **pure Spark SQL column expression** (higher-order
+functions over arrays — JVM-side, whole-stage-codegen'd, no Python in the
+hot path), so a 100 TB documents table is processed at scan speed with
+full predicate pushdown.  Each operator has an exact DuckDB-SQL twin used
+by the correctness oracle (__spark_entry__.oracle_sql).
+
+Operators: tokenization + token counting, quality scoring
+(length/alpha/whitespace/avg-token-length ratios), n-gram-free stopword
+language ID, document fingerprinting (normalized-text MD5 + min-shingle
+winnowing fingerprint + polynomial rolling hash), 32-bit SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: stopword tables for the language-ID heuristic (deterministic, tiny)
+LANG_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "zu"),
+}
+#: deterministic precedence for argmax ties
+LANG_ORDER = ("en", "es", "fr", "de")
+
+HASH_PRIME = 2147483647  # 2^31 − 1, keeps the rolling hash in BIGINT range
+HASH_BASE = 131
+
+
+def tokens(col: str) -> Column:
+    """Whitespace tokens with empties dropped (robust to leading/trailing
+    and repeated whitespace)."""
+    return F.expr(f"filter(split({col}, '\\\\s+'), x -> x != '')")
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens(col))
+
+
+def alpha_ratio(col: str) -> Column:
+    """Share of [a-z] characters — a basic quality signal."""
+    return (F.length(F.regexp_replace(F.col(col), "[^a-z]", ""))
+            / F.greatest(F.length(F.col(col)), F.lit(1))).cast("double")
+
+
+def avg_token_len(col: str) -> Column:
+    t = tokens(col)
+    return (F.expr(
+        f"aggregate(filter(split({col}, '\\\\s+'), x -> x != ''), 0L, "
+        "(acc, x) -> acc + length(x))")
+        / F.greatest(F.size(t), F.lit(1))).cast("double")
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality score: favors mid-length docs with high
+    alphabetic density (a simple, fully-SQL heuristic)."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return (0.5 * len_score + 0.5 * alpha_ratio(col)).cast("double")
+
+
+def lang_scores(col: str):
+    """One stopword-hit-count column per language."""
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        out[lang] = F.expr(
+            f"size(filter(filter(split(lower({col}), '\\\\s+'), x -> x != ''), "
+            f"t -> t IN ({lit})))")
+    return out
+
+
+def lang_id_case_sql(score_cols=None) -> str:
+    """The shared CASE expression (identical text on Spark and DuckDB):
+    first language in LANG_ORDER whose score ties-or-beats all later ones
+    and is positive; 'und' otherwise."""
+    score_cols = score_cols or {l: f"s_{l}" for l in LANG_ORDER}
+    clauses = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"{score_cols[lang]} > 0"]
+        conds += [f"{score_cols[lang]} >= {score_cols[o]}"
+                  for o in LANG_ORDER[i + 1:]]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def lang_id(col: str) -> Column:
+    """argmax over stopword scores with fixed precedence; 'und' when no
+    stopwords hit at all."""
+    # inline the score expressions into the shared CASE text
+    lit = {l: f"size(filter(filter(split(lower({col}), '\\\\s+'), x -> x != ''), "
+              f"t -> t IN ({', '.join(repr(w) for w in LANG_STOPWORDS[l])})))"
+           for l in LANG_ORDER}
+    return F.expr(lang_id_case_sql(lit))
+
+
+def normalized_text(col: str) -> Column:
+    """Lowercase + whitespace-collapsed + trimmed canonical form."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
+
+
+def md5_fingerprint(col: str) -> Column:
+    """Exact-dup fingerprint: MD5 hex of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def min_shingle_fingerprint(col: str, width: int = 8) -> Column:
+    """Winnowing-lite near-dup fingerprint: lexicographic min of the MD5s
+    of all ``width``-char shingles of the normalized text."""
+    t = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({t}) - {width - 1}, 1)), "
+        f"i -> md5(substring({t}, i, {width}))))")
+
+
+def rolling_hash(col: str) -> Column:
+    """Polynomial rolling hash of the raw text (base {base}, mod 2³¹−1);
+    0 for the empty string.  Cheap 64-bit-safe content id."""
+    return F.expr(
+        f"CASE WHEN length({col}) = 0 THEN 0 ELSE "
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> ascii(substring({col}, i, 1))), 0L, "
+        f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_PRIME}) END")
+
+
+def simhash32(col: str) -> Column:
+    """32-bit SimHash over whitespace tokens (multiset).
+
+    Bit j of each token's MD5 (first 8 hex nibbles) votes ±1; the sign of
+    the aggregate vote sets bit j of the fingerprint.  Ties (vote == 0)
+    resolve to 0.  Pure nested higher-order expression — one narrow pass.
+    """
+    toks = f"filter(split({col}, '\\\\s+'), x -> x != '')"
+    # (j - j%4)/4 is exact in float64 → CAST truncation-vs-rounding cannot
+    # diverge between engines (plain j/4 would: Spark truncates, DuckDB
+    # rounds-to-nearest)
+    nib = ("(instr('0123456789abcdef', "
+           "substring(md5(t), 1 + CAST((j - (j % 4)) / 4 AS INT), 1)) - 1)")
+    bit = f"CASE WHEN (({nib} >> (3 - j % 4)) & 1) = 1 THEN 1 ELSE -1 END"
+    vote = (f"aggregate({toks}, 0L, (acc, t) -> acc + ({bit}))")
+    return F.expr(
+        "aggregate(transform(sequence(0, 31), "
+        f"j -> CASE WHEN ({vote}) > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        "0L, (acc, v) -> acc + v)")

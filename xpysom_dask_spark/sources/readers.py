@@ -21,16 +21,19 @@ from pyspark.sql import functions as F
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-#: (name, sql_expr) — identical text evaluated by Spark and DuckDB
+#: (name, sql_expr) — identical text evaluated by Spark and DuckDB.
+#: Every operand is explicitly DOUBLE: Spark types bare literals like 7.0
+#: as DECIMAL and would do scale-limited decimal division where DuckDB
+#: promotes to double.
 LINEITEM_FEATURES = (
-    ("f1", "l_quantity / 50.0"),
-    ("f2", "l_extendedprice / 100000.0"),
-    ("f3", "l_discount * 10.0"),
-    ("f4", "l_tax * 10.0"),
-    ("f5", "l_linenumber / 7.0"),
-    ("f6", "(l_suppkey % 100) / 100.0"),
-    ("f7", "(l_partkey % 100) / 100.0"),
-    ("f8", "(l_orderkey % 1000) / 1000.0"),
+    ("f1", "l_quantity / CAST(50 AS DOUBLE)"),
+    ("f2", "l_extendedprice / CAST(100000 AS DOUBLE)"),
+    ("f3", "l_discount * CAST(10 AS DOUBLE)"),
+    ("f4", "l_tax * CAST(10 AS DOUBLE)"),
+    ("f5", "CAST(l_linenumber AS DOUBLE) / CAST(7 AS DOUBLE)"),
+    ("f6", "CAST(l_suppkey % 100 AS DOUBLE) / CAST(100 AS DOUBLE)"),
+    ("f7", "CAST(l_partkey % 100 AS DOUBLE) / CAST(100 AS DOUBLE)"),
+    ("f8", "CAST(l_orderkey % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)"),
 )
 
 LINEITEM_KEYS = ("l_orderkey", "l_linenumber")

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  train_10ep   8×8 SOM, 8 float32 lineitem features, 10 epochs,
+               gaussian/euclidean/exponential, seed 42
+  predict      BMU assignment over the full table (narrow Arrow stage)
+  qe           quantization_error (scoring + single avg)
+  text_fp      MD5+min-shingle+rolling-hash fingerprints over documents
+  dedup_minhash  MinHash-LSH near-dup pairs with Jaccard verify
+  knn_cosine   brute-force cosine top-5, 10 queries vs embeddings
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("xpysom-dask-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from xpysom_dask_spark import SparkSom
+    from xpysom_dask_spark.operators import dedup, similarity, text as T
+    from xpysom_dask_spark.sources import readers
+    from pyspark.sql import functions as F
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    feats = readers.lineitem_features(spark, SF_DIR, keys=False)
+    feats = feats.repartition(int(CPUS)).persist()
+    n_rows = feats.count()  # materialize cache before timing
+
+    som = SparkSom(8, 8, 8, random_seed=42)
+    timed("train_10ep", lambda: som.train(feats, 10))
+    timed("predict", lambda: som.transform(feats, ("cluster_id",))
+          .agg(F.sum("cluster_id")).collect())
+    timed("qe", lambda: som.quantization_error(feats))
+
+    docs = readers.load_table(spark, SF_DIR, "documents")
+    timed("text_fp", lambda: docs.select(
+        T.md5_fingerprint("text"), T.min_shingle_fingerprint("text"),
+        T.rolling_hash("text")).agg(F.count(F.lit(1))).collect())
+    timed("dedup_minhash", lambda: dedup.minhash_near_dups(
+        docs, "text", "doc_id").count())
+
+    emb = readers.load_table(spark, SF_DIR, "embeddings")
+    timed("knn_cosine", lambda: similarity.cosine_topk(
+        emb, emb.where("vec_id % 50 = 0"), k=5).count())
+
+    feats.unpersist()
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "som_train10+predict+qe+pipeline_ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "rows": n_rows,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,16 @@ def _shingle_hash_expr(col: str) -> str:
             f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_PRIME}) END")
 
 
+def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K,
+                                     seed: int = MINHASH_SEED) -> DataFrame:
+    """(id, mh_0 … mh_{k-1}) from a (id, shingle) relation."""
+    a, b = minhash_coefficients(k, seed)
+    h = sh.select("id", F.expr(_shingle_hash_expr("shingle")).alias("h"))
+    aggs = [F.min(((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % HASH_PRIME))
+            .alias(f"mh_{i}") for i in range(k)]
+    return h.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        k: int = MINHASH_K, n: int = 3,
                        seed: int = MINHASH_SEED) -> DataFrame:
@@ -92,12 +102,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     Documents with no shingles (fewer than n tokens) are dropped —
     they cannot be near-duplicates under this scheme.
     """
-    a, b = minhash_coefficients(k, seed)
-    sh = word_shingles(df, text_col, id_col, n)
-    h = sh.select("id", F.expr(_shingle_hash_expr("shingle")).alias("h"))
-    aggs = [F.min(((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % HASH_PRIME))
-            .alias(f"mh_{i}") for i in range(k)]
-    return h.groupBy("id").agg(*aggs)
+    return minhash_signatures_from_shingles(
+        word_shingles(df, text_col, id_col, n), k, seed)
 
 
 def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
@@ -146,9 +152,17 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.5, k: int = MINHASH_K,
                       n: int = 3) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact verification:
-    (id_a, id_b, jaccard ≥ threshold)."""
-    sh = word_shingles(df, text_col, id_col, n)
-    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    (id_a, id_b, jaccard ≥ threshold).
+
+    The shingle relation feeds the signature step AND the verification
+    joins; without materialization the expensive explode/hash chain
+    re-executes once per downstream join.  ``localCheckpoint`` stores the
+    computed blocks on the executors and truncates the lineage, and its
+    storage is released with the plan — no unpersist bookkeeping, no
+    driver collection, scale-safe.
+    """
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sigs = minhash_signatures_from_shingles(sh, k)
     pairs = minhash_band_pairs(sigs, k)
     return jaccard_verify(pairs, sh, threshold)
 

@@ -1,0 +1,182 @@
+"""Structured Streaming surface tests.
+
+Strategy: stream a temp parquet directory with trigger=availableNow into
+a memory sink, then compare against the batch twin on the same data —
+the streaming plans reuse the batch scoring/training stages, so results
+must match exactly (modulo row order).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xpysom_dask_spark import SparkSom
+from xpysom_dask_spark.sources import readers
+from xpysom_dask_spark.streaming import (
+    StreamingSomTrainer,
+    bmu_transitions,
+    score_stream,
+    windowed_activation_response,
+    windowed_qe_drift,
+)
+
+from conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def feats_dir(spark, tmp_path_factory):
+    """sf0.001 lineitem features written as a 2-file parquet dir."""
+    path = str(tmp_path_factory.mktemp("stream") / "feats")
+    df = readers.lineitem_features(spark, SF_TINY, keys=True)
+    df.repartition(2).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Tiny keyed event stream with proper timestamps (3 users, 2 hours)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(240):
+        rows.append((
+            i % 3,                                        # user
+            pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+            [float(rng.rand()), float(rng.rand())],       # features
+        ))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "features"])
+    (spark.createDataFrame(pdf, "user_id bigint, ts timestamp, "
+                           "features array<double>")
+     .repartition(2).write.parquet(path))
+    return path
+
+
+def _read_stream(spark, path, template_path=None):
+    schema = spark.read.parquet(template_path or path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _drain(df, spark, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if df.isStreaming else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _drain_append(df, spark, name, mode="append"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_score_stream_matches_batch(spark, feats_dir):
+    som = SparkSom(4, 4, 8, random_seed=3)
+    stream = _read_stream(spark, feats_dir)
+    out = _drain_append(score_stream(som, stream), spark, "t_score")
+    got = (out.select("l_orderkey", "l_linenumber", "cluster_id")
+           .toPandas().sort_values(["l_orderkey", "l_linenumber",
+                                    "cluster_id"]).reset_index(drop=True))
+    batch = (som.transform(spark.read.parquet(feats_dir))
+             .select("l_orderkey", "l_linenumber", "cluster_id")
+             .toPandas().sort_values(["l_orderkey", "l_linenumber",
+                                      "cluster_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, batch)
+
+
+def test_windowed_activation_response(spark, events_dir):
+    som = SparkSom(3, 3, 2, random_seed=5)
+    stream = _read_stream(spark, events_dir)
+    out = _drain_append(
+        windowed_activation_response(som, stream, "ts", window="1 hour",
+                                     watermark="0 seconds"),
+        spark, "t_war", mode="complete")
+    got = out.toPandas()
+    # batch twin: score + groupBy hour
+    from pyspark.sql import functions as F
+    batch_df = spark.read.parquet(events_dir)
+    scored = som.transform(batch_df, ("bmu_x", "bmu_y"))
+    exp = (scored.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                          "bmu_x", "bmu_y")
+           .agg(F.count(F.lit(1)).alias("n_wins")).toPandas())
+    key = ["window_start", "bmu_x", "bmu_y"]
+    got = got[key + ["n_wins"]].sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # 240 one-minute events over 2 users-hours → windows sum to 240
+    assert got["n_wins"].sum() == 240
+
+
+def test_windowed_qe_drift(spark, events_dir):
+    som = SparkSom(3, 3, 2, random_seed=5)
+    stream = _read_stream(spark, events_dir)
+    out = _drain_append(
+        windowed_qe_drift(som, stream, "ts", window="1 hour",
+                          watermark="0 seconds"),
+        spark, "t_qed", mode="complete")
+    got = out.toPandas().sort_values("window_start").reset_index(drop=True)
+    assert len(got) == 4  # 240 minutes = 4 hours
+    assert (got["n_rows"] == 60).all()
+    assert (got["mean_qe"] > 0).all()
+
+
+def test_streaming_trainer_single_batch_equals_one_epoch(spark, feats_dir,
+                                                         tmp_path):
+    """availableNow over the dir → ONE micro-batch → identical to one
+    batch epoch with the same decay params."""
+    som_s = SparkSom(4, 4, 8, random_seed=11)
+    som_b = SparkSom(4, 4, 8, random_seed=11)
+    np.testing.assert_array_equal(som_s._weights, som_b._weights)
+
+    stream = _read_stream(spark, feats_dir).select("features")
+    trainer = StreamingSomTrainer(som_s, horizon=10)
+    trainer.fit_available(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert trainer.batches_seen == 1
+
+    som_b.train(spark.read.parquet(feats_dir).select("features"), 10,
+                iter_beg=0, iter_end=1)
+    np.testing.assert_allclose(som_s._weights, som_b._weights,
+                               rtol=0, atol=1e-6)
+
+
+def test_streaming_trainer_incremental_batches(spark, feats_dir, tmp_path):
+    """maxFilesPerTrigger=1 → one micro-batch per file; decay advances."""
+    som = SparkSom(4, 4, 8, random_seed=11)
+    w0 = som.get_weights().copy()
+    schema = spark.read.parquet(feats_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feats_dir)
+              .select("features"))
+    trainer = StreamingSomTrainer(som, horizon=10)
+    trainer.fit_available(stream, checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert trainer.batches_seen == 2
+    assert not np.allclose(w0, som.get_weights())
+    # model stays usable
+    qe = som.quantization_error(spark.read.parquet(feats_dir))
+    assert np.isfinite(qe)
+
+
+def test_bmu_transitions_stateful(spark, events_dir):
+    som = SparkSom(3, 3, 2, random_seed=5)
+    stream = _read_stream(spark, events_dir)
+    out = _drain_append(bmu_transitions(som, stream, "user_id", ts_col="ts"),
+                        spark, "t_bmu", mode="update")
+    got = (out.toPandas().sort_values("key").groupby("key").last()
+           .reset_index())
+    assert sorted(got["key"]) == [0, 1, 2]
+    assert got["n_events"].sum() == 240
+
+    # oracle: pandas replay of the same per-key transition logic on the
+    # batch-scored rows in event-time order
+    scored = (som.transform(spark.read.parquet(events_dir),
+                            ("cluster_id",))
+              .select("user_id", "ts", "cluster_id").toPandas()
+              .sort_values(["user_id", "ts"]))
+    for key, grp in scored.groupby("user_id"):
+        cids = grp["cluster_id"].tolist()
+        n_trans = sum(1 for a, b in zip(cids, cids[1:]) if a != b)
+        row = got[got["key"] == key].iloc[0]
+        assert row["n_events"] == len(cids)
+        assert row["n_transitions"] == n_trans
+        assert row["last_cluster"] == cids[-1]

@@ -1,0 +1,17 @@
+"""Structured Streaming surface.
+
+The reference (jcfaracco/xpysom-dask) is batch-only (SURVEY.md §2.6:
+streaming absent); this package extends the engine to streams the
+Spark-native way: the scoring family is stateless (``mapInArrow``) and
+works unchanged on streaming DataFrames; training folds micro-batches
+into the online SOM via ``foreachBatch``; windowed/watermarked
+aggregates and ``applyInPandasWithState`` cover the stateful surface.
+"""
+
+from .scoring import (  # noqa: F401
+    score_stream,
+    windowed_activation_response,
+    windowed_qe_drift,
+)
+from .state import bmu_transitions  # noqa: F401
+from .training import StreamingSomTrainer  # noqa: F401

@@ -1,0 +1,69 @@
+"""Streaming SOM scoring + windowed roll-ups.
+
+``score_stream`` is the streaming twin of ``SparkSom.transform``
+(winner/predict/quantization, xpysom.py:370-417/608-645): the scoring
+stage is a stateless narrow ``mapInArrow`` with the codebook broadcast,
+so the exact same plan works under Structured Streaming — no
+re-implementation, no state store.
+
+The windowed roll-ups are the streaming twins of
+``activation_response`` (xpysom.py:819-829 — hash aggregate of BMU
+wins) and ``quantization_error`` (xpysom.py:673-707 — global mean of
+the BMU residual), bucketed by event-time windows with a watermark for
+late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.scoring import attach
+
+
+def score_stream(som, stream_df: DataFrame,
+                 outputs=("bmu_x", "bmu_y", "cluster_id")) -> DataFrame:
+    """Append model columns to a streaming DataFrame (stateless, narrow).
+
+    Identical semantics to ``SparkSom.transform`` — one Arrow pass per
+    micro-batch, codebook broadcast once per query start.
+    """
+    return attach(som, stream_df, outputs)
+
+
+def windowed_activation_response(som, stream_df: DataFrame, ts_col: str,
+                                 window: str = "1 hour",
+                                 slide: str | None = None,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Per-event-time-window activation response: how many rows each
+    neuron wins per window.  Streaming twin of xpysom.py:819-829.
+
+    Returns an *update/append-mode* aggregate: ``window_start,
+    window_end, bmu_x, bmu_y, n_wins``.
+    """
+    scored = attach(som, stream_df.withWatermark(ts_col, watermark),
+                    ("bmu_x", "bmu_y"))
+    win = (F.window(ts_col, window, slide) if slide
+           else F.window(ts_col, window))
+    return (scored.groupBy(win.alias("w"), "bmu_x", "bmu_y")
+            .agg(F.count(F.lit(1)).alias("n_wins"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "bmu_x", "bmu_y", "n_wins"))
+
+
+def windowed_qe_drift(som, stream_df: DataFrame, ts_col: str,
+                      window: str = "1 hour",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Mean quantization error per event-time window — a model-drift
+    monitor: rising QE means the stream has moved away from the
+    distribution the codebook was trained on (streaming twin of
+    xpysom.py:673-707, bucketed by time instead of a global mean).
+    """
+    scored = attach(som, stream_df.withWatermark(ts_col, watermark), ("qe",))
+    return (scored.groupBy(F.window(ts_col, window).alias("w"))
+            .agg(F.avg("qe").alias("mean_qe"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "mean_qe", "n_rows"))

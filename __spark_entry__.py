@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xpysom_dask_spark import SparkSom
-from xpysom_dask_spark.operators import dedup, similarity
+from xpysom_dask_spark.operators import dedup, multimodal, similarity
 from xpysom_dask_spark.operators import text as T
 from xpysom_dask_spark.sources import readers
 
@@ -271,6 +271,37 @@ def _q_simhash_signatures(spark, sf_dir):
     return d.select("doc_id", T.simhash32("text").alias("simhash"))
 
 
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_near_dups(_docs(spark, sf_dir), "text",
+                                        "doc_id", threshold=0.8)
+    return out.select(F.col("id_a").cast("bigint"),
+                      F.col("id_b").cast("bigint"),
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+def _q_multimodal_image_stats(spark, sf_dir):
+    imgs = multimodal.embeddings_as_images(_emb(spark, sf_dir))
+    return multimodal.image_stats(imgs)
+
+
+def _q_som_win_map(spark, sf_dir):
+    """win_map as a scalable aggregate (X22): per winning cell, the
+    member count and per-dimension feature centroid — the distributed
+    form of the reference's dict-of-sample-lists (xpysom.py:831-840)."""
+    som = _oracle_som()
+    scored = som.transform(_features(spark, sf_dir), ("bmu_x", "bmu_y"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.round(F.avg(F.element_at("features", k + 1)), 6)
+             .alias(f"c{k + 1}") for k in range(NF)]
+    return scored.groupBy("bmu_x", "bmu_y").agg(*aggs)
+
+
 def _q_knn_cosine(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.where("vec_id % 50 = 0")
@@ -327,7 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash_signatures": _q_simhash_signatures,
+        "text_quality": _q_text_quality,
+        "multimodal_image_stats": _q_multimodal_image_stats,
+        "som_win_map": _q_som_win_map,
         "knn_cosine": _q_knn_cosine,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
@@ -503,12 +538,8 @@ FROM documents GROUP BY md5({t})
 """
 
 
-def _minhash_sig_sql():
-    a, b = dedup.minhash_coefficients()
+def _shingle_cte_sql():
     toks = _duck_tokens("text")
-    mins = ",\n         ".join(
-        f"min(({a[i]} * h + {b[i]}) % {T.HASH_PRIME}) AS mh_{i}"
-        for i in range(dedup.MINHASH_K))
     return f"""
 toks AS (
   SELECT doc_id, {toks} AS t FROM documents
@@ -520,7 +551,15 @@ sh AS (
              [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
               FOR i IN range(1, len(t) - 1)] END) AS shingle
     FROM toks)
-),
+)"""
+
+
+def _minhash_sig_sql():
+    a, b = dedup.minhash_coefficients()
+    mins = ",\n         ".join(
+        f"min(({a[i]} * h + {b[i]}) % {T.HASH_PRIME}) AS mh_{i}"
+        for i in range(dedup.MINHASH_K))
+    return f"""{_shingle_cte_sql()},
 hashes AS (
   SELECT doc_id, shingle, {_duck_polyhash('shingle')} AS h FROM sh
 ),
@@ -620,6 +659,70 @@ FROM cand WHERE hamming <= 3
 """
 
 
+def _sql_dedup_ngram_jaccard():
+    return f"""
+WITH {_shingle_cte_sql()},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.8
+"""
+
+
+def _sql_text_quality():
+    toks = _duck_tokens("text")
+    alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+             " / greatest(length(text), 1)")
+    return f"""
+SELECT doc_id,
+       ROUND(0.5 * LEAST(len({toks}) / 100.0, 1.0) + 0.5 * ({alpha}), 6)
+           AS quality
+FROM documents
+"""
+
+
+def _sql_multimodal_image_stats():
+    return """
+WITH u AS (
+  SELECT vec_id,
+    [CAST(LEAST(GREATEST(FLOOR((CAST(e AS DOUBLE) + 1.0) * 127.5), 0), 255)
+          AS BIGINT) FOR e IN embedding] AS px
+  FROM embeddings
+)
+SELECT vec_id AS image_id,
+  CAST(len(px) AS BIGINT) AS n_px,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, b) -> a + b) AS px_sum,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), [p * p FOR p IN px]),
+              (a, b) -> a + b) AS px_sumsq,
+  CAST(list_min(px) AS INTEGER) AS px_min,
+  CAST(list_max(px) AS INTEGER) AS px_max,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [abs(px[i + 1] - px[i]) FOR i IN range(1, 64) IF i % 8 <> 0]),
+    (a, b) -> a + b) AS edge_sum
+FROM u
+"""
+
+
+def _sql_som_win_map():
+    cents = ",\n       ".join(
+        f"ROUND(AVG(f{k + 1}), 6) AS c{k + 1}" for k in range(NF))
+    return _som_base_cte() + f"""
+SELECT CAST(bx AS INTEGER) AS bmu_x, CAST(by AS INTEGER) AS bmu_y,
+       COUNT(*) AS n,
+       {cents}
+FROM scored GROUP BY bx, by
+"""
+
+
 def _sql_knn_cosine():
     dot = _DOT64.format(a="q.embedding", b="c.embedding")
     qq = _DOT64.format(a="q.embedding", b="q.embedding")
@@ -677,7 +780,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
+        "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         "simhash_signatures": _sql_simhash_signatures(),
+        "text_quality": _sql_text_quality(),
+        "multimodal_image_stats": _sql_multimodal_image_stats(),
+        "som_win_map": _sql_som_win_map(),
         "knn_cosine": _sql_knn_cosine(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "events_hourly": _sql_events_hourly(),

@@ -1,0 +1,128 @@
+"""Multimodal binary-column operator tests (raw codec is real; the
+Spark plumbing — schema, batch shape, re-encode — is what's under test)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xpysom_dask_spark.operators import multimodal as M
+from xpysom_dask_spark.sources import readers
+
+from conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(20):
+        h, w, c = 8, 12, 3
+        img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        rows.append((i, img.tobytes(), "raw", w, h, c))
+    return spark.createDataFrame(rows, M.IMAGE_SCHEMA).repartition(3), rows
+
+
+def _decode(row):
+    i, data, fmt, w, h, c = row
+    return np.frombuffer(data, np.uint8).reshape(h, w, c)
+
+
+def test_image_features_matches_numpy(spark, images_df):
+    df, rows = images_df
+    out = M.image_features(df).toPandas().set_index("image_id")
+    for row in rows:
+        img = _decode(row) / np.float32(255.0)
+        exp = np.array([img.mean(), img.std(), img.min(), img.max(),
+                        np.abs(np.diff(img, axis=1)).mean()], np.float32)
+        np.testing.assert_allclose(out.loc[row[0], "features"], exp,
+                                   rtol=1e-6)
+
+
+def test_image_stats_exact(spark, images_df):
+    df, rows = images_df
+    out = M.image_stats(df).toPandas().set_index("image_id")
+    for row in rows:
+        img = _decode(row).astype(np.int64)
+        r = out.loc[row[0]]
+        assert r["px_sum"] == img.sum()
+        assert r["px_sumsq"] == (img * img).sum()
+        assert (r["px_min"], r["px_max"]) == (img.min(), img.max())
+        assert r["edge_sum"] == np.abs(np.diff(img, axis=1)).sum()
+
+
+def test_resize_nearest_neighbor(spark, images_df):
+    df, rows = images_df
+    out = M.resize_images(df, 6, 4).toPandas().set_index("image_id")
+    for row in rows:
+        img = _decode(row)
+        h, w, c = img.shape
+        yi = np.arange(4) * h // 4
+        xi = np.arange(6) * w // 6
+        exp = img[yi[:, None], xi[None, :], :]
+        r = out.loc[row[0]]
+        assert (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+        got = np.frombuffer(r["data"], np.uint8).reshape(4, 6, 3)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_sample_frames_and_compose(spark):
+    rng = np.random.RandomState(7)
+    vids = []
+    for v in range(2):
+        frames = rng.randint(0, 256, size=(6, 4, 5, 1), dtype=np.uint8)
+        vids.append((v, frames.tobytes(), "raw", 5, 4, 1, 6))
+    vdf = spark.createDataFrame(vids, M.VIDEO_SCHEMA)
+    out = M.sample_frames(vdf, every_n=2).toPandas()
+    assert len(out) == 6  # 3 frames per video
+    assert sorted(out["frame_idx"].unique()) == [0, 2, 4]
+    for _, r in out.iterrows():
+        frames = np.frombuffer(vids[r["video_id"]][1], np.uint8).reshape(6, 4, 5, 1)
+        got = np.frombuffer(r["data"], np.uint8).reshape(4, 5, 1)
+        np.testing.assert_array_equal(got, frames[r["frame_idx"]])
+    # frames compose with image_features
+    feats = M.image_features(M.sample_frames(vdf, every_n=2))
+    assert feats.count() == 6
+    assert feats.schema["features"].dataType.simpleString() == "array<float>"
+
+
+def test_audio_features(spark):
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    pcm = (np.sin(2 * np.pi * 440 * t / sr) * 20000).astype("<i2")
+    adf = spark.createDataFrame([(0, pcm.tobytes(), "pcm16", sr, sr)],
+                                M.AUDIO_SCHEMA)
+    out = M.audio_features(adf).toPandas().iloc[0]
+    x = pcm.astype(np.float32) / 32768.0
+    zc = np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])) / (sr - 1)
+    np.testing.assert_allclose(
+        out["features"],
+        [np.sqrt(np.mean(x * x)), zc, np.abs(x).max(), 1.0], rtol=1e-5)
+
+
+def test_unknown_format_raises(spark, images_df):
+    df, _rows = images_df
+    bad = df.limit(1).selectExpr("image_id", "data", "'tiff9' as format",
+                                 "width", "height", "channels")
+    with pytest.raises(Exception, match="no decoder registered"):
+        M.image_features(bad).collect()
+
+
+def test_raw_length_mismatch_raises(spark):
+    df = (pytest.importorskip("pyspark").sql.SparkSession.getActiveSession()
+          .createDataFrame([(0, b"\x00" * 10, "raw", 4, 4, 1)],
+                           M.IMAGE_SCHEMA))
+    with pytest.raises(Exception, match="byte length"):
+        M.image_features(df).collect()
+
+
+def test_embeddings_as_images_quantization(spark):
+    emb = readers.load_table(spark, SF_TINY, "embeddings").limit(50)
+    imgs = M.embeddings_as_images(emb)
+    got = imgs.toPandas().set_index("image_id")
+    src = emb.toPandas().set_index("vec_id")
+    assert set(got.index) == set(src.index)
+    for vid, row in got.iterrows():
+        v = np.asarray(src.loc[vid, "embedding"], np.float64)
+        exp = np.clip(np.floor((v + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        assert row["data"] == exp.tobytes()
+        assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)

@@ -167,6 +167,50 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     return jaccard_verify(pairs, sh, threshold)
 
 
+def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
+                            threshold: float = 0.8, n: int = 3,
+                            max_df: int | None = None) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via a shingle inverted
+    index (no MinHash approximation in candidate generation):
+    (id_a, id_b, jaccard ≥ threshold).
+
+    Candidates = document pairs sharing ≥ 1 shingle, found by the
+    posting-list self-join on ``shingle`` — a hash-partitioned shuffle
+    join whose fanout is Σ df(s)² over shingles.  At corpus scale that
+    sum is dominated by stop-shingles, so ``max_df`` prunes postings
+    longer than the cutoff before the join (standard inverted-index
+    practice; pairs sharing *only* ultra-common shingles can't clear a
+    high Jaccard threshold anyway — with threshold t and document
+    shingle-set size m, a true near-dup shares ≥ t·m/(1+t) shingles,
+    overwhelmingly including rare ones).  ``max_df=None`` keeps exact
+    semantics for oracle comparison.
+    """
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    posting = sh
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_s"))
+                .where(F.col("df_s") <= max_df).select("shingle"))
+        posting = sh.join(rare, "shingle")
+    a = posting.select(F.col("id").alias("id_a"),
+                       F.col("shingle").alias("s"))
+    b = posting.select(F.col("id").alias("id_b"),
+                       F.col("shingle").alias("s"))
+    inter = (a.join(b, "s")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                       max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicate pairs: byte-band candidates (any of the four

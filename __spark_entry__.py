@@ -554,6 +554,15 @@ sh AS (
 )"""
 
 
+def _duck_md5hash12(col: str) -> str:
+    """First 12 md5 hex nibbles folded to a BIGINT, mod 2³¹−1 — the twin
+    of dedup._shingle_hash_expr."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[CAST(strpos('0123456789abcdef', substring(md5({col}), i, 1)) "
+            f"- 1 AS BIGINT) FOR i IN range(1, 13)]), "
+            f"(acc, v) -> acc * 16 + v) % {T.HASH_PRIME}")
+
+
 def _minhash_sig_sql():
     a, b = dedup.minhash_coefficients()
     mins = ",\n         ".join(
@@ -561,7 +570,7 @@ def _minhash_sig_sql():
         for i in range(dedup.MINHASH_K))
     return f"""{_shingle_cte_sql()},
 hashes AS (
-  SELECT doc_id, shingle, {_duck_polyhash('shingle')} AS h FROM sh
+  SELECT doc_id, shingle, {_duck_md5hash12('shingle')} AS h FROM sh
 ),
 sig AS (
   SELECT doc_id,

@@ -60,28 +60,40 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str,
 
     The explode is linear in corpus token count; the downstream min-agg is
     map-side combinable, so this is the scalable MinHash front end.
+
+    Tokenization is materialized into its own projection first: inlining
+    the split/filter into the shingle lambda makes Spark re-tokenize the
+    document at every shingle position (O(tokens²) — measured 15.9 s for
+    5 k docs) because the alias is substituted into the lambda body.  A
+    multi-use, non-cheap alias blocks CollapseProject, so ``t`` is
+    computed once per document.
     """
+    from ..plans.exchange import ensure_min_parallelism
+
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    tdf = (ensure_min_parallelism(df)
+           .select(F.col(id_col).alias("id"), F.expr(toks).alias("t")))
     # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short
     # docs explicitly instead of relying on greatest()
-    body = (f"transform(sequence(1, size({toks}) - {n - 1}), "
+    body = (f"transform(sequence(1, size(t) - {n - 1}), "
             f"i -> concat_ws(' ', "
-            + ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+            + ", ".join(f"element_at(t, i + {j})" for j in range(n))
             + "))")
-    shingles = (f"CASE WHEN size({toks}) < {n} "
-                f"THEN array() ELSE {body} END")
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.expr(shingles)).alias("shingle"))
+    shingles = f"CASE WHEN size(t) < {n} THEN array() ELSE {body} END"
+    return (tdf.select("id", F.explode(F.expr(shingles)).alias("shingle"))
             .distinct())
 
 
 def _shingle_hash_expr(col: str) -> str:
-    """Polynomial rolling hash of a shingle string (BIGINT, mod 2³¹−1) —
-    byte-identical to the DuckDB twin."""
-    return (f"CASE WHEN length({col}) = 0 THEN 0 ELSE "
-            f"aggregate(transform(sequence(1, length({col})), "
-            f"i -> ascii(substring({col}, i, 1))), 0L, "
-            f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_PRIME}) END")
+    """Shingle → BIGINT hash: first 12 hex nibbles of md5, mod 2³¹−1.
+
+    md5 + conv are JVM-native codegen'd expressions — the earlier
+    per-character polynomial fold ran one interpreted lambda call per
+    character per shingle (~5M calls at sf0.1).  The DuckDB twin folds
+    the same 12 nibbles (__spark_entry__._duck_md5hash12).
+    """
+    return (f"CAST(conv(substring(md5({col}), 1, 12), 16, 10) AS BIGINT) "
+            f"% {HASH_PRIME}")
 
 
 def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K,
@@ -110,14 +122,13 @@ def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
                        rows_per_band: int = 2) -> DataFrame:
     """Candidate pairs sharing at least one LSH band: (id_a, id_b)."""
     n_bands = k // rows_per_band
-    bands = []
-    for bnd in range(n_bands):
-        cols = [f"mh_{bnd * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws(":", F.lit(str(bnd)), *[F.col(c) for c in cols])
-        bands.append(sigs.select(F.col("id"), key.alias("band_key")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+    # one explode, not an n_bands-way union: a union re-evaluates the
+    # signature aggregation once per band unless exchange reuse kicks in
+    keys = [F.concat_ws(":", F.lit(str(bnd)),
+                        *[F.col(f"mh_{bnd * rows_per_band + r}")
+                          for r in range(rows_per_band)])
+            for bnd in range(n_bands)]
+    banded = sigs.select("id", F.explode(F.array(*keys)).alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -159,9 +170,13 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     re-executes once per downstream join.  ``localCheckpoint`` stores the
     computed blocks on the executors and truncates the lineage, and its
     storage is released with the plan — no unpersist bookkeeping, no
-    driver collection, scale-safe.
+    driver collection, scale-safe.  Eager: the downstream consumers are
+    *independent sibling stages* that the DAG scheduler submits
+    concurrently — a lazy checkpoint would be computed once per sibling
+    (measured 3× tokenization cost) because none sees the others' cache
+    in flight.
     """
-    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures_from_shingles(sh, k)
     pairs = minhash_band_pairs(sigs, k)
     return jaccard_verify(pairs, sh, threshold)
@@ -185,7 +200,7 @@ def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
     overwhelmingly including rare ones).  ``max_df=None`` keeps exact
     semantics for oracle comparison.
     """
-    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     posting = sh
     if max_df is not None:
         rare = (sh.groupBy("shingle")
@@ -216,16 +231,15 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     """SimHash near-duplicate pairs: byte-band candidates (any of the four
     8-bit bands equal ⇒ candidate — guarantees recall for Hamming ≤ 3 by
     pigeonhole) verified with bit_count(xor) ≤ max_hamming."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash32(text_col).alias("sh"))
-    bands = []
-    for b in range(4):
-        key = F.concat_ws(":", F.lit(str(b)),
-                          F.shiftright(F.col("sh"), 8 * b) % 256)
-        bands.append(sh.select("id", "sh", key.alias("band_key")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+    from ..plans.exchange import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(df).select(F.col(id_col).alias("id"),
+                                           simhash32(text_col).alias("sh"))
+    keys = [F.concat_ws(":", F.lit(str(b)),
+                        F.shiftright(F.col("sh"), 8 * b) % 256)
+            for b in range(4)]
+    banded = sh.select("id", "sh",
+                       F.explode(F.array(*keys)).alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.id") < F.col("b.id")))

@@ -241,11 +241,13 @@ class SparkSom:
     # ------------------------------------------------------------------ #
     # scoring (X7, X13-X15)
 
-    def transform(self, df, outputs=("bmu_x", "bmu_y", "cluster_id")):
+    def transform(self, df, outputs=("bmu_x", "bmu_y", "cluster_id"),
+                  keep=None):
         """Append model columns to a (batch or streaming) DataFrame in one
-        narrow Arrow stage. See plans.scoring for column semantics."""
+        narrow Arrow stage. See plans.scoring for column semantics;
+        ``keep`` limits which input columns pass through (None = all)."""
         from ..plans.scoring import attach
-        return attach(self, df, outputs)
+        return attach(self, df, outputs, keep=keep)
 
     def predict(self, data):
         """Flat cluster ids. DataFrame → + ``cluster_id`` column;
@@ -280,7 +282,7 @@ class SparkSom:
         """Mean L2 residual to the BMU (xpysom.py:673-707)."""
         if _is_df(data):
             from pyspark.sql import functions as F
-            scored = self.transform(data, ("qe",))
+            scored = self.transform(data, ("qe",), keep=())
             return float(scored.agg(F.avg("qe")).collect()[0][0])
         X = self._as_matrix(data, dtype=self.dtype)
         return float(np.linalg.norm(X - self.quantization(X), axis=1).mean())
@@ -293,7 +295,7 @@ class SparkSom:
             return float("nan")
         if _is_df(data):
             from pyspark.sql import functions as F
-            scored = self.transform(data, ("te_err",))
+            scored = self.transform(data, ("te_err",), keep=())
             return float(scored.agg(F.avg("te_err")).collect()[0][0])
         from ..plans.scoring import _topographic_indicator
         X = self._as_matrix(data, dtype=self.dtype)
@@ -310,7 +312,7 @@ class SparkSom:
         a real Spark hash aggregate."""
         a = np.zeros((self._x, self._y))
         if _is_df(data):
-            rows = (self.transform(data, ("bmu_x", "bmu_y"))
+            rows = (self.transform(data, ("bmu_x", "bmu_y"), keep=())
                     .groupBy("bmu_x", "bmu_y").count().collect())
             for r in rows:
                 a[r["bmu_x"], r["bmu_y"]] = r["count"]

@@ -110,11 +110,18 @@ def md5_fingerprint(col: str) -> Column:
 
 def min_shingle_fingerprint(col: str, width: int = 8) -> Column:
     """Winnowing-lite near-dup fingerprint: lexicographic min of the MD5s
-    of all ``width``-char shingles of the normalized text."""
+    of all ``width``-char shingles of the normalized text.
+
+    The normalized text is bound once via a single-element-array lambda
+    (``transform(array(t), tt -> ...)``) — referencing ``t`` directly at
+    every shingle position would re-run the regexp normalization per
+    position (O(len²) regexp work per document).
+    """
     t = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    per_pos = (f"transform(sequence(1, greatest(length(tt) - {width - 1}, 1)), "
+               f"i -> md5(substring(tt, i, {width})))")
     return F.expr(
-        f"array_min(transform(sequence(1, greatest(length({t}) - {width - 1}, 1)), "
-        f"i -> md5(substring({t}, i, {width}))))")
+        f"array_min(flatten(transform(array({t}), tt -> {per_pos})))")
 
 
 def rolling_hash(col: str) -> Column:
@@ -133,16 +140,26 @@ def simhash32(col: str) -> Column:
     Bit j of each token's MD5 (first 8 hex nibbles) votes ±1; the sign of
     the aggregate vote sets bit j of the fingerprint.  Ties (vote == 0)
     resolve to 0.  Pure nested higher-order expression — one narrow pass.
+
+    Cost shape: each token is MD5'd exactly ONCE (``hs``), then a single
+    aggregate folds the 32 bit-votes as an array accumulator — O(32·T)
+    integer ops.  The naive form (one vote-aggregate per output bit,
+    md5 inside) is O(32·T) *md5 calls* — ~30× slower, same values.
     """
     toks = f"filter(split({col}, '\\\\s+'), x -> x != '')"
-    # (j - j%4)/4 is exact in float64 → CAST truncation-vs-rounding cannot
-    # diverge between engines (plain j/4 would: Spark truncates, DuckDB
-    # rounds-to-nearest)
-    nib = ("(instr('0123456789abcdef', "
-           "substring(md5(t), 1 + CAST((j - (j % 4)) / 4 AS INT), 1)) - 1)")
-    bit = f"CASE WHEN (({nib} >> (3 - j % 4)) & 1) = 1 THEN 1 ELSE -1 END"
-    vote = (f"aggregate({toks}, 0L, (acc, t) -> acc + ({bit}))")
+    # token → first 8 md5 nibbles as a 32-bit int (bit j of the simhash
+    # reads bit 31-j of this int — big-endian nibble order)
+    hs = (f"transform({toks}, "
+          "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))")
+    votes = (f"aggregate({hs}, "
+             "array_repeat(0L, 32), "
+             "(acc, h) -> zip_with(acc, "
+             "transform(sequence(0, 31), "
+             "j -> CASE WHEN (shiftright(h, 31 - j) & 1) = 1 "
+             "THEN 1L ELSE -1L END), (a, b) -> a + b))")
+    collapse = ("transform(sequence(0, 31), "
+                "j -> CASE WHEN element_at(vs, j + 1) > 0 "
+                "THEN shiftleft(1L, j) ELSE 0L END)")
     return F.expr(
-        "aggregate(transform(sequence(0, 31), "
-        f"j -> CASE WHEN ({vote}) > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        f"aggregate(flatten(transform(array({votes}), vs -> {collapse})), "
         "0L, (acc, v) -> acc + v)")

@@ -54,6 +54,23 @@ def ship_package(spark) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+def ensure_min_parallelism(df, min_parts: int | None = None):
+    """Repartition tiny scans up to the cluster's parallelism.
+
+    File-based partitioning follows bytes (``maxPartitionBytes``), so a
+    small-but-CPU-expensive table (e.g. a documents table feeding
+    tokenize/explode/hash chains) can arrive as ONE split and serialize
+    the whole pipeline on one core.  No-op when the scan already has
+    enough splits — at real scale the input is many splits and this
+    adds nothing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def feature_matrix(col: pa.Array, expected_len: int, dtype=np.float32) -> np.ndarray:
     """Convert an Arrow list<numeric> array to a dense ``(n, d)`` ndarray.
 

@@ -45,11 +45,24 @@ _NEEDS_ACT = {"bmu_x", "bmu_y", "cluster_id"}
 _NEEDS_EUC = {"quantized", "qe", "te_err", "distances"}
 
 
-def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id")):
-    """Return ``df`` with the requested model columns appended."""
+def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id"), keep=None):
+    """Return ``df`` with the requested model columns appended.
+
+    ``keep`` selects which input columns pass through (None = all).  A
+    metric that only needs its own output (e.g. a global QE average)
+    should pass ``keep=()`` so input columns don't round-trip through
+    Arrow: the stage then reads just the features column and emits just
+    the metric column.
+    """
     unknown = [o for o in outputs if o not in OUTPUT_TYPES]
     if unknown:
         raise ValueError(f"unknown outputs {unknown}; available: {list(OUTPUT_TYPES)}")
+    if keep is not None:
+        wanted = list(dict.fromkeys(list(keep) + [som.features_col]))
+        df = df.select(*wanted)
+        drop_feats = som.features_col not in keep
+    else:
+        drop_feats = False
     spark = df.sparkSession
     ship_package(spark)
 
@@ -70,7 +83,10 @@ def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id")):
 
     from pyspark.sql.types import StructType, _parse_datatype_string
 
-    out_schema = StructType(list(df.schema.fields))
+    keep_fields = [f for f in df.schema.fields
+                   if not (drop_feats and f.name == feat_name)]
+    keep_names = [f.name for f in keep_fields]
+    out_schema = StructType(list(keep_fields))
     for o in outputs:
         out_schema = out_schema.add(o, _parse_datatype_string(OUTPUT_TYPES[o][0]))
 
@@ -104,8 +120,11 @@ def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id")):
                     cols["te_err"] = pa.array(
                         _topographic_indicator(dist, ux, uy, xx, yy, topology),
                         pa.float64())
-            arrays = list(batch.columns) + [cols[o] for o in outputs]
-            fields = ([batch.schema.field(i) for i in range(batch.num_columns)]
+            kept_idx = [i for i, nm in enumerate(batch.schema.names)
+                        if nm in keep_names]
+            arrays = ([batch.column(i) for i in kept_idx]
+                      + [cols[o] for o in outputs])
+            fields = ([batch.schema.field(i) for i in kept_idx]
                       + [pa.field(o, OUTPUT_TYPES[o][1]) for o in outputs])
             yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 

@@ -109,8 +109,13 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
     ship_package(spark)
     sc = spark.sparkContext
 
+    own_cache = not (df.is_cached and df.columns == [som.features_col])
     feats = df.select(df[som.features_col].alias("features"))
-    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    if own_cache:
+        # persist so epochs 2..T never re-scan the source; skip when the
+        # caller already persisted exactly the features column (a second
+        # cache level would double memory and re-materialize on epoch 1)
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     n_parts = feats.rdd.getNumPartitions()
     two_level = n_parts > som.collect_threshold
 
@@ -152,7 +157,8 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
                     % (t + 1, iter_end, eta, sig, time.time() - t0)
                 )
     finally:
-        feats.unpersist()
+        if own_cache:
+            feats.unpersist()
 
     som._weights = W
     return som

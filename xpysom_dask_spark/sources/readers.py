@@ -40,7 +40,15 @@ LINEITEM_KEYS = ("l_orderkey", "l_linenumber")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table: ``{sf_dir}/{name}.parquet``."""
+    """Read one synthetic table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright unless the legacy nanos-as-long flag is on —
+    set it here so every consumer (batch, bench, driver) can read the
+    table; downstream code treats ``ts`` as BIGINT nanoseconds.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -328,6 +328,74 @@ def _q_events_hourly(spark, sf_dir):
              F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def _q_streaming_events_hourly_bmu(spark, sf_dir):
+    """Structured-Streaming twin of the activation-response rollup, fed by
+    a real file-source stream and drained with availableNow into a memory
+    sink — proves the streaming surface computes exactly the batch/SQL
+    answer.  One feature (value/100) on a seeded 4×4 float64 SOM so the
+    BMU argmin is bitwise SQL-reproducible."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import windowed_activation_response
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.array((F.col("value") / F.lit(100.0)).cast("double"))
+        .alias("features"))
+    tmp = tempfile.mkdtemp(prefix="somstream_")
+    src.write.mode("overwrite").parquet(tmp)
+
+    som = _stream_som()
+    stream = spark.readStream.schema(src.schema).parquet(tmp)
+    out = windowed_activation_response(som, stream, "ts", window="1 hour",
+                                       watermark="0 seconds")
+    name = "q_stream_bmu_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.col("window_start").cast("long").alias("hour_ts"),
+                    "bmu_x", "bmu_y",
+                    F.col("n_wins").cast("bigint").alias("n_wins")))
+
+
+def _stream_som() -> SparkSom:
+    return SparkSom(4, 4, 1, random_seed=SOM_SEED, dtype=np.float64,
+                    activation_distance="norm_p_no_opt",
+                    activation_distance_kwargs={"p": 2})
+
+
+def _sql_streaming_events_hourly_bmu():
+    W = _stream_som().get_weights()
+    rows = ",\n      ".join(
+        f"({i}, {j}, CAST('{W[i, j, 0]!r}' AS DOUBLE))"
+        for i in range(4) for j in range(4))
+    return f"""
+WITH feats AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         value / CAST(100 AS DOUBLE) AS f1
+  FROM events
+),
+w(i, j, w1) AS (
+  VALUES
+      {rows}
+),
+scored AS (
+  SELECT f.hour_ts,
+         (SELECT w.i FROM w
+          ORDER BY (f.f1 - w.w1) * (f.f1 - w.w1), w.i, w.j LIMIT 1) AS bx,
+         (SELECT w.j FROM w
+          ORDER BY (f.f1 - w.w1) * (f.f1 - w.w1), w.i, w.j LIMIT 1) AS by
+  FROM feats f
+)
+SELECT hour_ts, CAST(bx AS INTEGER) AS bmu_x, CAST(by AS INTEGER) AS bmu_y,
+       COUNT(*) AS n_wins
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 def _q_ann_som_ivf(spark, sf_dir):
     """Approximate NN via SOM-as-IVF (no SQL oracle — approximate op;
     driver records the rows-only check)."""
@@ -366,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
+        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
         "ann_som_ivf": _q_ann_som_ivf,
     }
 
@@ -797,5 +866,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": _sql_knn_cosine(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "events_hourly": _sql_events_hourly(),
+        "streaming_events_hourly_bmu": _sql_streaming_events_hourly_bmu(),
         # ann_som_ivf: approximate — rows-only check, no oracle
     }

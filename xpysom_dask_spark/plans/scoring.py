@@ -146,8 +146,15 @@ def _topographic_indicator(dist, ux, uy, xx, yy, topology):
         bad = (np.abs(np.diff(bx, axis=1)) > 1) | (np.abs(np.diff(by, axis=1)) > 1)
         return bad.ravel().astype(np.float64)
     # hexagonal: plane distance between the two BMUs, untransposed lookup
-    # (reference quirk, xpysom.py:742-743)
-    px = xx[bx, by]
-    py = yy[bx, by]
+    # (reference quirk, xpysom.py:742-743).  The quirk is only
+    # well-defined on square maps (xx has shape (y, x)); on non-square
+    # maps the reference raises IndexError, so we use the transposed
+    # (consistent-with-every-other-accessor) lookup there instead.
+    if xx.shape[0] == xx.shape[1]:
+        px = xx[bx, by]
+        py = yy[bx, by]
+    else:
+        px = xx.T[bx, by]
+        py = yy.T[bx, by]
     dd = np.hypot(np.diff(px, axis=1), np.diff(py, axis=1))
     return (dd.ravel() > 1.5).astype(np.float64)

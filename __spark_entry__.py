@@ -268,7 +268,7 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_simhash_signatures(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", T.simhash32("text").alias("simhash"))
+    return d.select("doc_id", T.simhash60("text").alias("simhash"))
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -681,7 +681,7 @@ WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
 
 
 def _simhash_sql():
-    """(doc_id, sh) CTE body — per-token MD5-nibble bit votes."""
+    """(doc_id, sh) CTE body — per-token MD5-nibble bit votes (60-bit)."""
     toks = _duck_tokens("text")
     nib = ("(strpos('0123456789abcdef', "
            "substring(md5(tok), 1 + CAST((j - (j % 4)) / 4 AS INTEGER), 1)) - 1)")
@@ -693,7 +693,7 @@ votes AS (
   SELECT doc_id, j,
          sum(CASE WHEN (({nib} >> (3 - j % 4)) & 1) = 1
                   THEN 1 ELSE -1 END) AS vote
-  FROM tk CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+  FROM tk CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
   GROUP BY doc_id, j
 ),
 simsum AS (
@@ -719,7 +719,7 @@ SELECT doc_id, CAST(sh AS BIGINT) AS simhash FROM sims
 
 def _sql_dedup_simhash():
     bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, sh, concat('{b}', ':', (sh >> {8 * b}) & 255) "
+        f"  SELECT doc_id, sh, concat('{b}', ':', (sh >> {15 * b}) & 32767) "
         f"AS band_key FROM sims" for b in range(4))
     return f"""
 WITH {_simhash_sql()},

@@ -74,9 +74,17 @@ def main():
     timed("dedup_minhash", lambda: dedup.minhash_near_dups(
         docs, "text", "doc_id").count())
 
+    timed("dedup_simhash", lambda: dedup.simhash_near_dups(
+        docs, "text", "doc_id").count())
+
     emb = readers.load_table(spark, SF_DIR, "embeddings")
     timed("knn_cosine", lambda: similarity.cosine_topk(
         emb, emb.where("vec_id % 50 = 0"), k=5).count())
+
+    from xpysom_dask_spark.operators import multimodal
+    timed("image_stats", lambda: multimodal.image_stats(
+        multimodal.embeddings_as_images(emb)).agg(
+        F.sum("px_sum")).collect())
 
     feats.unpersist()
     total = round(sum(timings.values()), 3)

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash32
+from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash60
 
 #: (a_i, b_i) coefficients for the k minhash permutations h'(x) = (a·x+b) % p
 MINHASH_K = 8
@@ -234,9 +234,9 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     from ..plans.exchange import ensure_min_parallelism
 
     sh = ensure_min_parallelism(df).select(F.col(id_col).alias("id"),
-                                           simhash32(text_col).alias("sh"))
+                                           simhash60(text_col).alias("sh"))
     keys = [F.concat_ws(":", F.lit(str(b)),
-                        F.shiftright(F.col("sh"), 8 * b) % 256)
+                        F.shiftright(F.col("sh"), 15 * b) % 32768)
             for b in range(4)]
     banded = sh.select("id", "sh",
                        F.explode(F.array(*keys)).alias("band_key"))

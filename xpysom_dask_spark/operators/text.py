@@ -134,32 +134,49 @@ def rolling_hash(col: str) -> Column:
         f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_PRIME}) END")
 
 
-def simhash32(col: str) -> Column:
-    """32-bit SimHash over whitespace tokens (multiset).
+def simhash(col: str, bits: int = 60) -> Column:
+    """``bits``-bit SimHash over whitespace tokens (multiset), bits ≤ 60.
 
-    Bit j of each token's MD5 (first 8 hex nibbles) votes ±1; the sign of
-    the aggregate vote sets bit j of the fingerprint.  Ties (vote == 0)
-    resolve to 0.  Pure nested higher-order expression — one narrow pass.
+    Bit j of each token's MD5 (first bits/4 hex nibbles) votes ±1; the
+    sign of the aggregate vote sets bit j of the fingerprint.  Ties
+    (vote == 0) resolve to 0.  Pure nested higher-order expression — one
+    narrow pass.
 
     Cost shape: each token is MD5'd exactly ONCE (``hs``), then a single
-    aggregate folds the 32 bit-votes as an array accumulator — O(32·T)
+    aggregate folds the bit-votes as an array accumulator — O(bits·T)
     integer ops.  The naive form (one vote-aggregate per output bit,
-    md5 inside) is O(32·T) *md5 calls* — ~30× slower, same values.
+    md5 inside) is O(bits·T) *md5 calls* — ~30× slower, same values.
     """
+    if bits % 4 or not 4 <= bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
+    nib = bits // 4
     toks = f"filter(split({col}, '\\\\s+'), x -> x != '')"
-    # token → first 8 md5 nibbles as a 32-bit int (bit j of the simhash
-    # reads bit 31-j of this int — big-endian nibble order)
+    # token → first `nib` md5 nibbles as an int (bit j of the simhash
+    # reads bit bits-1-j of this int — big-endian nibble order)
     hs = (f"transform({toks}, "
-          "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))")
+          f"t -> CAST(conv(substring(md5(t), 1, {nib}), 16, 10) AS BIGINT))")
     votes = (f"aggregate({hs}, "
-             "array_repeat(0L, 32), "
+             f"array_repeat(0L, {bits}), "
              "(acc, h) -> zip_with(acc, "
-             "transform(sequence(0, 31), "
-             "j -> CASE WHEN (shiftright(h, 31 - j) & 1) = 1 "
+             f"transform(sequence(0, {bits - 1}), "
+             f"j -> CASE WHEN (shiftright(h, {bits - 1} - j) & 1) = 1 "
              "THEN 1L ELSE -1L END), (a, b) -> a + b))")
-    collapse = ("transform(sequence(0, 31), "
+    collapse = (f"transform(sequence(0, {bits - 1}), "
                 "j -> CASE WHEN element_at(vs, j + 1) > 0 "
                 "THEN shiftleft(1L, j) ELSE 0L END)")
     return F.expr(
         f"aggregate(flatten(transform(array({votes}), vs -> {collapse})), "
         "0L, (acc, v) -> acc + v)")
+
+
+def simhash32(col: str) -> Column:
+    """32-bit SimHash (see ``simhash``)."""
+    return simhash(col, 32)
+
+
+def simhash60(col: str) -> Column:
+    """60-bit SimHash — the near-dup default: with 4 × 15-bit LSH bands
+    the chance-collision bucket space is 2¹⁵ (vs 2⁸ for 32-bit/8-bit
+    bands), cutting spurious candidate pairs ~128× at equal recall for
+    Hamming ≤ 3 (pigeonhole over 4 bands)."""
+    return simhash(col, 60)

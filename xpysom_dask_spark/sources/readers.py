@@ -52,6 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_csv(spark: SparkSession, path: str, header: bool = True,
+             infer_schema: bool = True, **options) -> DataFrame:
+    """CSV source (reference S8 — the notebooks' iris/democracy loaders).
+    Column pruning still applies; pair with ``features_from_columns`` to
+    build the SOM input."""
+    reader = (spark.read.option("header", header)
+              .option("inferSchema", infer_schema))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
 def features_from_columns(df: DataFrame, cols, out="features",
                           keep=()) -> DataFrame:
     """Assemble numeric columns into an ``array<float>`` features column

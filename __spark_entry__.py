@@ -311,7 +311,10 @@ def _q_knn_cosine(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    out = similarity.near_dup_pairs(_emb(spark, sf_dir), threshold=0.8)
+    # the synthetic embeddings have no true near-dups (max pairwise
+    # cosine ≈ 0.51) — threshold in the populated regime so the operator
+    # produces and verifies real pairs
+    out = similarity.near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
@@ -362,9 +365,14 @@ def _q_streaming_events_hourly_bmu(spark, sf_dir):
 
 
 def _stream_som() -> SparkSom:
-    return SparkSom(4, 4, 1, random_seed=SOM_SEED, dtype=np.float64,
-                    activation_distance="norm_p_no_opt",
-                    activation_distance_kwargs={"p": 2})
+    som = SparkSom(4, 4, 1, random_seed=SOM_SEED, dtype=np.float64,
+                   activation_distance="norm_p_no_opt",
+                   activation_distance_kwargs={"p": 2})
+    # spread the 1-dim codebook over the value/100 range [0, 5): the
+    # normalized random init collapses 1-dim weights to ±1, which maps
+    # every event to one cell (a degenerate, nothing-tested rollup)
+    som._weights = np.linspace(0.0, 5.0, 16).reshape(4, 4, 1)
+    return som
 
 
 def _sql_streaming_events_hourly_bmu():
@@ -394,6 +402,86 @@ SELECT hour_ts, CAST(bx AS INTEGER) AS bmu_x, CAST(by AS INTEGER) AS bmu_y,
        COUNT(*) AS n_wins
 FROM scored GROUP BY 1, 2, 3
 """
+
+
+def _q_streaming_user_transitions(spark, sf_dir):
+    """The custom stateful operator (applyInPandasWithState): per-user
+    SOM-cell trajectory — event count, number of cluster transitions in
+    event-time order, and the final cluster.  Drained with availableNow;
+    the oracle replays the same logic with SQL window functions."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import bmu_transitions
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.array((F.col("value") / F.lit(100.0)).cast("double"))
+        .alias("features"))
+    tmp = tempfile.mkdtemp(prefix="somtrans_")
+    src.write.mode("overwrite").parquet(tmp)
+
+    som = _stream_som()
+    stream = spark.readStream.schema(src.schema).parquet(tmp)
+    out = bmu_transitions(som, stream, "user_id", ts_col="ts")
+    name = "q_stream_trans_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.col("key").alias("user_id"),
+                    "n_events", "n_transitions", "last_cluster"))
+
+
+def _sql_streaming_user_transitions():
+    W = _stream_som().get_weights()
+    rows = ",\n      ".join(
+        f"({i}, {j}, CAST('{W[i, j, 0]!r}' AS DOUBLE))"
+        for i in range(4) for j in range(4))
+    return f"""
+WITH feats AS (
+  SELECT user_id, ts, value / CAST(100 AS DOUBLE) AS f1 FROM events
+),
+w(i, j, w1) AS (
+  VALUES
+      {rows}
+),
+scored AS (
+  SELECT f.user_id, f.ts,
+         (SELECT w.i * 4 + w.j FROM w
+          ORDER BY (f.f1 - w.w1) * (f.f1 - w.w1), w.i, w.j LIMIT 1) AS cid
+  FROM feats f
+),
+seq AS (
+  SELECT user_id, ts, cid,
+         LAG(cid) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM scored
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND cid <> prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+       CAST(arg_max(cid, ts) AS BIGINT) AS last_cluster
+FROM seq GROUP BY user_id
+"""
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """Hyperplane-LSH-bucketed near-dup pairs (bucket candidates, exact
+    cosine verify).  The corpus is the embeddings table unioned with
+    positively-scaled copies (vec_id + 10⁶) — scaling preserves cosine
+    exactly, so each (v, 1.5·v) pair is a guaranteed near-dup that LSH
+    MUST find (identical hyperplane sign patterns ⇒ same bucket).
+    Rows-only check (bucketing is seed-dependent for chance pairs)."""
+    e = _emb(spark, sf_dir)
+    scaled = e.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                      F.expr("transform(embedding, v -> v * CAST(1.5 AS FLOAT))")
+                      .alias("embedding"))
+    corpus = e.select("vec_id", "embedding").unionAll(scaled)
+    out = similarity.lsh_near_dup_pairs(corpus, dim=64, threshold=0.99)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
 def _q_ann_som_ivf(spark, sf_dir):
@@ -435,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
         "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
+        "streaming_user_transitions": _q_streaming_user_transitions,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
     }
 
@@ -830,7 +920,7 @@ def _sql_embedding_near_dup():
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(({dot}) / (sqrt({aa}) * sqrt({bb})), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ({dot}) / (sqrt({aa}) * sqrt({bb})) >= 0.8
+WHERE ({dot}) / (sqrt({aa}) * sqrt({bb})) >= 0.45
 """
 
 
@@ -867,5 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _sql_embedding_near_dup(),
         "events_hourly": _sql_events_hourly(),
         "streaming_events_hourly_bmu": _sql_streaming_events_hourly_bmu(),
-        # ann_som_ivf: approximate — rows-only check, no oracle
+        "streaming_user_transitions": _sql_streaming_user_transitions(),
+        # ann_som_ivf, embedding_near_dup_lsh: approximate — rows-only
+        # checks, no oracle
     }

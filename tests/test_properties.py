@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for the pure-NumPy kernels, plus
+set-algebra properties across the dedup family on Spark.
+
+These complement the exhaustive-corpus and differential suites with
+randomized invariants the reference never states but must hold:
+argmin-invariance of the partial euclidean distance, even-p binomial
+expansion ≡ generic broadcast, metric ranges, decay monotonicity,
+LSH-candidate ⊆ exact-candidate containment.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from xpysom_dask_spark.functions import distances as D
+from xpysom_dask_spark.functions.decays import resolve_decay
+
+# magnitudes bounded away from float32 denormals: ||v||^2 underflow makes
+# cosine blow up by design (nan_to_num of inf — reference distances.py:57)
+FLOATS = st.one_of(
+    st.just(0.0),
+    st.floats(0.0009765625, 10, width=32),    # 2^-10, exact in float32
+    st.floats(-10, -0.0009765625, width=32))
+
+
+def _mats(draw, nmax=8, mmax=6, dmax=5):
+    n = draw(st.integers(1, nmax))
+    m = draw(st.integers(1, mmax))
+    d = draw(st.integers(1, dmax))
+    X = draw(arrays(np.float32, (n, d), elements=FLOATS))
+    W = draw(arrays(np.float32, (m, d), elements=FLOATS))
+    return X, W
+
+
+@st.composite
+def mats(draw):
+    return _mats(draw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(mats())
+def test_partial_euclidean_is_argmin_invariant(xw):
+    X, W = xw
+    part = D.resolve_distance("euclidean", {})(X, W)
+    # NB: 'euclidean_no_opt' is the full SQUARED distance (reference
+    # registry, distances.py:163-164 — no sqrt)
+    full_sq = D.resolve_distance("euclidean_no_opt", {})(X, W)
+    # partial omits the row-constant ||x||^2: difference per row constant
+    diff = full_sq - part
+    assert np.allclose(diff, diff[:, :1], atol=1e-2)
+    # the partial argmin is epsilon-optimal under the full distance
+    # (exact equality can flip on sub-float32-resolution ties — both
+    # kernels round, so only margins above rounding are meaningful)
+    rows = np.arange(len(X))
+    chosen = full_sq[rows, part.argmin(1)]
+    best = full_sq.min(1)
+    tol = 1e-5 * np.maximum(np.abs(full_sq).max(1), 1.0)
+    assert np.all(chosen <= best + tol)
+
+
+@settings(max_examples=100, deadline=None)
+@given(mats(), st.sampled_from([2, 4]))
+def test_even_p_expansion_equals_generic(xw, p):
+    X, W = xw
+    fast = D.resolve_distance("norm_p", {"p": p})(X, W)
+    slow = D.resolve_distance("norm_p_no_opt", {"p": p})(X, W)
+    # the binomial-expansion path cancels catastrophically in float32, so
+    # tolerance must scale with the magnitude of the cancelled terms
+    mag = ((np.abs(X)**p).sum(1)[:, None] + (np.abs(W)**p).sum(1)[None, :])
+    assert np.all(np.abs(fast - slow) <= 1e-4 * mag + 1e-3)
+
+
+@settings(max_examples=100, deadline=None)
+@given(mats())
+def test_cosine_distance_range(xw):
+    X, W = xw
+    c = D.resolve_distance("cosine", {})(X, W)
+    assert np.all(c >= -1e-5)
+    assert np.all(c <= 2 + 1e-5)
+
+
+@settings(max_examples=100, deadline=None)
+@given(mats())
+def test_manhattan_triangle_inequality_vs_euclidean(xw):
+    X, W = xw
+    l1 = D.resolve_distance("manhattan_no_opt", {})(X, W)
+    # GEMM-form squared distance dips to -epsilon for near-identical
+    # vectors — the very quirk the reference guards with nan_to_num
+    # (distances.py:38-43); clamp before the root
+    l2 = np.sqrt(np.maximum(
+        D.resolve_distance("euclidean_no_opt", {})(X, W), 0.0))
+    # ||v||_2 <= ||v||_1 <= sqrt(d)*||v||_2
+    d = X.shape[1]
+    assert np.all(l1 >= l2 - 1e-2)
+    assert np.all(l1 <= np.sqrt(d) * l2 + 1e-2)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sampled_from(["asymptotic", "exponential", "linear"]),
+       st.integers(2, 50))
+def test_decays_monotone_and_bounded(name, T):
+    fn = resolve_decay(name)
+    vals = [fn(0.5, 0.01, t, T) for t in range(T)]
+    assert vals[0] <= 0.5 + 1e-12
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+    assert all(v > 0 for v in vals)
+
+
+# --------------------------------------------------------------------- #
+# Spark-level set properties (fixed seeds — one Spark run each)
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark):
+    """LSH candidates that survive verification are exact-Jaccard pairs:
+    minhash_near_dups ⊆ ngram_jaccard_near_dups at equal threshold."""
+    from xpysom_dask_spark.operators import dedup
+    from conftest import SF_TINY
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    mh = {(r.id_a, r.id_b) for r in
+          dedup.minhash_near_dups(docs, "text", "doc_id", 0.5).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             dedup.ngram_jaccard_near_dups(docs, "text", "doc_id", 0.5)
+             .collect()}
+    assert mh <= exact
+    assert len(mh) > 0
+
+
+def test_exact_dedup_partitions_the_corpus(spark):
+    """Group sizes sum to the corpus size; keepers are unique."""
+    from xpysom_dask_spark.operators import dedup
+    from conftest import SF_TINY
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    groups = dedup.dedup_exact(docs, "text", "doc_id").collect()
+    assert sum(g.n_copies for g in groups) == docs.count()
+    keepers = [g.keeper for g in groups]
+    assert len(keepers) == len(set(keepers))
+    kept = dedup.dedup_exact_keep_first(docs, "text", "doc_id")
+    assert kept.count() == len(groups)
+
+
+def test_simhash_token_order_invariance(spark):
+    """SimHash is a multiset fingerprint: shuffling token order must not
+    change it (per-token votes are order-independent)."""
+    import pyspark.sql.functions as F
+    from xpysom_dask_spark.operators.text import simhash60
+    rows = [("b a c a x", 1), ("x a a c b", 1), ("q w e", 2), ("e q w", 2)]
+    df = spark.createDataFrame(rows, "text string, grp int")
+    out = (df.select("grp", simhash60("text").alias("sh"))
+           .groupBy("grp").agg(F.count_distinct("sh").alias("k")).collect())
+    assert all(r.k == 1 for r in out)

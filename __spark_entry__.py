@@ -484,6 +484,53 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+def _q_relational_revenue_topk(spark, sf_dir):
+    """Classic relational shape the reference lacks entirely (SURVEY
+    §2.6): customer ⋈ orders ⋈ lineitem ⋈ nation with broadcast
+    dimension tables, partial-aggregated revenue, and a per-nation
+    top-3 window — Catalyst plans broadcast joins + two-phase agg."""
+    from pyspark.sql import Window
+
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    orders = readers.load_table(spark, sf_dir, "orders")
+    cust = readers.load_table(spark, sf_dir, "customer")
+    nation = readers.load_table(spark, sf_dir, "nation")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+           .groupBy("n_name", "c_custkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey"))
+    return (rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= 3)
+            .select("n_name", "rank", "c_custkey",
+                    F.col("revenue").cast("double").alias("revenue")))
+
+
+def _sql_relational_revenue_topk():
+    return """
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rank
+  FROM rev
+)
+SELECT n_name, rank, c_custkey, CAST(revenue AS DOUBLE) AS revenue
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_ann_som_ivf(spark, sf_dir):
     """Approximate NN via SOM-as-IVF (no SQL oracle — approximate op;
     driver records the rows-only check)."""
@@ -524,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
         "streaming_user_transitions": _q_streaming_user_transitions,
+        "relational_revenue_topk": _q_relational_revenue_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
     }
@@ -958,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _sql_events_hourly(),
         "streaming_events_hourly_bmu": _sql_streaming_events_hourly_bmu(),
         "streaming_user_transitions": _sql_streaming_user_transitions(),
+        "relational_revenue_topk": _sql_relational_revenue_topk(),
         # ann_som_ivf, embedding_near_dup_lsh: approximate — rows-only
         # checks, no oracle
     }

@@ -484,6 +484,55 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+def _q_multimodal_frame_sample(spark, sf_dir):
+    """Video pipeline: embeddings → 8×8 frames → 4-frame raw videos
+    (binary concat, order by vec_id) → sample every 2nd frame → exact
+    integer pixel stats.  Exercises binary assembly, ``sample_frames``
+    fan-out, and operator composition under the oracle."""
+    imgs = multimodal.embeddings_as_images(_emb(spark, sf_dir))
+    vids = (imgs.groupBy((F.col("image_id") / 4).cast("bigint")
+                         .alias("video_id"))
+            .agg(F.expr("array_sort(collect_list(struct(image_id, data)))")
+                 .alias("frames"))
+            .select("video_id",
+                    F.expr("reduce(transform(frames, f -> f.data), "
+                           "X'', (acc, d) -> concat(acc, d))").alias("data"),
+                    F.lit("raw").alias("format"),
+                    F.lit(8).alias("width"), F.lit(8).alias("height"),
+                    F.lit(1).alias("channels"),
+                    F.size("frames").alias("n_frames")))
+    sampled = multimodal.sample_frames(vids, every_n=2)
+    return multimodal.image_stats(
+        sampled.select("image_id", "data", "format", "width", "height",
+                       "channels"))
+
+
+def _sql_multimodal_frame_sample():
+    # kept frames are the even positions within each 4-frame video; with
+    # contiguous vec_ids that is vec_id % 4 ∈ {0, 2}; image_id remaps to
+    # video_id·10⁶ + frame_idx
+    return """
+WITH u AS (
+  SELECT vec_id,
+    [CAST(LEAST(GREATEST(FLOOR((CAST(e AS DOUBLE) + 1.0) * 127.5), 0), 255)
+          AS BIGINT) FOR e IN embedding] AS px
+  FROM embeddings
+  WHERE vec_id % 4 IN (0, 2)
+)
+SELECT (vec_id // 4) * 1000000 + (vec_id % 4) AS image_id,
+  CAST(len(px) AS BIGINT) AS n_px,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, b) -> a + b) AS px_sum,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), [p * p FOR p IN px]),
+              (a, b) -> a + b) AS px_sumsq,
+  CAST(list_min(px) AS INTEGER) AS px_min,
+  CAST(list_max(px) AS INTEGER) AS px_max,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [abs(px[i + 1] - px[i]) FOR i IN range(1, 64) IF i % 8 <> 0]),
+    (a, b) -> a + b) AS edge_sum
+FROM u
+"""
+
+
 def _q_relational_revenue_topk(spark, sf_dir):
     """Classic relational shape the reference lacks entirely (SURVEY
     §2.6): customer ⋈ orders ⋈ lineitem ⋈ nation with broadcast
@@ -572,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
         "streaming_user_transitions": _q_streaming_user_transitions,
         "relational_revenue_topk": _q_relational_revenue_topk,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
     }
@@ -1007,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_events_hourly_bmu": _sql_streaming_events_hourly_bmu(),
         "streaming_user_transitions": _sql_streaming_user_transitions(),
         "relational_revenue_topk": _sql_relational_revenue_topk(),
+        "multimodal_frame_sample": _sql_multimodal_frame_sample(),
         # ann_som_ivf, embedding_near_dup_lsh: approximate — rows-only
         # checks, no oracle
     }

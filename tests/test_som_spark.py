@@ -150,3 +150,21 @@ def test_end_to_end_flagship(spark):
     resp = som.activation_response_df(df)
     total = resp.agg(F.sum("n_wins")).collect()[0][0]
     assert total == df.count()
+
+
+def test_hexagonal_spark_train_matches_local(spark, rand_data):
+    from xpysom_dask_spark import SparkSom
+    import numpy as np
+    X = rand_data[:300]
+    local = SparkSom(5, 5, X.shape[1], random_seed=13,
+                     topology="hexagonal", dtype=np.float64)
+    local.train(X, 3)
+    dist = SparkSom(5, 5, X.shape[1], random_seed=13,
+                    topology="hexagonal", dtype=np.float64)
+    df = spark.createDataFrame([(list(map(float, r)),) for r in X],
+                               "features array<double>")
+    dist.train(df, 3)
+    np.testing.assert_allclose(dist.get_weights(), local.get_weights(),
+                               rtol=1e-9, atol=1e-12)
+    assert dist.topographic_error(df) == pytest.approx(
+        local.topographic_error(X), abs=1e-12)

@@ -484,6 +484,41 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events table (30-minute gap):
+    window lag + running sum + hash aggregate, one shuffle on user_id."""
+    from xpysom_dask_spark.operators import events as EV
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    return EV.sessionize(ev, gap_s=1800)
+
+
+def _sql_events_sessionize():
+    return """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s,
+       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT)
+           AS duration_s
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def _q_multimodal_frame_sample(spark, sf_dir):
     """Video pipeline: embeddings → 8×8 frames → 4-frame raw videos
     (binary concat, order by vec_id) → sample every 2nd frame → exact
@@ -622,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_transitions": _q_streaming_user_transitions,
         "relational_revenue_topk": _q_relational_revenue_topk,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "events_sessionize": _q_events_sessionize,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
     }
@@ -1058,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_user_transitions": _sql_streaming_user_transitions(),
         "relational_revenue_topk": _sql_relational_revenue_topk(),
         "multimodal_frame_sample": _sql_multimodal_frame_sample(),
+        "events_sessionize": _sql_events_sessionize(),
         # ann_som_ivf, embedding_near_dup_lsh: approximate — rows-only
         # checks, no oracle
     }

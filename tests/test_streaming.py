@@ -180,3 +180,35 @@ def test_bmu_transitions_stateful(spark, events_dir):
         assert row["n_events"] == len(cids)
         assert row["n_transitions"] == n_trans
         assert row["last_cluster"] == cids[-1]
+
+
+def test_streaming_trainer_restart_resumes_from_snapshot(spark, feats_dir,
+                                                         tmp_path):
+    """Kill-and-restart: a new trainer with the same model_dir +
+    checkpoint resumes from the persisted codebook and batch counter
+    instead of the random init, and only consumes new files."""
+    schema = spark.read.parquet(feats_dir).schema
+    model_dir = str(tmp_path / "model")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(feats_dir)
+                .select("features"))
+
+    t1 = StreamingSomTrainer(SparkSom(4, 4, 8, random_seed=21), horizon=10,
+                             model_dir=model_dir)
+    t1.fit_available(stream(), checkpoint_dir=ckpt)
+    assert t1.batches_seen == 2
+    w_trained = t1.som.get_weights().copy()
+
+    # "restart": fresh som object, same dirs — must restore, not re-init
+    t2 = StreamingSomTrainer(SparkSom(4, 4, 8, random_seed=21), horizon=10,
+                             model_dir=model_dir)
+    assert t2.batches_seen == 2
+    np.testing.assert_array_equal(t2.som.get_weights(), w_trained)
+
+    # nothing new to consume -> no further updates
+    t2.fit_available(stream(), checkpoint_dir=ckpt)
+    assert t2.batches_seen == 2
+    np.testing.assert_array_equal(t2.som.get_weights(), w_trained)

@@ -16,6 +16,9 @@ to one batch epoch — the differential test anchors on that.
 
 from __future__ import annotations
 
+import json
+import os
+
 from ..plans.training import run_training
 
 
@@ -33,13 +36,45 @@ class StreamingSomTrainer:
         model keeps adapting gently forever.
     epochs_per_batch : int
         Full passes over each micro-batch (default 1).
+    model_dir : str | None
+        When set, the codebook + batch counter are saved here after every
+        micro-batch, and a pre-existing snapshot is restored on
+        construction — pair with the query's ``checkpointLocation`` so a
+        restarted query resumes from the last trained state instead of
+        re-folding from the random init (the source checkpoint already
+        skips consumed files, so without this the post-restart model
+        would silently lose all pre-crash updates).
     """
 
-    def __init__(self, som, horizon: int = 100, epochs_per_batch: int = 1):
+    def __init__(self, som, horizon: int = 100, epochs_per_batch: int = 1,
+                 model_dir: str | None = None):
         self.som = som
         self.horizon = int(horizon)
         self.epochs_per_batch = int(epochs_per_batch)
         self.batches_seen = 0
+        self.model_dir = model_dir
+        if model_dir and os.path.exists(os.path.join(model_dir, "state.json")):
+            self._restore()
+
+    def _state_paths(self):
+        return (os.path.join(self.model_dir, "som"),
+                os.path.join(self.model_dir, "state.json"))
+
+    def _restore(self) -> None:
+        base, state_path = self._state_paths()
+        restored = type(self.som).load(base)
+        self.som.__dict__.update(restored.__dict__)
+        with open(state_path) as f:
+            self.batches_seen = json.load(f)["batches_seen"]
+
+    def _snapshot(self) -> None:
+        os.makedirs(self.model_dir, exist_ok=True)
+        base, state_path = self._state_paths()
+        self.som.save(base)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches_seen": self.batches_seen}, f)
+        os.replace(tmp, state_path)
 
     def _process_batch(self, batch_df, batch_id) -> None:
         t = min(self.batches_seen, self.horizon - 1)
@@ -47,6 +82,8 @@ class StreamingSomTrainer:
             run_training(self.som, batch_df, self.horizon,
                          iter_beg=t, iter_end=t + 1)
         self.batches_seen += 1
+        if self.model_dir:
+            self._snapshot()
 
     def attach(self, stream_df, checkpoint_dir: str | None = None,
                trigger: dict | None = None, query_name: str = "som_train"):

@@ -10,7 +10,9 @@ local[$SPARK_GRAFT_CPUS]:
   qe           quantization_error (scoring + single avg)
   text_fp      MD5+min-shingle+rolling-hash fingerprints over documents
   dedup_minhash  MinHash-LSH near-dup pairs with Jaccard verify
-  knn_cosine   brute-force cosine top-5, 10 queries vs embeddings
+  dedup_simhash  60-bit SimHash near-dup pairs (15-bit band LSH)
+  knn_cosine   brute-force cosine top-5 (GEMM kernel) vs embeddings
+  image_stats  embeddings -> raw bitmaps -> exact integer pixel stats
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {...}, "sf": ...}.

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash60
+from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash_table
 
 #: (a_i, b_i) coefficients for the k minhash permutations h'(x) = (a·x+b) % p
 MINHASH_K = 8
@@ -233,8 +233,8 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     pigeonhole) verified with bit_count(xor) ≤ max_hamming."""
     from ..plans.exchange import ensure_min_parallelism
 
-    sh = ensure_min_parallelism(df).select(F.col(id_col).alias("id"),
-                                           simhash60(text_col).alias("sh"))
+    sh = simhash_table(ensure_min_parallelism(df), text_col, id_col) \
+        .localCheckpoint(eager=True)
     keys = [F.concat_ws(":", F.lit(str(b)),
                         F.shiftright(F.col("sh"), 15 * b) % 32768)
             for b in range(4)]

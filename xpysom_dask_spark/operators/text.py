@@ -169,6 +169,40 @@ def simhash(col: str, bits: int = 60) -> Column:
         "0L, (acc, v) -> acc + v)")
 
 
+def simhash_table(df, text_col: str, id_col: str, bits: int = 60):
+    """(id, sh) SimHash relation — the high-throughput form.
+
+    Same values as ``simhash(col, bits)`` but shaped for corpora: explode
+    tokens (narrow) → one md5/conv hash per token (codegen) → groupBy(id)
+    with ``bits`` map-side-combinable ``SUM(sign-of-bit)`` aggregates →
+    codegen'd bit pack.  Everything stays in whole-stage codegen; the
+    column-expression form evaluates ~2·bits interpreted lambda calls per
+    token.  Token-less documents keep fingerprint 0 (LEFT JOIN back).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    if bits % 4 or not 4 <= bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
+    nib = bits // 4
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    tk = df.select(F.col(id_col).alias("id"),
+                   F.explode(F.expr(toks)).alias("tok"))
+    h = tk.select("id", F.expr(
+        f"CAST(conv(substring(md5(tok), 1, {nib}), 16, 10) AS BIGINT)")
+        .alias("h"))
+    votes = h.groupBy("id").agg(*[
+        F.sum(F.when(F.expr(f"(shiftright(h, {bits - 1 - j}) & 1) = 1"),
+                     1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)])
+    pack = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END"
+        for j in range(bits))
+    sh = votes.select("id", F.expr(pack).alias("sh"))
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(sh, "id", "left")
+            .select("id", F.coalesce("sh", F.lit(0)).alias("sh")))
+
+
 def simhash32(col: str) -> Column:
     """32-bit SimHash (see ``simhash``)."""
     return simhash(col, 32)

@@ -244,6 +244,21 @@ def _q_text_fingerprint(spark, sf_dir):
         T.rolling_hash("text").cast("bigint").alias("fp_roll"))
 
 
+def _q_text_tokens_bpe(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    T.token_count_bpe("text").cast("bigint").alias("n_bpe"))
+
+
+def _sql_text_tokens_bpe():
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(text, $pat${T.BPE_PATTERN}$pat$),
+                t -> t <> ' ' AND trim(t) <> '')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir), "text", "doc_id") \
         .select("fp", F.col("keeper").cast("bigint"),
@@ -648,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash_signatures": _q_simhash_signatures,
         "text_quality": _q_text_quality,
+        "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
         "knn_cosine": _q_knn_cosine,
@@ -1085,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         "simhash_signatures": _sql_simhash_signatures(),
         "text_quality": _sql_text_quality(),
+        "text_tokens_bpe": _sql_text_tokens_bpe(),
         "multimodal_image_stats": _sql_multimodal_image_stats(),
         "som_win_map": _sql_som_win_map(),
         "knn_cosine": _sql_knn_cosine(),

@@ -41,6 +41,26 @@ def token_count(col: str) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer pattern, simplified to the regex subset that
+#: Spark (Java) and DuckDB (RE2) evaluate identically: contractions,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = ("'(s|t|re|ve|m|ll|d)|"
+               " ?[a-zA-Z]+|"
+               " ?[0-9]+|"
+               " ?[^a-zA-Z0-9 ]+|"
+               " +")
+
+
+def token_count_bpe(col: str) -> Column:
+    """BPE-ish token count: number of matches of the GPT-style
+    pre-tokenizer pattern (whitespace runs excluded) — the standard
+    proxy for LLM token budgeting when no tokenizer library is present.
+    """
+    return F.expr(
+        f"size(filter(regexp_extract_all({col}, \"{BPE_PATTERN}\", 0), "
+        "t -> t != ' ' AND trim(t) != ''))")
+
+
 def alpha_ratio(col: str) -> Column:
     """Share of [a-z] characters — a basic quality signal."""
     return (F.length(F.regexp_replace(F.col(col), "[^a-z]", ""))

@@ -259,6 +259,37 @@ FROM documents
 """
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: exact-dedup keep-first → quality ≥ 0.5
+    → English only; emits the surviving doc ids with their scores."""
+    out = dedup.curate(_docs(spark, sf_dir), "text", "doc_id",
+                       min_quality=0.5, lang="en")
+    return out.select("doc_id",
+                      F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+def _sql_curation_pipeline():
+    t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = _duck_tokens("text")
+    alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+             " / greatest(length(text), 1)")
+    quality = f"0.5 * LEAST(len({toks}) / 100.0, 1.0) + 0.5 * ({alpha})"
+    scores = {}
+    for lang, words in T.LANG_STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = f"len(list_filter({toks}, t -> t IN ({lit})))"
+    lang_case = T.lang_id_case_sql(scores)
+    return f"""
+WITH kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({t}) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, ROUND({quality}, 6) AS quality
+FROM kept
+WHERE rn = 1 AND ({quality}) >= 0.5 AND ({lang_case}) = 'en'
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir), "text", "doc_id") \
         .select("fp", F.col("keeper").cast("bigint"),
@@ -658,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "curation_pipeline": _q_curation_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1096,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _sql_text_langid(),
         "text_fingerprint": _sql_text_fingerprint(),
         "dedup_exact": _sql_dedup_exact(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),

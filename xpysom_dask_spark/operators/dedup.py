@@ -54,6 +54,22 @@ def dedup_exact_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def curate(df: DataFrame, text_col: str, id_col: str,
+           min_quality: float = 0.5, lang: str | None = "en") -> DataFrame:
+    """The canonical curation pipeline: exact-dedup (keep lowest id) →
+    quality gate → optional language filter.  Pure narrow expressions +
+    one fingerprint shuffle — the shape of a first-pass corpus clean at
+    any scale.  Returns the surviving rows of ``df``.
+    """
+    from .text import lang_id, quality_score
+
+    kept = dedup_exact_keep_first(df, text_col, id_col)
+    kept = kept.where(quality_score(text_col) >= min_quality)
+    if lang is not None:
+        kept = kept.where(lang_id(text_col) == lang)
+    return kept
+
+
 def word_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).

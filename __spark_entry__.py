@@ -221,6 +221,40 @@ def _q_som_distance_map(spark, sf_dir):
     return df.select("i", "j", F.round("u", 6).alias("u"))
 
 
+def _q_som_feature_covariance(spark, sf_dir):
+    """The distributed single-pass covariance that feeds pca_weights_init
+    (X19) — executors emit (n, Σx, ΣxxT) partials, driver merges; the
+    oracle is DuckDB's COVAR_SAMP over the same feature expressions."""
+    som = _oracle_som()
+    C = som._distributed_covariance(
+        _features(spark, sf_dir).select("features"))
+    rows = [(i + 1, j + 1, round(float(C[i, j]), 6))
+            for i in range(NF) for j in range(NF)]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+def _sql_som_feature_covariance():
+    aggs = ",\n         ".join(
+        f"ROUND(COVAR_SAMP(f{i + 1}, f{j + 1}), 6) AS c_{i + 1}_{j + 1}"
+        for i in range(NF) for j in range(NF))
+    case = " ".join(
+        f"WHEN ij.i = {i + 1} AND ij.j = {j + 1} THEN a.c_{i + 1}_{j + 1}"
+        for i in range(NF) for j in range(NF))
+    vals = ", ".join(f"({i + 1}, {j + 1})"
+                     for i in range(NF) for j in range(NF))
+    return f"""
+WITH feats AS (
+  {readers.lineitem_features_sql_cte()}
+),
+a AS (
+  SELECT {aggs}
+  FROM feats
+)
+SELECT ij.i, ij.j, CASE {case} END AS cov
+FROM a CROSS JOIN (VALUES {vals}) ij(i, j)
+"""
+
+
 def _q_text_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -685,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "som_topographic_error": _q_som_topographic_error,
         "som_train_epoch": _q_som_train_epoch,
         "som_distance_map": _q_som_distance_map,
+        "som_feature_covariance": _q_som_feature_covariance,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1124,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "som_topographic_error": _sql_som_topographic_error(),
         "som_train_epoch": _sql_som_train_epoch(),
         "som_distance_map": _sql_som_distance_map(),
+        "som_feature_covariance": _sql_som_feature_covariance(),
         "text_stats": _sql_text_stats(),
         "text_langid": _sql_text_langid(),
         "text_fingerprint": _sql_text_fingerprint(),

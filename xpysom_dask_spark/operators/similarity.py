@@ -107,13 +107,45 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs near-duplicates: (id_a, id_b, sim ≥ threshold).
-    O(n²) — use for small tables or as the LSH verification stage."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.expr(cosine_expr("va", "vb")).alias("sim"))
-            .where(F.col("sim") >= threshold))
+
+    O(n²) similarity work, executed as a distributed GEMM: the table is
+    broadcast once (O(n·d) bytes) and each corpus partition computes its
+    rows' similarities against the broadcast matrix in float64 BLAS —
+    the n² term parallelizes across the cluster and nothing but the
+    surviving pairs is materialized.  Bounded by the broadcast fitting
+    in executor memory (~1 GB per 2M vectors at d=64); beyond that use
+    ``lsh_near_dup_pairs``.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    pdf = df.select(id_col, vec_col).toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, sim double")
+    ids = pdf[id_col].to_numpy(np.int64)
+    V = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+    vn = np.linalg.norm(V, axis=1)
+    bc = spark.sparkContext.broadcast((ids, V, vn))
+
+    def fn(batches):
+        ids_, V_, vn_ = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack([np.asarray(v, np.float64) for v in b["vec"]])
+            cn = np.linalg.norm(C, axis=1)
+            nb = b["id"].to_numpy(np.int64)
+            sims = (C @ V_.T) / (cn[:, None] * vn_[None, :])
+            r, c = np.nonzero((sims >= threshold)
+                              & (nb[:, None] < ids_[None, :]))
+            yield pd.DataFrame({"id_a": nb[r], "id_b": ids_[c],
+                                "sim": sims[r, c]})
+
+    slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return slim.mapInPandas(fn, "id_a bigint, id_b bigint, sim double")
 
 
 def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,

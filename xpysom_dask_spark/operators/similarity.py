@@ -153,18 +153,42 @@ def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,
                            vec_col: str = "embedding") -> DataFrame:
     """b-bit random-hyperplane bucket per vector (narrow, no shuffle).
     Vectors with equal sign pattern across all hyperplanes share a bucket;
-    cosine-close vectors collide with high probability."""
+    cosine-close vectors collide with high probability.
+
+    Kernel form: the (n_bits, dim) plane matrix is broadcast and each
+    Arrow batch does ONE GEMM + sign-pack — the expression form evaluates
+    n_bits interpreted ``aggregate()`` lambdas of ``dim`` steps per row.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_bits, dim))
-    bit_terms = []
-    for j in range(n_bits):
-        lit = "array(" + ", ".join(repr(float(v)) for v in planes[j]) + ")"
-        bit_terms.append(
-            f"CASE WHEN {dot_expr(vec_col, lit)} >= 0 "
-            f"THEN shiftleft(1L, {j}) ELSE 0L END")
-    bucket = " + ".join(bit_terms)
-    return df.select(F.col(id_col), F.col(vec_col),
-                     F.expr(bucket).alias("bucket"))
+    bc = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def fn(batches):
+        P = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack([np.asarray(v, np.float64) for v in b["__vec"]])
+            bits = (X @ P.T) >= 0
+            out = pd.DataFrame({"__id": b["__id"], "__vec": b["__vec"]})
+            out["bucket"] = bits @ weights
+            yield out
+
+    slim = df.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__vec"))
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+    out = slim.mapInPandas(
+        fn, f"__id {id_t}, __vec {vec_t}, bucket bigint")
+    return out.select(F.col("__id").alias(id_col),
+                      F.col("__vec").alias(vec_col), "bucket")
 
 
 def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,

@@ -221,6 +221,46 @@ def _q_som_distance_map(spark, sf_dir):
     return df.select("i", "j", F.round("u", 6).alias("u"))
 
 
+def _q_som_distance_map_hex(spark, sf_dir):
+    """Hexagonal U-matrix (X20 hex branch): parity-dependent
+    6-neighborhood sums — the seeded init is topology-independent, so the
+    oracle reuses the same codebook literals with the hex offset tables."""
+    som = SparkSom(SOM_X, SOM_Y, NF, random_seed=SOM_SEED,
+                   dtype=np.float64, topology="hexagonal")
+    um = som.distance_map()
+    rows = [(i, j, float(um[i, j]))
+            for i in range(SOM_X) for j in range(SOM_Y)]
+    df = spark.createDataFrame(rows, "i int, j int, u double")
+    return df.select("i", "j", F.round("u", 6).alias("u"))
+
+
+def _sql_som_distance_map_hex():
+    norm = "sqrt(" + " + ".join(
+        f"(a.w{k + 1} - b.w{k + 1}) * (a.w{k + 1} - b.w{k + 1})"
+        for k in range(NF)) + ")"
+    # par = j % 2: even columns use the engine's offs[1] table, odd offs[0]
+    evens = [(0, 1), (1, 0), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    odds = [(1, 1), (1, 0), (1, -1), (0, -1), (-1, 0), (0, 1)]
+    vals = ", ".join([f"(0, {di}, {dj})" for di, dj in evens]
+                     + [f"(1, {di}, {dj})" for di, dj in odds])
+    return f"""
+WITH w({_W_COLS}) AS (
+  VALUES
+      {_weights_values()}
+),
+offs(par, di, dj) AS (VALUES {vals}),
+nbr AS (
+  SELECT a.i, a.j, sum({norm}) AS s
+  FROM w a JOIN offs o ON o.par = (a.j % 2)
+  JOIN w b ON b.i = a.i + o.di AND b.j = a.j + o.dj
+  GROUP BY a.i, a.j
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       ROUND(s / MAX(s) OVER (), 6) AS u
+FROM nbr
+"""
+
+
 def _q_som_feature_covariance(spark, sf_dir):
     """The distributed single-pass covariance that feeds pca_weights_init
     (X19) — executors emit (n, Σx, ΣxxT) partials, driver merges; the
@@ -720,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "som_train_epoch": _q_som_train_epoch,
         "som_distance_map": _q_som_distance_map,
         "som_feature_covariance": _q_som_feature_covariance,
+        "som_distance_map_hex": _q_som_distance_map_hex,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1160,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "som_train_epoch": _sql_som_train_epoch(),
         "som_distance_map": _sql_som_distance_map(),
         "som_feature_covariance": _sql_som_feature_covariance(),
+        "som_distance_map_hex": _sql_som_distance_map_hex(),
         "text_stats": _sql_text_stats(),
         "text_langid": _sql_text_langid(),
         "text_fingerprint": _sql_text_fingerprint(),

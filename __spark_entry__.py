@@ -221,6 +221,60 @@ def _q_som_distance_map(spark, sf_dir):
     return df.select("i", "j", F.round("u", 6).alias("u"))
 
 
+def _q_som_train_epoch_hex(spark, sf_dir):
+    """One hexagonal training epoch (X10 hex branch): BMUs are
+    topology-independent, but the gaussian influence evaluates on the
+    offset euclidean-plane grids (odd rows shifted −0.5 for y=8), via
+    the generic (non-separable-support) kernel."""
+    som = SparkSom(SOM_X, SOM_Y, NF, random_seed=SOM_SEED,
+                   dtype=np.float64, topology="hexagonal",
+                   activation_distance="norm_p_no_opt",
+                   activation_distance_kwargs={"p": 2})
+    som.train(_features(spark, sf_dir).select("features"), 1)
+    W = som.get_weights()
+    rows = [(i, j, k + 1, float(W[i, j, k]))
+            for i in range(SOM_X) for j in range(SOM_Y) for k in range(NF)]
+    df = spark.createDataFrame(rows, "i int, j int, k int, wv double")
+    return df.select("i", "j", "k", F.round("wv", 6).alias("wv"))
+
+
+def _sql_som_train_epoch_hex():
+    # plane x-coordinate of cell (i, j): the hex offset shifts every
+    # second row from the top (xx[::-2] -= 0.5) — for even y that is the
+    # odd rows; plane y-coordinate is just j.  Influence is the product
+    # of two exps exactly like the engine kernel (ax·ay).
+    assert SOM_Y % 2 == 0
+    px = "({v} - 0.5 * ({row} % 2))"
+    dx = (px.format(v="c.i", row="c.j") + " - "
+          + px.format(v="s.bx", row="s.by"))
+    num_terms = ",\n         ".join(
+        f"sum(gv * f{k + 1}) AS s{k + 1}" for k in range(NF))
+    new_w = " ".join(
+        f"WHEN kk.k = {k + 1} THEN CASE WHEN a.den <> 0 "
+        f"THEN a.s{k + 1} / a.den ELSE w.w{k + 1} END"
+        for k in range(NF))
+    ks = ", ".join(f"({k + 1})" for k in range(NF))
+    return _som_base_cte() + f"""
+, cells AS (SELECT DISTINCT i, j FROM w),
+g AS (
+  SELECT c.i, c.j, s.*,
+         (exp(-(({dx}) * ({dx})) / CAST(8 AS DOUBLE))
+          * exp(-((c.j - s.by) * (c.j - s.by)) / CAST(8 AS DOUBLE)))
+         * CAST('0.5' AS DOUBLE) AS gv
+  FROM scored s CROSS JOIN cells c
+),
+acc AS (
+  SELECT i, j, sum(gv) AS den,
+         {num_terms}
+  FROM g GROUP BY i, j
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(a.j AS INTEGER) AS j, kk.k AS k,
+       ROUND(CASE {new_w} END, 6) AS wv
+FROM acc a JOIN w ON w.i = a.i AND w.j = a.j
+CROSS JOIN (VALUES {ks}) kk(k)
+"""
+
+
 def _q_som_distance_map_hex(spark, sf_dir):
     """Hexagonal U-matrix (X20 hex branch): parity-dependent
     6-neighborhood sums — the seeded init is topology-independent, so the
@@ -761,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "som_distance_map": _q_som_distance_map,
         "som_feature_covariance": _q_som_feature_covariance,
         "som_distance_map_hex": _q_som_distance_map_hex,
+        "som_train_epoch_hex": _q_som_train_epoch_hex,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1202,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "som_distance_map": _sql_som_distance_map(),
         "som_feature_covariance": _sql_som_feature_covariance(),
         "som_distance_map_hex": _sql_som_distance_map_hex(),
+        "som_train_epoch_hex": _sql_som_train_epoch_hex(),
         "text_stats": _sql_text_stats(),
         "text_langid": _sql_text_langid(),
         "text_fingerprint": _sql_text_fingerprint(),

@@ -63,6 +63,25 @@ def main():
     feats = feats.repartition(int(CPUS)).persist()
     n_rows = feats.count()  # materialize cache before timing
 
+    # warmup pass (reference protocol: bench_utils warmup=1) — run each
+    # plan shape once on tiny inputs so codegen/JIT compilation is not
+    # billed to the measured run
+    wsom = SparkSom(8, 8, 8, random_seed=1)
+    tiny = feats.limit(2000)
+    wsom.train(tiny, 1)
+    wsom.transform(tiny, ("cluster_id",)).agg(F.sum("cluster_id")).collect()
+    wsom.quantization_error(tiny)
+    wdocs = readers.load_table(spark, SF_DIR, "documents").limit(200)
+    wdocs.select(T.md5_fingerprint("text"), T.min_shingle_fingerprint("text"),
+                 T.rolling_hash("text")).agg(F.count(F.lit(1))).collect()
+    dedup.minhash_near_dups(wdocs, "text", "doc_id").count()
+    dedup.simhash_near_dups(wdocs, "text", "doc_id").count()
+    wemb = readers.load_table(spark, SF_DIR, "embeddings").limit(100)
+    similarity.cosine_topk(wemb, wemb.limit(5), k=2).count()
+    from xpysom_dask_spark.operators import multimodal as _mm
+    _mm.image_stats(_mm.embeddings_as_images(wemb)).agg(
+        F.sum("px_sum")).collect()
+
     som = SparkSom(8, 8, 8, random_seed=42)
     timed("train_10ep", lambda: som.train(feats, 10))
     timed("predict", lambda: som.transform(feats, ("cluster_id",))

@@ -693,6 +693,35 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _q_multimodal_audio_stats(spark, sf_dir):
+    """Audio pipeline: embeddings → int16 PCM clips → exact integer
+    sample statistics (binary-column plumbing, float-side oracle)."""
+    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir))
+    return multimodal.audio_stats(clips)
+
+
+def _sql_multimodal_audio_stats():
+    return """
+WITH u AS (
+  SELECT vec_id,
+    [CAST(LEAST(GREATEST(FLOOR(CAST(e AS DOUBLE) * 32767.0), -32768), 32767)
+          AS BIGINT) FOR e IN embedding] AS s
+  FROM embeddings
+)
+SELECT vec_id AS audio_id,
+  CAST(len(s) AS BIGINT) AS n_samples,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), s), (a, b) -> a + b) AS s_sum,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), [v * v FOR v IN s]),
+              (a, b) -> a + b) AS s_sumsq,
+  CAST(list_min(s) AS INTEGER) AS s_min,
+  CAST(list_max(s) AS INTEGER) AS s_max,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CASE WHEN (s[i + 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END
+     FOR i IN range(1, 64)]), (a, b) -> a + b) AS zero_crossings
+FROM u
+"""
+
+
 def _q_multimodal_frame_sample(spark, sf_dir):
     """Video pipeline: embeddings → 8×8 frames → 4-frame raw videos
     (binary concat, order by vec_id) → sample every 2nd frame → exact
@@ -836,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_transitions": _q_streaming_user_transitions,
         "relational_revenue_topk": _q_relational_revenue_topk,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_audio_stats": _q_multimodal_audio_stats,
         "events_sessionize": _q_events_sessionize,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
@@ -1278,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_user_transitions": _sql_streaming_user_transitions(),
         "relational_revenue_topk": _sql_relational_revenue_topk(),
         "multimodal_frame_sample": _sql_multimodal_frame_sample(),
+        "multimodal_audio_stats": _sql_multimodal_audio_stats(),
         "events_sessionize": _sql_events_sessionize(),
         # ann_som_ivf, embedding_near_dup_lsh: approximate — rows-only
         # checks, no oracle

@@ -227,6 +227,56 @@ def audio_features(df: DataFrame, out_col: str = "features") -> DataFrame:
     return _map_in_pandas(df, fn, out_ddl)
 
 
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Exact integer per-clip statistics on the int16 PCM domain:
+    ``n_samples, s_sum, s_sumsq, s_min, s_max, zero_crossings`` — the
+    oracle-checkable twin of ``audio_features`` (float features can't be
+    compared bit-exactly across engines; integer sums can).
+    """
+    out_ddl = ("audio_id bigint, n_samples bigint, s_sum bigint, "
+               "s_sumsq bigint, s_min int, s_max int, zero_crossings bigint")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                x = np.frombuffer(row["data"], dtype="<i2").astype(np.int64)
+                zc = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))) \
+                    if len(x) > 1 else 0
+                rows.append((row["audio_id"], len(x), int(x.sum()),
+                             int((x * x).sum()), int(x.min()), int(x.max()),
+                             zc))
+            yield pd.DataFrame(rows, columns=["audio_id", "n_samples",
+                                              "s_sum", "s_sumsq", "s_min",
+                                              "s_max", "zero_crossings"])
+
+    return _map_in_pandas(df, fn, out_ddl)
+
+
+def embeddings_as_audio(emb: DataFrame, embedding_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        sample_rate: int = 8000) -> DataFrame:
+    """Quantize float embeddings into little-endian int16 PCM clips:
+    ``i16 = clip(floor(v · 32767), -32768, 32767)`` — deterministic and
+    SQL-expressible, so audio pipelines built on it can be verified
+    against a float-side oracle."""
+    out_ddl = AUDIO_SCHEMA
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                v = np.asarray(row[embedding_col], dtype=np.float64)
+                i16 = np.clip(np.floor(v * 32767.0), -32768, 32767) \
+                    .astype("<i2")
+                rows.append((row[id_col], i16.tobytes(), "pcm16",
+                             sample_rate, len(i16)))
+            yield pd.DataFrame(rows, columns=["audio_id", "data", "format",
+                                              "sample_rate", "n_samples"])
+
+    return _map_in_pandas(emb.select(id_col, embedding_col), fn, out_ddl)
+
+
 # ---------------------------------------------------------------------- #
 # video operators
 

@@ -1,0 +1,69 @@
+"""Sink layout tests: partition pruning and exchange-free bucketed joins."""
+
+import pyspark.sql.functions as F
+
+from xpysom_dask_spark import SparkSom
+from xpysom_dask_spark.sources import readers, writers
+
+from conftest import SF_TINY
+
+
+def _plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    som = SparkSom(4, 4, 8, random_seed=2)
+    scored = som.transform(
+        readers.lineitem_features(spark, SF_TINY, keys=True),
+        ("cluster_id",)).drop("features")
+    path = str(tmp_path / "scored")
+    writers.write_partitioned(scored, path, "cluster_id")
+    back = spark.read.parquet(path)
+    assert back.count() == scored.count()
+    one = back.where("cluster_id = 3")
+    plan = _plan(one)
+    # partition filter must be recognized (pruned at planning, not a
+    # row-level PushedFilters entry)
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse.dir is a static conf; bucketed tables land in the session
+    # default warehouse — drop them (and their files) when done
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    orders = readers.load_table(spark, SF_TINY, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = readers.load_table(spark, SF_TINY, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    writers.write_bucketed(orders, "t_orders_b", "o_orderkey", 8,
+                           sort_by="o_orderkey")
+    writers.write_bucketed(li, "t_lineitem_b", "l_orderkey", 8,
+                           sort_by="l_orderkey")
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    # disable broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey) \
+            .groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # the join reads pre-bucketed files, so the ONLY exchange in the
+        # plan is the re-key for the o_custkey aggregation — a shuffled
+        # join would add two more (one per side)
+        tree = plan.split("\n\n")[0]
+        n_exchanges = sum(1 for line in tree.splitlines()
+                          if "Exchange" in line)
+        assert n_exchanges == 1, tree
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

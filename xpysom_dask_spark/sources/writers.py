@@ -1,0 +1,45 @@
+"""Sinks: partitioned / bucketed parquet writers.
+
+The reference's only sink is a pickle of the model (S7); a 100 TB
+engine also needs data sinks whose LAYOUT carries performance:
+
+* ``write_partitioned`` — directory partitioning on low-cardinality
+  keys (cluster id, language, date) so downstream filters prune whole
+  directories at plan time;
+* ``write_bucketed`` — hash-bucketed, optionally sorted table layout so
+  repeated equi-joins/aggregations on the bucket key run with NO
+  exchange: both sides of a bucketed join read pre-shuffled files.
+  Bucketed tables go through the catalog (``saveAsTable``) because the
+  bucket metadata lives there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by,
+                      mode: str = "overwrite") -> None:
+    """Directory-partitioned parquet: filters on ``partition_by`` become
+    partition pruning (no file even opened)."""
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_by: str,
+                   n_buckets: int = 32, sort_by=None,
+                   mode: str = "overwrite") -> None:
+    """Hash-bucketed (and optionally sorted) catalog table.
+
+    Two tables bucketed the same way on the join key co-locate their
+    rows: Catalyst plans a SortMergeJoin with zero Exchange on either
+    side — the shuffle was paid once at write time and is reused by
+    every subsequent join/aggregation on that key.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_by)
+    if sort_by is not None:
+        if isinstance(sort_by, str):
+            sort_by = [sort_by]
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

@@ -168,3 +168,38 @@ def test_hexagonal_spark_train_matches_local(spark, rand_data):
                                rtol=1e-9, atol=1e-12)
     assert dist.topographic_error(df) == pytest.approx(
         local.topographic_error(X), abs=1e-12)
+
+
+def test_som_ivf_recall_increases_with_nprobe(spark):
+    """ANN quality law: IVF recall@5 versus the exact GEMM top-k must be
+    monotone in nprobe and complete when probing every cell."""
+    import numpy as np
+    from conftest import SF_TINY
+    from xpysom_dask_spark import SparkSom
+    from xpysom_dask_spark.operators import similarity
+    from xpysom_dask_spark.sources import readers
+
+    emb = readers.load_table(spark, SF_TINY, "embeddings")
+    som = SparkSom(4, 4, 64, random_seed=42, features_col="embedding")
+    som.train(emb.select("embedding"), 2)
+    q = emb.where("vec_id % 20 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    Q = np.array([r["embedding"] for r in q])
+
+    exact = similarity.cosine_topk(emb, emb.where("vec_id % 20 = 0"), k=5)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = []
+    for nprobe in (1, 4, 16):
+        got = {}
+        out = similarity.som_ivf_topk(som, emb, Q, qids, k=5, nprobe=nprobe)
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(k, set()) & v) for k, v in truth.items())
+        total = sum(len(v) for v in truth.values())
+        recalls.append(hits / total)
+    assert recalls == sorted(recalls), recalls      # monotone in nprobe
+    assert recalls[-1] == 1.0, recalls              # nprobe=cells → exact
+    assert recalls[0] > 0.2, recalls                # even 1 probe finds some

@@ -643,12 +643,15 @@ FROM seq GROUP BY user_id
 
 
 def _q_embedding_near_dup_lsh(spark, sf_dir):
-    """Hyperplane-LSH-bucketed near-dup pairs (bucket candidates, exact
-    cosine verify).  The corpus is the embeddings table unioned with
-    positively-scaled copies (vec_id + 10⁶) — scaling preserves cosine
-    exactly, so each (v, 1.5·v) pair is a guaranteed near-dup that LSH
-    MUST find (identical hyperplane sign patterns ⇒ same bucket).
-    Rows-only check (bucketing is seed-dependent for chance pairs)."""
+    """Banded hyperplane-LSH near-dup pairs (band-collision candidates,
+    exact GEMM cosine verify).  The corpus is the embeddings table
+    unioned with positively-scaled copies (vec_id + 10⁶) — positive
+    scaling preserves every hyperplane sign, so each (v, 1.5·v) pair
+    collides in ALL bands and LSH recall on them is 1 by construction.
+    At threshold 0.99 the true pair set is exactly those scaled pairs
+    (max chance cosine ≈ 0.51), so the verified LSH output equals the
+    exact all-pairs answer — the oracle-checkable full-recall config
+    (VERDICT r01 #1b)."""
     e = _emb(spark, sf_dir)
     scaled = e.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
                       F.expr("transform(embedding, v -> v * CAST(1.5 AS FLOAT))")
@@ -656,6 +659,26 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     corpus = e.select("vec_id", "embedding").unionAll(scaled)
     out = similarity.lsh_near_dup_pairs(corpus, dim=64, threshold=0.99)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def _sql_embedding_near_dup_lsh():
+    dot = _DOT64.format(a="a.embedding", b="b.embedding")
+    aa = _DOT64.format(a="a.embedding", b="a.embedding")
+    bb = _DOT64.format(a="b.embedding", b="b.embedding")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [CAST(CAST(v AS DOUBLE) * 1.5 AS REAL) FOR v IN embedding]
+           AS embedding
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(({dot}) / (sqrt({aa}) * sqrt({bb})), 6) AS sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ({dot}) / (sqrt({aa}) * sqrt({bb})) >= 0.99
+"""
 
 
 def _q_events_sessionize(spark, sf_dir):
@@ -819,17 +842,45 @@ FROM ranked WHERE rank <= 3
 
 
 def _q_ann_som_ivf(spark, sf_dir):
-    """Approximate NN via SOM-as-IVF (no SQL oracle — approximate op;
-    driver records the rows-only check)."""
+    """ANN via SOM-as-IVF, run at full probe (nprobe = x·y = 16): every
+    cell is scanned, so the IVF plan — bucket-by-BMU, exploded-probe
+    broadcast equi-join, GEMM candidate cosine — must reproduce the
+    exact brute-force top-5 bit-for-bit.  That makes the approximate
+    operator oracle-checkable (VERDICT r01 #1a); the approximate regime
+    (nprobe < x·y) is covered by the monotone-recall quality test in
+    tests/test_som_spark.py."""
     e = _emb(spark, sf_dir)
     som = SparkSom(4, 4, 64, random_seed=SOM_SEED, features_col="embedding")
     som.train(e.select("embedding"), 2)
     q = e.where("vec_id % 100 = 0").collect()
     qids = [r["vec_id"] for r in q]
     qvecs = np.array([r["embedding"] for r in q])
-    out = similarity.som_ivf_topk(som, e, qvecs, qids, k=5, nprobe=4)
+    out = similarity.som_ivf_topk(som, e, qvecs, qids, k=5, nprobe=16)
     return out.select("query_id", F.col("rank").cast("bigint"),
                       "neighbor_id", F.round("sim", 6).alias("sim"))
+
+
+def _sql_ann_som_ivf():
+    # full probe ≡ exact top-k: the twin is brute-force cosine top-5
+    # over the %100 query set (same shape as knn_cosine's oracle)
+    dot = _DOT64.format(a="q.embedding", b="c.embedding")
+    qq = _DOT64.format(a="q.embedding", b="q.embedding")
+    cc = _DOT64.format(a="c.embedding", b="c.embedding")
+    return f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({dot}) / (sqrt({qq}) * sqrt({cc})) AS sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 5
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1310,6 +1361,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": _sql_multimodal_frame_sample(),
         "multimodal_audio_stats": _sql_multimodal_audio_stats(),
         "events_sessionize": _sql_events_sessionize(),
-        # ann_som_ivf, embedding_near_dup_lsh: approximate — rows-only
-        # checks, no oracle
+        # the approximate ops run in deterministic configurations whose
+        # output IS exact (full-probe IVF; full-recall banded LSH), so
+        # they get real oracles too
+        "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
+        "ann_som_ivf": _sql_ann_som_ivf(),
     }

@@ -1,0 +1,131 @@
+"""Similarity-tier tests: enforced memory bounds, banded-LSH recall and
+bucket sizing, and the IVF plan/state contracts (VERDICT r01 #2-#4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_TINY
+
+from xpysom_dask_spark.operators import similarity
+from xpysom_dask_spark.operators.som import SparkSom
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+def test_near_dup_pairs_cap_enforced(spark):
+    """Over-cap tables must fail fast with a pointer to the LSH path —
+    not OOM the driver mid-toPandas (VERDICT r01 What's-wrong #1)."""
+    e = _emb(spark)
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        similarity.near_dup_pairs(e, threshold=0.9, max_rows=10)
+
+
+def test_near_dup_pairs_under_cap_still_works(spark):
+    e = _emb(spark)
+    out = similarity.near_dup_pairs(e, threshold=0.45)
+    assert out.columns == ["id_a", "id_b", "sim"]
+    assert out.count() >= 0
+
+
+def test_auto_bits_per_band_scales_with_corpus():
+    """Band space must grow with n so expected bucket occupancy stays
+    O(target) — the fix for the fixed-2⁸-bucket quadratic blowup."""
+    small = similarity.auto_bits_per_band(1_000)
+    mid = similarity.auto_bits_per_band(1_000_000)
+    huge = similarity.auto_bits_per_band(10**12)
+    assert small == 8          # clamped floor
+    assert mid > small
+    assert huge == 24          # clamped ceiling
+    assert similarity.auto_bits_per_band(0) == 8
+
+
+def test_lsh_bucket_occupancy_bounded(spark):
+    """No giant buckets on a random corpus: with corpus-sized bands the
+    largest band bucket stays far below n (a fixed tiny bucket space
+    would concentrate O(n/256) rows per bucket)."""
+    rng = np.random.RandomState(0)
+    n, d = 2000, 16
+    rows = [(i, [float(v) for v in rng.standard_normal(d)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    bits = similarity.auto_bits_per_band(n)
+    sig = similarity.hyperplane_lsh_signatures(
+        df, dim=d, n_bands=4, bits_per_band=bits)
+    occ = (sig.select(F.posexplode("bands").alias("band", "bucket"))
+           .groupBy("band", "bucket").count()
+           .agg(F.max("count")).collect()[0][0])
+    assert occ < n / 4
+
+
+def test_lsh_full_recall_equals_exact_on_scaled_dups(spark):
+    """Positively-scaled copies share every hyperplane sign ⇒ collide in
+    all bands ⇒ banded LSH recall 1; verified output must equal the
+    exact all-pairs answer at the same threshold."""
+    e = _emb(spark).select("vec_id", "embedding")
+    scaled = e.select(
+        (F.col("vec_id") + F.lit(10_000)).alias("vec_id"),
+        F.expr("transform(embedding, v -> v * CAST(2.0 AS FLOAT))")
+        .alias("embedding"))
+    corpus = e.unionAll(scaled)
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in similarity.near_dup_pairs(
+                 corpus, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in similarity.lsh_near_dup_pairs(
+               corpus, dim=64, threshold=0.99).collect()}
+    assert set(lsh) == set(exact)
+    assert len(lsh) == e.count()  # one pair per original vector
+    for pair, sim in lsh.items():
+        assert abs(sim - exact[pair]) < 1e-9
+
+
+def test_lsh_candidates_subset_of_exact(spark):
+    """LSH output ⊆ exact output at any threshold (verification is exact,
+    so LSH can only miss, never invent)."""
+    e = _emb(spark)
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.near_dup_pairs(e, threshold=0.4).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in similarity.lsh_near_dup_pairs(
+               e, dim=64, threshold=0.4).collect()}
+    assert lsh <= exact
+
+
+def test_som_ivf_no_bnlj_and_no_state_mutation(spark):
+    """The probe join must be a broadcast hash equi-join (VERDICT r01
+    What's-wrong #2) and the som's features_col must not be mutated
+    (ADVICE r01: concurrent transforms would score the wrong column)."""
+    e = _emb(spark)
+    som = SparkSom(4, 4, 64, random_seed=7, features_col="features")
+    som.train(e.select(F.col("embedding").alias("features")), 1)
+    q = e.where("vec_id % 20 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    Q = np.array([r["embedding"] for r in q])
+    out = similarity.som_ivf_topk(som, e, Q, qids, k=3, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert som.features_col == "features"
+    assert out.count() > 0
+
+
+def test_som_ivf_full_probe_equals_exact_topk(spark):
+    """nprobe = x·y scans every cell ⇒ IVF output must equal brute-force
+    top-k exactly (the oracle-checkable configuration)."""
+    e = _emb(spark)
+    som = SparkSom(4, 4, 64, random_seed=7, features_col="embedding")
+    som.train(e.select("embedding"), 1)
+    q = e.where("vec_id % 25 = 0")
+    rows = q.collect()
+    qids = [r["vec_id"] for r in rows]
+    Q = np.array([r["embedding"] for r in rows])
+    ivf = similarity.som_ivf_topk(som, e, Q, qids, k=5, nprobe=16)
+    exact = similarity.cosine_topk(e, q, k=5)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 9))
+           for r in ivf.collect()}
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 9))
+            for r in exact.collect()}
+    assert got == want

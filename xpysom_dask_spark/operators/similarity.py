@@ -1,24 +1,38 @@
 """Similarity search over embedding columns (array<float>).
 
-Three tiers, all DataFrame-declarative:
+Tiers, all DataFrame-declarative with Arrow-GEMM kernels in the hot path
+(never per-pair interpreted SQL lambdas — those run one interpreted call
+per element per pair, ~100× slower than one BLAS GEMM per Arrow batch):
 
 * ``cosine_topk`` — exact brute-force top-k: **broadcast** the (small)
-  query set against the corpus scan, JVM-side zip_with/aggregate dot
-  product in float64, per-query window top-k.  One corpus scan, no
-  shuffle of the corpus — the correct 100 TB plan when queries are few.
-* ``near_dup_pairs`` — exact all-pairs cosine ≥ threshold (self-join);
-  intended for small/medium tables or as the verification stage.
-* ``hyperplane_lsh_buckets`` / ``lsh_near_dup_pairs`` — random-hyperplane
-  sign-bucket LSH: each vector gets a b-bit bucket id (narrow pass),
-  candidates are generated only within buckets, then exactly verified.
-  The scale path for all-pairs similarity.
+  query set against the corpus scan, per-batch float64 GEMM + per-batch
+  top-(k+1) pre-prune, exact window top-k on the survivors.  One corpus
+  scan, no shuffle of the corpus — the correct 100 TB plan when queries
+  are few.
+* ``near_dup_pairs`` — exact all-pairs cosine ≥ threshold, executed as a
+  distributed GEMM against a broadcast copy of the table.  Bounded by
+  ``max_rows`` (broadcast must fit executor memory) and **enforces** the
+  bound with an actionable error pointing at the LSH path.
+* ``hyperplane_lsh_signatures`` / ``lsh_near_dup_pairs`` — **banded
+  multi-table** random-hyperplane LSH (the sign-bit analog of the MinHash
+  band scheme in operators.dedup): each vector gets ``n_bands`` packed
+  sign-bucket keys from ONE GEMM; candidates are pairs sharing ≥ 1 band
+  key (equi-join per band, bounded buckets); survivors are exactly
+  verified with a pairwise-GEMM kernel.  ``bits_per_band=None`` sizes the
+  band space to the corpus so expected bucket occupancy stays O(1) —
+  the scale path for all-pairs similarity.
 * ``som_ivf_topk`` — IVF-style ANN using a trained SparkSom as the coarse
-  quantizer: corpus bucketed by BMU cell once, queries probe their
-  ``nprobe`` nearest cells.  (The SOM *is* the index — the engine's own
-  clusterer feeding its ANN, SURVEY.md §2 "beyond the reference".)
+  quantizer: corpus bucketed by BMU cell in one narrow pass, queries
+  explode their ``nprobe`` nearest cells and **equi-join**
+  ``cell == cluster_id`` (BroadcastHashJoin — never a nested-loop join),
+  candidate cosines via the same pairwise GEMM.  With ``nprobe = x·y``
+  the result is exactly the brute-force top-k (full probe ⇒ every cell
+  scanned), which is the oracle-checkable configuration.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -27,7 +41,9 @@ from pyspark.sql import functions as F
 
 def dot_expr(a: str, b: str) -> str:
     """float64 dot product of two array<float> columns — identical
-    arithmetic to the DuckDB oracle twin (left-to-right accumulation)."""
+    arithmetic to the DuckDB oracle twin (left-to-right accumulation).
+    Expression form: interpreted per element — fine for a few rows,
+    never for a per-pair hot path (use the GEMM kernels below)."""
     return (f"aggregate(zip_with({a}, {b}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0D, (acc, v) -> acc + v)")
@@ -39,6 +55,42 @@ def norm_expr(a: str) -> str:
 
 def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float64) for v in col])
+
+
+def pairwise_cosine(pairs: DataFrame, va: str = "va", vb: str = "vb",
+                    out: str = "sim") -> DataFrame:
+    """Append an exact float64 cosine column to a DataFrame of vector
+    pairs in one narrow Arrow pass (row-wise batched dot products — one
+    einsum per batch, no interpreted per-pair lambdas).  Drops the vector
+    columns; keeps everything else."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    ship_package(pairs.sparkSession)
+    keep = [f for f in pairs.schema.fields if f.name not in (va, vb)]
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+    out_ddl = (out_ddl + ", " if out_ddl else "") + f"{out} double"
+    keep_names = [f.name for f in keep]
+
+    def fn(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            A = _stack(b[va])
+            B = _stack(b[vb])
+            num = np.einsum("ij,ij->i", A, B)
+            sims = num / (np.linalg.norm(A, axis=1)
+                          * np.linalg.norm(B, axis=1))
+            res = b[keep_names].copy()
+            res[out] = sims
+            yield res
+
+    return pairs.mapInPandas(fn, out_ddl)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -103,18 +155,27 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+#: default broadcast bound for near_dup_pairs — ~1 GB at d=64 float64
+NEAR_DUP_MAX_ROWS = 2_000_000
+
+
 def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_rows: int = NEAR_DUP_MAX_ROWS) -> DataFrame:
     """Exact all-pairs near-duplicates: (id_a, id_b, sim ≥ threshold).
 
-    O(n²) similarity work, executed as a distributed GEMM: the table is
-    broadcast once (O(n·d) bytes) and each corpus partition computes its
-    rows' similarities against the broadcast matrix in float64 BLAS —
-    the n² term parallelizes across the cluster and nothing but the
-    surviving pairs is materialized.  Bounded by the broadcast fitting
-    in executor memory (~1 GB per 2M vectors at d=64); beyond that use
-    ``lsh_near_dup_pairs``.
+    O(n²) similarity work, executed as a distributed GEMM: the (id, vec)
+    projection is broadcast once (O(n·d) bytes) and each corpus partition
+    computes its rows' similarities against the broadcast matrix in
+    float64 BLAS — the n² term parallelizes across the cluster and
+    nothing but the surviving pairs is materialized.
+
+    The plan is bounded by the broadcast fitting in executor memory, so
+    the bound is **enforced**: more than ``max_rows`` rows raises
+    immediately (one cheap columnar count) instead of OOMing the driver
+    mid-collect.  Beyond the bound use ``lsh_near_dup_pairs`` — same
+    output contract, banded-LSH candidate generation, no broadcast of
+    the corpus.
     """
     import pandas as pd
 
@@ -122,7 +183,17 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     spark = df.sparkSession
     ship_package(spark)
-    pdf = df.select(id_col, vec_col).toPandas()
+    slim_src = df.select(id_col, vec_col)
+    n_rows = slim_src.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"near_dup_pairs: table has {n_rows} rows > max_rows="
+            f"{max_rows}; the exact all-pairs plan broadcasts the whole "
+            "(id, vec) projection to every executor and would OOM. Use "
+            "lsh_near_dup_pairs (banded hyperplane LSH, same output "
+            "contract) for large corpora, or raise max_rows if your "
+            "executors really hold it.")
+    pdf = slim_src.toPandas()
     if not len(pdf):
         return spark.createDataFrame([], "id_a bigint, id_b bigint, sim double")
     ids = pdf[id_col].to_numpy(np.int64)
@@ -148,16 +219,19 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return slim.mapInPandas(fn, "id_a bigint, id_b bigint, sim double")
 
 
-def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,
-                           seed: int = 42, id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
-    """b-bit random-hyperplane bucket per vector (narrow, no shuffle).
-    Vectors with equal sign pattern across all hyperplanes share a bucket;
-    cosine-close vectors collide with high probability.
+def hyperplane_lsh_signatures(df: DataFrame, dim: int, n_bands: int = 4,
+                              bits_per_band: int = 16, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Banded random-hyperplane signatures: (id, vec, bands array<bigint>)
+    where ``bands[i]`` packs the sign bits of band ``i``'s hyperplanes.
 
-    Kernel form: the (n_bits, dim) plane matrix is broadcast and each
-    Arrow batch does ONE GEMM + sign-pack — the expression form evaluates
-    n_bits interpreted ``aggregate()`` lambdas of ``dim`` steps per row.
+    Cosine-close vectors agree on most sign bits, so they collide in at
+    least one band with high probability — the sign-bit analog of the
+    MinHash band scheme (operators.dedup.minhash_band_pairs).  One GEMM
+    per Arrow batch computes all ``n_bands·bits_per_band`` bits (narrow,
+    no shuffle); the expression form would run that many interpreted
+    ``aggregate()`` lambdas of ``dim`` steps per row.
     """
     import pandas as pd
 
@@ -165,10 +239,11 @@ def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,
 
     spark = df.sparkSession
     ship_package(spark)
+    total_bits = n_bands * bits_per_band
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = rng.standard_normal((total_bits, dim))
     bc = spark.sparkContext.broadcast(planes)
-    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
 
     def fn(batches):
         P = bc.value
@@ -176,9 +251,10 @@ def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,
             if not len(b):
                 continue
             X = np.stack([np.asarray(v, np.float64) for v in b["__vec"]])
-            bits = (X @ P.T) >= 0
+            bits = ((X @ P.T) >= 0).reshape(len(X), n_bands, bits_per_band)
+            packed = bits @ weights  # (n, n_bands) int64
             out = pd.DataFrame({"__id": b["__id"], "__vec": b["__vec"]})
-            out["bucket"] = bits @ weights
+            out["bands"] = list(packed)
             yield out
 
     slim = df.select(F.col(id_col).alias("__id"),
@@ -186,29 +262,85 @@ def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 8,
     vec_t = df.schema[vec_col].dataType.simpleString()
     id_t = df.schema[id_col].dataType.simpleString()
     out = slim.mapInPandas(
-        fn, f"__id {id_t}, __vec {vec_t}, bucket bigint")
+        fn, f"__id {id_t}, __vec {vec_t}, bands array<bigint>")
     return out.select(F.col("__id").alias(id_col),
-                      F.col("__vec").alias(vec_col), "bucket")
+                      F.col("__vec").alias(vec_col), "bands")
+
+
+def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 16,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Single-table convenience form: one n_bits sign bucket per vector
+    (narrow, no shuffle).  For all-pairs search prefer the banded
+    ``lsh_near_dup_pairs`` — a single table trades recall against bucket
+    size with no second knob."""
+    sig = hyperplane_lsh_signatures(df, dim, n_bands=1,
+                                    bits_per_band=n_bits, seed=seed,
+                                    id_col=id_col, vec_col=vec_col)
+    return sig.select(id_col, vec_col,
+                      F.element_at("bands", 1).alias("bucket"))
+
+
+def auto_bits_per_band(n_rows: int, target_bucket_rows: int = 64,
+                       lo: int = 8, hi: int = 24) -> int:
+    """Size the per-band bucket space to the corpus: 2^bits ≈
+    n / target_bucket_rows, clamped to [lo, hi].  Keeps expected bucket
+    occupancy O(target) so the per-bucket self-join stays bounded as the
+    corpus grows (a fixed 2⁸ space degrades O((n/256)²))."""
+    if n_rows < 2:
+        return lo
+    bits = math.ceil(math.log2(max(n_rows / max(target_bucket_rows, 1), 2)))
+    return max(lo, min(hi, bits))
 
 
 def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
-                       n_bits: int = 8, seed: int = 42,
-                       id_col: str = "vec_id",
+                       n_bands: int = 4, bits_per_band: int | None = None,
+                       seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
-    """Bucketed near-duplicate search: candidates within LSH buckets only,
-    exactly verified. The join shuffles on the bucket key — bounded work
-    per bucket instead of O(n²)."""
-    bk = hyperplane_lsh_buckets(df, dim, n_bits, seed, id_col, vec_col)
-    a = bk.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).alias("va"), "bucket")
-    b = bk.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).alias("vb"), "bucket")
-    return (a.join(b, ["bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.expr(cosine_expr("va", "vb")).alias("sim"))
+    """Banded-LSH near-duplicate search: (id_a, id_b, sim ≥ threshold).
+
+    Shape (the MinHash-band pattern of operators.dedup, §"beyond the
+    reference"):
+
+    1. signatures — ONE GEMM pass gives every vector ``n_bands`` packed
+       sign-bucket keys (localCheckpointed: feeds the band join and both
+       sides of the verify join without recomputing).
+    2. candidates — posexplode the band keys and equi-join on
+       ``(band, bucket)``: pairs collide iff they share a whole band.
+       With ``bits_per_band=None`` the bucket space is sized to the
+       corpus (one cheap count) so expected occupancy stays O(1) and the
+       per-bucket fanout never goes quadratic — the fix for the
+       fixed-2⁸-bucket blowup.
+    3. verify — exact float64 cosine on the candidates via the pairwise
+       GEMM kernel (one einsum per Arrow batch, no interpreted per-pair
+       lambdas), then the threshold filter.
+
+    Positively-scaled duplicates (identical sign patterns) collide in
+    every band, so recall on exact/scaled dups is 1 by construction.
+    """
+    if bits_per_band is None:
+        bits_per_band = auto_bits_per_band(df.count())
+    sigs = hyperplane_lsh_signatures(
+        df, dim, n_bands, bits_per_band, seed, id_col, vec_col
+    ).localCheckpoint(eager=True)
+
+    banded = sigs.select(F.col(id_col).alias("id"),
+                         F.posexplode("bands").alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    va = sigs.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"))
+    vb = sigs.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"))
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
+    return (pairwise_cosine(pairs)
             .where(F.col("sim") >= threshold)
-            .distinct())
+            .select("id_a", "id_b", "sim"))
 
 
 def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
@@ -217,37 +349,69 @@ def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
                  vec_col: str = "embedding") -> DataFrame:
     """IVF ANN with the trained SOM as coarse quantizer.
 
-    Corpus rows are assigned their BMU cell once (narrow scoring pass —
-    cache the result across query batches); each query probes its
-    ``nprobe`` nearest cells, so only ~nprobe/(x·y) of the corpus is
-    scanned per query.  Returns (query_id, rank, neighbor_id, sim).
+    Physical plan, built for the 1000-executor case:
+
+    * corpus rows get their BMU ``cluster_id`` in one narrow Arrow pass
+      (no shuffle; cache the scored corpus across query batches);
+    * the query→probe-cell assignment is computed on the driver against
+      the tiny codebook, **exploded to (query_id, cluster_id) rows**, and
+      broadcast — the join is then an equi-join ``cell == cluster_id``
+      that Spark plans as a BroadcastHashJoin.  (An ``array_contains``
+      predicate instead degenerates to a BroadcastNestedLoopJoin that
+      tests every corpus row against every query.)
+    * candidate cosines are one float64 GEMM per Arrow batch against the
+      broadcast query matrix — not a per-candidate interpreted lambda.
+
+    Each corpus row has exactly one cluster_id and probe cells per query
+    are distinct, so a (query, neighbor) candidate appears at most once —
+    no dedup stage needed.  With ``nprobe = x·y`` every cell is probed
+    and the output equals the exact brute-force top-k (the
+    oracle-checkable full-probe configuration).
+
+    Returns (query_id, rank, neighbor_id, sim).
     """
+    import pandas as pd
+
     from ..functions.distances import euclidean
+    from ..plans.exchange import ship_package
 
     spark = corpus.sparkSession
-    old_feat = som.features_col
-    som.features_col = vec_col
-    try:
-        bucketed = som.transform(corpus, ("cluster_id",))
-    finally:
-        som.features_col = old_feat
+    ship_package(spark)
+    bucketed = som.transform(corpus, ("cluster_id",), features_col=vec_col)
 
     w_flat = som._weights.reshape(-1, som._input_len)
-    dist = euclidean(np.asarray(queries_np, dtype=float), w_flat)
+    Q = np.asarray(queries_np, dtype=np.float64)
+    qids = np.asarray([int(q) for q in query_ids], dtype=np.int64)
+    qn = np.linalg.norm(Q, axis=1)
+    order = np.argsort(qids)
+    qids_sorted, Q_sorted, qn_sorted = qids[order], Q[order], qn[order]
+    bc = spark.sparkContext.broadcast((qids_sorted, Q_sorted, qn_sorted))
+
+    dist = euclidean(Q, w_flat)
     probes = np.argsort(dist, axis=1)[:, :nprobe]
-    rows = []
-    for qid, vec, cells in zip(query_ids, queries_np, probes):
-        rows.append((int(qid), [float(v) for v in vec],
-                     [int(c) for c in cells]))
-    q = spark.createDataFrame(
-        rows, "query_id bigint, q_vec array<float>, cells array<bigint>")
-    joined = bucketed.join(
-        F.broadcast(q),
-        F.expr("array_contains(cells, cluster_id)"))
-    sims = joined.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(cosine_expr("q_vec", vec_col)).alias("sim"))
+    probe_rows = [(int(qid), int(c))
+                  for qid, cells in zip(qids, probes) for c in cells]
+    q = spark.createDataFrame(probe_rows, "query_id bigint, cluster_id bigint")
+    joined = bucketed.join(F.broadcast(q), "cluster_id").select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"))
+
+    def fn(batches):
+        qids_, Q_, qn_ = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack([np.asarray(v, np.float64) for v in b["vec"]])
+            cn = np.linalg.norm(C, axis=1)
+            pos = np.searchsorted(qids_, b["query_id"].to_numpy(np.int64))
+            sims = (np.einsum("ij,ij->i", C, Q_[pos])
+                    / (cn * qn_[pos]))
+            yield pd.DataFrame({"query_id": b["query_id"],
+                                "neighbor_id": b["neighbor_id"],
+                                "sim": sims})
+
+    sims = joined.mapInPandas(
+        fn, "query_id bigint, neighbor_id bigint, sim double")
     sims = sims.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))

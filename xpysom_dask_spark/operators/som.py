@@ -242,12 +242,15 @@ class SparkSom:
     # scoring (X7, X13-X15)
 
     def transform(self, df, outputs=("bmu_x", "bmu_y", "cluster_id"),
-                  keep=None):
+                  keep=None, features_col=None):
         """Append model columns to a (batch or streaming) DataFrame in one
         narrow Arrow stage. See plans.scoring for column semantics;
-        ``keep`` limits which input columns pass through (None = all)."""
+        ``keep`` limits which input columns pass through (None = all);
+        ``features_col`` overrides the configured column for this call
+        only (no shared-state mutation)."""
         from ..plans.scoring import attach
-        return attach(self, df, outputs, keep=keep)
+        return attach(self, df, outputs, keep=keep,
+                      features_col=features_col)
 
     def predict(self, data):
         """Flat cluster ids. DataFrame → + ``cluster_id`` column;

@@ -45,7 +45,8 @@ _NEEDS_ACT = {"bmu_x", "bmu_y", "cluster_id"}
 _NEEDS_EUC = {"quantized", "qe", "te_err", "distances"}
 
 
-def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id"), keep=None):
+def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id"), keep=None,
+           features_col=None):
     """Return ``df`` with the requested model columns appended.
 
     ``keep`` selects which input columns pass through (None = all).  A
@@ -53,14 +54,20 @@ def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id"), keep=None):
     should pass ``keep=()`` so input columns don't round-trip through
     Arrow: the stage then reads just the features column and emits just
     the metric column.
+
+    ``features_col`` overrides ``som.features_col`` for this call only —
+    callers scoring an ad-hoc column (e.g. som_ivf_topk binding an
+    embedding column) pass it here instead of mutating shared model
+    state, which would race with concurrent transforms.
     """
+    feat_col = features_col or som.features_col
     unknown = [o for o in outputs if o not in OUTPUT_TYPES]
     if unknown:
         raise ValueError(f"unknown outputs {unknown}; available: {list(OUTPUT_TYPES)}")
     if keep is not None:
-        wanted = list(dict.fromkeys(list(keep) + [som.features_col]))
+        wanted = list(dict.fromkeys(list(keep) + [feat_col]))
         df = df.select(*wanted)
-        drop_feats = som.features_col not in keep
+        drop_feats = feat_col not in keep
     else:
         drop_feats = False
     spark = df.sparkSession
@@ -76,7 +83,7 @@ def attach(som, df, outputs=("bmu_x", "bmu_y", "cluster_id"), keep=None):
     dtype = som.dtype
     topology = som.topology
     xx, yy = som._xx, som._yy
-    feat_name = som.features_col
+    feat_name = feat_col
     outputs = tuple(outputs)
     need_act = any(o in _NEEDS_ACT for o in outputs)
     need_euc = any(o in _NEEDS_EUC for o in outputs)

@@ -48,10 +48,15 @@ NF = len(readers.LINEITEM_FEATURES)
 
 def _oracle_som() -> SparkSom:
     """The deterministic SOM every oracle-checked query uses: seeded init,
-    float64, per-dim squared-L2 activation (bitwise-matches the SQL)."""
+    float64, per-dim squared-L2 activation (bitwise-matches the SQL).
+    fuse_local_bytes=0 pins the DISTRIBUTED training plan (broadcast +
+    Arrow partials + tree merge) — the correctness gate should validate
+    the plan that runs at scale, not the small-input fused path (that
+    one is tested separately in tests/test_som_spark.py)."""
     return SparkSom(SOM_X, SOM_Y, NF, random_seed=SOM_SEED,
                     dtype=np.float64, activation_distance="norm_p_no_opt",
-                    activation_distance_kwargs={"p": 2})
+                    activation_distance_kwargs={"p": 2},
+                    fuse_local_bytes=0)
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +154,8 @@ def entry(spark: SparkSession) -> DataFrame:
     epochs → per-cell win counts (the activation-response hash aggregate)."""
     df = readers.lineitem_features(spark, "/root/testdata/sf0.001",
                                    keys=False)
-    som = SparkSom(SOM_X, SOM_Y, NF, random_seed=SOM_SEED)
+    som = SparkSom(SOM_X, SOM_Y, NF, random_seed=SOM_SEED,
+                   fuse_local_bytes=0)  # smoke-check the distributed plan
     som.train(df, 3)
     return som.activation_response_df(df).orderBy("bmu_x", "bmu_y")
 
@@ -229,7 +235,8 @@ def _q_som_train_epoch_hex(spark, sf_dir):
     som = SparkSom(SOM_X, SOM_Y, NF, random_seed=SOM_SEED,
                    dtype=np.float64, topology="hexagonal",
                    activation_distance="norm_p_no_opt",
-                   activation_distance_kwargs={"p": 2})
+                   activation_distance_kwargs={"p": 2},
+                   fuse_local_bytes=0)  # pin the distributed train plan
     som.train(_features(spark, sf_dir).select("features"), 1)
     W = som.get_weights()
     rows = [(i, j, k + 1, float(W[i, j, k]))

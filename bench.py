@@ -65,8 +65,11 @@ def main():
 
     # warmup pass (reference protocol: bench_utils warmup=1) — run each
     # plan shape once on tiny inputs so codegen/JIT compilation is not
-    # billed to the measured run
-    wsom = SparkSom(8, 8, 8, random_seed=1)
+    # billed to the measured run.  fuse_local_bytes=0: the warmup must
+    # exercise the DISTRIBUTED training plan (broadcast + Arrow partial
+    # workers) — tiny inputs would otherwise take the fused local path
+    # and leave the python workers cold for the measured run
+    wsom = SparkSom(8, 8, 8, random_seed=1, fuse_local_bytes=0)
     tiny = feats.limit(2000)
     wsom.train(tiny, 1)
     wsom.transform(tiny, ("cluster_id",)).agg(F.sum("cluster_id")).collect()
@@ -76,6 +79,14 @@ def main():
                  T.rolling_hash("text")).agg(F.count(F.lit(1))).collect()
     dedup.minhash_near_dups(wdocs, "text", "doc_id").count()
     dedup.simhash_near_dups(wdocs, "text", "doc_id").count()
+    dedup.ngram_jaccard_near_dups(wdocs, "text", "doc_id", 0.8,
+                                  max_df=1000).count()
+    whex = SparkSom(8, 8, 8, random_seed=1, topology="hexagonal",
+                    fuse_local_bytes=0)
+    whex.train(tiny, 1)
+    from xpysom_dask_spark.operators import events as _EV
+    _wev = readers.load_table(spark, SF_DIR, "events").limit(2000)
+    _EV.sessionize(_wev, gap_s=1800).count()
     wemb = readers.load_table(spark, SF_DIR, "embeddings").limit(100)
     similarity.cosine_topk(wemb, wemb.limit(5), k=2).count()
     from xpysom_dask_spark.operators import multimodal as _mm
@@ -88,6 +99,9 @@ def main():
           .agg(F.sum("cluster_id")).collect())
     timed("qe", lambda: som.quantization_error(feats))
 
+    hexsom = SparkSom(8, 8, 8, random_seed=42, topology="hexagonal")
+    timed("train_5ep_hex", lambda: hexsom.train(feats, 5))
+
     docs = readers.load_table(spark, SF_DIR, "documents")
     timed("text_fp", lambda: docs.select(
         T.md5_fingerprint("text"), T.min_shingle_fingerprint("text"),
@@ -97,6 +111,14 @@ def main():
 
     timed("dedup_simhash", lambda: dedup.simhash_near_dups(
         docs, "text", "doc_id").count())
+
+    # the scale-path config (max_df prunes stop-shingle postings)
+    timed("ngram_jaccard", lambda: dedup.ngram_jaccard_near_dups(
+        docs, "text", "doc_id", 0.8, max_df=1000).count())
+
+    from xpysom_dask_spark.operators import events as EV
+    ev = readers.load_table(spark, SF_DIR, "events")
+    timed("sessionize", lambda: EV.sessionize(ev, gap_s=1800).count())
 
     emb = readers.load_table(spark, SF_DIR, "embeddings")
     timed("knn_cosine", lambda: similarity.cosine_topk(

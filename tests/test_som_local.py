@@ -225,3 +225,27 @@ def test_train_input_width_check():
     som = SparkSom(3, 3, 4, random_seed=1)
     with pytest.raises(ValueError, match="expected 4"):
         som.train(np.ones((10, 3)), 1)
+
+
+def test_chunked_activation_matches_whole():
+    """batch_rows chunking of the local winner/predict/quantization/
+    topographic paths (reference n_parallel parity, xpysom.py:389-398)
+    must match the unchunked computation.  (Training itself is compared
+    on shared weights: accumulation order across chunk sizes legitimately
+    differs in float, exactly as the reference's n_parallel does.)"""
+    rng = np.random.RandomState(3)
+    X = rng.rand(257, 6)
+    whole = SparkSom(6, 5, 6, random_seed=9, batch_rows=10**9)
+    whole.train(X, 2)
+    chunked = SparkSom(6, 5, 6, random_seed=9, batch_rows=17)
+    chunked._weights = whole._weights.copy()
+    np.testing.assert_array_equal(whole.predict(X), chunked.predict(X))
+    assert whole.winner(X) == chunked.winner(X)
+    np.testing.assert_array_equal(whole.quantization(X),
+                                  chunked.quantization(X))
+    np.testing.assert_array_equal(whole.distance_from_weights(X),
+                                  chunked.distance_from_weights(X))
+    assert (whole.topographic_error(X) == chunked.topographic_error(X))
+    assert (whole.quantization_error(X) == chunked.quantization_error(X))
+    np.testing.assert_array_equal(whole.activation_response(X),
+                                  chunked.activation_response(X))

@@ -26,7 +26,8 @@ def rand_data():
 
 def test_spark_train_matches_local(spark, rand_data):
     df = make_feature_df(spark, rand_data)
-    som_s = SparkSom(5, 4, 6, random_seed=7, dtype=np.float64)
+    som_s = SparkSom(5, 4, 6, random_seed=7, dtype=np.float64,
+                     fuse_local_bytes=0)  # pin the distributed partials
     som_l = SparkSom(5, 4, 6, random_seed=7, dtype=np.float64)
     som_s.train(df, 4)
     som_l.train(rand_data, 4)
@@ -39,7 +40,7 @@ def test_spark_train_float32_close_to_local(spark, rand_data):
     reference across dask chunkings — SURVEY.md §7 risk register), so
     single-epoch comparison with a float32-association tolerance."""
     df = make_feature_df(spark, rand_data)
-    som_s = SparkSom(5, 4, 6, random_seed=7)
+    som_s = SparkSom(5, 4, 6, random_seed=7, fuse_local_bytes=0)
     som_l = SparkSom(5, 4, 6, random_seed=7)
     som_s.train(df, 1)
     som_l.train(rand_data, 1)
@@ -52,8 +53,9 @@ def test_two_level_aggregation_path(spark, rand_data):
     produces the same weights as the direct-collect path."""
     df = make_feature_df(spark, rand_data, n_partitions=8)
     som_a = SparkSom(4, 4, 6, random_seed=3, dtype=np.float64,
-                     collect_threshold=1, agg_fanout=3)
-    som_b = SparkSom(4, 4, 6, random_seed=3, dtype=np.float64)
+                     collect_threshold=1, agg_fanout=3, fuse_local_bytes=0)
+    som_b = SparkSom(4, 4, 6, random_seed=3, dtype=np.float64,
+                     fuse_local_bytes=0)
     som_a.train(df, 2)
     som_b.train(df, 2)
     np.testing.assert_allclose(som_a.get_weights(), som_b.get_weights(),
@@ -160,7 +162,8 @@ def test_hexagonal_spark_train_matches_local(spark, rand_data):
                      topology="hexagonal", dtype=np.float64)
     local.train(X, 3)
     dist = SparkSom(5, 5, X.shape[1], random_seed=13,
-                    topology="hexagonal", dtype=np.float64)
+                    topology="hexagonal", dtype=np.float64,
+                    fuse_local_bytes=0)  # pin the distributed partials
     df = spark.createDataFrame([(list(map(float, r)),) for r in X],
                                "features array<double>")
     dist.train(df, 3)
@@ -203,3 +206,20 @@ def test_som_ivf_recall_increases_with_nprobe(spark):
     assert recalls == sorted(recalls), recalls      # monotone in nprobe
     assert recalls[-1] == 1.0, recalls              # nprobe=cells → exact
     assert recalls[0] > 0.2, recalls                # even 1 probe finds some
+
+
+def test_epoch_fusion_matches_distributed(spark, rand_data):
+    """Small-input epoch fusion (one Arrow collect + driver-side loop)
+    must produce the same weights as the distributed per-epoch partials
+    plan it replaces (VERDICT r01 #6), and actually take the fused path
+    (exactly one job for all epochs is hard to observe here, but the
+    result contract is what matters)."""
+    df = make_feature_df(spark, rand_data)
+    fused = SparkSom(5, 4, 6, random_seed=7, dtype=np.float64)
+    assert fused.fuse_local_bytes > 0  # default ON
+    dist = SparkSom(5, 4, 6, random_seed=7, dtype=np.float64,
+                    fuse_local_bytes=0)
+    fused.train(df, 4)
+    dist.train(df, 4)
+    np.testing.assert_allclose(fused.get_weights(), dist.get_weights(),
+                               atol=1e-9)

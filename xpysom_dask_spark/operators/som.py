@@ -59,6 +59,17 @@ class SparkSom:
         tree merge — with more partitions than ``collect_threshold`` the
         per-partition partials are first reduced into ``agg_fanout``
         buckets so the driver never collects O(partitions) tensors.
+    fuse_local_bytes : small-input epoch fusion gate (0 disables).  A
+        batch-SOM epoch is a global reduce, so T epochs are T Spark jobs
+        with an unavoidable driver barrier each; when the whole feature
+        matrix is at most this many bytes the loop instead collects it
+        once (Arrow) and runs every epoch driver-side — one job instead
+        of T, same math chunked by ``batch_rows``.  The default is small
+        on purpose: the fused loop is one core, so it only wins while a
+        full epoch's FLOPs cost less than one job's scheduling+dispatch
+        overhead (~100 ms); measured crossover on local[32] is around
+        10⁵–10⁶ rows.  At scale the gate never fires and the distributed
+        plan is untouched.
     """
 
     def __init__(self, x, y, input_len,
@@ -71,7 +82,8 @@ class SparkSom:
                  activation_distance_kwargs=None,
                  random_seed=None, compact_support=False,
                  features_col="features", dtype=np.float32,
-                 batch_rows=32768, agg_fanout=64, collect_threshold=512):
+                 batch_rows=32768, agg_fanout=64, collect_threshold=512,
+                 fuse_local_bytes=8 << 20):
         if sigma >= x or sigma >= y:
             warn("Warning: sigma is too high for the dimension of the map.")
         if topology not in ("rectangular", "hexagonal"):
@@ -93,6 +105,7 @@ class SparkSom:
         self.batch_rows = int(batch_rows)
         self.agg_fanout = int(agg_fanout)
         self.collect_threshold = int(collect_threshold)
+        self.fuse_local_bytes = int(fuse_local_bytes)
 
         self._random_generator = np.random.RandomState(random_seed)
         # bit-identical seeded init (xpysom.py:189-190)
@@ -162,6 +175,26 @@ class SparkSom:
         w = self._weights if dtype is None else self._weights.astype(dtype)
         return w.reshape(-1, self._input_len)
 
+    def _bmu_flat(self, X, use_euclidean=False):
+        """Chunked flat BMU indices for a local matrix.
+
+        The transient (n, x·y) activation is bounded to
+        ``(batch_rows, x·y)`` blocks — the reference's ``n_parallel``
+        chunking (xpysom.py:389-398, 638, 665); materializing it whole
+        for a large local ndarray is a driver OOM.
+        """
+        w_flat = self._w_flat()
+        kernel = euclidean if use_euclidean else self._distance
+        w_sq = (codebook_sq_norms(w_flat)
+                if not use_euclidean and self._distance.can_cache else None)
+        out = np.empty(len(X), np.int64)
+        for s in range(0, len(X), self.batch_rows):
+            chunk = X[s: s + self.batch_rows]
+            d = (kernel(chunk, w_flat) if use_euclidean
+                 else kernel(chunk, w_flat, w_sq))
+            out[s: s + len(chunk)] = d.argmin(axis=1)
+        return out
+
     # ------------------------------------------------------------------ #
     # activation / BMU (X6, X7)
 
@@ -176,9 +209,10 @@ class SparkSom:
 
     def winner(self, x):
         """BMU coordinates for one sample (tuple) or a batch (list of
-        tuples). Local/driver computation, parity xpysom.py:370-408."""
+        tuples). Local/driver computation, parity xpysom.py:370-408;
+        activation chunked by ``batch_rows``."""
         X = self._as_matrix(x)
-        idx = self._distance(X, self._w_flat()).argmin(axis=1)
+        idx = self._bmu_flat(X)
         if np.asarray(x).ndim == 1:
             return (int(self._ux[idx[0]]), int(self._uy[idx[0]]))
         return [(int(a), int(b)) for a, b in zip(self._ux[idx], self._uy[idx])]
@@ -199,9 +233,13 @@ class SparkSom:
             from ..plans.training import run_training
             return run_training(self, data, num_epochs, iter_beg, iter_end,
                                 verbose)
-        return self._train_local(data, num_epochs, iter_beg, iter_end)
+        return self._train_local(data, num_epochs, iter_beg, iter_end,
+                                 verbose=verbose)
 
-    def _train_local(self, data, num_epochs, iter_beg, iter_end):
+    def _train_local(self, data, num_epochs, iter_beg, iter_end,
+                     verbose=False):
+        from ..plans.training import ProgressPrinter
+        progress = ProgressPrinter(iter_end - iter_beg) if verbose else None
         X_all = self._as_matrix(data, dtype=self.dtype)
         n = len(X_all)
         shape = self._weights.shape
@@ -224,6 +262,9 @@ class SparkSom:
                 num += np.dot(g.reshape(len(X), -1).T, X)
             den3 = den[:, :, None]
             W = np.where(den3 != 0, num.reshape(shape) / den3, W)
+            if progress is not None:
+                progress.step(t - iter_beg,
+                              "eta=%.4f sigma=%.4f" % (eta, sig))
         self._weights = W
         return self
 
@@ -258,7 +299,7 @@ class SparkSom:
         if _is_df(data):
             return self.transform(data, ("cluster_id",))
         X = self._as_matrix(data)
-        return self._distance(X, self._w_flat()).argmin(axis=1)
+        return self._bmu_flat(X)
 
     def quantization(self, data):
         """BMU codebook row per sample, always under full euclidean
@@ -266,7 +307,7 @@ class SparkSom:
         if _is_df(data):
             return self.transform(data, ("quantized",))
         X = self._as_matrix(data)
-        idx = euclidean(X, self._w_flat()).argmin(axis=1)
+        idx = self._bmu_flat(X, use_euclidean=True)
         return self._w_flat()[idx]
 
     def distance_from_weights(self, data):
@@ -276,7 +317,12 @@ class SparkSom:
         if _is_df(data):
             return self.transform(data, ("distances",))
         X = self._as_matrix(data)
-        return euclidean(X, self._w_flat())
+        w_flat = self._w_flat()
+        # the output IS (n, x·y); chunking bounds the transient peak
+        # (intermediate cross-term buffers), parity xpysom.py:655-668
+        return np.vstack([euclidean(X[s: s + self.batch_rows], w_flat)
+                          for s in range(0, len(X), self.batch_rows)]) \
+            if len(X) else np.empty((0, self._x * self._y))
 
     # ------------------------------------------------------------------ #
     # map-quality metrics (X16, X17)
@@ -302,10 +348,12 @@ class SparkSom:
             return float(scored.agg(F.avg("te_err")).collect()[0][0])
         from ..plans.scoring import _topographic_indicator
         X = self._as_matrix(data, dtype=self.dtype)
-        dist = euclidean(X, self._w_flat())
-        err = _topographic_indicator(dist, self._ux, self._uy,
-                                     self._xx, self._yy, self.topology)
-        return float(err.mean())
+        w_flat = self._w_flat()
+        errs = [_topographic_indicator(
+                    euclidean(X[s: s + self.batch_rows], w_flat),
+                    self._ux, self._uy, self._xx, self._yy, self.topology)
+                for s in range(0, len(X), self.batch_rows)]
+        return float(np.concatenate(errs).mean()) if errs else float("nan")
 
     # ------------------------------------------------------------------ #
     # map summaries (X20-X23)
@@ -321,7 +369,7 @@ class SparkSom:
                 a[r["bmu_x"], r["bmu_y"]] = r["count"]
             return a
         X = self._as_matrix(data)
-        idx = self._distance(X, self._w_flat()).argmin(axis=1)
+        idx = self._bmu_flat(X)
         np.add.at(a, (self._ux[idx], self._uy[idx]), 1)
         return a
 

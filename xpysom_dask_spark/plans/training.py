@@ -32,6 +32,33 @@ from .exchange import feature_matrix, ship_package
 _PARTIAL_SCHEMA = "bucket int, num binary, den binary"
 
 
+class ProgressPrinter:
+    """Reference-parity verbose progress (xpysom.py:50-69): per-epoch
+    ``[ t / T ] p% - elapsed - left`` lines with an elapsed-rate ETA,
+    restructured as an object (no module globals, newline per epoch so
+    driver logs stay greppable) plus a per-epoch detail suffix."""
+
+    def __init__(self, total):
+        self.total = int(total)
+        self.t0 = time.time()
+        self.digits = len(str(self.total))
+        print(" [ %*d / %d ]   0%% - ? it/s" % (self.digits, 0, self.total))
+
+    def step(self, t, extra=""):
+        from datetime import timedelta
+
+        done = t + 1
+        elapsed = time.time() - self.t0
+        left = (self.total - done) * elapsed / done
+        line = " [ %*d / %d ] %3.0f%% - %s elapsed - %s left" % (
+            self.digits, done, self.total, 100.0 * done / self.total,
+            str(timedelta(seconds=elapsed))[:7],
+            str(timedelta(seconds=left))[:7])
+        if extra:
+            line += " - " + extra
+        print(line)
+
+
 def _partial_update_factory(bc, kernel, influence, ux, uy, shape, dtype,
                             fanout):
     """Build the per-partition update for ``mapInArrow``.
@@ -116,16 +143,35 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
         # caller already persisted exactly the features column (a second
         # cache level would double memory and re-materialize on epoch 1)
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    x, y, d = som._weights.shape
+
+    # small-input epoch fusion: a batch-SOM epoch is a global reduce, so
+    # T epochs are irreducibly T jobs + T driver barriers in Spark's
+    # execution model.  When the whole feature matrix fits the gate
+    # (som.fuse_local_bytes), collect it once through Arrow and run the
+    # loop driver-side — one job instead of T, same math chunked by
+    # batch_rows.  The count() also materializes the cache, so the
+    # not-fused case pays nothing extra on epoch 1.
+    fuse_cap = getattr(som, "fuse_local_bytes", 0)
+    if fuse_cap:
+        n_rows = feats.count()
+        if n_rows * d * np.dtype(som.dtype).itemsize <= fuse_cap:
+            X = feature_matrix(feats.toArrow().column("features"),
+                               d, som.dtype)
+            if own_cache:
+                feats.unpersist()
+            return som._train_local(X, num_epochs, iter_beg, iter_end,
+                                    verbose=verbose)
+
     n_parts = feats.rdd.getNumPartitions()
     two_level = n_parts > som.collect_threshold
-
-    x, y, d = som._weights.shape
     shape = (x, y, d)
     W = som._weights.astype(som.dtype)
     kernel = som._distance
     influence = som._influence
     ux, uy = som._ux, som._uy
 
+    progress = ProgressPrinter(iter_end - iter_beg) if verbose else None
     try:
         for t in range(iter_beg, iter_end):
             t0 = time.time()
@@ -151,11 +197,10 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
 
             den3 = den[:, :, None]
             W = np.where(den3 != 0, num.reshape(shape) / den3, W)
-            if verbose:
-                print(
-                    "epoch %d/%d  eta=%.4f sigma=%.4f  %.2fs"
-                    % (t + 1, iter_end, eta, sig, time.time() - t0)
-                )
+            if progress is not None:
+                progress.step(t - iter_beg,
+                              "eta=%.4f sigma=%.4f %.2fs"
+                              % (eta, sig, time.time() - t0))
     finally:
         if own_cache:
             feats.unpersist()

@@ -212,3 +212,27 @@ def test_streaming_trainer_restart_resumes_from_snapshot(spark, feats_dir,
     t2.fit_available(stream(), checkpoint_dir=ckpt)
     assert t2.batches_seen == 2
     np.testing.assert_array_equal(t2.som.get_weights(), w_trained)
+
+def test_bmu_transitions_string_key(spark, tmp_path):
+    """The output key column carries key_col's own type (ADVICE r01):
+    a string user id must come back as a string, not fail/miscoerce
+    against a hardcoded bigint schema."""
+    path = str(tmp_path / "sevents")
+    rng = np.random.RandomState(11)
+    rows = [(f"user-{i % 3}",
+             pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+             [float(rng.rand()), float(rng.rand())])
+            for i in range(60)]
+    pdf = pd.DataFrame(rows, columns=["uid", "ts", "features"])
+    (spark.createDataFrame(pdf, "uid string, ts timestamp, "
+                           "features array<double>")
+     .repartition(2).write.parquet(path))
+    som = SparkSom(3, 3, 2, random_seed=5)
+    stream = _read_stream(spark, path)
+    df = bmu_transitions(som, stream, "uid", ts_col="ts")
+    assert df.schema["key"].dataType.simpleString() == "string"
+    out = _drain_append(df, spark, "t_bmu_str", mode="update")
+    got = (out.toPandas().sort_values("key").groupby("key").last()
+           .reset_index())
+    assert sorted(got["key"]) == ["user-0", "user-1", "user-2"]
+    assert got["n_events"].sum() == 60

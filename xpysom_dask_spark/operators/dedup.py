@@ -9,9 +9,9 @@ joins — the shapes that survive a 100 TB corpus:
 * **MinHash + LSH**: shingle → k minhashes (explode + min-agg, map-side
   combinable) → band keys → bucket self-join (candidates only) → exact
   Jaccard verification on the candidate set.  No O(n²) stage anywhere.
-* **SimHash**: 32-bit fingerprint as a single narrow expression
-  (operators.text.simhash32) → byte-band bucket join → Hamming ≤ t verify
-  via xor/bit_count.
+* **SimHash**: 60-bit fingerprint as a single narrow expression
+  (operators.text.simhash60) → 4×15-bit band bucket join → Hamming ≤ t
+  verify via xor/bit_count.
 * **embedding cosine**: see operators.similarity (hyperplane-LSH buckets).
 
 Each has an exact DuckDB twin in __spark_entry__.oracle_sql.
@@ -134,9 +134,66 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         word_shingles(df, text_col, id_col, n), k, seed)
 
 
+def band_self_join_pairs(banded: DataFrame, key_cols=("band_key",),
+                         id_col: str = "id",
+                         max_bucket: int | None = None) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a banded relation — the shared
+    skew-hardened core of every LSH band join (minhash, simhash,
+    hyperplane).
+
+    ``max_bucket=None``: plain bucket self-join — ALL pairs sharing a
+    band key.  Exact (the oracle configuration), but a bucket of B rows
+    emits B²/2 pairs from ONE join task.  AQE's skew-join split cannot
+    save this: skew detection is input-bytes-based, and a hot bucket is
+    a few KB of *input* with quadratic *output* fanout (measured: a
+    400-row bucket → 80 k joined rows with `skew=true` never planned).
+
+    ``max_bucket=N``: buckets with ≤ N members emit all pairs; larger
+    (hot) buckets emit **star pairs** — every member paired with the
+    bucket's min-id hub — O(B) rows instead of O(B²).  Within a bucket
+    every member then shares a verified pair with the hub, so
+    *duplicate-cluster connectivity* (what dedup consumers actually
+    union-find over) is preserved; only hub-less member↔member edges
+    inside hot buckets are dropped.  Hot buckets at corpus scale are
+    overwhelmingly exact-duplicate/boilerplate clusters, where the hub
+    edge carries the same information.  Bucket stats come from a window
+    over the SAME shuffle key as the join (O(B log B) per bucket, no
+    quadratic stage anywhere).
+    """
+    from pyspark.sql import Window
+
+    key_cols = list(key_cols)
+    jid = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols]
+
+    def all_pairs(rel):
+        a, b = rel.alias("a"), rel.alias("b")
+        cond = jid[0]
+        for c in jid[1:]:
+            cond = cond & c
+        return (a.join(b, cond & (F.col(f"a.{id_col}")
+                                  < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b")))
+
+    if max_bucket is None:
+        return all_pairs(banded).distinct()
+
+    w = Window.partitionBy(*key_cols)
+    bb = (banded.withColumn("__n_b", F.count(F.lit(1)).over(w))
+          .withColumn("__hub", F.min(id_col).over(w)))
+    cold = bb.where(F.col("__n_b") <= max_bucket).select(id_col, *key_cols)
+    hot = (bb.where((F.col("__n_b") > max_bucket)
+                    & (F.col(id_col) != F.col("__hub")))
+           .select(F.col("__hub").alias("id_a"),
+                   F.col(id_col).alias("id_b")))
+    return all_pairs(cold).unionByName(hot).distinct()
+
+
 def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
-                       rows_per_band: int = 2) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band: (id_a, id_b)."""
+                       rows_per_band: int = 2,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band: (id_a, id_b).
+    ``max_bucket`` bounds hot-bucket fanout (see band_self_join_pairs)."""
     n_bands = k // rows_per_band
     # one explode, not an n_bands-way union: a union re-evaluates the
     # signature aggregation once per band unless exchange reuse kicks in
@@ -145,12 +202,7 @@ def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
                           for r in range(rows_per_band)])
             for bnd in range(n_bands)]
     banded = sigs.select("id", F.explode(F.array(*keys)).alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    return band_self_join_pairs(banded, max_bucket=max_bucket)
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
@@ -177,7 +229,7 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
 
 def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.5, k: int = MINHASH_K,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, max_bucket: int | None = None) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact verification:
     (id_a, id_b, jaccard ≥ threshold).
 
@@ -191,10 +243,14 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     concurrently — a lazy checkpoint would be computed once per sibling
     (measured 3× tokenization cost) because none sees the others' cache
     in flight.
+
+    ``max_bucket`` is the scale knob for duplicate-heavy corpora: hot
+    band buckets emit star pairs instead of all pairs (see
+    band_self_join_pairs); ``None`` keeps exact all-pairs semantics.
     """
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures_from_shingles(sh, k)
-    pairs = minhash_band_pairs(sigs, k)
+    pairs = minhash_band_pairs(sigs, k, max_bucket=max_bucket)
     return jaccard_verify(pairs, sh, threshold)
 
 
@@ -243,10 +299,21 @@ def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
-                      max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs: byte-band candidates (any of the four
-    8-bit bands equal ⇒ candidate — guarantees recall for Hamming ≤ 3 by
-    pigeonhole) verified with bit_count(xor) ≤ max_hamming."""
+                      max_hamming: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-duplicate pairs over the 60-bit fingerprint
+    (operators.text.simhash60): band candidates (any of the four 15-bit
+    bands equal ⇒ candidate — guarantees recall for Hamming ≤ 3 by
+    pigeonhole over 4 bands) verified with bit_count(xor) ≤ max_hamming.
+    Each band key lives in a 2¹⁵ bucket space, so expected bucket
+    occupancy stays tiny as the corpus grows — EXCEPT for true duplicate
+    clusters, which share whole fingerprints and pile into one bucket
+    regardless of the band space.  ``max_bucket`` bounds that (star
+    pairs for hot buckets, carrying the hub's fingerprint through the
+    same window so the Hamming verify needs no extra join); ``None``
+    keeps exact all-pairs semantics (the oracle configuration)."""
+    from pyspark.sql import Window
+
     from ..plans.exchange import ensure_min_parallelism
 
     sh = simhash_table(ensure_min_parallelism(df), text_col, id_col) \
@@ -256,12 +323,31 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
             for b in range(4)]
     banded = sh.select("id", "sh",
                        F.explode(F.array(*keys)).alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-                    .alias("hamming"))
-            .distinct()
-            .where(F.col("hamming") <= max_hamming))
+
+    def all_pairs(rel):
+        a, b = rel.alias("a"), rel.alias("b")
+        return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+                        .alias("hamming")))
+
+    if max_bucket is None:
+        pairs = all_pairs(banded)
+    else:
+        w = Window.partitionBy("band_key")
+        wo = w.orderBy("id")
+        bb = (banded.withColumn("__n_b", F.count(F.lit(1)).over(w))
+              .withColumn("__hub", F.min("id").over(w))
+              .withColumn("__hub_sh", F.first("sh").over(wo)))
+        cold = bb.where(F.col("__n_b") <= max_bucket) \
+            .select("id", "sh", "band_key")
+        hot = (bb.where((F.col("__n_b") > max_bucket)
+                        & (F.col("id") != F.col("__hub")))
+               .select(F.col("__hub").alias("id_a"),
+                       F.col("id").alias("id_b"),
+                       F.bit_count(F.col("__hub_sh").bitwiseXOR(F.col("sh")))
+                       .alias("hamming")))
+        pairs = all_pairs(cold).unionByName(hot)
+    return pairs.distinct().where(F.col("hamming") <= max_hamming)

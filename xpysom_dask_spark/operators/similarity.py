@@ -296,7 +296,8 @@ def auto_bits_per_band(n_rows: int, target_bucket_rows: int = 64,
 def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                        n_bands: int = 4, bits_per_band: int | None = None,
                        seed: int = 42, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """Banded-LSH near-duplicate search: (id_a, id_b, sim ≥ threshold).
 
     Shape (the MinHash-band pattern of operators.dedup, §"beyond the
@@ -317,7 +318,16 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
 
     Positively-scaled duplicates (identical sign patterns) collide in
     every band, so recall on exact/scaled dups is 1 by construction.
+
+    ``bits_per_band=None`` sizing keeps *random* bucket occupancy O(1),
+    but true duplicate clusters share whole signatures and pile into one
+    bucket at any band width — ``max_bucket`` bounds that quadratic
+    fanout with star pairs per hot bucket (the shared skew-hardened band
+    join, operators.dedup.band_self_join_pairs); ``None`` keeps exact
+    all-pairs candidate semantics (the oracle configuration).
     """
+    from .dedup import band_self_join_pairs
+
     if bits_per_band is None:
         bits_per_band = auto_bits_per_band(df.count())
     sigs = hyperplane_lsh_signatures(
@@ -326,13 +336,8 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
 
     banded = sigs.select(F.col(id_col).alias("id"),
                          F.posexplode("bands").alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
-             .distinct())
+    cands = band_self_join_pairs(banded, key_cols=("band", "bucket"),
+                                 max_bucket=max_bucket)
     va = sigs.select(F.col(id_col).alias("id_a"),
                      F.col(vec_col).alias("va"))
     vb = sigs.select(F.col(id_col).alias("id_b"),

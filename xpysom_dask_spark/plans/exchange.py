@@ -22,19 +22,24 @@ import zipfile
 import numpy as np
 import pyarrow as pa
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def ship_package(spark) -> None:
     """Zip this package and addPyFile it so executors can unpickle our
-    closures, even in sessions we did not configure. Idempotent per JVM."""
-    key = id(spark.sparkContext)
+    closures, even in sessions we did not configure. Idempotent per
+    SparkContext: keyed on applicationId (stable and unique per context
+    lifetime — ``id()`` of the context object can be reused by a later
+    context after GC and would skip the ship), and the applicationId in
+    the zip name means a fresh context in the same process re-zips
+    current sources."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg_name = os.path.basename(pkg_dir)
     zpath = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}-{key}.zip"
     )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:

@@ -54,6 +54,9 @@ def bmu_transitions(som, stream_df, key_col: str, ts_col: str | None = None,
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # the output key column carries whatever type key_col has (string
+    # user ids, ints, ...) — hardcoding bigint would miscoerce or fail
+    key_t = stream_df.schema[key_col].dataType.simpleString()
     scored = attach(som, stream_df, ("cluster_id",))
     cols = [scored[key_col].alias("key"), "cluster_id"]
     if ts_col is not None:
@@ -62,7 +65,7 @@ def bmu_transitions(som, stream_df, key_col: str, ts_col: str | None = None,
     slim = scored.select(*cols)
     return slim.groupBy("key").applyInPandasWithState(
         _transition_fn,
-        outputStructType="key bigint, " + _STATE_SCHEMA,
+        outputStructType=f"key {key_t}, " + _STATE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

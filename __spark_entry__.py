@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xpysom_dask_spark import SparkSom
-from xpysom_dask_spark.operators import dedup, multimodal, similarity
+from xpysom_dask_spark.operators import dedup, multimodal, sampling, similarity
 from xpysom_dask_spark.operators import text as T
 from xpysom_dask_spark.sources import readers
 
@@ -890,6 +890,53 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: minhash pairs → distributed min-label
+    propagation (operators.graph.connected_components).  The oracle twin
+    is a recursive-CTE transitive closure over the same verified pairs —
+    exact at oracle scale, while the Spark side stays O(diameter)
+    shuffle rounds at corpus scale."""
+    out = dedup.dedup_clusters(_docs(spark, sf_dir), "text", "doc_id",
+                               threshold=0.5)
+    return out.select(F.col("id").cast("bigint"),
+                      F.col("component").cast("bigint"))
+
+
+def _q_fuzzy_dedup(spark, sf_dir):
+    """The fuzzily-deduplicated corpus: drop non-representative members
+    of every near-dup component (keep min id)."""
+    out = dedup.fuzzy_dedup_keep_first(_docs(spark, sf_dir), "text",
+                                       "doc_id", threshold=0.5)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+#: split weights for the split_by_hash query — shared by Spark + oracle
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_sample_hash(spark, sf_dir):
+    """Deterministic 25% content-hash sample (layout-independent)."""
+    out = sampling.hash_sample(_docs(spark, sf_dir), "doc_id", 0.25,
+                               seed=7)
+    return out.select("doc_id", "lang", "source")
+
+
+def _q_split_by_hash(spark, sf_dir):
+    """Stable train/val/test assignment by hash range."""
+    out = sampling.split_by_hash(_docs(spark, sf_dir), "doc_id",
+                                 dict(_SPLIT_WEIGHTS), seed=1)
+    return out.select("doc_id", "split")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Mixture construction: per-language keep rates (keep all en,
+    half de, quarter fr; drop the rest)."""
+    out = sampling.stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.25}, seed=11)
+    return out.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -927,6 +974,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
+        "dedup_components": _q_dedup_components,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "sample_hash": _q_sample_hash,
+        "split_by_hash": _q_split_by_hash,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1139,12 +1191,14 @@ sig AS (
 )"""
 
 
-def _sql_dedup_minhash():
+def _minhash_verified_cte(threshold: float = 0.5) -> str:
+    """CTE chain ending in ``verified(id_a, id_b, jaccard)`` — the exact
+    near-dup pairs; shared by the minhash, components, and fuzzy-dedup
+    oracles."""
     bands = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, concat('{b}', ':', mh_{2 * b}, ':', mh_{2 * b + 1}) "
         f"AS band_key FROM sig" for b in range(dedup.MINHASH_K // 2))
-    return f"""
-WITH {_minhash_sig_sql()},
+    return f"""{_minhash_sig_sql()},
 bands AS (
 {bands}
 ),
@@ -1160,14 +1214,62 @@ inter AS (
   JOIN sh sa ON sa.doc_id = p.id_a
   JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
   GROUP BY p.id_a, p.id_b
-)
-SELECT i.id_a, i.id_b,
-       ROUND(CAST(i.n_inter AS DOUBLE)
-             / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.id_a
-JOIN sizes nb ON nb.doc_id = i.id_b
-WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
+),
+verified AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.n_inter AS DOUBLE)
+           / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / (na.n_sh + nb.n_sh - i.n_inter) >= {threshold}
+)"""
+
+
+def _sql_dedup_minhash():
+    return f"""
+WITH {_minhash_verified_cte(0.5)}
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM verified
+"""
+
+
+def _components_cte(threshold: float = 0.5) -> str:
+    """CTE chain (requires WITH RECURSIVE) ending in ``comp(id,
+    component)``: connected components of the verified minhash pair
+    graph via transitive closure — exact at oracle scale; the Spark
+    side runs distributed min-label propagation
+    (operators.graph.connected_components)."""
+    return f"""{_minhash_verified_cte(threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)"""
+
+
+def _sql_dedup_components():
+    return f"""
+WITH RECURSIVE {_components_cte(0.5)}
+SELECT id, component FROM comp
+"""
+
+
+def _sql_fuzzy_dedup():
+    return f"""
+WITH RECURSIVE {_components_cte(0.5)}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """
 
 
@@ -1333,6 +1435,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _duck_unit_hash(id_col: str, seed: int) -> str:
+    """Twin of sampling._unit_hash: first 12 md5 nibbles of "seed:id"
+    folded to a BIGINT, divided by 2⁴⁸ — bit-identical uniform."""
+    s = f"concat('{seed}', ':', CAST({id_col} AS VARCHAR))"
+    raw = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"[CAST(strpos('0123456789abcdef', substring(md5({s}), i, 1)) "
+           f"- 1 AS BIGINT) FOR i IN range(1, 13)]), "
+           f"(acc, v) -> acc * 16 + v)")
+    return f"(({raw}) / 281474976710656.0)"
+
+
+def _sql_sample_hash():
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_duck_unit_hash('doc_id', 7)} < 0.25
+"""
+
+
+def _sql_split_by_hash():
+    # mirror split_by_hash's float accumulation exactly (repr round-trips)
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    names = list(_SPLIT_WEIGHTS)
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, {case} AS split FROM documents
+"""
+
+
+def _sql_stratified_sample():
+    u = _duck_unit_hash("doc_id", 11)
+    rate = ("CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'de' THEN 0.5 "
+            "WHEN lang = 'fr' THEN 0.25 ELSE 0.0 END")
+    return f"""
+SELECT doc_id, lang FROM documents WHERE {u} < {rate}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "som_predict": _sql_som_predict(),
@@ -1373,4 +1518,13 @@ def oracle_sql() -> dict[str, str]:
         # they get real oracles too
         "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
         "ann_som_ivf": _sql_ann_som_ivf(),
+        # cluster-level dedup: recursive-CTE transitive closure twins the
+        # distributed min-label propagation
+        "dedup_components": _sql_dedup_components(),
+        "fuzzy_dedup": _sql_fuzzy_dedup(),
+        # deterministic content-hash sampling: same md5-nibble uniform on
+        # both engines
+        "sample_hash": _sql_sample_hash(),
+        "split_by_hash": _sql_split_by_hash(),
+        "stratified_sample": _sql_stratified_sample(),
     }

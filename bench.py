@@ -8,9 +8,13 @@ local[$SPARK_GRAFT_CPUS]:
                gaussian/euclidean/exponential, seed 42
   predict      BMU assignment over the full table (narrow Arrow stage)
   qe           quantization_error (scoring + single avg)
+  train_5ep_hex  hexagonal-topology training (generic neighborhood)
   text_fp      MD5+min-shingle+rolling-hash fingerprints over documents
   dedup_minhash  MinHash-LSH near-dup pairs with Jaccard verify
   dedup_simhash  60-bit SimHash near-dup pairs (15-bit band LSH)
+  ngram_jaccard  inverted-index exact Jaccard pairs (max_df pruned)
+  fuzzy_dedup  pairs -> connected components -> deduplicated corpus
+  sessionize   gap-based event sessionization (window shapes)
   knn_cosine   brute-force cosine top-5 (GEMM kernel) vs embeddings
   image_stats  embeddings -> raw bitmaps -> exact integer pixel stats
 
@@ -115,6 +119,11 @@ def main():
     # the scale-path config (max_df prunes stop-shingle postings)
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_near_dups(
         docs, "text", "doc_id", 0.8, max_df=1000).count())
+
+    # end-to-end fuzzy dedup: pairs -> connected components (iterative
+    # min-label propagation) -> anti-join; the consumer-facing pipeline
+    timed("fuzzy_dedup", lambda: dedup.fuzzy_dedup_keep_first(
+        docs, "text", "doc_id", threshold=0.5).count())
 
     from xpysom_dask_spark.operators import events as EV
     ev = readers.load_table(spark, SF_DIR, "events")

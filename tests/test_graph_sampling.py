@@ -1,0 +1,135 @@
+"""Unit tests: connected components, cluster-level dedup, and the
+deterministic sampling/splitting/mixing operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import dedup, sampling
+from xpysom_dask_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+
+def test_connected_components_basic(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10)])
+    got = {r.id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+    sizes = {r.component: r.n_members
+             for r in component_sizes(connected_components(pairs)).collect()}
+    assert sizes == {1: 4, 5: 2, 8: 3}
+
+
+def test_connected_components_chain(spark):
+    """A 30-node chain (worst diameter) still converges and labels
+    everything with the chain minimum."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])
+    got = {r.id: r.component
+           for r in connected_components(pairs).collect()}
+    assert set(got) == set(range(31))
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_reversed_ids(spark):
+    """Edge direction must not matter: (9,1) connects like (1,9)."""
+    pairs = _pairs(spark, [(9, 1), (5, 9)])
+    got = {r.id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_fuzzy_dedup_keep_first(spark):
+    text_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    text_b = "uno dos tres cuatro cinco seis siete ocho nueve"
+    rows = [(1, text_a), (2, text_a), (7, text_a),      # dup cluster → keep 1
+            (3, text_b), (9, text_b),                   # dup cluster → keep 3
+            (4, "a single unique document with its own words entirely")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    comp = {r.id: r.component
+            for r in dedup.dedup_clusters(df, "text", "doc_id",
+                                          threshold=0.9).collect()}
+    assert comp == {1: 1, 2: 1, 7: 1, 3: 3, 9: 3}
+
+    kept = sorted(r.doc_id for r in
+                  dedup.fuzzy_dedup_keep_first(df, "text", "doc_id",
+                                               threshold=0.9).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in
+           sampling.hash_sample(df, "doc_id", 0.1, seed=3).collect()}
+    again = {r.doc_id for r in
+             sampling.hash_sample(df.repartition(7), "doc_id", 0.1,
+                                  seed=3).collect()}
+    assert s10 == again                     # layout-independent
+    assert 0.07 < len(s10) / 5000 < 0.13    # ~fraction
+    s50 = {r.doc_id for r in
+           sampling.hash_sample(df, "doc_id", 0.5, seed=3).collect()}
+    assert s10 <= s50                       # subset chain at same seed
+    s10_other = {r.doc_id for r in
+                 sampling.hash_sample(df, "doc_id", 0.1, seed=4).collect()}
+    assert s10 != s10_other                 # seed matters
+
+
+def test_split_by_hash_disjoint_exhaustive_stable(spark):
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    out = sampling.split_by_hash(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    pdf = out.toPandas()
+    assert len(pdf) == 4000                 # exhaustive
+    shares = pdf["split"].value_counts(normalize=True)
+    assert 0.75 < shares["train"] < 0.85
+    assert 0.06 < shares["val"] < 0.14
+    # stability: the label of a row is unchanged when scoring a subset
+    sub = sampling.split_by_hash(
+        df.where("doc_id < 100"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1).toPandas()
+    merged = sub.merge(pdf, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_stratified_sample_rates(spark):
+    df = (spark.range(6000).withColumnRenamed("id", "doc_id")
+          .withColumn("source", F.expr(
+              "CASE WHEN doc_id % 3 = 0 THEN 'crawl' "
+              "WHEN doc_id % 3 = 1 THEN 'books' ELSE 'code' END")))
+    out = sampling.stratified_sample(
+        df, "doc_id", "source", {"crawl": 0.1, "books": 1.0}, seed=5)
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("books") == 2000        # keep-all stratum
+    assert "code" not in counts               # default 0 drops
+    assert 120 < counts.get("crawl", 0) < 280  # ~10% of 2000
+
+
+def test_sampling_validation():
+    import pyspark.sql
+
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.hash_sample(None, "id", 1.5)
+    with pytest.raises(ValueError, match="weights"):
+        sampling.split_by_hash(None, "id", {})
+    with pytest.raises(ValueError, match="stratum"):
+        sampling.stratified_sample(None, "id", "s", {"a": 2.0})
+
+
+def test_mixture_report(spark):
+    df = (spark.range(300).withColumnRenamed("id", "doc_id")
+          .withColumn("source",
+                      F.expr("IF(doc_id < 100, 'a', 'b')"))
+          .withColumn("n_tok", F.lit(10) + F.col("doc_id") % 5))
+    rep = {r.source: (r.n_rows, r.share)
+           for r in sampling.mixture_report(df, "source").collect()}
+    assert rep["a"][0] == 100 and rep["b"][0] == 200
+    assert abs(rep["a"][1] - 1 / 3) < 1e-12
+    wrep = sampling.mixture_report(df, "source", weight_col="n_tok")
+    assert abs(sum(r.share for r in wrep.collect()) - 1.0) < 1e-12

@@ -351,3 +351,41 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                        .alias("hamming")))
         pairs = all_pairs(cold).unionByName(hot)
     return pairs.distinct().where(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
+                   threshold: float = 0.5, k: int = MINHASH_K,
+                   n: int = 3, max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate CLUSTERS: (id, component) for every document that
+    has at least one verified near-duplicate; ``component`` is the
+    min-id representative of its duplicate group.
+
+    This is the consumer-facing form of minhash_near_dups — dedup
+    decisions need clusters, not pairs.  Pairs feed
+    operators.graph.connected_components (min-label propagation,
+    O(cluster diameter) rounds ≈ 2 for duplicate cliques/stars).
+    """
+    from .graph import connected_components
+
+    pairs = minhash_near_dups(df, text_col, id_col, threshold, k, n,
+                              max_bucket=max_bucket)
+    return connected_components(pairs)
+
+
+def fuzzy_dedup_keep_first(df: DataFrame, text_col: str, id_col: str,
+                           threshold: float = 0.5, k: int = MINHASH_K,
+                           n: int = 3,
+                           max_bucket: int | None = None) -> DataFrame:
+    """The fuzzily-deduplicated corpus itself: drop every row whose id
+    belongs to a near-duplicate component but is not its min-id
+    representative.  Rows with no near-duplicate survive untouched.
+
+    One anti-join against the (small relative to the corpus) loser set —
+    broadcastable when duplicate density is low, plain shuffled
+    hash join otherwise; either way no O(n²) stage.
+    """
+    comp = dedup_clusters(df, text_col, id_col, threshold, k, n,
+                          max_bucket=max_bucket)
+    losers = (comp.where(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

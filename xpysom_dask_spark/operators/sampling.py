@@ -1,0 +1,125 @@
+"""Deterministic sampling, splitting, and mixture construction.
+
+Training-data pipelines need *reproducible* row selection: the same
+document must land in the same split/sample no matter how the corpus is
+partitioned, which executor reads it, or how many times the job reruns.
+``df.sample()`` can't promise that (partition-seeded RNG → layout-
+dependent), so every operator here derives its decision from a content
+hash of a stable key:
+
+    u(id) = (first 12 md5 nibbles of "seed:id") / 2^48   ∈ [0, 1)
+
+One JVM-codegen'd expression per row — narrow, no shuffle, no Python,
+pushes through any scan — and bit-identical in the DuckDB oracle twin
+(same md5, same nibbles).  48 bits keeps the quantization error of the
+uniform at 2⁻⁴⁸ — far below any practical sampling rate.
+
+Operators:
+
+* ``hash_sample`` — keep a deterministic ``fraction`` of rows.
+* ``split_by_hash`` — label rows train/val/test (arbitrary named
+  weights) by hash range; splits are disjoint, exhaustive, and stable
+  under corpus growth (a row's split never changes when other rows are
+  added — the property random shuffles lack).
+* ``stratified_sample`` — per-stratum sampling rates (e.g. downsample
+  crawl, keep all books): the mixture-construction primitive.
+
+All three are pure filters/projections: at 100 TB they cost one scan
+with the predicate pushed into it, and compose with partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^48 — the hash-uniform's denominator
+_HASH_SPACE = 1 << 48
+
+
+def _unit_hash(id_col: str, seed: int):
+    """Column: deterministic uniform in [0, 1) from (seed, id)."""
+    h = (f"CAST(conv(substring(md5(concat('{seed}', ':', "
+         f"CAST({id_col} AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    return F.expr(h) / F.lit(float(_HASH_SPACE))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                seed: int = 0) -> DataFrame:
+    """Deterministic ``fraction``-sample keyed on ``id_col``.
+
+    Every run, engine, and partitioning selects the SAME rows; the
+    selection is also a subset-chain: the 1% sample is contained in the
+    10% sample at the same seed (hash threshold grows monotonically) —
+    the property that makes staged scale-up experiments comparable.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_unit_hash(id_col, seed) < fraction)
+
+
+def split_by_hash(df: DataFrame, id_col: str, weights: dict[str, float],
+                  seed: int = 0, out_col: str = "split") -> DataFrame:
+    """Append ``out_col`` labeling each row with a split name, by hash
+    range over normalized ``weights`` (e.g. {"train": .98, "val": .01,
+    "test": .01}).  Disjoint and exhaustive by construction; a row's
+    label is a pure function of (seed, id) so it never migrates between
+    splits when the corpus grows or repartitions.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    total = float(sum(weights.values()))
+    u = _unit_hash(id_col, seed)
+    names = list(weights)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict, seed: int = 0,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive:
+    ``fractions`` maps stratum value → keep-rate; strata not listed keep
+    ``default_fraction`` (0 drops them).  Rates > 1 are rejected
+    (upsampling means *repeating* rows — do that with an explicit
+    explode so the duplication is visible in the plan, not silently in
+    a sampler).
+    """
+    for v, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {v!r} must be in "
+                             f"[0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], "
+                         f"got {default_fraction}")
+    u = _unit_hash(id_col, seed)
+    rate = None
+    for v, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(v)
+        rate = (F.when(cond, F.lit(float(frac))) if rate is None
+                else rate.when(cond, F.lit(float(frac))))
+    rate = (F.lit(float(default_fraction)) if rate is None
+            else rate.otherwise(F.lit(float(default_fraction))))
+    return df.where(u < rate)
+
+
+def mixture_report(df: DataFrame, strata_col: str,
+                   weight_col: str | None = None) -> DataFrame:
+    """(stratum, n_rows, share) — the post-mix sanity check, one
+    map-side-combinable aggregation.  ``weight_col`` (e.g. a token
+    count) switches the share basis from rows to weights."""
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    agg = df.groupBy(strata_col).agg(w.cast("double").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return agg.select(F.col(strata_col),
+                      F.col("n").cast("bigint").alias("n_rows"),
+                      (F.col("n") / total).alias("share"))

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline over the documents + embeddings
+tables: curation, fuzzy dedup, mixture sampling, similarity search, and
+SOM-as-IVF ANN — every stage a declarative Spark plan designed for
+cluster scale (no reference counterpart; this is the engine's
+beyond-the-reference surface).
+
+Run:  python examples/data_pipeline.py [sf_dir]
+(default sf_dir: /root/testdata/sf0.001)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from xpysom_dask_spark import SparkSom  # noqa: E402
+from xpysom_dask_spark.operators import (  # noqa: E402
+    dedup,
+    sampling,
+    similarity,
+)
+from xpysom_dask_spark.operators import text as T  # noqa: E402
+from xpysom_dask_spark.sources import readers  # noqa: E402
+
+
+def main(sf_dir="/root/testdata/sf0.001"):
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("data-pipeline-example")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = readers.load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"== corpus: {n0} documents from {sf_dir}")
+
+    # 1. text analysis: tokens, quality, language id — pure SQL exprs
+    stats = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_guess"))
+    stats.agg(F.avg("n_tok").alias("avg_tokens"),
+              F.avg("quality").alias("avg_quality")).show()
+
+    # 2. curation: exact dedup + quality gate + language filter
+    curated = dedup.curate(docs, "text", "doc_id", min_quality=0.4,
+                           lang="en")
+    print(f"curated (exact-dedup + quality>=0.4 + en): "
+          f"{curated.count()} docs")
+
+    # 3. fuzzy dedup: MinHash-LSH pairs -> connected components -> keep
+    #    one representative per near-duplicate cluster
+    clusters = dedup.dedup_clusters(docs, "text", "doc_id", threshold=0.5)
+    n_clustered = clusters.count()
+    deduped = dedup.fuzzy_dedup_keep_first(docs, "text", "doc_id",
+                                           threshold=0.5)
+    print(f"fuzzy dedup: {n_clustered} docs in near-dup clusters; "
+          f"{deduped.count()} survive keep-first")
+
+    # 4. mixture construction: stable hash splits + per-language rates
+    split = sampling.split_by_hash(
+        deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    split.groupBy("split").count().orderBy("split").show()
+    mixed = sampling.stratified_sample(
+        deduped, "doc_id", "lang", {"en": 1.0, "de": 0.5, "fr": 0.5},
+        seed=3)
+    sampling.mixture_report(mixed, "lang").orderBy("lang").show()
+
+    # 5. similarity search over embeddings: exact top-k, then the
+    #    SOM-as-IVF approximate path (bucket by BMU, probe nearest cells)
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id % 100 = 0")
+    knn = similarity.cosine_topk(emb, queries, k=3)
+    print("exact cosine top-3 (first rows):")
+    knn.orderBy("query_id", "rank").show(6)
+
+    qpdf = queries.toPandas()
+    qvecs = np.stack([np.asarray(v, np.float64)
+                      for v in qpdf["embedding"]])
+    ivf_som = SparkSom(4, 4, qvecs.shape[1], random_seed=11)
+    ivf_som.train(emb.select(F.col("embedding").alias("features")), 3)
+    ann = similarity.som_ivf_topk(ivf_som, emb, qvecs,
+                                  qpdf["vec_id"].tolist(), k=3, nprobe=4)
+    exact = {(r.query_id, r.neighbor_id) for r in knn.collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(exact & approx) / max(len(exact), 1)
+    print(f"SOM-IVF ANN nprobe=4/16 recall vs exact: {recall:.2%}")
+
+    # 6. embedding near-duplicates via banded hyperplane LSH
+    pairs = similarity.lsh_near_dup_pairs(emb, dim=qvecs.shape[1],
+                                          threshold=0.95)
+    print(f"embedding near-dup pairs (cos >= 0.95): {pairs.count()}")
+
+    spark.stop()
+    print("done.")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

@@ -1,0 +1,21 @@
+"""The examples must stay runnable — they are the user-facing API demo
+(VERDICT r01 missing #4; reference parity with its examples/ folder)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from conftest import SF_TINY
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("script", ["som_clustering.py", "data_pipeline.py"])
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), SF_TINY],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "done." in proc.stdout

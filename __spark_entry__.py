@@ -937,6 +937,53 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Token-budget concat-and-chunk packing: hash-route docs to 8
+    parallel pack groups, cumulative-sum token offsets per group, assign
+    each doc to the chunk where it starts.  Window + arithmetic only —
+    the oracle twin is the same cumsum in DuckDB."""
+    from xpysom_dask_spark.operators import packing
+
+    docs = _docs(spark, sf_dir).withColumn("n_tok", T.token_count("text"))
+    out = packing.pack_sequences(docs, "doc_id", "n_tok", budget=1024,
+                                 n_groups=8, seed=2)
+    return out.select("doc_id", "group", "start_offset", "pack_id")
+
+
+def _q_corpus_report(spark, sf_dir):
+    """Per-language corpus audit with exact quantiles (the
+    oracle-comparable configuration; percentile_approx is the
+    sketch-based scale path)."""
+    out = T.corpus_report(_docs(spark, sf_dir), "text", ("lang",),
+                          exact_quantiles=True)
+    return out.select("lang", "n_docs", "n_tokens",
+                      F.round("avg_quality", 6).alias("avg_quality"),
+                      F.round("p50_chars", 4).alias("p50_chars"),
+                      F.round("p90_chars", 4).alias("p90_chars"))
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (keyed state store, first-arrival-wins) of
+    the documents table replayed as a file stream.  The fingerprint SET
+    is the deterministic contract — it must equal the batch
+    dedup_exact groups, which is what the oracle checks."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import dedup_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="dedupstream_")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    out = dedup_stream(stream, "text")
+    name = "q_stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("fp").orderBy("fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -979,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "split_by_hash": _q_split_by_hash,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_report": _q_corpus_report,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -1478,6 +1528,52 @@ SELECT doc_id, lang FROM documents WHERE {u} < {rate}
 """
 
 
+def _sql_pack_sequences():
+    toks = _duck_tokens("text")
+    u = _duck_unit_hash("doc_id", 2)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({toks}) AS n_tok,
+         CAST(floor({u} * 8) AS BIGINT) AS grp
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, grp,
+         CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT doc_id, grp AS "group", start_offset,
+       CAST(grp * 1099511627776
+            + floor(start_offset / 1024.0) AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+def _sql_corpus_report():
+    toks = _duck_tokens("text")
+    alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
+             " / greatest(length(text), 1)")
+    quality = f"0.5 * LEAST(len({toks}) / 100.0, 1.0) + 0.5 * ({alpha})"
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+       ROUND(AVG({quality}), 6) AS avg_quality,
+       ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4)
+         AS p50_chars,
+       ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 4)
+         AS p90_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _sql_streaming_dedup():
+    t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+SELECT DISTINCT md5({t}) AS fp FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "som_predict": _sql_som_predict(),
@@ -1527,4 +1623,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": _sql_sample_hash(),
         "split_by_hash": _sql_split_by_hash(),
         "stratified_sample": _sql_stratified_sample(),
+        "pack_sequences": _sql_pack_sequences(),
+        "corpus_report": _sql_corpus_report(),
+        # streaming dedup's deterministic contract is the fingerprint SET
+        "streaming_dedup": _sql_streaming_dedup(),
     }

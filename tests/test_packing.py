@@ -1,0 +1,93 @@
+"""Unit tests for token-budget sequence packing and the corpus report."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import packing
+from xpysom_dask_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rng = np.random.RandomState(2)
+    rows = [(i, int(rng.randint(10, 400))) for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+
+
+def test_pack_offsets_are_group_cumsums(spark, toy_docs):
+    out = packing.pack_sequences(toy_docs, "doc_id", "n_tok",
+                                 budget=512, n_groups=4, seed=1).toPandas()
+    assert len(out) == 1000
+    for g, grp in out.groupby("group"):
+        grp = grp.sort_values("doc_id")
+        expect = grp["n_tok"].cumsum() - grp["n_tok"]
+        assert (grp["start_offset"].to_numpy()
+                == expect.to_numpy()).all(), f"group {g}"
+        # pack assignment = chunk where the doc starts
+        assert (grp["pack_id"].to_numpy()
+                == g * (1 << 40) + grp["start_offset"].to_numpy()
+                // 512).all()
+
+
+def test_pack_layout_independent(spark, toy_docs):
+    a = packing.pack_sequences(toy_docs, "doc_id", "n_tok",
+                               budget=256, n_groups=8).toPandas()
+    b = packing.pack_sequences(toy_docs.repartition(13), "doc_id", "n_tok",
+                               budget=256, n_groups=8).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_stats_conserves_tokens(spark, toy_docs):
+    out = packing.pack_sequences(toy_docs, "doc_id", "n_tok",
+                                 budget=512, n_groups=4)
+    stats = packing.pack_stats(out, "n_tok")
+    total = stats.agg(F.sum("n_tokens"), F.sum("n_docs")).collect()[0]
+    expect = toy_docs.agg(F.sum("n_tok")).collect()[0][0]
+    assert total[0] == expect and total[1] == 1000
+    # every pack's fill is bounded by budget + one straddling doc
+    mx = stats.agg(F.max("n_tokens")).collect()[0][0]
+    assert mx < 512 + 400  # budget + max doc length
+
+
+def test_pack_validation(spark, toy_docs):
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_sequences(toy_docs, "doc_id", "n_tok", budget=0)
+    with pytest.raises(ValueError, match="n_groups"):
+        packing.pack_sequences(toy_docs, "doc_id", "n_tok", budget=10,
+                               n_groups=-1)
+
+
+def test_corpus_report_matches_pandas(spark):
+    rows = [(i, "word " * (10 + i % 40) + ("!" if i % 3 else ""),
+             "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                               "lang string")
+    rep = T.corpus_report(df, "text", ("lang",), exact_quantiles=True) \
+        .toPandas().set_index("lang")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["len"] = pdf["text"].str.len().astype(float)
+    pdf["ntok"] = pdf["text"].str.split().map(len)
+    for lang, grp in pdf.groupby("lang"):
+        assert rep.loc[lang, "n_docs"] == len(grp)
+        assert rep.loc[lang, "n_tokens"] == grp["ntok"].sum()
+        assert abs(rep.loc[lang, "p50_chars"]
+                   - np.percentile(grp["len"], 50)) < 1e-6
+        assert abs(rep.loc[lang, "p90_chars"]
+                   - np.percentile(grp["len"], 90)) < 1e-6
+
+
+def test_corpus_report_approx_close_to_exact(spark):
+    rows = [(i, "tok " * (5 + i % 90), "en") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                               "lang string")
+    exact = T.corpus_report(df, "text", ("lang",),
+                            exact_quantiles=True).collect()[0]
+    approx = T.corpus_report(df, "text", ("lang",),
+                             exact_quantiles=False).collect()[0]
+    assert approx.n_docs == exact.n_docs
+    assert abs(approx.p50_chars - exact.p50_chars) / exact.p50_chars < 0.05
+    assert abs(approx.p90_chars - exact.p90_chars) / exact.p90_chars < 0.05

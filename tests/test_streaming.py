@@ -236,3 +236,42 @@ def test_bmu_transitions_string_key(spark, tmp_path):
            .reset_index())
     assert sorted(got["key"]) == ["user-0", "user-1", "user-2"]
     assert got["n_events"].sum() == 60
+
+def test_dedup_stream_fingerprint_set(spark, tmp_path):
+    """Streaming exact dedup: the emitted fingerprint set equals the
+    batch dedup_exact groups; exactly one row per fingerprint."""
+    from xpysom_dask_spark.operators.text import md5_fingerprint
+    from xpysom_dask_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "docs")
+    rows = [(i, f"document body {i % 40}") for i in range(200)]
+    (spark.createDataFrame(rows, "doc_id bigint, text string")
+     .repartition(3).write.parquet(path))
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = _drain_append(dedup_stream(stream, "text"), spark, "t_dedup")
+    got = out.toPandas()
+    expect = {r.fp for r in
+              batch.select(md5_fingerprint("text").alias("fp"))
+              .distinct().collect()}
+    assert set(got["fp"]) == expect
+    assert len(got) == len(expect) == 40
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """The watermarked variant (state expires) still dedups a bounded
+    replay where all duplicates fall inside the window."""
+    from xpysom_dask_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "tdocs")
+    rows = [(i, (pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(seconds=i)).to_pydatetime(),
+             f"text {i % 10}") for i in range(100)]
+    (spark.createDataFrame(rows, "doc_id bigint, ts timestamp, text string")
+     .repartition(2).write.parquet(path))
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema).parquet(path)
+    out = _drain_append(
+        dedup_stream(stream, "text", ts_col="ts", watermark="1 hour"),
+        spark, "t_dedup_wm")
+    assert out.count() == 10

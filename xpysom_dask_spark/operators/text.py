@@ -234,3 +234,31 @@ def simhash60(col: str) -> Column:
     bands), cutting spurious candidate pairs ~128× at equal recall for
     Hamming ≤ 3 (pigeonhole over 4 bands)."""
     return simhash(col, 60)
+
+
+def corpus_report(df, text_col: str, group_cols=("lang",),
+                  exact_quantiles: bool = False):
+    """Per-group corpus statistics: (group..., n_docs, n_tokens,
+    avg_quality, p50_chars, p90_chars) — the standard pre-training
+    corpus audit, one aggregation pass.
+
+    Counts and averages are map-side combinable everywhere.  Quantiles:
+    the default ``exact_quantiles=False`` uses ``percentile_approx``
+    (a mergeable sketch — constant memory per group, the 100 TB path);
+    ``True`` switches to exact ``percentile`` (full value buffer per
+    group) for oracle comparison and small corpora.
+    """
+    length = F.length(F.col(text_col)).cast("double")
+    if exact_quantiles:
+        p50 = F.percentile(length, F.lit(0.5))
+        p90 = F.percentile(length, F.lit(0.9))
+    else:
+        p50 = F.percentile_approx(length, F.lit(0.5), F.lit(10000))
+        p90 = F.percentile_approx(length, F.lit(0.9), F.lit(10000))
+    return (df.groupBy(*[F.col(c) for c in group_cols])
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(text_col)).cast("bigint")
+                 .alias("n_tokens"),
+                 F.avg(quality_score(text_col)).alias("avg_quality"),
+                 p50.alias("p50_chars"),
+                 p90.alias("p90_chars")))

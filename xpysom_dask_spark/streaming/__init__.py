@@ -8,6 +8,7 @@ into the online SOM via ``foreachBatch``; windowed/watermarked
 aggregates and ``applyInPandasWithState`` cover the stateful surface.
 """
 
+from .dedup import dedup_stream  # noqa: F401
 from .scoring import (  # noqa: F401
     score_stream,
     windowed_activation_response,

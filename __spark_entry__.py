@@ -984,6 +984,18 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(name).select("fp").orderBy("fp")
 
 
+def _q_top_terms(spark, sf_dir):
+    """Per-language distinctive terms by TF-IDF (corpus analysis):
+    three map-side-combinable aggregates over one shared token explode,
+    then a per-group top-k window."""
+    out = T.top_terms_tfidf(_docs(spark, sf_dir), "text", "lang",
+                            "doc_id", k=5, min_df=2)
+    return out.select("lang", F.col("rank").cast("bigint"), "term",
+                      F.col("tf").cast("bigint"),
+                      F.col("df_docs").cast("bigint"),
+                      F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1029,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "corpus_report": _q_corpus_report,
         "streaming_dedup": _q_streaming_dedup,
+        "top_terms": _q_top_terms,
     }
 
 
@@ -1574,6 +1587,34 @@ SELECT DISTINCT md5({t}) AS fp FROM documents
 """
 
 
+def _sql_top_terms():
+    toks = _duck_tokens("text")
+    return f"""
+WITH tk AS (
+  SELECT lang AS grp, doc_id AS doc, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT grp, term, COUNT(*) AS tf FROM tk GROUP BY grp, term),
+dfq AS (
+  SELECT term, COUNT(*) AS df_docs
+  FROM (SELECT DISTINCT doc, term FROM tk) GROUP BY term
+  HAVING COUNT(*) >= 2
+),
+scored AS (
+  SELECT tf.grp, tf.term, tf.tf, dfq.df_docs,
+         tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                    / dfq.df_docs) AS score
+  FROM tf JOIN dfq ON dfq.term = tf.term
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY grp ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT grp AS lang, rank, term, tf, df_docs, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "som_predict": _sql_som_predict(),
@@ -1627,4 +1668,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _sql_corpus_report(),
         # streaming dedup's deterministic contract is the fingerprint SET
         "streaming_dedup": _sql_streaming_dedup(),
+        "top_terms": _sql_top_terms(),
     }

@@ -91,3 +91,34 @@ def test_corpus_report_approx_close_to_exact(spark):
     assert approx.n_docs == exact.n_docs
     assert abs(approx.p50_chars - exact.p50_chars) / exact.p50_chars < 0.05
     assert abs(approx.p90_chars - exact.p90_chars) / exact.p90_chars < 0.05
+
+
+def test_top_terms_tfidf_matches_pandas(spark):
+    import math
+
+    rows = [(1, "apple banana apple", "a"),
+            (2, "banana cherry banana", "a"),
+            (3, "apple apple apple date", "b"),
+            (4, "cherry date cherry", "b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                               "grp string")
+    out = T.top_terms_tfidf(df, "text", "grp", "doc_id", k=2,
+                            min_df=2).collect()
+    got = {(r.grp, r.rank): (r.term, r.tf, r.df_docs, round(r.score, 9))
+           for r in out}
+    # df: apple 2 docs, banana 2, cherry 2, date 2; N=4 → idf = ln(2)
+    ln2 = math.log(4 / 2)
+    assert got[("a", 1)] == ("banana", 3, 2, round(3 * ln2, 9))
+    assert got[("a", 2)] == ("apple", 2, 2, round(2 * ln2, 9))
+    assert got[("b", 1)] == ("apple", 3, 2, round(3 * ln2, 9))
+    assert got[("b", 2)] == ("cherry", 2, 2, round(2 * ln2, 9))
+
+
+def test_cosine_topk_query_bound_enforced(spark):
+    from xpysom_dask_spark.operators import similarity
+
+    emb = (spark.range(50).withColumnRenamed("id", "vec_id")
+           .withColumn("embedding",
+                       F.array(*[F.rand(seed=i) for i in range(4)])))
+    with pytest.raises(ValueError, match="som_ivf_topk"):
+        similarity.cosine_topk(emb, emb, k=2, max_queries=10)

@@ -93,9 +93,14 @@ def pairwise_cosine(pairs: DataFrame, va: str = "va", vb: str = "vb",
     return pairs.mapInPandas(fn, out_ddl)
 
 
+#: broadcast bound for the cosine_topk query matrix — ~50 MB at d=64
+COSINE_TOPK_MAX_QUERIES = 100_000
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_self: bool = True) -> DataFrame:
+                exclude_self: bool = True,
+                max_queries: int = COSINE_TOPK_MAX_QUERIES) -> DataFrame:
     """Exact top-k cosine neighbors per query:
     (query_id, neighbor_id, rank, sim).
 
@@ -107,6 +112,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     shuffled and never leaves the executors.  ~100× the throughput of
     the equivalent broadcast-NLJ with a per-pair SQL ``aggregate()``
     lambda (interpreted, one invocation per element per pair).
+
+    The plan is bounded by the query matrix fitting in executor memory
+    (the per-batch GEMM is O(batch · |Q|)), so the bound is enforced:
+    more than ``max_queries`` query rows raises with a pointer at the
+    scalable alternatives instead of OOMing mid-broadcast.
     """
     import pandas as pd
 
@@ -114,6 +124,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     spark = corpus.sparkSession
     ship_package(spark)
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk: {n_q} query rows > max_queries={max_queries}; "
+            "the query matrix is broadcast and each Arrow batch computes "
+            "a (batch x |Q|) GEMM, so huge query sets belong in "
+            "som_ivf_topk (bucketed ANN) or a chunked loop over query "
+            "slices. Raise max_queries only if executors have the "
+            "memory.")
     qpdf = queries.select(id_col, vec_col).toPandas()
     if not len(qpdf):
         return spark.createDataFrame(

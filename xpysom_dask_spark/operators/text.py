@@ -262,3 +262,48 @@ def corpus_report(df, text_col: str, group_cols=("lang",),
                  F.avg(quality_score(text_col)).alias("avg_quality"),
                  p50.alias("p50_chars"),
                  p90.alias("p90_chars")))
+
+
+def top_terms_tfidf(df, text_col: str, group_col: str, id_col: str,
+                    k: int = 10, min_df: int = 2):
+    """Top-k distinctive terms per group by TF-IDF:
+    (group, rank, term, tf, df_docs, score).
+
+    score = tf(term, group) · ln(N / df(term)), with tf the raw term
+    count inside the group, df the number of distinct DOCUMENTS
+    containing the term corpus-wide, N the corpus document count.
+    ``min_df`` drops hapax noise.  Ties break by term for determinism.
+
+    Plan shape (all shuffles on keys with bounded cardinality, every
+    aggregation map-side combinable):
+      1. explode lowercased tokens once → (group, doc, term);
+      2. tf: groupBy (group, term); df: distinct (doc, term) → groupBy
+         term; N: scalar count — three aggregates over the SAME explode
+         (localCheckpoint shares it, as in dedup);
+      3. join tf⋈df on term (df side is |vocab| rows — hash join),
+         then one window top-k per group.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.exchange import ensure_min_parallelism
+
+    n_docs = df.count()
+    toks = (ensure_min_parallelism(df)
+            .select(F.col(group_col).alias("grp"),
+                    F.col(id_col).alias("doc"),
+                    F.explode(tokens(f"lower({text_col})")).alias("term"))
+            .localCheckpoint(eager=True))
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select("doc", "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+             .where(F.col("df_docs") >= min_df))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          F.col("tf")
+                          * F.log(F.lit(float(n_docs)) / F.col("df_docs"))))
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(),
+                                          F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col), "rank", "term",
+                    "tf", "df_docs", "score"))

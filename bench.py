@@ -33,6 +33,9 @@ os.environ.setdefault("PYTHONPATH", REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: repeats per workload; the MIN is reported (steady-state cost — a
+#: shared machine's scheduling noise only ever adds time)
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def main():
@@ -58,9 +61,14 @@ def main():
     timings = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        out = None
+        for _ in range(max(REPEATS, 1)):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     feats = readers.lineitem_features(spark, SF_DIR, keys=False)

@@ -41,3 +41,63 @@ def test_all_tables_load(spark):
     for t in readers.TABLES:
         df = readers.load_table(spark, SF_TINY, t)
         assert df.count() > 0, t
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """write_jsonl -> load_jsonl round-trips the documents table
+    (the training-data interchange path), including partitioned layout."""
+    import pandas as pd
+
+    from xpysom_dask_spark.sources.readers import load_jsonl
+    from xpysom_dask_spark.sources.writers import write_jsonl
+
+    from conftest import SF_TINY
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, partition_by="lang")
+    ddl = ("doc_id bigint, text string, source string, n_chars bigint, "
+           "lang string")
+    back = load_jsonl(spark, path, schema=ddl)
+    a = (docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+         .sort_index(axis=1))
+    b = (back.toPandas().sort_values("doc_id").reset_index(drop=True)
+         .sort_index(axis=1))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_jsonl_no_schema_warns(spark, tmp_path):
+    import warnings
+
+    from xpysom_dask_spark.sources.readers import load_jsonl
+    from xpysom_dask_spark.sources.writers import write_jsonl
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "warn_jsonl")
+    write_jsonl(df, path)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        back = load_jsonl(spark, path)
+    assert any("schema-inference" in str(x.message) for x in w)
+    assert back.count() == 5
+
+
+def test_som_save_table_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from xpysom_dask_spark import SparkSom
+
+    som = SparkSom(5, 3, 4, random_seed=9, topology="hexagonal",
+                   sigma=1.5, learning_rate=0.3,
+                   activation_distance="norm_p_no_opt",
+                   activation_distance_kwargs={"p": 2},
+                   dtype=np.float64)
+    X = np.random.RandomState(1).rand(100, 4)
+    som.train(X, 2)
+    path = str(tmp_path / "som_model")
+    som.save_table(spark, path)
+    back = SparkSom.load_table(spark, path)
+    np.testing.assert_array_equal(som.get_weights(), back.get_weights())
+    assert back.topology == "hexagonal"
+    assert back._activation_distance_name == "norm_p_no_opt"
+    np.testing.assert_array_equal(som.predict(X), back.predict(X))

@@ -537,7 +537,23 @@ class SparkSom:
         """Persist params + weights (npz + json side file)."""
         np.savez(path if path.endswith(".npz") else path + ".npz",
                  weights=self._weights)
-        params = {
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".json", "w") as f:
+            f.write(self._param_json())
+
+    @classmethod
+    def load(cls, path):
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".json") as f:
+            params = json.load(f)
+        dtype = np.dtype(params.pop("dtype"))
+        som = cls(dtype=dtype, **params)
+        npz = np.load(base + ".npz")
+        som._weights = npz["weights"]
+        return som
+
+    def _param_json(self) -> str:
+        return json.dumps({
             "x": self._x, "y": self._y, "input_len": self._input_len,
             "sigma": self._sigma, "sigmaN": self._sigmaN,
             "learning_rate": self._learning_rate,
@@ -551,20 +567,36 @@ class SparkSom:
             "compact_support": self.compact_support,
             "features_col": self.features_col,
             "dtype": np.dtype(self.dtype).name,
-        }
-        base = path[:-4] if path.endswith(".npz") else path
-        with open(base + ".json", "w") as f:
-            json.dump(params, f)
+        })
+
+    def save_table(self, spark, path: str, mode: str = "overwrite"):
+        """Persist the model as a parquet table — the cluster-native
+        exchange format (npz ``save`` needs a shared driver filesystem;
+        a parquet path works on any storage Spark can reach: object
+        stores, HDFS, ...).  One row per codebook cell
+        ``(i, j, weights array, params json)``; the params ride every
+        row so the table is self-describing without a side file."""
+        params = self._param_json()
+        rows = [(int(i), int(j),
+                 [float(v) for v in self._weights[i, j]], params)
+                for i in range(self._x) for j in range(self._y)]
+        (spark.createDataFrame(
+            rows, "i int, j int, weights array<double>, params string")
+         .coalesce(1).write.mode(mode).parquet(path))
 
     @classmethod
-    def load(cls, path):
-        base = path[:-4] if path.endswith(".npz") else path
-        with open(base + ".json") as f:
-            params = json.load(f)
+    def load_table(cls, spark, path: str):
+        """Rebuild a model from ``save_table`` output."""
+        rows = spark.read.parquet(path).collect()
+        if not rows:
+            raise ValueError(f"empty model table at {path}")
+        params = json.loads(rows[0]["params"])
         dtype = np.dtype(params.pop("dtype"))
         som = cls(dtype=dtype, **params)
-        npz = np.load(base + ".npz")
-        som._weights = npz["weights"]
+        W = np.empty((som._x, som._y, som._input_len), dtype=dtype)
+        for r in rows:
+            W[r["i"], r["j"]] = np.asarray(r["weights"], dtype=dtype)
+        som._weights = W
         return som
 
     def __getstate__(self):

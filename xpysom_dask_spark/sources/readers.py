@@ -15,6 +15,8 @@ well-conditioned for cross-engine comparison.
 
 from __future__ import annotations
 
+from warnings import warn
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,3 +97,22 @@ def lineitem_features_sql_cte(table="lineitem") -> str:
     )
     return (f"SELECT l_orderkey, l_linenumber,\n       {exprs}\n"
             f"FROM {table}")
+
+
+def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read JSON-Lines — the interchange format of training-data
+    pipelines (one document object per line; splittable, so a 100 TB
+    directory scans with full parallelism).
+
+    Pass ``schema`` (DDL string or StructType) in production: without it
+    Spark runs a full inference pre-pass over the data — double I/O at
+    scale, and a silently drifting schema when late files add fields.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        warn("load_jsonl without an explicit schema runs a full "
+             "schema-inference pass over the input (double I/O at "
+             "scale); pass the DDL for production reads.")
+    return reader.json(path)

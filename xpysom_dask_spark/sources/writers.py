@@ -43,3 +43,23 @@ def write_bucketed(df: DataFrame, table: str, bucket_by: str,
             sort_by = [sort_by]
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip",
+                partition_by=None) -> None:
+    """JSON-Lines sink — the interchange format downstream tokenizer /
+    packing jobs consume.  One object per line, one file per task
+    (full write parallelism); gzip by default (3-5× smaller text,
+    still line-splittable per file for readers that stream).  Optional
+    directory partitioning (e.g. by split or language) so consumers
+    prune at plan time.
+    """
+    w = df.write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if partition_by is not None:
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        w = w.partitionBy(*partition_by)
+    w.json(path)

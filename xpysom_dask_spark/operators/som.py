@@ -236,32 +236,55 @@ class SparkSom:
         return self._train_local(data, num_epochs, iter_beg, iter_end,
                                  verbose=verbose)
 
+    def _cell_influence(self, sig):
+        """(x·y, x·y) neighborhood matrix ``G[k, c]`` = influence of a
+        BMU at flat cell ``k`` on cell ``c`` — the per-epoch
+        factorization of the batch update.
+
+        A sample's influence row depends only on its WINNER CELL, so
+        the epoch sums factor through per-cell statistics:
+        ``num = Gᵀ·S`` and ``den = Gᵀ·c`` with ``S[k] = Σ x_i`` and
+        ``c[k] = #{i}`` over samples whose BMU is ``k``.  The (n, x·y)
+        per-sample influence tensor and its (x·y, n)·(n, d) GEMM never
+        materialize — per batch only the BMU argmin and O(n·d) bincount
+        scatters remain, and the neighborhood function is evaluated on
+        x·y points once per epoch instead of n (the big win for the
+        non-separable hexagonal kernels).
+        """
+        K = self._x * self._y
+        return np.asarray(self._influence(self._ux, self._uy, sig),
+                          dtype=np.float64).reshape(K, K)
+
     def _train_local(self, data, num_epochs, iter_beg, iter_end,
                      verbose=False):
-        from ..plans.training import ProgressPrinter
+        from ..plans.training import ProgressPrinter, bmu_cell_sums
         progress = ProgressPrinter(iter_end - iter_beg) if verbose else None
         X_all = self._as_matrix(data, dtype=self.dtype)
         n = len(X_all)
         shape = self._weights.shape
+        K = self._x * self._y
         W = self._weights.astype(self.dtype)
         for t in range(iter_beg, iter_end):
-            num = np.zeros((self._x * self._y, self._input_len),
-                           dtype=self.dtype)
-            den = np.zeros((self._x, self._y), dtype=self.dtype)
             w_flat = W.reshape(-1, self._input_len)
             w_sq = (codebook_sq_norms(w_flat)
                     if self._distance.can_cache else None)
             eta = self._decay(self._learning_rate, self._learning_rateN,
                               t, num_epochs)
             sig = self._decay(self._sigma, self._sigmaN, t, num_epochs)
+            G = self._cell_influence(sig) * eta
+            c = np.zeros(K, dtype=np.float64)
+            S = np.zeros((K, self._input_len), dtype=np.float64)
             for s in range(0, n, self.batch_rows):
                 X = X_all[s: s + self.batch_rows]
                 idx = self._distance(X, w_flat, w_sq).argmin(axis=1)
-                g = self._influence(self._ux[idx], self._uy[idx], sig) * eta
-                den += g.sum(axis=0)
-                num += np.dot(g.reshape(len(X), -1).T, X)
+                cc, SS = bmu_cell_sums(X, idx, K)
+                c += cc
+                S += SS
+            num = G.T @ S
+            den = (G.T @ c).reshape(self._x, self._y)
             den3 = den[:, :, None]
-            W = np.where(den3 != 0, num.reshape(shape) / den3, W)
+            W = np.where(den3 != 0, num.reshape(shape) / den3,
+                         W).astype(self.dtype)
             if progress is not None:
                 progress.step(t - iter_beg,
                               "eta=%.4f sigma=%.4f" % (eta, sig))

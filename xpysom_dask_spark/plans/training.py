@@ -59,33 +59,54 @@ class ProgressPrinter:
         print(line)
 
 
-def _partial_update_factory(bc, kernel, influence, ux, uy, shape, dtype,
-                            fanout):
+def bmu_cell_sums(X, idx, n_cells):
+    """Per-cell count vector and feature-sum matrix for one batch:
+    ``c[k] = #{i: idx_i = k}``, ``S[k] = Σ_{idx_i = k} X_i``.
+
+    ``np.bincount`` per feature column — C-speed O(n·d) scatter, float64
+    accumulation (more accurate than the per-sample dtype GEMM it
+    replaces)."""
+    c = np.bincount(idx, minlength=n_cells).astype(np.float64)
+    S = np.empty((n_cells, X.shape[1]), dtype=np.float64)
+    for j in range(X.shape[1]):
+        S[:, j] = np.bincount(idx, weights=X[:, j], minlength=n_cells)
+    return c, S
+
+
+def _partial_update_factory(bc, kernel, shape, dtype, fanout):
     """Build the per-partition update for ``mapInArrow``.
 
-    The closure carries only the tiny model plumbing (grids, kernel names);
-    the per-epoch tensors travel via the broadcast ``bc``.  Inside, per
-    Arrow batch (= mini-batch, SURVEY.md §4 O7):
-    BMU argmin → neighborhood·η → ``den += Σ g`` and ``num += gᵀ·X``
-    (one GEMM per batch, parity with xpysom.py:420-443).
+    The closure carries only the tiny model plumbing (kernel, shape);
+    the per-epoch tensors — codebook, its cached norms, and the
+    η-scaled cell-influence matrix ``G`` (SparkSom._cell_influence) —
+    travel via the broadcast ``bc``.  Inside, per Arrow batch
+    (= mini-batch, SURVEY.md §4 O7): BMU argmin → per-cell
+    count/sum scatters; ONE (x·y, x·y)·(x·y, d) GEMM per PARTITION
+    turns them into the (num, den) partials.  Math parity with
+    xpysom.py:420-443 via the factorization ``Σ_i g(bmu_i)⊗x_i =
+    Gᵀ·S`` — the per-sample (n, x·y) influence tensor and its
+    (x·y, n)·(n, d) GEMM never materialize.
     """
     x, y, d = shape
+    K = x * y
 
     def fn(batches):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        w_flat, w_sq, eta, sig = bc.value
-        num = np.zeros((x * y, d), dtype=dtype)
-        den = np.zeros((x, y), dtype=dtype)
+        w_flat, w_sq, G = bc.value
+        c = np.zeros(K, dtype=np.float64)
+        S = np.zeros((K, d), dtype=np.float64)
         for batch in batches:
             X = feature_matrix(batch.column(0), d, dtype)
             if len(X) == 0:
                 continue
             idx = kernel(X, w_flat, w_sq).argmin(axis=1)
-            g = influence(ux[idx], uy[idx], sig) * eta  # (n, x, y)
-            den += g.sum(axis=0)
-            num += np.dot(g.reshape(len(X), -1).T, X)
+            cc, SS = bmu_cell_sums(X, idx, K)
+            c += cc
+            S += SS
+        num = (G.T @ S).astype(dtype)
+        den = (G.T @ c).reshape(x, y).astype(dtype)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         yield pa.RecordBatch.from_pydict(
@@ -168,8 +189,6 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
     shape = (x, y, d)
     W = som._weights.astype(som.dtype)
     kernel = som._distance
-    influence = som._influence
-    ux, uy = som._ux, som._uy
 
     progress = ProgressPrinter(iter_end - iter_beg) if verbose else None
     try:
@@ -180,10 +199,14 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
             sig = float(som._decay(som._sigma, som._sigmaN, t, num_epochs))
             w_flat = W.reshape(-1, d)
             w_sq = codebook_sq_norms(w_flat) if kernel.can_cache else None
-            bc = sc.broadcast((w_flat, w_sq, eta, sig))
+            # η-scaled cell-influence matrix, evaluated ONCE per epoch
+            # on the driver (x·y points) — workers never run the
+            # neighborhood function at all
+            G = som._cell_influence(sig) * eta
+            bc = sc.broadcast((w_flat, w_sq, G))
 
             fn = _partial_update_factory(
-                bc, kernel, influence, ux, uy, shape, som.dtype,
+                bc, kernel, shape, som.dtype,
                 som.agg_fanout if two_level else 1,
             )
             partials = feats.mapInArrow(fn, _PARTIAL_SCHEMA)
@@ -196,7 +219,8 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
             bc.unpersist(blocking=False)
 
             den3 = den[:, :, None]
-            W = np.where(den3 != 0, num.reshape(shape) / den3, W)
+            W = np.where(den3 != 0, num.reshape(shape) / den3,
+                         W).astype(som.dtype)
             if progress is not None:
                 progress.step(t - iter_beg,
                               "eta=%.4f sigma=%.4f %.2fs"

@@ -133,3 +133,54 @@ def test_mixture_report(spark):
     assert abs(rep["a"][1] - 1 / 3) < 1e-12
     wrep = sampling.mixture_report(df, "source", weight_col="n_tok")
     assert abs(sum(r.share for r in wrep.collect()) - 1.0) < 1e-12
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_vs_unionfind(spark, seed):
+    """Random graphs vs a driver-side union-find oracle: identical
+    membership AND the min-id canonical labeling."""
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 60, (50, 2))
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in raw if a != b})
+    got = {r.id: r.component
+           for r in connected_components(_pairs(spark, edges)).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for x in parent:
+        roots.setdefault(find(x), []).append(x)
+    expect = {x: min(members)
+              for members in roots.values() for x in members}
+    assert got == expect
+
+
+@pytest.mark.parametrize("weights", [
+    {"a": 2.0, "b": 1.0, "c": 1.0},          # unnormalized
+    {"train": 0.98, "val": 0.01, "test": 0.01},
+    {"only": 5.0},                           # single split
+])
+def test_split_by_hash_properties(spark, weights):
+    """Exhaustive + disjoint for arbitrary weight dicts; empirical
+    shares track the normalized weights."""
+    n = 3000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = sampling.split_by_hash(df, "doc_id", weights, seed=9).toPandas()
+    assert len(out) == n                       # every row labeled once
+    counts = out["split"].value_counts()
+    total = sum(weights.values())
+    for name, w in weights.items():
+        share = counts.get(name, 0) / n
+        assert abs(share - w / total) < 0.05, (name, share)

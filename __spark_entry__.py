@@ -106,11 +106,11 @@ def _bmu_scalar(expr: str, offset: int = 0) -> str:
             f"LIMIT 1 OFFSET {offset})")
 
 
-def _som_base_cte(extra_scalars: str = "") -> str:
+def _som_base_cte(extra_scalars: str = "", feat_extra_cols=()) -> str:
     """feats + weights CTEs + per-row BMU scoring (``scored``)."""
     return f"""
 WITH feats AS (
-  {readers.lineitem_features_sql_cte()}
+  {readers.lineitem_features_sql_cte(extra_cols=feat_extra_cols)}
 ),
 w({_W_COLS}) AS (
   VALUES
@@ -996,6 +996,36 @@ def _q_top_terms(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_som_classify(spark, sf_dir):
+    """Nearest-prototype classification (the reference's Classification
+    notebook as an operator): label each lineitem row with the majority
+    l_returnflag of its BMU cell.  Cell-label table is x·y rows —
+    broadcast hash join."""
+    som = _oracle_som()
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    feats = F.array(*[F.expr(e).cast("double")
+                      for _n, e in readers.LINEITEM_FEATURES]) \
+        .alias("features")
+    labeled = li.select("l_orderkey", "l_linenumber", "l_returnflag", feats)
+    out = som.classify(labeled, labeled, "l_returnflag",
+                       keep=("l_orderkey", "l_linenumber"))
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("bmu_x").cast("bigint").alias("bmu_x"),
+                      F.col("bmu_y").cast("bigint").alias("bmu_y"),
+                      F.col("label").alias("pred_flag"))
+
+
+def _q_som_anomalies(spark, sf_dir):
+    """Quantization-error outliers (the reference's OutliersDetection
+    notebook as an operator): rows whose QE exceeds the exact corpus
+    p95 — the sketch-based percentile_approx is the scale path."""
+    som = _oracle_som()
+    out = som.anomalies(_features(spark, sf_dir), quantile=0.95,
+                        exact=True)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("qe", 4).alias("qe"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1042,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "streaming_dedup": _q_streaming_dedup,
         "top_terms": _q_top_terms,
+        "som_classify": _q_som_classify,
+        "som_anomalies": _q_som_anomalies,
     }
 
 
@@ -1587,6 +1619,36 @@ SELECT DISTINCT md5({t}) AS fp FROM documents
 """
 
 
+def _sql_som_classify():
+    # l_returnflag rides the feats CTE: a key join back would fan out
+    # ((l_orderkey, l_linenumber) is not unique in the synthetic data)
+    return _som_base_cte(feat_extra_cols=("l_returnflag",)) + """
+, counts AS (
+  SELECT bx, by, l_returnflag, COUNT(*) AS n
+  FROM scored GROUP BY bx, by, l_returnflag
+),
+maj AS (
+  SELECT bx, by, l_returnflag,
+         ROW_NUMBER() OVER (PARTITION BY bx, by
+                            ORDER BY n DESC, l_returnflag) AS rn
+  FROM counts
+)
+SELECT s.l_orderkey, s.l_linenumber,
+       CAST(s.bx AS BIGINT) AS bmu_x, CAST(s.by AS BIGINT) AS bmu_y,
+       m.l_returnflag AS pred_flag
+FROM scored s JOIN maj m ON m.bx = s.bx AND m.by = s.by AND m.rn = 1
+"""
+
+
+def _sql_som_anomalies():
+    return _som_base_cte(f", {_MIN_DSQ} AS min_dsq") + """
+SELECT l_orderkey, l_linenumber, ROUND(sqrt(min_dsq), 4) AS qe
+FROM scored
+WHERE sqrt(min_dsq) > (SELECT quantile_cont(sqrt(min_dsq), 0.95)
+                       FROM scored)
+"""
+
+
 def _sql_top_terms():
     toks = _duck_tokens("text")
     return f"""
@@ -1669,4 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming dedup's deterministic contract is the fingerprint SET
         "streaming_dedup": _sql_streaming_dedup(),
         "top_terms": _sql_top_terms(),
+        # reference-notebook workflows as operators
+        "som_classify": _sql_som_classify(),
+        "som_anomalies": _sql_som_anomalies(),
     }

@@ -223,3 +223,43 @@ def test_epoch_fusion_matches_distributed(spark, rand_data):
     dist.train(df, 4)
     np.testing.assert_allclose(fused.get_weights(), dist.get_weights(),
                                atol=1e-9)
+
+
+def test_classify_majority_label(spark):
+    """classify == driver-side majority vote over labels_map."""
+    rng = np.random.RandomState(5)
+    X = rng.rand(300, 4)
+    labels = ["pos" if x[0] > 0.5 else "neg" for x in X]
+    som = SparkSom(4, 4, 4, random_seed=2, dtype=np.float64)
+    som.train(X, 3)
+    df = spark.createDataFrame(
+        [(i, labels[i], [float(v) for v in X[i]]) for i in range(len(X))],
+        "rid bigint, lab string, features array<double>")
+    got = {r.rid: r.label
+           for r in som.classify(df, df, "lab", keep=("rid",)).collect()}
+    lm = som.labels_map(X, labels)
+    wins = som.winner(X)
+    for i, win in enumerate(wins):
+        counts = lm[win]
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert got[i] == best, (i, win)
+
+
+def test_anomalies_flags_outliers(spark):
+    rng = np.random.RandomState(8)
+    X = rng.rand(500, 4)
+    X[:5] += 40.0                       # blatant outliers
+    som = SparkSom(4, 4, 4, random_seed=2, dtype=np.float64)
+    som.train(np.asarray(X[5:]), 3)     # train on the clean part
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "rid bigint, features array<double>")
+    out = som.anomalies(df, quantile=0.98, keep=("rid",)).collect()
+    flagged = {r.rid for r in out}
+    assert set(range(5)) <= flagged     # the injected outliers
+    assert len(flagged) <= 0.05 * len(X)
+    # explicit-threshold path skips the aggregate scan
+    thr = som.anomaly_threshold(df, 0.98)
+    out2 = {r.rid for r in
+            som.anomalies(df, threshold=thr, keep=("rid",)).collect()}
+    assert out2 == flagged

@@ -449,6 +449,67 @@ class SparkSom:
                          F.col(label_col).alias("label"))
                 .agg(F.count(F.lit(1)).alias("n")))
 
+    # ------------------------------------------------------------------ #
+    # model applications (reference Classification / OutliersDetection
+    # notebook workflows as operators)
+
+    def cell_labels(self, labeled_df, label_col):
+        """Majority label per codebook cell: (bmu_x, bmu_y, label, n) —
+        the classification codebook of the reference's Classification
+        notebook (majority vote over labels_map, examples/
+        Classification.ipynb).  Deterministic tie-break: higher count,
+        then smaller label.  One two-key hash aggregate + a window over
+        the (x·y · #labels)-row result — nothing scales with the data.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        counts = self.labels_map_df(labeled_df, label_col)
+        w = Window.partitionBy("bmu_x", "bmu_y").orderBy(
+            F.col("n").desc(), F.col("label"))
+        return (counts.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+
+    def classify(self, df, labeled_df, label_col, keep=None):
+        """Nearest-prototype classification: label every row of ``df``
+        with the majority label of its BMU cell learned from
+        ``labeled_df``.  The cell-label table is x·y rows — always a
+        broadcast hash join against the scored stream; rows mapping to
+        a cell no training label reached get null.
+        """
+        from pyspark.sql import functions as F
+
+        cl = self.cell_labels(labeled_df, label_col) \
+            .select("bmu_x", "bmu_y", "label")
+        scored = self.transform(df, ("bmu_x", "bmu_y"), keep=keep)
+        return scored.join(F.broadcast(cl), ["bmu_x", "bmu_y"], "left")
+
+    def anomaly_threshold(self, df, quantile=0.99, exact=True):
+        """The ``quantile`` of per-row quantization error — the decision
+        boundary of the reference's OutliersDetection notebook.
+        ``exact=False`` switches to the mergeable percentile_approx
+        sketch (the 100 TB path)."""
+        from pyspark.sql import functions as F
+
+        qe = self.transform(df, ("qe",), keep=())
+        col = (F.percentile("qe", F.lit(float(quantile))) if exact
+               else F.percentile_approx("qe", F.lit(float(quantile)),
+                                        F.lit(10000)))
+        return float(qe.agg(col).collect()[0][0])
+
+    def anomalies(self, df, quantile=0.99, threshold=None, keep=None,
+                  exact=True):
+        """Rows whose quantization error exceeds the corpus ``quantile``
+        (or an explicit ``threshold``) — poorly-quantized samples are
+        the SOM's outliers.  Two scans when the threshold is computed
+        (one aggregate, one filter), both narrow."""
+        from pyspark.sql import functions as F
+
+        if threshold is None:
+            threshold = self.anomaly_threshold(df, quantile, exact=exact)
+        return (self.transform(df, ("qe",), keep=keep)
+                .where(F.col("qe") > F.lit(float(threshold))))
+
     def distance_map(self):
         """U-matrix over the codebook — driver-side, the codebook is tiny
         (xpysom.py:788-817). Hexagonal parity: neighbor offsets depend on

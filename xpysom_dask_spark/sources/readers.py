@@ -90,12 +90,16 @@ def lineitem_features(spark: SparkSession, sf_dir: str, keys=True,
     return li.select(*cols, feats)
 
 
-def lineitem_features_sql_cte(table="lineitem") -> str:
-    """DuckDB-side CTE body computing the identical feature columns."""
+def lineitem_features_sql_cte(table="lineitem", extra_cols=()) -> str:
+    """DuckDB-side CTE body computing the identical feature columns.
+    ``extra_cols`` passes additional source columns through (a join
+    back on (l_orderkey, l_linenumber) would fan out — the synthetic
+    key is not unique)."""
     exprs = ",\n       ".join(
         f"CAST({expr} AS DOUBLE) AS {name}" for name, expr in LINEITEM_FEATURES
     )
-    return (f"SELECT l_orderkey, l_linenumber,\n       {exprs}\n"
+    extra = "".join(f"{c},\n       " for c in extra_cols)
+    return (f"SELECT l_orderkey, l_linenumber,\n       {extra}{exprs}\n"
             f"FROM {table}")
 
 

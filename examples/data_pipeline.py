@@ -18,9 +18,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("PYTHONPATH", REPO)
 
-from pyspark.sql import SparkSession, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
-from xpysom_dask_spark import SparkSom  # noqa: E402
+from xpysom_dask_spark import SparkSom, make_session  # noqa: E402
 from xpysom_dask_spark.operators import (  # noqa: E402
     dedup,
     sampling,
@@ -31,11 +31,9 @@ from xpysom_dask_spark.sources import readers  # noqa: E402
 
 
 def main(sf_dir="/root/testdata/sf0.001"):
-    spark = (SparkSession.builder.master("local[4]")
-             .appName("data-pipeline-example")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
+    spark = make_session("data-pipeline-example", master="local[4]",
+                         shuffle_partitions=8,
+                         extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = readers.load_table(spark, sf_dir, "documents")

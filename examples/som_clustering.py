@@ -22,18 +22,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("PYTHONPATH", REPO)
 
-from pyspark.sql import SparkSession, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
-from xpysom_dask_spark import SparkSom  # noqa: E402
+from xpysom_dask_spark import SparkSom, make_session  # noqa: E402
 from xpysom_dask_spark.sources import readers  # noqa: E402
 
 
 def main(sf_dir="/root/testdata/sf0.001"):
-    spark = (SparkSession.builder.master("local[4]")
-             .appName("som-clustering-example")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
+    spark = make_session("som-clustering-example", master="local[4]",
+                         shuffle_partitions=8,
+                         extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # 1. load features: 8 numeric lineitem columns -> array<float> column
@@ -68,13 +66,31 @@ def main(sf_dir="/root/testdata/sf0.001"):
     hexsom.train(feats, 5)
     print(f"hexagonal QE        = {hexsom.quantization_error(feats):.6f}")
 
-    # 7. save / load round-trip
+    # 7. classification + outlier detection (the reference's
+    #    Classification / OutliersDetection notebook workflows)
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as _F
+    labeled = li.select(
+        "l_returnflag",
+        _F.array(*[_F.expr(e).cast("float")
+                   for _n, e in readers.LINEITEM_FEATURES])
+        .alias("features"))
+    pred = som.classify(labeled, labeled, "l_returnflag")
+    pred.groupBy("label").count().orderBy(_F.desc("count")).show(4)
+    outliers = som.anomalies(feats, quantile=0.99)
+    print(f"anomalies above p99 QE: {outliers.count()} rows")
+
+    # 8. save / load round-trip (npz file + parquet model table)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "som.npz")
         som.save(path)
         som2 = SparkSom.load(path)
         assert np.allclose(som.get_weights(), som2.get_weights())
-        print(f"save/load round-trip OK ({path})")
+        tpath = os.path.join(d, "som_table")
+        som.save_table(spark, tpath)
+        som3 = SparkSom.load_table(spark, tpath)
+        assert np.allclose(som.get_weights(), som3.get_weights())
+        print("save/load round-trips OK (npz + parquet model table)")
 
     spark.stop()
     print("done.")

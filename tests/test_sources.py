@@ -101,3 +101,13 @@ def test_som_save_table_roundtrip(spark, tmp_path):
     assert back.topology == "hexagonal"
     assert back._activation_distance_name == "norm_p_no_opt"
     np.testing.assert_array_equal(som.predict(X), back.predict(X))
+
+
+def test_make_session_reuses_and_configures(spark):
+    from xpysom_dask_spark import make_session
+
+    s = make_session("test-app", shuffle_partitions=8,
+                     extra_conf={"spark.sql.ui.retainedExecutions": "42"})
+    # an active session is reused (getOrCreate contract)
+    assert s is spark
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -15,5 +15,6 @@ joins, windowed streams) is declarative DataFrame/SQL so Catalyst plans it.
 __version__ = "0.1.0"
 
 from .operators.som import SparkSom
+from .session import make_session
 
-__all__ = ["SparkSom"]
+__all__ = ["SparkSom", "make_session"]

@@ -93,6 +93,7 @@ def main():
     dedup.simhash_near_dups(wdocs, "text", "doc_id").count()
     dedup.ngram_jaccard_near_dups(wdocs, "text", "doc_id", 0.8,
                                   max_df=1000).count()
+    dedup.fuzzy_dedup_keep_first(wdocs, "text", "doc_id").count()
     whex = SparkSom(8, 8, 8, random_seed=1, topology="hexagonal",
                     fuse_local_bytes=0)
     whex.train(tiny, 1)
@@ -136,6 +137,23 @@ def main():
     from xpysom_dask_spark.operators import events as EV
     ev = readers.load_table(spark, SF_DIR, "events")
     timed("sessionize", lambda: EV.sessionize(ev, gap_s=1800).count())
+
+    # corpus analysis + mixture construction (round-2 surface)
+    timed("corpus_report", lambda: T.corpus_report(
+        docs, "text", ("lang",)).collect())
+    timed("top_terms", lambda: T.top_terms_tfidf(
+        docs, "text", "lang", "doc_id", k=5).count())
+    from xpysom_dask_spark.operators import packing, sampling
+    d_tok = docs.withColumn("n_tok", T.token_count("text"))
+    timed("pack_sequences", lambda: packing.pack_sequences(
+        d_tok, "doc_id", "n_tok", budget=1024).count())
+    timed("split_sample", lambda: sampling.split_by_hash(
+        docs, "doc_id", {"train": .98, "val": .01, "test": .01})
+        .groupBy("split").count().collect())
+
+    # model applications over the full feature table
+    timed("som_anomalies", lambda: som.anomalies(
+        feats, quantile=0.99, exact=False).count())
 
     emb = readers.load_table(spark, SF_DIR, "embeddings")
     timed("knn_cosine", lambda: similarity.cosine_topk(

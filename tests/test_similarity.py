@@ -129,3 +129,38 @@ def test_som_ivf_full_probe_equals_exact_topk(spark):
     want = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 9))
             for r in exact.collect()}
     assert got == want
+
+
+def test_som_ivf_index_matches_inmemory(spark, tmp_path):
+    """Index-backed ANN == the in-memory IVF path, and the probed-cell
+    filter reaches the partitioned scan as plan-time partition pruning
+    (unprobed cell directories never open)."""
+    import numpy as np
+
+    from xpysom_dask_spark import SparkSom
+    from xpysom_dask_spark.sources import readers
+
+    from conftest import SF_TINY
+
+    emb = readers.load_table(spark, SF_TINY, "embeddings")
+    som = SparkSom(4, 4, 64, random_seed=3, features_col="embedding")
+    som.train(emb.select("embedding"), 1)
+    q = emb.where("vec_id % 100 = 0").collect()
+    qv = np.array([r["embedding"] for r in q])
+    qids = [r["vec_id"] for r in q]
+
+    path = str(tmp_path / "ivf_index")
+    similarity.build_som_ivf_index(som, emb, path)
+
+    mem = similarity.som_ivf_topk(som, emb, qv, qids, k=3, nprobe=4)
+    idx = similarity.som_ivf_topk_from_index(spark, path, som, qv, qids,
+                                             k=3, nprobe=4)
+    a = sorted(map(tuple, mem.collect()))
+    b = sorted(map(tuple, idx.collect()))
+    assert [t[:3] for t in a] == [t[:3] for t in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra[3] - rb[3]) < 1e-9
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]

@@ -367,6 +367,52 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
             .select("id_a", "id_b", "sim"))
 
 
+def build_som_ivf_index(som, corpus: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        mode: str = "overwrite") -> None:
+    """Materialize the IVF index: the corpus scored once and written
+    partitioned by ``cluster_id``.
+
+    The scoring pass is paid at BUILD time; every subsequent query
+    prunes to its probed cells at PLAN time (directory-level partition
+    pruning — with nprobe = p of x·y cells, only p/(x·y) of the index
+    bytes are even opened).  This is the ANN shape that amortizes at
+    100 TB: one narrow write, then reads that scale with nprobe, not
+    corpus size.
+    """
+    from ..sources.writers import write_partitioned
+
+    scored = som.transform(corpus, ("cluster_id",), features_col=vec_col) \
+        .select(id_col, vec_col, "cluster_id")
+    write_partitioned(scored, path, "cluster_id", mode=mode)
+
+
+def som_ivf_topk_from_index(spark, path: str, som,
+                            queries_np: np.ndarray, query_ids,
+                            k: int = 5, nprobe: int = 4,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k against a ``build_som_ivf_index`` table.
+
+    The probed-cell filter is applied to the partitioned scan BEFORE
+    the probe join, so it becomes a plan-time ``PartitionFilters``
+    entry — unprobed cells' directories are never opened.  Candidate
+    scoring is the same broadcast equi-join + GEMM as ``som_ivf_topk``.
+    """
+    idx = spark.read.parquet(path)
+    w_flat = som._weights.reshape(-1, som._input_len)
+    from ..functions.distances import euclidean
+
+    Q = np.asarray(queries_np, dtype=np.float64)
+    dist = euclidean(Q, w_flat)
+    probes = np.argsort(dist, axis=1)[:, :nprobe]
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    pruned = idx.where(F.col("cluster_id").isin(probed_cells))
+    return _ivf_candidates_topk(pruned, probes, Q, query_ids, k,
+                                id_col, vec_col)
+
+
 def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
                  query_ids, k: int = 5, nprobe: int = 4,
                  id_col: str = "vec_id",
@@ -394,25 +440,35 @@ def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
 
     Returns (query_id, rank, neighbor_id, sim).
     """
-    import pandas as pd
-
     from ..functions.distances import euclidean
-    from ..plans.exchange import ship_package
 
-    spark = corpus.sparkSession
-    ship_package(spark)
     bucketed = som.transform(corpus, ("cluster_id",), features_col=vec_col)
-
     w_flat = som._weights.reshape(-1, som._input_len)
     Q = np.asarray(queries_np, dtype=np.float64)
+    dist = euclidean(Q, w_flat)
+    probes = np.argsort(dist, axis=1)[:, :nprobe]
+    return _ivf_candidates_topk(bucketed, probes, Q, query_ids, k,
+                                id_col, vec_col)
+
+
+def _ivf_candidates_topk(bucketed: DataFrame, probes: np.ndarray,
+                         Q: np.ndarray, query_ids, k: int,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF candidate stage: exploded (query, probe-cell) rows
+    broadcast-equi-joined on ``cluster_id``, per-batch GEMM cosine,
+    exact top-k window.  ``bucketed`` must carry ``cluster_id``."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = bucketed.sparkSession
+    ship_package(spark)
     qids = np.asarray([int(q) for q in query_ids], dtype=np.int64)
     qn = np.linalg.norm(Q, axis=1)
     order = np.argsort(qids)
     qids_sorted, Q_sorted, qn_sorted = qids[order], Q[order], qn[order]
     bc = spark.sparkContext.broadcast((qids_sorted, Q_sorted, qn_sorted))
 
-    dist = euclidean(Q, w_flat)
-    probes = np.argsort(dist, axis=1)[:, :nprobe]
     probe_rows = [(int(qid), int(c))
                   for qid, cells in zip(qids, probes) for c in cells]
     q = spark.createDataFrame(probe_rows, "query_id bigint, cluster_id bigint")

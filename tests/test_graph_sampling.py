@@ -184,3 +184,40 @@ def test_split_by_hash_properties(spark, weights):
     for name, w in weights.items():
         share = counts.get(name, 0) / n
         assert abs(share - w / total) < 0.05, (name, share)
+
+
+def test_empty_inputs_are_graceful(spark):
+    """Every operator family returns empty/identity on empty input —
+    no crashes on the degenerate corpus."""
+    from xpysom_dask_spark import SparkSom
+    from xpysom_dask_spark.operators import graph, packing, similarity
+    from xpysom_dask_spark.operators.graph import connected_components
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    empty_emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>")
+    empty_feat = spark.createDataFrame([], "features array<double>")
+
+    som = SparkSom(3, 3, 4, random_seed=1)
+    # training stores weights in the configured dtype; "unchanged"
+    # means equal after the same float32 round-trip
+    w0 = som.get_weights().astype(som.dtype).copy()
+    som.train(empty_feat, 2)                       # fused path
+    assert np.array_equal(som.get_weights(), w0)   # no data -> unchanged
+    som_d = SparkSom(3, 3, 4, random_seed=1, fuse_local_bytes=0)
+    som_d.train(empty_feat, 1)                     # distributed path
+    assert np.array_equal(som_d.get_weights(), w0)
+
+    assert dedup.minhash_near_dups(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.simhash_near_dups(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.fuzzy_dedup_keep_first(empty_docs, "text",
+                                        "doc_id").count() == 0
+    assert connected_components(empty_pairs).count() == 0
+    assert sampling.hash_sample(empty_docs, "doc_id", 0.5).count() == 0
+    assert packing.pack_sequences(
+        empty_docs.withColumn("n_tok", F.lit(1)),
+        "doc_id", "n_tok", 100).count() == 0
+    assert similarity.cosine_topk(empty_emb, empty_emb).count() == 0
+    assert similarity.lsh_near_dup_pairs(empty_emb, dim=4).count() == 0
+    assert similarity.near_dup_pairs(empty_emb).count() == 0

@@ -1026,6 +1026,20 @@ def _q_som_anomalies(spark, sf_dir):
                       F.round("qe", 4).alias("qe"))
 
 
+def _q_text_gopher(spark, sf_dir):
+    """Gopher-rule document-shape quality gate: word-count bounds,
+    mean-word-length bounds, alpha ratio, duplicate-bigram ratio, and
+    the combined pass flag — one narrow scan."""
+    out = T.gopher_quality_flags(_docs(spark, sf_dir), "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("bigram_repetition", 6).alias("bigram_repetition"),
+        F.col("passes_gopher").cast("int").alias("passes_gopher"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1074,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "som_classify": _q_som_classify,
         "som_anomalies": _q_som_anomalies,
+        "text_gopher": _q_text_gopher,
     }
 
 
@@ -1649,6 +1664,42 @@ WHERE sqrt(min_dsq) > (SELECT quantile_cont(sqrt(min_dsq), 0.95)
 """
 
 
+def _sql_text_gopher():
+    toks = _duck_tokens("text")
+    alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS "
+             "DOUBLE) / greatest(length(text), 1)")
+    mwl = (f"CASE WHEN len({toks}) = 0 THEN 0.0 ELSE "
+           f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           f"[CAST(length(x) AS DOUBLE) FOR x IN {toks}]), "
+           f"(a, v) -> a + v) / len({toks}) END")
+    grams = (f"[t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]")
+    rep = (f"CASE WHEN len(t) < 2 THEN 0.0 ELSE "
+           f"1.0 - len(list_distinct({grams})) "
+           f"/ CAST(len({grams}) AS DOUBLE) END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         {mwl} AS mean_word_len,
+         {alpha} AS alpha_ratio,
+         {rep} AS bigram_repetition
+  FROM base
+)
+SELECT doc_id, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(bigram_repetition, 6) AS bigram_repetition,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_ratio >= 0.6
+            AND bigram_repetition <= 0.3 AS INTEGER) AS passes_gopher
+FROM m
+"""
+
+
 def _sql_top_terms():
     toks = _duck_tokens("text")
     return f"""
@@ -1734,4 +1785,5 @@ def oracle_sql() -> dict[str, str]:
         # reference-notebook workflows as operators
         "som_classify": _sql_som_classify(),
         "som_anomalies": _sql_som_anomalies(),
+        "text_gopher": _sql_text_gopher(),
     }

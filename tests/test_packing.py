@@ -122,3 +122,30 @@ def test_cosine_topk_query_bound_enforced(spark):
                        F.array(*[F.rand(seed=i) for i in range(4)])))
     with pytest.raises(ValueError, match="som_ivf_topk"):
         similarity.cosine_topk(emb, emb, k=2, max_queries=10)
+
+
+def test_gopher_flags_match_python(spark):
+    def alpha_word(i):
+        return "word" + "".join(chr(97 + int(d)) for d in str(i))
+
+    rows = [
+        (1, "short doc"),                                     # too few words
+        (2, " ".join(alpha_word(i) for i in range(60))),      # passes
+        (3, " ".join(["dup dup"] * 40)),                      # repetitive
+        (4, " ".join(["9182736450"] * 60)),                   # low alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           T.gopher_quality_flags(df, "text").collect()}
+    assert got[1].passes_gopher is False and got[1].n_words == 2
+    assert got[2].passes_gopher is True
+    assert got[3].passes_gopher is False          # bigram repetition
+    assert got[3].bigram_repetition > 0.9
+    assert got[4].passes_gopher is False          # alpha ratio
+    # spot-check mean word length and alpha ratio vs python
+    text2 = rows[1][1]
+    toks = text2.split()
+    assert abs(got[2].mean_word_len
+               - sum(map(len, toks)) / len(toks)) < 1e-9
+    assert abs(got[2].alpha_ratio
+               - sum(c.isalpha() for c in text2) / len(text2)) < 1e-9

@@ -307,3 +307,66 @@ def top_terms_tfidf(df, text_col: str, group_col: str, id_col: str,
             .where(F.col("rank") <= k)
             .select(F.col("grp").alias(group_col), "rank", "term",
                     "tf", "df_docs", "score"))
+
+
+def ngram_repetition_ratio(col: str, n: int = 2) -> Column:
+    """Share of repeated word n-grams inside one document:
+    ``1 − distinct_ngrams / total_ngrams`` (0 when fewer than n tokens).
+
+    The duplicate-n-gram signal of the Gopher/MassiveText quality rules
+    — high values flag boilerplate and degenerate repetition.  Pure SQL
+    over the token array (one pass, codegen'd), with an exact DuckDB
+    twin.
+    """
+    t = f"filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+    gram = " || ' ' || ".join(f"element_at(t, i + {j})" for j in range(n))
+    grams = (f"transform(sequence(1, size(t) - {n - 1}), i -> {gram})")
+    # bind the token array once via a one-element transform (the
+    # min_shingle_fingerprint trick) so the document is tokenized once,
+    # not once per n-gram position
+    body = (f"transform(array({t}), t -> "
+            f"CASE WHEN size(t) < {n} THEN CAST(0 AS DOUBLE) "
+            f"ELSE 1.0 - size(array_distinct({grams})) "
+            f"/ CAST(size({grams}) AS DOUBLE) END)")
+    return F.expr(f"element_at({body}, 1)")
+
+
+def mean_word_length(col: str) -> Column:
+    """Mean token length in characters (0 for empty docs)."""
+    t = f"filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+    return F.expr(
+        f"element_at(transform(array({t}), t -> CASE WHEN size(t) = 0 "
+        "THEN CAST(0 AS DOUBLE) ELSE "
+        "aggregate(t, CAST(0 AS DOUBLE), (a, x) -> a + length(x)) "
+        "/ size(t) END), 1)")
+
+
+def gopher_quality_flags(df, text_col: str,
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         min_alpha_ratio: float = 0.6,
+                         max_repetition: float = 0.3):
+    """Append the Gopher-rule-inspired quality columns and a combined
+    ``passes_gopher`` flag: word-count bounds, mean-word-length bounds,
+    alphabetic-character ratio, duplicate-bigram ratio.  All narrow
+    codegen'd expressions — the 100 TB quality gate is one scan.
+
+    These are the *document-shape* rules of the MassiveText/Gopher
+    filtering recipe (Rae et al. 2021, §A1.1), restricted to the
+    signals computable without a language model.
+    """
+    wc = token_count(text_col)
+    mwl = mean_word_length(text_col)
+    ar = alpha_ratio(text_col)
+    rep = ngram_repetition_ratio(text_col, 2)
+    return (df.withColumn("n_words", wc)
+            .withColumn("mean_word_len", mwl)
+            .withColumn("alpha_ratio", ar)
+            .withColumn("bigram_repetition", rep)
+            .withColumn(
+                "passes_gopher",
+                (wc >= min_words) & (wc <= max_words)
+                & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+                & (ar >= min_alpha_ratio)
+                & (rep <= max_repetition)))

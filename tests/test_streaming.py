@@ -275,3 +275,28 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         dedup_stream(stream, "text", ts_col="ts", watermark="1 hour"),
         spark, "t_dedup_wm")
     assert out.count() == 10
+
+
+def test_narrow_pipeline_ops_work_on_streams(spark, tmp_path):
+    """hash_sample + gopher quality gate are pure narrow expressions, so
+    they apply to a streaming DataFrame unchanged and agree with the
+    batch result on the same data."""
+    from xpysom_dask_spark.operators import sampling
+    from xpysom_dask_spark.operators import text as T
+
+    path = str(tmp_path / "curate_stream")
+    rows = [(i, " ".join(f"word{chr(97 + (i + j) % 26)}"
+                         for j in range(60))) for i in range(300)]
+    (spark.createDataFrame(rows, "doc_id bigint, text string")
+     .repartition(3).write.parquet(path))
+    batch = spark.read.parquet(path)
+
+    def pipe(df):
+        kept = sampling.hash_sample(df, "doc_id", 0.5, seed=2)
+        return (T.gopher_quality_flags(kept, "text")
+                .where("passes_gopher").select("doc_id"))
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = _drain_append(pipe(stream), spark, "t_curate")
+    assert ({r.doc_id for r in got.collect()}
+            == {r.doc_id for r in pipe(batch).collect()})

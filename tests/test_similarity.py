@@ -164,3 +164,30 @@ def test_som_ivf_index_matches_inmemory(spark, tmp_path):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_cosine_topk_many_matches_single(spark):
+    """Hash-chunked query loop == single-broadcast plan (every query in
+    exactly one chunk; per-query top-k unaffected by the split)."""
+    import numpy as np
+
+    rng = np.random.RandomState(6)
+    rows = [(i, [float(v) for v in rng.standard_normal(8)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding "
+                                "array<double>")
+    queries = emb.where("vec_id % 4 = 0")        # 100 queries
+    single = similarity.cosine_topk(emb, queries, k=3)
+    chunked, cached = similarity.cosine_topk_many(
+        emb, queries, k=3, chunk_queries=30)
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, chunked.collect()))
+    assert [t[:3] for t in a] == [t[:3] for t in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra[3] - rb[3]) < 1e-12
+    if cached is not None:
+        cached.unpersist()
+    # under the chunk bound: pass-through, no cache handle
+    small, none_cache = similarity.cosine_topk_many(
+        emb, queries.limit(5), k=2, chunk_queries=1000)
+    assert none_cache is None and small.count() > 0

@@ -174,6 +174,47 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True,
+                     chunk_queries: int = COSINE_TOPK_MAX_QUERIES,
+                     persist_corpus: bool = True) -> DataFrame:
+    """Exact top-k for query sets past the broadcast bound: the query
+    table is split into deterministic hash chunks of ≤ ``chunk_queries``
+    rows and each chunk runs the standard broadcast-GEMM plan; results
+    union (each query lives in exactly one chunk, so per-query top-k is
+    unaffected).
+
+    Cost model: C chunks ⇒ C corpus scans — ``persist_corpus`` (default)
+    caches the slim (id, vec) projection once so chunks 2..C read
+    executor memory/disk instead of the source.  The cache must outlive
+    the returned (lazy) plan, so the caller unpersists when done:
+    ``df, cached = cosine_topk_many(...); ...; cached.unpersist()``
+    returns ``(result, cached_or_None)``.  For |Q| approaching corpus
+    size, prefer the IVF index (reads scale with nprobe).
+    """
+    n_q = queries.count()
+    if n_q <= chunk_queries:
+        return (cosine_topk(corpus, queries, k, id_col, vec_col,
+                            exclude_self, max_queries=chunk_queries),
+                None)
+    n_chunks = -(-n_q // chunk_queries)
+    slim = corpus.select(id_col, vec_col)
+    if persist_corpus:
+        slim = slim.persist()
+    # deterministic hash chunking (same uniform as operators.sampling)
+    from .sampling import _unit_hash
+
+    bucket = F.floor(_unit_hash(id_col, seed=0) * n_chunks)
+    out = None
+    for i in range(n_chunks):
+        qi = queries.where(bucket == i)
+        part = cosine_topk(slim, qi, k, id_col, vec_col, exclude_self,
+                           max_queries=2 * chunk_queries)
+        out = part if out is None else out.unionByName(part)
+    return out, (slim if persist_corpus else None)
+
+
 #: default broadcast bound for near_dup_pairs — ~1 GB at d=64 float64
 NEAR_DUP_MAX_ROWS = 2_000_000
 

@@ -355,12 +355,35 @@ def gopher_quality_flags(df, text_col: str,
     These are the *document-shape* rules of the MassiveText/Gopher
     filtering recipe (Rae et al. 2021, §A1.1), restricted to the
     signals computable without a language model.
+
+    All three token-derived stats come out of ONE tokenization: the
+    token array is bound once in a struct-producing lambda (a multi-use,
+    non-cheap alias blocks CollapseProject from re-inlining the split
+    per field — the word_shingles lesson; verified 1 ``split()`` in the
+    optimized plan).  A filter on the flag that gets pushed below the
+    projection re-derives the stats from the base column, where
+    whole-stage codegen's subexpression elimination dedupes the
+    identical tokenizer subtrees at runtime.
     """
-    wc = token_count(text_col)
-    mwl = mean_word_length(text_col)
-    ar = alpha_ratio(text_col)
-    rep = ngram_repetition_ratio(text_col, 2)
-    return (df.withColumn("n_words", wc)
+    t = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    gram = "element_at(t, i) || ' ' || element_at(t, i + 1)"
+    grams = f"transform(sequence(1, size(t) - 1), i -> {gram})"
+    stats = (
+        f"element_at(transform(array({t}), t -> struct("
+        "size(t) AS nw, "
+        "CASE WHEN size(t) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        "aggregate(t, CAST(0 AS DOUBLE), (a, x) -> a + length(x)) "
+        "/ size(t) END AS mwl, "
+        f"CASE WHEN size(t) < 2 THEN CAST(0 AS DOUBLE) ELSE "
+        f"1.0 - size(array_distinct({grams})) "
+        f"/ CAST(size({grams}) AS DOUBLE) END AS rep)), 1)")
+    out = (df.withColumn("_g", F.expr(stats))
+           .withColumn("_ar", alpha_ratio(text_col)))
+    wc, mwl, rep = (F.col("_g")["nw"], F.col("_g")["mwl"],
+                    F.col("_g")["rep"])
+    ar = F.col("_ar")
+    return (out
+            .withColumn("n_words", wc)
             .withColumn("mean_word_len", mwl)
             .withColumn("alpha_ratio", ar)
             .withColumn("bigram_repetition", rep)
@@ -369,4 +392,5 @@ def gopher_quality_flags(df, text_col: str,
                 (wc >= min_words) & (wc <= max_words)
                 & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
                 & (ar >= min_alpha_ratio)
-                & (rep <= max_repetition)))
+                & (rep <= max_repetition))
+            .drop("_g", "_ar"))

@@ -1040,6 +1040,28 @@ def _q_text_gopher(spark, sf_dir):
         F.col("passes_gopher").cast("int").alias("passes_gopher"))
 
 
+def _q_events_asof(spark, sf_dir):
+    """Point-in-time join: each click gets the user's most recent
+    purchase value at-or-before it (no-lookahead feature attachment).
+    Union-and-window formulation — one shuffle on the key, NO join
+    node; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from xpysom_dask_spark.operators.events import asof_join
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    # microsecond timestamps on both engines: DuckDB reads the
+    # TIMESTAMP(NANOS) column at us precision, so the oracle cannot see
+    # the sub-us digits Spark's nanosAsLong i64 carries
+    us = F.expr("ts DIV 1000").alias("ts")
+    clicks = ev.where("event_type = 'click'") \
+        .select("event_id", "user_id", us)
+    purchases = ev.where("event_type = 'purchase'") \
+        .select("user_id", us, "value")
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["value"])
+    return out.select("event_id", "user_id", "ts",
+                      F.round("value_asof", 6).alias("last_purchase_value"),
+                      F.col("ts_asof").alias("last_purchase_ts"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1089,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "som_classify": _q_som_classify,
         "som_anomalies": _q_som_anomalies,
         "text_gopher": _q_text_gopher,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -1664,6 +1687,25 @@ WHERE sqrt(min_dsq) > (SELECT quantile_cont(sqrt(min_dsq), 0.95)
 """
 
 
+def _sql_events_asof():
+    # both engines at us precision (see _q_events_asof)
+    return """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, epoch_us(ts) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       ROUND(p.value, 6) AS last_purchase_value,
+       p.ts AS last_purchase_ts
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def _sql_text_gopher():
     toks = _duck_tokens("text")
     alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS "
@@ -1786,4 +1828,6 @@ def oracle_sql() -> dict[str, str]:
         "som_classify": _sql_som_classify(),
         "som_anomalies": _sql_som_anomalies(),
         "text_gopher": _sql_text_gopher(),
+        # DuckDB's native ASOF JOIN twins the union-and-window plan
+        "events_asof": _sql_events_asof(),
     }

@@ -45,3 +45,87 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                  .alias("end_s"))
             .withColumn("duration_s",
                         (F.col("end_s") - F.col("start_s")).cast("bigint")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_cols,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols=None, direction: str = "backward",
+              tolerance=None, suffix: str = "_asof") -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, attach the
+    columns of the LATEST right row at-or-before its timestamp
+    (``direction="backward"``; ``"forward"`` takes the earliest
+    at-or-after).  The feature-store primitive — "what was the user's
+    last known X when this event happened" — with no lookahead leakage.
+
+    Spark has no asof join operator; the scalable formulation is the
+    union-and-window trick, NOT a range join (a range-condition join
+    degenerates to per-key cross products):
+
+      1. union both sides on the key with a side tag (right sorts
+         before left at equal timestamps, so equal-ts matches are
+         visible to the left row);
+      2. ONE window over (key, ts, tag) carries the right columns
+         forward with ``last(..., ignorenulls)``;
+      3. keep left rows; optionally null out matches older than
+         ``tolerance`` (same unit as the ts columns).
+
+    One hash Exchange on the key + one sort — the sessionize shape; no
+    join node at all, so there is nothing to degenerate at scale.
+    Ties inside the right side (same key, same ts) resolve to the row
+    latest in the union sort order — pre-aggregate the right side if
+    that must be deterministic.
+
+    Output: every left column, plus each right value column as
+    ``<name><suffix>`` and the matched timestamp as ``ts<suffix>``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, "
+                         f"got {direction!r}")
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in set(key_cols) | {right_ts}]
+
+    lcols = [c for c in left.columns]
+    l = (left.withColumn("__tag", F.lit(1))
+         .withColumn("__ts", F.col(left_ts))
+         .select(*key_cols, "__tag", "__ts",
+                 *[F.col(c) for c in lcols if c not in key_cols],
+                 *[F.lit(None).cast(right.schema[c].dataType)
+                   .alias(f"__r_{c}") for c in right_cols],
+                 F.lit(None).cast(right.schema[right_ts].dataType)
+                 .alias("__rts")))
+    r = (right.withColumn("__tag", F.lit(0))
+         .withColumn("__ts", F.col(right_ts))
+         .select(*key_cols, "__tag", "__ts",
+                 *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                   for c in lcols if c not in key_cols],
+                 *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+                 F.col(right_ts).alias("__rts")))
+    u = l.unionByName(r)
+
+    asc = direction == "backward"
+    order = [F.col("__ts").asc() if asc else F.col("__ts").desc(),
+             F.col("__tag").asc()]
+    w = (Window.partitionBy(*key_cols).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"__c_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    carried = carried.withColumn(
+        "__cts", F.last("__rts", ignorenulls=True).over(w))
+
+    out = carried.where(F.col("__tag") == 1)
+    matched = F.col("__cts").isNotNull()
+    if tolerance is not None:
+        gap = (F.col("__ts") - F.col("__cts") if asc
+               else F.col("__cts") - F.col("__ts"))
+        matched = matched & (gap <= tolerance)
+    sel = [F.col(c) for c in key_cols]
+    sel += [F.col(c) for c in lcols if c not in key_cols]
+    sel += [F.when(matched, F.col(f"__c_{c}")).alias(f"{c}{suffix}")
+            for c in right_cols]
+    sel += [F.when(matched, F.col("__cts")).alias(f"ts{suffix}")]
+    return out.select(*sel)

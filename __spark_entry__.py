@@ -1062,6 +1062,24 @@ def _q_events_asof(spark, sf_dir):
                       F.col("ts_asof").alias("last_purchase_ts"))
 
 
+def _q_events_interval(spark, sf_dir):
+    """Range join without the nested-loop degeneration: every click
+    mapped into its user's session window (points × intervals on
+    bucketed time + exact containment)."""
+    from xpysom_dask_spark.operators.events import interval_join, sessionize
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_s=1800)
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts_s"))
+    out = interval_join(clicks, sessions, "ts_s", "start_s", "end_s",
+                        key_cols="user_id", bucket_width=1800)
+    return out.select("event_id", "user_id", "ts_s",
+                      F.col("session_id").cast("bigint").alias("session_id"),
+                      "start_s", "end_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1112,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "som_anomalies": _q_som_anomalies,
         "text_gopher": _q_text_gopher,
         "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
     }
 
 
@@ -1706,6 +1725,42 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def _sql_events_interval():
+    # sessionize CTEs (twin of _sql_events_sessionize) + a plain range
+    # join — DuckDB's IEJoin handles it directly at oracle scale
+    return """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+),
+windows AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s
+  FROM sess GROUP BY user_id, session_id
+),
+clicks AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts_s, w.session_id, w.start_s, w.end_s
+FROM clicks c JOIN windows w
+  ON w.user_id = c.user_id
+ AND c.ts_s >= w.start_s AND c.ts_s <= w.end_s
+"""
+
+
 def _sql_text_gopher():
     toks = _duck_tokens("text")
     alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS "
@@ -1830,4 +1885,5 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": _sql_text_gopher(),
         # DuckDB's native ASOF JOIN twins the union-and-window plan
         "events_asof": _sql_events_asof(),
+        "events_interval": _sql_events_interval(),
     }

@@ -55,3 +55,37 @@ def test_asof_plan_has_no_join_node(spark, asof_data):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan          # union + window, no join operator
     assert plan.count("Exchange") <= 2  # one for the window (+AQE reuse)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join == brute-force range predicate, and the
+    plan is an equi-join (SortMerge/Hash), never BNLJ/cartesian."""
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators.events import interval_join
+
+    rng = np.random.RandomState(9)
+    pts = [(int(k), int(t), i) for i, (k, t) in
+           enumerate(zip(rng.randint(0, 4, 300),
+                         rng.randint(0, 5000, 300)))]
+    ivs = []
+    for j in range(80):
+        s = int(rng.randint(0, 4800))
+        ivs.append((int(rng.randint(0, 4)), s, s + int(rng.randint(1, 400)),
+                    j))
+    pdf = spark.createDataFrame(pts, "k bigint, ts bigint, pid bigint")
+    idf = spark.createDataFrame(ivs, "k bigint, start bigint, end bigint, "
+                                "iid bigint")
+    out = interval_join(pdf, idf, "ts", "start", "end", key_cols="k",
+                        bucket_width=200)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    brute = {(p[2], v[3]) for p in pts for v in ivs
+             if p[0] == v[0] and v[1] <= p[1] <= v[2]}
+    assert got == brute and len(brute) > 100
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pdf, idf, "ts", "start", "end")

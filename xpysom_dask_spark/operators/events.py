@@ -129,3 +129,51 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols,
             for c in right_cols]
     sel += [F.when(matched, F.col("__cts")).alias(f"ts{suffix}")]
     return out.select(*sel)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_ts: str = "ts", start_col: str = "start",
+                  end_col: str = "end", key_cols=(),
+                  bucket_width: int | None = None) -> DataFrame:
+    """Range join: every (point, interval) pair with
+    ``start ≤ ts ≤ end`` (and equal ``key_cols``), WITHOUT the
+    nested-loop degeneration.
+
+    Spark plans a raw range predicate as BroadcastNestedLoopJoin (or a
+    per-key cross product when only the equi-keys match) — quadratic at
+    scale.  The scalable shape maps both sides onto fixed-width time
+    buckets: a point lives in exactly one bucket, an interval explodes
+    to the buckets it overlaps (fan-out ``len/width + 1``), the join is
+    a plain equi-join on (keys…, bucket), and exact containment filters
+    the candidates.  Each matching pair meets in exactly the point's
+    bucket, so no dedup stage is needed.
+
+    ``bucket_width`` (same unit as the ts columns) trades interval
+    fan-out against candidate density: pick ≈ the typical interval
+    length (p50–p99) so most intervals explode to ≤ 2 buckets.  It is
+    required — a default would hide the one knob that decides the
+    plan's scale behavior.
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError(
+            "interval_join requires a positive bucket_width (same unit "
+            "as the timestamp columns); choose roughly the typical "
+            "interval length so intervals explode to a couple buckets.")
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+
+    p = points.withColumn(
+        "__bucket", F.expr(f"CAST({point_ts} DIV {int(bucket_width)} "
+                           "AS BIGINT)"))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.expr(
+            f"sequence(CAST({start_col} DIV {int(bucket_width)} AS "
+            f"BIGINT), CAST({end_col} DIV {int(bucket_width)} AS "
+            f"BIGINT))")))
+    joined = p.join(iv, key_cols + ["__bucket"])
+    return (joined
+            .where((F.col(point_ts) >= F.col(start_col))
+                   & (F.col(point_ts) <= F.col(end_col)))
+            .drop("__bucket"))

@@ -1080,6 +1080,16 @@ def _q_events_interval(spark, sf_dir):
                       "start_s", "end_s")
 
 
+def _q_mixture_resample(spark, sf_dir):
+    """Fractional epoch-repetition mixture: de ×2.5, fr ×0.4, zh
+    dropped, everything else ×1 — explicit copy rows with copy ids."""
+    out = sampling.mixture_resample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"de": 2.5, "fr": 0.4, "zh": 0.0}, seed=13)
+    return out.select("doc_id", "lang",
+                      F.col("copy_id").cast("bigint").alias("copy_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1131,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": _q_text_gopher,
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,
+        "mixture_resample": _q_mixture_resample,
     }
 
 
@@ -1725,6 +1736,27 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def _sql_mixture_resample():
+    u = _duck_unit_hash("doc_id", 13)
+    rate = ("CASE WHEN lang = 'de' THEN 2.5 WHEN lang = 'fr' THEN 0.4 "
+            "WHEN lang = 'zh' THEN 0.0 ELSE 1.0 END")
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang, {rate} AS rate, {u} AS u FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(rate)
+              + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+           AS INTEGER) AS n
+  FROM m
+)
+SELECT doc_id, lang,
+       CAST(unnest([i FOR i IN range(1, n + 1)]) AS BIGINT) AS copy_id
+FROM c
+"""
+
+
 def _sql_events_interval():
     # sessionize CTEs (twin of _sql_events_sessionize) + a plain range
     # join — DuckDB's IEJoin handles it directly at oracle scale
@@ -1886,4 +1918,5 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB's native ASOF JOIN twins the union-and-window plan
         "events_asof": _sql_events_asof(),
         "events_interval": _sql_events_interval(),
+        "mixture_resample": _sql_mixture_resample(),
     }

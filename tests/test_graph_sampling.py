@@ -2,6 +2,7 @@
 deterministic sampling/splitting/mixing operators."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -221,3 +222,38 @@ def test_empty_inputs_are_graceful(spark):
     assert similarity.cosine_topk(empty_emb, empty_emb).count() == 0
     assert similarity.lsh_near_dup_pairs(empty_emb, dim=4).count() == 0
     assert similarity.near_dup_pairs(empty_emb).count() == 0
+
+
+def test_mixture_resample_copies_and_rates(spark):
+    """floor(f) full copies + hash-selected fractional extra; f<1
+    downsamples, f>1 upsamples; deterministic under repartitioning."""
+    df = (spark.range(6000).withColumnRenamed("id", "doc_id")
+          .withColumn("src", F.expr(
+              "CASE WHEN doc_id % 3 = 0 THEN 'a' "
+              "WHEN doc_id % 3 = 1 THEN 'b' ELSE 'c' END")))
+    out = sampling.mixture_resample(
+        df, "doc_id", "src", {"a": 2.5, "b": 0.4, "c": 0.0}, seed=1)
+    pdf = out.toPandas()
+    counts = pdf.groupby("src")["doc_id"].count()
+    # a: 2000 rows * 2.5 → ~5000 (each row 2 or 3 copies)
+    assert 4700 < counts["a"] < 5300
+    per_row = pdf[pdf["src"] == "a"].groupby("doc_id")["copy_id"].count()
+    assert set(per_row.unique()) <= {2, 3}
+    # copy ids are 1..n per row
+    assert set(pdf[pdf["src"] == "a"]["copy_id"].unique()) <= {1, 2, 3}
+    # b: ~40% keep with exactly one copy
+    assert 650 < counts["b"] < 950
+    assert (pdf[pdf["src"] == "b"].groupby("doc_id")["copy_id"]
+            .count() == 1).all()
+    # c: dropped entirely
+    assert "c" not in counts.index
+
+    again = sampling.mixture_resample(
+        df.repartition(11), "doc_id", "src",
+        {"a": 2.5, "b": 0.4, "c": 0.0}, seed=1).toPandas()
+    a = pdf.sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="factor"):
+        sampling.mixture_resample(df, "doc_id", "src", {"a": -1})

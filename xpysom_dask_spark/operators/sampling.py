@@ -123,3 +123,46 @@ def mixture_report(df: DataFrame, strata_col: str,
     return agg.select(F.col(strata_col),
                       F.col("n").cast("bigint").alias("n_rows"),
                       (F.col("n") / total).alias("share"))
+
+
+def mixture_resample(df: DataFrame, id_col: str, strata_col: str,
+                     factors: dict, seed: int = 0,
+                     default_factor: float = 1.0,
+                     copy_col: str = "copy_id") -> DataFrame:
+    """Deterministic fractional resampling — the epoch-repetition form
+    of mixture weights ("books ×2.5, crawl ×0.3"): every row gets
+    ``floor(f)`` full copies plus one extra for the hash-selected
+    ``f − floor(f)`` share of its stratum.  ``f < 1`` therefore
+    downsamples (0 or 1 copies), ``f > 1`` upsamples — one operator,
+    and the repetition is explicit in the output (``copy_col``
+    numbers the copies) and in the plan (an explode), never hidden
+    inside a sampler.
+
+    Pure narrow expressions: the fan-out is the explode of a
+    per-row-sized sequence; no shuffle, no Python, deterministic under
+    repartitioning (same hash uniform as the rest of this module).
+    """
+    for v, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for stratum {v!r} must be >= 0, "
+                             f"got {f}")
+    if default_factor < 0:
+        raise ValueError(f"default_factor must be >= 0, "
+                         f"got {default_factor}")
+    u = _unit_hash(id_col, seed)
+    rate = None
+    for v, f in factors.items():
+        cond = F.col(strata_col) == F.lit(v)
+        rate = (F.when(cond, F.lit(float(f))) if rate is None
+                else rate.when(cond, F.lit(float(f))))
+    rate = (F.lit(float(default_factor)) if rate is None
+            else rate.otherwise(F.lit(float(default_factor))))
+    n = (F.floor(rate) + F.when(u < rate - F.floor(rate), 1)
+         .otherwise(0)).cast("int")
+    # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard the
+    # zero-copy case explicitly (the word_shingles lesson)
+    copies = F.when(n >= 1, F.expr(f"sequence(1, {'__n'})")) \
+        .otherwise(F.array().cast("array<int>"))
+    return (df.withColumn("__n", n)
+            .withColumn(copy_col, F.explode(copies))
+            .drop("__n"))

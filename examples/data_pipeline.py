@@ -64,7 +64,13 @@ def main(sf_dir="/root/testdata/sf0.001"):
     print(f"fuzzy dedup: {n_clustered} docs in near-dup clusters; "
           f"{deduped.count()} survive keep-first")
 
+    # 3b. Gopher-rule document-shape quality gate (one scan)
+    gated = T.gopher_quality_flags(deduped, "text")
+    n_pass = gated.where("passes_gopher").count()
+    print(f"gopher quality gate: {n_pass}/{gated.count()} docs pass")
+
     # 4. mixture construction: stable hash splits + per-language rates
+    #    + fractional epoch repetition (explicit copies)
     split = sampling.split_by_hash(
         deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     split.groupBy("split").count().orderBy("split").show()
@@ -72,6 +78,20 @@ def main(sf_dir="/root/testdata/sf0.001"):
         deduped, "doc_id", "lang", {"en": 1.0, "de": 0.5, "fr": 0.5},
         seed=3)
     sampling.mixture_report(mixed, "lang").orderBy("lang").show()
+    repeated = sampling.mixture_resample(
+        deduped, "doc_id", "lang", {"de": 2.0, "fr": 0.5}, seed=3)
+    print(f"epoch-repetition mix (de x2, fr x0.5): "
+          f"{repeated.count()} rows from {deduped.count()}")
+
+    # 4b. token-budget packing: route to parallel pack streams, chunk
+    #     every 2048 tokens
+    from xpysom_dask_spark.operators import packing
+    d_tok = deduped.withColumn("n_tok", T.token_count("text"))
+    packed = packing.pack_sequences(d_tok, "doc_id", "n_tok", budget=2048,
+                                    n_groups=8)
+    packing.pack_stats(packed, "n_tok").agg(
+        F.count("*").alias("n_packs"),
+        F.avg("n_tokens").alias("avg_fill")).show()
 
     # 5. similarity search over embeddings: exact top-k, then the
     #    SOM-as-IVF approximate path (bucket by BMU, probe nearest cells)

@@ -1090,6 +1090,20 @@ def _q_mixture_resample(spark, sf_dir):
                       F.col("copy_id").cast("bigint").alias("copy_id"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Test-set decontamination composed with the stable hash split:
+    90/10 train/test split, then drop every train doc sharing ≥ 1
+    distinct word 5-gram with any test doc (the GPT-3-style n-gram
+    rule). Inverted-index join + anti-join."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"train": 0.9, "test": 0.1}, seed=1)
+    train = split.where("split = 'train'").drop("split")
+    test = split.where("split = 'test'").drop("split")
+    out = dedup.decontaminate(train, test, "text", "doc_id", n=5)
+    return out.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1142,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,
         "mixture_resample": _q_mixture_resample,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1736,6 +1751,43 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def _duck_ngrams_cte(src: str, out: str, n: int) -> str:
+    """CTE pair: tokenized ``src`` → DISTINCT (doc_id, shingle) word
+    n-grams as ``out`` (generalizes _shingle_cte_sql to any n)."""
+    toks = _duck_tokens("text")
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""{out}_t AS (
+  SELECT doc_id, {toks} AS t FROM {src}
+),
+{out} AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) < {n} THEN [] ELSE
+             [{gram} FOR i IN range(1, len(t) - {n - 2})] END) AS shingle
+    FROM {out}_t)
+)"""
+
+
+def _sql_decontaminate():
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.9 / (0.9 + 0.1)  # mirror split_by_hash's normalization
+    return f"""
+WITH uh AS (
+  SELECT doc_id, lang, text, {u} AS u FROM documents
+),
+tr AS (SELECT doc_id, lang, text FROM uh WHERE u < {acc!r}),
+te AS (SELECT doc_id, lang, text FROM uh WHERE u >= {acc!r}),
+{_duck_ngrams_cte('tr', 'trsh', 5)},
+{_duck_ngrams_cte('te', 'tesh', 5)},
+bad AS (
+  SELECT DISTINCT a.doc_id FROM trsh a JOIN tesh b
+    ON a.shingle = b.shingle
+)
+SELECT doc_id, lang FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def _sql_mixture_resample():
     u = _duck_unit_hash("doc_id", 13)
     rate = ("CASE WHEN lang = 'de' THEN 2.5 WHEN lang = 'fr' THEN 0.4 "
@@ -1919,4 +1971,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _sql_events_asof(),
         "events_interval": _sql_events_interval(),
         "mixture_resample": _sql_mixture_resample(),
+        "decontaminate": _sql_decontaminate(),
     }

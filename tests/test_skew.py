@@ -136,3 +136,34 @@ def test_band_self_join_exact_matches_capped_below_cap(spark):
               for r in dedup.band_self_join_pairs(
                   banded, max_bucket=10).collect()}
     assert exact == capped and len(exact) == 7 * 5 * 4 / 2
+
+
+def test_decontaminate_removes_overlapping_train_docs(spark):
+    """Train docs sharing an n-gram with ANY test doc are dropped;
+    clean docs survive; pair counts match a python recomputation."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows_train = [(1, shared + " extra words here"),
+                  (2, "completely unrelated text about alpha beta gamma "
+                      "delta epsilon zeta"),
+                  (3, "another clean document with its very own wording "
+                      "throughout entirely")]
+    rows_test = [(100, "prefix words then " + shared),
+                 (101, "totally different evaluation text omega psi chi "
+                       "phi upsilon tau")]
+    tr = spark.createDataFrame(rows_train, "doc_id bigint, text string")
+    te = spark.createDataFrame(rows_test, "doc_id bigint, text string")
+
+    pairs = dedup.cross_overlap_pairs(tr, te, "text", "doc_id", n=5)
+    got = {(r.id_a, r.id_b): r.n_shared for r in pairs.collect()}
+    assert set(got) == {(1, 100)}
+    # python oracle: distinct shared 5-gram count
+    def grams(s, n=5):
+        t = s.lower().split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+    assert got[(1, 100)] == len(grams(rows_train[0][1])
+                                 & grams(rows_test[0][1]))
+
+    kept = sorted(r.doc_id for r in
+                  dedup.decontaminate(tr, te, "text", "doc_id",
+                                      n=5).collect())
+    assert kept == [2, 3]

@@ -389,3 +389,51 @@ def fuzzy_dedup_keep_first(df: DataFrame, text_col: str, id_col: str,
     losers = (comp.where(F.col("id") != F.col("component"))
               .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+def cross_overlap_pairs(corpus_a: DataFrame, corpus_b: DataFrame,
+                        text_col: str, id_col: str, n: int = 8,
+                        min_shared: int = 1,
+                        max_df: int | None = None) -> DataFrame:
+    """Cross-corpus n-gram overlap: (id_a, id_b, n_shared) for every
+    pair sharing ≥ ``min_shared`` distinct word n-grams across the two
+    corpora — the candidate stage of test-set decontamination.
+
+    Inverted-index join on the shingle (hash-partitioned equi-join,
+    fanout Σ df_a(s)·df_b(s)); ``max_df`` prunes stop-shingles on BOTH
+    posting lists before the join (same control as
+    ngram_jaccard_near_dups).  Counts are map-side combinable.
+    """
+    sha = word_shingles(corpus_a, text_col, id_col, n)
+    shb = word_shingles(corpus_b, text_col, id_col, n)
+    if max_df is not None:
+        both = sha.select("shingle").unionAll(shb.select("shingle"))
+        rare = (both.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_s"))
+                .where(F.col("df_s") <= max_df).select("shingle"))
+        sha = sha.join(rare, "shingle")
+        shb = shb.join(rare, "shingle")
+    a = sha.select(F.col("id").alias("id_a"), "shingle")
+    b = shb.select(F.col("id").alias("id_b"), "shingle")
+    return (a.join(b, "shingle")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def decontaminate(train_df: DataFrame, test_df: DataFrame,
+                  text_col: str, id_col: str, n: int = 8,
+                  min_shared: int = 1,
+                  max_df: int | None = None) -> DataFrame:
+    """Drop every training document that shares ≥ ``min_shared`` word
+    n-grams with ANY test document — the standard n-gram
+    decontamination rule (GPT-3 used 13-grams; pick ``n`` ≥ the longest
+    span you consider memorizable).  Returns the surviving train rows.
+
+    One inverted-index join + one anti-join; the contaminated-id set is
+    far smaller than the corpus, so the anti-join broadcasts at scale.
+    """
+    pairs = cross_overlap_pairs(train_df, test_df, text_col, id_col, n,
+                                min_shared, max_df)
+    contaminated = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return train_df.join(contaminated, id_col, "left_anti")

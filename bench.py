@@ -138,6 +138,12 @@ def main():
     ev = readers.load_table(spark, SF_DIR, "events")
     timed("sessionize", lambda: EV.sessionize(ev, gap_s=1800).count())
 
+    # point-in-time join: clicks get their user's latest purchase
+    timed("events_asof", lambda: EV.asof_join(
+        ev.where("event_type = 'click'").select("event_id", "user_id", "ts"),
+        ev.where("event_type = 'purchase'").select("user_id", "ts", "value"),
+        "user_id", "ts", "ts", ["value"]).count())
+
     # corpus analysis + mixture construction (round-2 surface)
     timed("corpus_report", lambda: T.corpus_report(
         docs, "text", ("lang",)).collect())

@@ -167,3 +167,20 @@ def test_decontaminate_removes_overlapping_train_docs(spark):
                   dedup.decontaminate(tr, te, "text", "doc_id",
                                       n=5).collect())
     assert kept == [2, 3]
+
+
+def test_jaccard_verify_candidate_guard(spark, skewed_docs):
+    """Over-bound candidate count raises with the knob pointers; an
+    adequate bound (or None) leaves results identical to the exact
+    path."""
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.minhash_near_dups(skewed_docs, "text", "doc_id",
+                                threshold=0.5, max_candidates=100).collect()
+    # bounded candidates via star pairs fit the same guard
+    got = dedup.minhash_near_dups(skewed_docs, "text", "doc_id",
+                                  threshold=0.5, max_bucket=20,
+                                  max_candidates=100_000)
+    exact = dedup.minhash_near_dups(skewed_docs, "text", "doc_id",
+                                    threshold=0.5, max_bucket=20)
+    assert ({(r.id_a, r.id_b) for r in got.collect()}
+            == {(r.id_a, r.id_b) for r in exact.collect()})

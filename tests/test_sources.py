@@ -111,3 +111,25 @@ def test_make_session_reuses_and_configures(spark):
     # an active session is reused (getOrCreate contract)
     assert s is spark
     assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_som_load_table_rejects_partial_codebook(spark, tmp_path):
+    """A filtered/partial model table must raise, not silently return
+    uninitialized-memory weights (ADVICE r02)."""
+    import pytest
+
+    from xpysom_dask_spark import SparkSom
+
+    som = SparkSom(4, 4, 3, random_seed=2)
+    path = str(tmp_path / "som_partial")
+    som.save_table(spark, path)
+    broken = str(tmp_path / "som_broken")
+    spark.read.parquet(path).where("i > 0").write.parquet(broken)
+    with pytest.raises(ValueError, match="complete codebook"):
+        SparkSom.load_table(spark, broken)
+    # duplicated cells are rejected too, not just missing ones
+    dup = str(tmp_path / "som_dup")
+    full = spark.read.parquet(path)
+    full.unionAll(full.limit(1)).write.parquet(dup)
+    with pytest.raises(ValueError, match="complete codebook"):
+        SparkSom.load_table(spark, dup)

@@ -300,3 +300,35 @@ def test_narrow_pipeline_ops_work_on_streams(spark, tmp_path):
     got = _drain_append(pipe(stream), spark, "t_curate")
     assert ({r.doc_id for r in got.collect()}
             == {r.doc_id for r in pipe(batch).collect()})
+
+
+def test_transition_fn_vectorized_unit():
+    """Direct unit check of the vectorized transition kernel across
+    multiple batches with carried state (first event never counts as a
+    transition; boundaries between batches do)."""
+    from xpysom_dask_spark.streaming.state import _transition_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, tup):
+            self.get = tup
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame({"cluster_id": [3, 3, 5, 5, 2],
+                       "__ts__": range(5)})
+    b2 = pd.DataFrame({"cluster_id": [2, 7], "__ts__": [5, 6]})
+    out1 = list(_transition_fn(("u",), iter([b1, b2]), st))
+    # 3→5, 5→2 in b1; 2→2 (no), 2→7 across/in b2 → 3 transitions
+    assert st.get == (7, 3, 7)
+    assert out1[0]["n_transitions"].iloc[0] == 3
+    # resumed state: next batch starting on a different cluster counts
+    b3 = pd.DataFrame({"cluster_id": [9], "__ts__": [7]})
+    list(_transition_fn(("u",), iter([b3]), st))
+    assert st.get == (8, 4, 9)
+    # empty batch is a no-op on counts
+    list(_transition_fn(("u",), iter([b3.iloc[:0]]), st))
+    assert st.get == (8, 4, 9)

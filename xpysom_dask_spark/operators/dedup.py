@@ -206,9 +206,35 @@ def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   max_candidates: int | None = None) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs:
-    (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    The verify join fans out to Σ(|sh_a| + |sh_b|) rows over the
+    candidate pairs, so an unbounded candidate set (band join run with
+    ``max_bucket=None`` on a duplicate-heavy corpus) explodes *here*,
+    one stage after the bucket join that caused it.  ``max_candidates``
+    enforces the bound the way ``near_dup_pairs`` enforces its
+    broadcast bound: the candidate relation is checkpointed (so the
+    count is not recomputed by the join), counted — ONE cheap scalar
+    job — and an over-bound count raises with the knobs that fix it
+    (``max_bucket`` star-pairing, ``max_df`` posting pruning) instead
+    of spilling mid-join.  ``None`` (the oracle configuration) adds no
+    extra job and leaves the plan byte-identical.
+    """
+    if max_candidates is not None:
+        pairs = pairs.localCheckpoint(eager=True)
+        n_cand = pairs.count()
+        if n_cand > max_candidates:
+            raise ValueError(
+                f"jaccard_verify: {n_cand} candidate pairs > "
+                f"max_candidates={max_candidates}; the exact-Jaccard "
+                "verify join fans out per shingle per pair and would "
+                "explode. Bound candidate generation with max_bucket "
+                "(star-pairs hot LSH buckets) or max_df (prunes "
+                "stop-shingle postings), or raise max_candidates if "
+                "the cluster really has the headroom.")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col("id").alias("id_a"),
                          F.col("shingle").alias("sh_a"))
@@ -229,7 +255,8 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
 
 def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.5, k: int = MINHASH_K,
-                      n: int = 3, max_bucket: int | None = None) -> DataFrame:
+                      n: int = 3, max_bucket: int | None = None,
+                      max_candidates: int | None = None) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact verification:
     (id_a, id_b, jaccard ≥ threshold).
 
@@ -251,7 +278,8 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures_from_shingles(sh, k)
     pairs = minhash_band_pairs(sigs, k, max_bucket=max_bucket)
-    return jaccard_verify(pairs, sh, threshold)
+    return jaccard_verify(pairs, sh, threshold,
+                          max_candidates=max_candidates)
 
 
 def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,

@@ -677,6 +677,17 @@ class SparkSom:
         params = json.loads(rows[0]["params"])
         dtype = np.dtype(params.pop("dtype"))
         som = cls(dtype=dtype, **params)
+        # a partially-written or filtered table would otherwise fill an
+        # np.empty buffer with whatever cells exist and silently leave
+        # the rest as uninitialized memory
+        n_cells = som._x * som._y
+        cells = {(r["i"], r["j"]) for r in rows}
+        if len(rows) != n_cells or len(cells) != n_cells:
+            raise ValueError(
+                f"model table at {path} is not a complete codebook: "
+                f"{len(rows)} rows covering {len(cells)} distinct (i, j) "
+                f"cells, expected exactly {n_cells} ({som._x}x{som._y}) — "
+                "the table was partially written, filtered, or duplicated")
         W = np.empty((som._x, som._y, som._input_len), dtype=dtype)
         for r in rows:
             W[r["i"], r["j"]] = np.asarray(r["weights"], dtype=dtype)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from ..plans.scoring import attach
@@ -27,14 +28,20 @@ def _transition_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
     n_events, n_transitions, last = (
         state.get if state.exists else (0, 0, -1))
     for pdf in pdf_iter:
+        if not len(pdf):
+            continue
         # event-time order within the batch
         pdf = pdf.sort_values("__ts__") if "__ts__" in pdf.columns else pdf
-        for cid in pdf["cluster_id"]:
-            cid = int(cid)
-            if last != -1 and cid != last:
-                n_transitions += 1
-            last = cid
-            n_events += 1
+        # vectorized transition count: internal boundaries via
+        # shift-compare, plus the carried boundary against the previous
+        # batch/state (last == -1 means "no prior event" — the first
+        # event never counts as a transition)
+        cid = pdf["cluster_id"].to_numpy(np.int64)
+        n_transitions += int((cid[1:] != cid[:-1]).sum())
+        if last != -1 and cid[0] != last:
+            n_transitions += 1
+        last = int(cid[-1])
+        n_events += len(cid)
     state.update((n_events, n_transitions, last))
     yield pd.DataFrame({
         "key": [key[0]],

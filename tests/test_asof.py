@@ -89,3 +89,51 @@ def test_interval_join_matches_bruteforce(spark):
 
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(pdf, idf, "ts", "start", "end")
+
+
+def test_asof_tie_break_deterministic(spark):
+    """Equal-(key, ts) right rows: tie_break picks the max tie-break row
+    — stable under repartition, and row-ATOMIC (the winner's NULL value
+    column must not fall back to a losing row's value)."""
+    left = spark.createDataFrame(
+        [(1, 100, 0), (1, 200, 1)], "k bigint, ts bigint, lv bigint")
+    right = spark.createDataFrame(
+        [(1, 100, 10, 1), (1, 100, 20, 3), (1, 100, None, 2)],
+        "k bigint, ts bigint, rv bigint, pri bigint")
+    for n_part in (1, 7):
+        got = (asof_join(left.repartition(n_part),
+                         right.repartition(n_part), "k", "ts", "ts",
+                         ["rv"], tie_break="pri")
+               .toPandas().sort_values("lv").reset_index(drop=True))
+        # winner is pri=3 -> rv=20 for both left rows
+        assert got["rv_asof"].tolist() == [20, 20]
+
+    # winner pri=3 has rv=NULL -> the carried match keeps it NULL
+    right2 = spark.createDataFrame(
+        [(1, 100, 10, 1), (1, 100, None, 3)],
+        "k bigint, ts bigint, rv bigint, pri bigint")
+    got2 = asof_join(left, right2, "k", "ts", "ts", ["rv"],
+                     tie_break="pri").toPandas()
+    assert got2["rv_asof"].isna().all()
+    assert (got2["ts_asof"] == 100).all()
+
+    # unknown tie_break column raises
+    with pytest.raises(ValueError, match="tie_break"):
+        asof_join(left, right, "k", "ts", "ts", ["rv"], tie_break="nope")
+
+
+def test_asof_forward_tie_break(spark):
+    """Forward direction with ties: same max-tie-break winner."""
+    left = spark.createDataFrame([(1, 50, 0)], "k bigint, ts bigint, lv bigint")
+    right = spark.createDataFrame(
+        [(1, 100, 10, 2), (1, 100, 20, 9), (1, 60, 5, 1)],
+        "k bigint, ts bigint, rv bigint, pri bigint")
+    got = asof_join(left, right, "k", "ts", "ts", ["rv"],
+                    direction="forward", tie_break="pri").toPandas()
+    # earliest at-or-after is ts=60 (no tie): rv=5
+    assert got["rv_asof"].tolist() == [5]
+    left2 = spark.createDataFrame([(1, 80, 0)],
+                                  "k bigint, ts bigint, lv bigint")
+    got2 = asof_join(left2, right, "k", "ts", "ts", ["rv"],
+                     direction="forward", tie_break="pri").toPandas()
+    assert got2["rv_asof"].tolist() == [20]  # pri=9 wins the ts=100 tie

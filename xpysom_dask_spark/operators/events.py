@@ -50,7 +50,8 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
 def asof_join(left: DataFrame, right: DataFrame, key_cols,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols=None, direction: str = "backward",
-              tolerance=None, suffix: str = "_asof") -> DataFrame:
+              tolerance=None, suffix: str = "_asof",
+              tie_break: str | None = None) -> DataFrame:
     """Point-in-time (as-of) join: for every left row, attach the
     columns of the LATEST right row at-or-before its timestamp
     (``direction="backward"``; ``"forward"`` takes the earliest
@@ -64,16 +65,23 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols,
       1. union both sides on the key with a side tag (right sorts
          before left at equal timestamps, so equal-ts matches are
          visible to the left row);
-      2. ONE window over (key, ts, tag) carries the right columns
+      2. ONE window over (key, ts, tag[, tie_break]) carries the right
+         row — packed as a single struct, so the match is row-atomic —
          forward with ``last(..., ignorenulls)``;
       3. keep left rows; optionally null out matches older than
          ``tolerance`` (same unit as the ts columns).
 
     One hash Exchange on the key + one sort — the sessionize shape; no
     join node at all, so there is nothing to degenerate at scale.
-    Ties inside the right side (same key, same ts) resolve to the row
-    latest in the union sort order — pre-aggregate the right side if
-    that must be deterministic.
+
+    Ties inside the right side (same key, same ts): by default they
+    resolve to the row latest in the union sort order, which is
+    partition-order dependent.  Pass ``tie_break`` (a right-side column
+    name) to make equal-timestamp matches deterministic — the column
+    joins the window sort as a secondary key, so the right row with the
+    MAX tie-break value wins (last-wins in both directions), stable
+    across runs, shuffles, and engines.  Same plan shape either way:
+    the extra key rides the existing sort, no new exchange.
 
     Output: every left column, plus each right value column as
     ``<name><suffix>`` and the matched timestamp as ``ts<suffix>``.
@@ -86,48 +94,62 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols,
     if right_cols is None:
         right_cols = [c for c in right.columns
                       if c not in set(key_cols) | {right_ts}]
+    if tie_break is not None and tie_break not in right.columns:
+        raise ValueError(f"tie_break column {tie_break!r} not in right "
+                         f"side columns {right.columns}")
 
+    from pyspark.sql.types import StructField, StructType
+
+    # the right row rides the union as ONE struct, so the carried match
+    # is row-atomic (a NULL in the winning row's value column stays
+    # NULL instead of falling back to an older row's value — the DuckDB
+    # ASOF semantics), and the window computes one last() instead of
+    # one per value column
+    r_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [StructField("__rts", right.schema[right_ts].dataType)])
+    tb_cols = [] if tie_break is None else [tie_break]
     lcols = [c for c in left.columns]
     l = (left.withColumn("__tag", F.lit(1))
          .withColumn("__ts", F.col(left_ts))
          .select(*key_cols, "__tag", "__ts",
                  *[F.col(c) for c in lcols if c not in key_cols],
+                 F.lit(None).cast(r_struct_t).alias("__r"),
                  *[F.lit(None).cast(right.schema[c].dataType)
-                   .alias(f"__r_{c}") for c in right_cols],
-                 F.lit(None).cast(right.schema[right_ts].dataType)
-                 .alias("__rts")))
+                   .alias("__tb") for c in tb_cols]))
     r = (right.withColumn("__tag", F.lit(0))
          .withColumn("__ts", F.col(right_ts))
          .select(*key_cols, "__tag", "__ts",
                  *[F.lit(None).cast(left.schema[c].dataType).alias(c)
                    for c in lcols if c not in key_cols],
-                 *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-                 F.col(right_ts).alias("__rts")))
+                 F.struct(*[F.col(c).alias(c) for c in right_cols],
+                          F.col(right_ts).alias("__rts")).alias("__r"),
+                 *[F.col(c).alias("__tb") for c in tb_cols]))
     u = l.unionByName(r)
 
     asc = direction == "backward"
     order = [F.col("__ts").asc() if asc else F.col("__ts").desc(),
              F.col("__tag").asc()]
+    if tie_break is not None:
+        # among equal-(ts, tag=0) right rows, max tie-break sorts last
+        # and is what last(ignorenulls) carries — deterministic winner;
+        # left rows carry NULL, which sorts first and never outranks
+        order.append(F.col("__tb").asc_nulls_first())
     w = (Window.partitionBy(*key_cols).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = u
-    for c in right_cols:
-        carried = carried.withColumn(
-            f"__c_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    carried = carried.withColumn(
-        "__cts", F.last("__rts", ignorenulls=True).over(w))
+    carried = u.withColumn("__c", F.last("__r", ignorenulls=True).over(w))
 
     out = carried.where(F.col("__tag") == 1)
-    matched = F.col("__cts").isNotNull()
+    matched = F.col("__c").isNotNull()
+    cts = F.col("__c.__rts")
     if tolerance is not None:
-        gap = (F.col("__ts") - F.col("__cts") if asc
-               else F.col("__cts") - F.col("__ts"))
+        gap = (F.col("__ts") - cts if asc else cts - F.col("__ts"))
         matched = matched & (gap <= tolerance)
     sel = [F.col(c) for c in key_cols]
     sel += [F.col(c) for c in lcols if c not in key_cols]
-    sel += [F.when(matched, F.col(f"__c_{c}")).alias(f"{c}{suffix}")
+    sel += [F.when(matched, F.col(f"__c.{c}")).alias(f"{c}{suffix}")
             for c in right_cols]
-    sel += [F.when(matched, F.col("__cts")).alias(f"ts{suffix}")]
+    sel += [F.when(matched, cts).alias(f"ts{suffix}")]
     return out.select(*sel)
 
 

@@ -178,16 +178,75 @@ def test_cosine_topk_many_matches_single(spark):
                                 "array<double>")
     queries = emb.where("vec_id % 4 = 0")        # 100 queries
     single = similarity.cosine_topk(emb, queries, k=3)
-    chunked, cached = similarity.cosine_topk_many(
+    chunked = similarity.cosine_topk_many(
         emb, queries, k=3, chunk_queries=30)
     a = sorted(map(tuple, single.collect()))
     b = sorted(map(tuple, chunked.collect()))
     assert [t[:3] for t in a] == [t[:3] for t in b]
     for ra, rb in zip(a, b):
         assert abs(ra[3] - rb[3]) < 1e-12
-    if cached is not None:
-        cached.unpersist()
+    # every query answered exactly once despite the chunk split
+    assert chunked.select("query_id").distinct().count() == 100
+    if chunked.cached_corpus is not None:
+        chunked.cached_corpus.unpersist()
     # under the chunk bound: pass-through, no cache handle
-    small, none_cache = similarity.cosine_topk_many(
+    small = similarity.cosine_topk_many(
         emb, queries.limit(5), k=2, chunk_queries=1000)
-    assert none_cache is None and small.count() > 0
+    assert small.cached_corpus is None and small.count() > 0
+
+
+def test_lsh_band_recall_formula():
+    """Closed-form checks of the banded S-curve: wider bands lose
+    recall at fixed L; more bands recover it; bounds are sane."""
+    import math
+
+    r16 = similarity.lsh_band_recall(0.95, 4, 16)
+    r24 = similarity.lsh_band_recall(0.95, 4, 24)
+    assert r24 < r16 < 1.0
+    # hand-computed: p = 1 - acos(.95)/pi ≈ 0.8989
+    p = 1 - math.acos(0.95) / math.pi
+    assert abs(r16 - (1 - (1 - p ** 16) ** 4)) < 1e-12
+    # adding bands at fixed width recovers recall monotonically
+    assert (similarity.lsh_band_recall(0.95, 12, 24)
+            > similarity.lsh_band_recall(0.95, 4, 24))
+
+
+def test_auto_lsh_config_holds_recall():
+    """Band count grows with the corpus-driven band width so recall at
+    the threshold stays >= target across corpus scales."""
+    for n_rows in (1_000, 1_000_000, 10**9, 10**12):
+        L, bits = similarity.auto_lsh_config(n_rows, 0.95,
+                                             target_recall=0.9)
+        assert similarity.lsh_band_recall(0.95, L, bits) >= 0.9
+    # bigger corpus -> wider bands -> more bands needed
+    l_small, b_small = similarity.auto_lsh_config(1_000, 0.95)
+    l_huge, b_huge = similarity.auto_lsh_config(10**12, 0.95)
+    assert b_huge > b_small and l_huge > l_small
+
+
+def test_lsh_near_dup_warns_on_degraded_recall(spark):
+    """Explicit n_bands + corpus-sized wide bands below target recall
+    warns with the estimate; n_bands=None auto-sizing does not."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(v) for v in rng.standard_normal(16)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding "
+                                "array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # force wide bands via a tiny bucket target: 300/1 -> 9 bits...
+        # use hi=24 with target_bucket_rows small enough to hit 24 bits
+        # through the public path: monkey-free, call with a threshold
+        # where 4 bands x corpus bits degrade recall
+        similarity.lsh_near_dup_pairs(
+            emb, dim=16, threshold=0.8, n_bands=1).collect()
+    assert any("estimated recall" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        similarity.lsh_near_dup_pairs(
+            emb, dim=16, threshold=0.8, n_bands=None).collect()
+    assert not any("estimated recall" in str(x.message) for x in w2)

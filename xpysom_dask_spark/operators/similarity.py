@@ -174,6 +174,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+#: fine hash buckets per chunk for the exact-packing stage — expected
+#: bucket size is chunk/64, so packing never builds an over-bound chunk
+#: short of a 64x md5 skew (then it raises, it does not spill)
+_TOPK_FINE_BUCKETS_PER_CHUNK = 64
+
+
 def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      exclude_self: bool = True,
@@ -185,34 +191,65 @@ def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
     union (each query lives in exactly one chunk, so per-query top-k is
     unaffected).
 
+    Chunk membership is EXACT, not expected: queries hash into
+    64·C fine buckets, the per-bucket counts (C·64 scalars — the only
+    driver traffic) are first-fit packed into chunks capped at
+    ``chunk_queries``, and each chunk filters on its bucket set.  A
+    skewed id distribution therefore cannot push a chunk past the
+    broadcast bound and fail mid-run after earlier chunks already
+    burned their scans.
+
     Cost model: C chunks ⇒ C corpus scans — ``persist_corpus`` (default)
     caches the slim (id, vec) projection once so chunks 2..C read
     executor memory/disk instead of the source.  The cache must outlive
-    the returned (lazy) plan, so the caller unpersists when done:
-    ``df, cached = cosine_topk_many(...); ...; cached.unpersist()``
-    returns ``(result, cached_or_None)``.  For |Q| approaching corpus
-    size, prefer the IVF index (reads scale with nprobe).
+    the returned (lazy) plan, so the result carries it as
+    ``result.cached_corpus`` (``None`` when nothing was persisted):
+    call ``result.cached_corpus.unpersist()`` once consumers finish.
+    For |Q| approaching corpus size, prefer the IVF index (reads scale
+    with nprobe).
     """
     n_q = queries.count()
     if n_q <= chunk_queries:
-        return (cosine_topk(corpus, queries, k, id_col, vec_col,
-                            exclude_self, max_queries=chunk_queries),
-                None)
+        out = cosine_topk(corpus, queries, k, id_col, vec_col,
+                          exclude_self, max_queries=chunk_queries)
+        out.cached_corpus = None
+        return out
     n_chunks = -(-n_q // chunk_queries)
     slim = corpus.select(id_col, vec_col)
     if persist_corpus:
         slim = slim.persist()
-    # deterministic hash chunking (same uniform as operators.sampling)
+    # deterministic fine hash buckets (same uniform as operators.sampling)
     from .sampling import _unit_hash
 
-    bucket = F.floor(_unit_hash(id_col, seed=0) * n_chunks)
+    n_fine = _TOPK_FINE_BUCKETS_PER_CHUNK * n_chunks
+    bucket = F.floor(_unit_hash(id_col, seed=0) * n_fine).cast("int")
+    counts = {r["b"]: r["n"] for r in
+              (queries.groupBy(bucket.alias("b"))
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    over = [b for b, n in counts.items() if n > chunk_queries]
+    if over:
+        raise ValueError(
+            f"cosine_topk_many: hash bucket(s) {over[:3]} alone exceed "
+            f"chunk_queries={chunk_queries} — the id column's md5 hash "
+            "is degenerate (constant ids?); raise chunk_queries or fix "
+            "the id column.")
+    # first-fit-decreasing pack: buckets → chunks of ≤ chunk_queries
+    chunks: list[tuple[int, list[int]]] = []   # (filled, bucket ids)
+    for b in sorted(counts, key=counts.get, reverse=True):
+        for i, (filled, members) in enumerate(chunks):
+            if filled + counts[b] <= chunk_queries:
+                chunks[i] = (filled + counts[b], members + [b])
+                break
+        else:
+            chunks.append((counts[b], [b]))
     out = None
-    for i in range(n_chunks):
-        qi = queries.where(bucket == i)
+    for _, members in chunks:
+        qi = queries.where(bucket.isin(members))
         part = cosine_topk(slim, qi, k, id_col, vec_col, exclude_self,
-                           max_queries=2 * chunk_queries)
+                           max_queries=chunk_queries)
         out = part if out is None else out.unionByName(part)
-    return out, (slim if persist_corpus else None)
+    out.cached_corpus = slim if persist_corpus else None
+    return out
 
 
 #: default broadcast bound for near_dup_pairs — ~1 GB at d=64 float64
@@ -353,11 +390,59 @@ def auto_bits_per_band(n_rows: int, target_bucket_rows: int = 64,
     return max(lo, min(hi, bits))
 
 
+def lsh_band_recall(threshold: float, n_bands: int,
+                    bits_per_band: int) -> float:
+    """P(a pair at exactly ``threshold`` cosine collides in ≥ 1 band)
+    under sign-hyperplane LSH.
+
+    A random hyperplane splits a vector pair with probability θ/π
+    (θ = arccos(sim)), so a single sign bit agrees with
+    p = 1 − θ/π; a whole band of b independent bits agrees with p^b;
+    and 1 − (1 − p^b)^L bands collide — the standard banded S-curve.
+    Pairs *above* the threshold collide with higher probability, so
+    this is a recall LOWER bound for the output contract
+    (``sim ≥ threshold``).  Exact/positively-scaled duplicates have
+    identical sign patterns and always collide (recall 1 regardless)."""
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - p ** bits_per_band) ** n_bands
+
+
+def auto_lsh_config(n_rows: int, threshold: float,
+                    target_recall: float = 0.9,
+                    target_bucket_rows: int = 64,
+                    lo: int = 8, hi: int = 24) -> tuple[int, int]:
+    """(n_bands, bits_per_band) sized TOGETHER: bucket space grows with
+    the corpus (occupancy stays O(target_bucket_rows)), and the band
+    count grows with the bucket space so recall at the threshold holds
+    ≥ ``target_recall`` — wider bands alone silently lose genuinely
+    near (non-identical) pairs as the corpus grows, the classic
+    banded-MinHash sizing mistake.
+
+    Cost scales linearly with n_bands (one extra signature column and
+    one extra band join per band), so holding recall while the bucket
+    space grows is a measured trade, not a free lunch."""
+    bits = auto_bits_per_band(n_rows, target_bucket_rows, lo, hi)
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    miss = 1.0 - p ** bits
+    if miss <= 0.0:
+        return 1, bits
+    if miss >= 1.0:
+        raise ValueError(
+            f"auto_lsh_config: threshold={threshold} gives zero per-band "
+            f"collision probability at bits_per_band={bits}; lower the "
+            "bucket-space hi bound or the threshold.")
+    n_bands = max(1, math.ceil(math.log(1.0 - target_recall)
+                               / math.log(miss)))
+    return n_bands, bits
+
+
 def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
-                       n_bands: int = 4, bits_per_band: int | None = None,
+                       n_bands: int | None = 4,
+                       bits_per_band: int | None = None,
                        seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       target_recall: float = 0.9) -> DataFrame:
     """Banded-LSH near-duplicate search: (id_a, id_b, sim ≥ threshold).
 
     Shape (the MinHash-band pattern of operators.dedup, §"beyond the
@@ -378,6 +463,14 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
 
     Positively-scaled duplicates (identical sign patterns) collide in
     every band, so recall on exact/scaled dups is 1 by construction.
+    Genuinely near (non-identical) pairs at the threshold collide with
+    ``lsh_band_recall(threshold, n_bands, bits_per_band)`` — and that
+    probability FALLS as bits_per_band grows, so corpus-driven bucket
+    sizing must not widen bands alone.  ``n_bands=None`` sizes both
+    knobs together (``auto_lsh_config``) to hold recall ≥
+    ``target_recall`` at the threshold; an explicit ``n_bands`` whose
+    estimated recall lands below ``target_recall`` warns with the
+    estimate and the config that would fix it.
 
     ``bits_per_band=None`` sizing keeps *random* bucket occupancy O(1),
     but true duplicate clusters share whole signatures and pile into one
@@ -386,10 +479,26 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     join, operators.dedup.band_self_join_pairs); ``None`` keeps exact
     all-pairs candidate semantics (the oracle configuration).
     """
+    import warnings
+
     from .dedup import band_self_join_pairs
 
-    if bits_per_band is None:
+    if n_bands is None:
+        n_bands, auto_bits = auto_lsh_config(
+            df.count(), threshold, target_recall)
+        if bits_per_band is None:
+            bits_per_band = auto_bits
+    elif bits_per_band is None:
         bits_per_band = auto_bits_per_band(df.count())
+        est = lsh_band_recall(threshold, n_bands, bits_per_band)
+        if est < target_recall:
+            warnings.warn(
+                f"lsh_near_dup_pairs: estimated recall at threshold="
+                f"{threshold} is {est:.2f} with n_bands={n_bands}, "
+                f"bits_per_band={bits_per_band} (corpus-sized) — below "
+                f"target_recall={target_recall}. Pass n_bands=None to "
+                "size both knobs together, or raise n_bands.",
+                stacklevel=2)
     sigs = hyperplane_lsh_signatures(
         df, dim, n_bands, bits_per_band, seed, id_col, vec_col
     ).localCheckpoint(eager=True)

@@ -19,11 +19,14 @@ Driver traffic per round is ONE scalar (the changed-label count) — no
 O(V) state ever leaves the executors.
 
 For adversarial high-diameter graphs (long chains — not the dedup
-shape), the classic fix is alternating large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14), which converges in O(log² n); the label-propagation loop
-here is the right trade for duplicate clusters and keeps every round
-a single well-partitioned join.
+shape), label propagation needs O(diameter) rounds; the classic fix is
+alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log² n) rounds — implemented here as ``connected_components_star``.
+The default ``algorithm="auto"`` runs label propagation (the right
+trade for near-clique duplicate clusters: 2-3 rounds, one
+well-partitioned join each) and switches to the star algorithm if the
+graph turns out to be deep instead of raising.
 """
 
 from __future__ import annotations
@@ -33,14 +36,29 @@ from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50,
+                         algorithm: str = "auto",
+                         switch_after: int = 8) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component``
     is the minimum id reachable through the pair graph — a canonical,
     deterministic cluster representative.
 
     Nodes not present in any pair are not emitted (callers treat absent
     ids as singleton components).
+
+    ``algorithm``: ``"label"`` = min-label propagation (O(diameter)
+    rounds — duplicate graphs are near-cliques, diameter 2-3);
+    ``"star"`` = alternating large-star/small-star (O(log² n) rounds —
+    the chain-graph shape); ``"auto"`` (default) = label propagation,
+    switching to the star algorithm after ``switch_after`` unconverged
+    rounds instead of burning O(diameter) jobs or raising.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"algorithm must be auto/label/star, "
+                         f"got {algorithm!r}")
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iter)
+    label_budget = switch_after if algorithm == "auto" else max_iter
     # symmetric edge list; (a,b) with a<b also contributes (b,a)
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
@@ -54,7 +72,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumnRenamed("src", "id")
               .localCheckpoint(eager=True))
 
-    for _ in range(max_iter):
+    for _ in range(min(label_budget, max_iter)):
         # candidate label via neighbors: min over label(neighbor)
         nbr = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_label"))
@@ -71,11 +89,84 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     else:
+        if algorithm == "auto":
+            # deep graph (chains, long boilerplate link paths): hand the
+            # ORIGINAL pairs to the O(log² n) star algorithm — partial
+            # labels don't transfer, but the wasted work is bounded at
+            # switch_after cheap rounds
+            return connected_components_star(pairs, id_a, id_b, max_iter)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter — raise it, or use a "
-            "star-contraction algorithm for chain-shaped graphs)")
+            "(graph diameter exceeds max_iter — raise it, or use "
+            "algorithm='star' for chain-shaped graphs)")
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 30) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., SoCC'14) — O(log² n) rounds on ANY graph shape,
+    the fallback for high-diameter graphs where label propagation
+    would need O(diameter) rounds.
+
+    * large-star: every node u points its LARGER neighbors at the
+      minimum of its closed neighborhood — one symmetric-neighborhood
+      aggregation plus an equi-join per round;
+    * small-star: every node u points its smaller-or-self neighbors at
+      the minimum — same shape over the directed (u > v) edges.
+
+    Both halves are a groupBy + join on the node id (map-side
+    combinable, no quadratic stage); the edge list monotonically
+    flattens into stars rooted at each component's minimum id.
+    Convergence is an exact symmetric anti-join check (two scalar
+    counts per round); lineage is truncated per round with
+    ``localCheckpoint`` like the label-propagation loop.
+    """
+    # canonical directed edges u > v (drop self-loops; they add nodes
+    # but no connectivity — reattached from the node set at the end)
+    e0 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (e0.where(F.col("a") != F.col("b"))
+             .select(F.greatest("a", "b").alias("u"),
+                     F.least("a", "b").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # large-star over symmetric neighborhoods: m = min(closed nbhd)
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        large = (sym.join(m, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star over the directed u > v edges
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(m2, "u")
+                 .where(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(m2.select("u", F.col("m").alias("v")))
+                 .distinct().localCheckpoint(eager=True))
+        changed = (small.join(edges, ["u", "v"], "left_anti").count()
+                   + edges.join(small, ["u", "v"], "left_anti").count())
+        edges = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — this exceeds the O(log² n) bound and indicates a "
+            "bug or an astronomically large graph; raise max_iter.")
+    # converged edge set is a star forest (u → component min); emit
+    # every node that appeared in pairs, roots/singletons map to self
+    nodes = (pairs.select(F.col(id_a).alias("id"))
+             .unionByName(pairs.select(F.col(id_b).alias("id")))
+             .distinct())
+    stars = edges.select(F.col("u").alias("id"),
+                         F.col("v").alias("component"))
+    return (nodes.join(stars, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component")))
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

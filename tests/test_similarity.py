@@ -250,3 +250,43 @@ def test_lsh_near_dup_warns_on_degraded_recall(spark):
         similarity.lsh_near_dup_pairs(
             emb, dim=16, threshold=0.8, n_bands=None).collect()
     assert not any("estimated recall" in str(x.message) for x in w2)
+
+
+def test_som_ivf_index_df_queries_chunked(spark, tmp_path):
+    """DataFrame query side against the persisted index: |Q| over the
+    chunk bound splits into exact chunks and the union equals the
+    single-ndarray path (VERDICT r02 #8)."""
+    import numpy as np
+
+    from xpysom_dask_spark import SparkSom
+    from xpysom_dask_spark.sources import readers
+
+    from conftest import SF_TINY
+
+    emb = readers.load_table(spark, SF_TINY, "embeddings")
+    som = SparkSom(4, 4, 64, random_seed=3, features_col="embedding")
+    som.train(emb.select("embedding"), 1)
+    path = str(tmp_path / "ivf_index_df")
+    similarity.build_som_ivf_index(som, emb, path)
+
+    qdf = emb.where("vec_id % 5 = 0")            # 100 queries
+    rows = qdf.collect()
+    qids = [r["vec_id"] for r in rows]
+    qv = np.array([r["embedding"] for r in rows])
+
+    direct = similarity.som_ivf_topk_from_index(
+        spark, path, som, qv, qids, k=3, nprobe=4)
+    chunked = similarity.som_ivf_topk_from_index_df(
+        spark, path, som, qdf, k=3, nprobe=4, chunk_queries=30)
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, chunked.collect()))
+    assert [t[:3] for t in a] == [t[:3] for t in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra[3] - rb[3]) < 1e-9
+    # every query answered despite the split
+    assert chunked.select("query_id").distinct().count() == len(qids)
+
+    # pass-through when under the bound
+    small = similarity.som_ivf_topk_from_index_df(
+        spark, path, som, qdf.limit(7), k=2, nprobe=2)
+    assert small.select("query_id").distinct().count() == 7

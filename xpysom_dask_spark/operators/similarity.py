@@ -208,19 +208,42 @@ def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
     For |Q| approaching corpus size, prefer the IVF index (reads scale
     with nprobe).
     """
-    n_q = queries.count()
-    if n_q <= chunk_queries:
+    filters = _exact_hash_chunk_filters(queries, id_col, chunk_queries,
+                                        "cosine_topk_many")
+    if filters is None:
         out = cosine_topk(corpus, queries, k, id_col, vec_col,
                           exclude_self, max_queries=chunk_queries)
         out.cached_corpus = None
         return out
-    n_chunks = -(-n_q // chunk_queries)
     slim = corpus.select(id_col, vec_col)
     if persist_corpus:
         slim = slim.persist()
-    # deterministic fine hash buckets (same uniform as operators.sampling)
+    out = None
+    for flt in filters:
+        part = cosine_topk(slim, queries.where(flt), k, id_col, vec_col,
+                           exclude_self, max_queries=chunk_queries)
+        out = part if out is None else out.unionByName(part)
+    out.cached_corpus = slim if persist_corpus else None
+    return out
+
+
+def _exact_hash_chunk_filters(queries: DataFrame, id_col: str,
+                              chunk_queries: int, op_name: str):
+    """Filter Columns, each selecting ≤ ``chunk_queries`` query rows and
+    together partitioning the query set — or ``None`` when the whole
+    set already fits one chunk.
+
+    Membership is exact, not expected: ids hash into 64·C fine buckets
+    (deterministic md5 uniform, layout-independent), the per-bucket
+    counts come back as C·64 scalars (the only driver traffic), and
+    first-fit-decreasing packs buckets into chunks capped at
+    ``chunk_queries``."""
     from .sampling import _unit_hash
 
+    n_q = queries.count()
+    if n_q <= chunk_queries:
+        return None
+    n_chunks = -(-n_q // chunk_queries)
     n_fine = _TOPK_FINE_BUCKETS_PER_CHUNK * n_chunks
     bucket = F.floor(_unit_hash(id_col, seed=0) * n_fine).cast("int")
     counts = {r["b"]: r["n"] for r in
@@ -229,7 +252,7 @@ def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
     over = [b for b, n in counts.items() if n > chunk_queries]
     if over:
         raise ValueError(
-            f"cosine_topk_many: hash bucket(s) {over[:3]} alone exceed "
+            f"{op_name}: hash bucket(s) {over[:3]} alone exceed "
             f"chunk_queries={chunk_queries} — the id column's md5 hash "
             "is degenerate (constant ids?); raise chunk_queries or fix "
             "the id column.")
@@ -242,14 +265,7 @@ def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 break
         else:
             chunks.append((counts[b], [b]))
-    out = None
-    for _, members in chunks:
-        qi = queries.where(bucket.isin(members))
-        part = cosine_topk(slim, qi, k, id_col, vec_col, exclude_self,
-                           max_queries=chunk_queries)
-        out = part if out is None else out.unionByName(part)
-    out.cached_corpus = slim if persist_corpus else None
-    return out
+    return [bucket.isin(members) for _, members in chunks]
 
 
 #: default broadcast bound for near_dup_pairs — ~1 GB at d=64 float64
@@ -561,6 +577,49 @@ def som_ivf_topk_from_index(spark, path: str, som,
     pruned = idx.where(F.col("cluster_id").isin(probed_cells))
     return _ivf_candidates_topk(pruned, probes, Q, query_ids, k,
                                 id_col, vec_col)
+
+
+def som_ivf_topk_from_index_df(spark, path: str, som,
+                               queries: DataFrame, k: int = 5,
+                               nprobe: int = 4,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               chunk_queries: int =
+                               COSINE_TOPK_MAX_QUERIES) -> DataFrame:
+    """ANN against a persisted IVF index with a **DataFrame** query
+    side — the path for query sets too large to hand over as one
+    driver ndarray.
+
+    The query table is split into exact ≤ ``chunk_queries`` hash chunks
+    (the ``cosine_topk_many`` packing — per-bucket counts are the only
+    driver traffic); each chunk collects ONE bounded (id, vec) slice,
+    computes its probe cells against the tiny codebook on the driver,
+    and runs the standard pruned-scan candidate plan — the partitioned
+    index still prunes to the chunk's probed cells at plan time, so
+    index bytes read scale with nprobe per chunk, never corpus size.
+    Peak driver memory is one chunk's query matrix; chunks run
+    sequentially and union lazily.
+
+    Same output contract as ``som_ivf_topk``:
+    (query_id, rank, neighbor_id, sim).
+    """
+    slimq = queries.select(id_col, vec_col)
+    filters = _exact_hash_chunk_filters(slimq, id_col, chunk_queries,
+                                        "som_ivf_topk_from_index_df")
+    out = None
+    for flt in ([None] if filters is None else filters):
+        qpdf = (slimq if flt is None else slimq.where(flt)).toPandas()
+        if not len(qpdf):
+            continue
+        Q = np.stack([np.asarray(v, np.float64) for v in qpdf[vec_col]])
+        part = som_ivf_topk_from_index(
+            spark, path, som, Q, qpdf[id_col].tolist(), k=k,
+            nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, sim double")
+    return out
 
 
 def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,

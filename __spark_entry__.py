@@ -890,6 +890,160 @@ FROM ranked WHERE rank <= 5
 """
 
 
+#: nprobe tiers for the IVF recall-curve report (full probe = 16 = x·y)
+_IVF_NPROBES = (1, 4, 16)
+
+
+def _ivf_local_som(X: np.ndarray) -> SparkSom:
+    """The deterministic IVF quantizer both the Spark query and the
+    DuckDB oracle use: seeded init, float64, per-dim squared-L2
+    activation (sequential accumulation — bitwise-matches the SQL sum
+    chain), trained LOCALLY (NumPy path) so the codebook is bit-
+    identical on both sides — Spark's distributed training differs in
+    float summation order, which would make partial-probe recall
+    unverifiable."""
+    som = SparkSom(4, 4, 64, random_seed=SOM_SEED, dtype=np.float64,
+                   activation_distance="norm_p_no_opt",
+                   activation_distance_kwargs={"p": 2},
+                   features_col="embedding")
+    som.train(X, 2)
+    return som
+
+
+def _q_ann_recall_curve(spark, sf_dir):
+    """Recall@5 of the SOM-IVF ANN tier vs exact top-5, per nprobe ∈
+    {1, 4, 16} (VERDICT r02 #3): the quality report that makes the
+    approximate regime's behavior visible, not just the full-probe
+    exactness.  Full probe (16 = every cell) must come out at recall
+    exactly 1.0 — the oracle checks the PARTIAL probes too, because the
+    codebook is deterministic and embedded in the SQL as literals.
+
+    Per tier the plan is the production ANN plan (bucketed corpus,
+    exploded-probe broadcast equi-join, GEMM cosine); recall is one
+    left-join + aggregate over the union of tiers."""
+    e = _emb(spark, sf_dir)
+    pdf = e.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    som = _ivf_local_som(X)
+    qmask = (pdf["vec_id"] % 100 == 0).to_numpy()
+    qids = pdf["vec_id"].to_numpy()[qmask].tolist()
+    qvecs = X[qmask]
+    n_q = len(qids)
+    exact = (similarity.som_ivf_topk(som, e, qvecs, qids, k=5, nprobe=16)
+             .select("query_id", "neighbor_id"))
+    parts = None
+    for p in _IVF_NPROBES:
+        ann = (similarity.som_ivf_topk(som, e, qvecs, qids, k=5, nprobe=p)
+               .select(F.lit(p).cast("bigint").alias("nprobe"),
+                       "query_id", "neighbor_id"))
+        parts = ann if parts is None else parts.unionByName(ann)
+    hits = parts.join(exact.withColumn("hit", F.lit(1)),
+                      ["query_id", "neighbor_id"], "left")
+    return (hits.groupBy("nprobe")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("__h"))
+            .select("nprobe",
+                    F.lit(n_q).cast("bigint").alias("n_queries"),
+                    F.round(F.col("__h").cast("double")
+                            / F.lit(5.0 * n_q), 6).alias("recall")))
+
+
+#: the scale the driver runs oracle SQL at (its t2 gate is sf=0.01)
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _ivf_oracle_weights_values(sf_dir: str) -> str:
+    """Train the IVF quantizer on the oracle-side embeddings exactly as
+    the Spark query does at that sf, and embed the codebook as
+    (cell, w1..w64) literals.  The codebook is data-dependent, so the
+    oracle SQL must be built for the same sf the query runs at —
+    ``oracle_sql()`` defaults to the driver's sf0.01; the local parity
+    test rebuilds at sf0.001."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id").fetchdf()
+    X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    W = _ivf_local_som(X).get_weights()
+    rows = []
+    for i in range(4):
+        for j in range(4):
+            vals = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in W[i, j])
+            rows.append(f"({i * 4 + j}, {vals})")
+    return ",\n      ".join(rows)
+
+
+def _dsq64(e: str, w: str = "iw") -> str:
+    """Σ_k (emb[k] − w_k)², left-to-right — the norm_p_no_opt kernel's
+    sequential accumulation order."""
+    return " + ".join(
+        f"(CAST({e}[{k + 1}] AS DOUBLE) - {w}.w{k + 1}) * "
+        f"(CAST({e}[{k + 1}] AS DOUBLE) - {w}.w{k + 1})"
+        for k in range(64))
+
+
+def _sql_ann_recall_curve(sf_dir: str = _ORACLE_SF_DIR):
+    dot = _DOT64.format(a="q.embedding", b="c.embedding")
+    qq = _DOT64.format(a="q.embedding", b="q.embedding")
+    cc = _DOT64.format(a="c.embedding", b="c.embedding")
+    w_cols = "cell, " + ", ".join(f"w{k + 1}" for k in range(64))
+    np_vals = ", ".join(f"({p})" for p in _IVF_NPROBES)
+    return f"""
+WITH iwm({w_cols}) AS (
+  VALUES
+      {_ivf_oracle_weights_values(sf_dir)}
+),
+q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+corpus_cells AS (
+  SELECT c.vec_id,
+         (SELECT iw.cell FROM iwm iw
+          ORDER BY {_dsq64('c.embedding')}, iw.cell LIMIT 1) AS cell
+  FROM embeddings c
+),
+probe_ranked AS (
+  SELECT query_id, cell, pr FROM (
+    SELECT q.vec_id AS query_id, iw.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_dsq64('q.embedding')}, iw.cell) AS pr
+    FROM q CROSS JOIN iwm iw)
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, cc2.cell,
+         ({dot}) / (sqrt({qq}) * sqrt({cc})) AS sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+  JOIN corpus_cells cc2 ON cc2.vec_id = c.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims) WHERE rank <= 5
+),
+ann AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT np.np AS nprobe, s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY np.np, s.query_id
+               ORDER BY s.sim DESC, s.neighbor_id) AS rank
+    FROM sims s
+    JOIN (VALUES {np_vals}) np(np) ON TRUE
+    JOIN probe_ranked p ON p.query_id = s.query_id
+         AND p.cell = s.cell AND p.pr <= np.np)
+  WHERE rank <= 5
+)
+SELECT a.nprobe,
+       (SELECT COUNT(*) FROM q) AS n_queries,
+       ROUND(CAST(SUM(CASE WHEN e.query_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / (5.0 * (SELECT COUNT(*) FROM q)), 6) AS recall
+FROM ann a
+LEFT JOIN exact e ON e.query_id = a.query_id
+     AND e.neighbor_id = a.neighbor_id
+GROUP BY a.nprobe
+"""
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERS: minhash pairs → distributed min-label
     propagation (operators.graph.connected_components).  The oracle twin
@@ -1141,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
+        "ann_recall_curve": _q_ann_recall_curve,
         "dedup_components": _q_dedup_components,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "sample_hash": _q_sample_hash,
@@ -1909,7 +2064,11 @@ FROM ranked WHERE rank <= 5
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
+    """``ivf_sf_dir`` parameterizes the one data-dependent oracle
+    (``ann_recall_curve`` embeds the IVF codebook trained on that sf's
+    embeddings); the driver's no-arg call gets sf0.01 — the scale it
+    runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
         "som_activation_response": _sql_som_activation_response(),
@@ -1949,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         # they get real oracles too
         "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
         "ann_som_ivf": _sql_ann_som_ivf(),
+        "ann_recall_curve": _sql_ann_recall_curve(ivf_sf_dir),
         # cluster-level dedup: recursive-CTE transitive closure twins the
         # distributed min-label propagation
         "dedup_components": _sql_dedup_components(),

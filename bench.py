@@ -59,16 +59,25 @@ def main():
     from pyspark.sql import functions as F
 
     timings = {}
+    timings_cold = {}
+    timings_warm = {}
 
     def timed(name, fn):
-        best = None
+        """Per query: ``queries`` = min over all repeats (the r01/r02
+        comparable series), ``queries_cold`` = the first run (includes
+        per-plan codegen/JIT), ``queries_warm`` = best of the later
+        runs (steady-state — SURVEY §8: warm ≈ 0.4× cold on the dedup
+        entries, so the two series answer different questions)."""
+        runs = []
         out = None
         for _ in range(max(REPEATS, 1)):
             t0 = time.time()
             out = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        timings_cold[name] = round(runs[0], 3)
+        timings_warm[name] = round(min(runs[1:]) if len(runs) > 1
+                                   else runs[0], 3)
         return out
 
     feats = readers.lineitem_features(spark, SF_DIR, keys=False)
@@ -170,6 +179,33 @@ def main():
         multimodal.embeddings_as_images(emb)).agg(
         F.sum("px_sum")).collect())
 
+    # skew path (VERDICT r02 #9): a duplicate-heavy corpus — one
+    # 300-copy hot cluster on top of the real documents — measured
+    # with exact all-pairs band joins vs the max_bucket star-pair cap.
+    # The hot bucket is KBs of join INPUT with ~45k-pair OUTPUT, the
+    # shape AQE's input-bytes skew detection can never split.
+    hot_text = docs.select("text").first()["text"]
+    skew_docs = (docs.select("doc_id", "text").unionByName(
+        spark.range(300).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit(hot_text).alias("text"))).persist())
+    skew_docs.count()
+    dedup.minhash_near_dups(skew_docs.limit(350), "text", "doc_id").count()
+    timed("dedup_skew_exact", lambda: dedup.minhash_near_dups(
+        skew_docs, "text", "doc_id").count())
+    timed("dedup_skew_capped", lambda: dedup.minhash_near_dups(
+        skew_docs, "text", "doc_id", max_bucket=50).count())
+    skew_docs.unpersist()
+
+    # IVF quality report: recall@5 vs nprobe (timed like any query;
+    # the curve itself rides the JSON under "quality")
+    import __spark_entry__ as _entry
+    rc = timed("ann_recall_curve", lambda: _entry.queries()
+               ["ann_recall_curve"](spark, SF_DIR).collect())
+    quality = {"ann_recall_at_5_by_nprobe":
+               {str(r["nprobe"]): r["recall"] for r in rc},
+               "ann_recall_n_queries": int(rc[0]["n_queries"]) if rc else 0}
+
     feats.unpersist()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -178,6 +214,9 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "queries_warm": timings_warm,
+        "quality": quality,
         "sf": float(sf),
         "rows": n_rows,
     }))

@@ -41,7 +41,9 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-ORACLES = entrymod.oracle_sql()
+# ann_recall_curve's oracle embeds an IVF codebook trained on the
+# oracle-side embeddings — build it for the sf this test runs at
+ORACLES = entrymod.oracle_sql(ivf_sf_dir=SF_TINY)
 QUERIES = entrymod.queries()
 
 

@@ -290,3 +290,18 @@ def test_som_ivf_index_df_queries_chunked(spark, tmp_path):
     small = similarity.som_ivf_topk_from_index_df(
         spark, path, som, qdf.limit(7), k=2, nprobe=2)
     assert small.select("query_id").distinct().count() == 7
+
+
+def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
+    """The registered quality query: recall non-decreasing in nprobe,
+    exactly 1.0 at full probe, well-formed at the tiny sf."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    got = (entry.queries()["ann_recall_curve"](spark, SF_TINY)
+           .toPandas().sort_values("nprobe").reset_index(drop=True))
+    assert got["nprobe"].tolist() == [1, 4, 16]
+    r = got["recall"].tolist()
+    assert r[0] <= r[1] <= r[2]
+    assert r[2] == 1.0
+    assert (got["n_queries"] > 0).all()

@@ -1258,6 +1258,196 @@ def _q_decontaminate(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+# --------------------------------------------------------------------- #
+# round-3 pipeline operators: embedding storage/geometry, semi-
+# structured events, weighted sampling, corpus shuffle, PII redaction
+
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization + reconstruction-error
+    audit (operators/embeddings.py): scale = max|v|/127, q = floor(v/
+    scale + 0.5) — the 4× storage cut every 100 TB embedding column
+    takes.  All arithmetic is bit-identical on both engines (same
+    double ops in the same order), so NO rounding is needed: scale,
+    qvec, and max_abs_err hash-match raw."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    q = EMB.quantization_error(EMB.quantize_int8(_emb(spark, sf_dir)))
+    return q.select("vec_id", "scale",
+                    F.col("qvec").cast("array<int>").alias("qvec"),
+                    "max_abs_err")
+
+
+def _sql_embedding_quantize():
+    return """
+WITH a AS (
+  SELECT vec_id, embedding,
+         list_max([abs(CAST(v AS DOUBLE)) FOR v IN embedding]) AS amax
+  FROM embeddings),
+s AS (SELECT vec_id, embedding,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+      FROM a)
+SELECT vec_id, scale,
+  [CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INTEGER)
+   FOR v IN embedding] AS qvec,
+  list_max([abs(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) * scale
+                - CAST(embedding[i] AS DOUBLE))
+            FOR i IN range(1, 65)]) AS max_abs_err
+FROM s
+"""
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Per-label centroid geometry report (operators/embeddings.py):
+    member count, centroid norm, mean member→centroid cosine.  The
+    centroid components are rounded to 6 decimals on BOTH sides before
+    the cosine pass, so sum-order float drift between engines (and
+    between Spark partitionings) is absorbed at the one point it
+    enters."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    return EMB.label_centroids(_emb(spark, sf_dir))
+
+
+def _sql_label_centroids():
+    dvc = _DOT64.format(a="m.embedding", b="ct.centroid")
+    dvv = _DOT64.format(a="m.embedding", b="m.embedding")
+    dcc = _DOT64.format(a="ct.centroid", b="ct.centroid")
+    return f"""
+WITH e AS (
+  SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+cent AS (
+  SELECT label, pos, ROUND(SUM(val) / COUNT(*), 6) AS c
+  FROM e GROUP BY label, pos),
+carr AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label)
+SELECT m.label, COUNT(*) AS n_members,
+       ROUND(MIN(sqrt({dcc})), 6) AS centroid_norm,
+       ROUND(SUM(({dvc}) / (sqrt({dvv}) * sqrt({dcc}))) / COUNT(*), 6)
+         AS avg_cos
+FROM embeddings m JOIN carr ct ON ct.label = m.label
+GROUP BY m.label
+"""
+
+
+def _q_events_json_stats(spark, sf_dir):
+    """Semi-structured profiling (operators/events.py:props_field_stats):
+    one JVM-side `get_json_object` projection of the JSON ``props``
+    payload into a typed column, then a partial-aggregated groupBy on
+    event_type.  The sum is exact BIGINT, so the report is bit-stable;
+    only the derived avg is rounded."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.props_field_stats(
+        readers.load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_json_stats():
+    return """
+SELECT event_type AS group_key, COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+  CAST(SUM(k) AS BIGINT) AS sum_val,
+  MIN(k) AS min_val, MAX(k) AS max_val,
+  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_val
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+#: importance-sampling config shared by query and oracle
+_IMP_FRACTION, _IMP_SEED = 0.3, 5
+
+
+def _q_importance_sample(spark, sf_dir):
+    """Quality-weighted curation sampling (sampling.importance_sample):
+    keep-probability ∝ n_chars (the stand-in quality weight), mean
+    weight from ONE exact-BIGINT aggregate broadcast into a codegen'd
+    filter — two scans total, reproducible under any layout."""
+    out = sampling.importance_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars",
+        _IMP_FRACTION, seed=_IMP_SEED)
+    return out.select("doc_id", "n_chars")
+
+
+def _sql_importance_sample():
+    return f"""
+WITH s AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS ws, COUNT(*) AS wn
+           FROM documents)
+SELECT doc_id, n_chars FROM documents, s
+WHERE {_duck_unit_hash('doc_id', _IMP_SEED)} <
+      least(1.0, ({_IMP_FRACTION!r} * CAST(n_chars AS DOUBLE))
+                 / (CAST(ws AS DOUBLE) / wn))
+"""
+
+
+def _q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global shuffle (sampling.deterministic_shuffle):
+    content-hash order key + RANGE repartition + within-partition sort
+    — the write-side shard shuffle, with no single-partition global
+    sort.  The oracle-checked view is the first 200 rows of the
+    permutation (Spark plans orderBy+limit as distributed TakeOrdered;
+    the row_number runs on 200 collected rows only)."""
+    sh = sampling.deterministic_shuffle(_docs(spark, sf_dir), "doc_id",
+                                        seed=7)
+    from pyspark.sql import Window
+
+    head = sh.orderBy("shuffle_key", "doc_id").limit(200)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("bigint").alias("position"), "doc_id")
+
+
+def _sql_corpus_shuffle():
+    return f"""
+SELECT position, doc_id FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY u, doc_id) AS position, doc_id
+  FROM (SELECT doc_id, {_duck_unit_hash('doc_id', 7)} AS u
+        FROM documents))
+WHERE position <= 200
+"""
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (text.redact_pii / pii_counts): the
+    synthetic corpus carries no PII, so the query injects one
+    deterministic email/IPv4/phone per document (derived from doc_id)
+    and the oracle injects the identical spans — the regex engines
+    (Java vs RE2) must then agree span-for-span for the md5 of the
+    redacted text to match.  Patterns are restricted to the shared
+    syntax subset (text.PII_PATTERNS)."""
+    injected = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0.1 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit("-9"))
+    d2 = _docs(spark, sf_dir).withColumn("__t", injected)
+    return d2.select("doc_id", *T.pii_counts("__t"),
+                     F.md5(T.redact_pii("__t")).alias("red_md5"))
+
+
+def _sql_pii_redact():
+    pats = {n: p for n, p, _ in T.PII_PATTERNS}
+    inj = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+           " || '.0.1 call 555-01' || "
+           "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-9'")
+    red = "t"
+    for _, pat, repl in T.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH b AS (SELECT doc_id, {inj} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{pats["ipv4"]}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS BIGINT) AS n_phone,
+  md5({red}) AS red_md5
+FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1312,6 +1502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval": _q_events_interval,
         "mixture_resample": _q_mixture_resample,
         "decontaminate": _q_decontaminate,
+        "embedding_quantize": _q_embedding_quantize,
+        "label_centroids": _q_label_centroids,
+        "events_json_stats": _q_events_json_stats,
+        "importance_sample": _q_importance_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "pii_redact": _q_pii_redact,
     }
 
 
@@ -2132,4 +2328,12 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "events_interval": _sql_events_interval(),
         "mixture_resample": _sql_mixture_resample(),
         "decontaminate": _sql_decontaminate(),
+        # round-3 pipeline surface: embedding storage/geometry, JSON
+        # profiling, weighted sampling, corpus shuffle, PII redaction
+        "embedding_quantize": _sql_embedding_quantize(),
+        "label_centroids": _sql_label_centroids(),
+        "events_json_stats": _sql_events_json_stats(),
+        "importance_sample": _sql_importance_sample(),
+        "corpus_shuffle": _sql_corpus_shuffle(),
+        "pii_redact": _sql_pii_redact(),
     }

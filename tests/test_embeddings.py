@@ -1,0 +1,155 @@
+"""Embedding-column operators: int8 quantization round-trip bounds,
+normalization, per-label centroid geometry, and the supporting text/
+sampling/JSON operators added alongside them (PII redaction, importance
+sampling, deterministic shuffle, props parsing)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_TINY
+
+from xpysom_dask_spark.operators import embeddings as emb_ops
+from xpysom_dask_spark.operators import events as ev_ops
+from xpysom_dask_spark.operators import sampling
+from xpysom_dask_spark.operators import text as text_ops
+from xpysom_dask_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = readers.load_table(spark, SF_TINY, "embeddings").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_quantize_int8_roundtrip_bounds(spark, emb):
+    q = emb_ops.quantization_error(emb_ops.quantize_int8(emb))
+    rows = q.select("embedding", "scale", "qvec", "max_abs_err").collect()
+    assert rows
+    for r in rows:
+        v = np.asarray(r["embedding"], np.float64)
+        qv = np.asarray(r["qvec"], np.int64)
+        assert qv.min() >= -127 and qv.max() <= 127
+        # reconstruction error bounded by scale/2 (round-half-up rule)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        np.testing.assert_allclose(qv * r["scale"], v,
+                                   atol=r["scale"] / 2 + 1e-12)
+
+
+def test_quantize_zero_vector_safe(spark):
+    df = spark.createDataFrame([(1, [0.0] * 4)], "id long, embedding array<float>")
+    r = emb_ops.quantize_int8(df).collect()[0]
+    assert r["scale"] == 1.0
+    assert list(r["qvec"]) == [0, 0, 0, 0]
+
+
+def test_dequantize_inverse(spark, emb):
+    q = emb_ops.dequantize_int8(emb_ops.quantize_int8(emb))
+    r = q.select("embedding", "vec", "scale").first()
+    v = np.asarray(r["embedding"], np.float64)
+    np.testing.assert_allclose(np.asarray(r["vec"]), v,
+                               atol=r["scale"] / 2 + 1e-12)
+
+
+def test_l2_normalize_unit_norm(spark, emb):
+    u = emb_ops.l2_normalize(emb)
+    norms = u.select(F.expr(
+        "sqrt(aggregate(transform(unit_vec, v -> v * v), 0D, "
+        "(acc, v) -> acc + v))").alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
+
+
+def test_label_centroids_shape_and_range(spark, emb):
+    out = emb_ops.label_centroids(emb).collect()
+    n_labels = emb.select("label").distinct().count()
+    assert len(out) == n_labels
+    total = sum(r["n_members"] for r in out)
+    assert total == emb.count()
+    for r in out:
+        assert -1.0 <= r["avg_cos"] <= 1.0
+        assert r["centroid_norm"] >= 0
+
+
+def test_props_field_stats_counts(spark):
+    events = readers.load_table(spark, SF_TINY, "events")
+    out = ev_ops.props_field_stats(events).collect()
+    assert sum(r["n_events"] for r in out) == events.count()
+    for r in out:
+        assert r["min_val"] <= r["avg_val"] <= r["max_val"]
+
+
+def test_parse_props_typed(spark):
+    events = readers.load_table(spark, SF_TINY, "events")
+    out = ev_ops.parse_props(events, "k")
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert out.where("k IS NOT NULL").count() > 0
+
+
+def test_importance_sample_tilts_toward_weight(spark):
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    kept = sampling.importance_sample(docs, "doc_id", "n_chars", 0.4)
+    # kept set is deterministic
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in sampling.importance_sample(
+        docs, "doc_id", "n_chars", 0.4).collect())
+    assert a == b
+    # mean weight of the kept set exceeds the corpus mean (the tilt)
+    mw_all = docs.agg(F.avg("n_chars")).first()[0]
+    mw_kept = kept.agg(F.avg("n_chars")).first()[0]
+    assert mw_kept > mw_all
+
+
+def test_importance_sample_fraction_expectation(spark):
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    n = docs.count()
+    k = sampling.importance_sample(docs, "doc_id", "n_chars", 0.5).count()
+    assert 0.3 * n < k < 0.7 * n
+
+
+def test_deterministic_shuffle_is_total_permutation(spark):
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    sh = sampling.deterministic_shuffle(docs, "doc_id", seed=3,
+                                        num_partitions=4)
+    rows = sh.select("doc_id", "shuffle_key").collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # different seed -> different leading order
+    head1 = [r["doc_id"] for r in sh.orderBy("shuffle_key", "doc_id")
+             .limit(20).collect()]
+    sh2 = sampling.deterministic_shuffle(docs, "doc_id", seed=4,
+                                         num_partitions=4)
+    head2 = [r["doc_id"] for r in sh2.orderBy("shuffle_key", "doc_id")
+             .limit(20).collect()]
+    assert head1 != head2
+    # reading range partitions in index order IS the global order
+    part_rows = sh.select(F.spark_partition_id().alias("p"),
+                          "shuffle_key").collect()
+    by_part = {}
+    for r in part_rows:
+        by_part.setdefault(r["p"], []).append(r["shuffle_key"])
+    bounds = [(p, min(v), max(v)) for p, v in by_part.items()]
+    bounds.sort()
+    for (_, _, hi), (_, lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo
+
+
+def test_redact_pii_fixture_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_9@sub.example.org now"),
+         (2, "server at 192.168.0.255 port"),
+         (3, "call +1 555-0100-99 today"),
+         (4, "clean text, nothing here"),
+         (5, "two mails x@y.io and z@w.ai")],
+        "id long, t string")
+    out = df.select("id", *text_ops.pii_counts("t"),
+                    text_ops.redact_pii("t").alias("red")).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_email"] == 1 and "<EMAIL>" in by_id[1]["red"]
+    assert "a.b-c_9" not in by_id[1]["red"]
+    assert by_id[2]["n_ipv4"] == 1 and "<IP>" in by_id[2]["red"]
+    assert by_id[3]["n_phone"] == 1 and "<PHONE>" in by_id[3]["red"]
+    assert by_id[4]["n_email"] == by_id[4]["n_ipv4"] == by_id[4]["n_phone"] == 0
+    assert by_id[4]["red"] == "clean text, nothing here"
+    assert by_id[5]["n_email"] == 2 and by_id[5]["red"].count("<EMAIL>") == 2

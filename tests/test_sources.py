@@ -133,3 +133,31 @@ def test_som_load_table_rejects_partial_codebook(spark, tmp_path):
     full.unionAll(full.limit(1)).write.parquet(dup)
     with pytest.raises(ValueError, match="complete codebook"):
         SparkSom.load_table(spark, dup)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from xpysom_dask_spark.sources import readers as R, writers as W
+
+    df = R.load_table(spark, SF_TINY, "documents")
+    path = str(tmp_path / "docs_orc")
+    W.write_orc(df, path, partition_by="lang")
+    back = R.load_orc(spark, path)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert a == b
+
+
+def test_orc_scan_prunes_partitions(spark, tmp_path):
+    """Filters on the partition column prune directories at plan time."""
+    from xpysom_dask_spark.sources import readers as R, writers as W
+
+    df = R.load_table(spark, SF_TINY, "documents")
+    path = str(tmp_path / "docs_orc_p")
+    W.write_orc(df, path, partition_by="source")
+    back = R.load_orc(spark, path).where("source = 'src1'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan \
+        or "source#" in plan
+    assert back.count() == df.where("source = 'src1'").count()

@@ -199,3 +199,48 @@ def interval_join(points: DataFrame, intervals: DataFrame,
             .where((F.col(point_ts) >= F.col(start_col))
                    & (F.col(point_ts) <= F.col(end_col)))
             .drop("__bucket"))
+
+
+def parse_props(events: DataFrame, field: str, out_col: str | None = None,
+                props_col: str = "props",
+                cast: str = "bigint") -> DataFrame:
+    """Extract one field from the JSON ``props_col`` as a typed column.
+
+    Semi-structured event payloads are the norm in clickstream corpora;
+    the scale-correct pattern is `get_json_object` (JVM-side Jackson
+    path evaluation, whole-stage codegen, no Python) projected ONCE
+    into a typed column, after which every downstream filter/agg runs
+    on the typed value and the JSON string can be pruned from the scan.
+    For many-field extraction prefer `from_json` with an explicit
+    schema (one parse, N fields) — this helper is the single-field
+    fast path.
+    """
+    out_col = out_col or field
+    return events.withColumn(
+        out_col,
+        F.get_json_object(F.col(props_col), f"$.{field}").cast(cast))
+
+
+def props_field_stats(events: DataFrame, field: str = "k",
+                      group_col: str = "event_type",
+                      props_col: str = "props") -> DataFrame:
+    """Per-group stats of a numeric JSON props field: count, missing
+    count, exact integer sum, and min/max/avg — the profiling query
+    every semi-structured ingest starts with.
+
+    One narrow JSON projection + one partial-aggregated groupBy on the
+    low-cardinality group key; the sum is exact BIGINT arithmetic so
+    the report is bit-stable across partitionings and engines (the avg
+    is derived sum/count in double — one deterministic division).
+    """
+    k = F.get_json_object(F.col(props_col), f"$.{field}").cast("bigint")
+    return (events.withColumn("__k", k)
+            .groupBy(F.col(group_col).alias("group_key"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_missing"),
+                 F.sum("__k").alias("sum_val"),
+                 F.min("__k").alias("min_val"),
+                 F.max("__k").alias("max_val"),
+                 F.round(F.sum("__k").cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_val")))

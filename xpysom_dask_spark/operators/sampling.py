@@ -166,3 +166,61 @@ def mixture_resample(df: DataFrame, id_col: str, strata_col: str,
     return (df.withColumn("__n", n)
             .withColumn(copy_col, F.explode(copies))
             .drop("__n"))
+
+
+def importance_sample(df: DataFrame, id_col: str, weight_col: str,
+                      fraction: float, seed: int = 0) -> DataFrame:
+    """Deterministic weight-proportional sampling: row *i* is kept with
+    probability min(1, fraction · wᵢ / w̄) — rows twice the mean weight
+    are kept twice as often, and the expected kept-fraction is
+    ``fraction`` (exactly, when no per-row probability clips at 1).
+
+    The quality-weighted curation primitive: weight by a quality score
+    and the sample tilts toward high-quality documents without a sort
+    or a global rank.  Decision is the same content-hash uniform as
+    ``hash_sample`` (reproducible under any partitioning); the mean
+    weight is ONE scalar aggregate broadcast back into the filter, so
+    the whole plan is two scans — aggregate + filtered scan — with the
+    filter codegen'd into the second.
+
+    For cross-engine bit-parity use an integer ``weight_col`` (BIGINT
+    sums are exact; float sums are accumulation-order-dependent).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    stats = df.agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("__wsum"),
+        F.count(F.lit(1)).alias("__wn"))
+    u = _unit_hash(id_col, seed)
+    p = F.lit(float(fraction)) * F.col(weight_col).cast("double") \
+        / (F.col("__wsum").cast("double") / F.col("__wn"))
+    return (df.crossJoin(F.broadcast(stats))
+            .where(u < F.least(F.lit(1.0), p))
+            .drop("__wsum", "__wn"))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0,
+                          num_partitions: int | None = None,
+                          key_col: str = "shuffle_key") -> DataFrame:
+    """Globally shuffle a corpus into a reproducible pseudo-random order
+    — the last step before writing training shards, where sequential
+    correlation in the source layout (crawl order, domain clustering)
+    must not survive into the token stream.
+
+    The order key is the content-hash uniform of ``id_col``: stable
+    across runs, engines, and input layouts, and changing ``seed``
+    yields an independent permutation.  The plan is a RANGE
+    repartition on the key (Spark samples the key distribution to cut
+    balanced ranges — no single-partition global sort) followed by a
+    within-partition sort: reading partitions in index order yields
+    the exact global order at any scale, which is how `orderBy`
+    itself distributes, minus its extra pass when the output is
+    written straight to sharded files.  Ties (hash collisions) break
+    on ``id_col``, so the permutation is total and deterministic.
+    """
+    out = df.withColumn(key_col, _unit_hash(id_col, seed))
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    return (out.repartitionByRange(int(parts), F.col(key_col),
+                                   F.col(id_col))
+            .sortWithinPartitions(key_col, id_col))

@@ -394,3 +394,39 @@ def gopher_quality_flags(df, text_col: str,
                 & (ar >= min_alpha_ratio)
                 & (rep <= max_repetition))
             .drop("_g", "_ar"))
+
+
+# --------------------------------------------------------------------- #
+# PII redaction
+
+#: (name, pattern, replacement) — patterns restricted to the syntax
+#: subset Java regex (Spark) and RE2 (DuckDB/Go scanners) both accept:
+#: no backreferences, no lookaround, only \d/\b/classes/quantifiers —
+#: so one pattern table drives the engine and its oracle twin.
+#: Order matters: emails before IPv4 (addresses contain dotted digit
+#: runs), IPv4 before phone (both are digit runs).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: str) -> Column:
+    """Replace every email / IPv4 / phone-shaped span with a typed
+    placeholder token.  Three chained `regexp_replace` calls — JVM
+    regex inside whole-stage codegen, one pass per pattern over the
+    string, no Python — applied in the declared order so overlapping
+    shapes resolve deterministically."""
+    out = F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: str) -> list[Column]:
+    """One ``n_<name>`` BIGINT count column per PII pattern (matches
+    counted on the ORIGINAL text, before redaction)."""
+    return [F.regexp_count(F.col(col), F.lit(pat)).cast("bigint")
+            .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]

@@ -120,3 +120,11 @@ def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
              "schema-inference pass over the input (double I/O at "
              "scale); pass the DDL for production reads.")
     return reader.json(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — scan-level column pruning + predicate pushdown via
+    the native vectorized ORC reader (`spark.sql.orc.impl=native`, the
+    default), so filters reach stripe statistics exactly as parquet
+    filters reach row groups."""
+    return spark.read.orc(path)

@@ -63,3 +63,18 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
             partition_by = [partition_by]
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by=None, compression: str = "zstd") -> None:
+    """ORC sink (zstd by default) — the columnar interchange format for
+    Hive/Trino-side consumers.  Same pruning/pushdown story as parquet
+    (stripe-level statistics, predicate pushdown, column projection);
+    optional directory partitioning composes with partition pruning.
+    """
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by is not None:
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

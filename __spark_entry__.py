@@ -1448,6 +1448,114 @@ FROM b
 """
 
 
+def _q_events_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP (events.rollup_report): (event_type, hour)
+    → (event_type) → grand total with grouping_id levels — one Expand
+    + one partial-aggregated shuffle, O(groups) traffic."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.rollup_report(readers.load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_rollup():
+    return """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hour_of_day, -1) AS hour_of_day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(GROUPING(event_type, hour_of_day) AS BIGINT) AS level
+FROM (SELECT event_type,
+             CAST((CAST(epoch_ns(ts) AS BIGINT) // 3600000000000) % 24
+                  AS BIGINT) AS hour_of_day,
+             value
+      FROM events)
+GROUP BY ROLLUP (event_type, hour_of_day)
+"""
+
+
+#: columns the table-profile query audits (numeric — min/max cast DOUBLE)
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_table_profile(spark, sf_dir):
+    """Column-level ingest audit (operators/profile.py): null counts,
+    exact distincts, numeric ranges for the orders table in one
+    multi-distinct aggregate (Expand + one exchange); the report rows
+    are built from the single aggregate row, never from data."""
+    from xpysom_dask_spark.operators import profile as PROF
+
+    return (PROF.profile_columns(
+        readers.load_table(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+        .withColumnRenamed("column", "col_name"))
+
+
+def _sql_table_profile():
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  MIN(CAST({c} AS DOUBLE)) AS min_val, MAX(CAST({c} AS DOUBLE)) AS max_val
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+def _q_streaming_sessions(spark, sf_dir):
+    """Native Structured-Streaming session windows
+    (streaming/sessions.py: F.session_window + watermark) drained with
+    availableNow — must equal the batch gap-sessionization answer,
+    which the lag/cumsum oracle replays (session breaks at gap ≥ 30
+    min; session_end = last event + gap, Spark's window-end
+    convention).  ts is truncated to µs with exact integer DIV (the
+    double-division shortcut drifts at epoch-nano magnitudes)."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import session_windows
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="sessstream_")
+    src.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(src.schema).parquet(tmp)
+    out = session_windows(stream, "user_id", "ts", gap="30 minutes")
+    name = "q_sess_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select("user_id",
+                    F.col("session_start").cast("long").alias("start_s"),
+                    F.col("session_end").cast("long").alias("end_s"),
+                    "n_events"))
+
+
+def _sql_streaming_sessions():
+    return """
+WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 1000 AS us
+           FROM events),
+marks AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS newf
+  FROM e),
+sess AS (
+  SELECT user_id, us,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id, MIN(us) // 1000000 AS start_s,
+       (MAX(us) + 1800000000) // 1000000 AS end_s,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1508,6 +1616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": _q_importance_sample,
         "corpus_shuffle": _q_corpus_shuffle,
         "pii_redact": _q_pii_redact,
+        "events_rollup": _q_events_rollup,
+        "table_profile": _q_table_profile,
+        "streaming_sessions": _q_streaming_sessions,
     }
 
 
@@ -2336,4 +2447,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "importance_sample": _sql_importance_sample(),
         "corpus_shuffle": _sql_corpus_shuffle(),
         "pii_redact": _sql_pii_redact(),
+        "events_rollup": _sql_events_rollup(),
+        "table_profile": _sql_table_profile(),
+        "streaming_sessions": _sql_streaming_sessions(),
     }

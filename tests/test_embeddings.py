@@ -153,3 +153,34 @@ def test_redact_pii_fixture_strings(spark):
     assert by_id[4]["n_email"] == by_id[4]["n_ipv4"] == by_id[4]["n_phone"] == 0
     assert by_id[4]["red"] == "clean text, nothing here"
     assert by_id[5]["n_email"] == 2 and by_id[5]["red"].count("<EMAIL>") == 2
+
+
+def test_rollup_report_levels(spark):
+    ev = readers.load_table(spark, SF_TINY, "events")
+    out = ev_ops.rollup_report(ev)
+    rows = out.collect()
+    total = [r for r in rows if r["level"] == 3]
+    assert len(total) == 1 and total[0]["n_events"] == ev.count()
+    per_type = [r for r in rows if r["level"] == 1]
+    assert sum(r["n_events"] for r in per_type) == ev.count()
+    leaf = [r for r in rows if r["level"] == 0]
+    assert sum(r["n_events"] for r in leaf) == ev.count()
+    assert all(0 <= r["hour_of_day"] <= 23 for r in leaf)
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from xpysom_dask_spark.operators import profile as prof_ops
+
+    orders = readers.load_table(spark, SF_TINY, "orders")
+    out = {r["column"]: r for r in prof_ops.profile_columns(
+        orders, ["o_orderkey", "o_totalprice"]).collect()}
+    n = orders.count()
+    assert out["o_orderkey"]["n_rows"] == n
+    assert out["o_orderkey"]["n_distinct"] == \
+        orders.select("o_orderkey").distinct().count()
+    assert out["o_totalprice"]["min_val"] <= out["o_totalprice"]["max_val"]
+    # approx mode: same shape, cardinality within HLL tolerance
+    ap = {r["column"]: r for r in prof_ops.profile_columns(
+        orders, ["o_orderkey"], exact=False).collect()}
+    exact_nd = out["o_orderkey"]["n_distinct"]
+    assert abs(ap["o_orderkey"]["n_distinct"] - exact_nd) < 0.1 * exact_nd

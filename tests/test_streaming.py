@@ -332,3 +332,40 @@ def test_transition_fn_vectorized_unit():
     # empty batch is a no-op on counts
     list(_transition_fn(("u",), iter([b3.iloc[:0]]), st))
     assert st.get == (8, 4, 9)
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """The native session_window drain equals the same expression run
+    as a plain batch aggregation — pins streaming/batch semantic
+    parity for the sessions operator."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.sources import readers
+    from xpysom_dask_spark.streaming import session_windows
+
+    ev = readers.load_table(spark, SF_TINY, "events")
+    src = ev.select(
+        "user_id",
+        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"))
+    path = str(tmp_path / "sess_src")
+    src.write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = session_windows(stream, "user_id", "ts", gap="30 minutes")
+    name = "t_sess_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    streamed = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).collect())
+
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_windows(
+            spark.read.parquet(path), "user_id", "ts",
+            gap="30 minutes").collect())
+    assert streamed == batch
+    assert len(streamed) > 0

@@ -244,3 +244,33 @@ def props_field_stats(events: DataFrame, field: str = "k",
                  F.max("__k").alias("max_val"),
                  F.round(F.sum("__k").cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_val")))
+
+
+def rollup_report(events: DataFrame, ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Hierarchical ROLLUP aggregate: (event_type, hour-of-day) →
+    (event_type) → grand total, one row each, with ``grouping_id``
+    tagging the level — the OLAP cube slice a monitoring dashboard
+    reads in one query instead of three.
+
+    Catalyst plans ROLLUP as one Expand (each row fans to its 3
+    grouping sets) + one partial-aggregated exchange — a single
+    shuffle whose traffic is O(groups), not O(rows).  Hour-of-day is
+    exact BIGINT arithmetic on the epoch-nano timestamp (DIV 3600e9
+    mod 24), so the report is engine- and layout-stable.
+    """
+    hour = F.expr(f"CAST(({ts_col} DIV 3600000000000) % 24 AS BIGINT)")
+    rolled = (events.withColumn("hour_of_day", hour)
+              .rollup(type_col, "hour_of_day")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum(value_col), 4).alias("sum_value"),
+                   F.grouping_id().cast("bigint").alias("level")))
+    # grouped-out keys come back NULL from ROLLUP; surface them as
+    # explicit sentinels so consumers (and sort-based comparators)
+    # never mix NULL into a key column
+    return rolled.select(
+        F.coalesce(F.col(type_col), F.lit("ALL")).alias(type_col),
+        F.coalesce(F.col("hour_of_day"), F.lit(-1).cast("bigint"))
+        .alias("hour_of_day"),
+        "n_events", "sum_value", "level")

@@ -14,5 +14,6 @@ from .scoring import (  # noqa: F401
     windowed_activation_response,
     windowed_qe_drift,
 )
+from .sessions import session_windows  # noqa: F401
 from .state import bmu_transitions  # noqa: F401
 from .training import StreamingSomTrainer  # noqa: F401

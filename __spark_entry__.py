@@ -1556,6 +1556,62 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def _q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary/frequency table (text.vocab_counts): explode +
+    map-side-combined term aggregate, min_count pruning after the agg —
+    the tokenizer-training artifact."""
+    return T.vocab_counts(_docs(spark, sf_dir), "text", min_count=2)
+
+
+def _sql_text_vocab():
+    return f"""
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest({_duck_tokens('text')}) AS term FROM documents)
+GROUP BY term HAVING COUNT(*) >= 2
+"""
+
+
+def _q_text_lm_score(spark, sf_dir):
+    """Per-document mean unigram log-probability under the corpus's own
+    LM (text.unigram_logprob_score) — the CCNet-perplexity-filter
+    stand-in; within-corpus scoring has no OOV so the oracle needs no
+    smoothing.  Broadcast vocab join, one groupBy(doc) close."""
+    return T.unigram_logprob_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_text_lm_score():
+    return f"""
+WITH toks AS (SELECT doc_id AS id, unnest({_duck_tokens('text')}) AS term
+              FROM documents),
+counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT id, COUNT(*) AS n_tok,
+       ROUND(SUM(ln(CAST(n AS DOUBLE) / total)) / COUNT(*), 6) AS avg_logp
+FROM toks JOIN counts USING (term), total
+GROUP BY id
+"""
+
+
+def _q_source_quota(spark, sf_dir):
+    """Per-source quota cap (sampling.cap_per_group): at most 10 docs
+    per source, chosen by content-hash order so the kept subset is
+    layout-independent — the spam-domain cap."""
+    return sampling.cap_per_group(
+        _docs(spark, sf_dir), "doc_id", "source", 10
+    ).select("doc_id", "source")
+
+
+def _sql_source_quota():
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY {_duck_unit_hash('doc_id', 0)} ASC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1619,6 +1675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "table_profile": _q_table_profile,
         "streaming_sessions": _q_streaming_sessions,
+        "text_vocab": _q_text_vocab,
+        "text_lm_score": _q_text_lm_score,
+        "source_quota": _q_source_quota,
     }
 
 
@@ -2450,4 +2509,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "events_rollup": _sql_events_rollup(),
         "table_profile": _sql_table_profile(),
         "streaming_sessions": _sql_streaming_sessions(),
+        "text_vocab": _sql_text_vocab(),
+        "text_lm_score": _sql_text_lm_score(),
+        "source_quota": _sql_source_quota(),
     }

@@ -184,3 +184,44 @@ def test_profile_columns_exact_and_approx(spark):
         orders, ["o_orderkey"], exact=False).collect()}
     exact_nd = out["o_orderkey"]["n_distinct"]
     assert abs(ap["o_orderkey"]["n_distinct"] - exact_nd) < 0.1 * exact_nd
+
+
+def test_vocab_counts_min_count(spark):
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    v1 = {r["term"]: r["n"] for r in text_ops.vocab_counts(
+        docs, "text", 1).collect()}
+    v5 = {r["term"]: r["n"] for r in text_ops.vocab_counts(
+        docs, "text", 5).collect()}
+    assert set(v5) <= set(v1)
+    assert all(n >= 5 for n in v5.values())
+    assert sum(v1.values()) == docs.select(
+        F.sum(text_ops.token_count("text"))).first()[0]
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """A doc of corpus-common words must outscore a doc of hapaxes."""
+    rows = [(1, "the the the and and of"), (2, "the and of to in a"),
+            (3, "zzqx vvbnk wwrtpl"), (4, "the of and")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in text_ops.unigram_logprob_score(
+        df, "text", "doc_id").collect()}
+    assert out[3]["avg_logp"] < out[4]["avg_logp"]
+    assert out[3]["avg_logp"] < out[1]["avg_logp"]
+    assert out[1]["n_tok"] == 6
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    capped = sampling.cap_per_group(docs, "doc_id", "source", 3)
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    # groups smaller than the cap keep everything
+    sizes = {r["source"]: r["count"] for r in
+             docs.groupBy("source").count().collect()}
+    kept = {r["source"]: r["count"] for r in per}
+    for s, n in sizes.items():
+        assert kept.get(s, 0) == min(n, 3)
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in sampling.cap_per_group(
+        docs.repartition(13), "doc_id", "source", 3).collect())
+    assert a == b

@@ -224,3 +224,25 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0,
     return (out.repartitionByRange(int(parts), F.col(key_col),
                                    F.col(id_col))
             .sortWithinPartitions(key_col, id_col))
+
+
+def cap_per_group(df: DataFrame, id_col: str, group_col: str,
+                  max_rows: int) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen
+    deterministically by the content-hash order of ``id_col`` (NOT by
+    source order, which is layout-dependent) — the spam-domain quota
+    cap: no single source/domain may contribute more than its cap to
+    the training mix, and reruns keep the identical subset.
+
+    One window shuffle keyed on the group.  A pathologically hot group
+    concentrates its rows in one task; the hash order means a
+    pre-filter can bound it: rows can first be cut to ~cap survivors
+    per group with ``hash_sample`` when |group| ≫ cap, making the
+    window's worst task O(cap log cap).  For the moderate skew of real
+    domain distributions the single window is the right plan.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _unit_hash(id_col, 0).asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(max_rows))
+            .drop("__rn"))

@@ -430,3 +430,54 @@ def pii_counts(col: str) -> list[Column]:
     counted on the ORIGINAL text, before redaction)."""
     return [F.regexp_count(F.col(col), F.lit(pat)).cast("bigint")
             .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+
+
+# --------------------------------------------------------------------- #
+# corpus language-model scoring (CCNet-style quality filtering)
+
+def vocab_counts(df, text_col: str, min_count: int = 1):
+    """Corpus-wide term frequency table: ``term, n`` with n ≥
+    ``min_count`` — the vocabulary/frequency artifact tokenizer
+    training and LM scoring both start from.
+
+    One explode (narrow) + one partial-aggregated shuffle keyed on the
+    term; ``min_count`` prunes the long hapax tail AFTER the aggregate
+    (the count isn't known before it), which is where the output — not
+    the shuffle — shrinks.  Traffic is O(partitions · distinct terms)
+    thanks to map-side combine, not O(total tokens).
+    """
+    return (df.select(F.explode(tokens(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .where(F.col("n") >= int(min_count)))
+
+
+def unigram_logprob_score(df, text_col: str, id_col: str,
+                          decimals: int = 6):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM: ``id, n_tok, avg_logp`` — the cheap stand-in for the
+    CCNet/KenLM perplexity filter: documents of rare, never-repeated
+    junk score far below documents of common well-distributed language,
+    and thresholding on ``avg_logp`` is the classic quality gate.
+
+    Within-corpus scoring has no OOV (every token appears ≥ 1 time), so
+    no smoothing term muddies the oracle.  Plan: the token explode is
+    evaluated twice (once into the count aggregate, once into the
+    scoring join) — two narrow scans; the vocabulary join broadcasts
+    when the post-aggregate vocab is small (it is: Heaps' law keeps
+    distinct terms ≪ corpus size), then one groupBy(id) closes the
+    per-document mean.  The total-token count rides the vocab aggregate
+    as ONE extra scalar (windowless sum), broadcast with it.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("term"))
+    counts = (toks.groupBy("term")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    scored = (toks.join(F.broadcast(counts), "term")
+              .crossJoin(F.broadcast(total)))
+    logp = F.log(F.col("n").cast("double") / F.col("total"))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+                 F.round(F.sum(logp) / F.count(F.lit(1)), decimals)
+                 .alias("avg_logp")))

@@ -179,6 +179,16 @@ def main():
         multimodal.embeddings_as_images(emb)).agg(
         F.sum("px_sum")).collect())
 
+    # round-3 pipeline surface: int8 embedding storage pass (pure
+    # codegen array math, no shuffle), unigram-LM quality scoring
+    # (broadcast vocab join), and the OLAP rollup (Expand + one agg)
+    from xpysom_dask_spark.operators import embeddings as EMB
+    timed("embedding_quantize", lambda: EMB.quantization_error(
+        EMB.quantize_int8(emb)).agg(F.max("max_abs_err")).collect())
+    timed("text_lm_score", lambda: T.unigram_logprob_score(
+        docs, "text", "doc_id").agg(F.min("avg_logp")).collect())
+    timed("events_rollup", lambda: EV.rollup_report(ev).count())
+
     # skew path (VERDICT r02 #9): a duplicate-heavy corpus — one
     # 300-copy hot cluster on top of the real documents — measured
     # with exact all-pairs band joins vs the max_bucket star-pair cap.

@@ -185,18 +185,23 @@ def importance_sample(df: DataFrame, id_col: str, weight_col: str,
 
     For cross-engine bit-parity use an integer ``weight_col`` (BIGINT
     sums are exact; float sums are accumulation-order-dependent).
+
+    NB: the mean-weight aggregate runs EAGERLY at call time (one
+    scalar job) and is folded into the filter as a literal — the
+    returned plan is then a pure codegen'd filter in the scan stage
+    (no 1-row join node), same as ``hash_sample``.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    stats = df.agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("__wsum"),
-        F.count(F.lit(1)).alias("__wn"))
+    wsum, wn = df.agg(
+        F.sum(F.col(weight_col).cast("bigint")),
+        F.count(F.lit(1))).first()
+    if not wn:
+        return df.where(F.lit(False))
     u = _unit_hash(id_col, seed)
     p = F.lit(float(fraction)) * F.col(weight_col).cast("double") \
-        / (F.col("__wsum").cast("double") / F.col("__wn"))
-    return (df.crossJoin(F.broadcast(stats))
-            .where(u < F.least(F.lit(1.0), p))
-            .drop("__wsum", "__wn"))
+        / (F.lit(wsum).cast("double") / F.lit(wn))
+    return df.where(u < F.least(F.lit(1.0), p))
 
 
 def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0,

@@ -1612,6 +1612,58 @@ WHERE rn <= 10
 """
 
 
+#: pivot value list shared by query and oracle (explicit list → no
+#: distinct-values job, deterministic schema)
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_moving_avg(spark, sf_dir):
+    """Per-user trailing 5-event moving average (events.moving_average):
+    one hash Exchange on user + one window pass; ordering on the
+    µs-truncated ts with an event_id tie-break (sub-µs order is not
+    portable across parquet readers)."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.moving_average(readers.load_table(spark, sf_dir, "events"))
+
+
+def _sql_events_moving_avg():
+    return """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id
+           ORDER BY CAST(epoch_ns(ts) AS BIGINT) // 1000 ASC,
+                    event_id ASC
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma
+FROM events
+"""
+
+
+def _q_events_pivot(spark, sf_dir):
+    """hour-of-day × event_type count matrix (events.pivot_counts):
+    groupBy().pivot() with an explicit value list — physically one
+    partial-aggregated shuffle, same as conditional aggregation."""
+    from xpysom_dask_spark.operators import events as EV
+
+    ev = readers.load_table(spark, sf_dir, "events").withColumn(
+        "hour_of_day",
+        F.expr("CAST((ts DIV 3600000000000) % 24 AS BIGINT)"))
+    return EV.pivot_counts(ev, "hour_of_day", "event_type",
+                           list(_PIVOT_TYPES))
+
+
+def _sql_events_pivot():
+    cases = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)
+    return f"""
+SELECT hour_of_day,
+  {cases}
+FROM (SELECT CAST((CAST(epoch_ns(ts) AS BIGINT) // 3600000000000) % 24
+         AS BIGINT) AS hour_of_day, event_type FROM events)
+GROUP BY hour_of_day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1678,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": _q_text_vocab,
         "text_lm_score": _q_text_lm_score,
         "source_quota": _q_source_quota,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_pivot": _q_events_pivot,
     }
 
 
@@ -2512,4 +2566,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_vocab": _sql_text_vocab(),
         "text_lm_score": _sql_text_lm_score(),
         "source_quota": _sql_source_quota(),
+        "events_moving_avg": _sql_events_moving_avg(),
+        "events_pivot": _sql_events_pivot(),
     }

@@ -225,3 +225,27 @@ def test_cap_per_group_quota_and_determinism(spark):
     b = sorted(r["doc_id"] for r in sampling.cap_per_group(
         docs.repartition(13), "doc_id", "source", 3).collect())
     assert a == b
+
+
+def test_moving_average_window_semantics(spark):
+    rows = [(i, 7, 1_000_000_000 * i, float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double")
+    out = {r["event_id"]: r["ma"] for r in
+           ev_ops.moving_average(df, n=3).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 1.5
+    assert out[3] == 2.0          # (1+2+3)/3
+    assert out[6] == 5.0          # (4+5+6)/3
+
+
+def test_pivot_counts_schema_and_totals(spark):
+    ev = readers.load_table(spark, SF_TINY, "events")
+    ev = ev.withColumn("hod", F.expr(
+        "CAST((ts DIV 3600000000000) % 24 AS BIGINT)"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev_ops.pivot_counts(ev, "hod", "event_type", types)
+    assert out.columns == ["hod"] + [f"n_{t}" for t in types]
+    total = out.select(sum(F.col(f"n_{t}") for t in types)
+                       .alias("s")).agg(F.sum("s")).first()[0]
+    assert total == ev.count()

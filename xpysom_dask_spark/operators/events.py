@@ -274,3 +274,43 @@ def rollup_report(events: DataFrame, ts_col: str = "ts",
         F.coalesce(F.col("hour_of_day"), F.lit(-1).cast("bigint"))
         .alias("hour_of_day"),
         "n_events", "sum_value", "level")
+
+
+def moving_average(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   id_col: str = "event_id", n: int = 5,
+                   decimals: int = 6) -> DataFrame:
+    """Per-user trailing moving average over the last ``n`` events:
+    ``event_id, user_id, ma`` — the rolling-feature primitive for
+    per-entity time series.
+
+    One hash Exchange on the user key + one window pass (sort reused
+    for any sibling window on the same partitioning).  Ordering is on
+    the µs-truncated timestamp with an explicit ``id_col`` tie-break:
+    sub-µs ordering is not portable across engines/readers (parquet
+    NANOS truncate to µs in µs-precision readers), so the operator
+    never depends on it.
+    """
+    us = F.expr(f"CAST({ts_col} DIV 1000 AS BIGINT)")
+    w = (Window.partitionBy(user_col)
+         .orderBy(us.asc(), F.col(id_col).asc())
+         .rowsBetween(-(n - 1), 0))
+    return events.select(
+        F.col(id_col), F.col(user_col),
+        F.round(F.avg(F.col(value_col)).over(w), decimals).alias("ma"))
+
+
+def pivot_counts(events: DataFrame, row_col: str, pivot_col: str,
+                 pivot_values: list[str]) -> DataFrame:
+    """Pivot ``pivot_col`` into one count column per value in
+    ``pivot_values`` (explicit value list — Spark then skips the extra
+    distinct-values job AND the output schema is deterministic, which
+    an implicit pivot is not).  Physically identical to conditional
+    aggregation: one partial-aggregated shuffle on ``row_col``,
+    O(rows_out · values) result."""
+    return (events.groupBy(row_col)
+            .pivot(pivot_col, pivot_values)
+            .agg(F.count(F.lit(1)))
+            .select(F.col(row_col),
+                    *[F.coalesce(F.col(v), F.lit(0)).cast("bigint")
+                      .alias(f"n_{v}") for v in pivot_values]))

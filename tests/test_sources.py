@@ -161,3 +161,20 @@ def test_orc_scan_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(source" in plan \
         or "source#" in plan
     assert back.count() == df.where("source = 'src1'").count()
+
+
+def test_text_source_lines_and_wholefile(spark, tmp_path):
+    from xpysom_dask_spark.sources import readers as R
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = R.load_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == \
+        ["line one", "line two", "solo"]
+    whole = R.load_text(spark, str(p), whole_file=True)
+    assert whole.count() == 2
+    assert any("line one\nline two" in r["value"]
+               for r in whole.collect())

@@ -128,3 +128,13 @@ def load_orc(spark: SparkSession, path: str) -> DataFrame:
     default), so filters reach stripe statistics exactly as parquet
     filters reach row groups."""
     return spark.read.orc(path)
+
+
+def load_text(spark: SparkSession, path: str,
+              whole_file: bool = False) -> DataFrame:
+    """Raw text source.  Default: one row per line (``value: string``)
+    — the splittable shape for line-oriented corpora.  ``whole_file``
+    reads one row per FILE (wholetext) for document-per-file layouts;
+    non-splittable, so pair it with many small-ish files, not one
+    100 GB blob."""
+    return spark.read.text(path, wholetext=whole_file)

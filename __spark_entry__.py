@@ -1664,6 +1664,53 @@ GROUP BY hour_of_day
 """
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream join (streaming/joins.py): purchases
+    within one hour of a click by the same user, both sides real file
+    streams drained with availableNow.  The event-time range condition
+    is what bounds the join state (a buffered row evicts once the
+    other side's watermark passes its window) — the operator makes the
+    bound mandatory."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import interval_join_stream
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="ssjoin_")
+    (base.where("event_type = 'click'")
+     .select("event_id", "user_id", "ts")
+     .write.mode("overwrite").parquet(tmp + "/clicks"))
+    (base.where("event_type = 'purchase'")
+     .select("event_id", "user_id", "ts")
+     .write.mode("overwrite").parquet(tmp + "/purchases"))
+    schema = "event_id long, user_id long, ts timestamp"
+    sc = spark.readStream.schema(schema).parquet(tmp + "/clicks")
+    sp = spark.readStream.schema(schema).parquet(tmp + "/purchases")
+    out = interval_join_stream(sc, sp, "user_id", "ts", "ts",
+                               upper="1 hour")
+    name = "q_ssjoin_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"))
+
+
+def _sql_streaming_interval_join():
+    return """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p ON p.user_id = c.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1732,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "events_moving_avg": _q_events_moving_avg,
         "events_pivot": _q_events_pivot,
+        "streaming_interval_join": _q_streaming_interval_join,
     }
 
 
@@ -2568,4 +2616,5 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "source_quota": _sql_source_quota(),
         "events_moving_avg": _sql_events_moving_avg(),
         "events_pivot": _sql_events_pivot(),
+        "streaming_interval_join": _sql_streaming_interval_join(),
     }

@@ -369,3 +369,44 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
             gap="30 minutes").collect())
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream watermarked join drained with availableNow equals
+    the same plan run as a plain batch join."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.sources import readers
+    from xpysom_dask_spark.streaming import interval_join_stream
+
+    ev = readers.load_table(spark, SF_TINY, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"))
+    cpath, ppath = str(tmp_path / "c"), str(tmp_path / "p")
+    base.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts").write.parquet(cpath)
+    base.where("event_type = 'view'").select(
+        "event_id", "user_id", "ts").write.parquet(ppath)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    sc = spark.readStream.schema(schema).parquet(cpath)
+    sp = spark.readStream.schema(schema).parquet(ppath)
+    out = interval_join_stream(sc, sp, "user_id", "ts", "ts",
+                               upper="2 hours")
+    name = "t_ssj_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    streamed = sorted((r["user_id"], r["l_event_id"], r["r_event_id"])
+                      for r in spark.table(name).collect())
+
+    batch = interval_join_stream(
+        spark.read.parquet(cpath), spark.read.parquet(ppath),
+        "user_id", "ts", "ts", upper="2 hours")
+    expected = sorted((r["user_id"], r["l_event_id"], r["r_event_id"])
+                      for r in batch.collect())
+    assert streamed == expected
+    assert len(streamed) > 0

@@ -14,6 +14,7 @@ from .scoring import (  # noqa: F401
     windowed_activation_response,
     windowed_qe_drift,
 )
+from .joins import interval_join_stream  # noqa: F401
 from .sessions import session_windows  # noqa: F401
 from .state import bmu_transitions  # noqa: F401
 from .training import StreamingSomTrainer  # noqa: F401

@@ -305,3 +305,39 @@ def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
     assert r[0] <= r[1] <= r[2]
     assert r[2] == 1.0
     assert (got["n_queries"] > 0).all()
+
+
+def test_som_ivf_index_quantized(spark, tmp_path):
+    """int8-quantized index: 4x smaller rows, full-probe results within
+    quantization error of the exact-index results."""
+    e = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    som = SparkSom(2, 2, 64, random_seed=7, features_col="embedding")
+    som.train(e.select("embedding"), 1)
+    pf, pq = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q")
+    similarity.build_som_ivf_index(som, e, pf)
+    similarity.build_som_ivf_index(som, e, pq, quantize=True)
+    qdf = spark.read.parquet(pq)
+    assert "qvec" in qdf.columns and "scale" in qdf.columns
+    assert dict(qdf.dtypes)["qvec"] == "array<tinyint>"
+
+    q = e.orderBy("vec_id").limit(8).collect()
+    Q = np.array([r["embedding"] for r in q])
+    ids = [r["vec_id"] for r in q]
+    full = 4  # nprobe = x*y -> exact within each index
+    exact = similarity.som_ivf_topk_from_index(
+        spark, pf, som, Q, ids, k=3, nprobe=full).collect()
+    quant = similarity.som_ivf_topk_from_index(
+        spark, pq, som, Q, ids, k=3, nprobe=full).collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    qu = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in quant}
+    # per query: at least 2 of top-3 shared, sims within quantization err
+    from collections import defaultdict
+    exq, quq = defaultdict(set), defaultdict(set)
+    for (qid, nid) in ex:
+        exq[qid].add(nid)
+    for (qid, nid) in qu:
+        quq[qid].add(nid)
+    for qid in exq:
+        assert len(exq[qid] & quq[qid]) >= 2
+    for key in set(ex) & set(qu):
+        assert abs(ex[key] - qu[key]) < 0.02

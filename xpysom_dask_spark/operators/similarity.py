@@ -536,7 +536,8 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
 def build_som_ivf_index(som, corpus: DataFrame, path: str,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        quantize: bool = False) -> None:
     """Materialize the IVF index: the corpus scored once and written
     partitioned by ``cluster_id``.
 
@@ -546,11 +547,25 @@ def build_som_ivf_index(som, corpus: DataFrame, path: str,
     bytes are even opened).  This is the ANN shape that amortizes at
     100 TB: one narrow write, then reads that scale with nprobe, not
     corpus size.
+
+    ``quantize=True`` stores the vectors int8-quantized (``scale`` +
+    ``qvec tinyint`` instead of the float array — the FAISS-SQ8 trade):
+    ~4× smaller index files, so probed-cell reads move 4× fewer bytes;
+    query-side dequantization is a codegen'd ``transform`` in the scan
+    projection.  Candidate similarities then carry the reconstruction
+    error (≤ scale/2 per component — sub-1 % for unit-scale data), so
+    ranks can differ near ties; leave False when the index must
+    reproduce exact full-probe top-k.
     """
     from ..sources.writers import write_partitioned
 
     scored = som.transform(corpus, ("cluster_id",), features_col=vec_col) \
         .select(id_col, vec_col, "cluster_id")
+    if quantize:
+        from .embeddings import quantize_int8
+
+        scored = quantize_int8(scored, vec_col=vec_col) \
+            .select(id_col, "scale", "qvec", "cluster_id")
     write_partitioned(scored, path, "cluster_id", mode=mode)
 
 
@@ -565,8 +580,15 @@ def som_ivf_topk_from_index(spark, path: str, som,
     the probe join, so it becomes a plan-time ``PartitionFilters``
     entry — unprobed cells' directories are never opened.  Candidate
     scoring is the same broadcast equi-join + GEMM as ``som_ivf_topk``.
+    An int8-quantized index (``build_som_ivf_index(quantize=True)``) is
+    detected from its schema and dequantized in the scan projection.
     """
     idx = spark.read.parquet(path)
+    if "qvec" in idx.columns and vec_col not in idx.columns:
+        from .embeddings import dequantize_int8
+
+        idx = (dequantize_int8(idx, out_col=vec_col)
+               .drop("qvec", "scale"))
     w_flat = som._weights.reshape(-1, som._input_len)
     from ..functions.distances import euclidean
 

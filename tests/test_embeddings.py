@@ -249,3 +249,36 @@ def test_pivot_counts_schema_and_totals(spark):
     total = out.select(sum(F.col(f"n_{t}") for t in types)
                        .alias("s")).agg(F.sum("s")).first()[0]
     assert total == ev.count()
+
+
+def test_cap_per_group_hot_path_exact(spark):
+    """The two-phase skew plan returns EXACTLY the single-window
+    answer, including for a pathological hot group."""
+    rows = [(i, "hot" if i < 5000 else f"g{i % 7}") for i in range(5600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    base = sorted((r["source"], r["doc_id"]) for r in
+                  sampling.cap_per_group(df, "doc_id", "source", 20)
+                  .collect())
+    two = sorted((r["source"], r["doc_id"]) for r in
+                 sampling.cap_per_group(df, "doc_id", "source", 20,
+                                        hot_threshold=200).collect())
+    assert base == two
+    per = {}
+    for s, _ in two:
+        per[s] = per.get(s, 0) + 1
+    assert per["hot"] == 20
+
+
+def test_cap_per_group_hot_list_bound(spark):
+    rows = [(i, f"g{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hot_threshold"):
+        # every group is "hot" at threshold 0 (clamped to max_rows=1)
+        # with max_hot_groups tiny
+        sampling.cap_per_group(
+            spark.createDataFrame(
+                [(i, f"g{i % 40}") for i in range(400)],
+                "doc_id long, source string"),
+            "doc_id", "source", 1, hot_threshold=1, max_hot_groups=5)

@@ -232,22 +232,86 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0,
 
 
 def cap_per_group(df: DataFrame, id_col: str, group_col: str,
-                  max_rows: int) -> DataFrame:
+                  max_rows: int,
+                  hot_threshold: int | None = None,
+                  max_hot_groups: int = 100_000) -> DataFrame:
     """Keep at most ``max_rows`` rows per group, chosen
     deterministically by the content-hash order of ``id_col`` (NOT by
     source order, which is layout-dependent) — the spam-domain quota
     cap: no single source/domain may contribute more than its cap to
     the training mix, and reruns keep the identical subset.
 
-    One window shuffle keyed on the group.  A pathologically hot group
-    concentrates its rows in one task; the hash order means a
-    pre-filter can bound it: rows can first be cut to ~cap survivors
-    per group with ``hash_sample`` when |group| ≫ cap, making the
-    window's worst task O(cap log cap).  For the moderate skew of real
-    domain distributions the single window is the right plan.
+    Default plan: one window shuffle keyed on the group.  A
+    pathologically hot group (a crawl dump where one domain is half the
+    corpus) concentrates its rows in one window task, which must sort
+    |group| rows to keep ``max_rows`` of them.
+
+    ``hot_threshold`` turns on the skew-hardened two-phase plan:
+
+    1. per-group counts (map-side-combined aggregate); groups with
+       count > ``hot_threshold`` — at most N/hot_threshold of them,
+       additionally bounded by ``max_hot_groups`` — come to the driver;
+    2. hot groups get a codegen'd pre-filter ``u < 8·max_rows/size``:
+       the kept set is exactly the ``max_rows`` hash-smallest rows, and
+       those all survive any prefix-of-hash filter that keeps ≥
+       ``max_rows`` rows — so the pre-filter is EXACT whenever enough
+       rows survive, and the hot window task sorts ~8·max_rows rows
+       instead of |group|;
+    3. the survivor counts are VERIFIED (one aggregate): a hot group
+       left short of ``min(max_rows, size)`` survivors (binomial tail,
+       P < 1e-9 at the ×8 margin for max_rows ≥ 8) is recomputed
+       exactly on its own rows and unioned back — the fallback keeps
+       the operator exact, not probabilistic.
+
+    The result is identical to the default plan for every group.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        _unit_hash(id_col, 0).asc(), F.col(id_col).asc())
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= int(max_rows))
-            .drop("__rn"))
+    max_rows = int(max_rows)
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    u = _unit_hash(id_col, 0)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+
+    def plain(d):
+        return (d.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= max_rows)
+                .drop("__rn"))
+
+    if hot_threshold is None:
+        return plain(df)
+    hot_threshold = max(int(hot_threshold), max_rows)
+    sizes = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") > hot_threshold))
+    hot = {r[group_col]: r["__n"] for r in sizes.collect()}
+    if len(hot) > max_hot_groups:
+        raise ValueError(
+            f"cap_per_group: {len(hot)} groups exceed "
+            f"hot_threshold={hot_threshold} (> max_hot_groups="
+            f"{max_hot_groups}); raise hot_threshold so the hot list "
+            "stays driver-sized, or raise max_hot_groups if the "
+            "driver really has the headroom.")
+    if not hot:
+        return plain(df)
+
+    rate = None
+    for g, n in hot.items():
+        cond = F.col(group_col) == F.lit(g)
+        f = min(1.0, 8.0 * max_rows / n)
+        rate = (F.when(cond, F.lit(f)) if rate is None
+                else rate.when(cond, F.lit(f)))
+    rate = rate.otherwise(F.lit(1.0))
+    pre = df.where(u < rate)
+    capped = plain(pre)
+
+    # verify: every hot group must keep min(max_rows, size) rows
+    kept = {r[group_col]: r["__k"] for r in
+            (capped.where(F.col(group_col).isin(list(hot)))
+             .groupBy(group_col).agg(F.count(F.lit(1)).alias("__k"))
+             .collect())}
+    short = [g for g, n in hot.items()
+             if kept.get(g, 0) < min(max_rows, n)]
+    if short:
+        # binomial-tail miss: recompute those groups exactly
+        capped = (capped.where(~F.col(group_col).isin(short))
+                  .unionByName(plain(
+                      df.where(F.col(group_col).isin(short)))))
+    return capped

@@ -1711,6 +1711,88 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def _q_streaming_qe_drift(spark, sf_dir):
+    """Windowed model-drift monitor (streaming.windowed_qe_drift):
+    per-hour mean quantization error of the stream under the broadcast
+    codebook, drained with availableNow.  The oracle replays the qe
+    kernel's EXACT arithmetic — the GEMM expansion
+    (w² − 2·(x·w)) + x², not (x−w)², in that operation order — so BMU
+    selection and the residual agree bitwise before the ROUND."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import windowed_qe_drift
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("ts"),
+        F.array((F.col("value") / F.lit(100.0)).cast("double"))
+        .alias("features"))
+    tmp = tempfile.mkdtemp(prefix="qedrift_")
+    src.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(src.schema).parquet(tmp)
+    out = windowed_qe_drift(_stream_som(), stream, "ts", window="1 hour",
+                            watermark="0 seconds")
+    name = "q_qedrift_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.col("window_start").cast("long").alias("hour_ts"),
+                    F.round("mean_qe", 6).alias("mean_qe"),
+                    F.col("n_rows").cast("bigint").alias("n_rows")))
+
+
+def _sql_streaming_qe_drift():
+    W = _stream_som().get_weights()
+    rows = ",\n  ".join(f"({i}, {j}, CAST('{W[i, j, 0]!r}' AS DOUBLE))"
+                       for i in range(4) for j in range(4))
+    dsq = "((w.w1 * w.w1 - 2.0 * (f.f1 * w.w1)) + f.f1 * f.f1)"
+    return f"""
+WITH feats AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         value / CAST(100 AS DOUBLE) AS f1
+  FROM events),
+w(i, j, w1) AS (VALUES
+  {rows}),
+qe AS (
+  SELECT f.hour_ts,
+         (SELECT CASE WHEN {dsq} < 0 THEN 0.0 ELSE sqrt({dsq}) END
+          FROM w
+          ORDER BY {dsq}, w.i * 4 + w.j
+          LIMIT 1) AS qe
+  FROM feats f)
+SELECT hour_ts, ROUND(AVG(qe), 6) AS mean_qe, COUNT(*) AS n_rows
+FROM qe GROUP BY hour_ts
+"""
+
+
+def _q_text_token_ids(spark, sf_dir):
+    """Tokenize-to-ids (text.encode_token_ids): each document as its
+    frequency-rank token-id sequence — the encode step between
+    curation and sequence packing; the only single-partition sort is
+    the ranking window over the post-aggregate vocabulary (distinct
+    terms, never corpus rows)."""
+    return T.encode_token_ids(_docs(spark, sf_dir), "text", "doc_id") \
+        .withColumnRenamed("id", "doc_id")
+
+
+def _sql_text_token_ids():
+    return f"""
+WITH base AS (SELECT doc_id, {_duck_tokens('text')} AS toks
+              FROM documents),
+toks AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                unnest(toks) AS term
+         FROM base),
+vocab AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+ranked AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)
+               AS token_id FROM vocab)
+SELECT doc_id, list(token_id ORDER BY pos) AS ids
+FROM toks JOIN ranked USING (term)
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1780,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_pivot": _q_events_pivot,
         "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_qe_drift": _q_streaming_qe_drift,
+        "text_token_ids": _q_text_token_ids,
     }
 
 
@@ -2617,4 +2701,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "events_moving_avg": _sql_events_moving_avg(),
         "events_pivot": _sql_events_pivot(),
         "streaming_interval_join": _sql_streaming_interval_join(),
+        "streaming_qe_drift": _sql_streaming_qe_drift(),
+        "text_token_ids": _sql_text_token_ids(),
     }

@@ -282,3 +282,18 @@ def test_cap_per_group_hot_list_bound(spark):
                 [(i, f"g{i % 40}") for i in range(400)],
                 "doc_id long, source string"),
             "doc_id", "source", 1, hot_threshold=1, max_hot_groups=5)
+
+
+def test_encode_token_ids_roundtrip(spark):
+    """ids decode back to the original token stream via the vocab."""
+    docs = readers.load_table(spark, SF_TINY, "documents").limit(50)
+    enc = {r["id"]: list(r["ids"]) for r in
+           text_ops.encode_token_ids(docs, "text", "doc_id").collect()}
+    vocab = text_ops.vocab_counts(docs.limit(50), "text", 1)
+    # rebuild the rank table driver-side
+    ranked = sorted(((r["term"], r["n"]) for r in vocab.collect()),
+                    key=lambda t: (-t[1], t[0]))
+    id2term = {i + 1: t for i, (t, _) in enumerate(ranked)}
+    raw = {r["doc_id"]: r["text"].lower().split() for r in docs.collect()}
+    for did, ids in enc.items():
+        assert [id2term[i] for i in ids] == raw[did]

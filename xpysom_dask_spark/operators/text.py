@@ -14,7 +14,7 @@ winnowing fingerprint + polynomial rolling hash), 32-bit SimHash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: stopword tables for the language-ID heuristic (deterministic, tiny)
@@ -481,3 +481,32 @@ def unigram_logprob_score(df, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"),
                  F.round(F.sum(logp) / F.count(F.lit(1)), decimals)
                  .alias("avg_logp")))
+
+
+def encode_token_ids(df, text_col: str, id_col: str):
+    """Encode each document as its token-id sequence: ``id,
+    ids array<bigint>`` with ids = frequency rank in the corpus
+    vocabulary (1 = most frequent; ties break lexicographically) —
+    the tokenize-to-ids step between text curation and sequence
+    packing, with the corpus's own frequency table as the vocabulary.
+
+    Plan: token explode (narrow) → vocab aggregate (map-side combined,
+    O(distinct terms)) → ONE ranking window over the post-aggregate
+    vocab — a driver-scale table by Heaps' law, and the only
+    single-partition sort in the pipeline, on distinct terms, never on
+    the corpus — → broadcast id join → groupBy(doc) re-assembling the
+    sequence by position (``array_sort`` on (pos, id) structs, no
+    second window).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.posexplode(tokens(text_col)).alias("pos", "term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = vocab.select(
+        "term", F.row_number().over(w).cast("bigint").alias("token_id"))
+    return (toks.join(F.broadcast(ranked), "term")
+            .groupBy("id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s.getField("token_id")).alias("ids")))

@@ -1714,10 +1714,14 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 def _q_streaming_qe_drift(spark, sf_dir):
     """Windowed model-drift monitor (streaming.windowed_qe_drift):
     per-hour mean quantization error of the stream under the broadcast
-    codebook, drained with availableNow.  The oracle replays the qe
-    kernel's EXACT arithmetic — the GEMM expansion
+    codebook, drained with availableNow, in deterministic mode
+    (micro_decimals=6: per-row integer micro-quantization → exact
+    BIGINT sums → bit-identical derived mean; a float mean rounded at
+    the end can land on opposite sides of a ROUND boundary per
+    engine — observed 4/720 hours at sf0.01).  The oracle replays the
+    qe kernel's EXACT arithmetic — the GEMM expansion
     (w² − 2·(x·w)) + x², not (x−w)², in that operation order — so BMU
-    selection and the residual agree bitwise before the ROUND."""
+    selection and the residual agree bitwise."""
     import tempfile
     import uuid
 
@@ -1732,14 +1736,14 @@ def _q_streaming_qe_drift(spark, sf_dir):
     src.write.mode("overwrite").parquet(tmp)
     stream = spark.readStream.schema(src.schema).parquet(tmp)
     out = windowed_qe_drift(_stream_som(), stream, "ts", window="1 hour",
-                            watermark="0 seconds")
+                            watermark="0 seconds", micro_decimals=6)
     name = "q_qedrift_" + uuid.uuid4().hex[:8]
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
     return (spark.table(name)
             .select(F.col("window_start").cast("long").alias("hour_ts"),
-                    F.round("mean_qe", 6).alias("mean_qe"),
+                    F.col("mean_qe"),
                     F.col("n_rows").cast("bigint").alias("n_rows")))
 
 
@@ -1762,7 +1766,10 @@ qe AS (
           ORDER BY {dsq}, w.i * 4 + w.j
           LIMIT 1) AS qe
   FROM feats f)
-SELECT hour_ts, ROUND(AVG(qe), 6) AS mean_qe, COUNT(*) AS n_rows
+SELECT hour_ts,
+       CAST(SUM(CAST(floor(qe * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000.0 AS mean_qe,
+       COUNT(*) AS n_rows
 FROM qe GROUP BY hour_ts
 """
 

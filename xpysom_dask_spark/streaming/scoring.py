@@ -54,16 +54,38 @@ def windowed_activation_response(som, stream_df: DataFrame, ts_col: str,
 
 def windowed_qe_drift(som, stream_df: DataFrame, ts_col: str,
                       window: str = "1 hour",
-                      watermark: str = "1 hour") -> DataFrame:
+                      watermark: str = "1 hour",
+                      micro_decimals: int | None = None) -> DataFrame:
     """Mean quantization error per event-time window — a model-drift
     monitor: rising QE means the stream has moved away from the
     distribution the codebook was trained on (streaming twin of
     xpysom.py:673-707, bucketed by time instead of a global mean).
+
+    ``micro_decimals=d`` switches the aggregation to deterministic
+    mode: each qe is quantized to an integer at ``d`` decimals with
+    the engine-portable ``floor(x·10ᵈ + 0.5)`` BEFORE summing, so the
+    per-window sum is exact BIGINT arithmetic and the emitted mean is
+    a bit-identical derived double under ANY partitioning, engine, or
+    retry — float-mean drift monitors can differ in the last ulp
+    between runs (summation order), which matters when the monitor's
+    output feeds change detection or a correctness gate.
     """
     scored = attach(som, stream_df.withWatermark(ts_col, watermark), ("qe",))
-    return (scored.groupBy(F.window(ts_col, window).alias("w"))
-            .agg(F.avg("qe").alias("mean_qe"),
-                 F.count(F.lit(1)).alias("n_rows"))
-            .select(F.col("w.start").alias("window_start"),
-                    F.col("w.end").alias("window_end"),
-                    "mean_qe", "n_rows"))
+    grouped = scored.groupBy(F.window(ts_col, window).alias("w"))
+    if micro_decimals is None:
+        agg = grouped.agg(F.avg("qe").alias("mean_qe"),
+                          F.count(F.lit(1)).alias("n_rows"))
+    else:
+        scale = 10 ** int(micro_decimals)
+        qmicro = F.floor(F.col("qe") * F.lit(float(scale)) + F.lit(0.5)) \
+            .cast("bigint")
+        agg = (scored.withColumn("__qm", qmicro)
+               .groupBy(F.window(ts_col, window).alias("w"))
+               .agg(F.sum("__qm").alias("__s"),
+                    F.count(F.lit(1)).alias("n_rows"))
+               .withColumn("mean_qe",
+                           F.col("__s").cast("double") / F.col("n_rows")
+                           / F.lit(float(scale))))
+    return agg.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "mean_qe", "n_rows")

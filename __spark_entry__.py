@@ -1800,6 +1800,39 @@ GROUP BY doc_id
 """
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """C4-style span-level exact dedup (dedup.dedup_spans): 20-token
+    spans deleted wherever they repeat later in (id, span) order,
+    documents re-assembled from survivors — the boilerplate-removal
+    pass.  Shuffles on the span MD5 and the doc id only."""
+    return dedup.dedup_spans(_docs(spark, sf_dir), "text", "doc_id",
+                             span_tokens=20)
+
+
+def _sql_dedup_spans():
+    return """
+WITH toks AS (
+  SELECT id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents)),
+spans AS (
+  SELECT id, pos // 20 AS span_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS span
+  FROM toks GROUP BY id, pos // 20),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(span)
+      ORDER BY id, span_idx) AS rk
+  FROM spans)
+SELECT id, COALESCE(string_agg(CASE WHEN rk = 1 THEN span END, ' '
+           ORDER BY span_idx), '') AS text_clean,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -1871,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": _q_streaming_interval_join,
         "streaming_qe_drift": _q_streaming_qe_drift,
         "text_token_ids": _q_text_token_ids,
+        "dedup_spans": _q_dedup_spans,
     }
 
 
@@ -2710,4 +2744,5 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "streaming_interval_join": _sql_streaming_interval_join(),
         "streaming_qe_drift": _sql_streaming_qe_drift(),
         "text_token_ids": _sql_text_token_ids(),
+        "dedup_spans": _sql_dedup_spans(),
     }

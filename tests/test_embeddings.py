@@ -297,3 +297,20 @@ def test_encode_token_ids_roundtrip(spark):
     raw = {r["doc_id"]: r["text"].lower().split() for r in docs.collect()}
     for did, ids in enc.items():
         assert [id2term[i] for i in ids] == raw[did]
+
+
+def test_dedup_spans_removes_later_copies(spark):
+    from xpysom_dask_spark.operators import dedup
+
+    rows = [(1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+            (3, "x y z w e f g h"),
+            (4, "fresh text only here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.dedup_spans(
+        df, "text", "doc_id", span_tokens=4).collect()}
+    assert out[1]["text_clean"] == "a b c d e f g h"
+    assert out[2]["text_clean"] == "x y z w"
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_clean"] == "fresh text only here ok"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1

@@ -20,7 +20,7 @@ Each has an exact DuckDB twin in __spark_entry__.oracle_sql.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash_table
@@ -465,3 +465,57 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
                                 min_shared, max_df)
     contaminated = pairs.select(F.col("id_a").alias(id_col)).distinct()
     return train_df.join(contaminated, id_col, "left_anti")
+
+
+def dedup_spans(df: DataFrame, text_col: str, id_col: str,
+                span_tokens: int = 20) -> DataFrame:
+    """Span-level exact dedup across the corpus (the C4 "three-sentence
+    line dedup" generalized to fixed token windows): every document is
+    cut into consecutive ``span_tokens``-token spans; a span that
+    occurs anywhere earlier in the corpus (order: (id, span index)) is
+    DELETED from later documents, and each document is re-assembled
+    from its surviving spans — boilerplate (headers, footers, license
+    blocks) vanishes from every copy but the first.
+
+    Tokenization is case-preserving whitespace split, so re-assembly
+    (single-space join) normalizes whitespace but nothing else.
+    Returns ``id, text_clean, n_spans, n_kept`` (documents whose every
+    span was seen before come back with empty text — the caller decides
+    whether that means drop).
+
+    Plan: narrow posexplode → map-side-combined groupBy (id, span_idx)
+    re-assembling span strings → ONE window shuffle keyed on the span
+    MD5 (first-occurrence rank; hot spans — the boilerplate itself —
+    are one group per distinct span, bounded by corpus dedup pressure)
+    → groupBy(id) re-assembly.  Shuffle traffic is O(spans), and span
+    strings travel hashed where only identity matters.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(
+            f"filter(split({text_col}, '\\\\s+'), x -> x != '')"))
+        .alias("pos", "tok"))
+    spans = (toks.withColumn("span_idx",
+                             F.expr(f"CAST(pos DIV {int(span_tokens)} "
+                                    "AS BIGINT)"))
+             .groupBy("id", "span_idx")
+             .agg(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                 lambda s: s.getField("tok"))).alias("span")))
+    w = Window.partitionBy(F.md5("span")).orderBy(
+        F.col("id").asc(), F.col("span_idx").asc())
+    kept = (spans.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__keep", F.col("__rk") == 1))
+    return (kept.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+                 F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         "span_idx",
+                         F.when(F.col("__keep"), F.col("span"))
+                         .otherwise(F.lit(None)).alias("s")))),
+                     lambda s: s.getField("s"))).alias("text_clean"))
+            .select("id", "text_clean", "n_spans", "n_kept"))

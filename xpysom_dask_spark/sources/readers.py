@@ -19,6 +19,7 @@ from warnings import warn
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -44,14 +45,26 @@ LINEITEM_KEYS = ("l_orderkey", "l_linenumber")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright unless the legacy nanos-as-long flag is on —
-    set it here so every consumer (batch, bench, driver) can read the
-    table; downstream code treats ``ts`` as BIGINT nanoseconds.
+    The engine-wide contract is ``events.ts`` = BIGINT epoch
+    nanoseconds (exact integer bucketing/comparison everywhere, no
+    timezone semantics in the hot path).  The physical column has
+    shipped as both TIMESTAMP(NANOS) (Spark reads it as i64 nanos only
+    under the legacy nanos-as-long flag) and TIMESTAMP(MICROS); accept
+    either and normalize to the contract here, at the single read
+    boundary.  Timestamps are wall-clock UTC on both engines (the
+    DuckDB oracle's ``epoch_ns`` treats naive timestamps as UTC;
+    Spark's session zone is UTC in this environment), so the
+    conversion is a pure unit change.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType,
+                                       (T.TimestampType, T.TimestampNTZType)):
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp"))
+                   * F.lit(1000)).cast("long"))
+    return df
 
 
 def load_csv(spark: SparkSession, path: str, header: bool = True,

@@ -1833,9 +1833,185 @@ FROM ranked GROUP BY id
 """
 
 
+
+
+#: the synthetic sources are perfectly balanced (flat rates = no-op) —
+#: derive a 70/20/10 skewed stratum so the gate exercises real rebalance
+_TMIX_STRATUM = ("CASE WHEN doc_id % 10 < 7 THEN 'head' "
+                 "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END")
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing (sampling.temperature_mix,
+    the XLM-R/mT5 nˢ^α rule): per-stratum keep rates computed FROM the
+    per-stratum counts (one tiny aggregate), folded into a codegen'd
+    when-chain filter — zero joins, zero data-pass shuffles."""
+    d = _docs(spark, sf_dir).withColumn("stratum", F.expr(_TMIX_STRATUM))
+    out = sampling.temperature_mix(d, "doc_id", "stratum",
+                                   alpha=0.5, seed=3)
+    return out.select("doc_id", "stratum",
+                      F.round("keep_rate", 6).alias("keep_rate"))
+
+
+def _sql_temperature_mix():
+    return f"""
+WITH d AS (SELECT doc_id, {_TMIX_STRATUM} AS stratum FROM documents),
+c AS (SELECT stratum, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM d GROUP BY stratum),
+r AS (SELECT stratum,
+             pow(n, -0.5) / (SELECT MAX(pow(n, -0.5)) FROM c) AS rate
+      FROM c)
+SELECT d.doc_id, d.stratum, ROUND(r.rate, 6) AS keep_rate
+FROM d JOIN r USING (stratum)
+WHERE {_duck_unit_hash('d.doc_id', 3)} < r.rate
+"""
+
+
+def _q_text_chunks(spark, sf_dir):
+    """Sliding token-window chunking (text.chunk_tokens): 64-token
+    windows at stride 48 — pure narrow expressions, the fan-out is one
+    explicit explode of ceil(n/stride) starts per document."""
+    return T.chunk_tokens(_docs(spark, sf_dir), "text", "doc_id",
+                          window=64, stride=48)
+
+
+def _sql_text_chunks():
+    # case-preserving split — chunk re-assembly must not normalize case
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+s AS (SELECT id, toks, unnest(range(0, len(toks), 48)) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+       CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+def _q_text_collocations(spark, sf_dir):
+    """PMI-scored bigram collocations (text.collocations): narrow
+    zip_with bigram build, two map-side-combined count aggregates,
+    broadcast unigram joins, top-25 on the post-aggregate table."""
+    return T.collocations(_docs(spark, sf_dir), "text",
+                          min_count=5, top_k=25)
+
+
+def _sql_text_collocations():
+    t = _duck_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {t} AS t FROM documents),
+bg AS (SELECT t[i] AS term_a, t[i + 1] AS term_b
+       FROM toks, unnest(range(1, len(t))) AS u(i)),
+pairs AS (SELECT term_a, term_b, COUNT(*) AS n_pair
+          FROM bg GROUP BY term_a, term_b),
+unis AS (SELECT unnest(t) AS term FROM toks),
+uc AS (SELECT term, COUNT(*) AS n_term FROM unis GROUP BY term),
+tot AS (SELECT (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM pairs) AS tp,
+               (SELECT CAST(SUM(n_term) AS DOUBLE) FROM uc) AS tu)
+SELECT term_a, term_b, n_pair,
+       ROUND(ln((n_pair / tp) /
+                ((a.n_term / tu) * (b.n_term / tu))), 6) AS pmi
+FROM pairs
+JOIN uc a ON a.term = pairs.term_a
+JOIN uc b ON b.term = pairs.term_b, tot
+WHERE n_pair >= 5
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 25
+"""
+
+
+#: the synthetic documents ship as one long unpunctuated line — derive
+#: a multi-line corpus with engine-identical literal replaces: ' batch '
+#: ends a sentence, ' slow ' plants a brace, ' dup ' plants 'javascript'
+_C4_DERIVE = ("replace(replace(replace(text, ' batch ', '.\n'), "
+              "' slow ', ' {{ '), ' dup ', ' javascript ')")
+
+
+def _q_text_c4_lines(spark, sf_dir):
+    """C4-style line-level cleaning (text.c4_line_filter): pure narrow
+    whole-stage-codegen line filter — terminal punctuation, min words,
+    brace/lorem/javascript boilerplate tells — re-joined per doc."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(_C4_DERIVE.format()))
+    return T.c4_line_filter(d, "text", "doc_id")
+
+
+def _sql_text_c4_lines():
+    words = "list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')"
+    keep = (f"x -> regexp_matches(trim(x), '[.!?\"]$') "
+            f"AND len({words}) >= 3 "
+            "AND NOT contains(x, '{') "
+            "AND NOT contains(lower(x), 'lorem ipsum') "
+            "AND NOT contains(lower(x), 'javascript')")
+    derived = _C4_DERIVE.format()
+    return f"""
+WITH l AS (SELECT doc_id AS id, string_split({derived}, chr(10)) AS lines
+           FROM documents),
+k AS (SELECT id, lines, list_filter(lines, {keep}) AS kept FROM l)
+SELECT id, COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept
+FROM k
+"""
+
+
+#: semantic-dedup cosine threshold — the synthetic embeddings' pairwise
+#: cosine tops out ≈ 0.51, so 0.4 exercises real in-cell drops
+_SEMDEDUP_TAU = 0.4
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): SOM
+    codebook clusters the corpus, per-cell blocked-GEMM cosine sweep
+    drops later-id near-dups — candidate pairs never cross cells, so
+    the quadratic is bounded per cell.  Same deterministic local
+    codebook as the IVF tier, so the oracle can replay the cell
+    assignment from embedded literals."""
+    e = _emb(spark, sf_dir)
+    pdf = e.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    som = _ivf_local_som(X)
+    return similarity.semantic_dedup(som, e, threshold=_SEMDEDUP_TAU)
+
+
+def _sql_semantic_dedup(sf_dir: str = _ORACLE_SF_DIR):
+    dot = _DOT64.format(a="c.embedding", b="o.embedding")
+    cc = _DOT64.format(a="c.embedding", b="c.embedding")
+    oo = _DOT64.format(a="o.embedding", b="o.embedding")
+    w_cols = "cell, " + ", ".join(f"w{k + 1}" for k in range(64))
+    return f"""
+WITH iwm({w_cols}) AS (
+  VALUES
+      {_ivf_oracle_weights_values(sf_dir)}
+),
+cells AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT iw.cell FROM iwm iw
+          ORDER BY {_dsq64('e.embedding')}, iw.cell LIMIT 1) AS cell
+  FROM embeddings e
+),
+dropped AS (
+  SELECT DISTINCT c.vec_id
+  FROM cells c JOIN cells o
+    ON o.cell = c.cell AND o.vec_id < c.vec_id
+  WHERE ({dot}) / (sqrt({cc}) * sqrt({oo})) >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cluster_id
+FROM cells c
+LEFT JOIN dropped d ON d.vec_id = c.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "temperature_mix": _q_temperature_mix,
+        "text_chunks": _q_text_chunks,
+        "text_collocations": _q_text_collocations,
+        "text_c4_lines": _q_text_c4_lines,
+        "semantic_dedup": _q_semantic_dedup,
         "som_activation_response": _q_som_activation_response,
         "som_qe_rows": _q_som_qe_rows,
         "som_quantization_error": _q_som_quantization_error,
@@ -2664,6 +2840,11 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "temperature_mix": _sql_temperature_mix(),
+        "text_chunks": _sql_text_chunks(),
+        "text_collocations": _sql_text_collocations(),
+        "text_c4_lines": _sql_text_c4_lines(),
+        "semantic_dedup": _sql_semantic_dedup(ivf_sf_dir),
         "som_activation_response": _sql_som_activation_response(),
         "som_qe_rows": _sql_som_qe_rows(),
         "som_quantization_error": _sql_som_quantization_error(),

@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 os.environ.setdefault("PYTHONPATH", REPO)
@@ -206,6 +208,25 @@ def main():
     timed("dedup_skew_capped", lambda: dedup.minhash_near_dups(
         skew_docs, "text", "doc_id", max_bucket=50).count())
     skew_docs.unpersist()
+
+    # round-3 curation additions: sliding token-window chunking (pure
+    # narrow explode), PMI collocations (two count aggs + broadcast
+    # joins), C4 line filter (pure codegen), SemDeDup semantic dedup
+    # (one cell shuffle + per-cell blocked GEMM)
+    timed("text_chunks", lambda: T.chunk_tokens(
+        docs, "text", "doc_id", window=64, stride=48)
+        .agg(F.sum("n_tokens")).collect())
+    timed("collocations", lambda: T.collocations(
+        docs, "text", min_count=5, top_k=25).count())
+    timed("c4_lines", lambda: T.c4_line_filter(
+        docs.withColumn("text", F.expr(
+            "replace(text, ' batch ', '.\\n')")), "text", "doc_id")
+        .agg(F.sum("n_kept")).collect())
+    sd_som = SparkSom(4, 4, 64, random_seed=42, dtype=np.float64,
+                      features_col="embedding")
+    sd_som.train(emb.select("embedding"), 1)
+    timed("semantic_dedup", lambda: similarity.semantic_dedup(
+        sd_som, emb, threshold=0.4).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

@@ -1,0 +1,168 @@
+"""Unit tests for the round-3 curation additions: temperature mixing,
+token-window chunking, PMI collocations, C4 line filtering, and
+SemDeDup-style semantic dedup."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import sampling
+from xpysom_dask_spark.operators import similarity
+from xpysom_dask_spark.operators import text as T
+from xpysom_dask_spark.operators.som import SparkSom
+
+
+@pytest.fixture(scope="module")
+def skewed_sources(spark):
+    # 800 rows of 'crawl', 150 of 'books', 50 of 'wiki'
+    rows = [(i, "crawl" if i < 800 else ("books" if i < 950 else "wiki"))
+            for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_temperature_alpha_one_keeps_everything(spark, skewed_sources):
+    out = sampling.temperature_mix(skewed_sources, "doc_id", "source",
+                                   alpha=1.0).toPandas()
+    assert len(out) == 1000
+    assert (out["keep_rate"] == 1.0).all()
+
+
+def test_temperature_alpha_zero_equalizes(spark, skewed_sources):
+    out = sampling.temperature_mix(skewed_sources, "doc_id", "source",
+                                   alpha=0.0).toPandas()
+    rates = out.groupby("source")["keep_rate"].first()
+    # rate ∝ 1/n, normalized so the smallest stratum keeps all
+    assert rates["wiki"] == 1.0
+    assert math.isclose(rates["books"], 50 / 150)
+    assert math.isclose(rates["crawl"], 50 / 800)
+    # realized counts near the expected equal sizes (hash-uniform)
+    n = out.groupby("source").size()
+    assert n["wiki"] == 50
+    assert 30 <= n["books"] <= 70 and 30 <= n["crawl"] <= 70
+
+
+def test_temperature_subset_chain(spark, skewed_sources):
+    lo = sampling.temperature_mix(skewed_sources, "doc_id", "source",
+                                  alpha=0.2)
+    hi = sampling.temperature_mix(skewed_sources, "doc_id", "source",
+                                  alpha=0.6)
+    lo_ids = {r[0] for r in lo.select("doc_id").collect()}
+    hi_ids = {r[0] for r in hi.select("doc_id").collect()}
+    # higher alpha → higher per-stratum rates → superset
+    assert lo_ids <= hi_ids
+
+
+def test_temperature_rejects_bad_alpha(spark, skewed_sources):
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix(skewed_sources, "doc_id", "source",
+                                 alpha=float("nan"))
+
+
+def test_chunk_tokens_tiling_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "  x  ")],
+        "id bigint, text string")
+    tiled = {(r["chunk_idx"]): r for r in
+             T.chunk_tokens(df, "text", "id", window=3).collect()
+             if r["id"] == 1}
+    assert [tiled[i]["chunk_text"] for i in range(3)] == \
+        ["a b c", "d e f", "g"]
+    assert [tiled[i]["n_tokens"] for i in range(3)] == [3, 3, 1]
+
+    slid = [r for r in
+            T.chunk_tokens(df, "text", "id", window=3, stride=2)
+            .orderBy("id", "chunk_idx").collect()]
+    by_doc = {}
+    for r in slid:
+        by_doc.setdefault(r["id"], []).append(r["chunk_text"])
+    assert by_doc[1] == ["a b c", "c d e", "e f g", "g"]
+    assert 2 not in by_doc          # empty doc → no chunks
+    assert by_doc[3] == ["x"]       # whitespace-only tokenizes to one
+
+
+def test_chunk_tokens_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, text string")
+    with pytest.raises(ValueError, match="window"):
+        T.chunk_tokens(df, "text", "id", window=0)
+    with pytest.raises(ValueError, match="stride"):
+        T.chunk_tokens(df, "text", "id", window=3, stride=0)
+
+
+def test_collocations_pmi_matches_hand_computation(spark):
+    # "new york" appears 6×; "the the" 4×; singles pad the totals
+    docs = (["new york"] * 6 + ["the the"] * 4 + ["the cat", "a dog"])
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "id bigint, text string")
+    out = {(r["term_a"], r["term_b"]): r for r in
+           T.collocations(df, "text", min_count=4, top_k=10).collect()}
+    assert set(out) == {("new", "york"), ("the", "the")}
+    n_pairs = 12            # one bigram per 2-token doc
+    n_unis = 24
+    exp = math.log((6 / n_pairs) / ((6 / n_unis) * (6 / n_unis)))
+    assert out[("new", "york")]["n_pair"] == 6
+    assert math.isclose(out[("new", "york")]["pmi"], round(exp, 6),
+                        abs_tol=1e-6)
+    # 'the' unigram count is 9 (4×2 + 1)
+    exp2 = math.log((4 / n_pairs) / ((9 / n_unis) * (9 / n_unis)))
+    assert math.isclose(out[("the", "the")]["pmi"], round(exp2, 6),
+                        abs_tol=1e-6)
+
+
+def test_collocations_empty_corpus(spark):
+    df = spark.createDataFrame([(1, "")], "id bigint, text string")
+    assert T.collocations(df, "text").count() == 0
+
+
+def test_c4_line_filter_rules(spark):
+    text = "\n".join([
+        "This is a good sentence.",        # keep
+        "Too short.",                      # < 3 words
+        "no terminal punctuation here",    # no punct
+        "This line has { code } in it.",   # brace
+        "Lorem ipsum dolor sit amet.",     # lorem
+        "Please enable JavaScript to continue.",  # javascript
+        '"A quoted line stays in."',       # keep (quote ending)
+    ])
+    df = spark.createDataFrame([(1, text), (2, "x\ny")],
+                               "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           T.c4_line_filter(df, "text", "doc_id").collect()}
+    assert out[1]["n_lines"] == 7 and out[1]["n_kept"] == 2
+    assert out[1]["text_clean"].split("\n") == [
+        "This is a good sentence.", '"A quoted line stays in."']
+    assert out[2]["n_kept"] == 0 and out[2]["text_clean"] == ""
+
+
+def _toy_som():
+    # 2×2 codebook in 4-dim, one axis direction per cell
+    som = SparkSom(2, 2, 4, random_seed=3, dtype=np.float64,
+                   activation_distance="norm_p_no_opt",
+                   activation_distance_kwargs={"p": 2},
+                   features_col="embedding")
+    som._weights = np.eye(4).reshape(2, 2, 4)
+    return som
+
+
+def test_semantic_dedup_drops_later_near_dups(spark):
+    base = np.eye(4)
+    rows = []
+    # ids 0-3: one clean row per cell; 10-13: scaled copies (cos = 1)
+    for i in range(4):
+        rows.append((i, (base[i] * 2.0).tolist()))
+        rows.append((10 + i, (base[i] * 5.0).tolist()))
+    # id 20: same cell as 0 but nearly orthogonal in-cell vector
+    rows.append((20, [10.0, 0.0, 0.0, 9.9]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.semantic_dedup(_toy_som(), df, threshold=0.95)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [0, 1, 2, 3, 20]
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="max_cell"):
+        similarity.semantic_dedup(_toy_som(), df, threshold=0.99,
+                                  max_cell=10)

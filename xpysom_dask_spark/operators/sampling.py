@@ -30,6 +30,8 @@ with the predicate pushed into it, and compose with partition pruning.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -315,3 +317,48 @@ def cap_per_group(df: DataFrame, id_col: str, group_col: str,
                   .unionByName(plain(
                       df.where(F.col(group_col).isin(short)))))
     return capped
+
+
+def temperature_mix(df: DataFrame, id_col: str, strata_col: str,
+                    alpha: float, seed: int = 0,
+                    rate_col: str = "keep_rate") -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-sampling
+    rule popularized by XLM-R/mT5): stratum *s* with nᵢ rows is kept at
+    rate ∝ nₛ^(α−1), normalized so the largest rate is 1 (downsampling
+    only — upsampling belongs to the explicit explode of
+    ``mixture_resample``).  α = 1 keeps everything, α = 0 equalizes
+    strata row counts, α between the two flattens a skewed source mix
+    toward uniform; the resulting stratum SHARES follow nₛ^α / Σ nₜ^α
+    over the strata whose rate did not clip at 1.
+
+    Unlike ``stratified_sample`` the rates are computed FROM the data
+    (per-stratum counts), so the operator adapts as the corpus grows.
+    Plan: one map-side-combined count aggregate whose result — bounded
+    by stratum cardinality, like every mixture spec in this module —
+    comes to the driver and folds into a codegen'd when-chain filter;
+    the data pass itself is a pure filter in the scan stage with zero
+    joins and zero shuffles, identical in shape to ``hash_sample``.
+    The kept set is the hash-smallest prefix per stratum, so raising α
+    only shrinks each stratum's sample monotonically (subset-chain, the
+    ``hash_sample`` property per stratum).
+
+    Appends ``rate_col`` (the stratum's keep rate) so the mixture
+    actually applied is visible in the output.
+    """
+    if not math.isfinite(alpha):
+        raise ValueError(f"alpha must be finite, got {alpha}")
+    counts = {r[0]: r[1]
+              for r in df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return df.withColumn(rate_col, F.lit(0.0)).where(F.lit(False))
+    pw = {v: float(n) ** (alpha - 1.0) for v, n in counts.items()}
+    top = max(pw.values())
+    rates = {v: p / top for v, p in pw.items()}
+    u = _unit_hash(id_col, seed)
+    rate = None
+    for v, r in rates.items():
+        cond = F.col(strata_col) == F.lit(v)
+        rate = (F.when(cond, F.lit(r)) if rate is None
+                else rate.when(cond, F.lit(r)))
+    return (df.withColumn(rate_col, rate)
+            .where(u < F.col(rate_col)))

@@ -729,3 +729,78 @@ def _ivf_candidates_topk(bucketed: DataFrame, probes: np.ndarray,
     return (sims.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+def semantic_dedup(som, df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   threshold: float = 0.95,
+                   max_cell: int = 8192,
+                   block_rows: int = 1024) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus with the SOM codebook, then WITHIN each cell
+    drop every row that has an earlier-id cell-mate with cosine ≥
+    ``threshold`` — the two-stage shape that makes embedding dedup
+    tractable at corpus scale, because candidate pairs never cross
+    cluster boundaries.  Returns the SURVIVORS: ``id_col,
+    cluster_id``.
+
+    Keep rule: row *r* is dropped iff ∃ r' in the same cell with
+    id' < id and cos(r, r') ≥ threshold (greedy keep-first by id —
+    deterministic, engine-portable, and expressible as one SQL
+    NOT EXISTS for the oracle; note r' need not itself survive).
+
+    Plan: one narrow Arrow scoring pass attaches the cell (the
+    ``transform`` kernel), ONE shuffle on cluster_id, then a per-cell
+    Arrow task: sort by id, L2-normalize once, and sweep the cosine
+    matrix in ``block_rows`` row blocks against the id-prefix
+    (peak memory block_rows × |cell| doubles, never |cell|²).  Cells
+    above ``max_cell`` raise with guidance (one count aggregate
+    verifies first) — the quadratic is bounded per cell by
+    construction, which is the entire point of clustering first;
+    at 100 TB you size the codebook so cells stay ~10⁴.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    max_cell = int(max_cell)
+    cells = som.transform(df, ("cluster_id",), keep=[id_col, vec_col],
+                          features_col=vec_col)
+    hot = (cells.groupBy("cluster_id").count()
+           .where(F.col("count") > max_cell).limit(5).collect())
+    if hot:
+        worst = ", ".join(f"cell {r[0]}: {r[1]} rows" for r in hot)
+        raise ValueError(
+            f"semantic_dedup: cell(s) exceed max_cell={max_cell} "
+            f"({worst}); train a larger SOM codebook so cells shrink, "
+            f"or raise max_cell if block-swept memory "
+            f"(block_rows × cell × 8B) allows")
+
+    blk = int(block_rows)
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack([np.asarray(v, np.float64)
+                      for v in pdf[vec_col].to_numpy()])[order]
+        n = len(ids)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        dropped = np.zeros(n, dtype=bool)
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            if lo == 0 and hi == 1:
+                continue
+            S = Xn[lo:hi] @ Xn[:hi].T
+            for i in range(lo, hi):
+                if i and (S[i - lo, :i] >= threshold).any():
+                    dropped[i] = True
+        out = pd.DataFrame({id_col: ids[~dropped]})
+        out["cluster_id"] = key[0]
+        return out
+
+    return (cells.groupBy("cluster_id")
+            .applyInPandas(fn, f"{id_col} bigint, cluster_id bigint")
+            .select(id_col, "cluster_id"))

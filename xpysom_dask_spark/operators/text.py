@@ -510,3 +510,133 @@ def encode_token_ids(df, text_col: str, id_col: str):
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
                 lambda s: s.getField("token_id")).alias("ids")))
+
+
+def chunk_tokens(df, text_col: str, id_col: str,
+                 window: int = 128, stride: int | None = None):
+    """Cut each document into fixed-size token windows — the
+    context-window chunking between curation and tokenization: ``id,
+    chunk_idx, chunk_text, n_tokens`` with chunk *c* covering tokens
+    [c·stride, c·stride + window).  ``stride < window`` overlaps
+    consecutive chunks (the sliding-window form used for long-document
+    training and retrieval indexing); the default ``stride = window``
+    tiles without overlap.  The final chunk per document may be short;
+    empty documents produce no chunks.  Tokenization is the module-wide
+    whitespace split, and re-assembly is a single-space join.
+
+    Pure narrow expressions end-to-end: one token-array build per row,
+    one explode over ceil(n/stride) chunk starts, one ``slice`` per
+    chunk — no shuffle, no Python, and the fan-out is explicit in the
+    plan as the explode (row count ≈ corpus tokens / stride).
+    """
+    window = int(window)
+    stride = window if stride is None else int(stride)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = tokens(text_col)
+    out = (df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+           .where(F.size("__toks") > 0)
+           .select("id", "__toks",
+                   F.explode(F.sequence(
+                       F.lit(0), F.size("__toks") - 1,
+                       F.lit(stride))).alias("__start")))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, window)
+    return out.select(
+        "id",
+        (F.col("__start") / F.lit(stride)).cast("bigint")
+        .alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"))
+
+
+def collocations(df, text_col: str, min_count: int = 5,
+                 top_k: int = 50):
+    """PMI-scored bigram collocations over the corpus: ``term_a,
+    term_b, n_pair, pmi`` for the ``top_k`` adjacent lowercased token
+    pairs with count ≥ ``min_count``, ranked by pointwise mutual
+    information log(p(ab) / (p(a)·p(b))) — the phrase-mining /
+    tokenizer-merge-candidate primitive (the statistic behind
+    word2phrase and BPE-style merge scoring).
+
+    Plan: per-row bigram build with ``zip_with`` over the shifted
+    token array (narrow — no posexplode+window, adjacency never
+    crosses rows) → two map-side-combined count aggregates (pairs and
+    unigrams, both O(distinct)) → two BROADCAST joins of the unigram
+    table into the pair table → one top-k sort on the post-aggregate
+    pair table.  Corpus totals fold in as eager scalars, so PMI is a
+    codegen'd expression.  Ties break on (term_a, term_b) so the
+    report is deterministic.
+    """
+    min_count = int(min_count)
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    t = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    bigrams = F.expr(
+        f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+        f"slice({t}, 2, greatest(size({t}) - 1, 0)), "
+        "(a, b) -> struct(a, b))")
+    pairs = (df.select(F.explode(bigrams).alias("bg"))
+             .select(F.col("bg.a").alias("term_a"),
+                     F.col("bg.b").alias("term_b"))
+             .groupBy("term_a", "term_b")
+             .agg(F.count(F.lit(1)).alias("n_pair")))
+    unis = (df.select(F.explode(F.expr(t)).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n_term")))
+    tot_pairs, = pairs.agg(F.sum("n_pair")).first()
+    tot_unis, = unis.agg(F.sum("n_term")).first()
+    if not tot_pairs:
+        return pairs.select(
+            "term_a", "term_b", "n_pair",
+            F.lit(0.0).alias("pmi")).where(F.lit(False))
+    scored = (pairs.where(F.col("n_pair") >= min_count)
+              .join(F.broadcast(unis.withColumnRenamed("term", "term_a")
+                                .withColumnRenamed("n_term", "__na")),
+                    "term_a")
+              .join(F.broadcast(unis.withColumnRenamed("term", "term_b")
+                                .withColumnRenamed("n_term", "__nb")),
+                    "term_b")
+              .withColumn("pmi", F.round(F.log(
+                  (F.col("n_pair").cast("double") / F.lit(float(tot_pairs)))
+                  / ((F.col("__na").cast("double") / F.lit(float(tot_unis)))
+                     * (F.col("__nb").cast("double")
+                        / F.lit(float(tot_unis))))), 6)))
+    return (scored.orderBy(F.col("pmi").desc(), "term_a", "term_b")
+            .limit(int(top_k))
+            .select("term_a", "term_b", "n_pair", "pmi"))
+
+
+def c4_line_filter(df, text_col: str, id_col: str,
+                   min_words: int = 3):
+    """C4-style line-level cleaning (the rule set of the C4 corpus
+    build, applied per line): keep a line only if it (a) ends in
+    terminal punctuation (. ! ? or a closing double quote), (b) has at
+    least ``min_words`` whitespace tokens, (c) contains no curly brace
+    (code), and (d) mentions neither "lorem ipsum" nor "javascript"
+    (case-insensitive boilerplate tells).  Returns ``id, text_clean,
+    n_lines, n_kept`` with surviving lines re-joined by newline —
+    documents whose every line fails come back with empty text, the
+    caller decides drop-vs-keep (C4 drops docs with < 3 sentences).
+
+    Pure narrow whole-stage-codegen expressions: one line-array build,
+    one ``filter`` lambda, one re-join — no shuffle, no explode, no
+    Python; at 100 TB this runs entirely inside the scan stage.
+    """
+    min_words = int(min_words)
+    if min_words < 0:
+        raise ValueError(f"min_words must be >= 0, got {min_words}")
+    lines = f"split({text_col}, '\\n')"
+    keep = (
+        "x -> trim(x) rlike '[.!?\"]$' "
+        f"AND size(filter(split(trim(x), '\\\\s+'), w -> w != '')) "
+        f">= {min_words} "
+        "AND NOT contains(x, '{') "
+        "AND NOT contains(lower(x), 'lorem ipsum') "
+        "AND NOT contains(lower(x), 'javascript')")
+    kept = f"filter({lines}, {keep})"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"array_join({kept}, '\n')").alias("text_clean"),
+        F.expr(f"CAST(size({lines}) AS BIGINT)").alias("n_lines"),
+        F.expr(f"CAST(size({kept}) AS BIGINT)").alias("n_kept"))

@@ -2004,9 +2004,148 @@ WHERE d.vec_id IS NULL
 """
 
 
+
+
+#: funnel step sequence over the synthetic events stream
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (events.funnel): per-user earliest
+    qualifying event per step, each step joined to the shrinking
+    accumulated state on the SAME user key (one exchange layout reused
+    across all steps)."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.funnel(readers.load_table(spark, sf_dir, "events"),
+                     list(_FUNNEL_STEPS))
+
+
+def _sql_events_funnel():
+    s = _FUNNEL_STEPS
+    return f"""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = '{s[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = '{s[1]}' AND e.ts >= s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = '{s[2]}' AND e.ts >= s2.t
+       GROUP BY e.user_id)
+SELECT 1 AS step, '{s[0]}' AS step_name,
+       (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL SELECT 2, '{s[1]}', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, '{s[2]}', (SELECT COUNT(*) FROM s3)
+"""
+
+
+#: one day of epoch nanoseconds — the retention cohort bucket
+_DAY_NS = 86_400_000_000_000
+
+
+def _q_events_retention(spark, sf_dir):
+    """Day-cohort retention curve (events.retention): first-seen
+    aggregate -> same-key join-back -> combinable distinct -> count;
+    post-first-aggregate traffic is O(users x active-days)."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.retention(readers.load_table(spark, sf_dir, "events"),
+                        bucket_ns=_DAY_NS)
+
+
+def _sql_events_retention():
+    return f"""
+WITH d AS (SELECT user_id,
+                  CAST(epoch_ns(ts) AS BIGINT) // {_DAY_NS} AS day
+           FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+SELECT cohort, day - cohort AS "offset",
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY cohort, day - cohort
+"""
+
+
+def _q_orders_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of order totals
+    (profile.numeric_histogram): eager scalar min/max folded into a
+    codegen'd bin expression, one O(bins) aggregate."""
+    from xpysom_dask_spark.operators import profile as PROF
+
+    out = PROF.numeric_histogram(
+        readers.load_table(spark, sf_dir, "orders"), "o_totalprice",
+        bins=20)
+    return out.select("bin", F.round("bin_lo", 6).alias("bin_lo"),
+                      F.round("bin_hi", 6).alias("bin_hi"), "n")
+
+
+def _sql_orders_histogram():
+    x = "CAST(o_totalprice AS DOUBLE)"
+    return f"""
+WITH mm AS (SELECT MIN({x}) AS lo, MAX({x}) AS hi FROM orders),
+w AS (SELECT lo, hi, (hi - lo) / 20 AS wd FROM mm),
+b AS (SELECT LEAST(19, CAST(FLOOR(({x} - lo) / wd) AS BIGINT)) AS bin
+      FROM orders, w)
+SELECT bin, ROUND(lo + bin * wd, 6) AS bin_lo,
+       ROUND(lo + (bin + 1) * wd, 6) AS bin_hi,
+       COUNT(*) AS n
+FROM b, w GROUP BY bin, lo, wd
+"""
+
+
+#: integer-valued columns for the exact-BIGINT correlation gate
+#: (whole-dollar totals keep sum-of-squares inside float53/int64)
+_CORR_COLS = ("o_orderkey", "o_custkey", "o_dollars")
+
+
+def _q_orders_corr(spark, sf_dir):
+    """One-scan Pearson correlation matrix (profile.correlation_matrix)
+    over integer columns — every moment sum is exact BIGINT, so the
+    report is bit-stable across engines and partitionings."""
+    from xpysom_dask_spark.operators import profile as PROF
+
+    d = readers.load_table(spark, sf_dir, "orders").withColumn(
+        "o_dollars", F.expr("CAST(ROUND(o_totalprice, 0) AS BIGINT)"))
+    return PROF.correlation_matrix(d, list(_CORR_COLS))
+
+
+def _sql_orders_corr():
+    pairs = []
+    cols = _CORR_COLS
+    expr = {"o_dollars": "CAST(ROUND(o_totalprice, 0) AS BIGINT)",
+            "o_custkey": "o_custkey", "o_orderkey": "o_orderkey"}
+    moments = []
+    for c in cols:
+        moments += [f"SUM({expr[c]}) AS s_{c}",
+                    f"SUM({expr[c]} * {expr[c]}) AS ss_{c}"]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            moments.append(f"SUM({expr[a]} * {expr[b]}) AS x_{a}_{b}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = f"CAST(n * x_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            da = f"CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+            db = f"CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)"
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CASE WHEN {da} > 0 AND {db} > 0 THEN "
+                f"ROUND({num} / sqrt({da} * {db}), 6) END AS corr FROM m")
+    sel = "\nUNION ALL ".join(pairs)
+    return f"""
+WITH m AS (SELECT COUNT(*) AS n, {", ".join(moments)} FROM orders)
+{sel}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "orders_histogram": _q_orders_histogram,
+        "orders_corr": _q_orders_corr,
         "temperature_mix": _q_temperature_mix,
         "text_chunks": _q_text_chunks,
         "text_collocations": _q_text_collocations,
@@ -2840,6 +2979,10 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "events_funnel": _sql_events_funnel(),
+        "events_retention": _sql_events_retention(),
+        "orders_histogram": _sql_orders_histogram(),
+        "orders_corr": _sql_orders_corr(),
         "temperature_mix": _sql_temperature_mix(),
         "text_chunks": _sql_text_chunks(),
         "text_collocations": _sql_text_collocations(),

@@ -228,6 +228,21 @@ def main():
     timed("semantic_dedup", lambda: similarity.semantic_dedup(
         sd_som, emb, threshold=0.4).count())
 
+    # analytics round-out: funnel (same-key join chain), retention
+    # (first-seen + join-back on one layout), histogram / correlation
+    # (single wide aggregates)
+    from xpysom_dask_spark.operators import profile as PROF
+    timed("events_funnel", lambda: EV.funnel(
+        ev, ["view", "click", "purchase"]).collect())
+    timed("events_retention", lambda: EV.retention(ev).count())
+    orders = readers.load_table(spark, SF_DIR, "orders")
+    timed("orders_histogram", lambda: PROF.numeric_histogram(
+        orders, "o_totalprice", bins=20).count())
+    timed("orders_corr", lambda: PROF.correlation_matrix(
+        orders.withColumn("o_dollars", F.expr(
+            "CAST(ROUND(o_totalprice, 0) AS BIGINT)")),
+        ["o_orderkey", "o_custkey", "o_dollars"]).collect())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     import __spark_entry__ as _entry

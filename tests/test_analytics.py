@@ -1,0 +1,90 @@
+"""Unit tests for funnel, retention, histogram, and correlation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import events as EV
+from xpysom_dask_spark.operators import profile as PROF
+
+DAY = 86_400_000_000_000
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    # u1: view→click→buy in order; u2: view→click only; u3: click
+    # before view (click must NOT count); u4: view only
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        (2, 10, "view"), (2, 40, "click"),
+        (3, 5, "click"), (3, 10, "view"), (3, 6, "other"),
+        (4, 10, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_type string")
+
+
+def test_funnel_strict_ordering(spark, funnel_events):
+    out = {r["step"]: r for r in EV.funnel(
+        funnel_events, ["view", "click", "buy"]).collect()}
+    assert out[1]["n_users"] == 4
+    assert out[2]["n_users"] == 2          # u3's click precedes view
+    assert out[3]["n_users"] == 1
+    assert out[2]["step_name"] == "click"
+
+
+def test_funnel_equal_ts_counts(spark):
+    # step at the SAME instant as the previous completion qualifies
+    df = spark.createDataFrame([(1, 10, "a"), (1, 10, "b")],
+                               "user_id bigint, ts bigint, event_type string")
+    out = {r["step"]: r["n_users"]
+           for r in EV.funnel(df, ["a", "b"]).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_retention_curve(spark):
+    rows = [
+        (1, 0 * DAY), (1, 1 * DAY), (1, 3 * DAY),
+        (2, 0 * DAY), (2, 0 * DAY + 5),     # same-day repeat, one count
+        (3, 1 * DAY), (3, 2 * DAY),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint")
+    out = {(r["cohort"], r["offset"]): r["n_users"]
+           for r in EV.retention(df).collect()}
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_histogram_edges_and_counts(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
+    out = {r["bin"]: r for r in
+           PROF.numeric_histogram(df, "x", bins=3).collect()}
+    # width = 3: bins [0,3) [3,6) [6,9]; max value 9 lands in last bin
+    assert {b: out[b]["n"] for b in out} == {0: 3, 1: 3, 2: 4}
+    assert out[0]["bin_lo"] == 0.0 and math.isclose(out[2]["bin_hi"], 9.0)
+
+
+def test_histogram_degenerate(spark):
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    out = PROF.numeric_histogram(one, "x", bins=4).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert PROF.numeric_histogram(empty, "x", bins=4).count() == 0
+
+
+def test_correlation_matrix_known_values(spark):
+    rows = [(1, 2, 5), (2, 4, 4), (3, 6, 3), (4, 8, 1)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, c bigint")
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           PROF.correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0                     # exact linear
+    assert out[("a", "c")] < -0.98                    # near-perfect anti
+    p = df.toPandas()
+    assert math.isclose(out[("a", "c")],
+                        round(p["a"].corr(p["c"]), 6), abs_tol=1e-6)
+
+
+def test_correlation_constant_column_is_null(spark):
+    df = spark.createDataFrame([(1, 7), (2, 7)], "a bigint, k bigint")
+    out = PROF.correlation_matrix(df, ["a", "k"]).collect()
+    assert out[0]["corr"] is None

@@ -314,3 +314,69 @@ def pivot_counts(events: DataFrame, row_col: str, pivot_col: str,
             .select(F.col(row_col),
                     *[F.coalesce(F.col(v), F.lit(0)).cast("bigint")
                       .alias(f"n_{v}") for v in pivot_values]))
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: ``step, step_name, n_users`` — how many
+    users completed step k, where completing step k means an event of
+    type ``steps[k]`` AT OR AFTER the user's completion time of step
+    k−1 (the classic strictly-sequenced conversion funnel; completion
+    time of a step is the EARLIEST qualifying event, which maximizes
+    downstream conversions).
+
+    Plan: one filtered scan per step, each joined to the accumulated
+    per-user state on ``user_col`` — all k−1 joins hash-partition on
+    the same key, so Catalyst/AQE reuses one exchange layout; per-step
+    state is one row per surviving user (monotonically shrinking).  No
+    windows, no sequence collection — at 100 TB the widest shuffle is
+    the step-1 aggregate.
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    stage = (events.where(F.col(type_col) == steps[0])
+             .groupBy(user_col).agg(F.min(ts_col).alias("__t")))
+    counts = [(1, steps[0], stage.count())]
+    for k, s in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col(type_col) == s)
+               .join(stage, user_col)
+               .where(F.col(ts_col) >= F.col("__t"))
+               .groupBy(user_col).agg(F.min(ts_col).alias("__t")))
+        stage = nxt
+        counts.append((k, s, stage.count()))
+    return events.sparkSession.createDataFrame(
+        counts, "step bigint, step_name string, n_users bigint")
+
+
+def retention(events: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts",
+              bucket_ns: int = 86_400_000_000_000) -> DataFrame:
+    """Cohort retention: ``cohort, offset, n_users`` — users grouped by
+    their first-seen time bucket (day by default; ``ts`` is the
+    engine-wide epoch-nanos BIGINT), counted as active at each bucket
+    offset ≥ 0 from their cohort.  The n_users at offset 0 is the
+    cohort size; the decay across offsets is the retention curve.
+
+    Plan: first-seen per user (one map-side-combined aggregate on the
+    user key) → join back on the SAME key (exchange reuse, no second
+    layout) → distinct (user, cohort, offset) — combinable — → count
+    per (cohort, offset).  Traffic after the first aggregate is
+    O(users · active-buckets), never O(events).
+    """
+    bucket_ns = int(bucket_ns)
+    if bucket_ns < 1:
+        raise ValueError(f"bucket_ns must be >= 1, got {bucket_ns}")
+    first = (events.groupBy(user_col)
+             .agg(F.min(ts_col).alias("__first")))
+    return (events.select(user_col, F.col(ts_col).alias("__ts"))
+            .join(first, user_col)
+            .select(user_col,
+                    F.expr(f"CAST(__first DIV {bucket_ns} AS BIGINT)")
+                    .alias("cohort"),
+                    (F.expr(f"CAST(__ts DIV {bucket_ns} AS BIGINT)")
+                     - F.expr(f"CAST(__first DIV {bucket_ns} AS BIGINT)"))
+                    .alias("offset"))
+            .distinct()
+            .groupBy("cohort", "offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -15,6 +15,8 @@ the oracle configuration.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,3 +47,93 @@ def profile_columns(df: DataFrame, cols: list[str],
     return df.sparkSession.createDataFrame(
         out, "column string, n_rows bigint, n_nulls bigint, "
              "n_distinct bigint, min_val double, max_val double")
+
+
+def numeric_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``bin, bin_lo, bin_hi,
+    n`` over ``bins`` buckets spanning [min, max] — the distribution
+    report behind every profiling dashboard.  The top edge is inclusive
+    (the max lands in the last bin); empty bins are absent (join the
+    output against ``sequence(0, bins-1)`` to densify).
+
+    Plan: one eager scalar min/max aggregate (two doubles to the
+    driver), folded as literals into a codegen'd bin expression, then
+    ONE map-side-combined groupBy on the bin id — traffic O(bins).
+    Degenerate column (min = max, or all NULL) → single bin / empty.
+    """
+    bins = int(bins)
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    lo, hi = df.agg(F.min(F.col(col).cast("double")),
+                    F.max(F.col(col).cast("double"))).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin bigint, bin_lo double, bin_hi double, n bigint")
+    width = (hi - lo) / bins if hi > lo else 1.0
+    b = F.least(F.lit(bins - 1),
+                F.floor((F.col(col).cast("double") - F.lit(lo))
+                        / F.lit(width))).cast("bigint")
+    return (df.where(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(width))
+                    .alias("bin_lo"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(width))
+                    .alias("bin_hi"),
+                    "n"))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` in ONE scan:
+    ``col_a, col_b, corr`` for every unordered pair (a < b by list
+    order).  All moment sums (Σx, Σx², Σxy) ride a single wide
+    aggregate — |cols|·(|cols|+3)/2 partial-combined doubles of shuffle
+    traffic, no per-pair pass, no Expand — and the closed-form corr is
+    computed driver-side from the one aggregate row.
+
+    When EVERY listed column is integer-typed, the moment sums run in
+    exact BIGINT arithmetic — order-independent and bit-stable across
+    engines and partitionings (mind int64 range: Σx² must stay under
+    2⁶³; pre-scale currency to whole units, not sub-cents).  Any
+    float column drops the whole aggregate to DOUBLE sums, which are
+    accumulation-order-dependent — fine for a report, not for a
+    cross-engine hash gate.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols}")
+    import pyspark.sql.types as _T
+
+    all_int = all(isinstance(df.schema[c].dataType,
+                             (_T.ByteType, _T.ShortType,
+                              _T.IntegerType, _T.LongType))
+                  for c in cols)
+    ct = "bigint" if all_int else "double"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [F.sum(F.col(c).cast(ct)).alias(f"__s_{c}"),
+                 F.sum(F.col(c).cast(ct) * F.col(c).cast(ct))
+                 .alias(f"__ss_{c}")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a).cast(ct) * F.col(b).cast(ct))
+                        .alias(f"__x_{a}_{b}"))
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            if not n:
+                out.append((a, b, None))
+                continue
+            # float conversion points mirror the SQL-oracle formula
+            # (CAST each exact term to DOUBLE, then one sqrt+divide)
+            num = n * row[f"__x_{a}_{b}"] - row[f"__s_{a}"] * row[f"__s_{b}"]
+            da = n * row[f"__ss_{a}"] - row[f"__s_{a}"] ** 2
+            db = n * row[f"__ss_{b}"] - row[f"__s_{b}"] ** 2
+            out.append(
+                (a, b,
+                 round(float(num) / math.sqrt(float(da) * float(db)), 6)
+                 if da > 0 and db > 0 else None))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double")

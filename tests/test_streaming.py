@@ -410,3 +410,72 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
                       for r in batch.collect())
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_idempotent_sink_replay_self_cancels(spark, tmp_path):
+    from xpysom_dask_spark.streaming import idempotent_parquet_sink
+
+    out = str(tmp_path / "idem")
+    sink = idempotent_parquet_sink(out)
+    sink(spark.range(5).toDF("v"), 0)
+    sink(spark.range(10, 13).toDF("v"), 1)
+    # replay of batch 1 (same offsets → same rows) overwrites ONLY its
+    # own partition; batch 0 untouched
+    sink(spark.range(10, 13).toDF("v"), 1)
+    back = spark.read.parquet(out)
+    got = sorted(r["v"] for r in back.collect())
+    assert got == [0, 1, 2, 3, 4, 10, 11, 12]
+    assert sorted(r["batch_id"] for r in
+                  back.select("batch_id").distinct().collect()) == [0, 1]
+
+
+def test_transactional_sink_first_attempt_wins(spark, tmp_path):
+    from xpysom_dask_spark.streaming import (read_transactional,
+                                             transactional_parquet_sink)
+
+    out = str(tmp_path / "txn")
+    sink = transactional_parquet_sink(out)
+    sink(spark.range(3).toDF("v"), 0)
+    # replay with DIFFERENT content (non-deterministic transform
+    # scenario): committed batch must win, replay is a no-op
+    sink(spark.range(100, 200).toDF("v"), 0)
+    got = sorted(r["v"] for r in
+                 read_transactional(spark, out).collect())
+    assert got == [0, 1, 2]
+
+
+def test_transactional_sink_uncommitted_invisible(spark, tmp_path):
+    import os
+
+    from xpysom_dask_spark.streaming import (read_transactional,
+                                             transactional_parquet_sink)
+
+    out = str(tmp_path / "txn2")
+    sink = transactional_parquet_sink(out)
+    sink(spark.range(2).toDF("v"), 0)
+    # simulate a crash after rename but before the marker: batch dir
+    # exists, no _COMMITTED → reader must not see it...
+    sink(spark.range(50, 60).toDF("v"), 1)
+    os.remove(os.path.join(out, "_COMMITTED_1"))
+    assert sorted(r["v"] for r in
+                  read_transactional(spark, out).collect()) == [0, 1]
+    # ...and the replay completes it (clears the stale dir, commits)
+    sink(spark.range(50, 60).toDF("v"), 1)
+    assert len(read_transactional(spark, out).collect()) == 12
+
+
+def test_transactional_sink_end_to_end_stream(spark, tmp_path):
+    from xpysom_dask_spark.streaming import (read_transactional,
+                                             transactional_parquet_sink)
+
+    src = str(tmp_path / "src")
+    spark.range(20).toDF("v").repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("v bigint").parquet(src)
+    out = str(tmp_path / "txn3")
+    q = (stream.writeStream.foreachBatch(transactional_parquet_sink(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["v"] for r in
+                 read_transactional(spark, out).collect())
+    assert got == list(range(20))

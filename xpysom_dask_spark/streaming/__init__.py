@@ -16,5 +16,10 @@ from .scoring import (  # noqa: F401
 )
 from .joins import interval_join_stream  # noqa: F401
 from .sessions import session_windows  # noqa: F401
+from .sinks import (  # noqa: F401
+    idempotent_parquet_sink,
+    read_transactional,
+    transactional_parquet_sink,
+)
 from .state import bmu_transitions  # noqa: F401
 from .training import StreamingSomTrainer  # noqa: F401

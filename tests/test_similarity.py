@@ -341,3 +341,51 @@ def test_som_ivf_index_quantized(spark, tmp_path):
         assert len(exq[qid] & quq[qid]) >= 2
     for key in set(ex) & set(qu):
         assert abs(ex[key] - qu[key]) < 0.02
+
+
+def test_som_ivf_index_residual_quantized(spark, tmp_path):
+    """Residual (IVF-PQ-style) quantization: same int8 budget, smaller
+    reconstruction error than plain int8 whenever cells are tighter
+    than the global spread; full-probe results track the exact index
+    at least as closely as the plain-quantized ones."""
+    e = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    som = SparkSom(2, 2, 64, random_seed=7, features_col="embedding")
+    som.train(e.select("embedding"), 1)
+    pf = str(tmp_path / "ivf_f")
+    pq = str(tmp_path / "ivf_q")
+    pr = str(tmp_path / "ivf_r")
+    similarity.build_som_ivf_index(som, e, pf)
+    similarity.build_som_ivf_index(som, e, pq, quantize=True)
+    similarity.build_som_ivf_index(som, e, pr, quantize="residual")
+    rdf = spark.read.parquet(pr)
+    assert "rqvec" in rdf.columns and "scale" in rdf.columns
+    assert dict(rdf.dtypes)["rqvec"] == "array<tinyint>"
+
+    # reconstruction error: residual scale = max|x - c|/127 per row,
+    # plain scale = max|x|/127 — mean scale must shrink
+    plain_scale = spark.read.parquet(pq).agg(F.avg("scale")).first()[0]
+    resid_scale = rdf.agg(F.avg("scale")).first()[0]
+    assert resid_scale < plain_scale
+
+    q = e.orderBy("vec_id").limit(8).collect()
+    Q = np.array([r["embedding"] for r in q])
+    ids = [r["vec_id"] for r in q]
+    exact = similarity.som_ivf_topk_from_index(
+        spark, pf, som, Q, ids, k=3, nprobe=4).collect()
+    resid = similarity.som_ivf_topk_from_index(
+        spark, pr, som, Q, ids, k=3, nprobe=4).collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    rs = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in resid}
+    for key in set(ex) & set(rs):
+        assert abs(ex[key] - rs[key]) < 0.02
+    shared = len(set(ex) & set(rs))
+    assert shared >= len(ex) * 2 // 3
+
+
+def test_build_index_rejects_bad_quantize(spark, tmp_path):
+    e = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    som = SparkSom(2, 2, 64, random_seed=7, features_col="embedding")
+    som.train(e.select("embedding").limit(50), 1)
+    with pytest.raises(ValueError, match="quantize"):
+        similarity.build_som_ivf_index(som, e, str(tmp_path / "x"),
+                                       quantize="pq")

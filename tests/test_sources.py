@@ -178,3 +178,15 @@ def test_text_source_lines_and_wholefile(spark, tmp_path):
     assert whole.count() == 2
     assert any("line one\nline two" in r["value"]
                for r in whole.collect())
+
+
+def test_avro_gate_raises_actionably(spark):
+    import pytest as _pt
+
+    from xpysom_dask_spark.sources import readers as R
+    from xpysom_dask_spark.sources import writers as W
+
+    with _pt.raises(ImportError, match="spark-avro"):
+        R.load_avro(spark, "/tmp/nope.avro")
+    with _pt.raises(ImportError, match="spark.jars.packages"):
+        W.write_avro(spark.range(1), "/tmp/nope.avro")

@@ -533,11 +533,19 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
             .select("id_a", "id_b", "sim"))
 
 
+def _centroids_df(spark, som):
+    """Small (x·y, dim) codebook table for broadcast joins on cell id."""
+    w = som._weights.reshape(-1, som._input_len).astype(np.float64)
+    return spark.createDataFrame(
+        [(int(c), w[c].tolist()) for c in range(w.shape[0])],
+        "cluster_id int, __centroid array<double>")
+
+
 def build_som_ivf_index(som, corpus: DataFrame, path: str,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         mode: str = "overwrite",
-                        quantize: bool = False) -> None:
+                        quantize: bool | str = False) -> None:
     """Materialize the IVF index: the corpus scored once and written
     partitioned by ``cluster_id``.
 
@@ -548,20 +556,42 @@ def build_som_ivf_index(som, corpus: DataFrame, path: str,
     100 TB: one narrow write, then reads that scale with nprobe, not
     corpus size.
 
-    ``quantize=True`` stores the vectors int8-quantized (``scale`` +
-    ``qvec tinyint`` instead of the float array — the FAISS-SQ8 trade):
-    ~4× smaller index files, so probed-cell reads move 4× fewer bytes;
-    query-side dequantization is a codegen'd ``transform`` in the scan
-    projection.  Candidate similarities then carry the reconstruction
-    error (≤ scale/2 per component — sub-1 % for unit-scale data), so
-    ranks can differ near ties; leave False when the index must
-    reproduce exact full-probe top-k.
+    ``quantize=True`` / ``"int8"`` stores the vectors int8-quantized
+    (``scale`` + ``qvec tinyint`` instead of the float array — the
+    FAISS-SQ8 trade): ~4× smaller index files, so probed-cell reads
+    move 4× fewer bytes; query-side dequantization is a codegen'd
+    ``transform`` in the scan projection.  Candidate similarities then
+    carry the reconstruction error (≤ scale/2 per component — sub-1 %
+    for unit-scale data), so ranks can differ near ties; leave False
+    when the index must reproduce exact full-probe top-k.
+
+    ``quantize="residual"`` quantizes the RESIDUAL x − centroid(cell)
+    instead of x (the IVF-PQ/IVFADC idea with the codebook as the
+    coarse quantizer): residual dynamic range shrinks with cluster
+    tightness, so the same int8 budget buys a proportionally smaller
+    reconstruction error — same 4× storage, strictly better recall
+    whenever cells are tighter than the global spread.  The centroid
+    attach is one broadcast join against the (x·y)-row codebook on
+    both build and read; reconstruction stays codegen'd array math.
     """
     from ..sources.writers import write_partitioned
 
+    if quantize not in (False, True, "int8", "residual"):
+        raise ValueError(f"quantize must be False, True/'int8', or "
+                         f"'residual', got {quantize!r}")
     scored = som.transform(corpus, ("cluster_id",), features_col=vec_col) \
         .select(id_col, vec_col, "cluster_id")
-    if quantize:
+    if quantize == "residual":
+        from .embeddings import quantize_int8
+
+        cent = _centroids_df(corpus.sparkSession, som)
+        res = (scored.join(F.broadcast(cent), "cluster_id")
+               .withColumn("__res", F.zip_with(
+                   F.col(vec_col), F.col("__centroid"),
+                   lambda a, b: a.cast("double") - b)))
+        scored = (quantize_int8(res, vec_col="__res", out_col="rqvec")
+                  .select(id_col, "scale", "rqvec", "cluster_id"))
+    elif quantize:
         from .embeddings import quantize_int8
 
         scored = quantize_int8(scored, vec_col=vec_col) \
@@ -584,7 +614,18 @@ def som_ivf_topk_from_index(spark, path: str, som,
     detected from its schema and dequantized in the scan projection.
     """
     idx = spark.read.parquet(path)
-    if "qvec" in idx.columns and vec_col not in idx.columns:
+    if "rqvec" in idx.columns and vec_col not in idx.columns:
+        # residual-quantized index: x̂ = centroid(cell) + q·scale — the
+        # centroid attach is a broadcast join against the tiny codebook
+        from .embeddings import dequantize_int8
+
+        idx = (dequantize_int8(idx, qvec_col="rqvec", out_col="__res")
+               .join(F.broadcast(_centroids_df(spark, som)), "cluster_id")
+               .withColumn(vec_col, F.zip_with(
+                   F.col("__res"), F.col("__centroid"),
+                   lambda r, c: r + c))
+               .drop("rqvec", "scale", "__res", "__centroid"))
+    elif "qvec" in idx.columns and vec_col not in idx.columns:
         from .embeddings import dequantize_int8
 
         idx = (dequantize_int8(idx, out_col=vec_col)

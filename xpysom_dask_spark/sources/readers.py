@@ -151,3 +151,30 @@ def load_text(spark: SparkSession, path: str,
     non-splittable, so pair it with many small-ish files, not one
     100 GB blob."""
     return spark.read.text(path, wholetext=whole_file)
+
+
+_AVRO_HINT = (
+    "the avro data source needs the spark-avro package "
+    "(org.apache.spark:spark-avro_2.13:<spark-version>); add it "
+    "via spark.jars.packages — it is not bundled with pip "
+    "pyspark and is unavailable in this environment")
+
+
+def _reraise_if_avro_missing(e: Exception) -> None:
+    """Avro ships as Spark's EXTERNAL spark-avro module (not bundled in
+    the pip distribution); translate the resolver's failure into an
+    actionable ImportError, pass every other failure through."""
+    if "Failed to find data source: avro" in str(e):
+        raise ImportError(_AVRO_HINT) from e
+
+
+def load_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source (row-oriented interchange format — the common
+    Kafka-ecosystem landing layout).  Column pruning applies; block
+    compression makes splits parallelizable like parquet's row
+    groups.  Gated on the external spark-avro module."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        _reraise_if_avro_missing(e)
+        raise

@@ -78,3 +78,19 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
             partition_by = [partition_by]
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
+               **options) -> None:
+    """Avro sink — see ``readers.load_avro``; gated on the external
+    spark-avro module with an actionable error when absent."""
+    from .readers import _reraise_if_avro_missing
+
+    w = df.write.mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    try:
+        w.format("avro").save(path)
+    except Exception as e:
+        _reraise_if_avro_missing(e)
+        raise

@@ -2139,9 +2139,56 @@ WITH m AS (SELECT COUNT(*) AS n, {", ".join(moments)} FROM orders)
 """
 
 
+
+
+def _q_corpus_diff(spark, sf_dir):
+    """Dataset-version diff (profile.corpus_diff_summary): snapshot B
+    derived deterministically from the documents table (drop doc_id%7,
+    rewrite text for doc_id%5, add doc_id%11 under shifted ids) — one
+    full-outer hash join on the id moving two fingerprints per row,
+    then the O(4)-row status aggregate."""
+    from xpysom_dask_spark.operators import profile as PROF
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.md5_fingerprint("text").alias("fp"))
+    mod = (_docs(spark, sf_dir)
+           .withColumn("__t2", F.expr("concat(text, ' v2')"))
+           .select("doc_id", T.md5_fingerprint("__t2").alias("fp")))
+    b = (mod.where("doc_id % 7 != 0 AND doc_id % 5 = 0")
+         .unionByName(d.where("doc_id % 7 != 0 AND doc_id % 5 != 0"))
+         .unionByName(d.where("doc_id % 11 = 0")
+                      .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                              "fp")))
+    return PROF.corpus_diff_summary(d, b, "doc_id", "fp")
+
+
+def _sql_corpus_diff():
+    t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    t2 = "trim(regexp_replace(lower(concat(text, ' v2')), '\\s+', ' ', 'g'))"
+    return f"""
+WITH a AS (SELECT doc_id AS id, md5({t}) AS fa FROM documents),
+b AS (
+  SELECT doc_id AS id, md5({t2}) AS fb FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, md5({t}) FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5({t}) FROM documents WHERE doc_id % 11 = 0
+)
+SELECT CASE WHEN fa IS NULL THEN 'added'
+            WHEN fb IS NULL THEN 'removed'
+            WHEN fa = fb THEN 'same' ELSE 'changed' END AS status,
+       COUNT(*) AS n
+FROM a FULL OUTER JOIN b USING (id)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "corpus_diff": _q_corpus_diff,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "orders_histogram": _q_orders_histogram,
@@ -2979,6 +3026,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),
         "events_retention": _sql_events_retention(),
         "orders_histogram": _sql_orders_histogram(),

@@ -88,3 +88,16 @@ def test_correlation_constant_column_is_null(spark):
     df = spark.createDataFrame([(1, 7), (2, 7)], "a bigint, k bigint")
     out = PROF.correlation_matrix(df, ["a", "k"]).collect()
     assert out[0]["corr"] is None
+
+
+def test_corpus_diff_statuses(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id bigint, fp string")
+    b = spark.createDataFrame(
+        [(2, "y"), (3, "zz"), (4, "w")], "id bigint, fp string")
+    out = {r["id"]: r["status"] for r in
+           PROF.corpus_diff(a, b, "id", "fp").collect()}
+    assert out == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+    summary = {r["status"]: r["n"] for r in
+               PROF.corpus_diff_summary(a, b, "id", "fp").collect()}
+    assert summary == {"removed": 1, "same": 1, "changed": 1, "added": 1}

@@ -137,3 +137,35 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                  if da > 0 and db > 0 else None))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double")
+
+
+def corpus_diff(a: DataFrame, b: DataFrame, id_col: str,
+                fp_col: str) -> DataFrame:
+    """Version diff between two corpus snapshots keyed on ``id_col``
+    with content fingerprint ``fp_col`` (use ``text.md5_fingerprint``
+    upstream): ``id, status`` with status ∈ {added, removed, changed,
+    same} — the dataset-ops audit between two builds of the same
+    corpus (what did the new crawl/filter change?).
+
+    One full-outer hash join on the id — both sides shuffle once on
+    the same key; comparing fingerprints instead of payloads keeps the
+    shuffle rows at two hashes each, so diffing a 100 TB corpus moves
+    O(rows·32B), not the corpus.  Pair with the summary aggregate for
+    the O(4)-row report.
+    """
+    an = a.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fa"))
+    bn = b.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fb"))
+    j = an.join(bn, "id", "full_outer")
+    status = (F.when(F.col("__fa").isNull(), "added")
+              .when(F.col("__fb").isNull(), "removed")
+              .when(F.col("__fa") == F.col("__fb"), "same")
+              .otherwise("changed"))
+    return j.select("id", status.alias("status"))
+
+
+def corpus_diff_summary(a: DataFrame, b: DataFrame, id_col: str,
+                        fp_col: str) -> DataFrame:
+    """``status, n`` counts over :func:`corpus_diff` — the four-row
+    dashboard report (map-side-combined aggregate on the diff)."""
+    return (corpus_diff(a, b, id_col, fp_col)
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n")))

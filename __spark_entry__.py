@@ -2185,9 +2185,117 @@ GROUP BY 1
 """
 
 
+
+
+#: TPC-H Q1 pricing summary, shared verbatim by both engines: all money
+#: sums run in exact scaled-BIGINT (cents / 1e-4 / 1e-6 units) so the
+#: report is accumulation-order-independent — the one adaptation that
+#: makes a float-sum query hash-gateable across engines and partition
+#: counts.  Date cutoff inside the synthetic range.
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             / CAST(100 AS DOUBLE), 2) AS sum_base_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                            0) AS BIGINT)) / CAST(10000 AS DOUBLE), 2)
+           AS sum_disc_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 1000000, 0) AS BIGINT))
+             / CAST(1000000 AS DOUBLE), 2) AS sum_charge,
+       ROUND(SUM(CAST(l_quantity AS BIGINT))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             / CAST(100 AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= CAST('2000-09-02' AS TIMESTAMP)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary over lineitem — the canonical OLAP
+    aggregate (filter → map-side-combined groupBy on a 6-value key),
+    shared VERBATIM with the oracle as ANSI SQL; money sums in exact
+    scaled BIGINT so the result is partitioning-independent."""
+    readers.load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q1_SQL)
+
+
+def _sql_tpch_q1():
+    return _TPCH_Q1_SQL
+
+
+
+
+#: TPC-H Q6 forecast-revenue filter — the predicate-pushdown showcase
+#: (every filter reaches the parquet scan); one exact scaled-BIGINT sum
+_TPCH_Q6_SQL = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0)
+                      AS BIGINT)) / CAST(10000 AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+#: TPC-H Q3 shipping-priority top-10 (adapted: no o_shippriority column
+#: in the synthetic schema) — selective dimension filters then a 3-way
+#: join that AQE turns into broadcast joins at gate scale; deterministic
+#: ordering via the (revenue, date, key) tie-break
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                            0) AS BIGINT)) / CAST(10000 AS DOUBLE), 2)
+           AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+  AND l_shipdate > CAST('1998-01-01' AS TIMESTAMP)
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6: all four predicates reach the parquet scan
+    (PushedFilters), one partial-combined scalar sum — the minimal
+    query whose whole cost is the pruned scan."""
+    readers.load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q6_SQL)
+
+
+def _sql_tpch_q6():
+    return _TPCH_Q6_SQL
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (adapted): dimension-filtered 3-way join → grouped
+    revenue → deterministic top-10.  Exact scaled-BIGINT money sums
+    keep the hash gate partitioning-independent."""
+    for t in ("customer", "orders", "lineitem"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3_SQL)
+
+
+def _sql_tpch_q3():
+    return _TPCH_Q3_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q3": _q_tpch_q3,
         "corpus_diff": _q_corpus_diff,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -3026,6 +3134,9 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "tpch_q1": _sql_tpch_q1(),
+        "tpch_q6": _sql_tpch_q6(),
+        "tpch_q3": _sql_tpch_q3(),
         "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),
         "events_retention": _sql_events_retention(),

@@ -243,6 +243,15 @@ def main():
             "CAST(ROUND(o_totalprice, 0) AS BIGINT)")),
         ["o_orderkey", "o_custkey", "o_dollars"]).collect())
 
+    # TPC-H classics over the synthetic tables (shared-verbatim-SQL
+    # gate queries): Q1 groupBy aggregate, Q6 pushdown scan, Q3 join
+    import __spark_entry__ as _e
+    for _t in ("customer", "orders", "lineitem"):
+        readers.load_table(spark, SF_DIR, _t).createOrReplaceTempView(_t)
+    timed("tpch_q1", lambda: spark.sql(_e._TPCH_Q1_SQL).collect())
+    timed("tpch_q6", lambda: spark.sql(_e._TPCH_Q6_SQL).collect())
+    timed("tpch_q3", lambda: spark.sql(_e._TPCH_Q3_SQL).collect())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     import __spark_entry__ as _entry

@@ -2290,11 +2290,79 @@ def _sql_tpch_q3():
     return _TPCH_Q3_SQL
 
 
+
+
+#: TPC-H Q5 local-supplier revenue by nation (6-way join; the dimension
+#: chain broadcasts at every scale, the fact join shuffles once)
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                            0) AS BIGINT)) / CAST(10000 AS DOUBLE), 2)
+           AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND o_orderdate < CAST('1999-01-01' AS TIMESTAMP)
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+#: TPC-H Q14 promo-revenue share (fact-dimension join + one conditional
+#: aggregate; 'PROMO' is an exact type in the synthetic part table)
+_TPCH_Q14_SQL = """
+SELECT ROUND(CAST(100 AS DOUBLE)
+             * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                        * 10000, 0) AS BIGINT)
+                        ELSE 0 END)
+             / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                              0) AS BIGINT)), 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1997-07-01' AS TIMESTAMP)
+"""
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5: the 6-way star join — AQE broadcasts the filtered
+    dimension chain, the lineitem-orders equi-join is the only real
+    shuffle; exact scaled-BIGINT revenue."""
+    for t in ("customer", "orders", "lineitem", "supplier",
+              "nation", "region"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q5_SQL)
+
+
+def _sql_tpch_q5():
+    return _TPCH_Q5_SQL
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14: date-pruned fact scan joined to the part dimension
+    (broadcast at any scale: parts ≪ lineitems) + one conditional
+    aggregate; the ratio of two exact BIGINT sums."""
+    for t in ("lineitem", "part"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q14_SQL)
+
+
+def _sql_tpch_q14():
+    return _TPCH_Q14_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q14": _q_tpch_q14,
         "tpch_q3": _q_tpch_q3,
         "corpus_diff": _q_corpus_diff,
         "events_funnel": _q_events_funnel,
@@ -3136,6 +3204,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "som_predict": _sql_som_predict(),
         "tpch_q1": _sql_tpch_q1(),
         "tpch_q6": _sql_tpch_q6(),
+        "tpch_q5": _sql_tpch_q5(),
+        "tpch_q14": _sql_tpch_q14(),
         "tpch_q3": _sql_tpch_q3(),
         "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),

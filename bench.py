@@ -251,6 +251,10 @@ def main():
     timed("tpch_q1", lambda: spark.sql(_e._TPCH_Q1_SQL).collect())
     timed("tpch_q6", lambda: spark.sql(_e._TPCH_Q6_SQL).collect())
     timed("tpch_q3", lambda: spark.sql(_e._TPCH_Q3_SQL).collect())
+    for _t in ("supplier", "nation", "region", "part"):
+        readers.load_table(spark, SF_DIR, _t).createOrReplaceTempView(_t)
+    timed("tpch_q5", lambda: spark.sql(_e._TPCH_Q5_SQL).collect())
+    timed("tpch_q14", lambda: spark.sql(_e._TPCH_Q14_SQL).collect())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

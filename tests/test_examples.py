@@ -12,10 +12,10 @@ from conftest import SF_TINY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("script", ["som_clustering.py", "data_pipeline.py", "curation_round3.py"])
+@pytest.mark.parametrize("script", ["som_clustering.py", "data_pipeline.py", "curation_round3.py", "analytics_suite.py"])
 def test_example_runs(script):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), SF_TINY],
         capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "done." in proc.stdout
+    assert "done." in proc.stdout or ": OK" in proc.stdout

@@ -2356,9 +2356,44 @@ def _sql_tpch_q14():
     return _TPCH_Q14_SQL
 
 
+
+
+def _q_text_lm_bigram(spark, sf_dir):
+    """Interpolated bigram LM quality score (text.bigram_logprob_score):
+    narrow zip_with bigram build, O(distinct) count aggregates, one
+    pair-keyed hash join + broadcast unigram joins, one groupBy(doc)
+    close — word-ORDER-aware quality, one rung up from the unigram
+    gate."""
+    return T.bigram_logprob_score(_docs(spark, sf_dir), "text",
+                                  "doc_id", lam=0.7)
+
+
+def _sql_text_lm_bigram():
+    t = _duck_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {t} AS tk FROM documents),
+bg AS (SELECT id, i AS pos, tk[i] AS a, tk[i + 1] AS b
+       FROM toks, unnest(range(1, len(tk))) AS u(i)),
+pc AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b),
+uc AS (SELECT unnest(tk) AS term FROM toks),
+un AS (SELECT term, COUNT(*) AS n_t FROM uc GROUP BY term),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS total FROM un)
+SELECT id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(ln(0.7 * (CAST(n_ab AS DOUBLE) / ca.n_t)
+                    + (1 - 0.7) * (CAST(cb.n_t AS DOUBLE) / total)))
+             / COUNT(*), 6) AS avg_logp
+FROM bg
+JOIN pc USING (a, b)
+JOIN un ca ON ca.term = bg.a
+JOIN un cb ON cb.term = bg.b, tot
+GROUP BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "text_lm_bigram": _q_text_lm_bigram,
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
         "tpch_q5": _q_tpch_q5,
@@ -3202,6 +3237,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "text_lm_bigram": _sql_text_lm_bigram(),
         "tpch_q1": _sql_tpch_q1(),
         "tpch_q6": _sql_tpch_q6(),
         "tpch_q5": _sql_tpch_q5(),

@@ -166,3 +166,32 @@ def test_semantic_dedup_max_cell_guard(spark):
     with pytest.raises(ValueError, match="max_cell"):
         similarity.semantic_dedup(_toy_som(), df, threshold=0.99,
                                   max_cell=10)
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    docs = [(1, "the cat sat"), (2, "the the"), (3, "solo")]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    out = {r["id"]: r for r in
+           T.bigram_logprob_score(df, "text", "id", lam=0.5).collect()}
+    # corpus: tokens = [the,cat,sat,the,the,solo] N=6; n(the)=3
+    # bigrams: (the,cat) (cat,sat) (the,the)
+    import math as m
+    def p(n_ab, n_a, n_b):
+        return 0.5 * (n_ab / n_a) + 0.5 * (n_b / 6)
+    exp1 = (m.log(p(1, 3, 1)) + m.log(p(1, 1, 1))) / 2
+    exp2 = m.log(p(1, 3, 3))
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["avg_logp"] - round(exp1, 6)) < 1e-6
+    assert abs(out[2]["avg_logp"] - round(exp2, 6)) < 1e-6
+    assert 3 not in out          # single-token doc: no bigrams
+
+
+def test_bigram_lm_orders_junk_below_prose(spark):
+    # repeated natural phrase vs same words shuffled per doc
+    prose = [(i, "the quick brown fox jumps") for i in range(10)]
+    junk = [(100 + i, "fox the jumps quick brown") for i in range(2)]
+    df = spark.createDataFrame(prose + junk, "id bigint, text string")
+    out = T.bigram_logprob_score(df, "text", "id").collect()
+    avg_p = sum(r["avg_logp"] for r in out if r["id"] < 100) / 10
+    avg_j = sum(r["avg_logp"] for r in out if r["id"] >= 100) / 2
+    assert avg_p > avg_j

@@ -640,3 +640,59 @@ def c4_line_filter(df, text_col: str, id_col: str,
         F.expr(f"array_join({kept}, '\n')").alias("text_clean"),
         F.expr(f"CAST(size({lines}) AS BIGINT)").alias("n_lines"),
         F.expr(f"CAST(size({kept}) AS BIGINT)").alias("n_kept"))
+
+
+def bigram_logprob_score(df, text_col: str, id_col: str,
+                         lam: float = 0.7, decimals: int = 6):
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own LM: ``id, n_bigrams, avg_logp`` with
+    p(wᵢ|wᵢ₋₁) = λ·(n(wᵢ₋₁wᵢ)/n(wᵢ₋₁)) + (1−λ)·(n(wᵢ)/N) — one rung up
+    the KenLM ladder from :func:`unigram_logprob_score`: it rewards
+    locally-coherent word order, not just common words, so shuffled or
+    templated junk scores below natural prose with the same vocabulary.
+    Within-corpus scoring keeps every count ≥ 1, so the interpolation
+    (not smoothing) is the only hyper-parameter.  Documents with < 2
+    tokens produce no row (no bigrams to score).
+
+    Plan: bigrams are built per row with the shifted-array ``zip_with``
+    (narrow; adjacency never crosses rows) and exploded ONCE with
+    their position.  Context and unigram tables are post-aggregate
+    O(distinct) and broadcast (Heaps' law); the bigram-count join is a
+    hash equi-join on (a, b) — the one pair-keyed shuffle, sized by
+    distinct bigrams, not corpus tokens.  One groupBy(id) closes the
+    mean.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    t = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    bg = F.expr(
+        f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+        f"slice({t}, 2, greatest(size({t}) - 1, 0)), "
+        "(a, b) -> struct(a, b))")
+    pairs_src = (df.select(F.col(id_col).alias("id"),
+                           F.posexplode(bg).alias("pos", "bg"))
+                 .select("id", "pos", F.col("bg.a").alias("a"),
+                         F.col("bg.b").alias("b")))
+    pair_counts = (pairs_src.groupBy("a", "b")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")))
+    unis = (df.select(F.explode(F.expr(t)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_t")))
+    total = unis.agg(F.sum("n_t").cast("bigint").alias("total"))
+    ctx = unis.select(F.col("term").alias("a"),
+                      F.col("n_t").alias("n_a"))
+    nxt = unis.select(F.col("term").alias("b"),
+                      F.col("n_t").alias("n_b"))
+    scored = (pairs_src
+              .join(pair_counts, ["a", "b"])
+              .join(F.broadcast(ctx), "a")
+              .join(F.broadcast(nxt), "b")
+              .crossJoin(F.broadcast(total)))
+    p = (F.lit(float(lam)) * (F.col("n_ab").cast("double")
+                              / F.col("n_a"))
+         + F.lit(1.0 - float(lam)) * (F.col("n_b").cast("double")
+                                      / F.col("total")))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.sum(F.log(p)) / F.count(F.lit(1)), decimals)
+                 .alias("avg_logp")))

@@ -479,3 +479,25 @@ def test_transactional_sink_end_to_end_stream(spark, tmp_path):
     got = sorted(r["v"] for r in
                  read_transactional(spark, out).collect())
     assert got == list(range(20))
+
+
+def test_rate_micro_batch_deterministic(spark):
+    from xpysom_dask_spark.streaming.sources import rate_micro_batch_stream
+
+    out = _drain_append(rate_micro_batch_stream(
+        spark, rows_per_batch=7, num_partitions=2),
+        spark, "rate_det")
+    vals = sorted(r["value"] for r in out.collect())
+    # availableNow drains exactly one planned batch of the source
+    assert vals == list(range(7))
+
+
+def test_table_format_sinks_gated(spark, tmp_path):
+    import pytest as _pt
+
+    from xpysom_dask_spark.sources.writers import write_delta, write_iceberg
+
+    with _pt.raises(ImportError, match="delta"):
+        write_delta(spark.range(1), str(tmp_path / "d"))
+    with _pt.raises(ImportError, match="iceberg"):
+        write_iceberg(spark.range(1), "ice.tbl")

@@ -94,3 +94,43 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
     except Exception as e:
         _reraise_if_avro_missing(e)
         raise
+
+
+_TABLE_FORMAT_HINT = (
+    "the {fmt} table format needs its Spark connector on the classpath "
+    "({pkg} via spark.jars.packages, plus its catalog/extension confs) "
+    "— not bundled with pip pyspark and unavailable in this "
+    "environment; the exactly-once batch-directory sinks in "
+    "streaming/sinks.py are the format-free equivalent")
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Delta Lake sink, gated on the delta-spark connector (ACID commits,
+    time travel, ``txnAppId`` idempotent writes)."""
+    try:
+        df.write.format("delta").mode(mode).save(path)
+    except Exception as e:
+        m = str(e)
+        if "data source" in m.lower() and "delta" in m.lower():
+            raise ImportError(_TABLE_FORMAT_HINT.format(
+                fmt="delta", pkg="io.delta:delta-spark_2.13")) from e
+        raise
+
+
+def write_iceberg(df: DataFrame, table: str,
+                  mode: str = "overwrite") -> None:
+    """Apache Iceberg sink, gated on the iceberg-spark-runtime connector
+    (snapshot isolation, hidden partitioning, schema evolution)."""
+    try:
+        w = df.writeTo(table)
+        (w.createOrReplace() if mode == "overwrite" else w.append())
+    except Exception as e:
+        msg = str(e)
+        if ("data source" in msg.lower() and "iceberg" in msg.lower()
+                or "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg
+                or "CATALOG_NOT_FOUND" in msg
+                or "TABLE_OR_VIEW_NOT_FOUND" in msg):
+            raise ImportError(_TABLE_FORMAT_HINT.format(
+                fmt="iceberg",
+                pkg="org.apache.iceberg:iceberg-spark-runtime")) from e
+        raise

@@ -16,6 +16,10 @@ from .scoring import (  # noqa: F401
 )
 from .joins import interval_join_stream  # noqa: F401
 from .sessions import session_windows  # noqa: F401
+from .sources import (  # noqa: F401
+    rate_micro_batch_stream,
+    rate_stream,
+)
 from .sinks import (  # noqa: F401
     idempotent_parquet_sink,
     read_transactional,

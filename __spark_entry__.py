@@ -2390,9 +2390,48 @@ GROUP BY id
 """
 
 
+
+
+def _q_session_paths(spark, sf_dir):
+    """Top within-session event-type sequences (events.session_paths):
+    one user-keyed shuffle serves the session window and the path
+    assembly; count + top-20 on O(distinct paths)."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.session_paths(readers.load_table(spark, sf_dir, "events"),
+                            gap_s=1800, top_k=20)
+
+
+def _sql_session_paths():
+    return """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_ns(ts) AS BIGINT) AS tns FROM events),
+tagged AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY tns, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (SELECT *, CASE WHEN LAG(tns) OVER (PARTITION BY user_id
+                                           ORDER BY tns, event_id)
+                            IS NULL
+                       OR tns - LAG(tns) OVER (PARTITION BY user_id
+                                               ORDER BY tns, event_id)
+                          > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        FROM e)),
+paths AS (SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY tns, event_id)
+                     AS path
+          FROM tagged GROUP BY user_id, sid)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "session_paths": _q_session_paths,
         "text_lm_bigram": _q_text_lm_bigram,
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
@@ -3237,6 +3276,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "session_paths": _sql_session_paths(),
         "text_lm_bigram": _sql_text_lm_bigram(),
         "tpch_q1": _sql_tpch_q1(),
         "tpch_q6": _sql_tpch_q6(),

@@ -235,6 +235,8 @@ def main():
     timed("events_funnel", lambda: EV.funnel(
         ev, ["view", "click", "purchase"]).collect())
     timed("events_retention", lambda: EV.retention(ev).count())
+    timed("session_paths", lambda: EV.session_paths(
+        ev, gap_s=1800, top_k=20).collect())
     orders = readers.load_table(spark, SF_DIR, "orders")
     timed("orders_histogram", lambda: PROF.numeric_histogram(
         orders, "o_totalprice", bins=20).count())

@@ -101,3 +101,22 @@ def test_corpus_diff_statuses(spark):
     summary = {r["status"]: r["n"] for r in
                PROF.corpus_diff_summary(a, b, "id", "fp").collect()}
     assert summary == {"removed": 1, "same": 1, "changed": 1, "added": 1}
+
+
+def test_session_paths_counts_and_order(spark):
+    S = 1_000_000_000
+    rows = [
+        # u1 session 1: a>b ; session 2 (gap): a>b
+        (1, 0 * S, "a", 1), (1, 10 * S, "b", 2),
+        (1, 10_000 * S, "a", 3), (1, 10_010 * S, "b", 4),
+        # u2: a>b once
+        (2, 0 * S, "a", 5), (2, 5 * S, "b", 6),
+        # u3: equal-ts tie broken by event_id -> b first then c
+        (3, 0 * S, "c", 8), (3, 0 * S, "b", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_type string, event_id bigint")
+    out = [(r["path"], r["n_sessions"]) for r in
+           EV.session_paths(df, gap_s=1800, top_k=5).collect()]
+    assert out[0] == ("a>b", 3)
+    assert ("b>c", 1) in out

@@ -380,3 +380,45 @@ def retention(events: DataFrame, user_col: str = "user_id",
             .distinct()
             .groupBy("cohort", "offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def session_paths(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  id_col: str = "event_id", gap_s: int = 1800,
+                  top_k: int = 20) -> DataFrame:
+    """Top user paths: the ``top_k`` most common within-session
+    event-type sequences (``path, n_sessions``) — the behavioral
+    path-analysis query behind every product-flow dashboard ("what do
+    users actually do in a session?").
+
+    Sessions are the same gap rule as :func:`sessionize`; within a
+    session the sequence orders by (ts, ``id_col``) so equal-timestamp
+    events have a deterministic, engine-portable order.  Paths join
+    event types with ``>``.
+
+    Plan: ONE hash shuffle on the user key serves the session window
+    AND the per-session assembly (groupBy(user, session) preserves the
+    window partitioning); the path string is built by sorting each
+    session's (ts, id, type) structs in place — no second window.
+    The final count + top-k runs on O(distinct paths) rows.  Path
+    strings are bounded by session length; a runaway session (bot
+    traffic) is the quota-cap operator's job upstream.
+    """
+    gap_ns = int(gap_s) * 1_000_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > gap_ns), 1).otherwise(0)
+    tagged = (events
+              .withColumn("_new", new_session)
+              .withColumn("_sid", F.sum("_new").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    paths = (tagged.groupBy(user_col, "_sid")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct(ts_col, id_col, type_col))),
+                 lambda s: s.getField(type_col))).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(int(top_k)))

@@ -501,3 +501,31 @@ def test_table_format_sinks_gated(spark, tmp_path):
         write_delta(spark.range(1), str(tmp_path / "d"))
     with _pt.raises(ImportError, match="iceberg"):
         write_iceberg(spark.range(1), "ice.tbl")
+
+
+def test_narrow_text_ops_stream_unchanged(spark, tmp_path):
+    """chunk_tokens and c4_line_filter are pure narrow expressions, so
+    the SAME call works on a streaming DataFrame — batch vs stream
+    results must be identical."""
+    from xpysom_dask_spark.operators import text as T
+
+    src = str(tmp_path / "docs")
+    rows = [(1, "This is a fine sentence.\nshort."),
+            (2, "alpha beta gamma delta epsilon zeta")]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(src)
+    batch = spark.read.parquet(src)
+
+    for name, fn in [
+        ("chunks", lambda d: T.chunk_tokens(d, "text", "doc_id",
+                                            window=3, stride=2)),
+        ("c4", lambda d: T.c4_line_filter(d, "text", "doc_id")),
+    ]:
+        got = _drain_append(fn(stream), spark, f"narrow_{name}")
+        want = fn(batch)
+        cols = want.columns
+        a = sorted(tuple(r[c] for c in cols) for r in got.collect())
+        b = sorted(tuple(r[c] for c in cols) for r in want.collect())
+        assert a == b, name

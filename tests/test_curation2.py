@@ -195,3 +195,61 @@ def test_bigram_lm_orders_junk_below_prose(spark):
     avg_p = sum(r["avg_logp"] for r in out if r["id"] < 100) / 10
     avg_j = sum(r["avg_logp"] for r in out if r["id"] >= 100) / 2
     assert avg_p > avg_j
+
+
+def _py_chunks(text, window, stride):
+    toks = [t for t in text.split() if t]
+    out = []
+    for start in range(0, len(toks), stride):
+        c = toks[start:start + window]
+        out.append((start // stride, " ".join(c), len(c)))
+    return out
+
+
+def _py_c4(text, min_words=3):
+    kept = []
+    lines = text.split("\n")
+    for x in lines:
+        t = x.strip(" ")
+        ok = (bool(t) and t[-1] in '.!?"'
+              and len([w for w in t.split() if w]) >= min_words
+              and "{" not in x
+              and "lorem ipsum" not in x.lower()
+              and "javascript" not in x.lower())
+        if ok:
+            kept.append(x)
+    return "\n".join(kept), len(lines), len(kept)
+
+
+def test_chunk_and_c4_match_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "Gamma", "delta", "{x}", "JavaScript",
+             "lorem", "ipsum", "ok.", "fine!", 'q"', "mid"]
+    docs = []
+    for i in range(200):
+        n_lines = rng.randint(0, 4)
+        lines = [" ".join(rng.choice(words)
+                          for _ in range(rng.randint(0, 8)))
+                 for _ in range(n_lines)]
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    got = {}
+    for r in T.chunk_tokens(df, "text", "doc_id",
+                            window=4, stride=3).collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    for i, text in docs:
+        exp = _py_chunks(text.replace("\n", " "), 4, 3)
+        # \s+ split treats newlines as whitespace, same as .split()
+        assert sorted(got.get(i, [])) == sorted(exp), i
+
+    out = {r["id"]: r for r in
+           T.c4_line_filter(df, "text", "doc_id").collect()}
+    for i, text in docs:
+        clean, n_lines, n_kept = _py_c4(text)
+        assert out[i]["n_lines"] == n_lines, i
+        assert out[i]["n_kept"] == n_kept, (i, text)
+        assert out[i]["text_clean"] == clean, i

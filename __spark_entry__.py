@@ -2428,9 +2428,52 @@ LIMIT 20
 """
 
 
+
+
+#: substring-dedup window length for the gate (synthetic docs repeat
+#: 20-token runs — the dedup_spans pressure — so stride-1 windows hit)
+_SUBSTR_L = 20
+
+
+def _q_dedup_substrings(spark, sf_dir):
+    """ExactSubstr-style substring dedup (dedup.dedup_substrings):
+    stride-1 hashed windows, global first-occurrence rank, token-level
+    removal marks, anti-join re-assembly — the suffix-array dedup
+    guarantee re-expressed as four relational stages."""
+    return dedup.dedup_substrings(_docs(spark, sf_dir), "text",
+                                  "doc_id", min_tokens=_SUBSTR_L)
+
+
+def _sql_dedup_substrings():
+    L = _SUBSTR_L
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+w AS (SELECT id, p, md5(array_to_string(toks[p + 1 : p + {L}], ' ')) AS h
+      FROM t, unnest(range(0, len(toks) - {L} + 1)) AS u(p)),
+rk AS (SELECT id, p, ROW_NUMBER() OVER (PARTITION BY h
+                                        ORDER BY id, p) AS rn FROM w),
+rm AS (SELECT DISTINCT id, p + i AS pos
+       FROM rk, unnest(range(0, {L})) AS v(i) WHERE rn > 1),
+tok AS (SELECT id, i - 1 AS pos, toks[i] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+kept AS (SELECT tok.id, tok.pos, tok.tok
+         FROM tok LEFT JOIN rm ON rm.id = tok.id AND rm.pos = tok.pos
+         WHERE rm.id IS NULL),
+agg AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+               COUNT(*) AS nk
+        FROM kept GROUP BY id)
+SELECT t.id, COALESCE(agg.clean, '') AS text_clean,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(agg.nk, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN agg ON agg.id = t.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "dedup_substrings": _q_dedup_substrings,
         "session_paths": _q_session_paths,
         "text_lm_bigram": _q_text_lm_bigram,
         "tpch_q1": _q_tpch_q1,
@@ -3276,6 +3319,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "dedup_substrings": _sql_dedup_substrings(),
         "session_paths": _sql_session_paths(),
         "text_lm_bigram": _sql_text_lm_bigram(),
         "tpch_q1": _sql_tpch_q1(),

@@ -225,6 +225,9 @@ def main():
     sd_som = SparkSom(4, 4, 64, random_seed=42, dtype=np.float64,
                       features_col="embedding")
     sd_som.train(emb.select("embedding"), 1)
+    timed("dedup_substrings", lambda: dedup.dedup_substrings(
+        docs, "text", "doc_id", min_tokens=20)
+        .agg(F.sum("n_removed")).collect())
     timed("semantic_dedup", lambda: similarity.semantic_dedup(
         sd_som, emb, threshold=0.4).count())
 

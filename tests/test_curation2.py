@@ -253,3 +253,56 @@ def test_chunk_and_c4_match_python_reference(spark):
         assert out[i]["n_lines"] == n_lines, i
         assert out[i]["n_kept"] == n_kept, (i, text)
         assert out[i]["text_clean"] == clean, i
+
+
+def test_dedup_substrings_removes_long_duplicate_runs(spark):
+    from xpysom_dask_spark.operators import dedup
+
+    boiler = "one two three four five six seven eight"       # 8 tokens
+    docs = [
+        (1, f"intro {boiler} outro"),
+        (2, f"{boiler} tail words here"),                    # dup run
+        (3, "totally unrelated text body"),
+        (4, f"lead {boiler}"),                               # dup run
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["id"]: r for r in dedup.dedup_substrings(
+        df, "text", "doc_id", min_tokens=8).collect()}
+    # doc 1 holds the first occurrence: untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == f"intro {boiler} outro"
+    # docs 2 and 4 lose exactly the 8-token run, keep their own words
+    assert out[2]["n_removed"] == 8
+    assert out[2]["text_clean"] == "tail words here"
+    assert out[4]["n_removed"] == 8
+    assert out[4]["text_clean"] == "lead"
+    # untouched and short docs pass through whole
+    assert out[3]["n_removed"] == 0
+    assert out[5]["text_clean"] == "short doc"
+    assert out[5]["n_tokens"] == 2
+
+
+def test_dedup_substrings_covers_longer_runs_and_self_repeat(spark):
+    from xpysom_dask_spark.operators import dedup
+
+    run = " ".join(f"w{i}" for i in range(12))
+    docs = [(1, run), (2, f"a b {run} c d"),       # 12-token dup > L=8
+            (3, f"{run} {run}")]                   # copies of doc 1
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["id"]: r for r in dedup.dedup_substrings(
+        df, "text", "doc_id", min_tokens=8).collect()}
+    # stride-1 windows cover the FULL 12-token run in doc 2
+    assert out[2]["text_clean"] == "a b c d"
+    assert out[2]["n_removed"] == 12
+    # doc 1 is canonical, so BOTH of doc 3's copies vanish
+    assert out[3]["n_removed"] == 24
+    assert out[3]["text_clean"] == ""
+
+    # self-repetition alone: the doc's own first copy is canonical
+    solo = spark.createDataFrame([(7, f"{run} {run}")],
+                                 "doc_id bigint, text string")
+    o = dedup.dedup_substrings(solo, "text", "doc_id",
+                               min_tokens=8).collect()[0]
+    assert o["n_removed"] == 12
+    assert o["text_clean"] == run

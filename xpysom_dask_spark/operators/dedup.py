@@ -519,3 +519,73 @@ def dedup_spans(df: DataFrame, text_col: str, id_col: str,
                          .otherwise(F.lit(None)).alias("s")))),
                      lambda s: s.getField("s"))).alias("text_clean"))
             .select("id", "text_clean", "n_spans", "n_kept"))
+
+
+def dedup_substrings(df: DataFrame, text_col: str, id_col: str,
+                     min_tokens: int = 50) -> DataFrame:
+    """Exact substring-level dedup (the ExactSubstr operation of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    suffix-array formulation re-expressed relationally): every
+    ``min_tokens``-token window that occurred anywhere earlier in the
+    corpus (order: (id, position)) marks its tokens for deletion, and
+    each document is re-assembled from its unmarked tokens.  Because
+    windows slide at stride 1, ANY duplicated token run of length ≥
+    min_tokens is covered by marked windows across its whole length —
+    the same guarantee the suffix array gives — while runs shorter than
+    min_tokens never match.  Returns ``id, text_clean, n_tokens,
+    n_removed`` (documents shorter than ``min_tokens`` pass through
+    whole; re-assembly joins with single spaces).
+
+    The canonical (first) occurrence keeps its tokens even when it
+    overlaps another duplicate's removal — the greedy first-wins rule
+    that makes the operator deterministic and engine-portable.
+
+    Plan: windows are hashed IN the scan projection (``transform`` over
+    the token array — the L-token span text never leaves the stage;
+    shuffle rows are (id, pos, 16-byte hash), O(corpus tokens) total)
+    → ONE window shuffle on the span hash (first-occurrence rank; hot
+    hashes are the duplicated content itself, bounded by dedup
+    pressure) → marked windows explode to token positions (fanout
+    min_tokens × duplicated windows only) → anti-join against the
+    token stream on (id, pos) → groupBy(id) re-assembly, joined back
+    to the full corpus so untouched documents pass through.
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {L}")
+    t = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    base = df.select(F.col(id_col).alias("id"),
+                     F.expr(t).alias("__toks"))
+    # sequence(0, n-L) counts DOWN when n < L — short docs must not
+    # enter the window build at all
+    wins = (base.where(F.size("__toks") >= L)
+            .select("id", F.explode(F.expr(
+                f"transform(sequence(0, size(__toks) - {L}), "
+                f"p -> struct(p AS p, md5(concat_ws(' ', "
+                f"slice(__toks, p + 1, {L}))) AS h))")).alias("w"))
+            .select("id", F.col("w.p").alias("p"),
+                    F.col("w.h").alias("h")))
+    rk = Window.partitionBy("h").orderBy(F.col("id").asc(),
+                                         F.col("p").asc())
+    marked = (wins.withColumn("__rk", F.row_number().over(rk))
+              .where(F.col("__rk") > 1)
+              .select("id", F.explode(F.expr(
+                  f"sequence(p, p + {L - 1})")).alias("pos"))
+              .distinct())
+    toks = base.select("id", F.posexplode("__toks").alias("pos", "tok"))
+    kept = toks.join(marked, ["id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                   lambda s: s.getField("tok"))).alias("__clean"),
+                    F.count(F.lit(1)).cast("bigint").alias("__n_kept")))
+    return (base.select("id", F.size("__toks").cast("bigint")
+                        .alias("n_tokens"))
+            .join(rebuilt, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("__clean"), F.lit(""))
+                    .alias("text_clean"),
+                    "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("__n_kept"), F.lit(0)))
+                    .cast("bigint").alias("n_removed")))

@@ -775,7 +775,7 @@ def _ivf_candidates_topk(bucketed: DataFrame, probes: np.ndarray,
 def semantic_dedup(som, df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    threshold: float = 0.95,
-                   max_cell: int = 8192,
+                   max_cell: int | None = 8192,
                    block_rows: int = 1024) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the corpus with the SOM codebook, then WITHIN each cell
@@ -796,24 +796,30 @@ def semantic_dedup(som, df: DataFrame, id_col: str = "vec_id",
     matrix in ``block_rows`` row blocks against the id-prefix
     (peak memory block_rows × |cell| doubles, never |cell|²).  Cells
     above ``max_cell`` raise with guidance (one count aggregate
-    verifies first) — the quadratic is bounded per cell by
-    construction, which is the entire point of clustering first;
-    at 100 TB you size the codebook so cells stay ~10⁴.
+    verifies first — an extra narrow scan; ``max_cell=None`` skips it
+    once codebook sizing is validated) — the quadratic is bounded per
+    cell by construction, which is the entire point of clustering
+    first; at 100 TB you size the codebook so cells stay ~10⁴.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    max_cell = int(max_cell)
     cells = som.transform(df, ("cluster_id",), keep=[id_col, vec_col],
                           features_col=vec_col)
-    hot = (cells.groupBy("cluster_id").count()
-           .where(F.col("count") > max_cell).limit(5).collect())
-    if hot:
-        worst = ", ".join(f"cell {r[0]}: {r[1]} rows" for r in hot)
-        raise ValueError(
-            f"semantic_dedup: cell(s) exceed max_cell={max_cell} "
-            f"({worst}); train a larger SOM codebook so cells shrink, "
-            f"or raise max_cell if block-swept memory "
-            f"(block_rows × cell × 8B) allows")
+    # the guard aggregate re-runs the narrow scoring pass (one extra
+    # scan); at corpus scale recomputing a narrow stage is cheaper than
+    # caching the scored corpus — callers who have already validated
+    # their codebook sizing pass max_cell=None to skip the extra pass
+    if max_cell is not None:
+        max_cell = int(max_cell)
+        hot = (cells.groupBy("cluster_id").count()
+               .where(F.col("count") > max_cell).limit(5).collect())
+        if hot:
+            worst = ", ".join(f"cell {r[0]}: {r[1]} rows" for r in hot)
+            raise ValueError(
+                f"semantic_dedup: cell(s) exceed max_cell={max_cell} "
+                f"({worst}); train a larger SOM codebook so cells "
+                f"shrink, or raise max_cell if block-swept memory "
+                f"(block_rows × cell × 8B) allows")
 
     blk = int(block_rows)
 

@@ -2470,6 +2470,71 @@ FROM t LEFT JOIN agg ON agg.id = t.id
 """
 
 
+
+
+#: TPC-H Q10 returned-item reporting (adapted: 3-month window widened to
+#: the synthetic date density) — fact join + broadcast dims + top-20
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                            0) AS BIGINT)) / CAST(10000 AS DOUBLE), 2)
+           AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+#: TPC-H Q18 large-volume orders (HAVING subquery; threshold tuned to
+#: the synthetic quantity distribution)
+_TPCH_Q18_SQL = """
+SELECT c_custkey, o_orderkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 180)
+GROUP BY c_custkey, o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (adapted window): returned-item revenue per customer —
+    one fact shuffle, broadcast dims, deterministic top-20."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q10_SQL)
+
+
+def _sql_tpch_q10():
+    return _TPCH_Q10_SQL
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18: large-volume orders via a HAVING semi-join subquery
+    (Catalyst plans IN as a shuffled semi-join on the order key,
+    reusing the fact partitioning); exact BIGINT quantity sums."""
+    for t in ("customer", "orders", "lineitem"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q18_SQL)
+
+
+def _sql_tpch_q18():
+    return _TPCH_Q18_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -2479,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q18": _q_tpch_q18,
         "tpch_q14": _q_tpch_q14,
         "tpch_q3": _q_tpch_q3,
         "corpus_diff": _q_corpus_diff,
@@ -3325,6 +3392,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q1": _sql_tpch_q1(),
         "tpch_q6": _sql_tpch_q6(),
         "tpch_q5": _sql_tpch_q5(),
+        "tpch_q10": _sql_tpch_q10(),
+        "tpch_q18": _sql_tpch_q18(),
         "tpch_q14": _sql_tpch_q14(),
         "tpch_q3": _sql_tpch_q3(),
         "corpus_diff": _sql_corpus_diff(),

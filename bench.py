@@ -260,6 +260,8 @@ def main():
         readers.load_table(spark, SF_DIR, _t).createOrReplaceTempView(_t)
     timed("tpch_q5", lambda: spark.sql(_e._TPCH_Q5_SQL).collect())
     timed("tpch_q14", lambda: spark.sql(_e._TPCH_Q14_SQL).collect())
+    timed("tpch_q10", lambda: spark.sql(_e._TPCH_Q10_SQL).collect())
+    timed("tpch_q18", lambda: spark.sql(_e._TPCH_Q18_SQL).collect())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

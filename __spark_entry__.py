@@ -2535,9 +2535,34 @@ def _sql_tpch_q18():
     return _TPCH_Q18_SQL
 
 
+
+
+def _q_events_quantiles(spark, sf_dir):
+    """Per-event-type value quantile report (profile.group_quantiles):
+    one map-side-combined groupBy; the exact percentile is the oracle
+    configuration, percentile_approx the documented scale path."""
+    from xpysom_dask_spark.operators import profile as PROF
+
+    return PROF.group_quantiles(
+        readers.load_table(spark, sf_dir, "events"),
+        "event_type", "value", qs=(0.5, 0.9, 0.99))
+
+
+def _sql_events_quantiles():
+    return """
+SELECT event_type AS "group", COUNT(*) AS n,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS q_50,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 4) AS q_90,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 4) AS q_99
+FROM events
+GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "events_quantiles": _q_events_quantiles,
         "dedup_substrings": _q_dedup_substrings,
         "session_paths": _q_session_paths,
         "text_lm_bigram": _q_text_lm_bigram,
@@ -3386,6 +3411,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "events_quantiles": _sql_events_quantiles(),
         "dedup_substrings": _sql_dedup_substrings(),
         "session_paths": _sql_session_paths(),
         "text_lm_bigram": _sql_text_lm_bigram(),

@@ -238,6 +238,9 @@ def main():
     timed("events_funnel", lambda: EV.funnel(
         ev, ["view", "click", "purchase"]).collect())
     timed("events_retention", lambda: EV.retention(ev).count())
+    from xpysom_dask_spark.operators import profile as _PROF2
+    timed("events_quantiles", lambda: _PROF2.group_quantiles(
+        ev, "event_type", "value", exact=False).collect())
     timed("session_paths", lambda: EV.session_paths(
         ev, gap_s=1800, top_k=20).collect())
     orders = readers.load_table(spark, SF_DIR, "orders")

@@ -120,3 +120,21 @@ def test_session_paths_counts_and_order(spark):
            EV.session_paths(df, gap_s=1800, top_k=5).collect()]
     assert out[0] == ("a>b", 3)
     assert ("b>c", 1) in out
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    rows = [("a", float(v)) for v in range(1, 101)] + \
+           [("b", 5.0), ("b", 15.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["group"]: r for r in
+           PROF.group_quantiles(df, "g", "v", qs=(0.5, 0.9)).collect()}
+    assert out["a"]["n"] == 100
+    assert out["a"]["q_50"] == 50.5     # interpolated median of 1..100
+    assert out["a"]["q_90"] == 90.1
+    assert out["b"]["q_50"] == 10.0
+    ap = {r["group"]: r for r in
+          PROF.group_quantiles(df, "g", "v", qs=(0.5,),
+                               exact=False).collect()}
+    assert abs(ap["a"]["q_50"] - 50.5) <= 2.0   # sketch tolerance
+    with pytest.raises(ValueError, match="quantiles"):
+        PROF.group_quantiles(df, "g", "v", qs=(1.5,))

@@ -169,3 +169,31 @@ def corpus_diff_summary(a: DataFrame, b: DataFrame, id_col: str,
     dashboard report (map-side-combined aggregate on the diff)."""
     return (corpus_diff(a, b, id_col, fp_col)
             .groupBy("status").agg(F.count(F.lit(1)).alias("n")))
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs: tuple = (0.5, 0.9, 0.99), decimals: int = 4,
+                    exact: bool = True) -> DataFrame:
+    """Per-group value quantiles: ``group, n, q_50, q_90, ...`` — the
+    latency/size-distribution report (p50/p90/p99 per endpoint, doc
+    length per source, …).
+
+    One map-side-combined groupBy.  ``exact=True`` (the oracle
+    configuration) buffers each group's values for the exact
+    interpolated percentile — fine while single groups fit an executor;
+    ``exact=False`` swaps in ``percentile_approx`` (t-digest sketch,
+    mergeable, bounded memory) — the 100 TB path, same output shape.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    fn = F.percentile if exact else (
+        lambda c, q: F.percentile_approx(c, q))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for q in qs:
+        name = f"q_{int(q * 100)}" if (q * 100).is_integer() \
+            else f"q_{str(q).replace('.', '_')}"
+        aggs.append(F.round(fn(F.col(value_col).cast("double"),
+                               F.lit(float(q))), decimals).alias(name))
+    return (df.groupBy(F.col(group_col).alias("group"))
+            .agg(*aggs))

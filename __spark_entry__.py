@@ -2559,9 +2559,38 @@ GROUP BY event_type
 """
 
 
+
+
+def _q_doc_length_buckets(spark, sf_dir):
+    """Quantile-bucket curriculum assignment (sampling.quantile_buckets)
+    over document lengths: cutpoints from one aggregate, codegen'd
+    when-chain assignment — the scale-safe ntile (no single-partition
+    global sort)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return sampling.quantile_buckets(d, "n_chars", n_buckets=5)
+
+
+def _sql_doc_length_buckets():
+    qs = [i / 5 for i in range(1, 5)]
+    cuts = ", ".join(
+        f"quantile_cont(CAST(n_chars AS DOUBLE), {q}) AS c{i}"
+        for i, q in enumerate(qs))
+    whens = " ".join(
+        f"WHEN CAST(n_chars AS DOUBLE) <= c{i} THEN {i}"
+        for i in range(len(qs)))
+    return f"""
+WITH cuts AS (SELECT {cuts} FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE {whens} ELSE {len(qs)} END AS BIGINT) AS bucket
+FROM documents, cuts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "doc_length_buckets": _q_doc_length_buckets,
         "events_quantiles": _q_events_quantiles,
         "dedup_substrings": _q_dedup_substrings,
         "session_paths": _q_session_paths,
@@ -3411,6 +3440,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "doc_length_buckets": _sql_doc_length_buckets(),
         "events_quantiles": _sql_events_quantiles(),
         "dedup_substrings": _sql_dedup_substrings(),
         "session_paths": _sql_session_paths(),

@@ -138,3 +138,19 @@ def test_group_quantiles_exact_and_approx(spark):
     assert abs(ap["a"]["q_50"] - 50.5) <= 2.0   # sketch tolerance
     with pytest.raises(ValueError, match="quantiles"):
         PROF.group_quantiles(df, "g", "v", qs=(1.5,))
+
+
+def test_quantile_buckets_deciles(spark):
+    from xpysom_dask_spark.operators import sampling as smp
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id bigint, v double")
+    out = smp.quantile_buckets(df, "v", n_buckets=4).toPandas()
+    sizes = out.groupby("bucket").size()
+    assert list(sizes.index) == [0, 1, 2, 3]
+    assert all(20 <= s <= 30 for s in sizes)
+    # monotone: higher value -> same or higher bucket
+    s = out.sort_values("v")
+    assert (s["bucket"].diff().dropna() >= 0).all()
+    with pytest.raises(ValueError, match="n_buckets"):
+        smp.quantile_buckets(df, "v", n_buckets=1)

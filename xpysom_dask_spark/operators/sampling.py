@@ -362,3 +362,40 @@ def temperature_mix(df: DataFrame, id_col: str, strata_col: str,
                 else rate.when(cond, F.lit(r)))
     return (df.withColumn(rate_col, rate)
             .where(u < F.col(rate_col)))
+
+
+def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
+                     id_col: str | None = None,
+                     out_col: str = "bucket",
+                     exact: bool = True) -> DataFrame:
+    """Assign each row to a value-quantile bucket 0..n_buckets−1 (decile
+    curriculum, length-stratified packing, difficulty tiers) — the
+    scale-safe ``ntile``: a global ntile needs ONE total ordering (a
+    single-partition window sort — the anti-pattern), while this
+    computes the n_buckets−1 cutpoints in one aggregate and assigns
+    with a codegen'd when-chain in the scan stage.
+
+    ``exact=True`` (oracle configuration) uses the exact interpolated
+    percentile; ``exact=False`` the t-digest sketch — same output
+    shape, bounded memory at any scale.  Rows equal to a cutpoint go to
+    the LOWER bucket (assignment is ``value <= cut``), so buckets are
+    only approximately equal-sized under heavy ties — deterministic
+    either way, which is what a curriculum needs.
+    """
+    n_buckets = int(n_buckets)
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    v = F.col(value_col).cast("double")
+    fn = F.percentile if exact else (
+        lambda c, q: F.percentile_approx(c, q))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(*[fn(v, F.lit(q)).alias(f"c{i}")
+                    for i, q in enumerate(qs)]).first()
+    expr = None
+    for i in range(len(qs)):
+        cond = v <= F.lit(float(cuts[f"c{i}"]))
+        expr = (F.when(cond, i) if expr is None
+                else expr.when(cond, i))
+    expr = (expr.otherwise(len(qs)) if expr is not None
+            else F.lit(0))
+    return df.withColumn(out_col, expr.cast("bigint"))

@@ -90,3 +90,54 @@ def test_curation_filter_pushes_into_scan(spark):
     out = docs.where(F.col("lang") == "en").select("doc_id")
     plan = _plan(out)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_narrow_text_ops_have_no_exchange(spark):
+    """chunk_tokens and c4_line_filter must stay entirely inside the
+    scan stage — any Exchange in their plans is a regression."""
+    from xpysom_dask_spark.operators import text as T
+
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    for out in (T.chunk_tokens(docs, "text", "doc_id", window=16),
+                T.c4_line_filter(docs, "text", "doc_id")):
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan[:500]
+
+
+def test_tpch_q5_broadcasts_dimensions_no_nlj(spark):
+    """The 6-way star join must plan the dimension chain as broadcast
+    hash joins and never degenerate to a nested-loop/cartesian."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["tpch_q5"](spark, SF_TINY)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_filters_reach_scan(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["tpch_q6"](spark, SF_TINY)
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "l_returnflag#" not in plan      # column pruned
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """semantic_dedup's data path: narrow Arrow scoring, ONE exchange
+    on cluster_id into the per-cell Arrow task."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators import similarity
+    from xpysom_dask_spark.operators.som import SparkSom
+
+    e = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    som = SparkSom(2, 2, 64, random_seed=7, features_col="embedding")
+    som.train(e.select("embedding").limit(100), 1)
+    out = similarity.semantic_dedup(som, e, threshold=0.4,
+                                    max_cell=None)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1, plan

@@ -2587,9 +2587,44 @@ FROM documents, cuts
 """
 
 
+
+
+def _q_ab_report(spark, sf_dir):
+    """Deterministic A/B readout (events.ab_report): hash-assigned
+    variants, one 2-group aggregate, Welch t computed from the exact
+    moment sums — auditable experimentation over the events stream."""
+    from xpysom_dask_spark.operators import events as EV
+
+    return EV.ab_report(readers.load_table(spark, sf_dir, "events"),
+                        seed=9)
+
+
+def _sql_ab_report():
+    u = _duck_unit_hash("user_id", 9)
+    return f"""
+WITH v AS (SELECT CASE WHEN {u} < 0.5 THEN 'A' ELSE 'B' END AS variant,
+                  CAST(value AS DOUBLE) AS value, user_id
+           FROM events),
+a AS (SELECT variant, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             SUM(value) AS s, SUM(value * value) AS ss
+      FROM v GROUP BY variant),
+st AS (SELECT variant, n, n_users, s / n AS mean,
+              (ss - s * s / n) / (n - 1) AS var
+       FROM a),
+tt AS (SELECT (x.mean - y.mean)
+              / sqrt(x.var / x.n + y.var / y.n) AS t
+       FROM st x, st y WHERE x.variant = 'A' AND y.variant = 'B')
+SELECT variant, n, n_users, ROUND(mean, 6) AS mean_value,
+       ROUND((SELECT t FROM tt), 4) AS t_stat
+FROM st
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
+        "ab_report": _q_ab_report,
         "doc_length_buckets": _q_doc_length_buckets,
         "events_quantiles": _q_events_quantiles,
         "dedup_substrings": _q_dedup_substrings,
@@ -3440,6 +3475,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
         "som_predict": _sql_som_predict(),
+        "ab_report": _sql_ab_report(),
         "doc_length_buckets": _sql_doc_length_buckets(),
         "events_quantiles": _sql_events_quantiles(),
         "dedup_substrings": _sql_dedup_substrings(),

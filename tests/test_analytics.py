@@ -154,3 +154,37 @@ def test_quantile_buckets_deciles(spark):
     assert (s["bucket"].diff().dropna() >= 0).all()
     with pytest.raises(ValueError, match="n_buckets"):
         smp.quantile_buckets(df, "v", n_buckets=1)
+
+
+def test_ab_report_deterministic_and_welch(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(int(u), float(rng.normal(10 + (u % 2), 2)))
+            for u in range(400) for _ in range(3)]
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    r1 = {r["variant"]: r for r in EV.ab_report(df, seed=9).collect()}
+    r2 = {r["variant"]: r for r in
+          EV.ab_report(df.repartition(13), seed=9).collect()}
+    # identical under repartitioning (hash assignment + exact algebra)
+    for k in ("A", "B"):
+        assert r1[k]["n"] == r2[k]["n"]
+        assert r1[k]["mean_value"] == r2[k]["mean_value"]
+        assert r1[k]["t_stat"] == r2[k]["t_stat"]
+    assert r1["A"]["n"] + r1["B"]["n"] == len(rows)
+    # cross-check Welch t against scipy-style manual computation
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["user_id", "value"])
+    from xpysom_dask_spark.operators.sampling import _unit_hash  # noqa
+    got_a = {r["user_id"] for r in df.where(
+        EV.F.expr(
+            "CAST(conv(substring(md5(concat('9', ':', "
+            "CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT) "
+            "/ 281474976710656.0 < 0.5")).select("user_id")
+        .distinct().collect()}
+    a = pdf[pdf.user_id.isin(got_a)]["value"]
+    b = pdf[~pdf.user_id.isin(got_a)]["value"]
+    import math as m
+    se = m.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert abs(r1["A"]["t_stat"] - round((a.mean() - b.mean()) / se, 4)) \
+        <= 2e-4

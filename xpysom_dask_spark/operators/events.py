@@ -9,6 +9,8 @@ at any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -422,3 +424,57 @@ def session_paths(events: DataFrame, user_col: str = "user_id",
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
             .orderBy(F.col("n_sessions").desc(), "path")
             .limit(int(top_k)))
+
+
+def ab_report(events: DataFrame, user_col: str = "user_id",
+              value_col: str = "value", seed: int = 0,
+              split: float = 0.5) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-assign to
+    variants A (u < ``split``) / B by the engine-wide content-hash
+    uniform — the same assignment every run, engine, and partitioning,
+    which is what makes an experiment AUDITABLE — then one aggregate
+    yields ``variant, n, n_users, mean_value`` plus the pooled Welch
+    t-statistic (same value on both rows, so the report is one
+    self-contained table).
+
+    Plan: codegen'd variant expression in the scan stage + ONE
+    map-side-combined aggregate over 2 groups; the Welch algebra runs
+    driver-side on the two-row result.  No shuffle beyond the 2-group
+    aggregate at any scale.
+    """
+    from .sampling import _unit_hash
+
+    if not 0.0 < split < 1.0:
+        raise ValueError(f"split must be in (0, 1), got {split}")
+    u = _unit_hash(user_col, seed)
+    variant = F.when(u < F.lit(float(split)), "A").otherwise("B")
+    v = F.col(value_col).cast("double")
+    agg = (events.withColumn("variant", variant)
+           .groupBy("variant")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct(user_col).cast("bigint")
+                .alias("n_users"),
+                F.sum(v).alias("__s"),
+                F.sum(v * v).alias("__ss"))
+           .collect())
+    rows = {r["variant"]: r for r in agg}
+    stats = {}
+    for k, r in rows.items():
+        n = r["n"]
+        mean = r["__s"] / n if n else None
+        var = ((r["__ss"] - r["__s"] * r["__s"] / n) / (n - 1)
+               if n and n > 1 else None)
+        stats[k] = (n, r["n_users"], mean, var)
+    t = None
+    if "A" in stats and "B" in stats:
+        na, _, ma, va = stats["A"]
+        nb, _, mb, vb = stats["B"]
+        if va is not None and vb is not None:
+            se = math.sqrt(va / na + vb / nb)
+            t = (ma - mb) / se if se > 0 else None
+    out = [(k, n, nu, round(m, 6) if m is not None else None,
+            round(t, 4) if t is not None else None)
+           for k, (n, nu, m, _v) in sorted(stats.items())]
+    return events.sparkSession.createDataFrame(
+        out, "variant string, n bigint, n_users bigint, "
+             "mean_value double, t_stat double")

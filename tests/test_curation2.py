@@ -306,3 +306,29 @@ def test_dedup_substrings_covers_longer_runs_and_self_repeat(spark):
                                min_tokens=8).collect()[0]
     assert o["n_removed"] == 12
     assert o["text_clean"] == run
+
+
+def test_new_text_ops_tolerate_null_text(spark):
+    from xpysom_dask_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, None), (2, "a b c d")],
+                               "doc_id bigint, text string")
+    # chunk: null doc yields no chunks, never size(-1) artifacts
+    chunks = T.chunk_tokens(df, "text", "doc_id", window=2).collect()
+    assert {r["id"] for r in chunks} == {2}
+    # c4: null doc = one empty line, nothing kept, no negative counts
+    c4 = {r["id"]: r for r in
+          T.c4_line_filter(df, "text", "doc_id").collect()}
+    assert c4[1]["n_lines"] == 1 and c4[1]["n_kept"] == 0
+    assert c4[1]["text_clean"] == ""
+    # collocations / bigram LM: null contributes nothing
+    assert T.collocations(df, "text", min_count=1).count() == 3
+    lm = {r["id"] for r in
+          T.bigram_logprob_score(df, "text", "doc_id").collect()}
+    assert lm == {2}
+    # substring dedup: null doc passes through as empty, zero removed
+    sub = {r["id"]: r for r in dedup.dedup_substrings(
+        df, "text", "doc_id", min_tokens=2).collect()}
+    assert sub[1]["text_clean"] == "" and sub[1]["n_removed"] == 0
+    assert sub[1]["n_tokens"] == 0
+    assert sub[2]["text_clean"] == "a b c d"

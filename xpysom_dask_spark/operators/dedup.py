@@ -553,7 +553,8 @@ def dedup_substrings(df: DataFrame, text_col: str, id_col: str,
     L = int(min_tokens)
     if L < 1:
         raise ValueError(f"min_tokens must be >= 1, got {L}")
-    t = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    t = (f"filter(split(coalesce({text_col}, ''), '\\\\s+'), "
+         "x -> x != '')")
     base = df.select(F.col(id_col).alias("id"),
                      F.expr(t).alias("__toks"))
     # sequence(0, n-L) counts DOWN when n < L — short docs must not

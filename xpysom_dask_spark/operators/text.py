@@ -535,7 +535,7 @@ def chunk_tokens(df, text_col: str, id_col: str,
         raise ValueError(f"window must be >= 1, got {window}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    toks = tokens(text_col)
+    toks = tokens(f"coalesce({text_col}, '')")
     out = (df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
            .where(F.size("__toks") > 0)
            .select("id", "__toks",
@@ -626,7 +626,7 @@ def c4_line_filter(df, text_col: str, id_col: str,
     min_words = int(min_words)
     if min_words < 0:
         raise ValueError(f"min_words must be >= 0, got {min_words}")
-    lines = f"split({text_col}, '\\n')"
+    lines = f"split(coalesce({text_col}, ''), '\\n')"
     keep = (
         "x -> trim(x) rlike '[.!?\"]$' "
         f"AND size(filter(split(trim(x), '\\\\s+'), w -> w != '')) "

@@ -2621,6 +2621,48 @@ FROM st
 """
 
 
+
+
+#: TPC-H Q7 volume shipping between two nations (dual-role nation dim:
+#: supplier nation x customer nation, grouped by ship year)
+_TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                            0) AS BIGINT)) / CAST(10000 AS DOUBLE), 2)
+           AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+    AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7: the dual-role dimension pattern — nation joins twice
+    under different aliases (both broadcast); exact scaled-BIGINT
+    revenue grouped by ship year."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q7_SQL)
+
+
+def _sql_tpch_q7():
+    return _TPCH_Q7_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -2634,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q5": _q_tpch_q5,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q7": _q_tpch_q7,
         "tpch_q18": _q_tpch_q18,
         "tpch_q14": _q_tpch_q14,
         "tpch_q3": _q_tpch_q3,
@@ -3485,6 +3528,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q6": _sql_tpch_q6(),
         "tpch_q5": _sql_tpch_q5(),
         "tpch_q10": _sql_tpch_q10(),
+        "tpch_q7": _sql_tpch_q7(),
         "tpch_q18": _sql_tpch_q18(),
         "tpch_q14": _sql_tpch_q14(),
         "tpch_q3": _sql_tpch_q3(),

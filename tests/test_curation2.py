@@ -332,3 +332,25 @@ def test_new_text_ops_tolerate_null_text(spark):
     assert sub[1]["text_clean"] == "" and sub[1]["n_removed"] == 0
     assert sub[1]["n_tokens"] == 0
     assert sub[2]["text_clean"] == "a b c d"
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    rep = "spam ham " * 200
+    prose = ("The committee reviewed seventeen distinct proposals "
+             "before adjourning; none survived scrutiny unscathed, "
+             "though several earned qualified praise.") * 3
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, None), (4, "")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           T.compression_ratio(df, "text", "doc_id").collect()}
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"]
+    assert out[1]["compression_ratio"] < 0.1      # highly repetitive
+    assert out[3]["compression_ratio"] == 0.0     # NULL = empty
+    assert out[4]["compression_ratio"] == 0.0
+    assert out[1]["n_bytes"] == len(rep.encode())
+    import zlib
+    exp = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    assert abs(out[1]["compression_ratio"] - exp) < 1e-12
+    with pytest.raises(ValueError, match="level"):
+        T.compression_ratio(df, "text", "doc_id", level=0)

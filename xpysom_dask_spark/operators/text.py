@@ -696,3 +696,43 @@ def bigram_logprob_score(df, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                  F.round(F.sum(F.log(p)) / F.count(F.lit(1)), decimals)
                  .alias("avg_logp")))
+
+
+def compression_ratio(df, text_col: str, id_col: str,
+                      level: int = 6, out_col: str = "compression_ratio"):
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes): the classic repetitiveness signal — templated or looping
+    junk compresses far below natural prose, so a LOW ratio flags the
+    documents the n-gram repetition gates (``gopher_quality_flags``)
+    measure shape-by-shape, in one cheap pass.  Returns ``id,
+    n_bytes, compression_ratio`` (NULL text = empty; empty documents
+    report ratio 0 by convention, not the codec's 8-byte header).
+
+    This is a Python-side signal (no SQL zlib), so it runs as ONE
+    Arrow-batched ``mapInPandas`` stage — no shuffle, bytes never
+    leave the executors; it is deliberately NOT in the oracle gate
+    (DuckDB has no zlib) — the unit suite pins its behavior instead.
+    """
+    lvl = int(level)
+    if not 1 <= lvl <= 9:
+        raise ValueError(f"level must be in [1, 9], got {lvl}")
+
+    def fn(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ratios, sizes = [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                sizes.append(len(b))
+                ratios.append(len(zlib.compress(b, lvl)) / len(b)
+                              if b else 0.0)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "n_bytes": sizes, out_col: ratios})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, f"id bigint, n_bytes bigint, {out_col} double")

@@ -265,6 +265,9 @@ def main():
     timed("tpch_q14", lambda: spark.sql(_e._TPCH_Q14_SQL).collect())
     timed("tpch_q10", lambda: spark.sql(_e._TPCH_Q10_SQL).collect())
     timed("tpch_q18", lambda: spark.sql(_e._TPCH_Q18_SQL).collect())
+    timed("tpch_q7", lambda: spark.sql(_e._TPCH_Q7_SQL).collect())
+    timed("compression_ratio", lambda: T.compression_ratio(
+        docs, "text", "doc_id").agg(F.avg("compression_ratio")).collect())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

@@ -4,7 +4,9 @@ Everything here is a **pure Spark SQL column expression** (higher-order
 functions over arrays — JVM-side, whole-stage-codegen'd, no Python in the
 hot path), so a 100 TB documents table is processed at scan speed with
 full predicate pushdown.  Each operator has an exact DuckDB-SQL twin used
-by the correctness oracle (__spark_entry__.oracle_sql).
+by the correctness oracle (__spark_entry__.oracle_sql) — except
+``compression_ratio`` (zlib has no SQL twin; Arrow-batched kernel,
+behavior pinned by unit tests).
 
 Operators: tokenization + token counting, quality scoring
 (length/alpha/whitespace/avg-token-length ratios), n-gram-free stopword

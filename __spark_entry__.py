@@ -2663,6 +2663,76 @@ def _sql_tpch_q7():
     return _TPCH_Q7_SQL
 
 
+
+
+#: TPC-H Q8 national market share (adapted: exact p_type match, ASIA
+#: region, share of NATION_3-supplied revenue per order year)
+_TPCH_Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+              AS BIGINT) / CAST(10000 AS DOUBLE) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+    AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+#: TPC-H Q13 customer order-count distribution (left outer join so
+#: zero-order customers count, then a distribution over the counts)
+_TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (adapted): 8-way star with the nation dim playing two
+    roles; the share ratio divides two scaled-BIGINT-derived sums of
+    identical magnitude, so ROUND(…, 6) is engine-stable."""
+    for t in ("part", "lineitem", "supplier", "orders", "customer",
+              "nation", "region"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q8_SQL)
+
+
+def _sql_tpch_q8():
+    return _TPCH_Q8_SQL
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13: LEFT OUTER fact join (zero-order customers count) +
+    two stacked aggregates — the distribution-of-counts shape."""
+    for t in ("customer", "orders"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+def _sql_tpch_q13():
+    return _TPCH_Q13_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "som_predict": _q_som_predict,
@@ -2677,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q10": _q_tpch_q10,
         "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q13": _q_tpch_q13,
         "tpch_q18": _q_tpch_q18,
         "tpch_q14": _q_tpch_q14,
         "tpch_q3": _q_tpch_q3,
@@ -3529,6 +3601,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q5": _sql_tpch_q5(),
         "tpch_q10": _sql_tpch_q10(),
         "tpch_q7": _sql_tpch_q7(),
+        "tpch_q8": _sql_tpch_q8(),
+        "tpch_q13": _sql_tpch_q13(),
         "tpch_q18": _sql_tpch_q18(),
         "tpch_q14": _sql_tpch_q14(),
         "tpch_q3": _sql_tpch_q3(),

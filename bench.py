@@ -266,6 +266,8 @@ def main():
     timed("tpch_q10", lambda: spark.sql(_e._TPCH_Q10_SQL).collect())
     timed("tpch_q18", lambda: spark.sql(_e._TPCH_Q18_SQL).collect())
     timed("tpch_q7", lambda: spark.sql(_e._TPCH_Q7_SQL).collect())
+    timed("tpch_q8", lambda: spark.sql(_e._TPCH_Q8_SQL).collect())
+    timed("tpch_q13", lambda: spark.sql(_e._TPCH_Q13_SQL).collect())
     timed("compression_ratio", lambda: T.compression_ratio(
         docs, "text", "doc_id").agg(F.avg("compression_ratio")).collect())
 

@@ -2733,8 +2733,193 @@ def _sql_tpch_q13():
     return _TPCH_Q13_SQL
 
 
+#: TPC-H Q4 order-priority checking (adapted: the synthetic lineitem has
+#: no commit/receipt dates, so "late" = shipped >60 days after the order
+#: date) — the correlated-EXISTS semi-join shape; both engines plan it
+#: as a left-semi hash join on o_orderkey
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND o_orderdate < CAST('1996-07-01' AS TIMESTAMP)
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+#: TPC-H Q12 shipmode/priority (adapted: l_returnflag stands in for the
+#: absent l_shipmode) — the OR-of-ANDs pushdown shape plus the
+#: high/low-priority conditional aggregation
+_TPCH_Q12_SQL = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE ((l_returnflag = 'R' AND l_quantity <= 20)
+    OR (l_returnflag = 'A' AND l_quantity >= 35))
+  AND l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+#: TPC-H Q15 top supplier — the view-max shape: a revenue CTE consumed
+#: twice (once for the scalar max, once for the join back); keeping the
+#: comparison in exact scaled BIGINT makes the "max" tie-exact across
+#: engines and partitionings
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                  AS BIGINT)) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+    AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       ROUND(total_rev_e4 / CAST(10000 AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+#: TPC-H Q19 discounted revenue (adapted: brand/size/quantity bands; the
+#: synthetic part table has no container and lineitem no shipmode) — the
+#: disjunctive join-predicate shape: each OR arm constrains BOTH sides,
+#: so the part side broadcasts and the disjunction evaluates post-join
+_TPCH_Q19_SQL = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT)) / CAST(10000 AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (adapted): correlated EXISTS over lineitem → left-semi
+    join on the order key, then a tiny groupBy on priority.  The semi
+    join shuffles each side once on o_orderkey/l_orderkey; no dedup
+    pass is needed because semi-join emits each order at most once."""
+    for t in ("orders", "lineitem"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q4_SQL)
+
+
+def _sql_tpch_q4():
+    return _TPCH_Q4_SQL
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (adapted): OR-of-ANDs lineitem filter (each arm prunes
+    at the scan: returnflag IN ('R','A') is implied and pushed down) +
+    orders join + conditional-count aggregation on a 2-value key."""
+    for t in ("orders", "lineitem"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q12_SQL)
+
+
+def _sql_tpch_q12():
+    return _TPCH_Q12_SQL
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15: the revenue CTE is computed once per consumer (scalar
+    max + join-back); exact BIGINT max comparison returns ALL tied
+    suppliers deterministically, ordered by key."""
+    for t in ("supplier", "lineitem"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q15_SQL)
+
+
+def _sql_tpch_q15():
+    return _TPCH_Q15_SQL
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (adapted): disjunctive two-table predicate — part
+    broadcasts (≪ lineitem at every scale), the OR-of-ANDs evaluates
+    after the equi-join on partkey, one exact scaled-BIGINT sum out."""
+    for t in ("lineitem", "part"):
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q19_SQL)
+
+
+def _sql_tpch_q19():
+    return _TPCH_Q19_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
+    # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).
+    # Round-4 ordering puts every query WITHOUT a round-3 CORRECTNESS row
+    # in the first 50 slots — 20 never-checked + 4 new TPC-H + 26 checked
+    # in r2 only — so r3 ∪ r4 covers all 100 declared queries.  See
+    # SURVEY.md §8 and tests/test_gate_coverage.py before reordering.
     return {
+        # -- never oracle-checked before round 4 (20) --
+        "decontaminate": _q_decontaminate,
+        "dedup_spans": _q_dedup_spans,
+        "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_json_stats": _q_events_json_stats,
+        "table_profile": _q_table_profile,
+        "text_vocab": _q_text_vocab,
+        "text_lm_score": _q_text_lm_score,
+        "text_token_ids": _q_text_token_ids,
+        "pii_redact": _q_pii_redact,
+        "source_quota": _q_source_quota,
+        "importance_sample": _q_importance_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "embedding_quantize": _q_embedding_quantize,
+        "label_centroids": _q_label_centroids,
+        "ann_recall_curve": _q_ann_recall_curve,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_qe_drift": _q_streaming_qe_drift,
+        # -- new in round 4 (4) --
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
+        # -- last checked in round 2 (26) --
+        "knn_cosine": _q_knn_cosine,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_hourly": _q_events_hourly,
+        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
+        "streaming_user_transitions": _q_streaming_user_transitions,
+        "relational_revenue_topk": _q_relational_revenue_topk,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_audio_stats": _q_multimodal_audio_stats,
+        "events_sessionize": _q_events_sessionize,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "ann_som_ivf": _q_ann_som_ivf,
+        "dedup_components": _q_dedup_components,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "sample_hash": _q_sample_hash,
+        "split_by_hash": _q_split_by_hash,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_report": _q_corpus_report,
+        "streaming_dedup": _q_streaming_dedup,
+        "top_terms": _q_top_terms,
+        "som_classify": _q_som_classify,
+        "som_anomalies": _q_som_anomalies,
+        "text_gopher": _q_text_gopher,
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
+        "mixture_resample": _q_mixture_resample,
+        # -- checked green in round 3 (50) --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
         "doc_length_buckets": _q_doc_length_buckets,
@@ -2785,52 +2970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        "knn_cosine": _q_knn_cosine,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "events_hourly": _q_events_hourly,
-        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
-        "streaming_user_transitions": _q_streaming_user_transitions,
-        "relational_revenue_topk": _q_relational_revenue_topk,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "multimodal_audio_stats": _q_multimodal_audio_stats,
-        "events_sessionize": _q_events_sessionize,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "ann_som_ivf": _q_ann_som_ivf,
-        "ann_recall_curve": _q_ann_recall_curve,
-        "dedup_components": _q_dedup_components,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "sample_hash": _q_sample_hash,
-        "split_by_hash": _q_split_by_hash,
-        "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
-        "corpus_report": _q_corpus_report,
-        "streaming_dedup": _q_streaming_dedup,
-        "top_terms": _q_top_terms,
-        "som_classify": _q_som_classify,
-        "som_anomalies": _q_som_anomalies,
-        "text_gopher": _q_text_gopher,
-        "events_asof": _q_events_asof,
-        "events_interval": _q_events_interval,
-        "mixture_resample": _q_mixture_resample,
-        "decontaminate": _q_decontaminate,
-        "embedding_quantize": _q_embedding_quantize,
-        "label_centroids": _q_label_centroids,
-        "events_json_stats": _q_events_json_stats,
-        "importance_sample": _q_importance_sample,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "pii_redact": _q_pii_redact,
-        "events_rollup": _q_events_rollup,
-        "table_profile": _q_table_profile,
-        "streaming_sessions": _q_streaming_sessions,
-        "text_vocab": _q_text_vocab,
-        "text_lm_score": _q_text_lm_score,
-        "source_quota": _q_source_quota,
-        "events_moving_avg": _q_events_moving_avg,
-        "events_pivot": _q_events_pivot,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "streaming_qe_drift": _q_streaming_qe_drift,
-        "text_token_ids": _q_text_token_ids,
-        "dedup_spans": _q_dedup_spans,
     }
 
 
@@ -3606,6 +3745,10 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q18": _sql_tpch_q18(),
         "tpch_q14": _sql_tpch_q14(),
         "tpch_q3": _sql_tpch_q3(),
+        "tpch_q4": _sql_tpch_q4(),
+        "tpch_q12": _sql_tpch_q12(),
+        "tpch_q15": _sql_tpch_q15(),
+        "tpch_q19": _sql_tpch_q19(),
         "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),
         "events_retention": _sql_events_retention(),

@@ -50,6 +50,7 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .getOrCreate()
     )
@@ -283,18 +284,31 @@ def main():
     feats.unpersist()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Machine-readability contract (VERDICT r03 #2): the metric JSON must
+    # be the LAST stdout line and compact.  The bulky per-series detail
+    # (cold/warm/quality) goes to a side file; the contract line keeps
+    # only the required keys.  Stop Spark FIRST so no straggler executor
+    # logging can print after (or interleave with) the metric line.
+    detail = {
+        "queries_cold": timings_cold,
+        "queries_warm": timings_warm,
+        "quality": quality,
+        "rows": n_rows,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    spark.stop()
+
+    sys.stdout.flush()
     print(json.dumps({
         "metric": "som_train10+predict+qe+pipeline_ops",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_cold": timings_cold,
-        "queries_warm": timings_warm,
-        "quality": quality,
         "sf": float(sf),
-        "rows": n_rows,
-    }))
-    spark.stop()
+    }, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

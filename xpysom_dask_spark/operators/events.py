@@ -328,27 +328,68 @@ def funnel(events: DataFrame, steps: list[str],
     time of a step is the EARLIEST qualifying event, which maximizes
     downstream conversions).
 
-    Plan: one filtered scan per step, each joined to the accumulated
-    per-user state on ``user_col`` — all k−1 joins hash-partition on
-    the same key, so Catalyst/AQE reuses one exchange layout; per-step
-    state is one row per surviving user (monotonically shrinking).  No
-    windows, no sequence collection — at 100 TB the widest shuffle is
-    the step-1 aggregate.
+    Plan (single-pass, VERDICT r03 #3): ONE filtered scan of events →
+    one map-side-combined shuffle on ``user_col`` collecting each
+    user's funnel-type events as a sorted ``(ts, type)`` array → a
+    codegen'd fold that walks the array advancing a (step, threshold)
+    state — the ClickHouse ``windowFunnel`` shape.  All k step counts
+    come out of one conditional aggregate over the per-user "steps
+    reached" number, so the whole funnel is one Spark job and one
+    shuffle regardless of k (the old join-chain ran k actions, each
+    re-executing its predecessors: O(k²) scans).
+
+    Exactness: the fold is applied ``len(steps)`` times (fixpoint
+    unroll).  A single in-order pass already matches the chained
+    ``MIN(ts) ... ts >= prev`` semantics for distinct step types; the
+    re-passes make timestamp TIES and repeated step types exact too
+    (an event at exactly the previous step's completion time qualifies
+    — ``>=`` — even when it sorts before the completing event).
+
+    Per-user memory is O(that user's funnel-type events); at 100 TB a
+    bot user with millions of matching events concentrates in one
+    task, so pre-filter such users (or cap with a sampled quota) —
+    whereas shuffle TRAFFIC here is the same one-pass O(events) the
+    join chain paid per step.
     """
-    if len(steps) < 1:
+    n = len(steps)
+    if n < 1:
         raise ValueError("steps must be non-empty")
-    stage = (events.where(F.col(type_col) == steps[0])
-             .groupBy(user_col).agg(F.min(ts_col).alias("__t")))
-    counts = [(1, steps[0], stage.count())]
-    for k, s in enumerate(steps[1:], start=2):
-        nxt = (events.where(F.col(type_col) == s)
-               .join(stage, user_col)
-               .where(F.col(ts_col) >= F.col("__t"))
-               .groupBy(user_col).agg(F.min(ts_col).alias("__t")))
-        stage = nxt
-        counts.append((k, s, stage.count()))
-    return events.sparkSession.createDataFrame(
-        counts, "step bigint, step_name string, n_users bigint")
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+
+    per_user = (events.where(F.col(type_col).isin(list(set(steps))))
+                .groupBy(user_col)
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(type_col).alias("s")))).alias("__evs")))
+
+    def _advance(acc, e):
+        can = ((acc["c"] < F.lit(n))
+               & (e["s"] == F.element_at(steps_lit, acc["c"] + 1))
+               & (e["t"] >= acc["tc"]))
+        return F.struct(
+            F.when(can, acc["c"] + 1).otherwise(acc["c"]).alias("c"),
+            F.when(can, e["t"]).otherwise(acc["tc"]).alias("tc"))
+
+    # initial threshold = the user's earliest event ts (sorted head), so
+    # the state struct is typed off the data — every event passes the
+    # ``>=`` check on the first advance regardless of ts column type
+    state = F.struct(
+        F.lit(0).cast("int").alias("c"),
+        F.element_at(F.col("__evs"), 1)["t"].alias("tc"))
+    for _ in range(n):
+        state = F.aggregate(F.col("__evs"), state, _advance)
+
+    one = per_user.select(state["c"].alias("__r")).agg(
+        *[F.coalesce(
+            F.sum(F.when(F.col("__r") >= k, 1).otherwise(0)),
+            F.lit(0)).cast("bigint").alias(f"__n{k}")
+          for k in range(1, n + 1)])
+    return (one.select(F.explode(F.array(*[
+        F.struct(F.lit(k).cast("bigint").alias("step"),
+                 F.lit(steps[k - 1]).alias("step_name"),
+                 F.col(f"__n{k}").alias("n_users"))
+        for k in range(1, n + 1)])).alias("__x"))
+        .select("__x.step", "__x.step_name", "__x.n_users"))
 
 
 def retention(events: DataFrame, user_col: str = "user_id",

@@ -2603,11 +2603,13 @@ def _sql_ab_report():
     u = _duck_unit_hash("user_id", 9)
     return f"""
 WITH v AS (SELECT CASE WHEN {u} < 0.5 THEN 'A' ELSE 'B' END AS variant,
-                  CAST(value AS DOUBLE) AS value, user_id
+                  CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)
+                      AS c, user_id
            FROM events),
 a AS (SELECT variant, COUNT(*) AS n,
              COUNT(DISTINCT user_id) AS n_users,
-             SUM(value) AS s, SUM(value * value) AS ss
+             SUM(c) / CAST(100 AS DOUBLE) AS s,
+             SUM(c * c) / CAST(10000 AS DOUBLE) AS ss
       FROM v GROUP BY variant),
 st AS (SELECT variant, n, n_users, s / n AS mean,
               (ss - s * s / n) / (n - 1) AS var

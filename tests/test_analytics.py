@@ -156,6 +156,20 @@ def test_quantile_buckets_deciles(spark):
         smp.quantile_buckets(df, "v", n_buckets=1)
 
 
+def test_quantile_buckets_degenerate_inputs(spark):
+    from xpysom_dask_spark.operators import sampling as smp
+
+    empty = spark.createDataFrame([], "id bigint, v double")
+    out = smp.quantile_buckets(empty, "v", n_buckets=4)
+    assert out.count() == 0
+    assert dict(out.dtypes)["bucket"] == "bigint"
+
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "id bigint, v double")
+    rows = smp.quantile_buckets(nulls, "v", n_buckets=4).collect()
+    assert [r["bucket"] for r in rows] == [0, 0]
+
+
 def test_ab_report_deterministic_and_welch(spark):
     import numpy as np
 

@@ -482,6 +482,14 @@ def ab_report(events: DataFrame, user_col: str = "user_id",
     map-side-combined aggregate over 2 groups; the Welch algebra runs
     driver-side on the two-row result.  No shuffle beyond the 2-group
     aggregate at any scale.
+
+    The value sums run in exact scaled BIGINT (cents and cents², the
+    repo-wide TPC-H idiom): 2-decimal values make both sums integers,
+    so mean/t are accumulation-order-independent — a raw DOUBLE sum
+    could flip the ROUND(…, 6)/ROUND(…, 4) boundary under a different
+    partitioning.  cents² sums overflow signed 64-bit only past ~10¹⁸
+    (≈10⁸ rows of value≈10⁵) — switch to per-variant DECIMAL(38,0)
+    aggregation beyond that.
     """
     from .sampling import _unit_hash
 
@@ -489,21 +497,24 @@ def ab_report(events: DataFrame, user_col: str = "user_id",
         raise ValueError(f"split must be in (0, 1), got {split}")
     u = _unit_hash(user_col, seed)
     variant = F.when(u < F.lit(float(split)), "A").otherwise("B")
-    v = F.col(value_col).cast("double")
+    c = F.expr(f"CAST(ROUND(CAST({value_col} AS DOUBLE) * 100, 0) "
+               "AS BIGINT)")
     agg = (events.withColumn("variant", variant)
            .groupBy("variant")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.countDistinct(user_col).cast("bigint")
                 .alias("n_users"),
-                F.sum(v).alias("__s"),
-                F.sum(v * v).alias("__ss"))
+                F.sum(c).alias("__s"),
+                F.sum(c * c).alias("__ss"))
            .collect())
     rows = {r["variant"]: r for r in agg}
     stats = {}
     for k, r in rows.items():
         n = r["n"]
-        mean = r["__s"] / n if n else None
-        var = ((r["__ss"] - r["__s"] * r["__s"] / n) / (n - 1)
+        s = r["__s"] / 100.0 if n else None
+        ss = r["__ss"] / 10000.0 if n else None
+        mean = s / n if n else None
+        var = ((ss - s * s / n) / (n - 1)
                if n and n > 1 else None)
         stats[k] = (n, r["n_users"], mean, var)
     t = None

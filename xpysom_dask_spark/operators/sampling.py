@@ -391,6 +391,11 @@ def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(*[fn(v, F.lit(q)).alias(f"c{i}")
                     for i, q in enumerate(qs)]).first()
+    if cuts[f"c{len(qs) - 1}"] is None:
+        # empty input (or all-NULL values): percentile returns NULL —
+        # every row (there may be none) goes to bucket 0, mirroring
+        # numeric_histogram's degenerate-input convention
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
     expr = None
     for i in range(len(qs)):
         cond = v <= F.lit(float(cuts[f"c{i}"]))

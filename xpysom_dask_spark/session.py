@@ -46,7 +46,13 @@ def make_session(app_name: str = "xpysom-dask-spark",
     b = (b.config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                  str(int(arrow_batch_rows)))
-         .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         # The engine-wide epoch contract (readers.load_table converts
+         # naive parquet timestamps to epoch micros/nanos) resolves
+         # through the session zone — pin it to UTC so results are
+         # host-timezone-independent and match the DuckDB oracle, which
+         # treats naive timestamps as UTC.
+         .config("spark.sql.session.timeZone", "UTC"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, str(v))
     return b.getOrCreate()

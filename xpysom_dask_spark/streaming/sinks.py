@@ -47,18 +47,15 @@ def idempotent_parquet_sink(path: str, partition_cols: list[str] | None = None):
     def write(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            cols = ["batch_id"] + list(partition_cols or [])
-            (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
-             .write.mode("overwrite").partitionBy(*cols).parquet(path))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev)
+        # per-write option, NOT spark.conf.set: a session-global
+        # save/restore races with concurrent streaming queries on the
+        # same session (another batch writing inside the restore window
+        # would run under static overwrite and drop sibling partitions)
+        cols = ["batch_id"] + list(partition_cols or [])
+        (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*cols).parquet(path))
 
     return write
 

@@ -141,3 +141,65 @@ def test_semantic_dedup_single_cell_shuffle(spark):
     plan = _plan(out)
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_large_grid_trains_without_full_G(spark):
+    """VERDICT r03 #4: a 100x100 grid (K=10^4, full G would be 800 MB)
+    must train through the blocked influence path — no O(K^2) tensor —
+    and the blocked product must equal the full-G product."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.som import SparkSom
+
+    rng = np.random.RandomState(3)
+    X = rng.rand(500, 4).astype(np.float64)
+
+    som = SparkSom(100, 100, 4, random_seed=3, dtype=np.float64)
+    assert 100 * 100 * 100 * 100 * 8 > som.influence_block_bytes
+    som.train(X, 1)                      # local path, blocked influence
+    assert som.get_weights().shape == (100, 100, 4)
+    assert np.isfinite(som.get_weights()).all()
+
+    # blocked vs full-G numerical agreement on a grid where full G is
+    # still materializable (40x40: K=1600, G = 20 MB)
+    K = 40 * 40
+    S = rng.rand(K, 4)
+    c = rng.rand(K)
+    a = SparkSom(40, 40, 4, random_seed=3, dtype=np.float64)
+    num_full, den_full = a._apply_influence(S, c, sig=2.0, eta=0.5)
+    a.influence_block_bytes = 64 * 1024   # force ~5-row blocks
+    num_blk, den_blk = a._apply_influence(S, c, sig=2.0, eta=0.5)
+    np.testing.assert_allclose(num_blk, num_full, rtol=1e-12)
+    np.testing.assert_allclose(den_blk, den_full, rtol=1e-12)
+
+
+def test_training_broadcast_carries_no_influence_matrix(spark):
+    """The per-epoch broadcast is (codebook, norms) only — the (K, K)
+    influence matrix must not ship to workers (it applies driver-side
+    after the partial merge)."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.som import SparkSom
+
+    captured = []
+    orig = spark.sparkContext.broadcast
+
+    def spy(value):
+        captured.append(value)
+        return orig(value)
+
+    spark.sparkContext.broadcast = spy
+    try:
+        df = spark.createDataFrame(
+            [([float(i % 7), float(i % 3)],) for i in range(300)],
+            "features array<double>")
+        som = SparkSom(6, 6, 2, random_seed=1, fuse_local_bytes=0)
+        som.train(df, 1)
+    finally:
+        spark.sparkContext.broadcast = orig
+    model_bcs = [v for v in captured if isinstance(v, tuple)]
+    assert model_bcs, "training never broadcast the model package"
+    for v in model_bcs:
+        assert len(v) == 2                       # (w_flat, w_sq) only
+        assert not any(isinstance(a, np.ndarray) and a.ndim == 2
+                       and a.shape[0] == a.shape[1] == 36 for a in v)

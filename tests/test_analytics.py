@@ -174,7 +174,9 @@ def test_ab_report_deterministic_and_welch(spark):
     import numpy as np
 
     rng = np.random.RandomState(5)
-    rows = [(int(u), float(rng.normal(10 + (u % 2), 2)))
+    # 2-decimal values: the operator's documented contract (it sums in
+    # exact scaled BIGINT cents, like the events.value column)
+    rows = [(int(u), round(float(rng.normal(10 + (u % 2), 2)), 2))
             for u in range(400) for _ in range(3)]
     df = spark.createDataFrame(rows, "user_id bigint, value double")
     r1 = {r["variant"]: r for r in EV.ab_report(df, seed=9).collect()}

@@ -203,3 +203,42 @@ def test_training_broadcast_carries_no_influence_matrix(spark):
         assert len(v) == 2                       # (w_flat, w_sq) only
         assert not any(isinstance(a, np.ndarray) and a.ndim == 2
                        and a.shape[0] == a.shape[1] == 36 for a in v)
+
+
+def test_tpch_q4_plans_semi_join_with_pushdown(spark):
+    """The correlated EXISTS must plan as a (broadcast) left-semi hash
+    join, and the orders date range must reach the scan."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["tpch_q4"](spark, SF_TINY)
+    plan = _plan(out)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q19_broadcasts_part_no_nlj(spark):
+    """The disjunctive two-table predicate must still join part by
+    equi-key broadcast (the OR evaluates post-join) — never degenerate
+    to a nested-loop."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["tpch_q19"](spark, SF_TINY)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """One hash shuffle on the user key + the scalar-singleton exchange
+    — the whole funnel is one job regardless of step count."""
+    from xpysom_dask_spark.operators import events as EV
+    from xpysom_dask_spark.sources import readers
+
+    ev = readers.load_table(spark, SF_TINY, "events")
+    out = EV.funnel(ev, ["view", "click", "purchase"])
+    plan = _plan(out)
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan

@@ -2860,6 +2860,331 @@ def _sql_tpch_q19():
     return _TPCH_Q19_SQL
 
 
+#: The synthetic schema ships no ``partsupp`` table, so the five TPC-H
+#: queries that need one (Q2/Q9/Q11/Q16/Q20) run against this bridge:
+#: the DISTINCT (l_partkey, l_suppkey) pairs of lineitem, with
+#: ``ps_availqty`` = total quantity ever shipped by the pair (exact
+#: BIGINT) and ``ps_supplycost`` = the minimum unit price the pair ever
+#: traded at (scaled-BIGINT cents, so min/compare is tie-exact).  The
+#: bridge is one map-side-combined aggregate; at 100 TB it is
+#: O(distinct pairs) ≪ O(lineitem) and every consumer joins it on its
+#: grouping key, so AQE reuses the exchange.
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+         CAST(ROUND(MIN(l_extendedprice / l_quantity) * 100, 0)
+              AS BIGINT) AS ps_supplycost_e2
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey)
+"""
+
+#: TPC-H Q2 minimum-cost supplier (adapted: partsupp bridge; supply
+#: cost = min unit price in scaled-BIGINT cents so the per-part MIN and
+#: the equality against it are tie-exact).  The correlated scalar MIN
+#: decorrelates to an aggregate + equi-join on ps_partkey; region/
+#: nation/supplier are broadcast dimensions at every scale.
+_TPCH_Q2_SQL = _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(ps_supplycost_e2 / CAST(100 AS DOUBLE), 2) AS supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size BETWEEN 10 AND 20
+  AND p_type IN ('STANDARD', 'ECONOMY')
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_e2 = (
+    SELECT MIN(ps2.ps_supplycost_e2)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+#: TPC-H Q9 product-type profit (adapted: p_retailprice stands in for
+#: the absent ps_supplycost) — the 5-way join benchmark; profit math in
+#: exact scaled BIGINT so the nation×year report is partitioning-
+#: independent.  The 4-decimal result is one exact double division, NOT
+#: a 2-decimal ROUND: profit sums land on the .xx5 half-boundary where
+#: Spark (half-up) and DuckDB (half-even) disagree.
+_TPCH_Q9_SQL = """
+SELECT nation, o_year,
+       SUM(amount_e4) / CAST(10000 AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+              AS BIGINT)
+           - CAST(ROUND(p_retailprice * 10000, 0) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) AS amount_e4
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+#: TPC-H Q11 important stock (adapted: partsupp bridge, ASIA region in
+#: place of the single-nation filter so the tiny scale factors keep
+#: suppliers in scope).  The HAVING threshold is scale-invariant —
+#: parts worth more than 2× the MEAN part value (the spec's fixed
+#: fraction-of-total empties out as part count grows) — written as an
+#: exact-BIGINT cross-multiply so no float threshold can flip on a
+#: different partitioning.
+_TPCH_Q11_SQL = _PARTSUPP_CTE + """
+, val AS (
+  SELECT ps_partkey,
+         SUM(ps_supplycost_e2 * ps_availqty) AS value_e2
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY ps_partkey)
+SELECT ps_partkey,
+       ROUND(value_e2 / CAST(100 AS DOUBLE), 2) AS stock_value
+FROM val
+WHERE value_e2 * (SELECT COUNT(*) FROM val)
+      > 2 * (SELECT SUM(value_e2) FROM val)
+ORDER BY value_e2 DESC, ps_partkey
+"""
+
+#: TPC-H Q16 parts/supplier relationship (adapted: partsupp bridge;
+#: "customer complaints" proxied by s_acctbal < 1000 to keep the
+#: null-aware NOT IN anti-join shape).
+_TPCH_Q16_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+#: TPC-H Q17 small-quantity-order revenue (adapted: brand + size band
+#: in place of the absent container).  The correlated ``0.2 * AVG``
+#: decorrelates to a per-part aggregate + equi-join; AVG of integral
+#: quantities is exact in double, so the threshold is partition-order-
+#: independent.
+_TPCH_Q17_SQL = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             / CAST(100 AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size <= 25
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+#: TPC-H Q20 potential part promotion (adapted: partsupp bridge —
+#: "availqty" is the pair's all-time shipped quantity, and the
+#: correlated threshold keeps suppliers whose 1997 shipments were under
+#: half their all-time volume for a 'cold%' part).  Exact BIGINT
+#: quantities; COALESCE keeps pairs with no 1997 activity in scope like
+#: the spec's zero threshold would.
+_TPCH_Q20_SQL = _PARTSUPP_CTE + """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+      AND ps_availqty > (
+        SELECT COALESCE(2 * CAST(SUM(CAST(l_quantity AS BIGINT))
+                                 AS BIGINT), 0)
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)))
+ORDER BY s_name
+"""
+
+#: TPC-H Q21 suppliers who kept orders waiting (adapted: no commit/
+#: receipt dates in the synthetic schema, so "late" = shipped more than
+#: 60 days after the order date; counts waiting ORDERS per supplier).
+#: Written decorrelated from the start — per-(order, supplier) lateness
+#: in one aggregate, per-order supplier/late counts in a second, then
+#: the EXISTS / NOT EXISTS pair becomes ``n_supp > 1 AND n_late = 1``:
+#: three shuffles total on l_orderkey instead of two correlated
+#: self-join subqueries re-scanning lineitem.
+_TPCH_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+ord AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM late GROUP BY l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+JOIN ord ON late.l_orderkey = ord.l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE late.is_late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+  AND n_regionkey = 2
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+#: TPC-H Q22 global sales opportunity (adapted: country code =
+#: c_nationkey mod 10 in place of the absent phone prefix).  The
+#: above-average-balance threshold is the exact integer cross-multiply
+#: ``bal_e2 * n > s`` — a float AVG of 2-decimal doubles would be
+#: accumulation-order-dependent and could flip a borderline customer
+#: between engines.
+_TPCH_Q22_SQL = """
+WITH eligible AS (
+  SELECT c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_e2,
+         CAST(c_nationkey % 10 AS INTEGER) AS cntrycode
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)),
+avg_bal AS (
+  SELECT SUM(bal_e2) AS s, COUNT(*) AS n FROM eligible WHERE bal_e2 > 0)
+SELECT cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(bal_e2) / CAST(100 AS DOUBLE), 2) AS totacctbal
+FROM eligible CROSS JOIN avg_bal
+WHERE bal_e2 * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= CAST('2000-01-01' AS TIMESTAMP))
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def _tpch_views(spark, sf_dir, *tables):
+    for t in tables:
+        readers.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (adapted): partsupp-bridge aggregate → correlated MIN
+    decorrelated by Catalyst into a per-part aggregate + equi-join;
+    part/supplier/nation/region sides broadcast.  Tie-exact min via
+    scaled-BIGINT supply cost; full ORDER BY tie-break under LIMIT."""
+    _tpch_views(spark, sf_dir, "part", "supplier", "lineitem",
+                "nation", "region")
+    return spark.sql(_TPCH_Q2_SQL)
+
+
+def _sql_tpch_q2():
+    return _TPCH_Q2_SQL
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (adapted): the 5-way join profit rollup — part filter
+    prunes first, dimensions broadcast, one shuffle on the lineitem
+    side per join key; exact scaled-BIGINT profit."""
+    _tpch_views(spark, sf_dir, "lineitem", "part", "supplier",
+                "orders", "nation")
+    return spark.sql(_TPCH_Q9_SQL)
+
+
+def _sql_tpch_q9():
+    return _TPCH_Q9_SQL
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (adapted): bridge → region-filtered per-part value
+    aggregate consumed twice (scalar total + HAVING); exact BIGINT
+    cross-multiply threshold."""
+    _tpch_views(spark, sf_dir, "lineitem", "supplier", "nation",
+                "region")
+    return spark.sql(_TPCH_Q11_SQL)
+
+
+def _sql_tpch_q11():
+    return _TPCH_Q11_SQL
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (adapted): distinct-pair bridge + broadcast part
+    filter + null-aware NOT IN anti-join + COUNT(DISTINCT) rollup."""
+    _tpch_views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_TPCH_Q16_SQL)
+
+
+def _sql_tpch_q16():
+    return _TPCH_Q16_SQL
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (adapted): correlated 0.2·AVG threshold decorrelated
+    to a per-part aggregate + join — the small-quantity revenue probe;
+    single scaled-BIGINT sum out."""
+    _tpch_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_TPCH_Q17_SQL)
+
+
+def _sql_tpch_q17():
+    return _TPCH_Q17_SQL
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (adapted): nested IN chain — part name filter →
+    bridge availability vs correlated 1997-volume scalar → supplier
+    semi-join; every correlation is an equality, so Catalyst turns the
+    whole chain into aggregates + semi-joins."""
+    _tpch_views(spark, sf_dir, "lineitem", "part", "supplier",
+                "nation", "region")
+    return spark.sql(_TPCH_Q20_SQL)
+
+
+def _sql_tpch_q20():
+    return _TPCH_Q20_SQL
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (adapted, decorrelated): per-(order, supplier)
+    lateness + per-order counts replace the EXISTS/NOT-EXISTS
+    correlated self-joins — three co-keyed shuffles on l_orderkey,
+    no repeated lineitem scans."""
+    _tpch_views(spark, sf_dir, "lineitem", "orders", "supplier",
+                "nation")
+    return spark.sql(_TPCH_Q21_SQL)
+
+
+def _sql_tpch_q21():
+    return _TPCH_Q21_SQL
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (adapted): eligible-customer projection consumed
+    twice (scalar balance stats + filter), NOT EXISTS anti-join
+    against recent orders; exact integer cross-multiply threshold."""
+    _tpch_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_TPCH_Q22_SQL)
+
+
+def _sql_tpch_q22():
+    return _TPCH_Q22_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).
@@ -2889,12 +3214,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_interval_join": _q_streaming_interval_join,
         "streaming_qe_drift": _q_streaming_qe_drift,
-        # -- new in round 4 (4) --
+        # -- new in round 4 (12): never-verified, so they take head
+        # slots per the rotation policy (full TPC-H coverage:
+        # q2/q9/q11/q16/q20 via the partsupp bridge, q17/q21/q22
+        # adapted to the synthetic schema) --
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
         "tpch_q15": _q_tpch_q15,
         "tpch_q19": _q_tpch_q19,
-        # -- last checked in round 2 (26) --
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        # -- last checked in round 2 (18 of 26; the other 8 moved to
+        # the tail to make room for the new queries — they keep their
+        # archived r2 evidence and rotate back in round 5) --
         "knn_cosine": _q_knn_cosine,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
@@ -2913,14 +3251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "corpus_report": _q_corpus_report,
-        "streaming_dedup": _q_streaming_dedup,
-        "top_terms": _q_top_terms,
-        "som_classify": _q_som_classify,
-        "som_anomalies": _q_som_anomalies,
-        "text_gopher": _q_text_gopher,
-        "events_asof": _q_events_asof,
-        "events_interval": _q_events_interval,
-        "mixture_resample": _q_mixture_resample,
         # -- checked green in round 3 (50) --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
@@ -2972,6 +3302,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
+        # -- displaced from the head by the 8 new round-4 TPC-H
+        # queries; each has an archived green r2 row, rotate back into
+        # the head in round 5 --
+        "streaming_dedup": _q_streaming_dedup,
+        "top_terms": _q_top_terms,
+        "som_classify": _q_som_classify,
+        "som_anomalies": _q_som_anomalies,
+        "text_gopher": _q_text_gopher,
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
+        "mixture_resample": _q_mixture_resample,
     }
 
 
@@ -3751,6 +4092,14 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q12": _sql_tpch_q12(),
         "tpch_q15": _sql_tpch_q15(),
         "tpch_q19": _sql_tpch_q19(),
+        "tpch_q2": _sql_tpch_q2(),
+        "tpch_q9": _sql_tpch_q9(),
+        "tpch_q11": _sql_tpch_q11(),
+        "tpch_q16": _sql_tpch_q16(),
+        "tpch_q17": _sql_tpch_q17(),
+        "tpch_q20": _sql_tpch_q20(),
+        "tpch_q21": _sql_tpch_q21(),
+        "tpch_q22": _sql_tpch_q22(),
         "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),
         "events_retention": _sql_events_retention(),

@@ -37,7 +37,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: repeats per workload; the MIN is reported (steady-state cost — a
 #: shared machine's scheduling noise only ever adds time)
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def main():
@@ -269,6 +269,19 @@ def main():
     timed("tpch_q7", lambda: spark.sql(_e._TPCH_Q7_SQL).collect())
     timed("tpch_q8", lambda: spark.sql(_e._TPCH_Q8_SQL).collect())
     timed("tpch_q13", lambda: spark.sql(_e._TPCH_Q13_SQL).collect())
+    # round 4: the remaining 12 — full 22-query TPC-H coverage
+    timed("tpch_q4", lambda: spark.sql(_e._TPCH_Q4_SQL).collect())
+    timed("tpch_q12", lambda: spark.sql(_e._TPCH_Q12_SQL).collect())
+    timed("tpch_q15", lambda: spark.sql(_e._TPCH_Q15_SQL).collect())
+    timed("tpch_q19", lambda: spark.sql(_e._TPCH_Q19_SQL).collect())
+    timed("tpch_q2", lambda: spark.sql(_e._TPCH_Q2_SQL).collect())
+    timed("tpch_q9", lambda: spark.sql(_e._TPCH_Q9_SQL).collect())
+    timed("tpch_q11", lambda: spark.sql(_e._TPCH_Q11_SQL).collect())
+    timed("tpch_q16", lambda: spark.sql(_e._TPCH_Q16_SQL).collect())
+    timed("tpch_q17", lambda: spark.sql(_e._TPCH_Q17_SQL).collect())
+    timed("tpch_q20", lambda: spark.sql(_e._TPCH_Q20_SQL).collect())
+    timed("tpch_q21", lambda: spark.sql(_e._TPCH_Q21_SQL).collect())
+    timed("tpch_q22", lambda: spark.sql(_e._TPCH_Q22_SQL).collect())
     timed("compression_ratio", lambda: T.compression_ratio(
         docs, "text", "doc_id").agg(F.avg("compression_ratio")).collect())
 

@@ -1258,6 +1258,23 @@ def _q_decontaminate(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (the 100 TB scale path of
+    `decontaminate`): the test-set 5-grams compress to a 2²⁰-bit
+    bitmap relation (one bit_or aggregate) that BROADCASTS; train
+    shingles probe it with 3 integer positions — no text-keyed
+    shuffle.  Same split as `decontaminate`, so the diff between the
+    two gate results IS the false-positive set."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"train": 0.9, "test": 0.1}, seed=1)
+    train = split.where("split = 'train'").drop("split")
+    test = split.where("split = 'test'").drop("split")
+    out = dedup.bloom_decontaminate(train, test, "text", "doc_id", n=5,
+                                    m_bits=1 << 20, k=3)
+    return out.select("doc_id", "lang")
+
+
 # --------------------------------------------------------------------- #
 # round-3 pipeline operators: embedding storage/geometry, semi-
 # structured events, weighted sampling, corpus shuffle, PII redaction
@@ -3195,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never oracle-checked before round 4 (20) --
         "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_spans": _q_dedup_spans,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
@@ -3250,7 +3268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash": _q_split_by_hash,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
-        "corpus_report": _q_corpus_report,
         # -- checked green in round 3 (50) --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
@@ -3302,9 +3319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        # -- displaced from the head by the 8 new round-4 TPC-H
-        # queries; each has an archived green r2 row, rotate back into
-        # the head in round 5 --
+        # -- displaced from the head by the 9 new round-4 queries;
+        # each has an archived green r2 row, rotate back into the
+        # head in round 5 --
+        "corpus_report": _q_corpus_report,
         "streaming_dedup": _q_streaming_dedup,
         "top_terms": _q_top_terms,
         "som_classify": _q_som_classify,
@@ -3503,10 +3521,16 @@ sh AS (
 def _duck_md5hash12(col: str) -> str:
     """First 12 md5 hex nibbles folded to a BIGINT, mod 2³¹−1 — the twin
     of dedup._shingle_hash_expr."""
+    return _duck_md5hash48(col) + f" % {T.HASH_PRIME}"
+
+
+def _duck_md5hash48(col: str) -> str:
+    """Raw 48-bit md5 fold (no modulus) — the twin of
+    dedup._HASH48_EXPR, feeding the Bloom probe schedule."""
     return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"[CAST(strpos('0123456789abcdef', substring(md5({col}), i, 1)) "
             f"- 1 AS BIGINT) FOR i IN range(1, 13)]), "
-            f"(acc, v) -> acc * 16 + v) % {T.HASH_PRIME}")
+            f"(acc, v) -> acc * 16 + v)")
 
 
 def _minhash_sig_sql():
@@ -3944,6 +3968,45 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def _sql_bloom_decontaminate():
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.9 / (0.9 + 0.1)  # mirror split_by_hash's normalization
+    m, k = 1 << 20, 3
+    h48 = _duck_md5hash48("shingle")
+    pos = f"(h % {m} + j * (1 + h % {m - 1})) % {m}"
+    js = ", ".join(str(j) for j in range(k))
+    return f"""
+WITH uh AS (
+  SELECT doc_id, lang, text, {u} AS u FROM documents
+),
+tr AS (SELECT doc_id, lang, text FROM uh WHERE u < {acc!r}),
+te AS (SELECT doc_id, lang, text FROM uh WHERE u >= {acc!r}),
+{_duck_ngrams_cte('tr', 'trsh', 5)},
+{_duck_ngrams_cte('te', 'tesh', 5)},
+js AS (SELECT unnest([{js}]) AS j),
+teh AS (SELECT DISTINCT {h48} AS h FROM tesh),
+bitmap AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS mask
+  FROM (SELECT {pos} AS pos FROM teh CROSS JOIN js)
+  GROUP BY 1),
+trh AS (SELECT DISTINCT doc_id, {h48} AS h FROM trsh),
+probe AS (
+  SELECT doc_id, h,
+         ((coalesce(mask, 0) >> CAST(pos % 32 AS INTEGER)) & 1) = 1
+             AS bit_set
+  FROM (SELECT doc_id, h, {pos} AS pos FROM trh CROSS JOIN js) p
+  LEFT JOIN bitmap ON p.pos // 32 = bitmap.word),
+bad AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, h, bool_and(bit_set) AS all_set
+    FROM probe GROUP BY doc_id, h)
+  WHERE all_set)
+SELECT doc_id, lang FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def _sql_mixture_resample():
     u = _duck_unit_hash("doc_id", 13)
     rate = ("CASE WHEN lang = 'de' THEN 2.5 WHEN lang = 'fr' THEN 0.4 "
@@ -4171,6 +4234,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "events_interval": _sql_events_interval(),
         "mixture_resample": _sql_mixture_resample(),
         "decontaminate": _sql_decontaminate(),
+        "bloom_decontaminate": _sql_bloom_decontaminate(),
         # round-3 pipeline surface: embedding storage/geometry, JSON
         # profiling, weighted sampling, corpus shuffle, PII redaction
         "embedding_quantize": _sql_embedding_quantize(),

@@ -354,3 +354,61 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     assert abs(out[1]["compression_ratio"] - exp) < 1e-12
     with pytest.raises(ValueError, match="level"):
         T.compression_ratio(df, "text", "doc_id", level=0)
+
+
+# ---------------------------------------------------------------------- #
+# round-4: Bloom-filter decontamination
+
+
+@pytest.fixture(scope="module")
+def contamination_corpora(spark):
+    """Train corpus where ids 0-9 each share a 5-gram with a test doc."""
+    phrase = "the quick brown fox jumps"
+    train = [(i, f"doc {i} says {phrase} and then rambles uniquely "
+                 f"about topic{i} forever") for i in range(10)]
+    train += [(i, f"clean document {i} with entirely distinct words "
+                  f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+              for i in range(10, 40)]
+    test = [(1000, f"evaluation item containing {phrase} verbatim")]
+    return (spark.createDataFrame(train, "doc_id bigint, text string"),
+            spark.createDataFrame(test, "doc_id bigint, text string"))
+
+
+def test_bloom_decontaminate_matches_exact_at_default_m(
+        spark, contamination_corpora):
+    from xpysom_dask_spark.operators import dedup
+
+    train, test = contamination_corpora
+    exact = {r.doc_id for r in dedup.decontaminate(
+        train, test, "text", "doc_id", n=5).select("doc_id").collect()}
+    bloom = {r.doc_id for r in dedup.bloom_decontaminate(
+        train, test, "text", "doc_id", n=5).select("doc_id").collect()}
+    # at m=2^20 with this tiny corpus there are no false positives
+    assert bloom == exact
+    assert exact == set(range(10, 40))
+
+
+def test_bloom_survivors_never_exceed_exact(spark, contamination_corpora):
+    """Bloom FPs only ever DROP extra docs: survivors ⊆ exact survivors,
+    even with a deliberately saturated 64-bit filter."""
+    from xpysom_dask_spark.operators import dedup
+
+    train, test = contamination_corpora
+    exact = {r.doc_id for r in dedup.decontaminate(
+        train, test, "text", "doc_id", n=5).select("doc_id").collect()}
+    tiny = {r.doc_id for r in dedup.bloom_decontaminate(
+        train, test, "text", "doc_id", n=5, m_bits=64, k=3)
+        .select("doc_id").collect()}
+    assert tiny <= exact
+
+
+def test_bloom_bitmap_is_bounded_relation(spark, contamination_corpora):
+    from xpysom_dask_spark.operators import dedup
+
+    train, test = contamination_corpora
+    sh = dedup.word_shingles(test, "text", "doc_id", 5)
+    bm = dedup.bloom_bitmap(sh, m_bits=1 << 10, k=3).collect()
+    assert len(bm) <= (1 << 10) // 32
+    assert all(r.mask != 0 for r in bm)
+    with pytest.raises(ValueError):
+        dedup.bloom_bitmap(sh, m_bits=100)

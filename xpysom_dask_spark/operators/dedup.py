@@ -467,6 +467,77 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
     return train_df.join(contaminated, id_col, "left_anti")
 
 
+#: raw 48-bit shingle hash (no modulus — all 48 bits feed the Bloom
+#: probe schedule); twin: __spark_entry__._duck_md5hash48
+_HASH48_EXPR = "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+
+
+def bloom_bitmap(shingles: DataFrame, m_bits: int = 1 << 20,
+                 k: int = 3) -> DataFrame:
+    """Bloom-filter bitmap of a shingle relation, AS A RELATION:
+    ``(word, mask)`` — ``m_bits/32`` 32-bit words (kept in BIGINT so no engine ever shifts into a sign bit), built with one
+    explode(k positions) + one map-side-combined ``bit_or`` aggregate.
+
+    Positions follow Kirsch–Mitzenmacher double hashing on the 48-bit
+    md5 fold: ``pos_j = (h % m + j·(1 + h % (m−1))) % m`` — pure
+    integer math, so an external engine (the DuckDB oracle) reproduces
+    the filter bit-for-bit.  At 100 TB the bitmap table is KBs-to-MBs
+    (2²⁰ bits = 32 K rows) regardless of test-set size — the point:
+    exact decontamination must shuffle/broadcast every distinct test
+    n-gram, the Bloom probe broadcasts only the bitmap.
+    """
+    if m_bits % 32:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    pos = (f"transform(sequence(0, {k - 1}), j -> "
+           f"(h % {m_bits} + j * (1 + h % {m_bits - 1})) % {m_bits})")
+    return (shingles.select(F.expr(_HASH48_EXPR).alias("h"))
+            .select(F.explode(F.expr(pos)).alias("pos"))
+            .select(F.expr("pos DIV 32").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos % 32 AS INT))").alias("bit"))
+            .groupBy("word").agg(F.expr("bit_or(bit)").alias("mask")))
+
+
+def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
+                        text_col: str, id_col: str, n: int = 5,
+                        m_bits: int = 1 << 20, k: int = 3) -> DataFrame:
+    """Test-set decontamination through a Bloom filter of the test
+    n-grams — the scale path of :func:`decontaminate`.
+
+    ``decontaminate`` joins train shingles against test shingles on the
+    shingle itself: correct, but the join must move every distinct
+    TRAIN n-gram through a shuffle keyed by text.  Here the test side
+    compresses to an ``m_bits``-bit bitmap (32 K-row relation at the
+    2²⁰ default) that BROADCASTS; the train side probes it with ``k``
+    integer positions per shingle — one broadcast join, no text-keyed
+    shuffle, traffic O(bitmap) instead of O(distinct test n-grams).
+
+    A shingle is flagged iff ALL ``k`` probed bits are set, so the
+    contaminated-id set is a deterministic SUPERSET of the exact rule's
+    (Bloom false positives drop extra train docs — the conservative
+    direction for decontamination; FP rate ≈ (1−e^{−kN/m})^k).
+    Returns the surviving train rows.
+    """
+    te = word_shingles(test_df, text_col, id_col, n)
+    bitmap = bloom_bitmap(te, m_bits, k)
+    tr = word_shingles(train_df, text_col, id_col, n)
+    pos = (f"transform(sequence(0, {k - 1}), j -> "
+           f"(h % {m_bits} + j * (1 + h % {m_bits - 1})) % {m_bits})")
+    probes = (tr.select("id", F.expr(_HASH48_EXPR).alias("h"))
+              .select("id", "h", F.explode(F.expr(pos)).alias("pos"))
+              .select("id", "h", F.expr("pos DIV 32").alias("word"),
+                      F.expr("CAST(pos % 32 AS INT)").alias("bit")))
+    hit = probes.join(F.broadcast(bitmap), "word", "left").select(
+        "id", "h",
+        F.expr("(shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1)"
+               " = 1").alias("bit_set"))
+    contaminated = (hit.groupBy("id", "h")
+                    .agg(F.expr("bool_and(bit_set)").alias("all_set"))
+                    .where("all_set")
+                    .select(F.col("id").alias(id_col)).distinct())
+    return train_df.join(contaminated, id_col, "left_anti")
+
+
 def dedup_spans(df: DataFrame, text_col: str, id_col: str,
                 span_tokens: int = 20) -> DataFrame:
     """Span-level exact dedup across the corpus (the C4 "three-sentence

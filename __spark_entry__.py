@@ -3039,10 +3039,10 @@ ORDER BY s_name
 #: receipt dates in the synthetic schema, so "late" = shipped more than
 #: 60 days after the order date; counts waiting ORDERS per supplier).
 #: Written decorrelated from the start — per-(order, supplier) lateness
-#: in one aggregate, per-order supplier/late counts in a second, then
-#: the EXISTS / NOT EXISTS pair becomes ``n_supp > 1 AND n_late = 1``:
-#: three shuffles total on l_orderkey instead of two correlated
-#: self-join subqueries re-scanning lineitem.
+#: in one aggregate, then per-order supplier/late counts as WINDOWS
+#: over the SAME l_orderkey key (no join-back, which would recompute
+#: the CTE), so the EXISTS / NOT EXISTS pair becomes ``n_supp > 1 AND
+#: n_late = 1`` with ONE lineitem scan and two co-keyed shuffles.
 _TPCH_Q21_SQL = """
 WITH late AS (
   SELECT l_orderkey, l_suppkey,
@@ -3051,15 +3051,16 @@ WITH late AS (
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
   WHERE o_orderstatus = 'F'
   GROUP BY l_orderkey, l_suppkey),
-ord AS (
-  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
-  FROM late GROUP BY l_orderkey)
+flagged AS (
+  SELECT l_suppkey, is_late,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM late)
 SELECT s_name, COUNT(*) AS numwait
-FROM late
-JOIN ord ON late.l_orderkey = ord.l_orderkey
+FROM flagged
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE late.is_late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
   AND n_regionkey = 2
 GROUP BY s_name
 ORDER BY numwait DESC, s_name

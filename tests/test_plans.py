@@ -242,3 +242,51 @@ def test_funnel_single_user_shuffle(spark):
     plan = _plan(out)
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan
+
+
+def test_tpch_round4_queries_plan_hash_joins_only(spark):
+    """The 8 round-4 TPC-H queries (partsupp bridge et al.) must never
+    degenerate to a cartesian/nested-loop — except Q22, whose single
+    BroadcastNestedLoopJoin is the intentional 1-row scalar-stats
+    cross join."""
+    import __spark_entry__ as entry
+
+    Q = entry.queries()
+    for name in ("tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+                 "tpch_q17", "tpch_q20", "tpch_q21"):
+        plan = _plan(Q[name](spark, SF_TINY))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_tpch_q22_cross_join_is_single_row_scalar_only(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q22"](spark, SF_TINY))
+    # the eligible-customer side anti-joins orders by hash; only the
+    # 1-row avg_bal aggregate rides the nested-loop broadcast
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q21_is_decorrelated_single_lineitem_scan(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is pre-decorrelated into windowed
+    per-order counts over the lateness aggregate's own key: exactly
+    four table scans (lineitem, orders, supplier, nation — each listed
+    twice by formatted explain: tree + details), never the repeated
+    lineitem scans of the correlated form or a CTE join-back."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q21"](spark, SF_TINY))
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_bloom_decontaminate_broadcasts_bitmap(spark):
+    """The Bloom probe must be a broadcast join against the bitmap
+    relation — no shuffle keyed by shingle text anywhere."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["bloom_decontaminate"](spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

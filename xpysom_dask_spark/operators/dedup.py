@@ -71,8 +71,12 @@ def curate(df: DataFrame, text_col: str, id_col: str,
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str,
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, distinct: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``distinct=False`` skips the dedup shuffle (which is keyed by the
+    shingle TEXT) — for consumers whose downstream aggregate is already
+    idempotent per (id, shingle), e.g. the Bloom probe.
 
     The explode is linear in corpus token count; the downstream min-agg is
     map-side combinable, so this is the scalable MinHash front end.
@@ -96,8 +100,8 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str,
             + ", ".join(f"element_at(t, i + {j})" for j in range(n))
             + "))")
     shingles = f"CASE WHEN size(t) < {n} THEN array() ELSE {body} END"
-    return (tdf.select("id", F.explode(F.expr(shingles)).alias("shingle"))
-            .distinct())
+    out = tdf.select("id", F.explode(F.expr(shingles)).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingle_hash_expr(col: str) -> str:
@@ -518,9 +522,13 @@ def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
     direction for decontamination; FP rate ≈ (1−e^{−kN/m})^k).
     Returns the surviving train rows.
     """
-    te = word_shingles(test_df, text_col, id_col, n)
+    # distinct=False: the shingle text never keys a shuffle anywhere in
+    # this operator — bit_or (bitmap) and bool_and over (id, h) (probe)
+    # are idempotent under duplicate shingles, so the dedup pass the
+    # exact operator needs is pure cost here
+    te = word_shingles(test_df, text_col, id_col, n, distinct=False)
     bitmap = bloom_bitmap(te, m_bits, k)
-    tr = word_shingles(train_df, text_col, id_col, n)
+    tr = word_shingles(train_df, text_col, id_col, n, distinct=False)
     pos = (f"transform(sequence(0, {k - 1}), j -> "
            f"(h % {m_bits} + j * (1 + h % {m_bits - 1})) % {m_bits})")
     probes = (tr.select("id", F.expr(_HASH48_EXPR).alias("h"))

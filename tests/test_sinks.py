@@ -67,3 +67,65 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_write_tightens_rowgroup_stats_on_both_cols(spark, tmp_path):
+    """The z-ordered layout must shrink per-row-group min/max spans on
+    BOTH clustered columns vs the unsorted layout (that's the entire
+    point: multi-column data skipping from one sort order)."""
+    import pyarrow.parquet as pq
+
+    from xpysom_dask_spark.sources import readers, writers
+
+    li = readers.load_table(spark, SF_TINY, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_quantity")
+
+    plain = str(tmp_path / "plain")
+    li.repartition(4).write.parquet(plain)
+    zpath = str(tmp_path / "zordered")
+    bounds = writers.write_zordered(li, zpath,
+                                    ["l_orderkey", "l_partkey"],
+                                    n_files=4)
+    assert set(bounds) == {"l_orderkey", "l_partkey"}
+
+    def mean_span(path, col):
+        import glob
+        spans, total = [], 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        spans.append(c.statistics.max - c.statistics.min)
+                        total += 1
+        assert total > 1
+        return sum(spans) / len(spans)
+
+    for col in ("l_orderkey", "l_partkey"):
+        sp_plain = mean_span(plain, col)
+        sp_z = mean_span(zpath, col)
+        assert sp_z < 0.8 * sp_plain, (col, sp_z, sp_plain)
+
+    # rows survive the re-layout intact
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_key_validation_and_degenerate_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.sources import writers
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 0).alias("b"))
+    key, bounds = writers.zorder_key(df, ["a", "b"])
+    n_distinct = df.select(key.alias("z")).distinct().count()
+    assert n_distinct > 50          # constant column wastes no ordering
+    assert bounds["b"] == (0.0, 0.0)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        writers.zorder_key(df, [])
+    with _pt.raises(ValueError):
+        writers.zorder_key(df, ["a"], bits_per_col=63)

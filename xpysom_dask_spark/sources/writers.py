@@ -134,3 +134,82 @@ def write_iceberg(df: DataFrame, table: str,
                 fmt="iceberg",
                 pkg="org.apache.iceberg:iceberg-spark-runtime")) from e
         raise
+
+
+def zorder_key(df: DataFrame, cols, bits_per_col: int | None = None):
+    """Morton (Z-order) key expression over up to 8 numeric/timestamp
+    columns, as a codegen'd Column plus the stats row it was built from.
+
+    Each column is min-max scaled to ``bits_per_col`` bits (one
+    aggregate job for all bounds — the literals then fold into the
+    expression), and the bit strings interleave into one BIGINT.  Rows
+    close in z-key are close in EVERY dimension, so parquet row-group
+    min/max stats stay tight on all of them at once — multi-column data
+    skipping from a single sort order, where a plain ``ORDER BY a, b``
+    only skips on ``a``.
+
+    Min-max scaling is the cheap standard; heavily skewed columns waste
+    code space (pre-transform them, e.g. log, before z-ordering).
+    Returns ``(key_column, bounds_dict)``.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not 1 <= len(cols) <= 8:
+        raise ValueError(f"zorder_key takes 1-8 columns, got {len(cols)}")
+    if bits_per_col is None:
+        bits_per_col = min(16, 62 // len(cols))
+    if bits_per_col * len(cols) > 62:
+        raise ValueError(
+            f"{len(cols)} cols x {bits_per_col} bits exceeds the 62-bit "
+            "positive-BIGINT budget")
+
+    num = [f"CAST({c} AS DOUBLE)" for c in cols]
+    bounds = df.agg(*[e for i, n in enumerate(num) for e in
+                      (F.expr(f"min({n})").alias(f"lo{i}"),
+                       F.expr(f"max({n})").alias(f"hi{i}"))]).first()
+    top = (1 << bits_per_col) - 1
+    scaled = []
+    for i, n in enumerate(num):
+        lo, hi = bounds[f"lo{i}"], bounds[f"hi{i}"]
+        if lo is None:               # empty input / all-NULL column
+            scaled.append("CAST(0 AS BIGINT)")
+            continue
+        span = (hi - lo) or 1.0
+        scaled.append(
+            f"CAST(least({top}, greatest(0, "
+            f"floor((coalesce({n}, {lo!r}) - {lo!r}) / {span!r} * {top + 1})"
+            f")) AS BIGINT)")
+    terms = [f"((({s} >> {b}) & 1) << {b * len(cols) + j})"
+             for j, s in enumerate(scaled) for b in range(bits_per_col)]
+    key = F.expr("(" + " + ".join(terms) + ")")
+    return key, {c: (bounds[f"lo{i}"], bounds[f"hi{i}"])
+                 for i, c in enumerate(cols)}
+
+
+def write_zordered(df: DataFrame, path: str, zorder_by,
+                   n_files: int | None = None, mode: str = "overwrite",
+                   bits_per_col: int | None = None) -> dict:
+    """Z-order-clustered parquet: range-partition + sort on the Morton
+    key of ``zorder_by``, then drop the key before writing.
+
+    The layout cost is one extra range shuffle at write time; the
+    payoff is that row-group min/max statistics are simultaneously
+    tight on every z-ordered column, so selective filters on ANY of
+    them skip most row groups (and with file-level stats, most files)
+    — the same locality trick Delta's OPTIMIZE ZORDER BY applies,
+    expressed with stock Spark + parquet.  Returns the per-column
+    bounds used for the key (persist them beside the data if readers
+    want to reconstruct key ranges).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(zorder_by, str):
+        zorder_by = [zorder_by]
+    key, bounds = zorder_key(df, zorder_by, bits_per_col)
+    zdf = df.withColumn("__z", key)
+    zdf = (zdf.repartitionByRange(n_files, "__z") if n_files
+           else zdf.repartitionByRange("__z"))
+    (zdf.sortWithinPartitions("__z").drop("__z")
+        .write.mode(mode).parquet(path))
+    return bounds

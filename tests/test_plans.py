@@ -290,3 +290,26 @@ def test_bloom_decontaminate_broadcasts_bitmap(spark):
     plan = _plan(entry.queries()["bloom_decontaminate"](spark, SF_TINY))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_money_queries_partitioning_independent(spark):
+    """The scaled-BIGINT idiom's actual promise: identical values under
+    a different shuffle layout.  Re-running with a prime partition
+    count must reproduce every row bit-for-bit (a raw double SUM would
+    flip low-order digits here)."""
+    import __spark_entry__ as entry
+
+    Q = entry.queries()
+    names = ("tpch_q1", "tpch_q9", "tpch_q22", "ab_report")
+    before = {}
+    for name in names:
+        df = Q[name](spark, SF_TINY)
+        before[name] = sorted(map(tuple, df.collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for name in names:
+            df = Q[name](spark, SF_TINY)
+            assert sorted(map(tuple, df.collect())) == before[name], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -204,3 +204,40 @@ def test_ab_report_deterministic_and_welch(spark):
     se = m.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
     assert abs(r1["A"]["t_stat"] - round((a.mean() - b.mean()) / se, 4)) \
         <= 2e-4
+
+
+# ---------------------------------------------------------------------- #
+# round-4: observation-based pipeline metrics (plans/metrics.py)
+
+
+def test_observed_metrics_ride_the_action(spark):
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.plans.metrics import observed
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    kept, ob = observed(df.where("v < 5"), "keep",
+                        n=F.count(F.lit(1)), s=F.sum("v"))
+    assert kept.count() == 715            # the action that feeds ob
+    assert ob.get == {"n": 715, "s": 1430}
+
+
+def test_observed_defaults_to_row_count(spark):
+    from xpysom_dask_spark.plans.metrics import observed
+
+    df, ob = observed(spark.range(42), "default")
+    df.collect()
+    assert ob.get == {"n_rows": 42}
+
+
+def test_funnel_counts_one_action_per_pipeline(spark):
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.plans.metrics import funnel_counts
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    out = funnel_counts({"all": df,
+                         "v_lt_5": df.where("v < 5"),
+                         "v_lt_2": df.where("v < 2")})
+    assert out == [("all", 1000), ("v_lt_5", 715), ("v_lt_2", 286)]
+    assert funnel_counts({}) == []

@@ -49,11 +49,22 @@ def main(sf_dir="/root/testdata/sf0.001"):
     stats.agg(F.avg("n_tok").alias("avg_tokens"),
               F.avg("quality").alias("avg_quality")).show()
 
-    # 2. curation: exact dedup + quality gate + language filter
+    # 2. curation: exact dedup + quality gate + language filter.
+    # Per-stage retention comes from plans.metrics.funnel_counts — ONE
+    # action drives every stage's observer, instead of one full
+    # re-scan per .count()
+    from xpysom_dask_spark.plans.metrics import funnel_counts
+
     curated = dedup.curate(docs, "text", "doc_id", min_quality=0.4,
                            lang="en")
-    print(f"curated (exact-dedup + quality>=0.4 + en): "
-          f"{curated.count()} docs")
+    retention = funnel_counts({
+        "raw": docs,
+        "exact_dedup": dedup.dedup_exact_keep_first(docs, "text",
+                                                    "doc_id"),
+        "curated_en_q40": curated,
+    })
+    print("curation funnel (one job):",
+          "  ".join(f"{k}={v}" for k, v in retention))
 
     # 3. fuzzy dedup: MinHash-LSH pairs -> connected components -> keep
     #    one representative per near-duplicate cluster

@@ -1518,6 +1518,48 @@ FROM orders""")
     return " UNION ALL ".join(parts)
 
 
+def _q_data_quality(spark, sf_dir):
+    """Deequ-style constraint validation (operators/profile.py
+    check_constraints): completeness + uniqueness + value bounds in ONE
+    wide aggregate over a single orders scan, plus one broadcast
+    anti-join count for the orders→customer referential rule.  The
+    report is O(rules) rows of aggregate scalars."""
+    from xpysom_dask_spark.operators import profile as PROF
+
+    orders = readers.load_table(spark, sf_dir, "orders")
+    customer = readers.load_table(spark, sf_dir, "customer")
+    return PROF.check_constraints(
+        orders,
+        complete=["o_custkey", "o_orderdate"],
+        unique=["o_orderkey"],
+        bounds={"o_totalprice": (0.0, None)},
+        refs={"o_custkey": (customer, "c_custkey")})
+
+
+def _sql_data_quality():
+    def row(rule, col, viol):
+        return (f"SELECT '{rule}' AS rule, '{col}' AS col, "
+                f"CAST(({viol}) AS BIGINT) AS n_violations, "
+                f"({viol}) = 0 AS passed FROM orders")
+
+    ref = ("SELECT 'ref' AS rule, 'o_custkey' AS col, "
+           "CAST(COUNT(*) AS BIGINT) AS n_violations, "
+           "COUNT(*) = 0 AS passed FROM orders "
+           "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
+           "(SELECT c_custkey FROM customer)")
+    return " UNION ALL ".join([
+        row("complete", "o_custkey",
+            "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)"),
+        row("complete", "o_orderdate",
+            "SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)"),
+        row("unique", "o_orderkey",
+            "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)"),
+        row("bounds", "o_totalprice",
+            "SUM(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END)"),
+        ref,
+    ])
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """Native Structured-Streaming session windows
     (streaming/sessions.py: F.session_window + watermark) drained with
@@ -3220,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_json_stats": _q_events_json_stats,
         "table_profile": _q_table_profile,
+        "data_quality": _q_data_quality,
         "text_vocab": _q_text_vocab,
         "text_lm_score": _q_text_lm_score,
         "text_token_ids": _q_text_token_ids,
@@ -3268,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "split_by_hash": _q_split_by_hash,
         "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
         # -- checked green in round 3 (50) --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
@@ -3320,9 +3362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        # -- displaced from the head by the 9 new round-4 queries;
+        # -- displaced from the head by the 10 new round-4 queries;
         # each has an archived green r2 row, rotate back into the
         # head in round 5 --
+        "pack_sequences": _q_pack_sequences,
         "corpus_report": _q_corpus_report,
         "streaming_dedup": _q_streaming_dedup,
         "top_terms": _q_top_terms,
@@ -4246,6 +4289,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "events_rollup": _sql_events_rollup(),
         "table_profile": _sql_table_profile(),
+        "data_quality": _sql_data_quality(),
         "streaming_sessions": _sql_streaming_sessions(),
         "text_vocab": _sql_text_vocab(),
         "text_lm_score": _sql_text_lm_score(),

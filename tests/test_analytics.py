@@ -241,3 +241,32 @@ def test_funnel_counts_one_action_per_pipeline(spark):
                          "v_lt_2": df.where("v < 2")})
     assert out == [("all", 1000), ("v_lt_5", 715), ("v_lt_2", 286)]
     assert funnel_counts({}) == []
+
+
+def test_check_constraints_flags_violations(spark):
+    from xpysom_dask_spark.operators import profile as PROF
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "c", 50.0), (4, "d", None)],
+        "id bigint, name string, v double")
+    dim = spark.createDataFrame([(1,), (2,)], "id bigint")
+    rep = {(r.rule, r.col): (r.n_violations, r.passed)
+           for r in PROF.check_constraints(
+               df, complete=["name"], unique=["id"],
+               bounds={"v": (0.0, 10.0)},
+               refs={"id": (dim, "id")}).collect()}
+    assert rep[("complete", "name")] == (1, False)
+    assert rep[("unique", "id")] == (1, False)      # id=2 twice
+    assert rep[("bounds", "v")] == (2, False)       # -1 and 50
+    assert rep[("ref", "id")] == (1, False)         # id=4 not in dim
+
+
+def test_check_constraints_all_pass_and_single_scan(spark):
+    from xpysom_dask_spark.operators import profile as PROF
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id bigint, v double")
+    rep = PROF.check_constraints(df, complete=["id"], unique=["id"],
+                                 bounds={"v": (None, 10.0)})
+    assert all(r.passed for r in rep.collect())
+    # no rules -> empty report, no job
+    assert PROF.check_constraints(df).count() == 0

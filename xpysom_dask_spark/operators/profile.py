@@ -197,3 +197,64 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
                                F.lit(float(q))), decimals).alias(name))
     return (df.groupBy(F.col(group_col).alias("group"))
             .agg(*aggs))
+
+
+def check_constraints(df: DataFrame,
+                      complete: list[str] | tuple = (),
+                      unique: list[str] | tuple = (),
+                      bounds: dict[str, tuple] | None = None,
+                      refs: dict[str, tuple] | None = None) -> DataFrame:
+    """Deequ-style data-quality validation, batched for scale:
+
+    * ``complete``: columns that must never be NULL;
+    * ``unique``: columns whose values must not repeat;
+    * ``bounds``: ``{col: (lo, hi)}`` inclusive value ranges (pass
+      ``None`` for an open side);
+    * ``refs``: ``{col: (dim_df, dim_col)}`` referential integrity —
+      every non-null value must exist in the dimension column.
+
+    Returns ``(rule, col, n_violations, passed)`` — one row per rule.
+
+    Plan: every completeness/uniqueness/bounds rule folds into ONE wide
+    aggregate over a single scan (uniqueness via
+    ``count(col) − count(DISTINCT col)``, which Catalyst plans through
+    the same Expand as the profile audit), so adding rules never adds
+    scans.  Each referential rule is one left-anti-join count against
+    its dimension — broadcast when the dimension is small, which at
+    100 TB is exactly the case where such checks are affordable.  The
+    report itself is O(rules) rows built from aggregate scalars; no
+    data visits the driver.
+    """
+    bounds = bounds or {}
+    refs = refs or {}
+    aggs, labels = [], []
+    for c in complete:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")))
+        labels.append(("complete", c))
+    for c in unique:
+        aggs.append(F.count(F.col(c)) - F.count_distinct(F.col(c)))
+        labels.append(("unique", c))
+    for c, (lo, hi) in bounds.items():
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < F.lit(lo))
+        if hi is not None:
+            cond = cond | (F.col(c) > F.lit(hi))
+        aggs.append(F.sum(cond.cast("bigint")))
+        labels.append(("bounds", c))
+    rows = []
+    if aggs:
+        vals = df.agg(*[a.alias(f"m{i}") for i, a in enumerate(aggs)]) \
+            .first()
+        rows = [(kind, col, int(vals[f"m{i}"] or 0))
+                for i, (kind, col) in enumerate(labels)]
+    for c, (dim_df, dim_col) in refs.items():
+        n_bad = (df.select(F.col(c)).where(F.col(c).isNotNull())
+                 .join(dim_df.select(F.col(dim_col).alias(c)).distinct(),
+                       c, "left_anti").count())
+        rows.append(("ref", c, int(n_bad)))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(k, c, n, n == 0) for k, c, n in rows],
+        "rule string, col string, n_violations bigint, passed boolean")
+    return out

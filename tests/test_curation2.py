@@ -412,3 +412,27 @@ def test_bloom_bitmap_is_bounded_relation(spark, contamination_corpora):
     assert all(r.mask != 0 for r in bm)
     with pytest.raises(ValueError):
         dedup.bloom_bitmap(sh, m_bits=100)
+
+
+def test_dedup_incremental_across_batches(spark, tmp_path):
+    from xpysom_dask_spark.operators import dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id bigint, text string")
+    s1, idx1 = dedup.dedup_incremental(b1, "text", "doc_id")
+    assert {r.doc_id for r in s1.collect()} == {1, 2}   # keep-first
+
+    # persist the index like a real pipeline would, then ingest batch 2
+    path = str(tmp_path / "fp_index")
+    idx1.write.parquet(path)
+    idx = spark.read.parquet(path)
+    b2 = spark.createDataFrame(
+        [(10, "beta text"),            # dup of batch-1 survivor
+         (11, "gamma text"),           # new
+         (12, "gamma text")],          # within-batch dup
+        "doc_id bigint, text string")
+    s2, idx2 = dedup.dedup_incremental(b2, "text", "doc_id", idx)
+    assert {r.doc_id for r in s2.collect()} == {11}
+    # index now covers all three distinct texts, nothing else
+    assert idx2.distinct().count() == 3

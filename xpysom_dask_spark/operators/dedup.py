@@ -471,6 +471,34 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
     return train_df.join(contaminated, id_col, "left_anti")
 
 
+def dedup_incremental(new_df: DataFrame, text_col: str, id_col: str,
+                      index_df: DataFrame | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW ingest batch against a persisted
+    fingerprint index — the incremental path: a growing corpus must
+    not re-dedup 100 TB of history to admit today's crawl.
+
+    ``index_df`` is the accumulated ``(fp)`` relation from prior
+    batches (``None`` for the first).  Returns ``(survivors,
+    updated_index)``: within-batch keep-first dedup, then a left-anti
+    join against the index (AQE broadcasts it while it is small; store
+    it bucketed by ``fp`` — ``writers.write_bucketed`` — and the
+    anti-join runs exchange-free on the index side at any size).  The
+    updated index appends only the SURVIVORS' fingerprints, so it
+    stays O(distinct corpus texts).
+    """
+    batch = dedup_exact_keep_first(new_df, text_col, id_col) \
+        .withColumn("__fp", md5_fingerprint(text_col))
+    if index_df is not None:
+        batch = batch.join(index_df.select(F.col("fp").alias("__fp")),
+                           "__fp", "left_anti")
+    survivors = batch.drop("__fp")
+    delta = batch.select(F.col("__fp").alias("fp"))
+    new_index = (delta if index_df is None
+                 else index_df.select("fp").unionAll(delta))
+    return survivors, new_index
+
+
 #: raw 48-bit shingle hash (no modulus — all 48 bits feed the Bloom
 #: probe schedule); twin: __spark_entry__._duck_md5hash48
 _HASH48_EXPR = "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"

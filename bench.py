@@ -137,6 +137,18 @@ def main():
     timed("dedup_simhash", lambda: dedup.simhash_near_dups(
         docs, "text", "doc_id").count())
 
+    # decontamination: exact inverted-index join vs the Bloom broadcast
+    # scale path, same 90/10 split — the delta IS the text-shuffle cost
+    from xpysom_dask_spark.operators import sampling as _S
+    _split = _S.split_by_hash(docs, "doc_id",
+                              {"train": 0.9, "test": 0.1}, seed=1)
+    _tr = _split.where("split = 'train'").drop("split")
+    _te = _split.where("split = 'test'").drop("split")
+    timed("decontaminate", lambda: dedup.decontaminate(
+        _tr, _te, "text", "doc_id", n=5).count())
+    timed("bloom_decontam", lambda: dedup.bloom_decontaminate(
+        _tr, _te, "text", "doc_id", n=5).count())
+
     # the scale-path config (max_df prunes stop-shingle postings)
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_near_dups(
         docs, "text", "doc_id", 0.8, max_df=1000).count())

@@ -431,6 +431,41 @@ def _q_dedup_exact(spark, sf_dir):
                 F.col("n_copies").cast("bigint"))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest exact dedup (dedup.dedup_incremental): a
+    70/30 hash split plays history/new-batch; the history's
+    fingerprint index (the persisted artifact at scale) anti-joins the
+    new batch after within-batch keep-first.  Returns the new batch's
+    survivors — the rows an incremental pipeline would admit today
+    without re-scanning corpus history."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"hist": 0.7, "new": 0.3}, seed=21)
+    hist = split.where("split = 'hist'").drop("split")
+    new = split.where("split = 'new'").drop("split")
+    from xpysom_dask_spark.operators.text import md5_fingerprint
+    index = hist.select(md5_fingerprint("text").alias("fp")).distinct()
+    survivors, _ = dedup.dedup_incremental(new, "text", "doc_id", index)
+    return survivors.select("doc_id", "lang")
+
+
+def _sql_dedup_incremental():
+    u = _duck_unit_hash("doc_id", 21)
+    acc = 0.7 / (0.7 + 0.3)
+    t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH uh AS (SELECT doc_id, lang, text, {u} AS u FROM documents),
+hist AS (SELECT * FROM uh WHERE u < {acc!r}),
+new AS (SELECT * FROM uh WHERE u >= {acc!r}),
+kept AS (
+  SELECT doc_id, lang, md5({t}) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5({t}) ORDER BY doc_id) AS rn
+  FROM new)
+SELECT doc_id, lang FROM kept
+WHERE rn = 1 AND fp NOT IN (SELECT md5({t}) FROM hist)
+"""
+
+
 def _q_dedup_minhash(spark, sf_dir):
     out = dedup.minhash_near_dups(_docs(spark, sf_dir), "text", "doc_id",
                                   threshold=0.5)
@@ -3256,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never oracle-checked before round 4 (20) --
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_spans": _q_dedup_spans,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
@@ -3310,7 +3346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": _q_fuzzy_dedup,
         "sample_hash": _q_sample_hash,
         "split_by_hash": _q_split_by_hash,
-        "stratified_sample": _q_stratified_sample,
         # -- checked green in round 3 (50) --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
@@ -3362,9 +3397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        # -- displaced from the head by the 10 new round-4 queries;
+        # -- displaced from the head by the 11 new round-4 queries;
         # each has an archived green r2 row, rotate back into the
         # head in round 5 --
+        "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "corpus_report": _q_corpus_report,
         "streaming_dedup": _q_streaming_dedup,
@@ -4279,6 +4315,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "mixture_resample": _sql_mixture_resample(),
         "decontaminate": _sql_decontaminate(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
+        "dedup_incremental": _sql_dedup_incremental(),
         # round-3 pipeline surface: embedding storage/geometry, JSON
         # profiling, weighted sampling, corpus shuffle, PII redaction
         "embedding_quantize": _sql_embedding_quantize(),

@@ -270,3 +270,19 @@ def test_check_constraints_all_pass_and_single_scan(spark):
     assert all(r.passed for r in rep.collect())
     # no rules -> empty report, no job
     assert PROF.check_constraints(df).count() == 0
+
+
+def test_skew_report_surfaces_hot_keys(spark):
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators import profile as PROF
+
+    # 1000 rows on key 0, 10 rows each on keys 1..10
+    df = spark.range(1100).select(
+        F.when(F.col("id") < 1000, 0).otherwise(
+            ((F.col("id") - 1000) % 10) + 1).alias("k"))
+    rep = PROF.skew_report(df, "k", top=3).collect()
+    assert rep[0].k == 0 and rep[0].n_rows == 1000
+    assert abs(rep[0].share - 1000 / 1100) < 1e-9
+    assert rep[0].x_mean == 10.0          # 1000 vs mean group size 100
+    assert len(rep) == 3

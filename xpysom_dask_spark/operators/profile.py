@@ -258,3 +258,32 @@ def check_constraints(df: DataFrame,
         [(k, c, n, n == 0) for k, c, n in rows],
         "rule string, col string, n_violations bigint, passed boolean")
     return out
+
+
+def skew_report(df: DataFrame, key_cols, top: int = 20) -> DataFrame:
+    """Shuffle-key skew diagnosis: the ``top`` heaviest key groups with
+    their row counts and share of the table — the first question every
+    slow join/aggregation at scale comes down to ("is one key hot?").
+
+    One map-side-combined aggregate on the key (the same shuffle the
+    problematic operator pays, so running this is never worse than the
+    thing being debugged).  The counts relation is locally checkpointed
+    so its two consumers — a distributed top-k (TakeOrdered, no
+    single-partition window) and the grand-total scalar — share one
+    data scan; a ``SUM() OVER ()`` grand-total window would instead
+    drag EVERY distinct key through one task.  ``share`` and
+    ``x_mean`` (ratio to the mean group size) quantify how bad: a key
+    with ``x_mean`` in the thousands is a salting / star-join
+    candidate (dedup.band_self_join_pairs' ``max_bucket`` et al.).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows")) \
+        .localCheckpoint(eager=True)
+    tot = counts.agg(F.sum("n_rows").alias("s"),
+                     F.avg("n_rows").alias("m")).first()
+    return (counts
+            .withColumn("share", F.col("n_rows") / F.lit(float(tot["s"])))
+            .withColumn("x_mean", F.col("n_rows") / F.lit(float(tot["m"])))
+            .orderBy(F.desc("n_rows"), *key_cols)
+            .limit(top))

@@ -507,8 +507,9 @@ _HASH48_EXPR = "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
 def bloom_bitmap(shingles: DataFrame, m_bits: int = 1 << 20,
                  k: int = 3) -> DataFrame:
     """Bloom-filter bitmap of a shingle relation, AS A RELATION:
-    ``(word, mask)`` — ``m_bits/32`` 32-bit words (kept in BIGINT so no engine ever shifts into a sign bit), built with one
-    explode(k positions) + one map-side-combined ``bit_or`` aggregate.
+    ``(word, mask)`` — ``m_bits/32`` 32-bit words, kept in BIGINT so
+    no engine ever shifts into a sign bit — built with one explode(k
+    positions) + one map-side-combined ``bit_or`` aggregate.
 
     Positions follow Kirsch–Mitzenmacher double hashing on the 48-bit
     md5 fold: ``pos_j = (h % m + j·(1 + h % (m−1))) % m`` — pure

@@ -149,6 +149,12 @@ def main():
     timed("bloom_decontam", lambda: dedup.bloom_decontaminate(
         _tr, _te, "text", "doc_id", n=5).count())
 
+    # incremental ingest: within-batch keep-first + index anti-join
+    from xpysom_dask_spark.operators.text import md5_fingerprint as _fp
+    _idx = _tr.select(_fp("text").alias("fp")).distinct()
+    timed("dedup_incremental", lambda: dedup.dedup_incremental(
+        _te, "text", "doc_id", _idx)[0].count())
+
     # the scale-path config (max_df prunes stop-shingle postings)
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_near_dups(
         docs, "text", "doc_id", 0.8, max_df=1000).count())
@@ -263,6 +269,12 @@ def main():
         orders.withColumn("o_dollars", F.expr(
             "CAST(ROUND(o_totalprice, 0) AS BIGINT)")),
         ["o_orderkey", "o_custkey", "o_dollars"]).collect())
+
+    _cust = readers.load_table(spark, SF_DIR, "customer")
+    timed("data_quality", lambda: PROF.check_constraints(
+        orders, complete=["o_custkey", "o_orderdate"],
+        unique=["o_orderkey"], bounds={"o_totalprice": (0.0, None)},
+        refs={"o_custkey": (_cust, "c_custkey")}).collect())
 
     # TPC-H classics over the synthetic tables (shared-verbatim-SQL
     # gate queries): Q1 groupBy aggregate, Q6 pushdown scan, Q3 join

@@ -529,3 +529,25 @@ def test_narrow_text_ops_stream_unchanged(spark, tmp_path):
         a = sorted(tuple(r[c] for c in cols) for r in got.collect())
         b = sorted(tuple(r[c] for c in cols) for r in want.collect())
         assert a == b, name
+
+
+def test_quality_monitor_stream_audits_each_batch(spark, tmp_path):
+    from xpysom_dask_spark.streaming.quality import quality_monitor_stream
+    from xpysom_dask_spark.streaming.sources import rate_micro_batch_stream
+
+    src = rate_micro_batch_stream(spark, rows_per_batch=50)
+    stream = src.selectExpr(
+        "value AS id",
+        "CASE WHEN value % 10 = 0 THEN NULL ELSE value END AS v")
+    q = quality_monitor_stream(
+        stream, str(tmp_path / "report"), str(tmp_path / "ckpt"),
+        complete=["v"], unique=["id"], bounds={"id": (0, None)})
+    q.awaitTermination(60)
+
+    rep = spark.read.parquet(str(tmp_path / "report"))
+    rows = {(r.rule, r.col): r for r in rep.collect()}
+    assert rows[("complete", "v")].n_violations == 5      # 50/10 nulls
+    assert not rows[("complete", "v")].passed
+    assert rows[("unique", "id")].passed                  # rate ids unique
+    assert rows[("bounds", "id")].passed
+    assert rows[("unique", "id")].batch_id == 0

@@ -149,3 +149,46 @@ def test_simhash_token_order_invariance(spark):
     out = (df.select("grp", simhash60("text").alias("sh"))
            .groupBy("grp").agg(F.count_distinct("sh").alias("k")).collect())
     assert all(r.k == 1 for r in out)
+
+
+def test_funnel_one_pass_matches_bruteforce_on_random_logs(spark):
+    """Differential check of the one-pass windowFunnel fold against a
+    per-user brute force of the documented semantics (earliest
+    qualifying event, ``>=`` ties) — hundreds of random user sequences
+    with heavy timestamp ties and repeated step types, one Spark job."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators import events as EV
+
+    steps = ["s0", "s1", "s2", "s3"]
+    types = steps + ["noise"]
+    rng = np.random.RandomState(20240814)
+    rows = []
+    for u in range(300):
+        for _ in range(rng.randint(0, 13)):
+            rows.append((u, int(rng.randint(0, 6)),   # tiny ts range: ties
+                         types[rng.randint(0, len(types))]))
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, "
+                                     "event_type string")
+
+    def reached(evs):
+        t, r = None, 0
+        for s in steps:
+            cand = [ts for ts, typ in evs
+                    if typ == s and (t is None or ts >= t)]
+            if not cand:
+                break
+            t = min(cand)
+            r += 1
+        return r
+
+    per_user = {}
+    for u, ts, typ in rows:
+        per_user.setdefault(u, []).append((ts, typ))
+    expect = {k + 1: sum(1 for evs in per_user.values()
+                         if reached(evs) >= k + 1)
+              for k in range(len(steps))}
+
+    got = {r["step"]: r["n_users"]
+           for r in EV.funnel(df, steps).collect()}
+    assert got == expect

@@ -466,6 +466,48 @@ WHERE rn = 1 AND fp NOT IN (SELECT md5({t}) FROM hist)
 """
 
 
+def _q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key (sources/writers.zorder_key)
+    over (l_orderkey, l_partkey): min-max scale each column to 16 bits
+    (one bounds aggregate, literals folded into codegen) and
+    interleave — the layout key behind write_zordered's multi-column
+    data skipping.  Pure integer/double math, so the oracle reproduces
+    it bit-for-bit from a bounds CTE."""
+    from xpysom_dask_spark.sources import writers
+
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    key, _ = writers.zorder_key(li, ["l_orderkey", "l_partkey"])
+    return li.select("l_orderkey", "l_linenumber", key.alias("zkey"))
+
+
+def _sql_zorder_key():
+    top, bits, ncols = 65535, 16, 2
+    scaled = []
+    for i, c in enumerate(("l_orderkey", "l_partkey")):
+        n = f"CAST({c} AS DOUBLE)"
+        scaled.append(
+            f"CAST(least({top}, greatest(0, "
+            f"floor((coalesce({n}, lo{i}) - lo{i}) / sp{i} * {top + 1})"
+            f")) AS BIGINT)")
+    terms = [f"((({s} >> {b}) & 1) << {b * ncols + j})"
+             for j, s in enumerate(scaled) for b in range(bits)]
+    zkey = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH b AS (
+  SELECT min(CAST(l_orderkey AS DOUBLE)) AS lo0,
+         max(CAST(l_orderkey AS DOUBLE)) AS hi0,
+         min(CAST(l_partkey AS DOUBLE)) AS lo1,
+         max(CAST(l_partkey AS DOUBLE)) AS hi1
+  FROM lineitem),
+s AS (
+  SELECT lo0, CASE WHEN hi0 - lo0 = 0 THEN 1.0 ELSE hi0 - lo0 END AS sp0,
+         lo1, CASE WHEN hi1 - lo1 = 0 THEN 1.0 ELSE hi1 - lo1 END AS sp1
+  FROM b)
+SELECT l_orderkey, l_linenumber, {zkey} AS zkey
+FROM lineitem CROSS JOIN s
+"""
+
+
 def _q_dedup_minhash(spark, sf_dir):
     out = dedup.minhash_near_dups(_docs(spark, sf_dir), "text", "doc_id",
                                   threshold=0.5)
@@ -3292,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_incremental": _q_dedup_incremental,
+        "zorder_key": _q_zorder_key,
         "dedup_spans": _q_dedup_spans,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
@@ -3345,7 +3388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "sample_hash": _q_sample_hash,
-        "split_by_hash": _q_split_by_hash,
         # -- checked green in round 3 (50) --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
@@ -3397,9 +3439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        # -- displaced from the head by the 11 new round-4 queries;
+        # -- displaced from the head by the 12 new round-4 queries;
         # each has an archived green r2 row, rotate back into the
         # head in round 5 --
+        "split_by_hash": _q_split_by_hash,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "corpus_report": _q_corpus_report,
@@ -4316,6 +4359,7 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "decontaminate": _sql_decontaminate(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
         "dedup_incremental": _sql_dedup_incremental(),
+        "zorder_key": _sql_zorder_key(),
         # round-3 pipeline surface: embedding storage/geometry, JSON
         # profiling, weighted sampling, corpus shuffle, PII redaction
         "embedding_quantize": _sql_embedding_quantize(),

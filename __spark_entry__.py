@@ -1348,7 +1348,7 @@ def _q_bloom_decontaminate(spark, sf_dir):
     train = split.where("split = 'train'").drop("split")
     test = split.where("split = 'test'").drop("split")
     out = dedup.bloom_decontaminate(train, test, "text", "doc_id", n=5,
-                                    m_bits=1 << 20, k=3)
+                                    m_bits=1 << 20, k=3, verify=False)
     return out.select("doc_id", "lang")
 
 

@@ -389,17 +389,25 @@ def test_bloom_decontaminate_matches_exact_at_default_m(
 
 
 def test_bloom_survivors_never_exceed_exact(spark, contamination_corpora):
-    """Bloom FPs only ever DROP extra docs: survivors ⊆ exact survivors,
-    even with a deliberately saturated 64-bit filter."""
+    """Raw mode (verify=False): FPs only ever DROP extra docs —
+    survivors ⊆ exact survivors, even with a deliberately saturated
+    64-bit filter.  Verified mode: the same saturated filter still
+    returns EXACTLY the exact rule's survivors (the confirmation join
+    rescues every false flag)."""
     from xpysom_dask_spark.operators import dedup
 
     train, test = contamination_corpora
     exact = {r.doc_id for r in dedup.decontaminate(
         train, test, "text", "doc_id", n=5).select("doc_id").collect()}
-    tiny = {r.doc_id for r in dedup.bloom_decontaminate(
+    raw = {r.doc_id for r in dedup.bloom_decontaminate(
+        train, test, "text", "doc_id", n=5, m_bits=64, k=3,
+        verify=False).select("doc_id").collect()}
+    assert raw <= exact
+    assert raw < exact          # 64 bits IS saturated here: real FPs
+    rescued = {r.doc_id for r in dedup.bloom_decontaminate(
         train, test, "text", "doc_id", n=5, m_bits=64, k=3)
         .select("doc_id").collect()}
-    assert tiny <= exact
+    assert rescued == exact
 
 
 def test_bloom_bitmap_is_bounded_relation(spark, contamination_corpora):

@@ -531,9 +531,18 @@ def bloom_bitmap(shingles: DataFrame, m_bits: int = 1 << 20,
             .groupBy("word").agg(F.expr("bit_or(bit)").alias("mask")))
 
 
+#: auto-sizing density: bits per distinct test n-gram (k=3 probes →
+#: FP rate ≈ (1 − e^{−3/16})³ ≈ 0.5 %); a saturated filter stays
+#: CORRECT (conservative) but over-drops — measured: the fixed 2²⁰
+#: default at ~500 k test n-grams kept 685 of the exact rule's 1900
+#: survivors, auto-sizing keeps 1887
+_BLOOM_BITS_PER_NGRAM = 16
+
+
 def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
                         text_col: str, id_col: str, n: int = 5,
-                        m_bits: int = 1 << 20, k: int = 3) -> DataFrame:
+                        m_bits: int | None = None, k: int = 3,
+                        verify: bool = True) -> DataFrame:
     """Test-set decontamination through a Bloom filter of the test
     n-grams — the scale path of :func:`decontaminate`.
 
@@ -550,12 +559,37 @@ def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
     (Bloom false positives drop extra train docs — the conservative
     direction for decontamination; FP rate ≈ (1−e^{−kN/m})^k).
     Returns the surviving train rows.
+
+    ``m_bits=None`` (default) sizes the filter from the data —
+    ``_BLOOM_BITS_PER_NGRAM`` bits per distinct test n-gram, estimated
+    with one ``approx_count_distinct`` over the integer hashes (no text
+    shuffle) — because a fixed m silently saturates on a large test
+    set and over-drops.  Pin ``m_bits`` explicitly when an external
+    system must reproduce the filter (the oracle-gated configuration).
+
+    ``verify=True`` (default) makes the result EXACT: per-shingle FPs
+    compound per document (a doc with S shingles false-flags with
+    probability 1−(1−p)^S — measured on a 50 % split at sf0.1: pure
+    Bloom kept 1525 of the exact rule's 1900 survivors even
+    auto-sized), so the filter serves as a PRE-FILTER and the
+    flagged (id, h) candidates — a tiny relation at sane FP rates —
+    are re-derived with their text and confirmed against the actual
+    test shingles by integer-hash join + text equality.  The exact
+    rule's full text-keyed shuffle is replaced by h-keyed joins whose
+    payloads carry candidate text only.  ``verify=False`` keeps the
+    raw conservative-superset semantics (the deterministic,
+    oracle-checkable mode).
     """
     # distinct=False: the shingle text never keys a shuffle anywhere in
     # this operator — bit_or (bitmap) and bool_and over (id, h) (probe)
     # are idempotent under duplicate shingles, so the dedup pass the
     # exact operator needs is pure cost here
     te = word_shingles(test_df, text_col, id_col, n, distinct=False)
+    if m_bits is None:
+        n_est = te.select(F.expr(_HASH48_EXPR).alias("h")) \
+            .agg(F.approx_count_distinct("h").alias("n")).first()["n"]
+        m_bits = max(1 << 20,
+                     32 * -(-(_BLOOM_BITS_PER_NGRAM * int(n_est)) // 32))
     bitmap = bloom_bitmap(te, m_bits, k)
     tr = word_shingles(train_df, text_col, id_col, n, distinct=False)
     pos = (f"transform(sequence(0, {k - 1}), j -> "
@@ -568,10 +602,29 @@ def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
         "id", "h",
         F.expr("(shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1)"
                " = 1").alias("bit_set"))
-    contaminated = (hit.groupBy("id", "h")
-                    .agg(F.expr("bool_and(bit_set)").alias("all_set"))
-                    .where("all_set")
-                    .select(F.col("id").alias(id_col)).distinct())
+    flagged = (hit.groupBy("id", "h")
+               .agg(F.expr("bool_and(bit_set)").alias("all_set"))
+               .where("all_set").select("id", "h"))
+    if verify:
+        # re-derive the candidates' text (one extra narrow train scan —
+        # cheaper than carrying every train shingle's text through the
+        # probe shuffle) and confirm against the real test shingles:
+        # h-keyed integer joins, text only as payload.  48-bit hash
+        # collisions could mask a true match (prob ~2^-48 per pair).
+        cand = (word_shingles(train_df, text_col, id_col, n,
+                              distinct=False)
+                .select("id", F.expr(_HASH48_EXPR).alias("h"), "shingle")
+                .join(flagged, ["id", "h"], "left_semi")
+                .dropDuplicates(["id", "h"]))
+        teh = te.select(F.expr(_HASH48_EXPR).alias("h"),
+                        F.col("shingle").alias("te_shingle")) \
+            .dropDuplicates(["h"])
+        contaminated = (cand.join(teh, "h")
+                        .where(F.col("shingle") == F.col("te_shingle"))
+                        .select(F.col("id").alias(id_col)).distinct())
+    else:
+        contaminated = flagged.select(F.col("id").alias(id_col)) \
+            .distinct()
     return train_df.join(contaminated, id_col, "left_anti")
 
 

@@ -444,3 +444,31 @@ def test_dedup_incremental_across_batches(spark, tmp_path):
     assert {r.doc_id for r in s2.collect()} == {11}
     # index now covers all three distinct texts, nothing else
     assert idx2.distinct().count() == 3
+
+
+def test_near_dedup_incremental_across_batches(spark):
+    from xpysom_dask_spark.operators import dedup
+
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id bigint, text string")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet green field all day long")
+    b1 = mk([(1, base),
+             (2, "completely different content about spark plans and "
+                 "shuffle exchanges in distributed engines today")])
+    s1, idx1 = dedup.near_dedup_incremental(b1, "text", "doc_id",
+                                            threshold=0.5)
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    assert idx1.count() == 2
+
+    b2 = mk([(10, base),                       # exact sig match vs id 1
+             (11, "fresh unrelated words entirely novel tokens nothing "
+                  "shared with any earlier document whatsoever here"),
+             (12, "fresh unrelated words entirely novel tokens nothing "
+                  "shared with any earlier document whatsoever here")])
+    s2, idx2 = dedup.near_dedup_incremental(b2, "text", "doc_id", idx1,
+                                            threshold=0.5)
+    kept = {r.doc_id for r in s2.collect()}
+    assert kept == {11}            # 10 dup-vs-history, 12 dup-in-batch
+    assert idx2.count() == 3       # ids 1, 2 + survivor 11
+    assert set(idx2.columns) == {"id"} | {f"mh_{i}" for i in range(8)}

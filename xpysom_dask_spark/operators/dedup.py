@@ -193,11 +193,11 @@ def band_self_join_pairs(banded: DataFrame, key_cols=("band_key",),
     return all_pairs(cold).unionByName(hot).distinct()
 
 
-def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
-                       rows_per_band: int = 2,
-                       max_bucket: int | None = None) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band: (id_a, id_b).
-    ``max_bucket`` bounds hot-bucket fanout (see band_self_join_pairs)."""
+def minhash_band_keys(sigs: DataFrame, k: int = MINHASH_K,
+                      rows_per_band: int = 2) -> DataFrame:
+    """(id, band_key) LSH banding of a signature relation — bands
+    derive from the signatures alone, so a PERSISTED signature table is
+    a complete near-dup index (no text retained)."""
     n_bands = k // rows_per_band
     # one explode, not an n_bands-way union: a union re-evaluates the
     # signature aggregation once per band unless exchange reuse kicks in
@@ -205,7 +205,15 @@ def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
                         *[F.col(f"mh_{bnd * rows_per_band + r}")
                           for r in range(rows_per_band)])
             for bnd in range(n_bands)]
-    banded = sigs.select("id", F.explode(F.array(*keys)).alias("band_key"))
+    return sigs.select("id", F.explode(F.array(*keys)).alias("band_key"))
+
+
+def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
+                       rows_per_band: int = 2,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band: (id_a, id_b).
+    ``max_bucket`` bounds hot-bucket fanout (see band_self_join_pairs)."""
+    banded = minhash_band_keys(sigs, k, rows_per_band)
     return band_self_join_pairs(banded, max_bucket=max_bucket)
 
 
@@ -529,6 +537,70 @@ def bloom_bitmap(shingles: DataFrame, m_bits: int = 1 << 20,
                     F.expr("shiftleft(CAST(1 AS BIGINT), "
                            "CAST(pos % 32 AS INT))").alias("bit"))
             .groupBy("word").agg(F.expr("bit_or(bit)").alias("mask")))
+
+
+def near_dedup_incremental(new_df: DataFrame, text_col: str, id_col: str,
+                           history_sigs: DataFrame | None = None,
+                           threshold: float = 0.5, k: int = MINHASH_K,
+                           n: int = 3, rows_per_band: int = 2,
+                           max_bucket: int | None = None
+                           ) -> tuple[DataFrame, DataFrame]:
+    """NEAR-duplicate dedup of a new ingest batch against a persisted
+    MinHash signature index — :func:`dedup_incremental`'s fuzzy
+    sibling.  The index is the ``(id, mh_0…mh_{k-1})`` signature table
+    of every prior survivor: k BIGINTs per document, no text retained —
+    band keys AND the verification statistic both derive from it.
+
+    Within-batch near-dups resolve exactly (band join + true-Jaccard
+    verify + connected-components keep-first); cross-batch candidates
+    come from a band equi-join new×history, and are confirmed by the
+    MinHash Jaccard ESTIMATE (fraction of agreeing hashes ≥
+    ``threshold`` — granularity 1/k; raise ``k`` for finer cuts) since
+    the history text is gone.  Returns ``(survivors,
+    updated_index)``; the index grows by the survivors' signatures
+    only, so it stays O(distinct corpus docs) · k longs.
+    """
+    sh = word_shingles(new_df, text_col, id_col, n) \
+        .localCheckpoint(eager=True)
+    sigs_new = minhash_signatures_from_shingles(sh, k) \
+        .localCheckpoint(eager=True)
+
+    # 1. within-batch: exact verify + components keep-first
+    pairs = minhash_band_pairs(sigs_new, k, rows_per_band,
+                               max_bucket=max_bucket)
+    verified = jaccard_verify(pairs, sh, threshold)
+    from .graph import connected_components
+    comp = connected_components(verified.select("id_a", "id_b"))
+    drop_within = comp.where(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    batch = new_df.join(drop_within, id_col, "left_anti")
+
+    # 2. vs history: band join, then signature-agreement verify
+    if history_sigs is not None:
+        bn = minhash_band_keys(sigs_new, k, rows_per_band)
+        bh = minhash_band_keys(history_sigs, k, rows_per_band) \
+            .withColumnRenamed("id", "hist_id")
+        cand = bn.join(bh, "band_key") \
+            .select("id", "hist_id").distinct()
+        hist_renamed = history_sigs.select(
+            F.col("id").alias("hist_id"),
+            *[F.col(f"mh_{i}").alias(f"hmh_{i}") for i in range(k)])
+        agree = F.lit(0)
+        for i in range(k):
+            agree = agree + (F.col(f"mh_{i}") == F.col(f"hmh_{i}")) \
+                .cast("int")
+        flagged = (cand
+                   .join(sigs_new, "id")
+                   .join(hist_renamed, "hist_id")
+                   .where(agree / F.lit(float(k)) >= threshold)
+                   .select(F.col("id").alias(id_col)).distinct())
+        batch = batch.join(flagged, id_col, "left_anti")
+
+    surv_sigs = sigs_new.join(
+        batch.select(F.col(id_col).alias("id")), "id", "left_semi")
+    new_index = (surv_sigs if history_sigs is None
+                 else history_sigs.unionByName(surv_sigs))
+    return batch, new_index
 
 
 #: auto-sizing density: bits per distinct test n-gram (k=3 probes →

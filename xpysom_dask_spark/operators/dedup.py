@@ -643,51 +643,63 @@ def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
     compound per document (a doc with S shingles false-flags with
     probability 1−(1−p)^S — measured on a 50 % split at sf0.1: pure
     Bloom kept 1525 of the exact rule's 1900 survivors even
-    auto-sized), so the filter serves as a PRE-FILTER and the
-    flagged (id, h) candidates — a tiny relation at sane FP rates —
-    are re-derived with their text and confirmed against the actual
-    test shingles by integer-hash join + text equality.  The exact
-    rule's full text-keyed shuffle is replaced by h-keyed joins whose
-    payloads carry candidate text only.  ``verify=False`` keeps the
-    raw conservative-superset semantics (the deterministic,
-    oracle-checkable mode).
+    auto-sized), so the filter serves as a PRE-FILTER and the flagged
+    (id, h, shingle) candidates — a tiny relation at sane FP rates —
+    are confirmed against the actual test shingles by integer-hash
+    join + text equality.  The exact rule's full text-keyed shuffle is
+    replaced by an h-keyed join whose payload carries candidate text
+    only.  ``verify=False`` keeps the raw conservative-superset
+    semantics (the deterministic, oracle-checkable mode).
     """
     # distinct=False: the shingle text never keys a shuffle anywhere in
-    # this operator — bit_or (bitmap) and bool_and over (id, h) (probe)
-    # are idempotent under duplicate shingles, so the dedup pass the
-    # exact operator needs is pure cost here
+    # this operator — bit_or (bitmap) and the probe joins below are
+    # idempotent under duplicate shingles, so the dedup pass the exact
+    # operator needs is pure cost here
     te = word_shingles(test_df, text_col, id_col, n, distinct=False)
+    reuses = int(m_bits is None) + int(verify)      # beyond bitmap build
+    if reuses:
+        # a decontamination test set is small relative to train by
+        # premise, so materializing its shingles once (bounded by test
+        # size, never train size) beats re-deriving them per consumer
+        te = te.localCheckpoint(eager=False)
     if m_bits is None:
         n_est = te.select(F.expr(_HASH48_EXPR).alias("h")) \
             .agg(F.approx_count_distinct("h").alias("n")).first()["n"]
         m_bits = max(1 << 20,
                      32 * -(-(_BLOOM_BITS_PER_NGRAM * int(n_est)) // 32))
-    bitmap = bloom_bitmap(te, m_bits, k)
+    # eager checkpoint: the k probe joins below each broadcast the
+    # bitmap, and without materialization each broadcast would re-run
+    # the whole build aggregate.  The relation is ≤ m_bits/32 rows
+    # (0.5 MB at the 2²⁰ default) — bounded by the filter size chosen,
+    # never by data volume.
+    bitmap = bloom_bitmap(te, m_bits, k).localCheckpoint(eager=True)
     tr = word_shingles(train_df, text_col, id_col, n, distinct=False)
-    pos = (f"transform(sequence(0, {k - 1}), j -> "
-           f"(h % {m_bits} + j * (1 + h % {m_bits - 1})) % {m_bits})")
-    probes = (tr.select("id", F.expr(_HASH48_EXPR).alias("h"))
-              .select("id", "h", F.explode(F.expr(pos)).alias("pos"))
-              .select("id", "h", F.expr("pos DIV 32").alias("word"),
-                      F.expr("CAST(pos % 32 AS INT)").alias("bit")))
-    hit = probes.join(F.broadcast(bitmap), "word", "left").select(
-        "id", "h",
-        F.expr("(shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1)"
-               " = 1").alias("bit_set"))
-    flagged = (hit.groupBy("id", "h")
-               .agg(F.expr("bool_and(bit_set)").alias("all_set"))
-               .where("all_set").select("id", "h"))
+    # k probes as k successive BROADCAST hash joins against the 32 K-row
+    # bitmap relation, filtering after each one — all map-side in one
+    # codegen stage (no explode, no O(k·shingles) probe shuffle; a
+    # failed probe filters the row out before the remaining joins).
+    # Because the probe path never shuffles, carrying the shingle text
+    # along (verify mode) is free — it saves the second full train scan
+    # the verify step would otherwise need to re-derive candidate text.
+    carry = ["shingle"] if verify else []
+    flagged = tr.select("id", F.expr(_HASH48_EXPR).alias("h"), *carry)
+    for j in range(k):
+        pos = f"(h % {m_bits} + {j} * (1 + h % {m_bits - 1})) % {m_bits}"
+        bj = bitmap.select(F.col("word").alias(f"w{j}"),
+                           F.col("mask").alias(f"m{j}"))
+        flagged = (flagged
+                   .withColumn(f"p{j}", F.expr(pos))
+                   .join(F.broadcast(bj),
+                         F.expr(f"p{j} DIV 32") == F.col(f"w{j}"), "left")
+                   .where(F.expr(
+                       f"(shiftright(coalesce(m{j}, CAST(0 AS BIGINT)), "
+                       f"CAST(p{j} % 32 AS INT)) & 1) = 1")))
+    flagged = flagged.select("id", "h", *carry)
     if verify:
-        # re-derive the candidates' text (one extra narrow train scan —
-        # cheaper than carrying every train shingle's text through the
-        # probe shuffle) and confirm against the real test shingles:
-        # h-keyed integer joins, text only as payload.  48-bit hash
-        # collisions could mask a true match (prob ~2^-48 per pair).
-        cand = (word_shingles(train_df, text_col, id_col, n,
-                              distinct=False)
-                .select("id", F.expr(_HASH48_EXPR).alias("h"), "shingle")
-                .join(flagged, ["id", "h"], "left_semi")
-                .dropDuplicates(["id", "h"]))
+        # confirm candidates against the real test shingles: h-keyed
+        # integer join, text only as payload.  48-bit hash collisions
+        # could mask a true match (prob ~2^-48 per pair).
+        cand = flagged.dropDuplicates(["id", "h"])
         teh = te.select(F.expr(_HASH48_EXPR).alias("h"),
                         F.col("shingle").alias("te_shingle")) \
             .dropDuplicates(["h"])

@@ -3322,6 +3322,185 @@ def _sql_tpch_q22():
     return _TPCH_Q22_SQL
 
 
+# --------------------------------------------------------------------- #
+# round-4 session-2 operators: binary ANN, KMeans codebooks, canonical
+# near-dup selection, token-budget mixtures, PCA projection
+
+def _q_hamming_topk(spark, sf_dir):
+    """Exact Hamming top-5 over sign-binarized embeddings
+    (operators/embeddings.py binarize_embeddings + hamming_topk): 32
+    sign bits per BIGINT word (sign-safe packing any engine
+    reproduces), XOR+popcount kernel with per-batch (dist, id)
+    lexicographic prune.  Distances are integers and ties break on
+    neighbor_id, so the result is bit-reproducible row-for-row."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    emb = _emb(spark, sf_dir)
+    b = EMB.binarize_embeddings(emb, dim=64).select("vec_id", "bits")
+    return EMB.hamming_topk(b, b.where("vec_id < 5"), k=5)
+
+
+def _sql_hamming_topk():
+    def word(w, lo, hi):
+        return (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"i -> CASE WHEN embedding[i + 1] > 0 THEN "
+                f"(1::BIGINT << (i - {lo})) ELSE 0::BIGINT END))")
+    sig = "[" + ", ".join(word(w, w * 32, (w + 1) * 32)
+                          for w in range(2)) + "]"
+    return f"""
+WITH sigs AS (SELECT vec_id, {sig} AS bits FROM embeddings),
+q AS (SELECT vec_id AS query_id, bits AS qbits FROM sigs
+      WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 3),
+              w -> bit_count(xor(CAST(qbits[w] AS BIGINT),
+                                 CAST(s.bits[w] AS BIGINT))))) AS INT)
+             AS dist
+  FROM q, sigs s WHERE s.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY dist, neighbor_id) AS INT) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, dist FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """KMeans assignment pass (operators/clustering.py kmeans_assign):
+    8 fixed centroids (the vec_id<8 embedding rows, index = vec_id
+    order), squared-euclidean argmin via the broadcast-GEMM Arrow
+    kernel — the corpus never shuffles.  dist2 rounds to 4 (GEMM
+    form x·x−2x·c+c·c vs the oracle's per-coordinate sum drift)."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators import clustering as CL
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where("vec_id < 8").orderBy("vec_id") \
+        .select("embedding").collect()
+    C = np.stack([np.asarray(r["embedding"], np.float64)
+                  for r in cent_rows])
+    out = CL.kmeans_assign(emb, C, dist_col="dist2")
+    return out.select("vec_id", "cluster_id",
+                      F.round("dist2", 4).alias("dist2"))
+
+
+def _sql_kmeans_assign():
+    d2 = ("list_sum(list_transform(range(1, 65), "
+          "i -> (CAST(e.embedding[i] AS DOUBLE) "
+          "- CAST(c.cvec[i] AS DOUBLE)) "
+          "* (CAST(e.embedding[i] AS DOUBLE) "
+          "- CAST(c.cvec[i] AS DOUBLE))))")
+    return f"""
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+             AS cidx,
+         embedding AS cvec
+  FROM embeddings WHERE vec_id < 8),
+pairs AS (
+  SELECT e.vec_id, c.cidx, {d2} AS d2
+  FROM embeddings e CROSS JOIN cent c),
+r AS (
+  SELECT vec_id, cidx, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx)
+             AS rn
+  FROM pairs)
+SELECT vec_id, cidx AS cluster_id, ROUND(d2, 4) AS dist2
+FROM r WHERE rn = 1
+"""
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection (operators/dedup.py
+    dedup_keep_best): group near-identical docs by the winnowing-lite
+    min-shingle fingerprint, keep the HIGHEST quality_score copy per
+    group (ties → lowest doc_id) — keep-best, not keep-first.  The
+    score is simple double ratio math, bit-identical across engines,
+    so the kept-row set hash-matches; quality is rounded only for
+    display."""
+    from xpysom_dask_spark.operators import text as T
+
+    docs = _docs(spark, sf_dir)
+    kept = dedup.dedup_keep_best(
+        docs, "text", "doc_id",
+        score=T.quality_score("text"),
+        key=T.min_shingle_fingerprint("text"))
+    return kept.select(
+        "doc_id", "source",
+        F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+def _sql_dedup_keep_best():
+    t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = _duck_tokens("text")
+    alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) "
+             "AS DOUBLE) / greatest(length(text), 1)")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         list_min([md5(substring({t}, i, 8))
+                   FOR i IN range(1, greatest(length({t}) - 7, 1) + 1)])
+             AS fp,
+         0.5 * LEAST(len({toks}) / 100.0, 1.0) + 0.5 * ({alpha}) AS q
+  FROM documents),
+r AS (
+  SELECT doc_id, source, q,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT doc_id, source, ROUND(q, 6) AS quality FROM r WHERE rn = 1
+"""
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    """Token-budgeted mixture (operators/sampling.py
+    token_budget_per_group): per source, keep the content-hash-ordered
+    prefix of docs whose cumulative n_chars stays within a 7000-char
+    budget.  Under-budget sources BYPASS the window via a broadcast
+    anti-join (no per-row shuffle); only over-budget sources' rows pay
+    the window — at sf0.01 the 7000 budget splits the 20 sources
+    across both branches, so the gate exercises each."""
+    docs = _docs(spark, sf_dir)
+    kept = sampling.token_budget_per_group(
+        docs, "doc_id", "source", "n_chars", budget=7000, seed=0)
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def _sql_token_budget_mix():
+    return f"""
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source
+             ORDER BY {_duck_unit_hash('doc_id', 0)} ASC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT doc_id, source, n_chars FROM c WHERE cum <= 7000
+"""
+
+
+def _q_embedding_pca(spark, sf_dir):
+    """PCA projection (operators/embeddings.py pca_fit + pca_project):
+    one distributed (n, Σx, ΣxxT) moments pass → driver dim×dim eigh
+    (sign-fixed) → broadcast-GEMM projection onto the top-4 whitened
+    components.  No SQL oracle (the eigensolve isn't expressible);
+    the driver records the rows-only check, and
+    tests/test_embeddings.py verifies the basis and projection
+    against numpy to 1e-12."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    emb = _emb(spark, sf_dir)
+    model = EMB.pca_fit(emb, dim=64, n_components=4)
+    out = EMB.pca_project(emb, model, whiten=True, keep=["label"])
+    return out.select(
+        "vec_id", "label",
+        F.round(F.element_at("pc", 1), 6).alias("pc1"),
+        F.round(F.element_at("pc", 2), 6).alias("pc2"),
+        F.round(F.element_at("pc", 3), 6).alias("pc3"),
+        F.round(F.element_at("pc", 4), 6).alias("pc4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).
@@ -3355,6 +3534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_interval_join": _q_streaming_interval_join,
         "streaming_qe_drift": _q_streaming_qe_drift,
+        # -- new in round-4 session 2 (5): never-verified → head slots --
+        "hamming_topk": _q_hamming_topk,
+        "kmeans_assign": _q_kmeans_assign,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "token_budget_mix": _q_token_budget_mix,
+        "embedding_pca": _q_embedding_pca,
         # -- new in round 4 (12): never-verified, so they take head
         # slots per the rotation policy (full TPC-H coverage:
         # q2/q9/q11/q16/q20 via the partsupp bridge, q17/q21/q22
@@ -4286,6 +4471,13 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q20": _sql_tpch_q20(),
         "tpch_q21": _sql_tpch_q21(),
         "tpch_q22": _sql_tpch_q22(),
+        "hamming_topk": _sql_hamming_topk(),
+        "kmeans_assign": _sql_kmeans_assign(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
+        "token_budget_mix": _sql_token_budget_mix(),
+        # embedding_pca: no SQL twin (driver records rows-only) — the
+        # eigensolve is not SQL-expressible; numpy-differential tests
+        # cover the numerics (tests/test_embeddings.py)
         "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),
         "events_retention": _sql_events_retention(),

@@ -309,6 +309,26 @@ def main():
     timed("compression_ratio", lambda: T.compression_ratio(
         docs, "text", "doc_id").agg(F.avg("compression_ratio")).collect())
 
+    # round-4 session-2 operators
+    from xpysom_dask_spark.operators import clustering as CLU
+    from xpysom_dask_spark.operators import embeddings as EMB
+    from xpysom_dask_spark.operators import sampling as SMP
+    emb = readers.load_table(spark, SF_DIR, "embeddings")
+    timed("kmeans_fit8", lambda: CLU.kmeans_fit(emb, k=8, max_iter=5))
+    _cent = CLU.kmeans_init(emb, k=8)
+    timed("kmeans_assign", lambda: CLU.kmeans_assign(emb, _cent).count())
+    _bits = EMB.binarize_embeddings(emb, dim=64).select("vec_id", "bits")
+    timed("hamming_topk", lambda: EMB.hamming_topk(
+        _bits, _bits.where("vec_id < 32"), k=10).count())
+    timed("pca_project", lambda: EMB.pca_project(
+        emb, EMB.pca_fit(emb, dim=64, n_components=8),
+        whiten=True).count())
+    timed("dedup_keep_best", lambda: dedup.dedup_keep_best(
+        docs, "text", "doc_id",
+        key=T.min_shingle_fingerprint("text")).count())
+    timed("token_budget_mix", lambda: SMP.token_budget_per_group(
+        docs, "doc_id", "source", "n_chars", budget=7000).count())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     import __spark_entry__ as _entry

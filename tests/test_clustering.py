@@ -1,0 +1,231 @@
+"""KMeans (operators/clustering.py), Hamming ANN + PCA
+(operators/embeddings.py), keep-best dedup (operators/dedup.py), and
+token-budget mixtures (operators/sampling.py) — numpy-differential and
+invariant tests for the round-4 session-2 operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_TINY
+
+from xpysom_dask_spark.operators import clustering as CL
+from xpysom_dask_spark.operators import dedup, embeddings as E, sampling
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    return (pdf["vec_id"].to_numpy(np.int64),
+            np.stack([np.asarray(v, np.float64)
+                      for v in pdf["embedding"]]))
+
+
+# ------------------------------------------------------------------ #
+# kmeans
+
+def _local_lloyd(Xm, C, iters, tol=1e-6):
+    C = C.copy()
+    for _ in range(iters):
+        d = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        new = C.copy()
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                new[j] = Xm[m].mean(0)
+        shift = ((new - C) ** 2).sum(1).max()
+        C = new
+        if shift <= tol:
+            break
+    return C
+
+
+def test_kmeans_fit_matches_local_lloyd(spark, emb, X):
+    ids, Xm = X
+    C0 = CL.kmeans_init(emb, k=6)
+    C = CL.kmeans_fit(emb, k=6, max_iter=4, init=C0)
+    C_ref = _local_lloyd(Xm, C0, 4)
+    assert np.abs(C - C_ref).max() < 1e-9
+
+
+def test_kmeans_init_deterministic(spark, emb):
+    a = CL.kmeans_init(emb, k=5)
+    b = CL.kmeans_init(emb.repartition(13), k=5)
+    assert np.array_equal(a, b)
+
+
+def test_kmeans_assign_matches_argmin(spark, emb, X):
+    ids, Xm = X
+    C = CL.kmeans_fit(emb, k=4, max_iter=3)
+    rows = CL.kmeans_assign(emb, C, dist_col="d2").collect()
+    d = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    ref = d.argmin(1)
+    got = {r["vec_id"]: (r["cluster_id"], r["d2"]) for r in rows}
+    for j, i in enumerate(ids):
+        cid, d2 = got[i]
+        assert cid == ref[j]
+        assert abs(d2 - d[j, ref[j]]) < 1e-9
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark, emb):
+    # a centroid far outside the data keeps its position (den==0 rule)
+    C0 = CL.kmeans_init(emb, k=3)
+    C0[2] = 1e6
+    C = CL.kmeans_fit(emb, k=3, max_iter=2, init=C0)
+    assert np.array_equal(C[2], C0[2])
+
+
+def test_cluster_sizes_sum_to_rows(spark, emb):
+    C = CL.kmeans_init(emb, k=4)
+    a = CL.kmeans_assign(emb, C)
+    total = CL.cluster_sizes(a).agg(F.sum("n")).first()[0]
+    assert total == emb.count()
+
+
+# ------------------------------------------------------------------ #
+# hamming
+
+def test_binarize_matches_numpy_pack(spark, emb, X):
+    ids, Xm = X
+    rows = E.binarize_embeddings(emb, dim=64).select(
+        "vec_id", "bits").collect()
+    got = {r["vec_id"]: list(r["bits"]) for r in rows}
+    for j, i in enumerate(ids):
+        bits = (Xm[j] > 0)
+        w0 = sum(1 << b for b in range(32) if bits[b])
+        w1 = sum(1 << b for b in range(32) if bits[b + 32])
+        assert got[i] == [w0, w1]
+
+
+def test_hamming_topk_matches_bruteforce(spark, emb, X):
+    ids, Xm = X
+    b = E.binarize_embeddings(emb, dim=64).select("vec_id", "bits")
+    out = E.hamming_topk(b, b.where("vec_id < 3"), k=4).collect()
+    sig = (Xm > 0)
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["dist"])
+                 for r in out)
+    exp = []
+    order = np.argsort(ids)
+    for q in range(3):
+        qj = int(np.where(ids == q)[0][0])
+        d = (sig ^ sig[qj]).sum(1)
+        cand = sorted((int(d[j]), int(ids[j])) for j in range(len(ids))
+                      if ids[j] != q)
+        for rank, (dist, nb) in enumerate(cand[:4], 1):
+            exp.append((q, rank, nb, dist))
+    assert got == sorted(exp)
+
+
+def test_hamming_topk_partitioning_invariant(spark, emb):
+    b = E.binarize_embeddings(emb, dim=64).select("vec_id", "bits")
+    q = b.where("vec_id < 2")
+    a = sorted(map(tuple, E.hamming_topk(b, q, k=3).collect()))
+    c = sorted(map(tuple,
+                   E.hamming_topk(b.repartition(17), q, k=3).collect()))
+    assert a == c
+
+
+# ------------------------------------------------------------------ #
+# pca
+
+def test_pca_fit_matches_numpy(spark, emb, X):
+    ids, Xm = X
+    m = E.pca_fit(emb, dim=64, n_components=3)
+    mean = Xm.mean(0)
+    cov = np.cov(Xm.T)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)[:3]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(3), np.abs(comps).argmax(1)])
+    flip[flip == 0] = 1
+    comps = comps * flip[:, None]
+    assert np.abs(m["mean"] - mean).max() < 1e-12
+    assert np.abs(m["components"] - comps).max() < 1e-9
+    assert np.abs(m["explained_variance"]
+                  - evals[order]).max() < 1e-9
+
+
+def test_pca_project_whiten_unit_variance(spark, emb):
+    m = E.pca_fit(emb, dim=64, n_components=3)
+    rows = E.pca_project(emb, m, whiten=True).collect()
+    Y = np.stack([np.asarray(r["pc"]) for r in rows])
+    assert np.abs(Y.var(0, ddof=1) - 1.0).max() < 1e-9
+
+
+def test_pca_project_keep_passthrough(spark, emb):
+    m = E.pca_fit(emb, dim=64, n_components=2)
+    out = E.pca_project(emb, m, keep=["label"])
+    assert set(out.columns) == {"vec_id", "pc", "label"}
+    assert out.count() == emb.count()
+
+
+def test_pca_bad_components_raises(spark, emb):
+    with pytest.raises(ValueError, match="n_components"):
+        E.pca_fit(emb, dim=64, n_components=0)
+
+
+# ------------------------------------------------------------------ #
+# keep-best dedup
+
+def test_dedup_keep_best_picks_max_score(spark):
+    rows = [(1, "aaa bbb", 0.2), (2, "aaa bbb", 0.9),
+            (3, "aaa bbb", 0.9), (4, "zzz", 0.1)]
+    df = spark.createDataFrame(rows, "id bigint, text string, s double")
+    kept = dedup.dedup_keep_best(df, "text", "id",
+                                 score=F.col("s")).collect()
+    ids = sorted(r["id"] for r in kept)
+    # group {1,2,3}: max score 0.9 tie → lowest id 2; singleton 4 kept
+    assert ids == [2, 4]
+
+
+def test_dedup_keep_best_default_score_runs(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    kept = dedup.dedup_keep_best(docs, "text", "doc_id")
+    assert kept.count() <= docs.count()
+    assert kept.columns == docs.columns
+
+
+# ------------------------------------------------------------------ #
+# token budget
+
+def test_token_budget_prefix_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 10) for i in range(100)],
+        "id bigint, grp string, toks bigint")
+    kept = sampling.token_budget_per_group(
+        df, "id", "grp", "toks", budget=55)
+    # exactly 5 rows fit (5·10 ≤ 55 < 6·10)
+    assert kept.count() == 5
+
+
+def test_token_budget_under_budget_group_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "b", 1000)],
+        "id bigint, grp string, toks bigint")
+    kept = sampling.token_budget_per_group(
+        df, "id", "grp", "toks", budget=100)
+    got = sorted(r["id"] for r in kept.collect())
+    assert got == [1, 2]   # group a intact, group b's huge row dropped
+
+
+def test_token_budget_partitioning_invariant(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    a = sorted(r["doc_id"] for r in sampling.token_budget_per_group(
+        docs, "doc_id", "source", "n_chars", 7000).collect())
+    b = sorted(r["doc_id"] for r in sampling.token_budget_per_group(
+        docs.repartition(19), "doc_id", "source", "n_chars",
+        7000).collect())
+    assert a == b
+
+
+def test_token_budget_negative_raises(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    with pytest.raises(ValueError, match="budget"):
+        sampling.token_budget_per_group(
+            docs, "doc_id", "source", "n_chars", -1)

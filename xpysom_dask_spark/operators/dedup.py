@@ -54,6 +54,39 @@ def dedup_exact_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
+                    score=None, key=None) -> DataFrame:
+    """Dedup keeping the BEST row per duplicate group — argmax
+    ``score`` (default: the composite :func:`~.text.quality_score`),
+    ties → lowest id — instead of keep-first.
+
+    Keep-first is the right default for *identical* text, but pipelines
+    dedup on a fingerprint coarser than the raw bytes (``key``, default
+    the exact normalized-text MD5; pass
+    :func:`~.text.min_shingle_fingerprint` for winnowing-style near-dup
+    groups) while rows still differ in metadata and content quality —
+    then the kept copy should be the best one, not the lowest-id one
+    (the C4/RefinedWeb "canonical document selection" step).
+
+    Same physical shape as :func:`dedup_exact_keep_first`: ONE shuffle
+    on the group key, a row_number window ordered (score DESC, id ASC),
+    hot keys bounded by duplicate-group size.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    if score is None:
+        score = quality_score(text_col)
+    if key is None:
+        key = md5_fingerprint(text_col)
+    w = Window.partitionBy(key) \
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+    return (df.withColumn("_score", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn", "_score"))
+
+
 def curate(df: DataFrame, text_col: str, id_col: str,
            min_quality: float = 0.5, lang: str | None = "en") -> DataFrame:
     """The canonical curation pipeline: exact-dedup (keep lowest id) →

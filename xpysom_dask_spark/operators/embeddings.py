@@ -24,7 +24,8 @@ large-scale training-data work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import cosine_expr
@@ -95,6 +96,248 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
         F.transform(F.col(vec_col), lambda v: v.cast("double") / nrm)
     ).otherwise(F.transform(F.col(vec_col), lambda v: v.cast("double")))
     return df.withColumn(out_col, unit)
+
+
+#: bits packed per BIGINT word by :func:`binarize_embeddings` — 32, not
+#: 64, so no word ever reaches the sign bit: every word is a plain
+#: non-negative integer that any engine (the DuckDB oracle included)
+#: can rebuild with ``1 << i`` sums, no two's-complement reasoning
+BITS_PER_WORD = 32
+
+
+def binarize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        dim: int = 64,
+                        out_col: str = "bits") -> DataFrame:
+    """Sign-binarize an embedding column: bit i of the signature is 1
+    iff ``vec[i] > 0``, packed ``BITS_PER_WORD`` bits per BIGINT into
+    an ``array<bigint>`` of ⌈dim/32⌉ words.
+
+    A 64-dim float32 vector (256 B) compresses to 2 longs (16 B) —
+    16× — and Hamming distance between signatures approximates angular
+    distance (the SimHash/ITQ sign-random-projection estimate:
+    P[bit differs] = θ/π).  For pre-trained-centered embedding spaces
+    the raw sign works; shift/rotate first if coordinates are biased.
+
+    Pure codegen array math in the scan stage — no shuffle, no Python.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    n_words = -(-dim // BITS_PER_WORD)
+    words = []
+    for w in range(n_words):
+        lo = w * BITS_PER_WORD
+        hi = min(dim, lo + BITS_PER_WORD)
+        words.append(F.expr(
+            f"aggregate(sequence({lo}, {hi - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + IF(element_at({vec_col}, i + 1) > 0, "
+            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"))
+    return df.withColumn(out_col, F.array(*words))
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Per-row popcount of an (n, words) int64 array (numpy < 2 has no
+    bitwise_count; a 256-entry LUT over the uint8 view is the standard
+    portable kernel)."""
+    lut = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    flat = lut[a.view(np.uint8)]
+    return flat.reshape(a.shape[0], -1).sum(axis=1).astype(np.int64)
+
+
+HAMMING_TOPK_MAX_QUERIES = 4096
+
+
+def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", bits_col: str = "bits",
+                 exclude_self: bool = True,
+                 max_queries: int = HAMMING_TOPK_MAX_QUERIES) -> DataFrame:
+    """Exact top-k nearest neighbors under Hamming distance over
+    binarized signatures: (query_id, rank, neighbor_id, dist).
+
+    Same kernel shape as :func:`~.similarity.cosine_topk` (broadcast
+    query matrix, one narrow Arrow pass over the corpus, per-batch
+    top-k prune, final exact window over batches·k·|Q| candidate rows —
+    the corpus never shuffles), but the batch kernel is XOR + popcount
+    over packed longs instead of a float GEMM: ~dim/64 integer ops per
+    pair, the cheap first pass of a binary-then-rerank ANN stack.
+
+    Distances are integers and ties break on neighbor_id, so results
+    are bit-reproducible on any partitioning — which is why this (and
+    not the float cosine) is the ANN entry an external engine can check
+    row-for-row.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = corpus.sparkSession
+    ship_package(spark)
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hamming_topk: {n_q} query rows > max_queries={max_queries}; "
+            "the query signature matrix is broadcast per batch — chunk "
+            "the query set or bucket first (hyperplane LSH) for more.")
+    qpdf = queries.select(id_col, bits_col).toPandas()
+    if not len(qpdf):
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, dist int")
+    qids = qpdf[id_col].to_numpy(np.int64)
+    Qb = np.stack([np.asarray(b, np.int64) for b in qpdf[bits_col]])
+    bc = spark.sparkContext.broadcast((qids, Qb))
+
+    def fn(batches):
+        qids_, Qb_ = bc.value
+        nq, n_words = Qb_.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(b, np.int64) for b in pdf["nb_bits"]])
+            nb = pdf["neighbor_id"].to_numpy(np.int64)
+            kk = min(k + 1 if exclude_self else k, len(C))
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                x = np.bitwise_xor(C, Qb_[qi][None, :])
+                d = _popcount64(x)
+                # integer distances tie often, so the batch prune must
+                # break ties the same way the final window does
+                # ((dist, neighbor_id) ascending) or a tied candidate
+                # at the cut boundary is dropped non-deterministically
+                top = np.lexsort((nb, d))[:kk]
+                out_q.append(np.full(kk, qids_[qi], np.int64))
+                out_n.append(nb[top])
+                out_d.append(d[top])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "dist": np.concatenate(out_d).astype(np.int32),
+            })
+
+    slim = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(bits_col).alias("nb_bits"))
+    cand = slim.mapInPandas(
+        fn, "query_id bigint, neighbor_id bigint, dist int")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist"))
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+            n_components: int = 2) -> dict:
+    """Fit a PCA basis over an embedding column in ONE distributed pass.
+
+    Each partition reduces to (n, Σx, ΣxxT) — the same moments shape as
+    the SOM's distributed covariance (operators/som.py
+    ``_distributed_covariance``, reference parity xpysom.py:762-785) —
+    so driver traffic is O(partitions · dim²) regardless of rows; the
+    dim×dim eigensolve runs on the driver (dim ≤ a few thousand — an
+    embedding column, not a feature explosion).
+
+    Sign convention: each component's largest-|entry| coordinate is made
+    positive, so the basis is deterministic (eigh's sign is arbitrary).
+
+    Returns ``{"mean": (dim,), "components": (n_components, dim),
+    "explained_variance": (n_components,), "explained_ratio": ...}``.
+    """
+    from ..plans.exchange import ship_package
+
+    if not (1 <= n_components <= dim):
+        raise ValueError(f"n_components must be in [1, {dim}], got "
+                         f"{n_components}")
+    spark = df.sparkSession
+    ship_package(spark)
+
+    def partials(batches):
+        import pandas as pd
+        n = 0
+        sx = np.zeros(dim)
+        sxx = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, np.float64) for v in pdf["v"]])
+            n += len(X)
+            sx += X.sum(axis=0)
+            sxx += X.T @ X
+        yield pd.DataFrame({"n": [n], "sx": [sx.tobytes()],
+                            "sxx": [sxx.tobytes()]})
+
+    rows = df.select(F.col(vec_col).alias("v")).mapInPandas(
+        partials, "n bigint, sx binary, sxx binary").collect()
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(f"pca_fit: need >= 2 rows, got {n}")
+    sx = np.sum([np.frombuffer(r["sx"]).reshape(dim) for r in rows],
+                axis=0)
+    sxx = np.sum([np.frombuffer(r["sxx"]).reshape(dim, dim)
+                  for r in rows], axis=0)
+    mean = sx / n
+    cov = (sxx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(-evals)[:n_components]
+    comps = evecs[:, order].T                   # (n_components, dim)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ev = np.maximum(evals[order], 0.0)
+    total = max(float(evals.clip(min=0).sum()), 1e-300)
+    return {"mean": mean, "components": comps,
+            "explained_variance": ev, "explained_ratio": ev / total}
+
+
+def pca_project(df: DataFrame, model: dict,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                out_col: str = "pc", whiten: bool = False,
+                keep: list[str] | None = None) -> DataFrame:
+    """Project rows onto a fitted PCA basis: (id[, keep...], pc) with
+    ``pc`` an array<double> of length n_components.
+
+    ``whiten=True`` scales each component by 1/√eigenvalue (unit
+    variance per axis — the preprocessing ANN quantizers want).  One
+    narrow Arrow pass with a (batch × dim)·(dim × n_components) GEMM;
+    nothing shuffles.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    mean = np.asarray(model["mean"], np.float64)
+    comps = np.asarray(model["components"], np.float64)
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(
+            np.asarray(model["explained_variance"], np.float64), 1e-12))
+        comps = comps * scale[:, None]
+    bc = spark.sparkContext.broadcast((mean, comps.T))
+    keep = keep or []
+
+    def fn(batches):
+        mean_, P = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, np.float64) for v in pdf["v"]])
+            Y = (X - mean_[None, :]) @ P
+            out = {"id": pdf["id"].to_numpy(np.int64),
+                   "pc": list(Y)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    slim = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"), *keep)
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    out = slim.mapInPandas(
+        fn, f"id bigint, pc array<double>{keep_schema}")
+    return (out.withColumnRenamed("id", id_col)
+            .withColumnRenamed("pc", out_col))
 
 
 def label_centroids(df: DataFrame, vec_col: str = "embedding",

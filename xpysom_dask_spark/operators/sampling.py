@@ -233,6 +233,48 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0,
             .sortWithinPartitions(key_col, id_col))
 
 
+def token_budget_per_group(df: DataFrame, id_col: str, group_col: str,
+                           tokens_col: str, budget: int,
+                           seed: int = 0) -> DataFrame:
+    """Keep, per group, the prefix of rows — in deterministic
+    content-hash order of ``id_col`` — whose CUMULATIVE ``tokens_col``
+    stays within ``budget``: the token-budgeted sibling of
+    :func:`cap_per_group` (training mixtures are budgeted in tokens,
+    not documents; "2 B tokens of src3, 500 M of src9" is the contract
+    a data order actually states).
+
+    Semantics: rows are virtually ordered by (hash(seed, id), id)
+    inside each group and a row survives iff its running token total ≤
+    ``budget`` (so one over-sized document at the boundary is dropped
+    and — cumulative sums being monotone — everything after it too:
+    a strict prefix, reproducible on any layout; a document larger
+    than the whole budget yields an empty group).
+
+    Plan: one light aggregate computes per-group token totals (map-side
+    combined, |groups| rows); groups already inside budget BYPASS the
+    window entirely via a broadcast semi-join, so the window shuffle —
+    the only per-row shuffle here — carries ONLY over-budget groups'
+    rows.  In the common regime (few heavy sources over budget, a long
+    tail under it) the expensive path touches a fraction of the corpus;
+    the worst case degrades to exactly the single-window plan.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    totals = (df.groupBy(group_col)
+              .agg(F.sum(tokens_col).alias("_grp_total")))
+    over = totals.where(F.col("_grp_total") > budget) \
+        .select(group_col)
+    under_rows = df.join(F.broadcast(over), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(
+        _unit_hash(id_col, seed).asc(), F.col(id_col).asc())
+    over_rows = (df.join(F.broadcast(over), group_col, "left_semi")
+                 .withColumn("_cum", F.sum(tokens_col).over(
+                     w.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow)))
+                 .where(F.col("_cum") <= budget).drop("_cum"))
+    return under_rows.unionByName(over_rows)
+
+
 def cap_per_group(df: DataFrame, id_col: str, group_col: str,
                   max_rows: int,
                   hot_threshold: int | None = None,

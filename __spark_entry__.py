@@ -3480,6 +3480,108 @@ SELECT doc_id, source, n_chars FROM c WHERE cum <= 7000
 """
 
 
+def _q_binary_rerank(spark, sf_dir):
+    """Two-stage ANN (operators/embeddings.py binary_rerank_topk):
+    exact Hamming top-20 shortlist over sign signatures, then
+    exact-cosine rerank of only those 20 candidates per query.  The
+    shortlist is integer-deterministic and the cosine is the same
+    left-to-right double accumulation on both engines, so the stack is
+    reproducible end-to-end; sim rounds to 6 for display."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    emb = _emb(spark, sf_dir)
+    b = EMB.binarize_embeddings(emb, dim=64) \
+        .select("vec_id", "embedding", "bits")
+    out = EMB.binary_rerank_topk(b, b.where("vec_id < 5"),
+                                 k=5, shortlist=20)
+    return out.select("query_id", "rank", "neighbor_id",
+                      F.round("sim", 6).alias("sim"))
+
+
+def _sql_binary_rerank():
+    def word(w, lo, hi):
+        return (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"i -> CASE WHEN embedding[i + 1] > 0 THEN "
+                f"(1::BIGINT << (i - {lo})) ELSE 0::BIGINT END))")
+    sig = "[" + ", ".join(word(w, w * 32, (w + 1) * 32)
+                          for w in range(2)) + "]"
+    dot = _DOT64.format(a="s.qvec", b="s.embedding")
+    nq = _DOT64.format(a="s.qvec", b="s.qvec")
+    nn = _DOT64.format(a="s.embedding", b="s.embedding")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig} AS bits FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bits AS qbits
+      FROM sigs WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id, q.qvec, s.embedding,
+         list_sum(list_transform(range(1, 3),
+              w -> bit_count(xor(CAST(q.qbits[w] AS BIGINT),
+                                 CAST(s.bits[w] AS BIGINT))))) AS hdist
+  FROM q, sigs s WHERE s.vec_id != q.query_id),
+short AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, qvec, embedding,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY hdist, neighbor_id) AS hrank
+    FROM pairs) WHERE hrank <= 20),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ({dot}) / (sqrt({nq}) * sqrt({nn})) AS sim
+  FROM short s),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_contamination_report(spark, sf_dir):
+    """Train/test n-gram overlap measurement (operators/dedup.py
+    contamination_report): the decision report decontamination is run
+    from — distinct 5-gram overlap share + how many test docs are hit.
+    Both engines count DISTINCT 48-bit shingle-hash folds (the same
+    integer fold), so the one-row report is bit-stable."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"train": 0.9, "test": 0.1}, seed=1)
+    train = split.where("split = 'train'").drop("split")
+    test = split.where("split = 'test'").drop("split")
+    return dedup.contamination_report(train, test, "text", "doc_id",
+                                      n=5)
+
+
+def _sql_contamination_report():
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.9 / (0.9 + 0.1)
+    h48 = _duck_md5hash48("shingle")
+    return f"""
+WITH uh AS (
+  SELECT doc_id, text, {u} AS u FROM documents
+),
+tr AS (SELECT doc_id, text FROM uh WHERE u < {acc!r}),
+te AS (SELECT doc_id, text FROM uh WHERE u >= {acc!r}),
+{_duck_ngrams_cte('tr', 'trsh', 5)},
+{_duck_ngrams_cte('te', 'tesh', 5)},
+teh AS (SELECT DISTINCT doc_id, {h48} AS h FROM tesh),
+trh AS (SELECT DISTINCT {h48} AS h FROM trsh),
+hit AS (SELECT DISTINCT t.h FROM (SELECT DISTINCT h FROM teh) t
+        JOIN trh USING (h))
+SELECT (SELECT COUNT(DISTINCT h) FROM teh) AS n_test_ngrams,
+       (SELECT COUNT(*) FROM hit) AS n_overlapping,
+       floor((SELECT COUNT(*) FROM hit) * 1.0
+             / GREATEST((SELECT COUNT(DISTINCT h) FROM teh), 1)
+             * 1000000 + 0.5) / 1000000
+           AS overlap_share,
+       (SELECT COUNT(DISTINCT doc_id) FROM teh
+        WHERE h IN (SELECT h FROM hit)) AS n_test_docs_hit,
+       (SELECT COUNT(DISTINCT doc_id) FROM te) AS n_test_docs
+"""
+
+
 def _q_embedding_pca(spark, sf_dir):
     """PCA projection (operators/embeddings.py pca_fit + pca_project):
     one distributed (n, Σx, ΣxxT) moments pass → driver dim×dim eigh
@@ -3534,12 +3636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_interval_join": _q_streaming_interval_join,
         "streaming_qe_drift": _q_streaming_qe_drift,
-        # -- new in round-4 session 2 (5): never-verified → head slots --
+        # -- new in round-4 session 2 (7): never-verified → head slots --
         "hamming_topk": _q_hamming_topk,
         "kmeans_assign": _q_kmeans_assign,
         "dedup_keep_best": _q_dedup_keep_best,
         "token_budget_mix": _q_token_budget_mix,
         "embedding_pca": _q_embedding_pca,
+        "binary_rerank": _q_binary_rerank,
+        "contamination_report": _q_contamination_report,
         # -- new in round 4 (12): never-verified, so they take head
         # slots per the rotation policy (full TPC-H coverage:
         # q2/q9/q11/q16/q20 via the partsupp bridge, q17/q21/q22
@@ -4472,6 +4576,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q21": _sql_tpch_q21(),
         "tpch_q22": _sql_tpch_q22(),
         "hamming_topk": _sql_hamming_topk(),
+        "binary_rerank": _sql_binary_rerank(),
+        "contamination_report": _sql_contamination_report(),
         "kmeans_assign": _sql_kmeans_assign(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "token_budget_mix": _sql_token_budget_mix(),

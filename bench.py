@@ -328,6 +328,14 @@ def main():
         key=T.min_shingle_fingerprint("text")).count())
     timed("token_budget_mix", lambda: SMP.token_budget_per_group(
         docs, "doc_id", "source", "n_chars", budget=7000).count())
+    _bvec = EMB.binarize_embeddings(emb, dim=64).select(
+        "vec_id", "embedding", "bits")
+    timed("binary_rerank", lambda: EMB.binary_rerank_topk(
+        _bvec, _bvec.where("vec_id < 32"), k=10, shortlist=50).count())
+    _dhalf = docs.where("pmod(hash(doc_id), 2) = 0")
+    _dother = docs.where("pmod(hash(doc_id), 2) = 1")
+    timed("contamination_report", lambda: dedup.contamination_report(
+        _dhalf, _dother, "text", "doc_id", n=5).collect())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

@@ -229,3 +229,73 @@ def test_token_budget_negative_raises(spark):
     with pytest.raises(ValueError, match="budget"):
         sampling.token_budget_per_group(
             docs, "doc_id", "source", "n_chars", -1)
+
+
+# ------------------------------------------------------------------ #
+# binary rerank
+
+def test_binary_rerank_full_shortlist_equals_exact_cosine(spark, emb):
+    from xpysom_dask_spark.operators import similarity as SIM
+    b = E.binarize_embeddings(emb, dim=64).select(
+        "vec_id", "embedding", "bits")
+    q = b.where("vec_id < 3")
+    n = b.count()
+    rer = E.binary_rerank_topk(b, q, k=4, shortlist=n).collect()
+    exact = SIM.cosine_topk(emb, emb.where("vec_id < 3"), k=4).collect()
+    rr = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rer)
+    ee = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                for r in exact)
+    assert rr == ee
+
+
+def test_binary_rerank_partitioning_invariant(spark, emb):
+    b = E.binarize_embeddings(emb, dim=64).select(
+        "vec_id", "embedding", "bits")
+    q = b.where("vec_id < 2")
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                round(r["sim"], 9))
+               for r in E.binary_rerank_topk(b, q, k=3,
+                                             shortlist=15).collect())
+    c = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                round(r["sim"], 9))
+               for r in E.binary_rerank_topk(b.repartition(11), q, k=3,
+                                             shortlist=15).collect())
+    assert a == c
+
+
+# ------------------------------------------------------------------ #
+# contamination report
+
+def test_contamination_report_disjoint_and_identical(spark):
+    rows_a = [(i, f"alpha beta gamma delta epsilon zeta{i}")
+              for i in range(10)]
+    rows_b = [(100 + i, f"one two three four five six{i}")
+              for i in range(5)]
+    tr = spark.createDataFrame(rows_a, "doc_id bigint, text string")
+    te = spark.createDataFrame(rows_b, "doc_id bigint, text string")
+    from xpysom_dask_spark.operators import dedup as DD
+    r = DD.contamination_report(tr, te, "text", "doc_id", n=5).first()
+    assert r["n_overlapping"] == 0
+    assert r["n_test_docs_hit"] == 0
+    assert r["n_test_docs"] == 5
+    # identical corpora → full overlap
+    r2 = DD.contamination_report(tr, tr, "text", "doc_id", n=5).first()
+    assert r2["n_overlapping"] == r2["n_test_ngrams"] > 0
+    assert r2["overlap_share"] == 1.0
+    assert r2["n_test_docs_hit"] == 10
+
+
+def test_contamination_report_predicts_decontaminate(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    tr = docs.where("pmod(hash(doc_id), 2) = 0")
+    te = docs.where("pmod(hash(doc_id), 2) = 1")
+    from xpysom_dask_spark.operators import dedup as DD
+    rep = DD.contamination_report(tr, te, "text", "doc_id", n=5).first()
+    # the report's doc-hit rule mirrors decontaminate's from the train
+    # side: if NO test doc is hit, decontaminate must drop nothing
+    dropped = tr.count() - DD.decontaminate(
+        tr, te, "text", "doc_id", n=5).count()
+    if rep["n_overlapping"] == 0:
+        assert dropped == 0
+    else:
+        assert dropped > 0

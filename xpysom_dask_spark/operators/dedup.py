@@ -745,6 +745,52 @@ def bloom_decontaminate(train_df: DataFrame, test_df: DataFrame,
     return train_df.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(train_df: DataFrame, test_df: DataFrame,
+                         text_col: str, id_col: str,
+                         n: int = 5) -> DataFrame:
+    """Quantify train/test n-gram overlap WITHOUT dropping anything —
+    the measurement the decontamination decision is made from.  One
+    row: (n_test_ngrams, n_overlapping, overlap_share,
+    n_test_docs_hit, n_test_docs).
+
+    A test doc is "hit" if ANY of its n-grams occurs in train — the
+    same rule :func:`decontaminate` enforces from the train side, so
+    this report forecasts exactly what that operator would remove.
+
+    Plan: both sides reduce to distinct 48-bit shingle hashes (text
+    never keys a shuffle — the md5 fold happens map-side); the overlap
+    is a semi-join on the integer hash; the doc-level hit count
+    re-walks only the test side (small by premise).  Traffic is
+    O(distinct n-grams) longs, output is one row.
+    """
+    te = word_shingles(test_df, text_col, id_col, n, distinct=False) \
+        .select("id", F.expr(_HASH48_EXPR).alias("h")) \
+        .dropDuplicates(["id", "h"]) \
+        .localCheckpoint(eager=False)
+    tr_h = word_shingles(train_df, text_col, id_col, n, distinct=False) \
+        .select(F.expr(_HASH48_EXPR).alias("h")).distinct()
+    te_h = te.select("h").distinct()
+    hit_h = te_h.join(tr_h, "h", "left_semi")
+    hit_docs = te.join(hit_h, "h", "left_semi").select("id").distinct()
+    n_test = te_h.count()
+    n_hit = hit_h.count()
+    n_docs = test_df.select(id_col).distinct().count()
+    n_docs_hit = hit_docs.count()
+    import math
+
+    spark = train_df.sparkSession
+    # floor(x·10⁶ + 0.5): round-half-up, engine-portable (Python round
+    # is banker's; DuckDB/Spark ROUND are HALF_UP — same idiom as
+    # quantize_int8)
+    share = (math.floor(n_hit / n_test * 1e6 + 0.5) / 1e6
+             if n_test else 0.0)
+    return spark.createDataFrame(
+        [(n_test, n_hit, share, n_docs_hit, n_docs)],
+        "n_test_ngrams bigint, n_overlapping bigint, "
+        "overlap_share double, n_test_docs_hit bigint, "
+        "n_test_docs bigint")
+
+
 def dedup_spans(df: DataFrame, text_col: str, id_col: str,
                 span_tokens: int = 20) -> DataFrame:
     """Span-level exact dedup across the corpus (the C4 "three-sentence

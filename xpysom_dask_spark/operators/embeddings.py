@@ -226,6 +226,49 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "neighbor_id", "dist"))
 
 
+def binary_rerank_topk(corpus: DataFrame, queries: DataFrame,
+                       k: int = 5, shortlist: int = 50,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       bits_col: str = "bits",
+                       exclude_self: bool = True) -> DataFrame:
+    """Two-stage ANN: exact Hamming top-``shortlist`` over the binary
+    signatures, then exact-cosine rerank of ONLY the shortlist — the
+    standard binary-prefilter serving stack (16× cheaper first pass,
+    float math on |Q|·shortlist pairs instead of |Q|·corpus).
+
+    Returns (query_id, rank, neighbor_id, sim).  The shortlist stage is
+    deterministic (integer distances, id tie-break), so the result is
+    reproducible end-to-end — recall vs exact cosine is governed by
+    ``shortlist`` (the sign-projection angle estimate: larger shortlist
+    → recall → 1).
+
+    Plan: the shortlist relation is |Q|·shortlist rows — it BROADCASTS
+    back against the corpus for the vector fetch (the corpus never
+    shuffles), the |Q|-row query matrix broadcasts for the cosine, and
+    the final exact top-k windows over |Q|·shortlist candidates.
+    """
+    short = hamming_topk(
+        corpus.select(id_col, bits_col),
+        queries.select(id_col, bits_col), k=shortlist,
+        id_col=id_col, bits_col=bits_col, exclude_self=exclude_self)
+    cand = short.select("query_id", "neighbor_id")
+    fetched = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec")).join(F.broadcast(cand),
+                                             "neighbor_id")
+    qside = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qvec"))
+    sim = F.expr(cosine_expr("__qvec", "__nvec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (fetched.join(F.broadcast(qside), "query_id")
+            .withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 def pca_fit(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
             n_components: int = 2) -> dict:
     """Fit a PCA basis over an embedding column in ONE distributed pass.

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xpysom_dask_spark import SparkSom
-from xpysom_dask_spark.operators import dedup, multimodal, sampling, similarity
+from xpysom_dask_spark.operators import clustering, dedup, multimodal, sampling, similarity
 from xpysom_dask_spark.operators import text as T
 from xpysom_dask_spark.sources import readers
 
@@ -3582,6 +3582,26 @@ SELECT (SELECT COUNT(DISTINCT h) FROM teh) AS n_test_ngrams,
 """
 
 
+def _q_ann_kmeans_ivf(spark, sf_dir):
+    """ANN via a KMeans codebook as IVF coarse quantizer
+    (operators/similarity.py kmeans_ivf_topk +
+    operators/clustering.py), run at full probe (nprobe = k = 8):
+    every cell scanned, so the bucketed candidate plan must reproduce
+    the exact brute-force top-5 bit-for-bit regardless of where the
+    Lloyd iterations converged — the oracle is centroid-independent
+    by construction.  The approximate regime and the persisted
+    partition-pruned index are covered by tests
+    (tests/test_clustering.py)."""
+    e = _emb(spark, sf_dir)
+    C = clustering.kmeans_fit(e, k=8, max_iter=3)
+    q = e.where("vec_id % 100 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    qvecs = np.array([r["embedding"] for r in q])
+    out = similarity.kmeans_ivf_topk(C, e, qvecs, qids, k=5, nprobe=8)
+    return out.select("query_id", F.col("rank").cast("bigint"),
+                      "neighbor_id", F.round("sim", 6).alias("sim"))
+
+
 def _q_embedding_pca(spark, sf_dir):
     """PCA projection (operators/embeddings.py pca_fit + pca_project):
     one distributed (n, Σx, ΣxxT) moments pass → driver dim×dim eigh
@@ -3644,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": _q_embedding_pca,
         "binary_rerank": _q_binary_rerank,
         "contamination_report": _q_contamination_report,
+        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
         # -- new in round 4 (12): never-verified, so they take head
         # slots per the rotation policy (full TPC-H coverage:
         # q2/q9/q11/q16/q20 via the partsupp bridge, q17/q21/q22
@@ -4577,6 +4598,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "tpch_q22": _sql_tpch_q22(),
         "hamming_topk": _sql_hamming_topk(),
         "binary_rerank": _sql_binary_rerank(),
+        # full probe ≡ exact: same brute-force twin as ann_som_ivf
+        "ann_kmeans_ivf": _sql_ann_som_ivf(),
         "contamination_report": _sql_contamination_report(),
         "kmeans_assign": _sql_kmeans_assign(),
         "dedup_keep_best": _sql_dedup_keep_best(),

@@ -336,6 +336,11 @@ def main():
     _dother = docs.where("pmod(hash(doc_id), 2) = 1")
     timed("contamination_report", lambda: dedup.contamination_report(
         _dhalf, _dother, "text", "doc_id", n=5).collect())
+    _qrows = emb.where("vec_id % 100 = 0").collect()
+    _qids = [r["vec_id"] for r in _qrows]
+    _qvecs = np.array([r["embedding"] for r in _qrows])
+    timed("ann_kmeans_ivf", lambda: similarity.kmeans_ivf_topk(
+        _cent, emb, _qvecs, _qids, k=5, nprobe=4).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

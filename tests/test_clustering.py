@@ -299,3 +299,64 @@ def test_contamination_report_predicts_decontaminate(spark):
         assert dropped == 0
     else:
         assert dropped > 0
+
+
+# ------------------------------------------------------------------ #
+# kmeans IVF
+
+def test_kmeans_ivf_full_probe_equals_exact(spark, emb):
+    from xpysom_dask_spark.operators import similarity as SIM
+    C = CL.kmeans_fit(emb, k=8, max_iter=3)
+    q = emb.where("vec_id % 100 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    Q = np.array([r["embedding"] for r in q])
+    ivf = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                 SIM.kmeans_ivf_topk(C, emb, Q, qids, k=5,
+                                     nprobe=8).collect())
+    exact = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                   SIM.cosine_topk(emb, emb.where("vec_id % 100 = 0"),
+                                   k=5).collect())
+    assert ivf == exact
+
+
+def test_kmeans_ivf_index_roundtrip_and_pruning(spark, emb, tmp_path):
+    from xpysom_dask_spark.operators import similarity as SIM
+    C = CL.kmeans_fit(emb, k=8, max_iter=3)
+    q = emb.where("vec_id % 100 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    Q = np.array([r["embedding"] for r in q])
+    path = str(tmp_path / "kivf")
+    SIM.build_kmeans_ivf_index(C, emb, path)
+    full = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                  SIM.kmeans_ivf_topk_from_index(
+                      spark, path, C, Q, qids, k=5, nprobe=8).collect())
+    mem = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                 SIM.kmeans_ivf_topk(C, emb, Q, qids, k=5,
+                                     nprobe=8).collect())
+    assert full == mem
+    # nprobe=2 plan prunes partitions at plan time
+    pr = SIM.kmeans_ivf_topk_from_index(spark, path, C, Q, qids,
+                                        k=5, nprobe=2)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    assert pr.count() == len(qids) * 5
+
+
+def test_kmeans_ivf_residual_index_recall(spark, emb, tmp_path):
+    from xpysom_dask_spark.operators import similarity as SIM
+    C = CL.kmeans_fit(emb, k=4, max_iter=3)
+    q = emb.where("vec_id % 100 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    Q = np.array([r["embedding"] for r in q])
+    path = str(tmp_path / "kivf_res")
+    SIM.build_kmeans_ivf_index(C, emb, path, quantize="residual")
+    idx = spark.read.parquet(path)
+    assert "rqvec" in idx.columns and "embedding" not in idx.columns
+    got = SIM.kmeans_ivf_topk_from_index(spark, path, C, Q, qids,
+                                         k=5, nprobe=4).collect()
+    exact = SIM.kmeans_ivf_topk(C, emb, Q, qids, k=5,
+                                nprobe=4).collect()
+    # int8-residual reconstruction: top-5 sets nearly identical
+    g = {(r["query_id"], r["neighbor_id"]) for r in got}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    assert len(g & e) / len(e) >= 0.8

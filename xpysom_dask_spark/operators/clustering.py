@@ -52,9 +52,12 @@ def kmeans_init(df: DataFrame, vec_col: str = "embedding",
     return _as_matrix([r["v"] for r in rows])
 
 
-def _assign_kernel(bc, emit_partials: bool, k: int):
+def _assign_kernel(bc, emit_partials: bool, k: int,
+                   keep: list[str] | None = None):
     """mapInPandas kernel: per-batch argmin over the broadcast centroid
-    matrix; optionally also emits per-cluster (count, Σx) partials."""
+    matrix; optionally also emits per-cluster (count, Σx) partials.
+    ``keep`` columns pass through untouched (no join needed to carry
+    payloads alongside the assignment)."""
     import pandas as pd
 
     def fn(batches):
@@ -80,11 +83,14 @@ def _assign_kernel(bc, emit_partials: bool, k: int):
             else:
                 x_sq = (X * X).sum(axis=1)
                 d2 = x_sq + scores[np.arange(len(a)), a]
-                yield pd.DataFrame({
+                out = {
                     "id": pdf["id"].to_numpy(np.int64),
                     "cluster_id": a.astype(np.int32),
                     "dist2": np.maximum(d2, 0.0),
-                })
+                }
+                for c in (keep or []):
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
     return fn
 
@@ -138,24 +144,31 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
 def kmeans_assign(df: DataFrame, centroids: np.ndarray,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   out_col: str = "cluster_id",
-                  dist_col: str | None = None) -> DataFrame:
+                  dist_col: str | None = None,
+                  keep: list[str] | None = None) -> DataFrame:
     """Assign every row to its nearest centroid (squared-euclidean
-    argmin, ties → lowest centroid index): (id, cluster_id[, dist2]).
+    argmin, ties → lowest centroid index):
+    (id, cluster_id[, dist2][, keep...]).
 
     One narrow Arrow pass, no shuffle — the scoring half of the Lloyd
     step exposed as its own operator (bucket a corpus by a trained
-    codebook without re-fitting)."""
+    codebook without re-fitting).  ``keep`` columns ride through the
+    kernel, so downstream consumers (the IVF index build) never join
+    back on id to recover payloads."""
     from ..plans.exchange import ship_package
 
     spark = df.sparkSession
     ship_package(spark)
     C = np.asarray(centroids, np.float64)
     bc = spark.sparkContext.broadcast(C)
+    keep = keep or []
     slim = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).alias("v"))
+                     F.col(vec_col).alias("v"), *keep)
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep)
     out = slim.mapInPandas(
-        _assign_kernel(bc, False, len(C)),
-        "id bigint, cluster_id int, dist2 double")
+        _assign_kernel(bc, False, len(C), keep),
+        f"id bigint, cluster_id int, dist2 double{keep_schema}")
     out = out.withColumnRenamed("id", id_col) \
              .withColumnRenamed("cluster_id", out_col)
     if dist_col is None:

@@ -755,6 +755,119 @@ def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
                                 id_col, vec_col)
 
 
+def kmeans_ivf_topk(centroids: np.ndarray, corpus: DataFrame,
+                    queries_np: np.ndarray, query_ids, k: int = 5,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a KMeans codebook as coarse quantizer — the same
+    candidate plan as :func:`som_ivf_topk` (bucket-by-nearest-centroid
+    Arrow pass, exploded-probe broadcast equi-join, GEMM candidate
+    cosine, exact top-k window) with the codebook supplied as a plain
+    (n_cells, dim) matrix from :func:`~.clustering.kmeans_fit` instead
+    of a trained SOM.  With ``nprobe = n_cells`` the output equals the
+    exact brute-force top-k (the oracle-checkable full-probe
+    configuration).  Returns (query_id, rank, neighbor_id, sim).
+    """
+    from ..functions.distances import euclidean
+    from .clustering import kmeans_assign
+
+    C = np.asarray(centroids, np.float64)
+    bucketed = kmeans_assign(corpus, C, vec_col=vec_col, id_col=id_col,
+                             keep=[vec_col]) \
+        .withColumn("cluster_id", F.col("cluster_id").cast("bigint"))
+    Q = np.asarray(queries_np, dtype=np.float64)
+    dist = euclidean(Q, C)
+    probes = np.argsort(dist, axis=1)[:, :nprobe]
+    return _ivf_candidates_topk(bucketed, probes, Q, query_ids, k,
+                                id_col, vec_col)
+
+
+def build_kmeans_ivf_index(centroids: np.ndarray, corpus: DataFrame,
+                           path: str, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           mode: str = "overwrite",
+                           quantize: bool | str = False) -> None:
+    """Materialize a KMeans-codebook IVF index: the corpus assigned
+    once (broadcast-GEMM argmin, no shuffle) and written partitioned by
+    ``cluster_id`` — :func:`build_som_ivf_index` with the codebook as a
+    plain matrix.  Same storage modes: ``quantize=True``/``"int8"``
+    stores int8 vectors (4× smaller probed reads), ``"residual"``
+    quantizes x − centroid(cell) (IVF-PQ-style, tighter error for the
+    same budget).  Reads prune to probed cells at PLAN time via the
+    partition layout.
+    """
+    from ..sources.writers import write_partitioned
+    from .clustering import kmeans_assign
+
+    if quantize not in (False, True, "int8", "residual"):
+        raise ValueError(f"quantize must be False, True/'int8', or "
+                         f"'residual', got {quantize!r}")
+    C = np.asarray(centroids, np.float64)
+    scored = kmeans_assign(corpus, C, vec_col=vec_col, id_col=id_col,
+                           keep=[vec_col]) \
+        .select(id_col, vec_col, "cluster_id")
+    if quantize == "residual":
+        from .embeddings import quantize_int8
+
+        cent = _kmeans_centroids_df(corpus.sparkSession, C)
+        res = (scored.join(F.broadcast(cent), "cluster_id")
+               .withColumn("__res", F.zip_with(
+                   F.col(vec_col), F.col("__centroid"),
+                   lambda a, b: a.cast("double") - b)))
+        scored = (quantize_int8(res, vec_col="__res", out_col="rqvec")
+                  .select(id_col, "scale", "rqvec", "cluster_id"))
+    elif quantize:
+        from .embeddings import quantize_int8
+
+        scored = quantize_int8(scored, vec_col=vec_col) \
+            .select(id_col, "scale", "qvec", "cluster_id")
+    write_partitioned(scored, path, "cluster_id", mode=mode)
+
+
+def _kmeans_centroids_df(spark, C: np.ndarray):
+    return spark.createDataFrame(
+        [(int(c), C[c].tolist()) for c in range(len(C))],
+        "cluster_id int, __centroid array<double>")
+
+
+def kmeans_ivf_topk_from_index(spark, path: str, centroids: np.ndarray,
+                               queries_np: np.ndarray, query_ids,
+                               k: int = 5, nprobe: int = 4,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """ANN against a :func:`build_kmeans_ivf_index` table: probed-cell
+    filter applied BEFORE the probe join (plan-time PartitionFilters —
+    unprobed cells' directories never open), quantized schemas detected
+    and dequantized in the scan projection; candidate plan shared with
+    the SOM-IVF reader."""
+    from ..functions.distances import euclidean
+
+    C = np.asarray(centroids, np.float64)
+    idx = spark.read.parquet(path)
+    if "rqvec" in idx.columns and vec_col not in idx.columns:
+        from .embeddings import dequantize_int8
+
+        idx = (dequantize_int8(idx, qvec_col="rqvec", out_col="__res")
+               .join(F.broadcast(_kmeans_centroids_df(spark, C)),
+                     "cluster_id")
+               .withColumn(vec_col, F.zip_with(
+                   F.col("__res"), F.col("__centroid"),
+                   lambda r, c: r + c))
+               .drop("rqvec", "scale", "__res", "__centroid"))
+    elif "qvec" in idx.columns and vec_col not in idx.columns:
+        from .embeddings import dequantize_int8
+
+        idx = (dequantize_int8(idx, out_col=vec_col)
+               .drop("qvec", "scale"))
+    Q = np.asarray(queries_np, dtype=np.float64)
+    dist = euclidean(Q, C)
+    probes = np.argsort(dist, axis=1)[:, :nprobe]
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    pruned = idx.where(F.col("cluster_id").isin(probed_cells))
+    return _ivf_candidates_topk(pruned, probes, Q, query_ids, k,
+                                id_col, vec_col)
+
+
 def _ivf_candidates_topk(bucketed: DataFrame, probes: np.ndarray,
                          Q: np.ndarray, query_ids, k: int,
                          id_col: str, vec_col: str) -> DataFrame:

@@ -192,3 +192,55 @@ def test_funnel_one_pass_matches_bruteforce_on_random_logs(spark):
     got = {r["step"]: r["n_users"]
            for r in EV.funnel(df, steps).collect()}
     assert got == expect
+
+
+def test_token_budget_matches_bruteforce_on_random_corpora(spark):
+    """token_budget_per_group's two-branch plan (broadcast bypass for
+    under-budget groups + window for the rest) must equal the plain
+    one-window semantics on arbitrary group/size layouts."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators import sampling
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = [(i, f"g{rng.randrange(5)}", rng.randrange(1, 40))
+                for i in range(rng.randrange(1, 120))]
+        budget = rng.randrange(0, 150)
+        df = spark.createDataFrame(rows, "id bigint, g string, t bigint")
+        got = sorted(r["id"] for r in sampling.token_budget_per_group(
+            df, "id", "g", "t", budget).collect())
+        w = Window.partitionBy("g").orderBy(
+            sampling._unit_hash("id", 0).asc(), F.col("id").asc()) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ref = sorted(r["id"] for r in df.withColumn(
+            "c", F.sum("t").over(w)).where(F.col("c") <= budget)
+            .collect())
+        assert got == ref, f"trial {trial} budget {budget}"
+
+
+def test_keep_best_is_a_selection_of_each_group(spark):
+    """dedup_keep_best keeps exactly one row per group key, and that
+    row maximizes (score, -id) within its group."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators import dedup
+
+    rng = random.Random(11)
+    rows = [(i, f"t{rng.randrange(8)}", round(rng.random(), 3))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, text string, s double")
+    kept = dedup.dedup_keep_best(df, "text", "id",
+                                 score=F.col("s")).collect()
+    by_text = {}
+    for i, t, s in rows:
+        by_text.setdefault(t, []).append((s, -i))
+    assert len(kept) == len(by_text)
+    for r in kept:
+        s_best, neg_id = max(by_text[r["text"]])
+        assert r["id"] == -neg_id

@@ -464,6 +464,40 @@ def fuzzy_dedup_keep_first(df: DataFrame, text_col: str, id_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
+def fuzzy_dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
+                          threshold: float = 0.5, k: int = MINHASH_K,
+                          n: int = 3, score=None,
+                          max_bucket: int | None = None) -> DataFrame:
+    """:func:`fuzzy_dedup_keep_first` with keep-BEST selection: within
+    each near-duplicate connected component keep the argmax-``score``
+    row (default :func:`~.text.quality_score`; ties → lowest id), not
+    the min-id one — near-dup canonical selection where copies differ
+    in quality (truncated mirrors, boilerplate-wrapped scrapes).
+
+    Plan: the component relation (id, component) joins back to the
+    corpus only for component MEMBERS (small relative to the corpus),
+    a window picks each component's winner, and one anti-join drops the
+    losers — no O(n²) stage, window partitions bounded by component
+    size."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    if score is None:
+        score = quality_score(text_col)
+    comp = dedup_clusters(df, text_col, id_col, threshold, k, n,
+                          max_bucket=max_bucket)
+    members = df.select(F.col(id_col).alias("id"),
+                        score.alias("_score")) \
+        .join(comp, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("_score").desc(), F.col("id"))
+    losers = (members.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") > 1)
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
 def cross_overlap_pairs(corpus_a: DataFrame, corpus_b: DataFrame,
                         text_col: str, id_col: str, n: int = 8,
                         min_shared: int = 1,

@@ -3623,6 +3623,205 @@ def _q_embedding_pca(spark, sf_dir):
         F.round(F.element_at("pc", 4), 6).alias("pc4"))
 
 
+# --------------------------------------------------------------------- #
+# round-4 additions: fractional upsampling, leakage-safe splitting,
+# near-dup decontamination, per-group exact-integer trend fits
+
+_UPSAMPLE_W = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+
+
+def _q_upsample_mix(spark, sf_dir):
+    """Fractional per-source upsampling (operators/sampling.py
+    upsample_by_weight): src0 rows repeat 2.5× (2 copies + a hash-coin
+    3rd), src1 0.5×, src2 drops, everything else passes through 1× —
+    the DoReMi-style domain-reweighting primitive as an EXPLICIT
+    explode (E[copies] = w exactly, deterministic per (seed, id)).
+    One narrow explode, no shuffle."""
+    up = sampling.upsample_by_weight(
+        _docs(spark, sf_dir), "doc_id", "source", _UPSAMPLE_W,
+        seed=3, default_weight=1.0)
+    return up.select("doc_id", "source", "copy")
+
+
+def _sql_upsample_mix():
+    u = _duck_unit_hash("doc_id", 3)
+    cases = " ".join(f"WHEN '{s}' THEN {w!r}"
+                     for s, w in _UPSAMPLE_W.items())
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source {cases} ELSE 1.0 END AS wt,
+         {u} AS u
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(wt) AS BIGINT)
+           + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS nc
+  FROM w)
+SELECT doc_id, source, unnest(range(nc)) AS copy FROM n WHERE nc > 0
+"""
+
+
+def _q_split_no_leakage(spark, sf_dir):
+    """Leakage-safe train/test split (operators/sampling.py
+    leakage_safe_split): the split hash is keyed on the winnowing-lite
+    min-shingle CONTENT fingerprint, not the row id, so near-identical
+    docs can never straddle the boundary — the eval-contamination bug
+    an id-keyed split + dedup leaves open.  Map-side pure function of
+    content: no shuffle."""
+    from xpysom_dask_spark.operators import text as T
+
+    out = sampling.leakage_safe_split(
+        _docs(spark, sf_dir), "doc_id", T.min_shingle_fingerprint("text"),
+        {"train": 0.8, "test": 0.2}, seed=5)
+    return out.select("doc_id", "source", "split")
+
+
+def _sql_split_no_leakage():
+    t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    u = _duck_unit_hash("fp", 5)
+    return f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         list_min([md5(substring({t}, i, 8))
+                   FOR i IN range(1, greatest(length({t}) - 7, 1) + 1)])
+             AS fp
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN {u} < 0.8 THEN 'train' ELSE 'test' END AS split
+FROM fp
+"""
+
+
+def _q_fuzzy_decontaminate(spark, sf_dir):
+    """NEAR-duplicate decontamination (operators/dedup.py
+    fuzzy_decontaminate): same 90/10 split as `decontaminate`, but a
+    train doc is dropped only when its exact 3-gram-shingle Jaccard vs
+    some test doc is ≥ 0.5 (MinHash-LSH candidates, exact verify) —
+    whole-document near-identity instead of the single-shared-n-gram
+    rule, catching reformatted test leakage without nuking docs that
+    share one idiom.  Test-side band keys broadcast; train side never
+    shuffles to generate candidates."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"train": 0.9, "test": 0.1}, seed=1)
+    train = split.where("split = 'train'").drop("split")
+    test = split.where("split = 'test'").drop("split")
+    out = dedup.fuzzy_decontaminate(train, test, "text", "doc_id",
+                                    threshold=0.5, n=3)
+    return out.select("doc_id", "lang")
+
+
+def _duck_sig_from(sh: str, out: str) -> str:
+    """MinHash signature CTE pair over an arbitrary (doc_id, shingle)
+    relation — generalizes _minhash_sig_sql beyond the global `sh`."""
+    a, b = dedup.minhash_coefficients()
+    mins = ",\n         ".join(
+        f"min(({a[i]} * h + {b[i]}) % {T.HASH_PRIME}) AS mh_{i}"
+        for i in range(dedup.MINHASH_K))
+    return f"""{out}_h AS (
+  SELECT doc_id, {_duck_md5hash12('shingle')} AS h FROM {sh}
+),
+{out} AS (
+  SELECT doc_id,
+         {mins}
+  FROM {out}_h GROUP BY doc_id
+)"""
+
+
+def _duck_bands_from(sig: str, out: str) -> str:
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, concat('{b}', ':', mh_{2 * b}, ':', "
+        f"mh_{2 * b + 1}) AS band_key FROM {sig}"
+        for b in range(dedup.MINHASH_K // 2))
+    return f"{out} AS (\n{bands}\n)"
+
+
+def _sql_fuzzy_decontaminate():
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.9 / (0.9 + 0.1)
+    return f"""
+WITH uh AS (
+  SELECT doc_id, lang, text, {u} AS u FROM documents
+),
+tr AS (SELECT doc_id, lang, text FROM uh WHERE u < {acc!r}),
+te AS (SELECT doc_id, lang, text FROM uh WHERE u >= {acc!r}),
+{_duck_ngrams_cte('tr', 'trsh', 3)},
+{_duck_ngrams_cte('te', 'tesh', 3)},
+{_duck_sig_from('trsh', 'trsig')},
+{_duck_sig_from('tesh', 'tesig')},
+{_duck_bands_from('trsig', 'trband')},
+{_duck_bands_from('tesig', 'teband')},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM trband a JOIN teband b ON a.band_key = b.band_key
+),
+sza AS (SELECT doc_id, COUNT(*) AS n_sh FROM trsh GROUP BY doc_id),
+szb AS (SELECT doc_id, COUNT(*) AS n_sh FROM tesh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN trsh sa ON sa.doc_id = p.id_a
+  JOIN tesh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+bad AS (
+  SELECT DISTINCT i.id_a AS doc_id
+  FROM inter i
+  JOIN sza na ON na.doc_id = i.id_a
+  JOIN szb nb ON nb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
+)
+SELECT doc_id, lang FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def _q_events_regr(spark, sf_dir):
+    """Per-event-type value-vs-time trend (operators/profile.py
+    regr_by_group): OLS of `value` on the event's epoch-HOUR index —
+    the drift/calibration profile of a metrics pipeline.  Every
+    sufficient statistic is an exact integer sum (scaled-BIGINT idiom:
+    hours are integers, value is 2-decimal), so the fit is
+    partitioning-independent and floating point enters only in the
+    final closed-form division."""
+    from xpysom_dask_spark.operators import profile as PR
+
+    ev = readers.load_table(spark, sf_dir, "events") \
+        .withColumn("hx", F.expr("ts DIV 3600000000000"))
+    return PR.regr_by_group(ev, "event_type", "hx", "value",
+                            x_decimals=0, y_decimals=2)
+
+
+def _sql_events_regr():
+    cov_n = "CAST(n * s_xy - s_x * s_y AS DOUBLE)"
+    var_x = "CAST(n * s_xx - s_x * s_x AS DOUBLE)"
+    var_y = "CAST(n * s_yy - s_y * s_y AS DOUBLE)"
+    slope = f"({cov_n} / nullif({var_x}, 0.0)) * 1.0 / 100.0"
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600
+                         AS DOUBLE) * 1, 0) AS DECIMAL(38,0)) AS xi,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0)
+              AS DECIMAL(38,0)) AS yi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(xi) AS s_x, SUM(yi) AS s_y, SUM(xi * yi) AS s_xy,
+         SUM(xi * xi) AS s_xx, SUM(yi * yi) AS s_yy
+  FROM b GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND({slope}, 6) AS slope,
+       ROUND(CAST(s_y AS DOUBLE) / (100.0 * n) - ({slope})
+             * CAST(s_x AS DOUBLE) / (1.0 * n), 6) AS intercept,
+       ROUND(({cov_n} * {cov_n})
+             / nullif({var_x} * {var_y}, 0.0), 6) AS r2
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).
@@ -3681,9 +3880,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
-        # -- last checked in round 2 (18 of 26; the other 8 moved to
-        # the tail to make room for the new queries — they keep their
-        # archived r2 evidence and rotate back in round 5) --
+        # -- new in round 4 (never checked; must sit in the head-50) --
+        "upsample_mix": _q_upsample_mix,
+        "split_no_leakage": _q_split_no_leakage,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "events_regr": _q_events_regr,
+        # -- last checked in round 2 (the rest moved to the tail to
+        # make room for the new queries — they keep their archived r2
+        # evidence and rotate back in round 5) --
         "knn_cosine": _q_knn_cosine,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
@@ -4640,6 +4844,10 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_tokens_bpe": _sql_text_tokens_bpe(),
         "multimodal_image_stats": _sql_multimodal_image_stats(),
         "som_win_map": _sql_som_win_map(),
+        "upsample_mix": _sql_upsample_mix(),
+        "split_no_leakage": _sql_split_no_leakage(),
+        "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
+        "events_regr": _sql_events_regr(),
         "knn_cosine": _sql_knn_cosine(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "events_hourly": _sql_events_hourly(),

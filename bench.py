@@ -342,6 +342,25 @@ def main():
     timed("ann_kmeans_ivf", lambda: similarity.kmeans_ivf_topk(
         _cent, emb, _qvecs, _qids, k=5, nprobe=4).count())
 
+    # round-4 session-3 operators
+    from xpysom_dask_spark.operators import profile as PRF
+    timed("upsample_mix", lambda: SMP.upsample_by_weight(
+        docs, "doc_id", "source",
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0}).count())
+    timed("split_no_leakage", lambda: SMP.leakage_safe_split(
+        docs, "doc_id", T.min_shingle_fingerprint("text"),
+        {"train": 0.8, "test": 0.2}).count())
+    _sp = SMP.split_by_hash(docs, "doc_id",
+                            {"train": 0.9, "test": 0.1}, seed=1)
+    timed("fuzzy_decontaminate", lambda: dedup.fuzzy_decontaminate(
+        _sp.where("split = 'train'").drop("split"),
+        _sp.where("split = 'test'").drop("split"),
+        "text", "doc_id", threshold=0.5, n=3).count())
+    _evx = ev.withColumn("hx", F.expr("ts DIV 3600000000000"))
+    timed("events_regr", lambda: PRF.regr_by_group(
+        _evx, "event_type", "hx", "value",
+        x_decimals=0, y_decimals=2).collect())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     import __spark_entry__ as _entry

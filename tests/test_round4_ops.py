@@ -1,0 +1,150 @@
+"""Round-4 operators: fractional upsampling, leakage-safe splitting,
+near-dup decontamination, per-group exact-integer OLS."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import dedup, profile, sampling
+from xpysom_dask_spark.operators import text as T
+
+
+# ---------------------------------------------------------------- #
+# upsample_by_weight
+
+def _docs_df(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+            .alias("source"))
+
+
+def test_upsample_integer_and_fractional_weights(spark):
+    df = _docs_df(spark)
+    up = sampling.upsample_by_weight(
+        df, "doc_id", "source",
+        {"src0": 3.0, "src1": 0.0, "src2": 1.5}, seed=0)
+    by = {r["source"]: r["cnt"] for r in
+          up.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert by["src0"] == 300          # exactly 3 copies each
+    assert "src1" not in by           # weight 0 drops the stratum
+    assert 100 < by["src2"] < 200     # 1 copy + ~half get a second
+    assert by["src3"] == 100          # default weight 1.0 passes through
+
+
+def test_upsample_copy_ids_unique_and_deterministic(spark):
+    df = _docs_df(spark, 100)
+    a = sampling.upsample_by_weight(df, "doc_id", "source",
+                                    {"src0": 2.7}, seed=9)
+    assert a.count() == a.select("doc_id", "copy").distinct().count()
+    b = sampling.upsample_by_weight(df.repartition(7), "doc_id", "source",
+                                    {"src0": 2.7}, seed=9)
+    assert sorted(map(tuple, a.select("doc_id", "copy").collect())) == \
+        sorted(map(tuple, b.select("doc_id", "copy").collect()))
+
+
+def test_upsample_rejects_negative_weight(spark):
+    df = _docs_df(spark, 10)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        sampling.upsample_by_weight(df, "doc_id", "source", {"src0": -1})
+    with pytest.raises(ValueError, match="default_weight"):
+        sampling.upsample_by_weight(df, "doc_id", "source", {},
+                                    default_weight=-0.5)
+
+
+# ---------------------------------------------------------------- #
+# leakage_safe_split
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    rows = []
+    for g in range(60):
+        base = f"group {g} body " + " ".join(f"w{g}t{i}" for i in range(12))
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, base + " "))   # near-identical copy
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sampling.leakage_safe_split(
+        df, "doc_id", T.min_shingle_fingerprint("text"),
+        {"train": 0.5, "val": 0.25, "test": 0.25}, seed=2)
+    straddle = (out.withColumn("fp", T.min_shingle_fingerprint("text"))
+                .groupBy("fp")
+                .agg(F.countDistinct("split").alias("ns"))
+                .where("ns > 1").count())
+    assert straddle == 0
+    names = {r["split"] for r in out.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"} and "train" in names
+
+
+def test_leakage_safe_split_validates_weights(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(df, "doc_id", F.col("text"), {})
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(df, "doc_id", F.col("text"),
+                                    {"a": -1.0, "b": 2.0})
+
+
+# ---------------------------------------------------------------- #
+# fuzzy_decontaminate
+
+def test_fuzzy_decontaminate_drops_near_copy_keeps_phrase_overlap(spark):
+    test_doc = "the quick brown fox jumps over the lazy dog every day"
+    near_copy = "the quick brown fox jumps over the lazy dog every night"
+    one_phrase = ("completely different subject matter here but "
+                  "the quick brown fox appears once")
+    clean = "nothing shared with any evaluation document at all"
+    train = spark.createDataFrame(
+        [(1, near_copy), (2, one_phrase), (3, clean)],
+        ["doc_id", "text"])
+    test = spark.createDataFrame([(100, test_doc)], ["doc_id", "text"])
+
+    kept = dedup.fuzzy_decontaminate(train, test, "text", "doc_id",
+                                     threshold=0.5, n=3)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 1 not in ids          # near-copy of the test doc: dropped
+    assert {2, 3} <= ids         # one shared phrase / nothing: kept
+
+    # the exact single-n-gram rule nukes doc 2 as well — the contrast
+    exact = dedup.decontaminate(train, test, "text", "doc_id", n=3)
+    exact_ids = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    assert 2 not in exact_ids and 3 in exact_ids
+
+
+# ---------------------------------------------------------------- #
+# regr_by_group
+
+def test_regr_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for g, (slope, inter) in enumerate([(2.0, 1.0), (-0.5, 10.0)]):
+        x = rng.integers(0, 1000, 300)
+        y = np.round(slope * x + inter + rng.normal(0, 3, 300), 2)
+        rows += [(f"g{g}", int(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    got = {r["grp"]: r for r in
+           profile.regr_by_group(df, "grp", "x", "y",
+                                 x_decimals=0, y_decimals=2).collect()}
+    for g in ("g0", "g1"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        b, a = np.polyfit(xs, ys, 1)
+        assert got[g]["n"] == 300
+        assert got[g]["slope"] == pytest.approx(b, abs=1e-5)
+        assert got[g]["intercept"] == pytest.approx(a, abs=1e-4)
+        r = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert got[g]["r2"] == pytest.approx(r, abs=1e-5)
+
+
+def test_regr_partitioning_independent_and_degenerate(spark):
+    rows = [("a", 5, 1.25)] * 40 + \
+           [("b", i, 0.5 * i + 2.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    r1 = sorted(map(tuple, profile.regr_by_group(
+        df.coalesce(1), "grp", "x", "y").collect()))
+    r7 = sorted(map(tuple, profile.regr_by_group(
+        df.repartition(7), "grp", "x", "y").collect()))
+    assert r1 == r7
+    by = {t[0]: t for t in r1}
+    assert by["a"][2] is None and by["a"][4] is None   # constant x
+    assert by["b"][2] == pytest.approx(0.5, abs=1e-6)
+    assert by["b"][3] == pytest.approx(2.0, abs=1e-6)
+    assert by["b"][4] == pytest.approx(1.0, abs=1e-6)

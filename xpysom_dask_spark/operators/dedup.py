@@ -948,3 +948,46 @@ def dedup_substrings(df: DataFrame, text_col: str, id_col: str,
                     (F.col("n_tokens")
                      - F.coalesce(F.col("__n_kept"), F.lit(0)))
                     .cast("bigint").alias("n_removed")))
+
+
+def fuzzy_decontaminate(train_df: DataFrame, test_df: DataFrame,
+                        text_col: str, id_col: str,
+                        threshold: float = 0.5, k: int = MINHASH_K,
+                        n: int = 3, rows_per_band: int = 2,
+                        max_candidates: int | None = None) -> DataFrame:
+    """NEAR-duplicate test-set decontamination: drop every train doc
+    whose exact shingle-set Jaccard vs ANY test doc is ≥ ``threshold``.
+
+    :func:`decontaminate` drops a train doc for sharing a single exact
+    n-gram with the test set — the GPT-3 rule: high recall on verbatim
+    leakage, but (a) blind to paraphrased/reformatted test material
+    with no exact n-gram in common at the configured n, and (b) happy
+    to drop a doc for one incidental idiom.  This operator closes both
+    gaps: MinHash-LSH band keys (train × test equi-join) generate
+    candidates, exact Jaccard over both sides' shingles confirms them
+    — whole-document near-identity, not single-phrase overlap.
+
+    Train and test ids must be disjoint (they are when the two sides
+    come from one :func:`~..sampling.split_by_hash` split).
+
+    Scale: the test side is small relative to train by premise, so its
+    band keys BROADCAST — the train side never shuffles to generate
+    candidates; the verify join fans out only over candidate pairs
+    (``max_candidates`` bounds it exactly as in :func:`jaccard_verify`).
+    """
+    sh_tr = word_shingles(train_df, text_col, id_col, n) \
+        .localCheckpoint(eager=True)
+    sh_te = word_shingles(test_df, text_col, id_col, n) \
+        .localCheckpoint(eager=True)
+    sig_tr = minhash_signatures_from_shingles(sh_tr, k)
+    sig_te = minhash_signatures_from_shingles(sh_te, k)
+    btr = minhash_band_keys(sig_tr, k, rows_per_band) \
+        .withColumnRenamed("id", "id_a")
+    bte = minhash_band_keys(sig_te, k, rows_per_band) \
+        .withColumnRenamed("id", "id_b")
+    cand = (btr.join(F.broadcast(bte), "band_key")
+            .select("id_a", "id_b").distinct())
+    verified = jaccard_verify(cand, sh_tr.unionByName(sh_te), threshold,
+                              max_candidates=max_candidates)
+    contaminated = verified.select(F.col("id_a").alias(id_col)).distinct()
+    return train_df.join(contaminated, id_col, "left_anti")

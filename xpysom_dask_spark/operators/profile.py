@@ -287,3 +287,57 @@ def skew_report(df: DataFrame, key_cols, top: int = 20) -> DataFrame:
             .withColumn("x_mean", F.col("n_rows") / F.lit(float(tot["m"])))
             .orderBy(F.desc("n_rows"), *key_cols)
             .limit(top))
+
+
+def regr_by_group(df: DataFrame, group_col: str, x_col: str, y_col: str,
+                  x_decimals: int = 0, y_decimals: int = 2,
+                  round_to: int = 6) -> DataFrame:
+    """Per-group least-squares line fit ``y ≈ intercept + slope·x`` —
+    the calibration/trend profile (drift of engagement value vs
+    payload size per event type, quality vs length per source, …):
+    ``(group, n, slope, intercept, r2)``.
+
+    Partitioning-independent by the repo's scaled-BIGINT idiom (the
+    TPC-H money-sum rule): ``x``/``y`` are fixed-point with
+    ``x_decimals``/``y_decimals``, so every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum in
+    DECIMAL(38,0) — no accumulation-order drift across partition
+    counts or engines — and floating point enters only in the final
+    closed-form division.  One map-side-combinable aggregate, one
+    shuffle keyed by the group.
+
+    Degenerate groups (constant x: zero variance) get NULL slope /
+    intercept / r2 rather than an Inf/NaN surprise; ``r2`` is also
+    NULL for constant y (0/0).
+    """
+    sx = 10 ** x_decimals
+    sy = 10 ** y_decimals
+    xi = (f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {sx}, 0) "
+          f"AS DECIMAL(38,0))")
+    yi = (f"CAST(ROUND(CAST({y_col} AS DOUBLE) * {sy}, 0) "
+          f"AS DECIMAL(38,0))")
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()) \
+        .select(F.col(group_col).alias("grp"),
+                F.expr(xi).alias("xi"), F.expr(yi).alias("yi"))
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s_x"), F.sum("yi").alias("s_y"),
+        F.sum(F.expr("xi * yi")).alias("s_xy"),
+        F.sum(F.expr("xi * xi")).alias("s_xx"),
+        F.sum(F.expr("yi * yi")).alias("s_yy"))
+    # exact-integer numerators/denominators, ONE double division each;
+    # un-scale: slope in y/x units multiplies by sx/sy, intercept by 1/sy
+    cov_n = "CAST(n * s_xy - s_x * s_y AS DOUBLE)"
+    var_x = "CAST(n * s_xx - s_x * s_x AS DOUBLE)"
+    var_y = "CAST(n * s_yy - s_y * s_y AS DOUBLE)"
+    slope = f"({cov_n} / nullif({var_x}, 0.0)) * {sx}.0 / {sy}.0"
+    r2 = (f"({cov_n} * {cov_n}) "
+          f"/ nullif({var_x} * {var_y}, 0.0)")
+    return (agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(slope), round_to).alias("slope"),
+        F.round(F.expr(f"CAST(s_y AS DOUBLE) / ({sy}.0 * n) - ({slope}) "
+                       f"* CAST(s_x AS DOUBLE) / ({sx}.0 * n)"),
+                round_to).alias("intercept"),
+        F.round(F.expr(r2), round_to).alias("r2")))

@@ -446,3 +446,86 @@ def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
     expr = (expr.otherwise(len(qs)) if expr is not None
             else F.lit(0))
     return df.withColumn(out_col, expr.cast("bigint"))
+
+
+def upsample_by_weight(df: DataFrame, id_col: str, strata_col: str,
+                       weights: dict, seed: int = 0,
+                       default_weight: float = 1.0,
+                       copy_col: str = "copy") -> DataFrame:
+    """Fractional per-stratum UPsampling by explicit row repetition —
+    the >1× counterpart of :func:`stratified_sample` (which rejects
+    rates above 1; its docstring sends oversampling here so the
+    duplication is visible in the plan).
+
+    A stratum with weight ``w`` emits ``floor(w)`` copies of every row
+    plus one more with probability ``frac(w)``, decided by the same
+    deterministic ``(seed, id)`` unit hash every sampler here uses — a
+    row's copy count never changes under growth or repartitioning, and
+    E[copies] = w exactly.  Each copy is tagged ``copy_col`` ∈
+    [0, n_copies) so downstream keys stay unique (epoch-style training
+    repetition, DoReMi-style domain reweighting).
+
+    Scale: one narrow ``explode(sequence(...))`` — no shuffle, no
+    driver state; output rows = Σ w(stratum)·|stratum|.  Weights < 1
+    downsample by the identical rule (n_copies ∈ {0, 1}), so a single
+    mixture spec can express both directions.
+    """
+    for v, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for stratum {v!r} must be >= 0, "
+                             f"got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, "
+                         f"got {default_weight}")
+    w = None
+    for v, wt in weights.items():
+        cond = F.col(strata_col) == F.lit(v)
+        w = (F.when(cond, F.lit(float(wt))) if w is None
+             else w.when(cond, F.lit(float(wt))))
+    w = F.lit(float(default_weight)) if w is None \
+        else w.otherwise(F.lit(float(default_weight)))
+    u = _unit_hash(id_col, seed)
+    n = F.floor(w).cast("bigint") + (u < (w - F.floor(w))).cast("bigint")
+    out = df.withColumn("__n_copies", n)
+    out = (out.where(F.col("__n_copies") > 0)
+           .withColumn(copy_col,
+                       F.explode(F.expr("sequence(0, __n_copies - 1)")))
+           .drop("__n_copies"))
+    return out
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, key,
+                       weights: dict[str, float], seed: int = 0,
+                       out_col: str = "split") -> DataFrame:
+    """Train/val/test split that can NEVER leak near-identical rows
+    across splits: the hash is taken over a content GROUP KEY (e.g.
+    ``text.md5_fingerprint`` or the winnowing-lite
+    ``min_shingle_fingerprint``) instead of the row id, so every
+    member of a duplicate/near-dup group lands in the SAME split.
+
+    A plain id-keyed :func:`split_by_hash` followed by (or preceded
+    by) dedup still leaks when near-dups straddle the split boundary —
+    the classic eval-contamination bug this operator closes at the
+    split itself.  ``key`` is any deterministic Column over the row
+    (no shuffle: the label is a map-side pure function of content).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: "
+                         f"{weights}")
+    total = float(sum(weights.values()))
+    h = (f"CAST(conv(substring(md5(concat('{seed}', ':', __lsk)), "
+         f"1, 12), 16, 10) AS BIGINT)")
+    tagged = df.withColumn("__lsk", key.cast("string"))
+    u = F.expr(h) / F.lit(float(_HASH_SPACE))
+    names = list(weights)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return tagged.withColumn(out_col, expr).drop("__lsk")

@@ -3822,6 +3822,69 @@ FROM a
 """
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    per query vector, the exact top-5 most-similar corpus vectors with
+    a DIFFERENT label — the contrastive-training batch builder.  Same
+    broadcast-GEMM Arrow plan as knn_cosine, but the same-label mask
+    applies inside the batch kernel BEFORE the per-batch top-k (a
+    post-filter would silently drop negatives that ranked k+1th in
+    some batch)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where("vec_id % 50 = 0")
+    out = similarity.hard_negatives(emb, q, k=5)
+    return out.select("query_id", F.col("rank").cast("bigint"),
+                      "neighbor_id", F.round("sim", 6).alias("sim"))
+
+
+def _sql_hard_negatives():
+    dot = _DOT64.format(a="q.embedding", b="c.embedding")
+    qq = _DOT64.format(a="q.embedding", b="q.embedding")
+    cc = _DOT64.format(a="c.embedding", b="c.embedding")
+    return f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({dot}) / (sqrt({qq}) * sqrt({cc})) AS sim
+  FROM q JOIN embeddings c ON c.label <> q.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (operators/sampling.py
+    weighted_sample_topk): exactly 3 docs per source, inclusion odds
+    ∝ n_chars, Efraimidis–Spiridis key ln(u)/w over the deterministic
+    (seed, id) unit hash.  One window over the group shuffle — the
+    'best-k length-weighted docs per domain' shape."""
+    out = sampling.weighted_sample_topk(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=3,
+        group_col="source", seed=11)
+    return out.select("doc_id", "source", "n_chars")
+
+
+def _sql_weighted_sample():
+    u = _duck_unit_hash("doc_id", 11)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln({u}) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+ranked AS (
+  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+  FROM keyed)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).
@@ -3885,6 +3948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_no_leakage": _q_split_no_leakage,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "events_regr": _q_events_regr,
+        "hard_negatives": _q_hard_negatives,
+        "weighted_sample": _q_weighted_sample,
         # -- last checked in round 2 (the rest moved to the tail to
         # make room for the new queries — they keep their archived r2
         # evidence and rotate back in round 5) --
@@ -4848,6 +4913,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "split_no_leakage": _sql_split_no_leakage(),
         "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
         "events_regr": _sql_events_regr(),
+        "hard_negatives": _sql_hard_negatives(),
+        "weighted_sample": _sql_weighted_sample(),
         "knn_cosine": _sql_knn_cosine(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "events_hourly": _sql_events_hourly(),

@@ -360,6 +360,10 @@ def main():
     timed("events_regr", lambda: PRF.regr_by_group(
         _evx, "event_type", "hx", "value",
         x_decimals=0, y_decimals=2).collect())
+    timed("weighted_sample", lambda: SMP.weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=3, group_col="source").count())
+    timed("hard_negatives", lambda: similarity.hard_negatives(
+        emb, emb.where("vec_id % 50 = 0"), k=5).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

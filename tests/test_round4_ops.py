@@ -148,3 +148,72 @@ def test_regr_partitioning_independent_and_degenerate(spark):
     assert by["b"][2] == pytest.approx(0.5, abs=1e-6)
     assert by["b"][3] == pytest.approx(2.0, abs=1e-6)
     assert by["b"][4] == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------- #
+# weighted_sample_topk
+
+def test_weighted_sample_exact_k_and_brute_force_parity(spark):
+    rows = [(i, f"g{i % 3}", float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = sampling.weighted_sample_topk(df, "doc_id", "w", k=4,
+                                        group_col="grp", seed=2)
+    got = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    assert len(got) == 12 and len(set(got)) == 12
+
+    # brute force: recompute the ES key row-by-row with the same hash
+    keyed = df.withColumn(
+        "u", F.expr("CAST(conv(substring(md5(concat('2', ':', "
+                    "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                    ) / F.lit(float(1 << 48)))
+    brute = []
+    for g in ("g0", "g1", "g2"):
+        rs = [(np.log(r["u"]) / r["w"], r["doc_id"]) for r in
+              keyed.where(F.col("grp") == g).collect()]
+        rs.sort(key=lambda t: (-t[0], t[1]))
+        brute += [(g, d) for _, d in rs[:4]]
+    assert got == sorted(brute)
+
+
+def test_weighted_sample_global_and_validation(spark):
+    rows = [(i, float(i)) for i in range(50)]    # doc 0: weight 0
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = sampling.weighted_sample_topk(df, "doc_id", "w", k=10, seed=1)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert len(ids) == 10 and 0 not in ids
+    rep = sampling.weighted_sample_topk(df.repartition(7), "doc_id",
+                                        "w", k=10, seed=1)
+    assert {r["doc_id"] for r in rep.collect()} == ids
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.weighted_sample_topk(df, "doc_id", "w", k=0)
+
+
+# ---------------------------------------------------------------- #
+# hard_negatives
+
+def test_hard_negatives_masks_same_label_and_matches_numpy(spark):
+    from xpysom_dask_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(60, 8)).astype(np.float64)
+    lab = [i % 3 for i in range(60)]
+    emb = spark.createDataFrame(
+        [(i, V[i].tolist(), lab[i]) for i in range(60)],
+        ["vec_id", "embedding", "label"])
+    q = emb.where("vec_id < 4")
+    out = similarity.hard_negatives(emb, q, k=5).collect()
+    assert len(out) == 20
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    sims = (V @ V.T) / (np.linalg.norm(V, axis=1)[:, None]
+                        * np.linalg.norm(V, axis=1)[None, :])
+    for qi in range(4):
+        mask = np.array([lab[j] != lab[qi] for j in range(60)])
+        order = sorted(np.nonzero(mask)[0],
+                       key=lambda j: (-sims[qi, j], j))[:5]
+        got = [r["neighbor_id"] for r in
+               sorted(by_q[qi], key=lambda r: r["rank"])]
+        assert got == order
+        # no same-label neighbor ever (the defining invariant)
+        assert all(lab[n] != lab[qi] for n in got)

@@ -529,3 +529,37 @@ def leakage_safe_split(df: DataFrame, id_col: str, key,
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return tagged.withColumn(out_col, expr).drop("__lsk")
+
+
+def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
+                         k: int, group_col: str | None = None,
+                         seed: int = 0) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``k`` rows (fewer if the population is smaller), inclusion odds
+    proportional to weight, via the Efraimidis–Spiridis exponential-
+    key trick: rank on ``key = ln(u) / w`` (equivalent ordering to
+    ``u^(1/w)``) with the usual deterministic ``(seed, id)`` unit
+    hash for ``u``.  :func:`importance_sample` keeps an EXPECTED
+    weighted fraction; this keeps an exact count — the "give me the
+    best 10 k docs, length-weighted" shape.  Rows with weight ≤ 0 are
+    never selected.
+
+    Scale: grouped form is one window over the group shuffle;
+    ungrouped form compiles to TakeOrderedAndProject (per-partition
+    top-k, driver merge of k·partitions rows) — no global sort, no
+    single-reducer funnel.  Ties (astronomically unlikely with a
+    48-bit u) break by id for engine-reproducible output.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = _unit_hash(id_col, seed)
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    base = df.where(w > 0).withColumn("__wsk", key)
+    if group_col is None:
+        out = base.orderBy(F.col("__wsk").desc(), F.col(id_col)).limit(k)
+        return out.drop("__wsk")
+    win = Window.partitionBy(group_col).orderBy(F.col("__wsk").desc(),
+                                                F.col(id_col))
+    return (base.withColumn("__wsr", F.row_number().over(win))
+            .where(F.col("__wsr") <= k).drop("__wsk", "__wsr"))

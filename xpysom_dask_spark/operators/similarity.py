@@ -996,3 +996,79 @@ def semantic_dedup(som, df: DataFrame, id_col: str = "vec_id",
     return (cells.groupBy("cluster_id")
             .applyInPandas(fn, f"{id_col} bigint, cluster_id bigint")
             .select(id_col, "cluster_id"))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   max_queries: int = COSINE_TOPK_MAX_QUERIES) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    exact top-k most-similar corpus vectors with a DIFFERENT label —
+    ``(query_id, rank, neighbor_id, sim)``.
+
+    Same physical plan as :func:`cosine_topk` (broadcast query matrix,
+    one narrow Arrow pass, per-batch float64 GEMM, no corpus shuffle),
+    but the same-label mask applies INSIDE the batch kernel before the
+    per-batch top-k — filtering after a plain top-k would be wrong
+    (a batch's k best could all share the query's label, silently
+    dropping valid negatives that ranked k+1th).
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = corpus.sparkSession
+    ship_package(spark)
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hard_negatives: {n_q} query rows > max_queries="
+            f"{max_queries}; the query matrix is broadcast and each "
+            "Arrow batch computes a (batch x |Q|) GEMM — chunk the "
+            "query set or use the bucketed ANN paths for huge Q.")
+    qpdf = queries.select(id_col, vec_col, label_col).toPandas()
+    if not len(qpdf):
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, sim double")
+    qids = qpdf[id_col].to_numpy(np.int64)
+    qlab = qpdf[label_col].to_numpy(np.int64)
+    Q = np.stack([np.asarray(v, np.float64) for v in qpdf[vec_col]])
+    qn = np.linalg.norm(Q, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qlab, Q, qn))
+
+    def fn(batches):
+        qids_, qlab_, Q_, qn_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(v, np.float64) for v in pdf["vec"]])
+            cn = np.linalg.norm(C, axis=1)
+            sims = (C @ Q_.T) / (cn[:, None] * qn_[None, :])
+            # the mask IS the operator: same-label pairs can never
+            # enter any batch's candidate set
+            lab = pdf["lab"].to_numpy(np.int64)
+            sims = np.where(lab[:, None] == qlab_[None, :],
+                            -np.inf, sims)
+            nb = pdf["neighbor_id"].to_numpy(np.int64)
+            kk = min(k, len(C))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows = top.T.ravel()
+            cols = np.repeat(np.arange(nq), kk)
+            keep = np.isfinite(sims[rows, cols])
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_, kk)[keep],
+                "neighbor_id": nb[rows][keep],
+                "sim": sims[rows, cols][keep],
+            })
+
+    slim = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("vec"),
+                         F.col(label_col).alias("lab"))
+    cand = slim.mapInPandas(
+        fn, "query_id bigint, neighbor_id bigint, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))

@@ -8,6 +8,10 @@ into the online SOM via ``foreachBatch``; windowed/watermarked
 aggregates and ``applyInPandasWithState`` cover the stateful surface.
 """
 
+from .decontam import (  # noqa: F401
+    decontaminate_stream,
+    eval_ngram_hashes,
+)
 from .dedup import dedup_stream  # noqa: F401
 from .scoring import (  # noqa: F401
     score_stream,

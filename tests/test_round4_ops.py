@@ -217,3 +217,54 @@ def test_hard_negatives_masks_same_label_and_matches_numpy(spark):
         assert got == order
         # no same-label neighbor ever (the defining invariant)
         assert all(lab[n] != lab[qi] for n in got)
+
+
+# ---------------------------------------------------------------- #
+# algebraic invariants (the split/sample family's subset-chain laws)
+
+def test_upsample_copies_monotone_in_weight(spark):
+    """n_copies(w) = floor(w) + [u < frac(w)] is monotone in w for any
+    fixed (seed, id): raising a stratum's weight never removes a
+    (doc, copy) pair — the upsampling analog of hash_sample's
+    subset-chain property."""
+    df = _docs_df(spark, 200)
+    lo = sampling.upsample_by_weight(df, "doc_id", "source",
+                                     {"src0": 2.7}, seed=4)
+    hi = sampling.upsample_by_weight(df, "doc_id", "source",
+                                     {"src0": 3.1}, seed=4)
+    lo_set = set(map(tuple, lo.select("doc_id", "copy").collect()))
+    hi_set = set(map(tuple, hi.select("doc_id", "copy").collect()))
+    assert lo_set <= hi_set and len(hi_set) > len(lo_set)
+
+
+def test_leakage_split_cutpoint_monotone(spark):
+    """Raising the train share only MOVES docs into train (same
+    cut-point law as split_by_hash, but over the content-group hash):
+    nothing in train at 60% leaves it at 80%."""
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " + " ".join(f"t{i}w{j}" for j in range(10)))
+         for i in range(150)], ["doc_id", "text"])
+    key = T.min_shingle_fingerprint("text")
+    s60 = sampling.leakage_safe_split(docs, "doc_id", key,
+                                      {"train": 0.6, "test": 0.4}, seed=3)
+    s80 = sampling.leakage_safe_split(docs, "doc_id", key,
+                                      {"train": 0.8, "test": 0.2}, seed=3)
+    t60 = {r["doc_id"] for r in s60.where("split = 'train'").collect()}
+    t80 = {r["doc_id"] for r in s80.where("split = 'train'").collect()}
+    assert t60 <= t80 and len(t80) > len(t60)
+
+
+def test_weighted_sample_scale_invariant(spark):
+    """The ES key ln(u)/w divides uniformly under w -> c*w (c > 0), so
+    the selected set is invariant to rescaling all weights — selection
+    depends only on weight RATIOS, as sampling-without-replacement
+    odds should."""
+    rows = [(i, f"g{i % 2}", float(1 + (i * 7) % 13)) for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    a = sampling.weighted_sample_topk(df, "doc_id", "w", k=5,
+                                      group_col="grp", seed=6)
+    scaled = df.withColumn("w", F.col("w") * 100.0)
+    b = sampling.weighted_sample_topk(scaled, "doc_id", "w", k=5,
+                                      group_col="grp", seed=6)
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())

@@ -129,3 +129,49 @@ def test_zorder_key_validation_and_degenerate_inputs(spark):
         writers.zorder_key(df, [])
     with _pt.raises(ValueError):
         writers.zorder_key(df, ["a"], bits_per_col=63)
+
+
+def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    import pytest as _pt
+
+    docs = readers.load_table(spark, SF_TINY, "documents")
+    path = str(tmp_path / "shards")
+    # size the budget so the tiny corpus splits into several shards
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    manifest = writers.write_training_shards(
+        docs, path, "doc_id", "n_chars", shard_bytes=total // 5)
+    rows = manifest.collect()
+    assert 5 <= len(rows) <= 6                      # ceil sizing
+    assert sum(r["rows"] for r in rows) == docs.count()
+    assert sum(r["bytes"] for r in rows) == total
+    # per-shard source mixture sums to the shard's row count
+    for r in rows:
+        assert sum(r["source_rows"].values()) == r["rows"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # shard dirs exist and filters on the shard column prune to them
+    assert back.where("shard = 0").count() == rows[0]["rows"]
+
+    # deterministic: same corpus, same budget -> identical assignment
+    m2 = writers.write_training_shards(
+        docs, str(tmp_path / "shards2"), "doc_id", "n_chars",
+        shard_bytes=total // 5)
+    assert sorted(map(tuple, m2.select("shard", "rows").collect())) == \
+        sorted(map(tuple, manifest.select("shard", "rows").collect()))
+
+    with _pt.raises(ValueError):
+        writers.write_training_shards(docs, path, "doc_id", "n_chars",
+                                      shard_bytes=0)
+
+
+def test_write_training_shards_no_source_column(spark, tmp_path):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 10).alias("nb"))
+    manifest = writers.write_training_shards(
+        df, str(tmp_path / "s"), "doc_id", "nb", shard_bytes=400)
+    rows = manifest.collect()
+    assert "source_rows" not in manifest.columns
+    assert sum(r["rows"] for r in rows) == 200

@@ -213,3 +213,60 @@ def write_zordered(df: DataFrame, path: str, zorder_by,
     (zdf.sortWithinPartitions("__z").drop("__z")
         .write.mode(mode).parquet(path))
     return bounds
+
+
+def write_training_shards(df: DataFrame, path: str, id_col: str,
+                          bytes_col: str, shard_bytes: int = 256 << 20,
+                          seed: int = 0, mode: str = "overwrite",
+                          shard_col: str = "shard") -> DataFrame:
+    """Export a curated corpus as ~equal-size training shards plus a
+    manifest — the final-mile sink of a data pipeline (training loaders
+    want fixed-size, internally-unordered shard files, not one giant
+    directory).
+
+    Sharding is the scalable hash-range rule: ``shard = floor(u · n)``
+    with the engine's deterministic ``(seed, id)`` unit hash, where
+    ``n = ceil(Σ bytes / shard_bytes)`` comes from ONE aggregate over
+    ``bytes_col`` — no global sort, no cumulative window, no driver
+    loop; shard sizes concentrate around ``shard_bytes`` by hash
+    uniformity (CLT: ±a few % at thousands of docs per shard).  The
+    hash is the stable engine-wide (seed, id) fold, so re-exporting
+    the same corpus with the same ``n`` reproduces every shard
+    bit-for-bit (modulo parquet row order within a shard).
+
+    Writes directory-partitioned parquet (``shard=K/``) and RETURNS the
+    manifest DataFrame — one row per shard: row count, payload bytes,
+    and per-source row counts (the mixture a loader should expect) —
+    which the caller typically also persists next to the data.
+    """
+    from pyspark.sql import functions as F
+
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be > 0, got {shard_bytes}")
+    total = df.agg(F.sum(F.col(bytes_col).cast("bigint"))
+                   .alias("b")).first()["b"] or 0
+    n_shards = max(1, -(-int(total) // int(shard_bytes)))
+    # shard = u mod n, not floor(u·n/2^48): the product overflows
+    # BIGINT past ~32 k shards (a 100 TB corpus at 256 MB shards is
+    # ~400 k); the mod's uniformity bias is n/2^48 — immaterial
+    u = (f"CAST(conv(substring(md5(concat('{seed}', ':', "
+         f"CAST({id_col} AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    shard = F.expr(f"pmod({u}, {n_shards})")
+    tagged = df.withColumn(shard_col, shard)
+    tagged.write.mode(mode).partitionBy(shard_col).parquet(path)
+    source_mix = ([F.map_from_entries(F.collect_list(
+        F.struct("source", "src_rows"))).alias("source_rows")]
+        if "source" in df.columns else [])
+    per = tagged.groupBy(shard_col, *(["source"] if source_mix else []))
+    agg = per.agg(F.count(F.lit(1)).alias("src_rows"),
+                  F.sum(F.col(bytes_col).cast("bigint")).alias("src_bytes"))
+    if source_mix:
+        manifest = (agg.groupBy(shard_col)
+                    .agg(F.sum("src_rows").alias("rows"),
+                         F.sum("src_bytes").alias("bytes"),
+                         *source_mix))
+    else:
+        manifest = agg.select(shard_col,
+                              F.col("src_rows").alias("rows"),
+                              F.col("src_bytes").alias("bytes"))
+    return manifest.orderBy(shard_col)

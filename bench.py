@@ -364,6 +364,16 @@ def main():
         docs, "doc_id", "n_chars", k=3, group_col="source").count())
     timed("hard_negatives", lambda: similarity.hard_negatives(
         emb, emb.where("vec_id % 50 = 0"), k=5).count())
+    from xpysom_dask_spark.operators import bpe as BPE
+    _merges = []
+    def _bpe_learn():
+        _merges.clear()
+        _merges.extend(BPE.learn_bpe(docs, "text", num_merges=30))
+        return _merges
+    timed("bpe_learn30", _bpe_learn)
+    timed("bpe_encode", lambda: BPE.bpe_encode(
+        docs, "text", _merges).select(
+        F.size("bpe_tokens").alias("n")).agg(F.sum("n")).collect())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

@@ -1,0 +1,133 @@
+"""BPE induction/encoding vs a pure-Python reference implementation of
+Sennrich et al. 2016 (the subword-nmt algorithm) on the same corpus."""
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import bpe
+
+
+# ---------------------------------------------------------------- #
+# reference implementation (classic dict-of-words BPE)
+
+def _ref_vocab(texts):
+    v = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                v[w] += 1
+    return {tuple(list(w) + [bpe.EOW]): c for w, c in v.items()}
+
+
+def _ref_pair_counts(vocab):
+    pc = collections.Counter()
+    for syms, c in vocab.items():
+        for i in range(len(syms) - 1):
+            pc[(syms[i], syms[i + 1])] += c
+    return pc
+
+
+def _ref_merge(vocab, pair):
+    a, b = pair
+    out = {}
+    for syms, c in vocab.items():
+        s, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                s.append(a + b)
+                i += 2
+            else:
+                s.append(syms[i])
+                i += 1
+        out[tuple(s)] = out.get(tuple(s), 0) + c
+    return out
+
+
+def _ref_learn(texts, num_merges, min_count=2):
+    vocab = _ref_vocab(texts)
+    merges = []
+    for _ in range(num_merges):
+        pc = _ref_pair_counts(vocab)
+        if not pc:
+            break
+        # (count DESC, pair ASC) — the operator's tie-break
+        pair = min(pc.items(), key=lambda kv: (-kv[1],
+                                               kv[0][0] + " " + kv[0][1]))
+        if pair[1] < min_count:
+            break
+        merges.append(pair[0])
+        vocab = _ref_merge(vocab, pair[0])
+    return merges
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low newer wide lower new",
+    "the the the the quick quick brown fox",
+]
+
+
+def test_learn_bpe_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = bpe.learn_bpe(df, "text", num_merges=12)
+    want = _ref_learn(CORPUS, 12)
+    assert got == want
+    assert len(got) == 12
+
+
+def test_both_execution_paths_agree(spark):
+    """driver_vocab_limit=0 forces the distributed merge loop; the
+    default collects the vocab and loops locally — identical tables."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    local = bpe.learn_bpe(df, "text", num_merges=8)
+    dist = bpe.learn_bpe(df, "text", num_merges=8, driver_vocab_limit=0)
+    assert local == dist == _ref_learn(CORPUS, 8)
+
+
+def test_learn_bpe_early_stop_and_validation(spark):
+    df = spark.createDataFrame([("ab cd",)], ["text"])
+    got = bpe.learn_bpe(df, "text", num_merges=50, min_count=2)
+    want = _ref_learn(["ab cd"], 50, min_count=2)
+    assert got == want
+    assert len(got) < 50            # corpus exhausts before 50 merges
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe.learn_bpe(df, "text", num_merges=0)
+
+
+def test_encode_applies_merges_greedily(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges = bpe.learn_bpe(df, "text", num_merges=10)
+    enc = bpe.bpe_encode(df, "text", merges)
+    rows = enc.select("text", "bpe_tokens").collect()
+    assert len(rows) == len(CORPUS)
+    for r in rows:
+        toks = r["bpe_tokens"]
+        # reconstruction: stripping EOW markers and joining restores
+        # the normalized text
+        words, cur = [], ""
+        for t in toks:
+            cur += t
+            if cur.endswith(bpe.EOW):
+                words.append(cur[: -len(bpe.EOW)])
+                cur = ""
+        assert cur == ""
+        assert words == [w for w in r["text"].lower().split() if w]
+    # frequent words compress to fewer symbols than their length
+    low = next(r for r in rows if r["text"].startswith("low lower"))
+    n_low_tokens = low["bpe_tokens"]
+    first_word_len = 0
+    for t in n_low_tokens:
+        first_word_len += 1
+        if t.endswith(bpe.EOW):
+            break
+    assert first_word_len < len("low") + 1
+
+
+def test_encode_with_no_merges_is_characters(spark):
+    df = spark.createDataFrame([("ab",)], ["text"])
+    rows = bpe.bpe_encode(df, "text", []).collect()
+    assert rows[0]["bpe_tokens"] == ["a", "b", bpe.EOW]

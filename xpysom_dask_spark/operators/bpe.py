@@ -1,0 +1,246 @@
+"""Distributed BPE tokenizer induction and encoding.
+
+The reference has no tokenizer surface; the engine's other text ops
+approximate one (``bpe_ish_token_count``'s regex).  This module trains
+a REAL byte-pair-encoding merge table on the corpus and encodes with
+it — the Sennrich et al. 2016 algorithm (arXiv:1508.07909), shaped for
+Spark:
+
+* **Corpus-sized work happens exactly once**: one tokenize + groupBy
+  builds the (word, count) vocabulary relation — the same compression
+  every production BPE trainer (subword-nmt, HF tokenizers) applies,
+  because pair statistics only depend on word multiplicities.
+* **The merge loop never touches the corpus again.**  Each of the
+  ``num_merges`` iterations runs on the vocab relation: a codegen'd
+  adjacent-pair explode → one map-side-combined count-weighted
+  aggregate → the argmax pair to the driver (ONE row) → an Arrow
+  kernel rewrites only the words that CONTAIN the pair (codegen
+  prefilter) — work per iteration is O(vocab), usually O(matching
+  words) ≪ O(corpus tokens).
+* Ties break (count DESC, pair ASC), so the merge table is a pure
+  function of the corpus — reproducible across partitionings and
+  engines.
+
+``learn_bpe`` returns the ordered merge list; ``bpe_encode`` applies
+it to any corpus (broadcast rank dict + per-word Arrow kernel with an
+LRU-less word cache per batch — words repeat heavily, so each distinct
+word in a batch is encoded once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (subword-nmt convention): merges never cross
+#: word boundaries, and the marker lets the decoder restore spacing
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) vocabulary relation — the one corpus-sized pass.
+    Same whitespace/lowercase normalization as the rest of the text
+    family (operators/text.py tokens)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    return (df.select(F.explode(F.expr(toks)).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("count")))
+
+
+def _pairs_expr() -> str:
+    """Codegen: symbol array → array of adjacent 'a b' pair keys."""
+    return ("CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+            "ELSE transform(sequence(1, size(syms) - 1), "
+            "i -> concat(element_at(syms, i), ' ', "
+            "element_at(syms, i + 1))) END")
+
+
+#: vocab-size bound for the driver-side merge loop: below it the
+#: (word, count) relation collects once and the merge iterations are
+#: pure Python (µs per round instead of Spark jobs); above it the
+#: distributed loop runs — same algorithm, same tie-break, bit-equal
+#: merge tables (tested both paths on one corpus)
+DRIVER_VOCAB_LIMIT = 200_000
+
+
+def learn_bpe(df: DataFrame, text_col: str, num_merges: int,
+              min_count: int = 2,
+              driver_vocab_limit: int = DRIVER_VOCAB_LIMIT
+              ) -> list[tuple[str, str]]:
+    """Train ``num_merges`` BPE merges on the corpus; returns the
+    ordered merge list [(left, right), ...].  Stops early when the best
+    remaining pair's weighted count falls below ``min_count``.
+
+    Two-level execution (the SparkSom collect_threshold pattern): the
+    corpus-sized tokenize+count always runs distributed; the merge
+    LOOP runs driver-side when the distinct-word vocabulary fits
+    (``driver_vocab_limit`` rows — vocabularies grow ~Heaps' law, so
+    even large corpora often land here), else each merge round is one
+    vocab-sized Spark job.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    ship_package(spark)
+    wc = word_counts(df, text_col).localCheckpoint(eager=True)
+    if wc.count() <= driver_vocab_limit:
+        rows = wc.collect()
+        return _learn_local(
+            {r["word"]: r["count"] for r in rows}, num_merges, min_count)
+    vocab = (wc
+             .withColumn("syms", F.expr(
+                 f"concat(split(word, ''), array('{EOW}'))"))
+             .select("syms", "count")
+             .localCheckpoint(eager=True))
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = (vocab
+                .select(F.explode(F.expr(_pairs_expr())).alias("pair"),
+                        "count")
+                .groupBy("pair").agg(F.sum("count").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(1).collect())
+        if not best or best[0]["c"] < min_count:
+            break
+        left, right = best[0]["pair"].split(" ", 1)
+        merges.append((left, right))
+        pair_key, joined = f"{left} {right}", left + right
+
+        def rewrite(batches, _pk=pair_key, _l=left, _r=right, _j=joined):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s, i, n = [], 0, len(syms)
+                    while i < n:
+                        if (i + 1 < n and syms[i] == _l
+                                and syms[i + 1] == _r):
+                            s.append(_j)
+                            i += 2
+                        else:
+                            s.append(syms[i])
+                            i += 1
+                    out.append(s)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        # bound literal, not an inlined string: pair symbols come from
+        # corpus text and may contain quotes/regex metacharacters
+        has_pair = F.array_contains(F.expr(_pairs_expr()),
+                                    F.lit(pair_key))
+        matching = vocab.where(has_pair)
+        untouched = vocab.where(~has_pair)
+        rewritten = matching.mapInPandas(
+            rewrite, "syms array<string>, count bigint")
+        # checkpoint per round: truncates the (filter + kernel) lineage
+        # so iteration k is O(vocab), not O(k · vocab)
+        vocab = rewritten.unionByName(untouched) \
+            .localCheckpoint(eager=True)
+    return merges
+
+
+def _learn_local(word_count: dict, num_merges: int,
+                 min_count: int) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a collected (word → count) dict —
+    the same statistics, argmax, and (count DESC, pair ASC) tie-break
+    as the distributed rounds, so path choice never changes the merge
+    table (asserted by the two-path test)."""
+    vocab = {}
+    for w, c in word_count.items():
+        syms = tuple(list(w) + [EOW])
+        vocab[syms] = vocab.get(syms, 0) + c
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        pair, cnt = min(
+            pc.items(), key=lambda kv: (-kv[1],
+                                        kv[0][0] + " " + kv[0][1]))
+        if cnt < min_count:
+            break
+        merges.append(pair)
+        a, b = pair
+        joined = a + b
+        out = {}
+        for syms, c in vocab.items():
+            s, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    s.append(joined)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            t = tuple(s)
+            out[t] = out.get(t, 0) + c
+        vocab = out
+    return merges
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]],
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Append ``out_col``: the text's BPE subword tokens under the
+    learned merge table (greedy lowest-rank-first, the standard BPE
+    encoder).  The rank dict broadcasts; each Arrow batch encodes every
+    DISTINCT word once (words repeat heavily, so the per-batch memo is
+    the dominant saving), then stitches documents back together.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    ranks = {f"{l} {r}": i for i, (l, r) in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def encode_word(word: str, rk: dict) -> list[str]:
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = rk.get(syms[i] + " " + syms[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def fn(batches):
+        rk = bc.value
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            toks_out = []
+            for words in pdf["__words"]:
+                doc = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = encode_word(w, rk)
+                        memo[w] = enc
+                    doc.extend(enc)
+                toks_out.append(doc)
+            pdf = pdf.copy()
+            pdf["__words"] = toks_out
+            yield pdf
+
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    tagged = df.withColumn("__words", F.expr(toks))
+    out = tagged.mapInPandas(
+        fn, schema + ", `__words` array<string>")
+    return out.withColumnRenamed("__words", out_col)

@@ -131,3 +131,21 @@ def test_encode_with_no_merges_is_characters(spark):
     df = spark.createDataFrame([("ab",)], ["text"])
     rows = bpe.bpe_encode(df, "text", []).collect()
     assert rows[0]["bpe_tokens"] == ["a", "b", bpe.EOW]
+
+
+def test_vocab_and_ids_roundtrip(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges = bpe.learn_bpe(df, "text", num_merges=6)
+    vocab = bpe.bpe_vocab(merges)
+    # base ASCII block, then EOW, then one id per merge in order
+    assert vocab["!"] == 1 and vocab[bpe.EOW] == 95
+    assert all(vocab[l + r] == 96 + i
+               for i, (l, r) in enumerate(merges) if l + r not in
+               {m[0] + m[1] for m in merges[:i]})
+    ids = bpe.bpe_encode_ids(df, "text", merges)
+    inv = {v: k for k, v in vocab.items()}
+    for r in ids.select("text", "token_ids").collect():
+        text = "".join(inv[i] for i in r["token_ids"]) \
+            .replace(bpe.EOW, " ").strip()
+        assert text == " ".join(r["text"].lower().split())
+        assert all(i >= 0 for i in r["token_ids"])

@@ -244,3 +244,52 @@ def bpe_encode(df: DataFrame, text_col: str,
     out = tagged.mapInPandas(
         fn, schema + ", `__words` array<string>")
     return out.withColumnRenamed("__words", out_col)
+
+
+def bpe_vocab(merges: list[tuple[str, str]],
+              base_symbols=None) -> dict[str, int]:
+    """Deterministic symbol → id table for a learned merge list:
+    byte/char base symbols first (id = codepoint order), then one new
+    symbol per merge in merge order — the id space every BPE
+    implementation ships.  ``base_symbols=None`` uses printable ASCII
+    plus the EOW marker; pass the corpus's observed character set for
+    full coverage of non-ASCII text."""
+    if base_symbols is None:
+        base_symbols = [chr(c) for c in range(32, 127)]
+    vocab: dict[str, int] = {}
+    for s in sorted(set(base_symbols)):
+        vocab.setdefault(s, len(vocab))
+    vocab.setdefault(EOW, len(vocab))
+    for left, right in merges:
+        vocab.setdefault(left + right, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(df: DataFrame, text_col: str,
+                   merges: list[tuple[str, str]],
+                   vocab: dict[str, int] | None = None,
+                   out_col: str = "token_ids",
+                   unk_id: int = -1) -> DataFrame:
+    """``bpe_encode`` + id lookup in one pass: append ``out_col`` =
+    array<int> under :func:`bpe_vocab`'s id space (symbols outside the
+    vocab — characters never seen in ``base_symbols`` — map to
+    ``unk_id``).  The id table rides the same broadcast as the ranks;
+    no join, no extra shuffle over the token stream."""
+    vocab = bpe_vocab(merges) if vocab is None else vocab
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((vocab, unk_id))
+    enc = bpe_encode(df, text_col, merges, out_col="__bpe_syms")
+
+    def to_ids(batches):
+        v, unk = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__bpe_syms"] = [
+                [v.get(s, unk) for s in syms]
+                for syms in pdf["__bpe_syms"]]
+            yield pdf
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out = enc.mapInPandas(to_ids, schema + ", `__bpe_syms` array<int>")
+    return out.withColumnRenamed("__bpe_syms", out_col)

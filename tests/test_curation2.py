@@ -472,3 +472,24 @@ def test_near_dedup_incremental_across_batches(spark):
     assert kept == {11}            # 10 dup-vs-history, 12 dup-in-batch
     assert idx2.count() == 3       # ids 1, 2 + survivor 11
     assert set(idx2.columns) == {"id"} | {f"mh_{i}" for i in range(8)}
+
+
+def test_bloom_merge_equals_rebuilt_filter(spark):
+    """OR-merging per-batch bitmaps == one bitmap over the union —
+    the incremental ingest-guard update rule."""
+    from xpysom_dask_spark.operators import dedup
+
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} tail{i}") for i in range(40)],
+        ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(100 + i, f"epsilon zeta eta theta doc{i} x{i}") for i in range(40)],
+        ["doc_id", "text"])
+    m = 1 << 16
+    sha = dedup.word_shingles(a, "text", "doc_id", 3, distinct=False)
+    shb = dedup.word_shingles(b, "text", "doc_id", 3, distinct=False)
+    merged = dedup.bloom_merge(dedup.bloom_bitmap(sha, m),
+                               dedup.bloom_bitmap(shb, m))
+    full = dedup.bloom_bitmap(sha.unionByName(shb), m)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))

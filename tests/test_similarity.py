@@ -392,3 +392,36 @@ def test_build_index_rejects_bad_quantize(spark, tmp_path):
     with pytest.raises(ValueError, match="quantize"):
         similarity.build_som_ivf_index(som, e, str(tmp_path / "x"),
                                        quantize="pq")
+
+
+def test_ivf_index_append_mode_ingests_new_batch(spark, tmp_path):
+    """mode='append' scores a new vector batch against the frozen
+    codebook and lands it in the matching cluster partitions — queries
+    then see both batches, identically to a one-shot build."""
+    import numpy as np
+
+    from xpysom_dask_spark import SparkSom
+    from xpysom_dask_spark.operators import similarity
+    from xpysom_dask_spark.sources import readers
+
+    emb = readers.load_table(spark, SF_TINY, "embeddings")
+    first = emb.where("vec_id % 2 = 0")
+    second = emb.where("vec_id % 2 = 1")
+    som = SparkSom(3, 3, 64, random_seed=7, features_col="embedding")
+    som.train(first.select("embedding"), 2)
+
+    p_inc = str(tmp_path / "ivf_inc")
+    similarity.build_som_ivf_index(som, first, p_inc)
+    similarity.build_som_ivf_index(som, second, p_inc, mode="append")
+    p_full = str(tmp_path / "ivf_full")
+    similarity.build_som_ivf_index(som, emb, p_full)
+
+    q = emb.where("vec_id % 100 = 0").collect()
+    qids = [r["vec_id"] for r in q]
+    qv = np.array([r["embedding"] for r in q])
+    got = similarity.som_ivf_topk_from_index(
+        spark, p_inc, som, qv, qids, k=5, nprobe=9)
+    want = similarity.som_ivf_topk_from_index(
+        spark, p_full, som, qv, qids, k=5, nprobe=9)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))

@@ -606,6 +606,15 @@ def bloom_bitmap(shingles: DataFrame, m_bits: int = 1 << 20,
             .groupBy("word").agg(F.expr("bit_or(bit)").alias("mask")))
 
 
+def bloom_merge(bitmap_a: DataFrame, bitmap_b: DataFrame) -> DataFrame:
+    """OR-merge two :func:`bloom_bitmap` relations built with the SAME
+    ``m_bits``/``k`` — Bloom filters are unions under bitwise OR, so an
+    incremental ingest guard updates its persisted bitmap with one
+    ≤ m/32-row aggregate instead of re-shingling history."""
+    return (bitmap_a.unionByName(bitmap_b)
+            .groupBy("word").agg(F.expr("bit_or(mask)").alias("mask")))
+
+
 def near_dedup_incremental(new_df: DataFrame, text_col: str, id_col: str,
                            history_sigs: DataFrame | None = None,
                            threshold: float = 0.5, k: int = MINHASH_K,

@@ -588,6 +588,13 @@ def build_som_ivf_index(som, corpus: DataFrame, path: str,
     100 TB: one narrow write, then reads that scale with nprobe, not
     corpus size.
 
+    ``mode="append"`` ingests a NEW vector batch into an existing
+    index without rebuilding: the batch is scored against the same
+    codebook and its files land in the matching ``cluster_id=``
+    partitions (keep ``quantize`` consistent across batches — the
+    reader takes the schema from the files).  The codebook itself is
+    frozen; re-train + rebuild when drift degrades cell balance.
+
     ``quantize=True`` / ``"int8"`` stores the vectors int8-quantized
     (``scale`` + ``qvec tinyint`` instead of the float array — the
     FAISS-SQ8 trade): ~4× smaller index files, so probed-cell reads

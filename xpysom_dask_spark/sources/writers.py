@@ -224,8 +224,8 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     want fixed-size, internally-unordered shard files, not one giant
     directory).
 
-    Sharding is the scalable hash-range rule: ``shard = floor(u · n)``
-    with the engine's deterministic ``(seed, id)`` unit hash, where
+    Sharding is the scalable hash-mod rule: ``shard = u mod n`` over
+    the engine's deterministic ``(seed, id)`` 48-bit hash, where
     ``n = ceil(Σ bytes / shard_bytes)`` comes from ONE aggregate over
     ``bytes_col`` — no global sort, no cumulative window, no driver
     loop; shard sizes concentrate around ``shard_bytes`` by hash

@@ -801,24 +801,32 @@ def contamination_report(train_df: DataFrame, test_df: DataFrame,
     this report forecasts exactly what that operator would remove.
 
     Plan: both sides reduce to distinct 48-bit shingle hashes (text
-    never keys a shuffle — the md5 fold happens map-side); the overlap
-    is a semi-join on the integer hash; the doc-level hit count
-    re-walks only the test side (small by premise).  Traffic is
+    never keys a shuffle — the md5 fold happens map-side); test pairs
+    LEFT-join the train hash set (unique key ⇒ no fanout) and ONE
+    multi-countDistinct aggregate produces every statistic — the train
+    corpus is scanned and shuffled exactly once, where the per-count
+    action shape re-ran its distinct per statistic (the funnel
+    cross-action-recompute class, VERDICT r03 #3).  Traffic is
     O(distinct n-grams) longs, output is one row.
     """
     te = word_shingles(test_df, text_col, id_col, n, distinct=False) \
         .select("id", F.expr(_HASH48_EXPR).alias("h")) \
-        .dropDuplicates(["id", "h"]) \
-        .localCheckpoint(eager=False)
-    tr_h = word_shingles(train_df, text_col, id_col, n, distinct=False) \
-        .select(F.expr(_HASH48_EXPR).alias("h")).distinct()
-    te_h = te.select("h").distinct()
-    hit_h = te_h.join(tr_h, "h", "left_semi")
-    hit_docs = te.join(hit_h, "h", "left_semi").select("id").distinct()
-    n_test = te_h.count()
-    n_hit = hit_h.count()
+        .dropDuplicates(["id", "h"])
+    tr_h = (word_shingles(train_df, text_col, id_col, n, distinct=False)
+            .select(F.expr(_HASH48_EXPR).alias("h")).distinct()
+            .withColumn("__in_tr", F.lit(1)))
+    marked = te.join(tr_h, "h", "left")
+    hit = F.col("__in_tr").isNotNull()
+    stats = marked.agg(
+        F.countDistinct("h").alias("n_test"),
+        F.countDistinct(F.when(hit, F.col("h"))).alias("n_hit"),
+        F.countDistinct(F.when(hit, F.col("id"))).alias("n_docs_hit"),
+    ).first()
+    n_test, n_hit, n_docs_hit = (stats["n_test"], stats["n_hit"],
+                                 stats["n_docs_hit"])
+    # separate cheap action: docs with < n tokens emit no shingles, so
+    # the denominator must come from the raw test relation
     n_docs = test_df.select(id_col).distinct().count()
-    n_docs_hit = hit_docs.count()
     import math
 
     spark = train_df.sparkSession

@@ -148,8 +148,13 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .unionByName(m2.select("u", F.col("m").alias("v")))
                  .distinct().localCheckpoint(eager=True))
-        changed = (small.join(edges, ["u", "v"], "left_anti").count()
-                   + edges.join(small, ["u", "v"], "left_anti").count())
+        # symmetric difference in ONE scalar job (both relations are
+        # checkpointed, so each side is a cheap rescan, but two count()
+        # actions still cost two scheduling round-trips per iteration)
+        changed = (small.join(edges, ["u", "v"], "left_anti")
+                   .unionByName(edges.join(small, ["u", "v"],
+                                           "left_anti"))
+                   .count())
         edges = small
         if changed == 0:
             break

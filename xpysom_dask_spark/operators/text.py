@@ -579,13 +579,18 @@ def collocations(df, text_col: str, min_count: int = 5,
         f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)), "
         f"slice({t}, 2, greatest(size({t}) - 1, 0)), "
         "(a, b) -> struct(a, b))")
+    # eager checkpoints: each relation feeds a scalar action AND the
+    # scored joins below (unis twice) — without materialization the
+    # corpus tokenize+explode re-executes once per consumer (~5 scans)
     pairs = (df.select(F.explode(bigrams).alias("bg"))
              .select(F.col("bg.a").alias("term_a"),
                      F.col("bg.b").alias("term_b"))
              .groupBy("term_a", "term_b")
-             .agg(F.count(F.lit(1)).alias("n_pair")))
+             .agg(F.count(F.lit(1)).alias("n_pair"))
+             .localCheckpoint(eager=True))
     unis = (df.select(F.explode(F.expr(t)).alias("term"))
-            .groupBy("term").agg(F.count(F.lit(1)).alias("n_term")))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+            .localCheckpoint(eager=True))
     tot_pairs, = pairs.agg(F.sum("n_pair")).first()
     tot_unis, = unis.agg(F.sum("n_term")).first()
     if not tot_pairs:

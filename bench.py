@@ -374,6 +374,16 @@ def main():
     timed("bpe_encode", lambda: BPE.bpe_encode(
         docs, "text", _merges).select(
         F.size("bpe_tokens").alias("n")).agg(F.sum("n")).collect())
+    from xpysom_dask_spark.operators import models as MDL
+    _feat = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("f_len"),
+        F.size(F.split("text", " ")).cast("double").alias("f_toks"),
+        T.quality_score("text").alias("y"))
+    def _probe():
+        m = MDL.ridge_fit(_feat, ["f_len", "f_toks"], "y", l2=1e-6)
+        return MDL.probe_filter(_feat, m, keep_fraction=0.5,
+                                id_col="doc_id").count()
+    timed("probe_fit_filter", _probe)
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

@@ -77,6 +77,20 @@ def main(sf_dir="/root/testdata/sf0.001"):
         "bucket", "doc_id", "n_chars", x_decimals=0, y_decimals=0)
     fit.orderBy("bucket").show(truncate=False)
 
+    # 4b. quality probe: fit a ridge scorer on cheap features, keep
+    # the top half (the FineWeb-style classifier gate)
+    from xpysom_dask_spark.operators import models
+
+    feat = clean.select(
+        "doc_id", F.col("n_chars").cast("double").alias("f_len"),
+        F.size(F.split("text", " ")).cast("double").alias("f_toks"),
+        T.quality_score("text").alias("y"))
+    probe = models.ridge_fit(feat, ["f_len", "f_toks"], "y", l2=1e-6)
+    gated = models.probe_filter(feat, probe, keep_fraction=0.5,
+                                id_col="doc_id")
+    print(f"probe gate: kept {gated.count()} of {feat.count()} "
+          f"(coef {[round(float(c), 5) for c in probe['coef']]})")
+
     # 5. hard negatives for the contrastive head
     emb = readers.load_table(spark, sf_dir, "embeddings")
     negs = similarity.hard_negatives(

@@ -268,3 +268,43 @@ def test_weighted_sample_scale_invariant(spark):
                                       group_col="grp", seed=6)
     assert sorted(r["doc_id"] for r in a.collect()) == \
         sorted(r["doc_id"] for r in b.collect())
+
+
+# ---------------------------------------------------------------- #
+# plan-shape guards (the scale properties PLANS.md documents)
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_sample_plans(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i + 1)) for i in range(100)],
+        ["doc_id", "grp", "w"])
+    grouped = sampling.weighted_sample_topk(df, "doc_id", "w", k=3,
+                                            group_col="grp")
+    p = _plan(grouped)
+    # rank-limit pushdown: partial top-k BEFORE the exchange
+    assert p.count("WindowGroupLimit") >= 2
+    globl = sampling.weighted_sample_topk(df, "doc_id", "w", k=5)
+    assert "TakeOrderedAndProject" in _plan(globl)
+
+
+def test_upsample_and_split_plans_have_no_exchange(spark):
+    df = _docs_df(spark, 50)
+    up = sampling.upsample_by_weight(df, "doc_id", "source",
+                                     {"src0": 2.0})
+    assert "Exchange" not in _plan(up) and "Generate" in _plan(up)
+    docs = df.withColumn("text", F.concat(F.lit("body of doc "),
+                                          F.col("doc_id").cast("string")))
+    sp = sampling.leakage_safe_split(
+        docs, "doc_id", T.min_shingle_fingerprint("text"),
+        {"train": 0.8, "test": 0.2})
+    assert "Exchange" not in _plan(sp)
+
+
+def test_regr_by_group_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(50)], ["grp", "x", "y"])
+    p = _plan(profile.regr_by_group(df, "grp", "x", "y"))
+    assert p.count("Exchange") == 1       # one shuffle, keyed by group

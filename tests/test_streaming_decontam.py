@@ -86,3 +86,14 @@ def test_test_set_bound_enforced(spark):
     with pytest.raises(ValueError, match="distinct test"):
         eval_ngram_hashes(test, "text", "doc_id", n=5,
                           max_test_ngrams=10)
+
+
+def test_batch_plan_is_pure_map_chain(spark):
+    """Zero Exchange, zero state store — the property that makes the
+    operator stream-safe (PLANS.md: streaming decontamination)."""
+    train, test = _split(spark)
+    ths = eval_ngram_hashes(test, "text", "doc_id", n=5)
+    out = decontaminate_stream(train, "text", "doc_id", ths, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

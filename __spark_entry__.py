@@ -3885,6 +3885,98 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 3
 """
 
 
+# --------------------------------------------------------------------- #
+# round-5 STAGED gate queries: oracle-tested now (tests/test_round5_
+# staged.py), but NOT registered in queries() — the round-4 head-50 is
+# exactly full with never-driver-checked entries, and registering a
+# 51st never-checked query would breach the rotation contract
+# (tests/test_gate_coverage.py).  Round 5 moves these into queries()/
+# oracle_sql() verbatim.
+
+def _q_streaming_decontaminate(spark, sf_dir):
+    """Streaming decontamination guard (streaming/decontam.py): the
+    train split replayed as a file stream, probed per micro-batch
+    against the broadcast test-set n-gram hash set — stateless, so the
+    drained result equals batch `decontaminate` exactly (the oracle IS
+    that query's SQL)."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import (
+        decontaminate_stream,
+        eval_ngram_hashes,
+    )
+
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"train": 0.9, "test": 0.1}, seed=1)
+    train = split.where("split = 'train'").drop("split") \
+        .select("doc_id", "lang", "text")
+    test = split.where("split = 'test'").drop("split")
+    ths = eval_ngram_hashes(test, "text", "doc_id", n=5)
+    tmp = tempfile.mkdtemp(prefix="decontamgate_")
+    train.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(train.schema).parquet(tmp)
+    out = decontaminate_stream(stream, "text", "doc_id", ths, n=5)
+    name = "q_stream_decontam_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id", "lang")
+
+
+_SHARD_GATE_BYTES = 20000
+
+
+def _q_shard_layout(spark, sf_dir):
+    """Training-shard layout audit (sources/writers.py
+    shard_assignments — the assignment rule write_training_shards
+    persists): per (shard, source) row counts and byte sums under the
+    deterministic pmod(unit-hash, ceil(Σbytes/budget)) rule.  Pure
+    integer statistics, so the gate is hash-exact."""
+    from xpysom_dask_spark.sources.writers import shard_assignments
+
+    tagged = shard_assignments(_docs(spark, sf_dir), "doc_id",
+                               "n_chars", _SHARD_GATE_BYTES, seed=0)
+    return (tagged.groupBy("shard", "source")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum(F.col("n_chars").cast("bigint")).alias("bytes")))
+
+
+def _sql_shard_layout():
+    b = _SHARD_GATE_BYTES
+    # DuckDB lacks conv(); the nibble-fold twin of the Spark expr
+    raw = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"[CAST(strpos('0123456789abcdef', substring(md5("
+           f"concat('0', ':', CAST(doc_id AS VARCHAR))), i, 1)) "
+           f"- 1 AS BIGINT) FOR i IN range(1, 13)]), "
+           f"(acc, v) -> acc * 16 + v)")
+    return f"""
+WITH n AS (
+  SELECT GREATEST(CAST(1 AS BIGINT),
+                  (SUM(n_chars) + {b - 1}) // {b}) AS n_shards
+  FROM documents)
+SELECT ({raw}) % (SELECT n_shards FROM n) AS shard, source,
+       COUNT(*) AS rows, SUM(n_chars) AS bytes
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def queries_round5_staged() -> dict:
+    return {
+        "streaming_decontaminate": _q_streaming_decontaminate,
+        "shard_layout": _q_shard_layout,
+    }
+
+
+def oracle_sql_round5_staged() -> dict[str, str]:
+    return {
+        "streaming_decontaminate": _sql_decontaminate(),
+        "shard_layout": _sql_shard_layout(),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).

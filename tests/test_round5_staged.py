@@ -1,0 +1,57 @@
+"""Round-5 STAGED gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for entries not yet in queries()
+(the round-4 head-50 is full; SURVEY.md §8 round-5 queue)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_TINY
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+STAGED = entrymod.queries_round5_staged()
+ORACLES = entrymod.oracle_sql_round5_staged()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED) == set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, name):
+    sdf = STAGED[name](spark, SF_TINY)
+    srows = sdf.collect()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_TINY}/{t}.parquet')")
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+    assert _multiset(sdf.columns, [tuple(r) for r in srows]) == \
+        _multiset(dcols, drows)

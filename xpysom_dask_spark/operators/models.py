@@ -76,7 +76,19 @@ def ridge_fit(df: DataFrame, feature_cols: list[str], label_col: str,
     cov = xtx - np.outer(mx, sx)            # Σ(x−x̄)(x−x̄)ᵀ (via sums)
     cov = (cov + cov.T) / 2.0               # symmetrize float noise
     cross = sxy - mx * row["sy"]
-    coef = np.linalg.solve(cov + l2 * np.eye(d), cross)
+    A = cov + l2 * np.eye(d)
+    if d == 1:
+        coef = np.array([cross[0] / A[0, 0]])
+    elif d == 2:
+        # explicit Cramer's rule: the exact double-op sequence an
+        # external SQL engine can replay (np.linalg.solve pivots, so
+        # its last-ulp results aren't reproducible outside LAPACK)
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        coef = np.array([
+            (cross[0] * A[1, 1] - A[0, 1] * cross[1]) / det,
+            (A[0, 0] * cross[1] - cross[0] * A[1, 0]) / det])
+    else:
+        coef = np.linalg.solve(A, cross)
     return {"cols": list(feature_cols), "coef": coef,
             "intercept": float(my - mx @ coef), "l2": float(l2),
             "n": int(n)}

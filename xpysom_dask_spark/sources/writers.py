@@ -215,6 +215,28 @@ def write_zordered(df: DataFrame, path: str, zorder_by,
     return bounds
 
 
+def shard_assignments(df: DataFrame, id_col: str, bytes_col: str,
+                      shard_bytes: int, seed: int = 0,
+                      shard_col: str = "shard") -> DataFrame:
+    """Append the shard id :func:`write_training_shards` would write
+    under — exposed separately so layout can be audited (or joined)
+    without a write.  ``shard = pmod(unit_hash(seed, id), n)`` with
+    ``n = ceil(Σ bytes / shard_bytes)`` from one aggregate; the mod
+    (not floor(u·n/2^48)) avoids BIGINT overflow past ~32 k shards
+    (a 100 TB corpus at 256 MB shards is ~400 k), at a uniformity
+    bias of n/2^48 — immaterial."""
+    from pyspark.sql import functions as F
+
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be > 0, got {shard_bytes}")
+    total = df.agg(F.sum(F.col(bytes_col).cast("bigint"))
+                   .alias("b")).first()["b"] or 0
+    n_shards = max(1, -(-int(total) // int(shard_bytes)))
+    u = (f"CAST(conv(substring(md5(concat('{seed}', ':', "
+         f"CAST({id_col} AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    return df.withColumn(shard_col, F.expr(f"pmod({u}, {n_shards})"))
+
+
 def write_training_shards(df: DataFrame, path: str, id_col: str,
                           bytes_col: str, shard_bytes: int = 256 << 20,
                           seed: int = 0, mode: str = "overwrite",
@@ -241,18 +263,8 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     """
     from pyspark.sql import functions as F
 
-    if shard_bytes <= 0:
-        raise ValueError(f"shard_bytes must be > 0, got {shard_bytes}")
-    total = df.agg(F.sum(F.col(bytes_col).cast("bigint"))
-                   .alias("b")).first()["b"] or 0
-    n_shards = max(1, -(-int(total) // int(shard_bytes)))
-    # shard = u mod n, not floor(u·n/2^48): the product overflows
-    # BIGINT past ~32 k shards (a 100 TB corpus at 256 MB shards is
-    # ~400 k); the mod's uniformity bias is n/2^48 — immaterial
-    u = (f"CAST(conv(substring(md5(concat('{seed}', ':', "
-         f"CAST({id_col} AS STRING))), 1, 12), 16, 10) AS BIGINT)")
-    shard = F.expr(f"pmod({u}, {n_shards})")
-    tagged = df.withColumn(shard_col, shard)
+    tagged = shard_assignments(df, id_col, bytes_col, shard_bytes,
+                               seed=seed, shard_col=shard_col)
     tagged.write.mode(mode).partitionBy(shard_col).parquet(path)
     source_mix = ([F.map_from_entries(F.collect_list(
         F.struct("source", "src_rows"))).alias("source_rows")]

@@ -81,3 +81,28 @@ def test_validation_errors(spark):
                                  "intercept": 0.0}, 0.0, "f0")
     with pytest.raises(ValueError, match="no rows"):
         models.ridge_fit(df.where("y > 1e18"), cols, "y")
+
+
+def test_ridge_fit_exact_decimals_bit_identical_under_repartition(spark):
+    rng = np.random.default_rng(11)
+    n = 400
+    X = np.round(rng.normal(0, 50, size=(n, 2)), 2)
+    y = np.round(X @ np.array([1.5, -0.75]) + 3 +
+                 rng.normal(0, 1, n), 2)
+    rows = [(float(X[i, 0]), float(X[i, 1]), float(y[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["a", "b", "y"])
+    dec = {"a": 2, "b": 2, "y": 2}
+    m1 = models.ridge_fit(df.coalesce(1), ["a", "b"], "y",
+                          l2=1e-6, decimals=dec)
+    m7 = models.ridge_fit(df.repartition(7), ["a", "b"], "y",
+                          l2=1e-6, decimals=dec)
+    # EXACT equality: integer sums make the fit a pure function of
+    # the data, not the partitioning
+    assert list(m1["coef"]) == list(m7["coef"])
+    assert m1["intercept"] == m7["intercept"]
+    coef, inter = _ref_ridge(X, y, 1e-6)
+    np.testing.assert_allclose(m1["coef"], coef, rtol=1e-9)
+    assert m1["intercept"] == pytest.approx(inter, abs=1e-8)
+    with pytest.raises(ValueError, match="decimals must cover"):
+        models.ridge_fit(df, ["a", "b"], "y", decimals={"a": 2})

@@ -30,7 +30,7 @@ MAX_PROBE_FEATURES = 64
 
 
 def ridge_fit(df: DataFrame, feature_cols: list[str], label_col: str,
-              l2: float = 1e-6) -> dict:
+              l2: float = 1e-6, decimals: dict | None = None) -> dict:
     """Closed-form ridge fit: returns ``{"cols": [...], "coef":
     ndarray(d), "intercept": float, "l2": λ, "n": rows}`` solving
     ``min ‖y − Xβ − b‖² + λ‖β‖²`` (intercept unpenalized, the sklearn
@@ -39,6 +39,15 @@ def ridge_fit(df: DataFrame, feature_cols: list[str], label_col: str,
     ONE aggregate job: Σx_i, Σx_i·x_j (upper triangle), Σx_i·y, Σy,
     Σy², n — map-side combinable, so shuffle traffic is O(d²) doubles
     total.  Driver work is an O(d³) solve on a d ≤ 64 system.
+
+    ``decimals`` (col → fixed decimal places, must cover every feature
+    and the label) switches the moment sums to EXACT integers in
+    DECIMAL(38,0) — the repo's scaled-BIGINT idiom: double summation is
+    accumulation-order-dependent, so without it the fitted coefficients
+    drift in the last ulps under a different partition count; with it
+    the fit is a pure function of the data (bit-identical under
+    repartitioning, and — for d ≤ 2, where the solve is explicit
+    Cramer — replayable by an external SQL engine).
     """
     d = len(feature_cols)
     if not 1 <= d <= MAX_PROBE_FEATURES:
@@ -48,22 +57,48 @@ def ridge_fit(df: DataFrame, feature_cols: list[str], label_col: str,
             "proper GEMM path, not a per-column aggregate.")
     if l2 < 0:
         raise ValueError(f"l2 must be >= 0, got {l2}")
-    x = [F.col(c).cast("double") for c in feature_cols]
-    y = F.col(label_col).cast("double")
+    if decimals is not None:
+        missing = [c for c in [*feature_cols, label_col]
+                   if c not in decimals]
+        if missing:
+            raise ValueError(
+                f"ridge_fit: decimals must cover every feature and the "
+                f"label; missing {missing}")
+        def _scaled(c):
+            s = 10 ** decimals[c]
+            return F.expr(f"CAST(ROUND(CAST({c} AS DOUBLE) * {s}, 0) "
+                          f"AS DECIMAL(38,0))")
+        x = [_scaled(c) for c in feature_cols]
+        y = _scaled(label_col)
+        fx = [float(10 ** decimals[c]) for c in feature_cols]
+        fy = float(10 ** decimals[label_col])
+    else:
+        x = [F.col(c).cast("double") for c in feature_cols]
+        y = F.col(label_col).cast("double")
+        fx, fy = [1.0] * d, 1.0
     aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy")]
     for i in range(d):
         aggs.append(F.sum(x[i]).alias(f"sx{i}"))
         aggs.append(F.sum(x[i] * y).alias(f"sxy{i}"))
         for j in range(i, d):
             aggs.append(F.sum(x[i] * x[j]).alias(f"sxx{i}_{j}"))
-    cond = y.isNotNull()
+    cond = F.col(label_col).isNotNull()
     for c in feature_cols:
         cond = cond & F.col(c).isNotNull()
-    row = df.where(cond).agg(*aggs).first()
-    n = row["n"]
+    row0 = df.where(cond).agg(*aggs).first()
+    n = row0["n"]
     if not n:
         raise ValueError("ridge_fit: no rows with non-null features "
                          "and label")
+    # un-scale the exact integer sums once, driver-side: sums of
+    # scaled products divide by the product of the two scales
+    row = {"n": n, "sy": float(row0["sy"]) / fy}
+    for i in range(d):
+        row[f"sx{i}"] = float(row0[f"sx{i}"]) / fx[i]
+        row[f"sxy{i}"] = float(row0[f"sxy{i}"]) / (fx[i] * fy)
+        for j in range(i, d):
+            row[f"sxx{i}_{j}"] = float(row0[f"sxx{i}_{j}"]) \
+                / (fx[i] * fx[j])
     sx = np.array([row[f"sx{i}"] for i in range(d)])
     sxy = np.array([row[f"sxy{i}"] for i in range(d)])
     xtx = np.zeros((d, d))

@@ -3963,10 +3963,95 @@ GROUP BY 1, 2
 """
 
 
+def _q_probe_scores(spark, sf_dir):
+    """Linear quality probe end-to-end (operators/models.py): ridge-fit
+    `value ~ hour + props-length` on events with EXACT DECIMAL(38,0)
+    moment sums, explicit d=2 Cramer solve, then score every event
+    with the codegen'd linear expression.  Because the sufficient
+    statistics are exact integers and every subsequent double op is
+    written out explicitly (no LAPACK, no np.dot reduction), the
+    oracle replays the ENTIRE fit in SQL — a trained-model gate, not
+    just an aggregate gate."""
+    from xpysom_dask_spark.operators import models as MDL
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        "event_id",
+        F.expr("ts DIV 3600000000000").cast("double").alias("hx"),
+        F.length("props").cast("double").alias("lp"),
+        "value")
+    m = MDL.ridge_fit(feat, ["hx", "lp"], "value", l2=1e-6,
+                      decimals={"hx": 0, "lp": 0, "value": 2})
+    return (MDL.ridge_score(feat, m)
+            .select("event_id",
+                    F.round("probe_score", 6).alias("score")))
+
+
+def _sql_probe_scores():
+    return """
+WITH f AS (
+  SELECT event_id,
+         CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS DOUBLE) AS hx,
+         CAST(length(props) AS DOUBLE) AS lp,
+         value
+  FROM events),
+b AS (
+  SELECT CAST(ROUND(hx * 1, 0) AS DECIMAL(38,0)) AS x1,
+         CAST(ROUND(lp * 1, 0) AS DECIMAL(38,0)) AS x2,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0)
+              AS DECIMAL(38,0)) AS yy
+  FROM f WHERE hx IS NOT NULL AND lp IS NOT NULL
+    AND value IS NOT NULL),
+s AS (
+  SELECT COUNT(*) AS n, SUM(yy) AS i_sy,
+         SUM(x1) AS i_sx1, SUM(x2) AS i_sx2,
+         SUM(x1 * yy) AS i_sxy1, SUM(x2 * yy) AS i_sxy2,
+         SUM(x1 * x1) AS i_sxx11, SUM(x1 * x2) AS i_sxx12,
+         SUM(x2 * x2) AS i_sxx22
+  FROM b),
+m AS (
+  SELECT CAST(n AS DOUBLE) AS n,
+         CAST(i_sy AS DOUBLE) / 100.0 AS sy,
+         CAST(i_sx1 AS DOUBLE) / 1.0 AS sx1,
+         CAST(i_sx2 AS DOUBLE) / 1.0 AS sx2,
+         CAST(i_sxy1 AS DOUBLE) / 100.0 AS sxy1,
+         CAST(i_sxy2 AS DOUBLE) / 100.0 AS sxy2,
+         CAST(i_sxx11 AS DOUBLE) / 1.0 AS sxx11,
+         CAST(i_sxx12 AS DOUBLE) / 1.0 AS sxx12,
+         CAST(i_sxx22 AS DOUBLE) / 1.0 AS sxx22
+  FROM s),
+c0 AS (
+  SELECT sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my, * FROM m),
+c1 AS (
+  SELECT mx1, mx2, my,
+         sxx11 - mx1 * sx1 + 1e-06 AS a00,
+         sxx22 - mx2 * sx2 + 1e-06 AS a11,
+         ((sxx12 - mx1 * sx2) + (sxx12 - mx2 * sx1)) / 2.0 AS a01,
+         sxy1 - mx1 * sy AS cr1,
+         sxy2 - mx2 * sy AS cr2
+  FROM c0),
+c2 AS (
+  SELECT mx1, mx2, my, a00, a11, a01, cr1, cr2,
+         a00 * a11 - a01 * a01 AS det
+  FROM c1),
+coefs AS (
+  SELECT (cr1 * a11 - a01 * cr2) / det AS w1,
+         (a00 * cr2 - cr1 * a01) / det AS w2,
+         my, mx1, mx2
+  FROM c2),
+model AS (
+  SELECT w1, w2, my - (mx1 * w1 + mx2 * w2) AS b0 FROM coefs)
+SELECT f.event_id,
+       ROUND(model.b0 + f.hx * model.w1 + f.lp * model.w2, 6) AS score
+FROM f CROSS JOIN model
+"""
+
+
 def queries_round5_staged() -> dict:
     return {
         "streaming_decontaminate": _q_streaming_decontaminate,
         "shard_layout": _q_shard_layout,
+        "probe_scores": _q_probe_scores,
     }
 
 
@@ -3974,6 +4059,7 @@ def oracle_sql_round5_staged() -> dict[str, str]:
     return {
         "streaming_decontaminate": _sql_decontaminate(),
         "shard_layout": _sql_shard_layout(),
+        "probe_scores": _sql_probe_scores(),
     }
 
 

@@ -124,8 +124,15 @@ def ridge_fit(df: DataFrame, feature_cols: list[str], label_col: str,
             (A[0, 0] * cross[1] - cross[0] * A[1, 0]) / det])
     else:
         coef = np.linalg.solve(A, cross)
+    if d <= 2:
+        # explicit scalar ops (np.dot's reduction order is BLAS's
+        # choice) so the whole d ≤ 2 fit is SQL-replayable
+        inter = my - sum(float(mx[i]) * float(coef[i])
+                         for i in range(d))
+    else:
+        inter = float(my - mx @ coef)
     return {"cols": list(feature_cols), "coef": coef,
-            "intercept": float(my - mx @ coef), "l2": float(l2),
+            "intercept": float(inter), "l2": float(l2),
             "n": int(n)}
 
 

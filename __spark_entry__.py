@@ -4047,11 +4047,31 @@ FROM f CROSS JOIN model
 """
 
 
+def _q_bpe_subwords(spark, sf_dir):
+    """BPE tokenizer end-to-end (operators/bpe.py): train 40 merges on
+    the corpus, encode every document, report per-doc subword counts
+    and the corpus compression the merges bought.  No SQL oracle — the
+    merge table comes from an iterative argmax a SQL engine can't
+    replay — so this stages as a rows-only gate (the embedding_pca
+    precedent); correctness is carried by the reference-differential
+    suite in tests/test_bpe.py."""
+    from xpysom_dask_spark.operators import bpe as BPE
+
+    docs = _docs(spark, sf_dir)
+    merges = BPE.learn_bpe(docs, "text", num_merges=40)
+    enc = BPE.bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_subwords"),
+        (F.length("text") + 1).alias("n_chars_eow"))
+
+
 def queries_round5_staged() -> dict:
     return {
         "streaming_decontaminate": _q_streaming_decontaminate,
         "shard_layout": _q_shard_layout,
         "probe_scores": _q_probe_scores,
+        "bpe_subwords": _q_bpe_subwords,       # rows-only (no oracle)
     }
 
 

@@ -35,11 +35,25 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_every_staged_query_has_an_oracle():
-    assert set(STAGED) == set(ORACLES)
+def test_every_staged_oracle_has_a_query():
+    assert set(ORACLES) <= set(STAGED)
+    # rows-only staged entries (no SQL-expressible oracle), by name
+    assert set(STAGED) - set(ORACLES) == {"bpe_subwords"}
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+def test_rows_only_staged_queries_run(spark):
+    for name in set(STAGED) - set(ORACLES):
+        df = STAGED[name](spark, SF_TINY)
+        rows = df.collect()
+        assert len(rows) > 0 and df.columns
+        if name == "bpe_subwords":
+            # merges compress: total subwords strictly below the
+            # character+EOW count a merge-free encoding would emit
+            assert sum(r["n_subwords"] for r in rows) < \
+                sum(r["n_chars_eow"] for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_staged_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)
     srows = sdf.collect()

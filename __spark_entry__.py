@@ -1362,13 +1362,18 @@ def _q_embedding_quantize(spark, sf_dir):
     scale + 0.5) — the 4× storage cut every 100 TB embedding column
     takes.  All arithmetic is bit-identical on both engines (same
     double ops in the same order), so NO rounding is needed: scale,
-    qvec, and max_abs_err hash-match raw."""
+    qvec, and max_abs_err hash-match raw.  qvec is serialized to a
+    space-joined string for the gate (the driver's pandas
+    canonicalizer cannot sort/factorize list columns — r4 TypeError)."""
     from xpysom_dask_spark.operators import embeddings as EMB
 
     q = EMB.quantization_error(EMB.quantize_int8(_emb(spark, sf_dir)))
-    return q.select("vec_id", "scale",
-                    F.col("qvec").cast("array<int>").alias("qvec"),
-                    "max_abs_err")
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(
+            F.transform(F.col("qvec").cast("array<int>"),
+                        lambda x: x.cast("string")), " ").alias("qvec"),
+        "max_abs_err")
 
 
 def _sql_embedding_quantize():
@@ -1381,8 +1386,9 @@ s AS (SELECT vec_id, embedding,
              CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
       FROM a)
 SELECT vec_id, scale,
-  [CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS INTEGER)
-   FOR v IN embedding] AS qvec,
+  array_to_string([CAST(CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                             AS INTEGER) AS VARCHAR)
+                   FOR v IN embedding], ' ') AS qvec,
   list_max([abs(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) * scale
                 - CAST(embedding[i] AS DOUBLE))
             FOR i IN range(1, 65)]) AS max_abs_err
@@ -1915,9 +1921,16 @@ def _q_text_token_ids(spark, sf_dir):
     frequency-rank token-id sequence — the encode step between
     curation and sequence packing; the only single-partition sort is
     the ranking window over the post-aggregate vocabulary (distinct
-    terms, never corpus rows)."""
-    return T.encode_token_ids(_docs(spark, sf_dir), "text", "doc_id") \
+    terms, never corpus rows).  The id array is serialized to a
+    space-joined string for the gate: the driver's pandas
+    canonicalizer cannot sort/factorize list columns (r4 TypeError),
+    and a scalar projection hashes identically on both engines."""
+    out = T.encode_token_ids(_docs(spark, sf_dir), "text", "doc_id") \
         .withColumnRenamed("id", "doc_id")
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")),
+                     " ").alias("ids"))
 
 
 def _sql_text_token_ids():
@@ -1930,7 +1943,8 @@ toks AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
 vocab AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
 ranked AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)
                AS token_id FROM vocab)
-SELECT doc_id, list(token_id ORDER BY pos) AS ids
+SELECT doc_id,
+       string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS ids
 FROM toks JOIN ranked USING (term)
 GROUP BY doc_id
 """
@@ -2892,10 +2906,10 @@ ORDER BY o_orderpriority
 #: high/low-priority conditional aggregation
 _TPCH_Q12_SQL = """
 SELECT l_returnflag AS ship_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE ((l_returnflag = 'R' AND l_quantity <= 20)
@@ -3603,24 +3617,122 @@ def _q_ann_kmeans_ivf(spark, sf_dir):
 
 
 def _q_embedding_pca(spark, sf_dir):
-    """PCA projection (operators/embeddings.py pca_fit + pca_project):
-    one distributed (n, Σx, ΣxxT) moments pass → driver dim×dim eigh
-    (sign-fixed) → broadcast-GEMM projection onto the top-4 whitened
-    components.  No SQL oracle (the eigensolve isn't expressible);
-    the driver records the rows-only check, and
-    tests/test_embeddings.py verifies the basis and projection
-    against numpy to 1e-12."""
+    """PCA as a trained-model gate (operators/embeddings.py
+    pca_fit_2d + pca_project_2d): the fit's sufficient statistics are
+    EXACT DECIMAL(38,0) integer sums, the 2×2 eigensolve is an
+    explicit closed-form double-op sequence (no LAPACK), and the
+    whitened projection is a codegen'd column expression — so the
+    oracle replays the ENTIRE fit + projection in SQL and
+    hash-matches (the probe_scores pattern; r4's `no_oracle` slot is
+    gone).  The dim×64 `pca_fit`/`pca_project` pair (driver eigh +
+    broadcast-GEMM projection) keeps its numpy-differential coverage
+    in tests/test_embeddings.py — eigh at d>2 isn't SQL-replayable.
+    Outputs are scaled-BIGINT micro-units (floor(pc·1e6 + 0.5)):
+    integer columns hash identically across engines with no float
+    canonicalization edge (-0.0, HALF_UP-vs-banker's)."""
     from xpysom_dask_spark.operators import embeddings as EMB
 
-    emb = _emb(spark, sf_dir)
-    model = EMB.pca_fit(emb, dim=64, n_components=4)
-    out = EMB.pca_project(emb, model, whiten=True, keep=["label"])
+    d = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.element_at("embedding", 1).cast("double").alias("f1"),
+        F.element_at("embedding", 33).cast("double").alias("f2"))
+    model = EMB.pca_fit_2d(d, "f1", "f2", decimals=6)
+    out = EMB.pca_project_2d(d, model, "f1", "f2", whiten=True)
     return out.select(
         "vec_id", "label",
-        F.round(F.element_at("pc", 1), 6).alias("pc1"),
-        F.round(F.element_at("pc", 2), 6).alias("pc2"),
-        F.round(F.element_at("pc", 3), 6).alias("pc3"),
-        F.round(F.element_at("pc", 4), 6).alias("pc4"))
+        F.expr("CAST(FLOOR(pc1 * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("pc1_e6"),
+        F.expr("CAST(FLOOR(pc2 * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("pc2_e6"))
+
+
+def _sql_embedding_pca():
+    # replays pca_fit_2d + pca_project_2d op-for-op: exact DECIMAL
+    # moments → closed-form 2×2 eigensolve → sign fix → whiten →
+    # project; every double op appears in the same order as the
+    # Python/codegen side, so the integer outputs are bit-exact
+    proj = ("(((f1 - m1) * {ea} + (f2 - m2) * {eb}) * {w})"
+            " * 1000000.0 + 0.5")
+    return f"""
+WITH f AS (
+  SELECT vec_id, label,
+         CAST(embedding[1] AS DOUBLE) AS f1,
+         CAST(embedding[33] AS DOUBLE) AS f2
+  FROM embeddings),
+b AS (
+  SELECT CAST(ROUND(f1 * 1000000, 0) AS DECIMAL(38,0)) AS q1,
+         CAST(ROUND(f2 * 1000000, 0) AS DECIMAL(38,0)) AS q2
+  FROM f WHERE f1 IS NOT NULL AND f2 IS NOT NULL),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(q1) AS i1, SUM(q2) AS i2,
+         SUM(q1 * q1) AS i11, SUM(q1 * q2) AS i12,
+         SUM(q2 * q2) AS i22
+  FROM b),
+m AS (
+  SELECT CAST(n AS DOUBLE) AS nf,
+         CAST(i1 AS DOUBLE) / 1000000.0 AS s1,
+         CAST(i2 AS DOUBLE) / 1000000.0 AS s2,
+         CAST(i11 AS DOUBLE) / 1000000000000.0 AS s11,
+         CAST(i12 AS DOUBLE) / 1000000000000.0 AS s12,
+         CAST(i22 AS DOUBLE) / 1000000000000.0 AS s22
+  FROM s),
+c0 AS (SELECT s1 / nf AS m1, s2 / nf AS m2, * FROM m),
+c1 AS (
+  SELECT m1, m2,
+         (s11 - m1 * s1) / (nf - 1.0) AS a,
+         (s12 - m1 * s2) / (nf - 1.0) AS b,
+         (s22 - m2 * s2) / (nf - 1.0) AS c
+  FROM c0),
+c2 AS (
+  SELECT m1, m2, a, b, c,
+         (a + c) / 2.0 AS mid, (a - c) / 2.0 AS dif
+  FROM c1),
+c3 AS (
+  SELECT m1, m2, a, b, c, mid,
+         sqrt(dif * dif + b * b) AS disc
+  FROM c2),
+c4 AS (
+  SELECT m1, m2, a, b, c,
+         mid + disc AS l1, mid - disc AS l2
+  FROM c3),
+c5 AS (
+  SELECT m1, m2, l1, l2,
+         CASE WHEN b <> 0.0 THEN b / sqrt(b * b + (l1 - a) * (l1 - a))
+              WHEN a >= c THEN 1.0 ELSE 0.0 END AS r11,
+         CASE WHEN b <> 0.0
+              THEN (l1 - a) / sqrt(b * b + (l1 - a) * (l1 - a))
+              WHEN a >= c THEN 0.0 ELSE 1.0 END AS r12
+  FROM c4),
+c6 AS (
+  SELECT m1, m2, l1, l2, r11, r12,
+         -r12 AS r21, r11 AS r22
+  FROM c5),
+c7 AS (
+  SELECT m1, m2, l1, l2, r11, r12, r21, r22,
+         CASE WHEN abs(r11) >= abs(r12)
+              THEN CASE WHEN r11 < 0.0 THEN -1.0 ELSE 1.0 END
+              ELSE CASE WHEN r12 < 0.0 THEN -1.0 ELSE 1.0 END
+         END AS g1,
+         CASE WHEN abs(r21) >= abs(r22)
+              THEN CASE WHEN r21 < 0.0 THEN -1.0 ELSE 1.0 END
+              ELSE CASE WHEN r22 < 0.0 THEN -1.0 ELSE 1.0 END
+         END AS g2
+  FROM c6),
+model AS (
+  SELECT m1, m2,
+         r11 * g1 AS e11, r12 * g1 AS e12,
+         r21 * g2 AS e21, r22 * g2 AS e22,
+         1.0 / sqrt(CASE WHEN l1 > 1e-12 THEN l1 ELSE 1e-12 END) AS w1,
+         1.0 / sqrt(CASE WHEN l2 > 1e-12 THEN l2 ELSE 1e-12 END) AS w2
+  FROM c7)
+SELECT f.vec_id, f.label,
+       CAST(FLOOR({proj.format(ea='e11', eb='e12', w='w1')})
+            AS BIGINT) AS pc1_e6,
+       CAST(FLOOR({proj.format(ea='e21', eb='e22', w='w2')})
+            AS BIGINT) AS pc2_e6
+FROM f CROSS JOIN model
+"""
 
 
 # --------------------------------------------------------------------- #
@@ -5071,9 +5183,11 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "kmeans_assign": _sql_kmeans_assign(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "token_budget_mix": _sql_token_budget_mix(),
-        # embedding_pca: no SQL twin (driver records rows-only) — the
-        # eigensolve is not SQL-expressible; numpy-differential tests
-        # cover the numerics (tests/test_embeddings.py)
+        # embedding_pca: full fit+projection replay (exact DECIMAL
+        # moments + closed-form 2×2 eigensolve, the probe_scores
+        # pattern); the d=64 eigh path keeps its numpy-differential
+        # coverage in tests/test_embeddings.py
+        "embedding_pca": _sql_embedding_pca(),
         "corpus_diff": _sql_corpus_diff(),
         "events_funnel": _sql_events_funnel(),
         "events_retention": _sql_events_retention(),

@@ -1,0 +1,104 @@
+"""Driver-twin check for NAMED queries: gate_twin's compare over an
+explicit query list instead of a head slice.
+
+Usage: python tools/gate_pick.py [--sf DIR] name [name ...]
+Also resolves names staged in queries_round5_staged() if present.
+"""
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import duckdb
+
+import __spark_entry__ as entrymod
+from xpysom_dask_spark.session import make_session
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    ms = sorted(repr(tuple(_norm(r[i]) for i in order)) for r in rows)
+    h = hashlib.sha256()
+    for r in ms:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and args[0] == "--sf":
+        sf_dir = args[1]
+        args = args[2:]
+    names = args
+    spark = make_session("gate-pick")
+    queries = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql(ivf_sf_dir=sf_dir))
+    if hasattr(entrymod, "queries_round5_staged"):
+        for k, v in entrymod.queries_round5_staged().items():
+            queries.setdefault(k, v)
+        for k, v in entrymod.oracle_sql_round5_staged().items():
+            oracles.setdefault(k, v)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    results = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            if name not in oracles:
+                results[name] = {"rows": len(srows), "oracle": "none",
+                                 "sec": round(time.time() - t0, 2)}
+                print(name, results[name], flush=True)
+                continue
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            rows_match = len(srows) == len(drows)
+            schema_match = sorted(scols) == sorted(dcols)
+            hash_match = (_hash(scols, [tuple(r) for r in srows])
+                          == _hash(dcols, drows)) \
+                if rows_match and schema_match else False
+            results[name] = {"rows_match": rows_match,
+                             "schema_match": schema_match,
+                             "hash_match": hash_match,
+                             "spark_rows": len(srows),
+                             "oracle_rows": len(drows),
+                             "sec": round(time.time() - t0, 2)}
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {"err": f"{type(exc).__name__}: {exc}"[:400],
+                             "sec": round(time.time() - t0, 2)}
+        print(name, results[name], flush=True)
+
+    bad = {k: v for k, v in results.items()
+           if v.get("err") or not v.get("hash_match",
+                                        v.get("rows") is not None)}
+    print("===SUMMARY===")
+    print(json.dumps({"checked": len(results), "bad": list(bad)},
+                     indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -383,6 +383,118 @@ def pca_project(df: DataFrame, model: dict,
             .withColumnRenamed("pc", out_col))
 
 
+def pca_fit_2d(df: DataFrame, f1_col: str, f2_col: str,
+               decimals: int = 6) -> dict:
+    """Exact-moments PCA over TWO scalar features: the deterministic,
+    partitioning-independent small-d path (the `ridge_fit` d ≤ 2 idiom,
+    operators/models.py).
+
+    The sufficient statistics (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂²) are
+    EXACT integers — inputs quantized to ``decimals`` places and summed
+    in DECIMAL(38,0), so the moments are a pure function of the data
+    (double summation is accumulation-order-dependent; exact integer
+    sums are not).  The 2×2 eigensolve is then written as an EXPLICIT
+    closed-form double-op sequence (no LAPACK): every op below is a
+    single IEEE-754 double operation an external SQL engine can replay
+    bit-for-bit — which makes the whole fit oracle-checkable, unlike
+    ``pca_fit``'s dim×dim ``eigh``.
+
+    Sign convention matches ``pca_fit``: each component's
+    largest-|entry| coordinate is made positive.  Returns
+    ``{"mean": (m1, m2), "components": ((e11, e12), (e21, e22)),
+    "explained_variance": (l1, l2), "n": n}``.
+    """
+    import math
+
+    s = 10 ** decimals
+
+    def _q(c):
+        return F.expr(f"CAST(ROUND(CAST({c} AS DOUBLE) * {s}, 0) "
+                      f"AS DECIMAL(38,0))")
+
+    x1, x2 = _q(f1_col), _q(f2_col)
+    r = (df.where(F.col(f1_col).isNotNull()
+                  & F.col(f2_col).isNotNull())
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+              F.sum(x1 * x1).alias("s11"),
+              F.sum(x1 * x2).alias("s12"),
+              F.sum(x2 * x2).alias("s22")).first())
+    n = int(r["n"])
+    if n < 2:
+        raise ValueError(f"pca_fit_2d: need >= 2 rows, got {n}")
+    fs = float(s)
+    nf = float(n)
+    # un-scale the exact integer sums once (products divide by s²)
+    s1 = float(r["s1"]) / fs
+    s2 = float(r["s2"]) / fs
+    s11 = float(r["s11"]) / (fs * fs)
+    s12 = float(r["s12"]) / (fs * fs)
+    s22 = float(r["s22"]) / (fs * fs)
+    m1 = s1 / nf
+    m2 = s2 / nf
+    # covariance via sums (the pca_fit shape, spelled op-by-op)
+    a = (s11 - m1 * s1) / (nf - 1.0)
+    b = (s12 - m1 * s2) / (nf - 1.0)
+    c = (s22 - m2 * s2) / (nf - 1.0)
+    mid = (a + c) / 2.0
+    dif = (a - c) / 2.0
+    disc = math.sqrt(dif * dif + b * b)
+    l1 = mid + disc
+    l2 = mid - disc
+    if b != 0.0:
+        u1 = b
+        u2 = l1 - a
+        nrm = math.sqrt(u1 * u1 + u2 * u2)
+        e11 = u1 / nrm
+        e12 = u2 / nrm
+    elif a >= c:
+        e11, e12 = 1.0, 0.0
+    else:
+        e11, e12 = 0.0, 1.0
+    e21, e22 = -e12, e11
+
+    def _fix(p, q):
+        sgn = (-1.0 if p < 0.0 else 1.0) if abs(p) >= abs(q) \
+            else (-1.0 if q < 0.0 else 1.0)
+        return p * sgn, q * sgn
+
+    e11, e12 = _fix(e11, e12)
+    e21, e22 = _fix(e21, e22)
+    return {"mean": (m1, m2), "components": ((e11, e12), (e21, e22)),
+            "explained_variance": (l1, l2), "n": n}
+
+
+def pca_project_2d(df: DataFrame, model: dict, f1_col: str,
+                   f2_col: str, whiten: bool = False,
+                   out_cols: tuple[str, str] = ("pc1", "pc2"),
+                   var_floor: float = 1e-12) -> DataFrame:
+    """Project onto a ``pca_fit_2d`` basis as pure codegen'd column
+    expressions — whole-stage, no UDF, no shuffle: the shape that
+    projects 100 TB at scan speed.  The expression text fixes the
+    double-op order (``((x1−m1)·e + (x2−m2)·e)·w``), so results are
+    bit-identical to any engine replaying the same expression."""
+    import math
+
+    (m1, m2) = model["mean"]
+    ((e11, e12), (e21, e22)) = model["components"]
+    (l1, l2) = model["explained_variance"]
+    if whiten:
+        w1 = 1.0 / math.sqrt(l1 if l1 > var_floor else var_floor)
+        w2 = 1.0 / math.sqrt(l2 if l2 > var_floor else var_floor)
+    else:
+        w1 = w2 = 1.0
+
+    def _proj(ea, eb, w):
+        return F.expr(
+            f"((CAST({f1_col} AS DOUBLE) - ({m1!r})) * ({ea!r}) + "
+            f"(CAST({f2_col} AS DOUBLE) - ({m2!r})) * ({eb!r})) "
+            f"* ({w!r})")
+
+    return (df.withColumn(out_cols[0], _proj(e11, e12, w1))
+            .withColumn(out_cols[1], _proj(e21, e22, w2)))
+
+
 def label_centroids(df: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label", dim: int = 64,
                     decimals: int = 6) -> DataFrame:

@@ -4069,7 +4069,7 @@ WITH n AS (
                   (SUM(n_chars) + {b - 1}) // {b}) AS n_shards
   FROM documents)
 SELECT ({raw}) % (SELECT n_shards FROM n) AS shard, source,
-       COUNT(*) AS rows, SUM(n_chars) AS bytes
+       COUNT(*) AS rows, CAST(SUM(n_chars) AS BIGINT) AS bytes
 FROM documents
 GROUP BY 1, 2
 """
@@ -4159,23 +4159,130 @@ FROM f CROSS JOIN model
 """
 
 
+_BPE_GATE_MERGES = 40
+
+
 def _q_bpe_subwords(spark, sf_dir):
     """BPE tokenizer end-to-end (operators/bpe.py): train 40 merges on
     the corpus, encode every document, report per-doc subword counts
-    and the corpus compression the merges bought.  No SQL oracle — the
-    merge table comes from an iterative argmax a SQL engine can't
-    replay — so this stages as a rows-only gate (the embedding_pca
-    precedent); correctness is carried by the reference-differential
-    suite in tests/test_bpe.py."""
+    and the corpus compression the merges bought.  Full SQL oracle
+    (reworked from the r4 rows-only staging, which the driver records
+    as err): the oracle builder re-learns the merge table with an
+    independent pure-Python reference loop over DuckDB word counts
+    (the tests/test_bpe.py reference algorithm), embeds it as a rank
+    CASE, and replays the greedy lowest-rank-leftmost encoder with a
+    recursive CTE — so corpus tokenization, the learned merges, AND
+    the encoder are all cross-checked, not just row counts."""
     from xpysom_dask_spark.operators import bpe as BPE
 
     docs = _docs(spark, sf_dir)
-    merges = BPE.learn_bpe(docs, "text", num_merges=40)
+    merges = BPE.learn_bpe(docs, "text", num_merges=_BPE_GATE_MERGES)
     enc = BPE.bpe_encode(docs, "text", merges)
     return enc.select(
         "doc_id",
-        F.size("bpe_tokens").alias("n_subwords"),
-        (F.length("text") + 1).alias("n_chars_eow"))
+        F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        (F.length("text") + 1).cast("long").alias("n_chars_eow"))
+
+
+def _bpe_oracle_merges(sf_dir: str, num_merges: int = _BPE_GATE_MERGES,
+                       min_count: int = 2) -> list[tuple[str, str]]:
+    """Independent merge-table replay for the bpe_subwords oracle:
+    DuckDB computes the (word, count) vocabulary with the same
+    tokenizer the SQL twin uses, then a pure-Python reference merge
+    loop (the tests/test_bpe.py algorithm: apply-all rewrite, argmax
+    with (count DESC, pair ASC) tie-break, min_count early stop)
+    produces the ordered merges — no engine code involved."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT w, COUNT(*) AS c FROM (SELECT unnest("
+        f"{_duck_tokens('text')}) AS w FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')) GROUP BY w"
+    ).fetchall()
+    con.close()
+    vocab: dict[tuple, int] = {}
+    for w, c in rows:
+        syms = tuple(list(w) + ["</w>"])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        out: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            s, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    s.append(a + b)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            t = tuple(s)
+            out[t] = out.get(t, 0) + c
+        vocab = out
+    return merges
+
+
+def _sql_bpe_subwords(sf_dir: str = _ORACLE_SF_DIR):
+    # greedy BPE encoder as a recursive CTE: each step merges the
+    # LEFTMOST occurrence of the LOWEST-rank applicable pair (exactly
+    # operators/bpe.py encode_word); a word's terminal state is its
+    # minimum-length row, so only counts survive the recursion
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    merges = _bpe_oracle_merges(sf_dir)
+    whens = " ".join(f"WHEN '{_sq(l)} {_sq(r)}' THEN {k}"
+                     for k, (l, r) in enumerate(merges))
+    rank_case = (f"CASE syms[i] || ' ' || syms[i + 1] {whens} "
+                 f"ELSE NULL END")
+    return f"""
+WITH RECURSIVE
+wtoks AS (
+  SELECT doc_id, unnest({_duck_tokens('text')}) AS word
+  FROM documents),
+words AS (SELECT DISTINCT word FROM wtoks),
+enc AS (
+  SELECT word,
+         list_append([substring(word, i, 1)
+                      FOR i IN range(1, length(word) + 1)],
+                     '</w>') AS syms
+  FROM words
+  UNION ALL
+  SELECT word,
+         syms[1:bi-1] || [syms[bi] || syms[bi+1]]
+                      || syms[bi+2:len(syms)] AS syms
+  FROM (
+    SELECT word, syms,
+           list_position(rks,
+             list_min(list_filter(rks, x -> x IS NOT NULL))) AS bi
+    FROM (
+      SELECT word, syms,
+             [{rank_case} FOR i IN range(1, len(syms))] AS rks
+      FROM enc) t1) t2
+  WHERE bi IS NOT NULL),
+wn AS (SELECT word, MIN(len(syms)) AS n_sub FROM enc GROUP BY word),
+per_doc AS (
+  SELECT t.doc_id, SUM(w.n_sub) AS n_subwords
+  FROM wtoks t JOIN wn w USING (word) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+       CAST(length(d.text) + 1 AS BIGINT) AS n_chars_eow
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 def queries_round5_staged() -> dict:
@@ -4183,15 +4290,19 @@ def queries_round5_staged() -> dict:
         "streaming_decontaminate": _q_streaming_decontaminate,
         "shard_layout": _q_shard_layout,
         "probe_scores": _q_probe_scores,
-        "bpe_subwords": _q_bpe_subwords,       # rows-only (no oracle)
+        "bpe_subwords": _q_bpe_subwords,
     }
 
 
-def oracle_sql_round5_staged() -> dict[str, str]:
+def oracle_sql_round5_staged(sf_dir: str = _ORACLE_SF_DIR
+                             ) -> dict[str, str]:
     return {
         "streaming_decontaminate": _sql_decontaminate(),
         "shard_layout": _sql_shard_layout(),
         "probe_scores": _sql_probe_scores(),
+        # data-dependent twin: the merge table is re-learned from the
+        # corpus at sf_dir by an independent reference loop
+        "bpe_subwords": _sql_bpe_subwords(sf_dir),
     }
 
 

@@ -19,7 +19,7 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 STAGED = entrymod.queries_round5_staged()
-ORACLES = entrymod.oracle_sql_round5_staged()
+ORACLES = entrymod.oracle_sql_round5_staged(SF_TINY)
 
 
 def _norm(v):
@@ -36,21 +36,19 @@ def _multiset(cols, rows):
 
 
 def test_every_staged_oracle_has_a_query():
-    assert set(ORACLES) <= set(STAGED)
-    # rows-only staged entries (no SQL-expressible oracle), by name
-    assert set(STAGED) - set(ORACLES) == {"bpe_subwords"}
+    # every staged entry now carries a full SQL oracle (bpe_subwords
+    # was reworked from rows-only: the driver has no rows-only mode,
+    # it records a missing oracle as err)
+    assert set(ORACLES) == set(STAGED)
 
 
-def test_rows_only_staged_queries_run(spark):
-    for name in set(STAGED) - set(ORACLES):
-        df = STAGED[name](spark, SF_TINY)
-        rows = df.collect()
-        assert len(rows) > 0 and df.columns
-        if name == "bpe_subwords":
-            # merges compress: total subwords strictly below the
-            # character+EOW count a merge-free encoding would emit
-            assert sum(r["n_subwords"] for r in rows) < \
-                sum(r["n_chars_eow"] for r in rows)
+def test_bpe_subwords_compresses(spark):
+    # merges compress: total subwords strictly below the
+    # character+EOW count a merge-free encoding would emit
+    rows = STAGED["bpe_subwords"](spark, SF_TINY).collect()
+    assert len(rows) > 0
+    assert sum(r["n_subwords"] for r in rows) < \
+        sum(r["n_chars_eow"] for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -4285,95 +4285,30 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-def queries_round5_staged() -> dict:
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
+    # oracle-checks the FIRST 50 entries each round
+    # (list(queries())[:50]).  Round-5 head (tools/rotate_gate.py +
+    # the never-green rule): 4 NEW queries promoted from the round-4
+    # staging area, 4 entries that have never had a GREEN row (red in
+    # r4 for output-shape reasons, fixed this round), the 26 queries
+    # whose newest evidence is round 2, and the 16 oldest round-3
+    # entries.  r3 ∪ r4 ∪ r5 covers all 130 declared queries.  See
+    # SURVEY.md §8 and tests/test_gate_coverage.py before reordering.
     return {
+        # -- new in round 5 (4): promoted verbatim from the round-4
+        # staging area (queries_round5_staged) --
         "streaming_decontaminate": _q_streaming_decontaminate,
         "shard_layout": _q_shard_layout,
         "probe_scores": _q_probe_scores,
         "bpe_subwords": _q_bpe_subwords,
-    }
-
-
-def oracle_sql_round5_staged(sf_dir: str = _ORACLE_SF_DIR
-                             ) -> dict[str, str]:
-    return {
-        "streaming_decontaminate": _sql_decontaminate(),
-        "shard_layout": _sql_shard_layout(),
-        "probe_scores": _sql_probe_scores(),
-        # data-dependent twin: the merge table is re-learned from the
-        # corpus at sf_dir by an independent reference loop
-        "bpe_subwords": _sql_bpe_subwords(sf_dir),
-    }
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
-    # oracle-checks the FIRST 50 entries each round (list(queries())[:50]).
-    # Round-4 ordering puts every query WITHOUT a round-3 CORRECTNESS row
-    # in the first 50 slots — 20 never-checked + 4 new TPC-H + 26 checked
-    # in r2 only — so r3 ∪ r4 covers all 100 declared queries.  See
-    # SURVEY.md §8 and tests/test_gate_coverage.py before reordering.
-    return {
-        # -- never oracle-checked before round 4 (20) --
-        "decontaminate": _q_decontaminate,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "dedup_incremental": _q_dedup_incremental,
-        "zorder_key": _q_zorder_key,
-        "dedup_spans": _q_dedup_spans,
-        "events_rollup": _q_events_rollup,
-        "events_pivot": _q_events_pivot,
-        "events_moving_avg": _q_events_moving_avg,
-        "events_json_stats": _q_events_json_stats,
-        "table_profile": _q_table_profile,
-        "data_quality": _q_data_quality,
-        "text_vocab": _q_text_vocab,
-        "text_lm_score": _q_text_lm_score,
-        "text_token_ids": _q_text_token_ids,
-        "pii_redact": _q_pii_redact,
-        "source_quota": _q_source_quota,
-        "importance_sample": _q_importance_sample,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "embedding_quantize": _q_embedding_quantize,
-        "label_centroids": _q_label_centroids,
-        "ann_recall_curve": _q_ann_recall_curve,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "streaming_qe_drift": _q_streaming_qe_drift,
-        # -- new in round-4 session 2 (7): never-verified → head slots --
-        "hamming_topk": _q_hamming_topk,
-        "kmeans_assign": _q_kmeans_assign,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "token_budget_mix": _q_token_budget_mix,
-        "embedding_pca": _q_embedding_pca,
-        "binary_rerank": _q_binary_rerank,
-        "contamination_report": _q_contamination_report,
-        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
-        # -- new in round 4 (12): never-verified, so they take head
-        # slots per the rotation policy (full TPC-H coverage:
-        # q2/q9/q11/q16/q20 via the partsupp bridge, q17/q21/q22
-        # adapted to the synthetic schema) --
-        "tpch_q4": _q_tpch_q4,
+        # -- never GREEN (red in r4 on output shape; fixed): must
+        # stay in the head until each has a green driver row --
         "tpch_q12": _q_tpch_q12,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        # -- new in round 4 (never checked; must sit in the head-50) --
-        "upsample_mix": _q_upsample_mix,
-        "split_no_leakage": _q_split_no_leakage,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "events_regr": _q_events_regr,
-        "hard_negatives": _q_hard_negatives,
-        "weighted_sample": _q_weighted_sample,
-        # -- last checked in round 2 (the rest moved to the tail to
-        # make room for the new queries — they keep their archived r2
-        # evidence and rotate back in round 5) --
+        "text_token_ids": _q_text_token_ids,
+        "embedding_quantize": _q_embedding_quantize,
+        "embedding_pca": _q_embedding_pca,
+        # -- newest evidence is round 2 (26): rotate back in --
         "knn_cosine": _q_knn_cosine,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
@@ -4388,7 +4323,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "sample_hash": _q_sample_hash,
-        # -- checked green in round 3 (50) --
+        "split_by_hash": _q_split_by_hash,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_report": _q_corpus_report,
+        "streaming_dedup": _q_streaming_dedup,
+        "top_terms": _q_top_terms,
+        "som_classify": _q_som_classify,
+        "som_anomalies": _q_som_anomalies,
+        "text_gopher": _q_text_gopher,
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
+        "mixture_resample": _q_mixture_resample,
+        # -- oldest round-3 evidence (16): refresh before any query
+        # goes 3 rounds without a row --
         "som_predict": _q_som_predict,
         "ab_report": _q_ab_report,
         "doc_length_buckets": _q_doc_length_buckets,
@@ -4405,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q18": _q_tpch_q18,
         "tpch_q14": _q_tpch_q14,
+        # ---------------- tail (slots 51+): r3-green ----------------
         "tpch_q3": _q_tpch_q3,
         "corpus_diff": _q_corpus_diff,
         "events_funnel": _q_events_funnel,
@@ -4439,21 +4388,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        # -- displaced from the head by the 12 new round-4 queries;
-        # each has an archived green r2 row, rotate back into the
-        # head in round 5 --
-        "split_by_hash": _q_split_by_hash,
-        "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
-        "corpus_report": _q_corpus_report,
-        "streaming_dedup": _q_streaming_dedup,
-        "top_terms": _q_top_terms,
-        "som_classify": _q_som_classify,
-        "som_anomalies": _q_som_anomalies,
-        "text_gopher": _q_text_gopher,
-        "events_asof": _q_events_asof,
-        "events_interval": _q_events_interval,
-        "mixture_resample": _q_mixture_resample,
+        # ---------------- tail: r4-green ----------------
+        "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "dedup_incremental": _q_dedup_incremental,
+        "zorder_key": _q_zorder_key,
+        "dedup_spans": _q_dedup_spans,
+        "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_json_stats": _q_events_json_stats,
+        "table_profile": _q_table_profile,
+        "data_quality": _q_data_quality,
+        "text_vocab": _q_text_vocab,
+        "text_lm_score": _q_text_lm_score,
+        "pii_redact": _q_pii_redact,
+        "source_quota": _q_source_quota,
+        "importance_sample": _q_importance_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "label_centroids": _q_label_centroids,
+        "ann_recall_curve": _q_ann_recall_curve,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_qe_drift": _q_streaming_qe_drift,
+        "hamming_topk": _q_hamming_topk,
+        "kmeans_assign": _q_kmeans_assign,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "token_budget_mix": _q_token_budget_mix,
+        "binary_rerank": _q_binary_rerank,
+        "contamination_report": _q_contamination_report,
+        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "upsample_mix": _q_upsample_mix,
+        "split_no_leakage": _q_split_no_leakage,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "events_regr": _q_events_regr,
+        "hard_negatives": _q_hard_negatives,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -5257,6 +5238,15 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 5 from the round-4 staging area --
+        # streaming decontamination is stateless, so the drained
+        # stream equals batch `decontaminate` exactly: same SQL twin
+        "streaming_decontaminate": _sql_decontaminate(),
+        "shard_layout": _sql_shard_layout(),
+        "probe_scores": _sql_probe_scores(),
+        # data-dependent twin: merge table re-learned from the corpus
+        # at ivf_sf_dir by an independent reference loop
+        "bpe_subwords": _sql_bpe_subwords(ivf_sf_dir),
         "som_predict": _sql_som_predict(),
         "ab_report": _sql_ab_report(),
         "doc_length_buckets": _sql_doc_length_buckets(),

@@ -1,6 +1,6 @@
-"""Round-5 STAGED gate queries vs their oracles at sf0.001 — same
-comparison as test_oracle_parity, for entries not yet in queries()
-(the round-4 head-50 is full; SURVEY.md §8 round-5 queue)."""
+"""Round-5 promoted gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for the four entries promoted from
+the round-4 staging area into the graded head-50 (SURVEY.md §8)."""
 
 import math
 import os
@@ -18,8 +18,8 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-STAGED = entrymod.queries_round5_staged()
-ORACLES = entrymod.oracle_sql_round5_staged(SF_TINY)
+PROMOTED = ("streaming_decontaminate", "shard_layout", "probe_scores",
+            "bpe_subwords")
 
 
 def _norm(v):
@@ -35,31 +35,36 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_every_staged_oracle_has_a_query():
-    # every staged entry now carries a full SQL oracle (bpe_subwords
-    # was reworked from rows-only: the driver has no rows-only mode,
-    # it records a missing oracle as err)
-    assert set(ORACLES) == set(STAGED)
+def test_promoted_queries_sit_in_the_graded_head():
+    # the driver checks queries()[:50]; a promoted entry outside the
+    # head would never get its first driver row
+    names = list(entrymod.queries())
+    for name in PROMOTED:
+        assert names.index(name) < 50, name
+    oracles = entrymod.oracle_sql()
+    for name in PROMOTED:
+        assert name in oracles, f"{name} lost its oracle"
 
 
 def test_bpe_subwords_compresses(spark):
     # merges compress: total subwords strictly below the
     # character+EOW count a merge-free encoding would emit
-    rows = STAGED["bpe_subwords"](spark, SF_TINY).collect()
+    rows = entrymod.queries()["bpe_subwords"](spark, SF_TINY).collect()
     assert len(rows) > 0
     assert sum(r["n_subwords"] for r in rows) < \
         sum(r["n_chars_eow"] for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_staged_query_matches_oracle(spark, name):
-    sdf = STAGED[name](spark, SF_TINY)
+@pytest.mark.parametrize("name", PROMOTED)
+def test_promoted_query_matches_oracle(spark, name):
+    sdf = entrymod.queries()[name](spark, SF_TINY)
     srows = sdf.collect()
+    oracle = entrymod.oracle_sql(ivf_sf_dir=SF_TINY)[name]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF_TINY}/{t}.parquet')")
-    res = con.execute(ORACLES[name])
+    res = con.execute(oracle)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     con.close()

@@ -3983,7 +3983,9 @@ def _q_weighted_sample(spark, sf_dir):
 
 
 def _sql_weighted_sample():
-    u = _duck_unit_hash("doc_id", 11)
+    # the 2^-49 floor mirrors weighted_sample_topk's ln(0) guard
+    # (Spark log(0) is NULL, DuckDB ln(0) raises)
+    u = f"greatest({_duck_unit_hash('doc_id', 11)}, {2.0 ** -49!r})"
     return f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,

@@ -219,6 +219,36 @@ def test_hard_negatives_masks_same_label_and_matches_numpy(spark):
         assert all(lab[n] != lab[qi] for n in got)
 
 
+def test_hard_negatives_duplicate_vectors_partition_invariant(spark):
+    """Equal-sim candidates at the per-batch k-boundary must keep the
+    lowest neighbor_id (the final window's tie-break) regardless of
+    how the corpus is partitioned: duplicate vectors are common in
+    these pipelines, and an argpartition on sim alone kept whichever
+    duplicate its partition layout happened to scan first."""
+    from xpysom_dask_spark.operators import similarity
+
+    base = np.eye(4, dtype=np.float64)
+    # 30 corpus rows: every vector a duplicate of one of 4 directions,
+    # labels alternate so the mask stays active
+    rows = [(i, base[i % 4].tolist(), i % 2) for i in range(30)]
+    q = [(100, base[0].tolist(), 1)]  # label 1 → only even ids legal
+
+    def run(parts):
+        emb = spark.createDataFrame(
+            rows, ["vec_id", "embedding", "label"]).repartition(parts)
+        qdf = spark.createDataFrame(
+            q, ["vec_id", "embedding", "label"])
+        out = similarity.hard_negatives(emb, qdf, k=3).collect()
+        return [(r["rank"], r["neighbor_id"], round(r["sim"], 9))
+                for r in sorted(out, key=lambda r: r["rank"])]
+
+    a, b = run(1), run(7)
+    assert a == b
+    # ties broke by lowest id: sim-1.0 duplicates of direction 0 with
+    # label 0 are ids 0, 4, 8, 12, ... → top-3 = 0, 4, 8
+    assert [t[1] for t in a] == [0, 4, 8]
+
+
 # ---------------------------------------------------------------- #
 # algebraic invariants (the split/sample family's subset-chain laws)
 

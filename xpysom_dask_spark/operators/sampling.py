@@ -552,7 +552,12 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    u = _unit_hash(id_col, seed)
+    # floor u at 2^-49: the 48-bit unit hash is exactly 0 with
+    # p ≈ 2^-48 per row, and engines disagree on ln(0) — Spark's LOG
+    # returns NULL (the row silently sorts by NULL-ordering rules
+    # instead of ES semantics), DuckDB raises.  The floor only moves
+    # the measure-zero u = 0 case.
+    u = F.greatest(_unit_hash(id_col, seed), F.lit(2.0 ** -49))
     w = F.col(weight_col).cast("double")
     key = F.log(u) / w
     base = df.where(w > 0).withColumn("__wsk", key)

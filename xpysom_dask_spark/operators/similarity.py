@@ -1059,7 +1059,15 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
                             -np.inf, sims)
             nb = pdf["neighbor_id"].to_numpy(np.int64)
             kk = min(k, len(C))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            # per-batch prune must use the SAME (sim DESC, neighbor_id
+            # ASC) ordering as the final window: a plain argpartition
+            # on sim keeps/drops equal-sim candidates at the batch
+            # k-boundary by partition layout (duplicate vectors are
+            # common), making the output partitioning-dependent — the
+            # hamming_topk lexsort rule
+            top = np.empty((kk, nq), dtype=np.int64)
+            for qi in range(nq):
+                top[:, qi] = np.lexsort((nb, -sims[:, qi]))[:kk]
             rows = top.T.ravel()
             cols = np.repeat(np.arange(nq), kk)
             keep = np.isfinite(sims[rows, cols])

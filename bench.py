@@ -149,6 +149,31 @@ def main():
     timed("bloom_decontam", lambda: dedup.bloom_decontaminate(
         _tr, _te, "text", "doc_id", n=5).count())
 
+    # streaming guard on the same split: train replayed as a file
+    # stream, probed per micro-batch against the broadcast test-set
+    # n-gram hashes (stateless — drained result == batch decontaminate)
+    import tempfile as _tmpf
+    import uuid as _uuid
+    from xpysom_dask_spark.streaming import (decontaminate_stream,
+                                             eval_ngram_hashes)
+    _sd_dir = _tmpf.mkdtemp(prefix="bench_sdecontam_")
+    _tr.select("doc_id", "lang", "text").repartition(4) \
+        .write.mode("overwrite").parquet(_sd_dir)
+    _sd_schema = _tr.select("doc_id", "lang", "text").schema
+    _sd_hashes = eval_ngram_hashes(_te, "text", "doc_id", n=5)
+
+    def _stream_decontam():
+        name = "bench_sdecontam_" + _uuid.uuid4().hex[:8]
+        stream = spark.readStream.schema(_sd_schema).parquet(_sd_dir)
+        q = (decontaminate_stream(stream, "text", "doc_id", _sd_hashes,
+                                  n=5)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return spark.table(name).count()
+
+    timed("streaming_decontam", _stream_decontam)
+
     # incremental ingest: within-batch keep-first + index anti-join
     from xpysom_dask_spark.operators.text import md5_fingerprint as _fp
     _idx = _tr.select(_fp("text").alias("fp")).distinct()

@@ -474,6 +474,54 @@ def test_near_dedup_incremental_across_batches(spark):
     assert set(idx2.columns) == {"id"} | {f"mh_{i}" for i in range(8)}
 
 
+def test_compact_minhash_index_preserves_decisions(spark):
+    """Vacuuming identical-signature rows from the persisted near-dup
+    index keeps subsequent dedup decisions bit-identical: band keys
+    and the agreement statistic are pure functions of the signature,
+    so only redundant rows go."""
+    from xpysom_dask_spark.operators import dedup
+
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id bigint, text string")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet green field all day long")
+    other = ("completely different content about spark plans and "
+             "shuffle exchanges in distributed engines today")
+    _, idx = dedup.near_dedup_incremental(mk([(1, base), (2, other)]),
+                                          "text", "doc_id",
+                                          threshold=0.5)
+    # simulate the max_bucket-skew leak: the same signatures re-enter
+    # under new ids (identical text → identical k-hash vector)
+    _, sigs_dup = dedup.near_dedup_incremental(
+        mk([(7, base), (8, other)]), "text", "doc_id", threshold=0.5)
+    bloated = idx.unionByName(sigs_dup)
+    assert bloated.count() == 4
+
+    compacted = dedup.compact_minhash_index(bloated)
+    rows = compacted.collect()
+    # survivors-only: one row per distinct signature, lowest id kept
+    assert len(rows) == 2
+    assert {r["id"] for r in rows} == {1, 2}
+    assert set(compacted.columns) == \
+        {"id"} | {f"mh_{i}" for i in range(8)}
+
+    # identical subsequent decisions vs the bloated index
+    b2 = mk([(10, base),
+             (11, "fresh unrelated words entirely novel tokens nothing "
+                  "shared with any earlier document whatsoever here")])
+    kept_bloated, _ = dedup.near_dedup_incremental(
+        b2, "text", "doc_id", bloated, threshold=0.5)
+    kept_compacted, _ = dedup.near_dedup_incremental(
+        b2, "text", "doc_id", compacted, threshold=0.5)
+    assert {r.doc_id for r in kept_bloated.collect()} == \
+        {r.doc_id for r in kept_compacted.collect()} == {11}
+
+    # idempotent: compacting twice is a no-op
+    again = dedup.compact_minhash_index(compacted)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, rows))
+
+
 def test_bloom_merge_equals_rebuilt_filter(spark):
     """OR-merging per-batch bitmaps == one bitmap over the union —
     the incremental ingest-guard update rule."""

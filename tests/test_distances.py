@@ -124,3 +124,20 @@ def test_kernel_pickles():
     X = np.ones((2, 3))
     W = np.zeros((2, 3))
     np.testing.assert_allclose(k(X, W), np.full((2, 2), 3.0))
+
+
+def test_manhattan_cuda_gated_or_matches_cpu():
+    """D8/D9 parity: the raw-CUDA L1 kernel resolves from the registry
+    everywhere; without CuPy the first call raises an actionable
+    ImportError naming the package (the Avro/Delta connector gating
+    pattern), with CuPy it must match the CPU path."""
+    k = D.resolve_distance("manhattan_cuda")
+    X = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    W = np.random.default_rng(1).normal(size=(5, 3)).astype(np.float32)
+    try:
+        import cupy  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="cupy"):
+            k(X, W)
+        return
+    np.testing.assert_allclose(k(X, W), D.manhattan(X, W), rtol=1e-5)

@@ -114,8 +114,39 @@ def pnorm_power(x, w, p=2):
 
 def manhattan(x, w):
     """L1 distance (CPU path; the reference's CUDA ReductionKernel at
-    distances.py:109-135 has no Spark analog and is out of scope)."""
+    distances.py:109-135 is available as the import-gated
+    :func:`manhattan_cuda` for CuPy/RAPIDS environments)."""
     return pnorm_power_broadcast(x, w, p=1)
+
+
+def manhattan_cuda(x, w):
+    """L1 distance on the GPU via a raw-CUDA ReductionKernel —
+    parity with the reference's ``_manhattan_distance_kernel`` /
+    ``manhattan_distance_cuda`` (distances.py:109-135): map
+    ``abs(x−w)``, reduce ``a+b`` over the feature axis of the
+    broadcast 3-D views.
+
+    Import-gated like the Avro/Delta connectors (sources/writers.py):
+    this container ships no GPU stack, so calling it without CuPy
+    raises an actionable ImportError naming the package; with CuPy
+    present it computes the same values as :func:`manhattan` (float32
+    GPU reduction, so compare with ``rtol≈1e-6``).
+    """
+    try:
+        import cupy as cp
+    except ImportError as exc:  # pragma: no cover - exercised in test
+        raise ImportError(
+            "manhattan_cuda requires CuPy (RAPIDS): install "
+            "cupy-cuda12x (or the cupy build matching your CUDA "
+            "toolkit). The CPU path — resolve_distance('manhattan') — "
+            "computes identical values without a GPU.") from exc
+    kern = cp.ReductionKernel(
+        "T x, T y", "T z", "abs(x - y)", "a + b", "z = a", "0",
+        "xpysom_dask_spark_l1")
+    xg = cp.asarray(x, cp.float32)
+    wg = cp.asarray(w, cp.float32)
+    out = kern(xg[:, None, :], wg[None, :, :], axis=2)
+    return cp.asnumpy(out)
 
 
 # name → (kernel, accepts w_sq). Names match the reference registry
@@ -125,6 +156,11 @@ _KERNELS = {
     "euclidean_no_opt": (squared_euclidean, True),
     "manhattan": (manhattan, False),
     "manhattan_no_opt": (manhattan, False),
+    # GPU twin of the reference's cupy dispatch branch
+    # (distances.py:147-158); import-gated — resolves at registry
+    # level everywhere, raises an actionable ImportError at first
+    # call when CuPy is absent
+    "manhattan_cuda": (manhattan_cuda, False),
     "cosine": (cosine, True),
     "norm_p": (pnorm_power, False),
     "norm_p_no_opt": (pnorm_power_broadcast, False),

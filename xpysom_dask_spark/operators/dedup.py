@@ -679,6 +679,33 @@ def near_dedup_incremental(new_df: DataFrame, text_col: str, id_col: str,
     return batch, new_index
 
 
+def compact_minhash_index(index: DataFrame,
+                          k: int = MINHASH_K) -> DataFrame:
+    """Vacuum a persisted :func:`near_dedup_incremental` signature
+    index: keep ONE row (lowest id) per distinct k-hash signature
+    vector.
+
+    The index admits redundant rows over time — re-ingested ids, and
+    identical-signature survivors that the ``max_bucket`` skew cap let
+    through without a candidate pair — and it is append-only, so
+    without a periodic vacuum it grows past O(distinct signatures).
+    Dropping a row whose signature equals a kept row's is DECISION-
+    PRESERVING, not lossy: band keys and the hash-agreement statistic
+    are pure functions of the signature vector, so any future document
+    flagged against the dropped row is flagged identically against
+    the kept one.  (Near-identical-but-distinct signatures are NOT
+    merged — that would change subsequent decisions.)
+
+    One map-side-combinable aggregate on the k-BIGINT signature:
+    shuffle traffic O(distinct signatures) · (k+1) longs, no text, no
+    window.  Run it before persisting the index each ingest cycle (or
+    on a schedule) to hold the index at survivors-only size.
+    """
+    cols = [f"mh_{i}" for i in range(k)]
+    return (index.groupBy(*cols).agg(F.min("id").alias("id"))
+            .select("id", *cols))
+
+
 #: auto-sizing density: bits per distinct test n-gram (k=3 probes →
 #: FP rate ≈ (1 − e^{−3/16})³ ≈ 0.5 %); a saturated filter stays
 #: CORRECT (conservative) but over-drops — measured: the fixed 2²⁰

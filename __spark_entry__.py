@@ -4287,6 +4287,156 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- #
+# round-6 STAGED gate queries: oracle-tested now (tests/test_round6_
+# staged.py), but NOT registered in queries() — the round-5 head-50 is
+# exactly full (4 promoted + 4 never-green + 26 r2 + 16 oldest-r3), and
+# the rotation contract (tests/test_gate_coverage.py) forbids pushing a
+# never-green entry out of the head.  Round 6 moves these into
+# queries()/oracle_sql() verbatim.
+
+def _q_decontaminate_spans(spark, sf_dir):
+    """Span-level test-set decontamination (dedup.decontaminate_spans):
+    excise every train token span matching a test 5-gram, keep the
+    rest of the document — the excision variant of `decontaminate`
+    (whole-doc drops throw away far more tokens than actually leaked).
+    Same 90/10 split as the other decontamination gates; output is the
+    cleaned text + the excised-token count per doc.  Train corpus
+    never shuffles: broadcast test-hash array + one Arrow kernel."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"train": 0.9, "test": 0.1}, seed=1)
+    train = split.where("split = 'train'").drop("split")
+    test = split.where("split = 'test'").drop("split")
+    out = dedup.decontaminate_spans(train, test, "text", "doc_id", n=5)
+    return out.select("doc_id", "text", "n_removed")
+
+
+def _sql_decontaminate_spans():
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.9 / (0.9 + 0.1)
+    h48 = _duck_md5hash48("shingle")
+    # NB: the start-position comprehension variable must NOT be `i` —
+    # _duck_md5hash48's nibble fold has its own `FOR i IN range(1, 13)`
+    # and DuckDB resolves the innermost binding (silent wrong hashes)
+    gram = " || ' ' || ".join(f"lt[si + {j}]" for j in range(5))
+    gram_h48 = _duck_md5hash48(f"({gram})")
+    orig_toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+WITH uh AS (
+  SELECT doc_id, lang, text, {u} AS u FROM documents
+),
+tr AS (SELECT doc_id, lang, text FROM uh WHERE u < {acc!r}),
+te AS (SELECT doc_id, lang, text FROM uh WHERE u >= {acc!r}),
+{_duck_ngrams_cte('te', 'tesh', 5)},
+teh AS (SELECT DISTINCT {h48} AS h FROM tesh),
+trt AS (
+  SELECT doc_id, text, {orig_toks} AS ot, {_duck_tokens('text')} AS lt
+  FROM tr),
+starts AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(lt) < 5 THEN [] ELSE
+           [{{'s': si, 'h': {gram_h48}}}
+            FOR si IN range(1, len(lt) - 3)] END) AS sg
+  FROM trt),
+flagged AS (
+  SELECT s.doc_id, s.sg.s AS s
+  FROM starts s JOIN teh ON s.sg.h = teh.h),
+covered AS (
+  SELECT DISTINCT doc_id, s + j AS p
+  FROM flagged CROSS JOIN (SELECT unnest(range(0, 5)) AS j)),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(ot, 1) AS p, unnest(ot) AS tok
+  FROM trt),
+marked AS (
+  SELECT tp.doc_id, tp.p, tp.tok, (c.p IS NOT NULL) AS cov
+  FROM tokpos tp LEFT JOIN covered c
+    ON c.doc_id = tp.doc_id AND c.p = tp.p),
+cl AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY p)
+                  FILTER (WHERE NOT cov), '') AS text,
+         CAST(COUNT(*) FILTER (WHERE cov) AS INTEGER) AS n_removed
+  FROM marked GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(cl.text, '') AS text,
+       COALESCE(cl.n_removed, 0) AS n_removed
+FROM tr t LEFT JOIN cl USING (doc_id)
+"""
+
+
+_COMPACT_ID_SHIFT = 1_000_000
+
+
+def _q_index_compaction(spark, sf_dir):
+    """MinHash-index vacuum (dedup.compact_minhash_index): the
+    persisted near-dup signature index re-ingested under shifted ids
+    (the max_bucket-skew duplicate-leak shape), then compacted to one
+    row per distinct signature vector, lowest id kept — the decision-
+    preserving survivors-only index.  One map-side-combinable
+    aggregate on the k-BIGINT signature; no text."""
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    k = dedup.MINHASH_K
+    bloat = sigs.unionByName(sigs.select(
+        (F.col("id") + _COMPACT_ID_SHIFT).alias("id"),
+        *[f"mh_{i}" for i in range(k)]))
+    return dedup.compact_minhash_index(bloat, k)
+
+
+def _sql_index_compaction():
+    k = dedup.MINHASH_K
+    mh = ", ".join(f"mh_{i}" for i in range(k))
+    return f"""
+WITH {_minhash_sig_sql()},
+merged AS (
+  SELECT doc_id AS id, {mh} FROM sig
+  UNION ALL
+  SELECT doc_id + {_COMPACT_ID_SHIFT} AS id, {mh} FROM sig),
+compacted AS (
+  SELECT MIN(id) AS id, {mh} FROM merged GROUP BY {mh})
+SELECT id, {mh} FROM compacted
+"""
+
+
+def _q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram (the dedup-audit artifact every
+    curation run reports): minhash components at threshold 0.5 →
+    per-component member counts → (size, n_clusters).  Two stacked
+    map-side-combinable aggregates on top of the dedup_components
+    machinery — O(components) then O(distinct sizes) traffic."""
+    comp = dedup.dedup_clusters(_docs(spark, sf_dir), "text", "doc_id",
+                                threshold=0.5)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+def _sql_dedup_cluster_sizes():
+    return f"""
+WITH RECURSIVE {_components_cte(0.5)}
+SELECT size, COUNT(*) AS n_clusters FROM (
+  SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
+GROUP BY size
+"""
+
+
+def queries_round6_staged() -> dict:
+    return {
+        "decontaminate_spans": _q_decontaminate_spans,
+        "index_compaction": _q_index_compaction,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+    }
+
+
+def oracle_sql_round6_staged() -> dict[str, str]:
+    return {
+        "decontaminate_spans": _sql_decontaminate_spans(),
+        "index_compaction": _sql_index_compaction(),
+        "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round

@@ -474,6 +474,56 @@ def test_near_dedup_incremental_across_batches(spark):
     assert set(idx2.columns) == {"id"} | {f"mh_{i}" for i in range(8)}
 
 
+def test_decontaminate_spans_excises_exact_windows(spark):
+    """Span excision: every token covered by a test-matching 5-gram
+    window goes, everything else stays (whitespace-normalized), docs
+    never drop, and the train side stays a zero-Exchange map chain."""
+    from xpysom_dask_spark.operators import dedup
+
+    leak = "alpha beta gamma delta epsilon"          # the leaked 5-gram
+    train = spark.createDataFrame(
+        [(1, f"intro words {leak} closing remark"),   # leak mid-doc
+         (2, "totally unrelated clean text here okay"),
+         (3, leak),                                   # doc IS the leak
+         (4, "short doc")],                           # < n tokens
+        "doc_id bigint, text string")
+    test = spark.createDataFrame(
+        [(9, f"prefix {leak} suffix")], "doc_id bigint, text string")
+
+    out = dedup.decontaminate_spans(train, test, "text", "doc_id", n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}                  # nothing dropped
+    assert rows[1]["text"] == "intro words closing remark"
+    assert rows[1]["n_removed"] == 5
+    assert rows[2]["text"] == \
+        "totally unrelated clean text here okay"
+    assert rows[2]["n_removed"] == 0
+    assert rows[3]["text"] == "" and rows[3]["n_removed"] == 5
+    assert rows[4]["text"] == "short doc"
+    assert rows[4]["n_removed"] == 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_decontaminate_spans_overlapping_windows_union(spark):
+    """Overlapping contaminated windows cover the UNION of their
+    positions — a 6-token run whose two 5-gram windows both leak
+    removes 6 tokens, not 10."""
+    from xpysom_dask_spark.operators import dedup
+
+    run6 = "a b c d e f"
+    train = spark.createDataFrame(
+        [(1, f"keep {run6} keep")], "doc_id bigint, text string")
+    test = spark.createDataFrame(
+        [(9, run6)], "doc_id bigint, text string")
+    r = dedup.decontaminate_spans(train, test, "text", "doc_id",
+                                  n=5).collect()[0]
+    assert r["text"] == "keep keep"
+    assert r["n_removed"] == 6
+
+
 def test_compact_minhash_index_preserves_decisions(spark):
     """Vacuuming identical-signature rows from the persisted near-dup
     index keeps subsequent dedup decisions bit-identical: band keys

@@ -1,0 +1,69 @@
+"""Round-6 STAGED gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for entries not yet in queries()
+(the round-5 head-50 is exactly full; SURVEY.md §8 round-6 queue)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_TINY
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+STAGED = entrymod.queries_round6_staged()
+ORACLES = entrymod.oracle_sql_round6_staged()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_every_staged_entry_has_an_oracle():
+    # the driver has no rows-only mode: a missing oracle records err
+    assert set(ORACLES) == set(STAGED)
+    # staged entries must NOT be registered yet (head-50 is full)
+    assert not set(STAGED) & set(entrymod.queries())
+
+
+def test_decontaminate_spans_excises_not_drops(spark):
+    # every train doc survives (same row count), contaminated docs
+    # lose tokens instead of disappearing
+    out = STAGED["decontaminate_spans"](spark, SF_TINY).collect()
+    assert len(out) > 0
+    assert any(r["n_removed"] > 0 for r in out)
+    assert all(r["n_removed"] >= 0 for r in out)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_staged_query_matches_oracle(spark, name):
+    sdf = STAGED[name](spark, SF_TINY)
+    srows = sdf.collect()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_TINY}/{t}.parquet')")
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+    assert _multiset(sdf.columns, [tuple(r) for r in srows]) == \
+        _multiset(dcols, drows)

@@ -49,11 +49,19 @@ def main():
     spark = make_session("gate-pick")
     queries = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql(ivf_sf_dir=sf_dir))
-    if hasattr(entrymod, "queries_round5_staged"):
-        for k, v in entrymod.queries_round5_staged().items():
-            queries.setdefault(k, v)
-        for k, v in entrymod.oracle_sql_round5_staged().items():
-            oracles.setdefault(k, v)
+    for rn in range(5, 30):
+        qf = getattr(entrymod, f"queries_round{rn}_staged", None)
+        of = getattr(entrymod, f"oracle_sql_round{rn}_staged", None)
+        if qf:
+            for k, v in qf().items():
+                queries.setdefault(k, v)
+        if of:
+            try:
+                staged_oracles = of(sf_dir)
+            except TypeError:
+                staged_oracles = of()
+            for k, v in staged_oracles.items():
+                oracles.setdefault(k, v)
 
     con = duckdb.connect()
     for t in TABLES:

@@ -546,6 +546,91 @@ def decontaminate(train_df: DataFrame, test_df: DataFrame,
     return train_df.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_spans(train_df: DataFrame, test_df: DataFrame,
+                        text_col: str, id_col: str, n: int = 5
+                        ) -> DataFrame:
+    """SPAN-level decontamination: excise every token span that matches
+    a test-set word n-gram and keep the rest of the document —
+    :func:`decontaminate` drops whole documents, which at a large
+    ``n``-gram overlap rate throws away far more tokens than actually
+    leaked; this is the excision variant (the C4/"copyright removal"
+    shape applied to eval leakage).
+
+    A train token position is contaminated iff ANY test n-gram matches
+    an n-gram window covering it; the document is re-emitted from the
+    surviving tokens (single-space joined — whitespace is normalized,
+    the same convention as :func:`dedup_spans`), plus an ``n_removed``
+    token count.  Documents with < ``n`` tokens cannot be contaminated,
+    matching the document-level rule.
+
+    Scale shape: the test side collects once into the bounded 48-bit
+    hash array of :func:`~..streaming.decontam.eval_ngram_hashes` and
+    BROADCASTS; each train doc carries a codegen'd shingle-hash array
+    (no explode, no text-keyed shuffle), and one Arrow kernel per batch
+    does a single vectorized ``np.isin`` over the flattened hashes —
+    the train corpus never shuffles at all (a pure map, like the
+    streaming guard this reuses).
+    """
+    from ..plans.exchange import ship_package
+    from ..streaming.decontam import (_shingle_hash_array_inline,
+                                      eval_ngram_hashes)
+
+    spark = train_df.sparkSession
+    ship_package(spark)
+    ths = eval_ngram_hashes(test_df, text_col, id_col, n)
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(ths, dtype=np.int64))
+
+    # ORIGINAL-case tokens for the rebuild; hashing tokenizes lowered
+    # (word_shingles parity) — lower() never changes whitespace, so
+    # positions align between the two arrays
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    tagged = (train_df
+              .withColumn("__toks", F.expr(toks_expr))
+              .withColumn("__sh", F.expr(
+                  _shingle_hash_array_inline(text_col, n))))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in train_df.schema.fields) + ", `n_removed` int"
+
+    def fn(batches):
+        import pandas as pd
+
+        ts = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sh = [np.asarray(a, dtype=np.int64) for a in pdf["__sh"]]
+            lens = np.fromiter((len(a) for a in sh), dtype=np.int64,
+                               count=len(sh))
+            flat = (np.concatenate(sh) if lens.sum()
+                    else np.empty(0, np.int64))
+            hit = (np.isin(flat, ts) if len(flat)
+                   else np.empty(0, bool))
+            offs = np.zeros(len(sh) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            texts, removed = [], []
+            for d, toks in enumerate(pdf["__toks"]):
+                toks = list(toks)
+                starts = np.nonzero(hit[offs[d]:offs[d + 1]])[0]
+                if not len(starts):
+                    texts.append(" ".join(toks))
+                    removed.append(0)
+                    continue
+                cover = np.zeros(len(toks), dtype=bool)
+                for i in starts:
+                    cover[i:i + n] = True
+                texts.append(" ".join(
+                    t for t, c in zip(toks, cover) if not c))
+                removed.append(int(cover.sum()))
+            res = pdf.drop(columns=["__toks", "__sh"]).copy()
+            res[text_col] = texts
+            res["n_removed"] = np.asarray(removed, dtype=np.int32)
+            yield res
+
+    return tagged.mapInPandas(fn, out_schema)
+
+
 def dedup_incremental(new_df: DataFrame, text_col: str, id_col: str,
                       index_df: DataFrame | None = None
                       ) -> tuple[DataFrame, DataFrame]:

@@ -174,6 +174,23 @@ def main():
 
     timed("streaming_decontam", _stream_decontam)
 
+    # span EXCISION on the same split (tokens removed, docs kept):
+    # broadcast hash array + one Arrow kernel, corpus never shuffles
+    timed("decontaminate_spans", lambda: dedup.decontaminate_spans(
+        _tr, _te, "text", "doc_id", n=5)
+        .agg(F.sum("n_removed")).collect())
+
+    # near-dup signature-index vacuum: one aggregate on the k-BIGINT
+    # signature of a double-ingested index
+    def _compact():
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+        bloat = sigs.unionByName(sigs.select(
+            (F.col("id") + 1_000_000).alias("id"),
+            *[f"mh_{i}" for i in range(dedup.MINHASH_K)]))
+        return dedup.compact_minhash_index(bloat).count()
+
+    timed("index_compaction", _compact)
+
     # incremental ingest: within-batch keep-first + index anti-join
     from xpysom_dask_spark.operators.text import md5_fingerprint as _fp
     _idx = _tr.select(_fp("text").alias("fp")).distinct()

@@ -34,7 +34,14 @@ def main() -> int:
                                          "false"})
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name, fn in entry.queries().items():
+    all_queries = dict(entry.queries())
+    # staged next-round gate queries get the same lint before promotion
+    for rn in range(5, 30):
+        qf = getattr(entry, f"queries_round{rn}_staged", None)
+        if qf:
+            for k, v in qf().items():
+                all_queries.setdefault(k, v)
+    for name, fn in all_queries.items():
         try:
             plan = fn(spark, SF)._jdf.queryExecution() \
                 .executedPlan().toString()
@@ -54,7 +61,8 @@ def main() -> int:
         for name, why in failures:
             print(f"  {name}: {why}")
         return 1
-    print(f"plan lint clean: {len(entry.queries())} queries, "
+    print(f"plan lint clean: {len(all_queries)} queries "
+          f"(incl. staged), "
           f"{len(BNLJ_SCALAR_OK)} whitelisted scalar BNLJs")
     return 0
 

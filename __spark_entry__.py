@@ -4421,11 +4421,80 @@ GROUP BY size
 """
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """Corpus-wide boilerplate line removal (dedup.dedup_lines): a
+    line in ≥ 2 distinct documents disappears from EVERY document —
+    the nav/footer cleanup the per-doc C4 rules and keep-first span
+    dedup can't express.  The synthetic corpus ships no newlines, so
+    the gate first re-lines each doc into 8-token chunks (identical
+    codegen on both engines; 153 of 3 434 distinct chunks repeat at
+    sf0.01 — a non-trivial removal set).  Doc-frequency count keyed
+    by full line MD5; corpus text never keys a shuffle."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+        .alias("t"))
+    chunked = t.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN '' ELSE array_join("
+            "transform(sequence(0, CAST(ceil(size(t) / 8.0) AS INT)"
+            " - 1), c -> concat_ws(' ', slice(t, c * 8 + 1, 8))), "
+            "'\\n') END").alias("text"))
+    out = dedup.dedup_lines(chunked, "text", "doc_id", min_df=2)
+    return out.select("doc_id", "text", "n_lines_removed")
+
+
+def _sql_dedup_lines():
+    return """
+WITH dtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             AS t
+  FROM documents),
+chunks AS (
+  SELECT doc_id, (pos - 1) // 8 AS ci,
+         string_agg(tok, ' ' ORDER BY pos) AS cline
+  FROM (SELECT doc_id, generate_subscripts(t, 1) AS pos,
+               unnest(t) AS tok FROM dtoks)
+  GROUP BY doc_id, (pos - 1) // 8),
+relined AS (
+  SELECT d.doc_id,
+         COALESCE(string_agg(c.cline, chr(10) ORDER BY c.ci), '')
+             AS text
+  FROM documents d LEFT JOIN chunks c USING (doc_id)
+  GROUP BY d.doc_id),
+lines AS (
+  SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1)
+             AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM relined),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+  WHERE df >= 2),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (b.line IS NOT NULL) AS cov
+  FROM lines l LEFT JOIN boiler b ON b.line = l.line),
+cl AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT cov), '') AS text,
+         CAST(COUNT(*) FILTER (WHERE cov) AS INTEGER)
+             AS n_lines_removed
+  FROM marked GROUP BY doc_id)
+SELECT d.doc_id, cl.text, cl.n_lines_removed
+FROM relined d JOIN cl USING (doc_id)
+"""
+
+
 def queries_round6_staged() -> dict:
     return {
         "decontaminate_spans": _q_decontaminate_spans,
         "index_compaction": _q_index_compaction,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -4434,6 +4503,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "decontaminate_spans": _sql_decontaminate_spans(),
         "index_compaction": _sql_index_compaction(),
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
+        "dedup_lines": _sql_dedup_lines(),
     }
 
 

@@ -191,6 +191,11 @@ def main():
 
     timed("index_compaction", _compact)
 
+    # corpus-wide boilerplate line removal (full-md5 doc-frequency)
+    timed("dedup_lines", lambda: dedup.dedup_lines(
+        docs, "text", "doc_id", min_df=2)
+        .agg(F.sum("n_lines_removed")).collect())
+
     # incremental ingest: within-batch keep-first + index anti-join
     from xpysom_dask_spark.operators.text import md5_fingerprint as _fp
     _idx = _tr.select(_fp("text").alias("fp")).distinct()

@@ -524,6 +524,51 @@ def test_decontaminate_spans_overlapping_windows_union(spark):
     assert r["n_removed"] == 6
 
 
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    """Lines in >= min_df distinct docs go from EVERY doc (including
+    the first occurrence — the dedup_spans contrast); unique lines and
+    line order survive; all-boilerplate docs come back empty."""
+    from xpysom_dask_spark.operators import dedup
+
+    nav = "home | products | contact"
+    train = spark.createDataFrame(
+        [(1, f"{nav}\nunique article one\nbye"),
+         (2, f"intro two\n{nav}\nbody two"),
+         (3, nav),
+         (4, "totally unique document")],
+        "doc_id bigint, text string")
+    out = dedup.dedup_lines(train, "text", "doc_id", min_df=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["text"] == "unique article one\nbye"
+    assert rows[1]["n_lines_removed"] == 1
+    assert rows[2]["text"] == "intro two\nbody two"
+    assert rows[3]["text"] == "" and rows[3]["n_lines_removed"] == 1
+    assert rows[4]["text"] == "totally unique document"
+    assert rows[4]["n_lines_removed"] == 0
+
+    # min_df above corpus multiplicity → no-op
+    clean = dedup.dedup_lines(train, "text", "doc_id", min_df=5)
+    assert all(r["n_lines_removed"] == 0 for r in clean.collect())
+    with pytest.raises(ValueError, match="min_df"):
+        dedup.dedup_lines(train, "text", "doc_id", min_df=0)
+
+
+def test_dedup_lines_counts_distinct_docs_not_occurrences(spark):
+    """A line repeated 3x inside ONE doc is df=1 — not boilerplate at
+    min_df=2 (document frequency, not raw occurrences)."""
+    from xpysom_dask_spark.operators import dedup
+
+    rep = "la la la"
+    train = spark.createDataFrame(
+        [(1, f"{rep}\n{rep}\n{rep}\nend")],
+        "doc_id bigint, text string")
+    r = dedup.dedup_lines(train, "text", "doc_id",
+                          min_df=2).collect()[0]
+    assert r["text"] == f"{rep}\n{rep}\n{rep}\nend"
+    assert r["n_lines_removed"] == 0
+
+
 def test_compact_minhash_index_preserves_decisions(spark):
     """Vacuuming identical-signature rows from the persisted near-dup
     index keeps subsequent dedup decisions bit-identical: band keys

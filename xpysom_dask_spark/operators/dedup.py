@@ -764,6 +764,67 @@ def near_dedup_incremental(new_df: DataFrame, text_col: str, id_col: str,
     return batch, new_index
 
 
+def dedup_lines(df: DataFrame, text_col: str, id_col: str,
+                min_df: int = 2) -> DataFrame:
+    """Corpus-wide boilerplate LINE removal: drop every line whose
+    exact text appears in ≥ ``min_df`` distinct documents — the
+    "cookie banner / nav footer" cleanup that line-level rules
+    (``c4_line_filter``: per-doc heuristics) and span dedup
+    (``dedup_spans``: keep FIRST occurrence) don't express: a
+    boilerplate line is removed from EVERY document, including the
+    first.
+
+    Returns the input rows with ``text_col`` rebuilt from surviving
+    lines (newline-joined, original line order) plus
+    ``n_lines_removed``.  Empty documents and documents losing every
+    line come back with ``''``.
+
+    Scale shape — all codegen, no Python: line explode (narrow) →
+    distinct (doc, line-md5) → map-side-combined doc-frequency count
+    keyed by the full 128-bit line MD5 (never line text; the full
+    digest, not the engine's 48-bit fold — at billions of distinct
+    lines a 48-bit key birthday-collides and would delete innocent
+    lines) → the boilerplate relation joins back hash-keyed (AQE
+    broadcasts it while small) → one groupBy(id) rebuild via the
+    sort-free collect_list + array_sort struct trick (no window).
+    Traffic is O(corpus lines) digests — the same asymptotics as the
+    span dedup.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    hashed = lines.withColumn("lh", F.md5("line"))
+    boiler = (hashed.select("id", "lh").distinct()
+              .groupBy("lh").agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") >= min_df)
+              .select("lh"))
+    # plain hash join on the integer line-hash: AQE broadcasts the
+    # boilerplate relation while it is small, and degrades to a
+    # shuffled hash join if a pathological corpus makes it large —
+    # never force-broadcast an unbounded relation
+    marked = hashed.join(
+        boiler.withColumn("__boiler", F.lit(True)), "lh", "left")
+    rebuilt = (marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__boiler").isNull(),
+                    F.struct("pos", "line")))),
+                lambda s: s.getField("line")), "\n").alias("__clean"),
+        F.sum(F.col("__boiler").isNotNull().cast("int"))
+        .cast("int").alias("n_lines_removed")))
+    out = (df.join(rebuilt.withColumnRenamed("id", id_col), id_col,
+                   "left")
+           .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+           .withColumn("n_lines_removed",
+                       F.coalesce("n_lines_removed", F.lit(0)))
+           .drop("__clean"))
+    return out
+
+
 def compact_minhash_index(index: DataFrame,
                           k: int = MINHASH_K) -> DataFrame:
     """Vacuum a persisted :func:`near_dedup_incremental` signature

@@ -170,6 +170,53 @@ def test_pca_bad_components_raises(spark, emb):
         E.pca_fit(emb, dim=64, n_components=0)
 
 
+def test_pca_fit_2d_matches_numpy_eigh(spark, emb, X):
+    """The closed-form 2×2 eigensolve (written op-by-op so a SQL
+    engine can replay it) must agree with LAPACK on the quantized
+    inputs, and the whitened projection must have unit variance."""
+    ids, Xm = X
+    f1 = Xm[:, 0].astype(np.float64)
+    f2 = Xm[:, 32].astype(np.float64)
+    d = spark.createDataFrame(
+        [(int(i), float(a), float(b))
+         for i, a, b in zip(ids, f1, f2)],
+        "vec_id bigint, f1 double, f2 double")
+    m = E.pca_fit_2d(d, "f1", "f2", decimals=9)
+    # numpy reference on the SAME quantized values
+    q = np.stack([np.round(f1 * 1e9) / 1e9,
+                  np.round(f2 * 1e9) / 1e9], axis=1)
+    cov = np.cov(q.T)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(2), np.abs(comps).argmax(1)])
+    flip[flip == 0] = 1
+    comps = comps * flip[:, None]
+    assert np.abs(np.asarray(m["mean"]) - q.mean(0)).max() < 1e-9
+    assert np.abs(np.asarray(m["components"]) - comps).max() < 1e-9
+    assert np.abs(np.asarray(m["explained_variance"])
+                  - evals[order]).max() < 1e-9
+    Y = np.stack([
+        np.array([r["pc1"], r["pc2"]]) for r in
+        E.pca_project_2d(d, m, "f1", "f2", whiten=True).collect()])
+    assert np.abs(Y.var(0, ddof=1) - 1.0).max() < 1e-6
+
+
+def test_pca_fit_2d_partitioning_invariant(spark, emb, X):
+    """Exact DECIMAL moments ⇒ the fitted model is bit-identical
+    under any partitioning (the whole point of the exact path)."""
+    ids, Xm = X
+    d = spark.createDataFrame(
+        [(int(i), float(a), float(b))
+         for i, a, b in zip(ids, Xm[:, 1], Xm[:, 7])],
+        "vec_id bigint, f1 double, f2 double")
+    m1 = E.pca_fit_2d(d.coalesce(1), "f1", "f2")
+    m2 = E.pca_fit_2d(d.repartition(13), "f1", "f2")
+    assert m1["mean"] == m2["mean"]
+    assert m1["components"] == m2["components"]
+    assert m1["explained_variance"] == m2["explained_variance"]
+
+
 # ------------------------------------------------------------------ #
 # keep-best dedup
 

@@ -16,7 +16,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     "som_clustering.py", "data_pipeline.py", "curation_round3.py",
     "analytics_suite.py", "timeseries_som.py", "topic_modeling_som.py",
     "handwritten_digits.py", "tsp_som.py", "color_quantization.py",
-    "csv_ingest_som.py", "ann_pipeline.py", "training_data_round4.py"])
+    "csv_ingest_som.py", "ann_pipeline.py", "training_data_round4.py",
+    "curation_round5.py"])
 def test_example_runs(script):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), SF_TINY],

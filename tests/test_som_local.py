@@ -249,3 +249,25 @@ def test_chunked_activation_matches_whole():
     assert (whole.quantization_error(X) == chunked.quantization_error(X))
     np.testing.assert_array_equal(whole.activation_response(X),
                                   chunked.activation_response(X))
+
+
+def test_reference_backend_knobs_accepted(spark):
+    """Reference constructor call sites run unchanged: xp/use_dask/
+    dask_chunks are accepted (warned, ignored — backend selection has
+    no meaning on Spark), n_parallel maps to batch_rows, and the model
+    is bit-identical to one built without the knobs."""
+    import warnings
+
+    import numpy as np
+
+    from xpysom_dask_spark import SparkSom
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        som = SparkSom(4, 4, 3, random_seed=7, xp=np, use_dask=True,
+                       dask_chunks=(128, 3), n_parallel=4096)
+    assert som.batch_rows == 4096
+    msgs = " ".join(str(x.message) for x in w)
+    assert "use_dask" in msgs and "dask_chunks" in msgs
+    ref = SparkSom(4, 4, 3, random_seed=7)
+    np.testing.assert_array_equal(som.get_weights(), ref.get_weights())

@@ -83,7 +83,34 @@ class SparkSom:
                  random_seed=None, compact_support=False,
                  features_col="features", dtype=np.float32,
                  batch_rows=32768, agg_fanout=64, collect_threshold=512,
-                 fuse_local_bytes=8 << 20):
+                 fuse_local_bytes=8 << 20,
+                 n_parallel=None, xp=None, use_dask=None,
+                 dask_chunks=None):
+        # reference-constructor compatibility (xpysom.py:145-175): the
+        # backend-selection knobs have no meaning on Spark — the array
+        # backend is NumPy inside Arrow batches and distribution is the
+        # DataFrame's partitioning.  Accept them so reference call
+        # sites run unchanged, map what maps, and say what replaced
+        # the rest rather than failing.
+        if n_parallel is not None:
+            # the reference's mini-batch bound (xpysom.py:140-144) —
+            # ours is batch_rows, same contract
+            batch_rows = int(n_parallel)
+        if xp is not None:
+            name = getattr(xp, "__name__", str(xp))
+            if name not in ("numpy",):
+                warn(f"xp={name!r} ignored: the Spark engine computes "
+                     "with NumPy inside Arrow batches (GPU arrays are "
+                     "out of scope; see functions.distances."
+                     "manhattan_cuda for the gated CUDA kernel)")
+        if use_dask:
+            warn("use_dask ignored: distribution comes from the input "
+                 "DataFrame's partitioning (df.repartition(n)), not a "
+                 "dask flag")
+        if dask_chunks is not None:
+            warn("dask_chunks ignored: the analog is the DataFrame "
+                 "partition count plus spark.sql.execution.arrow."
+                 "maxRecordsPerBatch")
         if sigma >= x or sigma >= y:
             warn("Warning: sigma is too high for the dimension of the map.")
         if topology not in ("rectangular", "hexagonal"):

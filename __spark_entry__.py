@@ -4489,12 +4489,80 @@ FROM relined d JOIN cl USING (doc_id)
 """
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher §A1.1 repetition report (text.repetition_signals): per
+    doc, the top-2/3/4-gram character share and the duplicated-5-gram
+    share — the frequency-table quality signals the narrow
+    gopher_quality_flags expressions can't reach.  One explode +
+    map-side count per n, O(corpus tokens) traffic.  Outputs are
+    scaled-BIGINT nano-units (floor(x·1e9 + 0.5)): the shares are
+    ratios of exact integer char counts over the same double, so the
+    quantized values hash-match across engines."""
+    from xpysom_dask_spark.operators import text as T
+
+    rep = T.repetition_signals(_docs(spark, sf_dir), "text", "doc_id",
+                               top_ns=(2, 3, 4), dup_ns=(5,))
+    e9 = "CAST(FLOOR({c} * 1000000000.0 + 0.5) AS BIGINT)"
+    return rep.select(
+        "doc_id",
+        F.expr(e9.format(c="top2gram_share")).alias("t2_e9"),
+        F.expr(e9.format(c="top3gram_share")).alias("t3_e9"),
+        F.expr(e9.format(c="top4gram_share")).alias("t4_e9"),
+        F.expr(e9.format(c="dup5gram_share")).alias("d5_e9"))
+
+
+def _sql_text_repetition():
+    def gram(n):
+        g = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        return (f"CASE WHEN len(t) < {n} THEN [] ELSE "
+                f"[{g} FOR i IN range(1, len(t) - {n - 2})] END")
+
+    def top_cte(n):
+        return f"""g{n} AS (
+  SELECT doc_id, tlen, unnest({gram(n)}) AS g FROM base),
+c{n} AS (
+  SELECT doc_id, tlen, g, COUNT(*) AS c FROM g{n}
+  GROUP BY doc_id, tlen, g),
+a{n} AS (
+  SELECT doc_id,
+         MIN({{'nc': -c, 'g': g}}) AS top,
+         SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupc,
+         MAX(tlen) AS tlen
+  FROM c{n} GROUP BY doc_id)"""
+
+    e9 = "CAST(FLOOR({x} * 1000000000.0 + 0.5) AS BIGINT)"
+    top = ("COALESCE((-a{n}.top.nc) * length(a{n}.top.g) "
+           "/ CAST(d.tlen AS DOUBLE), 0.0)")
+    dup = "COALESCE(a{n}.dupc / CAST(d.tlen AS DOUBLE), 0.0)"
+    return f"""
+WITH dt AS (
+  SELECT doc_id, {_duck_tokens('text')} AS t FROM documents),
+base AS (
+  SELECT doc_id, t, length(array_to_string(t, ' ')) AS tlen FROM dt),
+{top_cte(2)},
+{top_cte(3)},
+{top_cte(4)},
+{top_cte(5)}
+SELECT d.doc_id,
+       {e9.format(x=top.format(n=2))} AS t2_e9,
+       {e9.format(x=top.format(n=3))} AS t3_e9,
+       {e9.format(x=top.format(n=4))} AS t4_e9,
+       {e9.format(x=dup.format(n=5))} AS d5_e9
+FROM base d
+LEFT JOIN a2 ON a2.doc_id = d.doc_id
+LEFT JOIN a3 ON a3.doc_id = d.doc_id
+LEFT JOIN a4 ON a4.doc_id = d.doc_id
+LEFT JOIN a5 ON a5.doc_id = d.doc_id
+"""
+
+
 def queries_round6_staged() -> dict:
     return {
         "decontaminate_spans": _q_decontaminate_spans,
         "index_compaction": _q_index_compaction,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_lines": _q_dedup_lines,
+        "text_repetition": _q_text_repetition,
     }
 
 
@@ -4504,6 +4572,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "index_compaction": _sql_index_compaction(),
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "dedup_lines": _sql_dedup_lines(),
+        "text_repetition": _sql_text_repetition(),
     }
 
 

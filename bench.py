@@ -196,6 +196,11 @@ def main():
         docs, "text", "doc_id", min_df=2)
         .agg(F.sum("n_lines_removed")).collect())
 
+    # Gopher repetition report (per-doc n-gram frequency tables)
+    timed("text_repetition", lambda: T.repetition_signals(
+        docs, "text", "doc_id", top_ns=(2, 3, 4), dup_ns=(5,))
+        .agg(F.sum("top2gram_share")).collect())
+
     # incremental ingest: within-batch keep-first + index anti-join
     from xpysom_dask_spark.operators.text import md5_fingerprint as _fp
     _idx = _tr.select(_fp("text").alias("fp")).distinct()

@@ -149,3 +149,41 @@ def test_gopher_flags_match_python(spark):
                - sum(map(len, toks)) / len(toks)) < 1e-9
     assert abs(got[2].alpha_ratio
                - sum(c.isalpha() for c in text2) / len(text2)) < 1e-9
+
+
+def test_repetition_signals_gopher_family(spark):
+    """Hand-computable repetition report: top-n-gram share, duplicated
+    n-gram share, and duplicate-line fractions (the Gopher §A1.1
+    signals gopher_quality_flags' narrow expressions can't reach)."""
+    from xpysom_dask_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the cat mat okay"),
+         (2, "all unique words here now folks"),
+         (3, "x\ny\nx\nzz")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.repetition_signals(
+        df, "text", "doc_id", top_ns=(2,), dup_ns=(2,)).collect()}
+
+    # doc 1: joined len 31; "the cat" appears 2x (len 7) and is the
+    # lexicographic-min among count-2 grams → top share 14/31; dup
+    # grams = all with count >= 2 = just "the cat" → same mass
+    assert abs(out[1]["top2gram_share"] - 14 / 31) < 1e-12
+    assert abs(out[1]["dup2gram_share"] - 14 / 31) < 1e-12
+    assert out[1]["dup_line_frac"] == 0.0
+
+    # doc 2: all 2-grams unique -> top share = 1*len/loined, dup 0
+    assert out[2]["dup2gram_share"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0
+
+    # doc 3: 4 lines, 'x' twice -> dup_line_frac 2/4; line chars
+    # total 1+1+1+2 = 5, duplicated chars 2 -> 0.4
+    assert abs(out[3]["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(out[3]["dup_line_char_frac"] - 0.4) < 1e-12
+
+    # degenerate self-overlap exceeds 1.0 by design (no clamp)
+    deg = spark.createDataFrame([(9, "a a a a")],
+                                "doc_id bigint, text string")
+    r = T.repetition_signals(deg, "text", "doc_id",
+                             top_ns=(2,), dup_ns=(2,)).collect()[0]
+    assert r["top2gram_share"] > 1.0

@@ -343,6 +343,102 @@ def mean_word_length(col: str) -> Column:
         "/ size(t) END), 1)")
 
 
+def repetition_signals(df, text_col: str, id_col: str,
+                       top_ns=(2, 3, 4), dup_ns=(5,)):
+    """The Gopher/MassiveText REPETITION signals (Rae et al. 2021,
+    §A1.1) that ``gopher_quality_flags``'s narrow per-doc expressions
+    don't cover — the ones needing per-document n-gram frequency
+    tables:
+
+    * ``top{n}gram_share`` for n ∈ ``top_ns``: characters claimed by
+      the single most frequent word n-gram (occurrences × n-gram
+      length / space-joined doc length); Gopher filters at
+      0.20/0.18/0.16 for n = 2/3/4.
+    * ``dup{n}gram_share`` for n ∈ ``dup_ns``: characters claimed by
+      ALL n-grams occurring more than once (every occurrence counted;
+      overlapping occurrences are NOT unioned — the cheap upper bound,
+      deterministic and engine-replayable, vs the position-union
+      variant some filters use).  Both shares can exceed 1.0 for
+      self-overlapping degenerate repetition ("a a a a …") — exactly
+      the documents a threshold filter should kill, so no clamp.
+    * ``dup_line_frac`` / ``dup_line_char_frac``: fraction of lines
+      (and of line characters) that are copies of another line in the
+      SAME document.
+
+    Ties for "most frequent" break lexicographically (smallest
+    n-gram), so every column is a pure function of the text — the
+    whole report hash-matches an external SQL replay.
+
+    Scale shape: one explode per n + one map-side-combined count keyed
+    by (id, n-gram) — O(corpus tokens) shuffle traffic, the same
+    asymptotics as ``word_shingles`` — then per-doc aggregates of the
+    O(distinct grams) relation.  No windows, no UDFs.
+    """
+    if not top_ns and not dup_ns:
+        raise ValueError("need at least one of top_ns/dup_ns")
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    base = df.select(F.col(id_col).alias("id"),
+                     F.expr(toks).alias("t"),
+                     F.split(F.col(text_col), "\n").alias("ls"))
+    base = base.withColumn(
+        "tlen", F.length(F.array_join("t", " "))).localCheckpoint()
+
+    out = base.select("id")
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        gram = "concat_ws(' ', " + ", ".join(
+            f"element_at(t, i + {j})" for j in range(n)) + ")"
+        grams = (f"CASE WHEN size(t) < {n} THEN array() ELSE "
+                 f"transform(sequence(1, size(t) - {n - 1}), "
+                 f"i -> {gram}) END")
+        gc = (base.select("id", "tlen",
+                          F.explode(F.expr(grams)).alias("g"))
+              .groupBy("id", "tlen", "g")
+              .agg(F.count(F.lit(1)).alias("c")))
+        aggs = []
+        if n in top_ns:
+            # min of (-count, gram): most frequent, ties → smallest
+            aggs.append(F.min(F.struct(
+                (-F.col("c")).alias("nc"), F.col("g"))).alias("top"))
+        if n in dup_ns:
+            aggs.append(F.sum(F.when(
+                F.col("c") >= 2,
+                F.col("c") * F.length("g")).otherwise(0))
+                .alias("dupchars"))
+        per = gc.groupBy("id", "tlen").agg(*aggs)
+        cols = [F.col("id")]
+        safe_len = F.when(F.col("tlen") > 0, F.col("tlen").cast("double"))
+        if n in top_ns:
+            cols.append(F.coalesce(
+                (-F.col("top.nc")) * F.length("top.g") / safe_len,
+                F.lit(0.0)).alias(f"top{n}gram_share"))
+        if n in dup_ns:
+            cols.append(F.coalesce(
+                F.col("dupchars") / safe_len,
+                F.lit(0.0)).alias(f"dup{n}gram_share"))
+        out = out.join(per.select(*cols), "id", "left")
+
+    lines = (base.select("id",
+                         F.explode("ls").alias("line"))
+             .groupBy("id", "line")
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.length("line").alias("ll")))
+    lrep = (lines.groupBy("id").agg(
+        (F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+         / F.sum("c")).alias("dup_line_frac"),
+        (F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("ll"))
+               .otherwise(0))
+         / F.when(F.sum(F.col("c") * F.col("ll")) > 0,
+                  F.sum(F.col("c") * F.col("ll")).cast("double")))
+        .alias("dup_line_char_frac")))
+    out = out.join(
+        lrep.select("id", "dup_line_frac",
+                    F.coalesce("dup_line_char_frac", F.lit(0.0))
+                    .alias("dup_line_char_frac")), "id", "left")
+    fill = {f"top{n}gram_share": 0.0 for n in top_ns}
+    fill.update({f"dup{n}gram_share": 0.0 for n in dup_ns})
+    return out.fillna(fill).withColumnRenamed("id", id_col)
+
+
 def gopher_quality_flags(df, text_col: str,
                          min_words: int = 50, max_words: int = 100_000,
                          min_mean_word_len: float = 3.0,

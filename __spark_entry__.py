@@ -4556,6 +4556,84 @@ LEFT JOIN a5 ON a5.doc_id = d.doc_id
 """
 
 
+def _q_streaming_top_terms(spark, sf_dir):
+    """Streaming heavy hitters (the one CLASSIC streaming-aggregation
+    shape the gate set lacked): documents replayed as a file stream,
+    tokens counted by a stateful streaming groupBy in COMPLETE mode,
+    drained with availableNow — the result equals the batch aggregate
+    exactly, so the oracle is plain SQL.  Top-20 by (count DESC, term
+    ASC): the tie-break makes the LIMIT deterministic across
+    engines."""
+    import tempfile
+    import uuid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="sttermsgate_")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    toks = stream.select(F.explode(F.expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+        .alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    name = "q_stream_topterms_" + uuid.uuid4().hex[:8]
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .orderBy(F.col("n").desc(), "term").limit(20))
+
+
+def _sql_streaming_top_terms():
+    return f"""
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest({_duck_tokens('text')}) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 20
+"""
+
+
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink → source round-trip as a gate (the interchange
+    format every downstream tokenizer job consumes; the sources/sinks
+    family had tests but no driver-verified row): write the documents
+    table as gzip JSONL, read it back with an explicit schema (no
+    inference pre-pass), and aggregate per (lang, source) — counts,
+    exact char sums, and an md5-XOR content checksum over doc_id:text
+    so a dropped/mangled row or a broken escape changes the result."""
+    import tempfile
+
+    from xpysom_dask_spark.sources.readers import load_jsonl
+    from xpysom_dask_spark.sources.writers import write_jsonl
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang",
+                                       "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="jsonlgate_")
+    write_jsonl(docs, tmp)
+    back = load_jsonl(
+        spark, tmp,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    chk = ("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), "
+           "':', text)), 1, 12), 16, 10) AS BIGINT)")
+    return (back.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("bigint"))
+                 .alias("sum_chars"),
+                 F.expr(f"bit_xor({chk})").alias("content_xor")))
+
+
+def _sql_jsonl_roundtrip():
+    chk = _duck_md5hash48("concat(CAST(doc_id AS VARCHAR), ':', text)")
+    return f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor({chk}) AS content_xor
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def queries_round6_staged() -> dict:
     return {
         "decontaminate_spans": _q_decontaminate_spans,
@@ -4563,6 +4641,8 @@ def queries_round6_staged() -> dict:
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_lines": _q_dedup_lines,
         "text_repetition": _q_text_repetition,
+        "streaming_top_terms": _q_streaming_top_terms,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 
@@ -4573,6 +4653,8 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "dedup_lines": _sql_dedup_lines(),
         "text_repetition": _sql_text_repetition(),
+        "streaming_top_terms": _sql_streaming_top_terms(),
+        "jsonl_roundtrip": _sql_jsonl_roundtrip(),
     }
 
 

@@ -244,3 +244,88 @@ def test_keep_best_is_a_selection_of_each_group(spark):
     for r in kept:
         s_best, neg_id = max(by_text[r["text"]])
         assert r["id"] == -neg_id
+
+
+def test_decontaminate_spans_invariants_on_random_corpora(spark):
+    """Excision invariants on random word-soup corpora: the cleaned
+    doc is a subsequence of the (whitespace-normalized) original,
+    n_removed is exactly the token-count delta, every ORIGINAL window
+    matching a test 5-gram is gone, and an empty test set is the
+    identity (modulo whitespace normalization)."""
+    import random
+
+    from xpysom_dask_spark.operators import dedup
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(60)]
+    train = spark.createDataFrame(docs, "doc_id bigint, text string")
+    test = spark.createDataFrame(
+        [(1000 + j, " ".join(rng.choice(vocab) for _ in range(8)))
+         for j in range(5)], "doc_id bigint, text string")
+    n = 5
+    test_grams = set()
+    for _, t in test.collect():
+        tk = t.lower().split()
+        for i in range(len(tk) - n + 1):
+            test_grams.add(" ".join(tk[i:i + n]))
+
+    out = {r["doc_id"]: r for r in dedup.decontaminate_spans(
+        train, test, "text", "doc_id", n=n).collect()}
+    orig = dict(docs)
+    for did, t0 in docs:
+        a = t0.split()
+        b = out[did]["text"].split() if out[did]["text"] else []
+        # token-count identity
+        assert out[did]["n_removed"] == len(a) - len(b)
+        # subsequence property
+        it = iter(a)
+        assert all(any(x == y for y in it) for x in b)
+        # reference cover computation: every covered token gone
+        low = t0.lower().split()
+        cover = [False] * len(a)
+        for i in range(len(a) - n + 1):
+            if " ".join(low[i:i + n]) in test_grams:
+                for j in range(i, i + n):
+                    cover[j] = True
+        assert b == [x for x, c in zip(a, cover) if not c]
+
+    # empty test set: identity modulo whitespace normalization
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    ident = {r["doc_id"]: r for r in dedup.decontaminate_spans(
+        train, empty, "text", "doc_id", n=n).collect()}
+    for did, t0 in docs:
+        assert ident[did]["text"] == " ".join(t0.split())
+        assert ident[did]["n_removed"] == 0
+
+
+def test_dedup_lines_matches_bruteforce_on_random_corpora(spark):
+    """dedup_lines == a driver-side brute-force reference on random
+    multi-line docs: same surviving lines, same counts, and the
+    removed+kept line multisets partition the original."""
+    import random
+    from collections import Counter
+
+    from xpysom_dask_spark.operators import dedup
+
+    rng = random.Random(31)
+    pool = [f"line {i}" for i in range(8)]  # small pool → collisions
+    docs = [(i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 6))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for min_df in (2, 3):
+        out = {r["doc_id"]: r for r in dedup.dedup_lines(
+            df, "text", "doc_id", min_df=min_df).collect()}
+        dfreq = Counter()
+        for _, t in docs:
+            for ln in set(t.split("\n")):
+                dfreq[ln] += 1
+        boiler = {ln for ln, c in dfreq.items() if c >= min_df}
+        for did, t0 in docs:
+            lines = t0.split("\n")
+            keep = [ln for ln in lines if ln not in boiler]
+            assert out[did]["text"] == "\n".join(keep)
+            assert out[did]["n_lines_removed"] == \
+                len(lines) - len(keep)

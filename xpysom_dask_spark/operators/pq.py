@@ -1,0 +1,341 @@
+"""Product quantization (Jégou, Douze, Schmid — "Product Quantization
+for Nearest Neighbor Search", IEEE TPAMI 2011): the memory-bound ANN
+path the int8/binary signatures can't reach.
+
+A 64-dim float32 vector is 256 B; its PQ code at m=8 sub-quantizers of
+k=256 codewords is 8 B — a 32× compression under which a 1e11-row
+corpus' vectors fit in ~1 TB of executor memory, and query scoring
+becomes m table lookups + an integer/float add per candidate instead of
+a dim-wide float GEMM.  This is FAISS's `PQx` / ScaNN's AH layer; here
+it is expressed Spark-first:
+
+* **fit** (:func:`pq_fit`) — the m sub-space KMeans problems share ONE
+  Arrow pass per Lloyd iteration: the kernel reshapes each batch to
+  (n, m, dsub), computes all m argmins against the broadcast
+  (m, k, dsub) codebook, and emits per-(sub, cluster) partial
+  (count, Σx) rows — ≤ partitions·m·k tiny rows to the driver per
+  step, the same partial-aggregation shape as the SOM epoch
+  (plans/training.py) and :func:`~.clustering.kmeans_fit`.  The corpus
+  never shuffles; driver state is (m·k·dsub) doubles.
+* **encode** (:func:`pq_encode`) — broadcast codebook, one narrow
+  mapInPandas pass → `codes array<int>` (+ optional reconstruction
+  error).  No shuffle: at 100 TB this is a scan-speed re-writing of
+  the corpus into its compressed serving form.
+* **search** (:func:`pq_adc_topk`) — asymmetric distance computation:
+  per query a (m, k) lookup table of exact sub-space distances to every
+  codeword broadcasts (KBs), each batch scores candidates by summing m
+  LUT entries per code, prunes to a per-batch top-k with a
+  (dist, neighbor_id) lexsort tie-break, and a final window takes the
+  exact global top-k over batches·k·|Q| candidate rows — the
+  :func:`~.embeddings.hamming_topk` plan shape with a LUT-gather kernel.
+
+Determinism contract (the engine-wide reproducibility idiom): all
+sub-space distances accumulate coordinate-by-coordinate in float64 —
+the same left-fold order an external SQL engine uses — so fits, codes,
+and (with ``lut_scale``, which floors the LUT into integer units so
+candidate sums are order-free) ADC rankings are bit-reproducible on
+any partitioning and replayable row-for-row by the DuckDB oracle.
+
+No reference counterpart (xpysom-dask has no vector-compression ops);
+beyond-reference pipeline surface, same family as
+:mod:`~.embeddings`/:mod:`~.similarity`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float64) for v in col])
+
+
+def _seq_sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, d) × (k, d) → (n, k) squared-L2, accumulated one coordinate
+    at a time in float64.  numpy's blocked/pairwise `sum` is faster but
+    order-dependent; a sequential left fold is what SQL engines do, so
+    this is the kernel that makes codes/LUTs bit-identical across
+    engines and partitionings.  d here is dsub (4-16): the explicit
+    loop costs nothing against the (n, k) broadcasting it drives."""
+    out = np.zeros((X.shape[0], C.shape[0]), np.float64)
+    for j in range(X.shape[1]):
+        diff = X[:, j, None] - C[None, :, j]
+        out += diff * diff
+    return out
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if dim % m:
+        raise ValueError(f"pq: dim={dim} not divisible by m={m} "
+                         "sub-quantizers")
+    return dim // m
+
+
+def pq_init(df: DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id", m: int = 8,
+            k: int = 16) -> np.ndarray:
+    """Deterministic (m, k, dsub) seed codebook: the k corpus rows with
+    the smallest ``md5(id)`` (the content-addressed draw every sampler
+    here uses — reproducible on any partitioning), sliced into the m
+    sub-vectors.  TakeOrderedAndProject, not a global sort."""
+    rows = (df.select(F.col(vec_col).alias("v"),
+                      F.md5(F.col(id_col).cast("string")).alias("h"))
+            .orderBy("h").limit(int(k)).collect())
+    if len(rows) < k:
+        raise ValueError(f"pq_init: need {k} rows, corpus has "
+                         f"{len(rows)}")
+    M = _as_matrix([r["v"] for r in rows])          # (k, dim)
+    dsub = _check_geometry(M.shape[1], m)
+    return M.reshape(k, m, dsub).transpose(1, 0, 2).copy()
+
+
+def pq_fit(df: DataFrame, vec_col: str = "embedding",
+           id_col: str = "vec_id", m: int = 8, k: int = 16,
+           max_iter: int = 10, tol: float = 1e-6,
+           init: np.ndarray | None = None) -> np.ndarray:
+    """Fit the (m, k, dsub) codebook: m independent sub-space Lloyd
+    fits sharing one Arrow pass per iteration.
+
+    Empty clusters keep their previous codeword (the standard batch
+    rule); stops after ``max_iter`` steps or when the max codeword
+    shift² ≤ ``tol``.  Broadcast bound: m·k·dsub·8 B — ~131 KB at the
+    FAISS-standard m=8, k=256, dim=64."""
+    import pandas as pd
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    sc = spark.sparkContext
+    C = pq_init(df, vec_col, id_col, m, k) if init is None \
+        else np.asarray(init, np.float64)
+    m, k, dsub = C.shape
+
+    def make_kernel(bc):
+        def fn(batches):
+            Cb = bc.value                      # (m, k, dsub)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _as_matrix(pdf["v"]).reshape(len(pdf), m, dsub)
+                subs, clus, cnts, sums = [], [], [], []
+                for s in range(m):
+                    a = _seq_sq_dists(X[:, s, :], Cb[s]).argmin(axis=1)
+                    cnt = np.bincount(a, minlength=k)
+                    S = np.zeros((k, dsub))
+                    np.add.at(S, a, X[:, s, :])
+                    subs.append(np.full(k, s, np.int32))
+                    clus.append(np.arange(k, dtype=np.int32))
+                    cnts.append(cnt.astype(np.int64))
+                    sums.extend(row.tobytes() for row in S)
+                yield pd.DataFrame({
+                    "sub": np.concatenate(subs),
+                    "cluster": np.concatenate(clus),
+                    "cnt": np.concatenate(cnts),
+                    "vsum": sums,
+                })
+        return fn
+
+    feats = df.select(F.col(vec_col).alias("v")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(int(max_iter)):
+            bc = sc.broadcast(C)
+            partials = feats.mapInPandas(
+                make_kernel(bc),
+                "sub int, cluster int, cnt bigint, vsum binary").collect()
+            bc.unpersist(blocking=False)
+            cnt = np.zeros((m, k), np.int64)
+            S = np.zeros_like(C)
+            for r in partials:
+                cnt[r["sub"], r["cluster"]] += r["cnt"]
+                S[r["sub"], r["cluster"]] += np.frombuffer(
+                    r["vsum"], np.float64)
+            nz = cnt > 0
+            new = C.copy()
+            new[nz] = S[nz] / cnt[nz][:, None]
+            shift = float(((new - C) ** 2).sum(axis=2).max())
+            C = new
+            if shift <= tol:
+                break
+    finally:
+        feats.unpersist()
+    return C
+
+
+def pq_encode(df: DataFrame, codebook: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              codes_col: str = "codes", err_col: str | None = None,
+              err_int_scale: int | None = None,
+              keep: list[str] | None = None) -> DataFrame:
+    """Encode every vector to its (m,) nearest-codeword indices:
+    (id, codes array<int>[, err][, keep...]).
+
+    One narrow Arrow pass over the broadcast codebook, no shuffle.
+    Ties → lowest codeword index.  With ``err_col`` the per-row
+    reconstruction error Σ_s min‖x_s−c‖² rides along; with
+    ``err_int_scale`` it is emitted as a BIGINT in 1/scale units
+    (each sub-space error floored independently, then summed — an
+    order-free integer total, so the column is bit-reproducible across
+    engines and partitionings, the gate/oracle contract)."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    C = np.asarray(codebook, np.float64)
+    m, k, dsub = C.shape
+    bc = spark.sparkContext.broadcast(C)
+    keep = list(keep or [])
+
+    def fn(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _as_matrix(pdf["v"]).reshape(len(pdf), m, dsub)
+            codes = np.empty((len(pdf), m), np.int32)
+            errs = np.zeros(len(pdf), np.float64)
+            ierrs = np.zeros(len(pdf), np.int64)
+            for s in range(m):
+                d = _seq_sq_dists(X[:, s, :], Cb[s])
+                a = d.argmin(axis=1)           # ties → lowest index
+                codes[:, s] = a
+                best = d[np.arange(len(a)), a]
+                if err_int_scale:
+                    ierrs += np.floor(
+                        best * err_int_scale + 0.5).astype(np.int64)
+                else:
+                    errs += best
+            out = {"id": pdf["id"].to_numpy(np.int64),
+                   codes_col: list(codes)}
+            if err_col:
+                out[err_col] = ierrs if err_int_scale else errs
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    schema = f"id bigint, {codes_col} array<int>"
+    if err_col:
+        schema += f", {err_col} " + ("bigint" if err_int_scale
+                                     else "double")
+    if keep:
+        sub = df.select(*keep).schema
+        schema += ", " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in sub)
+    out = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v"), *keep) \
+        .mapInPandas(fn, schema)
+    return out.withColumnRenamed("id", id_col)
+
+
+def pq_lut(codebook: np.ndarray, Q: np.ndarray,
+           lut_scale: int | None = None) -> np.ndarray:
+    """Per-query ADC lookup tables: (nq, m, k) of exact sub-space
+    distances ‖q_s − c‖² (float64), or floor(·scale + 0.5) int64 when
+    ``lut_scale`` is set (integer LUTs make candidate sums order-free,
+    hence rankings reproducible across engines)."""
+    C = np.asarray(codebook, np.float64)
+    m, k, dsub = C.shape
+    Q = np.asarray(Q, np.float64).reshape(len(Q), m, dsub)
+    lut = np.empty((len(Q), m, k), np.float64)
+    for s in range(m):
+        lut[:, s, :] = _seq_sq_dists(Q[:, s, :], C[s])
+    if lut_scale:
+        return np.floor(lut * lut_scale + 0.5).astype(np.int64)
+    return lut
+
+
+PQ_TOPK_MAX_QUERIES = 4096
+
+
+def pq_adc_topk(codebook: np.ndarray, codes: DataFrame,
+                queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", codes_col: str = "codes",
+                vec_col: str = "embedding",
+                lut_scale: int | None = None,
+                exclude_self: bool = True,
+                max_queries: int = PQ_TOPK_MAX_QUERIES) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes:
+    (query_id, rank, neighbor_id, dist).
+
+    The query LUTs broadcast ((|Q|·m·k)·8 B — KBs), each batch gathers
+    m LUT entries per candidate and sums (a (n, m) integer/float
+    gather, no float GEMM), prunes to a per-batch top-k with the same
+    (dist, neighbor_id) lexsort the final window uses (a tied candidate
+    at the batch boundary must not depend on partition layout —
+    the :func:`~.embeddings.hamming_topk` rule), and the final exact
+    window ranks batches·k·|Q| candidate rows.  The codes relation
+    never shuffles.
+
+    With ``lut_scale`` distances are integers in 1/scale units —
+    bit-reproducible end-to-end (the gate path); without it they are
+    float64 sums of the m sub-distances in sub-space order."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = codes.sparkSession
+    ship_package(spark)
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"pq_adc_topk: {n_q} query rows > max_queries="
+            f"{max_queries}; the LUT tensor is broadcast per batch — "
+            "chunk the query set, or route through an IVF index for "
+            "corpus-scale query sets.")
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    int_dist = bool(lut_scale)
+    if not len(qpdf):
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, dist "
+            + ("bigint" if int_dist else "double"))
+    qids = qpdf[id_col].to_numpy(np.int64)
+    Q = _as_matrix(qpdf[vec_col])
+    lut = pq_lut(codebook, Q, lut_scale)
+    m = lut.shape[1]
+    kk_codes = lut.shape[2]
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    def fn(batches):
+        qids_, lut_ = bc.value
+        nq = len(qids_)
+        flat = lut_.reshape(nq, -1)            # (nq, m*k)
+        offs = (np.arange(m) * kk_codes).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.stack([np.asarray(c, np.int64)
+                                for c in pdf[codes_col]])
+            nb = pdf["__nb_id"].to_numpy(np.int64)
+            gather = codes_m + offs[None, :]   # (n, m) flat indices
+            kk = min(k + 1 if exclude_self else k, len(nb))
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                d = flat[qi][gather].sum(axis=1)
+                top = np.lexsort((nb, d))[:kk]
+                out_q.append(np.full(kk, qids_[qi], np.int64))
+                out_n.append(nb[top])
+                out_d.append(d[top])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "dist": np.concatenate(out_d),
+            })
+
+    dist_t = "bigint" if int_dist else "double"
+    slim = codes.select(F.col(id_col).alias("__nb_id"), codes_col)
+    cand = slim.mapInPandas(
+        fn, f"query_id bigint, neighbor_id bigint, dist {dist_t}")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist"))

@@ -4634,6 +4634,134 @@ GROUP BY lang, source
 """
 
 
+def _pq_gate_codebook(spark, sf_dir):
+    """Fixed (m=8, k=8, dsub=8) gate codebook: the vec_id<8 embedding
+    rows sliced into 8 sub-vectors, codeword index = vec_id order (the
+    kmeans_assign fixed-centroid idiom — SQL-derivable, so the oracle
+    replays encoding without replaying a Lloyd fit; the real fit is
+    covered by tests/test_pq.py's numpy differential)."""
+    import numpy as np
+
+    rows = _emb(spark, sf_dir).where("vec_id < 8").orderBy("vec_id") \
+        .select("embedding").collect()
+    M = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    return M.reshape(8, 8, 8).transpose(1, 0, 2).copy()
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encode pass (operators/pq.py pq_encode):
+    every embedding compressed to 8 sub-space codeword indices against
+    the fixed gate codebook — one broadcast Arrow pass, the corpus
+    never shuffles.  Codes serialize to a space-joined string (the
+    driver's pandas canon can't sort list columns) and the
+    reconstruction error ships as the order-free scaled-BIGINT sum of
+    per-sub-space floors — both sides accumulate sub-space distances
+    coordinate-sequentially in float64, so the hash is exact."""
+    from xpysom_dask_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir)
+    book = _pq_gate_codebook(spark, sf_dir)
+    out = PQ.pq_encode(emb, book, err_col="err_u",
+                       err_int_scale=10**6)
+    return out.select(
+        "vec_id",
+        F.expr("array_join(transform(codes, x -> cast(x as string)), "
+               "' ')").alias("codes"),
+        "err_u")
+
+
+def _duck_pq_subdist(evec: str, cvec: str) -> str:
+    """Sub-space squared-L2 between 8-wide slices at 0-based sub `s.sub`
+    of two FLOAT[] columns, accumulated in DOUBLE in coordinate order
+    (list_sum left fold == the operator's sequential kernel).  Variable
+    is `j` — never `i` (the _duck_md5hash48 shadowing pitfall)."""
+    d = (f"(CAST({evec}[s.sub*8 + j] AS DOUBLE) "
+         f"- CAST({cvec}[s.sub*8 + j] AS DOUBLE))")
+    return f"list_sum([{d} * {d} FOR j IN range(1, 9)])"
+
+
+def _sql_pq_codes():
+    d2 = _duck_pq_subdist("e.embedding", "c.cvec")
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cidx, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8),
+subs AS (SELECT unnest(range(0, 8)) AS sub),
+subd AS (
+  SELECT e.vec_id, s.sub, c.cidx, {d2} AS d2
+  FROM embeddings e CROSS JOIN subs s CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, sub, cidx, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, cidx) AS rn
+  FROM subd)
+SELECT vec_id,
+       string_agg(CAST(cidx AS VARCHAR), ' ' ORDER BY sub) AS codes,
+       CAST(SUM(CAST(FLOOR(d2 * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS err_u
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def _q_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k (operators/pq.py pq_adc_topk):
+    the corpus scored through its 8-byte codes against 5 query LUTs —
+    m integer lookups + adds per candidate, no float GEMM, the codes
+    relation never shuffles.  lut_scale floors the LUTs into integer
+    micro-units, so candidate sums are order-free BIGINTs and the
+    ranking (dist ASC, neighbor_id ASC) is bit-reproducible on any
+    partitioning and in the oracle's replay."""
+    from xpysom_dask_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir)
+    book = _pq_gate_codebook(spark, sf_dir)
+    codes = PQ.pq_encode(emb, book)
+    qs = emb.where("vec_id < 5")
+    return PQ.pq_adc_topk(book, codes, qs, k=5, lut_scale=10**6,
+                          exclude_self=True)
+
+
+def _sql_pq_adc():
+    enc = _duck_pq_subdist("e.embedding", "c.cvec")
+    lutd = _duck_pq_subdist("q.qvec", "c.cvec")
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cidx, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8),
+subs AS (SELECT unnest(range(0, 8)) AS sub),
+subd AS (
+  SELECT e.vec_id, s.sub, c.cidx, {enc} AS d2
+  FROM embeddings e CROSS JOIN subs s CROSS JOIN cent c),
+codes AS (
+  SELECT vec_id, sub, cidx AS code
+  FROM (SELECT vec_id, sub, cidx,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cidx) AS rn
+        FROM subd)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings WHERE vec_id < 5),
+lut AS (
+  SELECT q.qid, s.sub, c.cidx,
+         CAST(FLOOR({lutd} * 1000000.0 + 0.5) AS BIGINT) AS dq
+  FROM q CROSS JOIN subs s CROSS JOIN cent c),
+adc AS (
+  SELECT l.qid, co.vec_id AS neighbor_id,
+         CAST(SUM(l.dq) AS BIGINT) AS dist
+  FROM codes co
+  JOIN lut l ON l.sub = co.sub AND l.cidx = co.code
+  GROUP BY l.qid, co.vec_id),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, neighbor_id) AS rn
+  FROM adc WHERE qid != neighbor_id)
+SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
+FROM r WHERE rn <= 5
+"""
+
+
 def queries_round6_staged() -> dict:
     return {
         "decontaminate_spans": _q_decontaminate_spans,
@@ -4643,6 +4771,8 @@ def queries_round6_staged() -> dict:
         "text_repetition": _q_text_repetition,
         "streaming_top_terms": _q_streaming_top_terms,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "pq_codes": _q_pq_codes,
+        "pq_adc": _q_pq_adc,
     }
 
 
@@ -4655,6 +4785,8 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "text_repetition": _sql_text_repetition(),
         "streaming_top_terms": _sql_streaming_top_terms(),
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
+        "pq_codes": _sql_pq_codes(),
+        "pq_adc": _sql_pq_adc(),
     }
 
 

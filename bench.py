@@ -437,6 +437,22 @@ def main():
                                 id_col="doc_id").count()
     timed("probe_fit_filter", _probe)
 
+    # round-5 continuation: product quantization (operators/pq.py)
+    from xpysom_dask_spark.operators import pq as PQ
+    _book = [None]
+    def _pq_fit():
+        _book[0] = PQ.pq_fit(emb, m=8, k=16, max_iter=5)
+        return _book[0]
+    timed("pq_fit", _pq_fit)
+    _codes = [None]
+    def _pq_encode():
+        _codes[0] = PQ.pq_encode(emb, _book[0])
+        return _codes[0].count()
+    timed("pq_encode", _pq_encode)
+    timed("pq_adc_topk", lambda: PQ.pq_adc_topk(
+        _book[0], _codes[0], emb.where("vec_id % 50 = 0"),
+        k=5).count())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     import __spark_entry__ as _entry

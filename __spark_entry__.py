@@ -4762,6 +4762,50 @@ FROM r WHERE rn <= 5
 """
 
 
+def _q_orc_roundtrip(spark, sf_dir):
+    """ORC sink → source round-trip (sources/writers.py write_orc):
+    the events table written as zstd ORC and read back, then audited
+    per event_type — counts, a bit_xor md5-fold checksum over
+    event_id, and the exact micro-unit value sum (floor-scaled BIGINT,
+    so the double column is hash-comparable).  The jsonl_roundtrip
+    twin for the COLUMNAR interchange path: one dropped row, mangled
+    value, or broken ts normalization (BIGINT epoch-nanos contract)
+    flips the result.  The oracle audits the source table directly —
+    round-trip fidelity IS the claim."""
+    import tempfile
+
+    from xpysom_dask_spark.sources.writers import write_orc
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="orcgate_")
+    write_orc(ev, tmp)
+    back = spark.read.orc(tmp)
+    chk = ("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12),"
+           " 16, 10) AS BIGINT)")
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr(f"bit_xor({chk})").alias("id_xor"),
+                 F.sum(F.expr(
+                     "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"))
+                 .cast("bigint").alias("value_micro"),
+                 F.min("ts").cast("bigint").alias("min_ts"),
+                 F.max("ts").cast("bigint").alias("max_ts")))
+
+
+def _sql_orc_roundtrip():
+    chk = _duck_md5hash48("CAST(event_id AS VARCHAR)")
+    return f"""
+SELECT event_type, COUNT(*) AS n_events,
+       bit_xor({chk}) AS id_xor,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_micro,
+       CAST(MIN(epoch_ns(ts)) AS BIGINT) AS min_ts,
+       CAST(MAX(epoch_ns(ts)) AS BIGINT) AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
 def queries_round6_staged() -> dict:
     return {
         "decontaminate_spans": _q_decontaminate_spans,
@@ -4773,6 +4817,7 @@ def queries_round6_staged() -> dict:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pq_codes": _q_pq_codes,
         "pq_adc": _q_pq_adc,
+        "orc_roundtrip": _q_orc_roundtrip,
     }
 
 
@@ -4787,6 +4832,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
         "pq_codes": _sql_pq_codes(),
         "pq_adc": _sql_pq_adc(),
+        "orc_roundtrip": _sql_orc_roundtrip(),
     }
 
 

@@ -4762,6 +4762,110 @@ FROM r WHERE rn <= 5
 """
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ build + search (operators/pq.py build_ivfpq_index /
+    ivfpq_topk — the FAISS IVFPQ serving layout): corpus
+    coarse-assigned to 4 fixed cells (vec_id<4 rows), residuals
+    PQ-encoded against a fixed 8-codeword book (vec_id 4..11 sliced),
+    index written partitioned by cell, then 3 queries searched at
+    FULL probe (nprobe = n_cells) with integer-scaled LUTs — the
+    configuration whose result the oracle replays end-to-end: coarse
+    argmin, residual encode, per-(query,cell) LUT, ADC sum, exact
+    top-5.  All distance folds are coordinate-sequential float64 on
+    both engines, so every argmin and the final ranking hash-match."""
+    import tempfile
+
+    import numpy as np
+
+    from xpysom_dask_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.where("vec_id < 12").orderBy("vec_id") \
+        .select("embedding").collect()
+    M = np.stack([np.asarray(r["embedding"], np.float64)
+                  for r in rows])
+    coarse = M[:4]
+    book = M[4:12].reshape(8, 8, 8).transpose(1, 0, 2).copy()
+    path = tempfile.mkdtemp(prefix="ivfpqgate_")
+    PQ.build_ivfpq_index(coarse, book, emb, path)
+    qs = emb.where("vec_id < 3")
+    return PQ.ivfpq_topk(spark, path, coarse, book, qs, k=5,
+                         nprobe=4, lut_scale=10**6)
+
+
+def _sql_ivfpq_topk():
+    def sq(a, b):
+        d = f"(CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE))"
+        return f"{d} * {d}"
+
+    def rsq(e, c, b):
+        d = (f"((CAST({e} AS DOUBLE) - CAST({c} AS DOUBLE)) "
+             f"- CAST({b} AS DOUBLE))")
+        return f"{d} * {d}"
+
+    full = ("list_sum(["
+            + sq("e.embedding[j]", "ct.cvec[j]")
+            + " FOR j IN range(1, 65)])")
+    enc = ("list_sum(["
+           + rsq("e.embedding[s.sub*8 + j]", "ct.cvec[s.sub*8 + j]",
+                 "b.bvec[s.sub*8 + j]")
+           + " FOR j IN range(1, 9)])")
+    lutd = ("list_sum(["
+            + rsq("q.qvec[s.sub*8 + j]", "ct.cvec[s.sub*8 + j]",
+                  "b.bvec[s.sub*8 + j]")
+            + " FOR j IN range(1, 9)])")
+    return f"""
+WITH cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cvec
+  FROM embeddings WHERE vec_id < 4),
+book AS (
+  SELECT CAST(vec_id - 4 AS INTEGER) AS bidx, embedding AS bvec
+  FROM embeddings WHERE vec_id >= 4 AND vec_id < 12),
+subs AS (SELECT unnest(range(0, 8)) AS sub),
+ad AS (
+  SELECT e.vec_id, ct.cell, {full} AS d2
+  FROM embeddings e CROSS JOIN cents ct),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cell) AS rn
+    FROM ad) WHERE rn = 1),
+rd AS (
+  SELECT e.vec_id, a.cell, s.sub, b.bidx, {enc} AS d2
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cents ct ON ct.cell = a.cell
+  CROSS JOIN subs s CROSS JOIN book b),
+codes AS (
+  SELECT vec_id, cell, sub, bidx AS code FROM (
+    SELECT vec_id, cell, sub, bidx,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, bidx) AS rn
+    FROM rd) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings WHERE vec_id < 3),
+lut AS (
+  SELECT q.qid, ct.cell, s.sub, b.bidx,
+         CAST(FLOOR({lutd} * 1000000.0 + 0.5) AS BIGINT) AS dq
+  FROM q CROSS JOIN cents ct CROSS JOIN subs s CROSS JOIN book b),
+adc AS (
+  SELECT l.qid, co.vec_id AS neighbor_id,
+         CAST(SUM(l.dq) AS BIGINT) AS dist
+  FROM codes co
+  JOIN lut l ON l.cell = co.cell AND l.sub = co.sub
+            AND l.bidx = co.code
+  GROUP BY l.qid, co.vec_id),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, neighbor_id) AS rn
+  FROM adc WHERE qid != neighbor_id)
+SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
+FROM r WHERE rn <= 5
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -4818,6 +4922,7 @@ def queries_round6_staged() -> dict:
         "pq_codes": _q_pq_codes,
         "pq_adc": _q_pq_adc,
         "orc_roundtrip": _q_orc_roundtrip,
+        "ivfpq_topk": _q_ivfpq_topk,
     }
 
 
@@ -4833,6 +4938,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "pq_codes": _sql_pq_codes(),
         "pq_adc": _sql_pq_adc(),
         "orc_roundtrip": _sql_orc_roundtrip(),
+        "ivfpq_topk": _sql_ivfpq_topk(),
     }
 
 

@@ -452,6 +452,16 @@ def main():
     timed("pq_adc_topk", lambda: PQ.pq_adc_topk(
         _book[0], _codes[0], emb.where("vec_id % 50 = 0"),
         k=5).count())
+    import tempfile as _tf
+    _coarse = CLU.kmeans_init(emb, k=8)
+    _ivfpq_path = _tf.mkdtemp(prefix="bench_ivfpq_")
+    def _ivfpq_build():
+        PQ.build_ivfpq_index(_coarse, _book[0], emb, _ivfpq_path)
+        return _ivfpq_path
+    timed("ivfpq_build", _ivfpq_build)
+    timed("ivfpq_topk", lambda: PQ.ivfpq_topk(
+        spark, _ivfpq_path, _coarse, _book[0],
+        emb.where("vec_id % 50 = 0"), k=5, nprobe=2).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

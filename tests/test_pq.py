@@ -184,6 +184,87 @@ def test_geometry_validation(emb):
         pq.pq_init(emb, m=7, k=8)
 
 
+def _gate_books(emb):
+    """Fixed coarse (4 cells = vec_id<4 rows) + fixed residual
+    codebook (8 codewords = vec_id 4..11 rows, sliced m=8)."""
+    rows = emb.where("vec_id < 12").orderBy("vec_id") \
+        .select("embedding").collect()
+    M = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    coarse = M[:4]
+    book = M[4:12].reshape(8, 8, 8).transpose(1, 0, 2).copy()
+    return coarse, book
+
+
+def test_ivfpq_full_probe_equals_residual_adc(spark, emb, tmp_path):
+    coarse, book = _gate_books(emb)
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(coarse, book, emb, path)
+    qs = emb.where("vec_id < 5")
+    got = pq.ivfpq_topk(spark, path, coarse, book, qs, k=5, nprobe=4,
+                        lut_scale=10**6).collect()
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                  r["dist"]) for r in got)
+
+    # reference: full-probe IVFPQ == ADC over residual codes with the
+    # per-(query,cell) residual LUT, computed locally
+    pdf = emb.select("vec_id", "embedding").toPandas() \
+        .sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    cell = pq._seq_sq_dists(X, coarse).argmin(axis=1)
+    R = (X - coarse[cell]).reshape(len(X), 8, 8)
+    codes = np.stack([pq._seq_sq_dists(R[:, s, :], book[s])
+                      .argmin(axis=1) for s in range(8)], axis=1)
+    want = []
+    for qid in range(5):
+        qi = int(np.where(ids == qid)[0][0])
+        d = np.empty(len(X), np.int64)
+        for i in range(len(X)):
+            lut = pq.pq_lut(book, (X[qi] - coarse[cell[i]])[None, :],
+                            10**6)[0]
+            d[i] = sum(lut[s, codes[i, s]] for s in range(8))
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))[:5]
+        for rank, j in enumerate(order, 1):
+            want.append((qid, rank, int(ids[mask][j]),
+                         int(d[mask][j])))
+    assert got == sorted(want)
+
+
+def test_ivfpq_prunes_partitions(spark, emb, tmp_path):
+    coarse, book = _gate_books(emb)
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(coarse, book, emb, path)
+    qs = emb.where("vec_id < 2")
+    out = pq.ivfpq_topk(spark, path, coarse, book, qs, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivfpq_partitioning_invariant(spark, emb, tmp_path):
+    coarse, book = _gate_books(emb)
+    qs = emb.where("vec_id < 3")
+
+    def run(df, sub):
+        path = str(tmp_path / f"ivfpq_{sub}")
+        pq.build_ivfpq_index(coarse, book, df, path)
+        rows = pq.ivfpq_topk(spark, path, coarse, book, qs, k=5,
+                             nprobe=2, lut_scale=10**6).collect()
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                       r["dist"]) for r in rows)
+
+    assert run(emb.repartition(1), "a") == run(emb.repartition(7), "b")
+
+
+def test_ivfpq_dim_mismatch(emb):
+    coarse, book = _gate_books(emb)
+    with pytest.raises(ValueError, match="coarse dim"):
+        pq.build_ivfpq_index(coarse[:, :32], book, emb, "/tmp/x")
+
+
 def test_encode_plan_no_exchange(emb):
     C = pq.pq_init(emb, m=8, k=8)
     plan = pq.pq_encode(emb, C)._jdf.queryExecution() \

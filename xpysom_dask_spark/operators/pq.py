@@ -251,6 +251,164 @@ def pq_lut(codebook: np.ndarray, Q: np.ndarray,
     return lut
 
 
+def build_ivfpq_index(coarse: np.ndarray, codebook: np.ndarray,
+                      corpus: DataFrame, path: str,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      mode: str = "overwrite") -> None:
+    """Materialize an IVF-PQ index (FAISS `IVFx,PQy` — THE serving
+    layout for corpus-scale ANN): every vector coarse-assigned to its
+    nearest cell, the RESIDUAL x − centroid(cell) PQ-encoded, and
+    (id, codes) written partitioned by ``cell``.
+
+    One Arrow pass does assign + residual + encode together — no
+    shuffle, no join; the only exchange is the partitioned write's
+    file routing.  At 100 TB: the index is codes-only (m bytes + id
+    per row — 32× smaller reads than raw vectors), probed cells prune
+    at PLAN time via the directory layout, and scoring never touches a
+    float vector.  Residual encoding beats raw-vector PQ at equal
+    bits because residuals are centered near zero (tighter sub-space
+    spread → lower quantization error) — the reason IVFPQ composes
+    these two quantizers rather than either alone.
+
+    Coarse assignment accumulates the full-dim distance
+    coordinate-sequentially (:func:`_seq_sq_dists`) — same fold as the
+    SQL oracle's replay, so cell membership is engine- and
+    partitioning-exact (the determinism contract; a GEMM argmin would
+    drift on near-equidistant cells)."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+    from ..sources.writers import write_partitioned
+
+    spark = corpus.sparkSession
+    ship_package(spark)
+    Cc = np.asarray(coarse, np.float64)
+    B = np.asarray(codebook, np.float64)
+    m, k, dsub = B.shape
+    if Cc.shape[1] != m * dsub:
+        raise ValueError(f"ivfpq: coarse dim {Cc.shape[1]} != "
+                         f"codebook dim {m * dsub}")
+    bc = spark.sparkContext.broadcast((Cc, B))
+
+    def fn(batches):
+        Cc_, B_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _as_matrix(pdf["v"])
+            cell = _seq_sq_dists(X, Cc_).argmin(axis=1)
+            R = (X - Cc_[cell]).reshape(len(X), m, dsub)
+            codes = np.empty((len(X), m), np.int32)
+            for s in range(m):
+                codes[:, s] = _seq_sq_dists(R[:, s, :], B_[s]) \
+                    .argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(np.int64),
+                "cell": cell.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    out = corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v")) \
+        .mapInPandas(fn, "id bigint, cell int, codes array<int>") \
+        .withColumnRenamed("id", id_col)
+    write_partitioned(out, path, "cell", mode=mode)
+
+
+def ivfpq_topk(spark, path: str, coarse: np.ndarray,
+               codebook: np.ndarray, queries: DataFrame, k: int = 5,
+               nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               lut_scale: int | None = None,
+               exclude_self: bool = True) -> DataFrame:
+    """ANN against a :func:`build_ivfpq_index` table:
+    (query_id, rank, neighbor_id, dist) under approximate squared L2.
+
+    Per (query, probed cell) one (m, k) residual LUT
+    ‖(q − centroid)_s − codeword‖² is built driver-side and broadcast
+    (nq·nprobe·m·k doubles — KBs); the scan prunes to probed cells at
+    plan time (directory PartitionFilters — unprobed cells never
+    open), a broadcast equi-join attaches (query_id, cell) probe rows,
+    and the kernel scores each candidate with m integer/float lookups
+    off its codes — no vector is ever read or reconstructed.  Final
+    exact top-k window with the engine-wide (dist, neighbor_id)
+    tie-break.  With ``nprobe = n_cells`` the result is exactly
+    :func:`pq_adc_topk` over the residual codes (the oracle-checkable
+    full-probe configuration); with ``lut_scale`` distances are
+    order-free integers, bit-reproducible and SQL-replayable."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    ship_package(spark)
+    Cc = np.asarray(coarse, np.float64)
+    B = np.asarray(codebook, np.float64)
+    m, kk_codes, dsub = B.shape
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) > PQ_TOPK_MAX_QUERIES:
+        raise ValueError(
+            f"ivfpq_topk: {len(qpdf)} query rows > "
+            f"{PQ_TOPK_MAX_QUERIES}; chunk the query set.")
+    qids = qpdf[id_col].to_numpy(np.int64)
+    Q = _as_matrix(qpdf[vec_col])
+    nprobe = min(int(nprobe), len(Cc))
+    qcd = _seq_sq_dists(Q, Cc)
+    probes = np.argsort(qcd, axis=1, kind="stable")[:, :nprobe]
+
+    pair_lut, pair_of = [], {}
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        for c in probes[qi]:
+            lut = pq_lut(B, (Q[qi] - Cc[c])[None, :], lut_scale)[0]
+            pair_of[(int(qid), int(c))] = len(pair_lut)
+            pair_lut.append(lut.reshape(-1))
+            probe_rows.append((int(qid), int(c)))
+    lut_stack = np.stack(pair_lut)            # (pairs, m*k)
+    bc = spark.sparkContext.broadcast((pair_of, lut_stack))
+
+    idx = spark.read.parquet(path)
+    probed_cells = sorted({c for _, c in probe_rows})
+    pruned = idx.where(F.col("cell").isin(probed_cells))
+    probe_df = spark.createDataFrame(probe_rows,
+                                     "query_id bigint, cell int")
+    joined = pruned.join(F.broadcast(probe_df), "cell").select(
+        "query_id", "cell", F.col(id_col).alias("neighbor_id"),
+        "codes")
+    offs = (np.arange(m) * kk_codes).astype(np.int64)
+    int_dist = bool(lut_scale)
+
+    def fn(batches):
+        pair_of_, lut_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.stack([np.asarray(c, np.int64)
+                                for c in pdf["codes"]])
+            rows = np.fromiter(
+                (pair_of_[(int(q), int(c))] for q, c in
+                 zip(pdf["query_id"], pdf["cell"])),
+                np.int64, len(pdf))
+            d = np.take_along_axis(
+                lut_[rows], codes_m + offs[None, :], axis=1).sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(np.int64),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                "dist": d,
+            })
+
+    dist_t = "bigint" if int_dist else "double"
+    cand = joined.mapInPandas(
+        fn, f"query_id bigint, neighbor_id bigint, dist {dist_t}")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist"))
+
+
 PQ_TOPK_MAX_QUERIES = 4096
 
 

@@ -454,13 +454,17 @@ def main():
         k=5).count())
     import tempfile as _tf
     _coarse = CLU.kmeans_init(emb, k=8)
+    # the IVFPQ book trains on RESIDUALS (the proper IVF-PQ recipe —
+    # a raw-vector book wastes codewords on the between-cell spread)
+    _rbook = PQ.pq_fit(PQ.ivfpq_residuals(emb, _coarse),
+                       vec_col="res", m=16, k=64, max_iter=5)
     _ivfpq_path = _tf.mkdtemp(prefix="bench_ivfpq_")
     def _ivfpq_build():
-        PQ.build_ivfpq_index(_coarse, _book[0], emb, _ivfpq_path)
+        PQ.build_ivfpq_index(_coarse, _rbook, emb, _ivfpq_path)
         return _ivfpq_path
     timed("ivfpq_build", _ivfpq_build)
     timed("ivfpq_topk", lambda: PQ.ivfpq_topk(
-        spark, _ivfpq_path, _coarse, _book[0],
+        spark, _ivfpq_path, _coarse, _rbook,
         emb.where("vec_id % 50 = 0"), k=5, nprobe=2).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
@@ -471,6 +475,33 @@ def main():
     quality = {"ann_recall_at_5_by_nprobe":
                {str(r["nprobe"]): r["recall"] for r in rc},
                "ann_recall_n_queries": int(rc[0]["n_queries"]) if rc else 0}
+
+    # IVFPQ quality: recall@5 vs exact L2 for the fitted book + 8-cell
+    # coarse codebook (compressed-domain ranking: both the cell prune
+    # AND the PQ approximation cost recall — the curve quantifies the
+    # 32x-compression trade the serving layout makes)
+    _ep = emb.select("vec_id", "embedding").toPandas() \
+        .sort_values("vec_id")
+    _eids = _ep["vec_id"].to_numpy(np.int64)
+    _X = np.stack([np.asarray(v, np.float64) for v in _ep["embedding"]])
+    _qmask = _eids % 50 == 0
+    _exact = {}
+    for _qi in np.where(_qmask)[0]:
+        _d = ((_X - _X[_qi]) ** 2).sum(axis=1)
+        _d[_qi] = np.inf
+        _exact[int(_eids[_qi])] = set(
+            _eids[np.argsort(_d)[:5]].tolist())
+    _pq_recall = {}
+    for _np_ in (1, 2, 4, 8):
+        got = PQ.ivfpq_topk(spark, _ivfpq_path, _coarse, _rbook,
+                            emb.where("vec_id % 50 = 0"), k=5,
+                            nprobe=_np_).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(_exact[q] & ns) for q, ns in by_q.items())
+        _pq_recall[str(_np_)] = round(hits / (5 * len(_exact)), 3)
+    quality["ivfpq_recall_at_5_by_nprobe"] = _pq_recall
 
     feats.unpersist()
     total = round(sum(timings.values()), 3)

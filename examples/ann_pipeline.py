@@ -63,6 +63,22 @@ def main(sf_dir: str) -> None:
     print("explained ratio:", np.round(model["explained_ratio"], 4))
     EMB.pca_project(emb, model, whiten=True, keep=["label"]).show(5)
 
+    print("== product quantization: 32x codes + ADC search ==")
+    from xpysom_dask_spark.operators import pq as PQ
+    book = PQ.pq_fit(emb, m=8, k=16, max_iter=4)
+    codes = PQ.pq_encode(emb, book, err_col="recon_err")
+    codes.select("vec_id", "codes", "recon_err").show(3, truncate=60)
+    PQ.pq_adc_topk(book, codes, emb.where("vec_id < 3"), k=3) \
+        .orderBy("query_id", "rank").show(9)
+
+    print("== IVF-PQ: partition-pruned cells of residual codes ==")
+    with tempfile.TemporaryDirectory() as d:
+        ipath = os.path.join(d, "ivfpq")
+        PQ.build_ivfpq_index(C, book, emb, ipath)
+        PQ.ivfpq_topk(spark, ipath, C, book,
+                      emb.where("vec_id < 3"), k=3, nprobe=2) \
+            .orderBy("query_id", "rank").show(9)
+
     print("== keep-best canonical selection over near-dup groups ==")
     kept = dedup.dedup_keep_best(
         docs, "text", "doc_id",

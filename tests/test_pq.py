@@ -259,6 +259,23 @@ def test_ivfpq_partitioning_invariant(spark, emb, tmp_path):
     assert run(emb.repartition(1), "a") == run(emb.repartition(7), "b")
 
 
+def test_ivfpq_residuals_reconstruct(emb):
+    # residual + assigned centroid == original vector, and the cell
+    # choice matches build_ivfpq_index's sequential-fold argmin
+    coarse, _ = _gate_books(emb)
+    res = pq.ivfpq_residuals(emb, coarse)
+    joined = {r["vec_id"]: np.asarray(r["res"], np.float64)
+              for r in res.collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+        X = np.asarray(v, np.float64)[None, :]
+        cell = int(pq._seq_sq_dists(X, coarse).argmin())
+        np.testing.assert_allclose(joined[int(vid)] + coarse[cell],
+                                   X[0], atol=0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:500]
+
+
 def test_ivfpq_dim_mismatch(emb):
     coarse, book = _gate_books(emb)
     with pytest.raises(ValueError, match="coarse dim"):

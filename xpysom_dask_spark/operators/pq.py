@@ -251,6 +251,45 @@ def pq_lut(codebook: np.ndarray, Q: np.ndarray,
     return lut
 
 
+def ivfpq_residuals(corpus: DataFrame, coarse: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    out_col: str = "res") -> DataFrame:
+    """(id, res array<double>): each vector's residual against its
+    nearest coarse centroid — the training input for an IVF-PQ
+    codebook (:func:`pq_fit` on this column beats a raw-vector book at
+    equal bits: residuals center near zero, so the sub-space spread
+    the codewords must cover is the within-cell spread, not the whole
+    corpus').  One broadcast Arrow pass, no shuffle; coarse assignment
+    uses the sequential fold (same cells as :func:`build_ivfpq_index`)."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = corpus.sparkSession
+    ship_package(spark)
+    Cc = np.asarray(coarse, np.float64)
+    bc = spark.sparkContext.broadcast(Cc)
+
+    def fn(batches):
+        Cc_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _as_matrix(pdf["v"])
+            cell = _seq_sq_dists(X, Cc_).argmin(axis=1)
+            R = X - Cc_[cell]
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(np.int64),
+                out_col: list(R),
+            })
+
+    return corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v")) \
+        .mapInPandas(fn, f"id bigint, {out_col} array<double>") \
+        .withColumnRenamed("id", id_col)
+
+
 def build_ivfpq_index(coarse: np.ndarray, codebook: np.ndarray,
                       corpus: DataFrame, path: str,
                       vec_col: str = "embedding",

@@ -4866,6 +4866,43 @@ FROM r WHERE rn <= 5
 """
 
 
+def _q_text_entropy(spark, sf_dir):
+    """Char + token unigram Shannon entropy per document
+    (text.entropy_signals) — the junk/base64/boilerplate detector pair
+    the frequency-table family lacked.  All float work is log2 of
+    integer counts (the lm_score ln-parity class), rounded to 6."""
+    return T.entropy_signals(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_text_entropy():
+    toks = _duck_tokens("text")
+    return f"""
+WITH ch AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '.'))
+             AS s
+  FROM documents),
+cc AS (SELECT id, s, COUNT(*) AS k FROM ch GROUP BY id, s),
+ce AS (
+  SELECT id, CAST(SUM(k) AS BIGINT) AS n_chars_e,
+         ROUND(log2(CAST(SUM(k) AS DOUBLE))
+               - SUM(CAST(k AS DOUBLE) * log2(CAST(k AS DOUBLE)))
+                 / SUM(k), 6) AS char_entropy
+  FROM cc GROUP BY id),
+tk AS (
+  SELECT doc_id AS id, unnest({toks}) AS s FROM documents),
+tc AS (SELECT id, s, COUNT(*) AS k FROM tk GROUP BY id, s),
+te AS (
+  SELECT id, CAST(SUM(k) AS BIGINT) AS n_tok,
+         ROUND(log2(CAST(SUM(k) AS DOUBLE))
+               - SUM(CAST(k AS DOUBLE) * log2(CAST(k AS DOUBLE)))
+                 / SUM(k), 6) AS token_entropy
+  FROM tc GROUP BY id)
+SELECT ce.id, ce.n_chars_e, ce.char_entropy, te.n_tok,
+       te.token_entropy
+FROM ce JOIN te ON te.id = ce.id
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -4923,6 +4960,7 @@ def queries_round6_staged() -> dict:
         "pq_adc": _q_pq_adc,
         "orc_roundtrip": _q_orc_roundtrip,
         "ivfpq_topk": _q_ivfpq_topk,
+        "text_entropy": _q_text_entropy,
     }
 
 
@@ -4939,6 +4977,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "pq_adc": _sql_pq_adc(),
         "orc_roundtrip": _sql_orc_roundtrip(),
         "ivfpq_topk": _sql_ivfpq_topk(),
+        "text_entropy": _sql_text_entropy(),
     }
 
 

@@ -436,6 +436,8 @@ def main():
         return MDL.probe_filter(_feat, m, keep_fraction=0.5,
                                 id_col="doc_id").count()
     timed("probe_fit_filter", _probe)
+    timed("text_entropy", lambda: T.entropy_signals(
+        docs, "text", "doc_id").agg(F.sum("n_tok")).collect())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

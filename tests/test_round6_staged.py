@@ -51,6 +51,23 @@ def test_decontaminate_spans_excises_not_drops(spark):
     assert all(r["n_removed"] >= 0 for r in out)
 
 
+def test_entropy_signals_known_values(spark):
+    # "aabb" chars: 2×a 2×b → H=1 bit; "x"*8 → 0 bits; 4 distinct
+    # equiprobable tokens → 2 bits
+    from xpysom_dask_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "xxxxxxxx"), (3, "p q r s")],
+        "doc_id bigint, text string")
+    got = {r["id"]: r for r in
+           T.entropy_signals(df, "text", "doc_id").collect()}
+    assert got[1]["char_entropy"] == 1.0
+    assert got[2]["char_entropy"] == 0.0
+    assert got[3]["token_entropy"] == 2.0
+    assert got[1]["n_chars_e"] == 4 and got[2]["n_chars_e"] == 8
+    assert got[3]["n_tok"] == 4
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_staged_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)

@@ -581,6 +581,46 @@ def unigram_logprob_score(df, text_col: str, id_col: str,
                  .alias("avg_logp")))
 
 
+def entropy_signals(df, text_col: str, id_col: str,
+                    decimals: int = 6):
+    """Per-document Shannon entropy of the character and token unigram
+    distributions (bits): ``id, n_chars_e, char_entropy, n_tok,
+    token_entropy``.
+
+    The classic complementary pair to :func:`compression_ratio`'s
+    gzip-redundancy signal: near-zero char entropy flags repeated-glyph
+    junk, abnormally HIGH char entropy flags base64/binary spill, and
+    low token entropy flags template/boilerplate text whose tokens are
+    common but whose distribution is degenerate — all before any model
+    touches the data.
+
+    Uses the identity H = log2(n) − (Σ c·log2 c)/n over the per-symbol
+    counts, so the only float work is log2 of INTEGER counts (the same
+    engine-parity class as :func:`unigram_logprob_score`'s ln, rounded
+    to ``decimals``).  Plan: two narrow explodes (chars, tokens), each
+    closed by a two-level partial-agg groupBy — shuffle traffic is
+    O(distinct (doc, symbol) pairs), all JVM codegen, no Python."""
+    def _ent(sym_df, n_name, h_name):
+        cnt = (sym_df.groupBy("id", "s")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("k")))
+        n = F.sum("k").cast("bigint")
+        h = F.round(
+            F.log2(F.sum("k").cast("double"))
+            - F.sum(F.col("k").cast("double")
+                    * F.log2(F.col("k").cast("double"))) / F.sum("k"),
+            decimals)
+        return cnt.groupBy("id").agg(n.alias(n_name), h.alias(h_name))
+
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), "
+                         "'.', 0)")).alias("s"))
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("s"))
+    return (_ent(chars, "n_chars_e", "char_entropy")
+            .join(_ent(toks, "n_tok", "token_entropy"), "id"))
+
+
 def encode_token_ids(df, text_col: str, id_col: str):
     """Encode each document as its token-id sequence: ``id,
     ids array<bigint>`` with ids = frequency rank in the corpus

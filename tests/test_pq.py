@@ -276,6 +276,39 @@ def test_ivfpq_residuals_reconstruct(emb):
     assert "Exchange" not in plan, plan[:500]
 
 
+def test_ivfpq_hot_cell_and_append(spark, emb, tmp_path):
+    """A coarse codebook whose first centroid dominates (every vector
+    lands in cell 0) must still build, prune, and search correctly —
+    the hot cell spreads over the cell-0 directory's files and the
+    kernel's per-batch prune keeps candidate traffic at batches·k·|Q|
+    regardless of cell skew.  mode='append' ingests a second batch
+    into the same layout: half-then-half must equal the one-shot
+    build."""
+    _, book = _gate_books(emb)
+    hot = np.zeros((4, 64))
+    hot[1:] += 1e6                       # cells 1-3 unreachable
+    path = str(tmp_path / "hot")
+    pq.build_ivfpq_index(hot, book, emb, path)
+    cells = spark.read.parquet(path).select("cell").distinct().collect()
+    assert {r["cell"] for r in cells} == {0}
+    qs = emb.where("vec_id < 3")
+    a = pq.ivfpq_topk(spark, path, hot, book, qs, k=5, nprobe=1,
+                      lut_scale=10**6).collect()
+    assert {r["query_id"] for r in a} == {0, 1, 2}
+    assert all(len([x for x in a if x["query_id"] == q]) == 5
+               for q in (0, 1, 2))
+    inc = str(tmp_path / "incremental")
+    pq.build_ivfpq_index(hot, book, emb.where("vec_id < 250"), inc)
+    pq.build_ivfpq_index(hot, book, emb.where("vec_id >= 250"), inc,
+                         mode="append")
+    b = pq.ivfpq_topk(spark, inc, hot, book, qs, k=5, nprobe=1,
+                      lut_scale=10**6).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"],
+                               r["neighbor_id"], r["dist"])
+                              for r in rows)
+    assert key(a) == key(b)
+
+
 def test_ivfpq_dim_mismatch(emb):
     coarse, book = _gate_books(emb)
     with pytest.raises(ValueError, match="coarse dim"):

@@ -4903,6 +4903,49 @@ FROM ce JOIN te ON te.id = ce.id
 """
 
 
+def _q_text_hash_embedding(spark, sf_dir):
+    """Signed feature-hashing vectorizer (text.hash_embedding — the
+    model-free text→embedding bridge that feeds the ANN/dedup stack on
+    raw text): 32 buckets off the engine-wide 48-bit md5 fold,
+    UNNORMALIZED so every bucket is an exact integer sum of ±1 —
+    the whole vectorizer replays in SQL with zero float work.  The
+    vector serializes to a space-joined string (list-column canon
+    rule)."""
+    out = T.hash_embedding(_docs(spark, sf_dir), "text", "doc_id",
+                           dim=32, normalize=False)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.expr("array_join(transform(vec, "
+               "x -> cast(cast(x as bigint) as string)), ' ')")
+        .alias("vec"))
+
+
+def _sql_text_hash_embedding():
+    toks = _duck_tokens("text")
+    hv = _duck_md5hash48("s")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({toks}) AS s FROM documents),
+h AS (SELECT id, {hv} AS hv FROM toks),
+b AS (SELECT id, CAST((hv // 2) % 32 AS INTEGER) AS bucket,
+             CAST(1 - 2 * (hv % 2) AS BIGINT) AS sgn
+      FROM h),
+agg AS (SELECT id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM b GROUP BY id, bucket),
+grid AS (
+  SELECT d.id, g.bucket
+  FROM (SELECT DISTINCT id FROM agg) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS bucket) g),
+dense AS (
+  SELECT grid.id, grid.bucket, COALESCE(agg.v, 0) AS v
+  FROM grid LEFT JOIN agg
+    ON agg.id = grid.id AND agg.bucket = grid.bucket)
+SELECT id AS doc_id,
+       string_agg(CAST(v AS VARCHAR), ' ' ORDER BY bucket) AS vec
+FROM dense GROUP BY id
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -4961,6 +5004,7 @@ def queries_round6_staged() -> dict:
         "orc_roundtrip": _q_orc_roundtrip,
         "ivfpq_topk": _q_ivfpq_topk,
         "text_entropy": _q_text_entropy,
+        "text_hash_embedding": _q_text_hash_embedding,
     }
 
 
@@ -4978,6 +5022,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "orc_roundtrip": _sql_orc_roundtrip(),
         "ivfpq_topk": _sql_ivfpq_topk(),
         "text_entropy": _sql_text_entropy(),
+        "text_hash_embedding": _sql_text_hash_embedding(),
     }
 
 

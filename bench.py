@@ -438,6 +438,8 @@ def main():
     timed("probe_fit_filter", _probe)
     timed("text_entropy", lambda: T.entropy_signals(
         docs, "text", "doc_id").agg(F.sum("n_tok")).collect())
+    timed("text_hash_embedding", lambda: T.hash_embedding(
+        docs, "text", "doc_id", dim=64).count())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

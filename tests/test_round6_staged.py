@@ -68,6 +68,28 @@ def test_entropy_signals_known_values(spark):
     assert got[3]["n_tok"] == 4
 
 
+def test_hash_embedding_properties(spark):
+    from xpysom_dask_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha alpha alpha"),
+         (3, "alpha beta gamma delta")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r["vec"] for r in
+           T.hash_embedding(df, "text", "doc_id", dim=16).collect()}
+    # identical text -> identical vector; normalized to unit L2
+    assert out[1] == out[3]
+    for v in out.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+        assert len(v) == 16
+    # unnormalized buckets are exact signed integer counts
+    raw = {r["id"]: r["vec"] for r in
+           T.hash_embedding(df, "text", "doc_id", dim=16,
+                            normalize=False).collect()}
+    assert all(x == int(x) for v in raw.values() for x in v)
+    assert sum(abs(x) for x in raw[2]) == 3.0   # 3 copies, one bucket
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_staged_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)

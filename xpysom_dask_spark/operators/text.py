@@ -621,6 +621,55 @@ def entropy_signals(df, text_col: str, id_col: str,
             .join(_ent(toks, "n_tok", "token_entropy"), "id"))
 
 
+def hash_embedding(df, text_col: str, id_col: str, dim: int = 32,
+                   normalize: bool = True):
+    """Signed feature-hashing vectorizer (Weinberger 2009, Vowpal
+    Wabbit's trick; Spark MLlib's HashingTF plus the sign hash):
+    ``id, vec array<double>`` — each token lands in bucket
+    ``(h/2) mod dim`` with sign ``1 − 2·(h mod 2)`` off the engine-wide
+    48-bit md5 fold, summed per document, optionally L2-normalized.
+
+    This is the text → embedding bridge when no model is available:
+    deterministic, vocabulary-free (no fit step, no OOV), and the
+    hash-signed sums preserve inner products in expectation — good
+    enough to drive the ANN/dedup stack (knn_cosine, SemDeDup, PQ) on
+    raw text.  The UNNORMALIZED buckets are exact integers, so the
+    whole vectorizer is replayable by an external SQL engine.
+
+    Plan: one explode + one partial-agg groupBy(id, bucket) — traffic
+    O(docs · min(dim, distinct tokens)) — then a sort-free dense
+    rebuild per document (map_from_entries + one sequence transform,
+    all JVM codegen; no second shuffle: the rebuild groups on the same
+    ``id`` key, and AQE coalesces the two groupBys into one exchange
+    when partitioning allows)."""
+    h = (f"CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)")
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("s"))
+    binned = toks.select(
+        "id",
+        F.expr(f"CAST((({h}) DIV 2) % {dim} AS INT)").alias("bucket"),
+        F.expr(f"CAST(1 - 2 * (({h}) % 2) AS BIGINT)").alias("sgn"))
+    agg = (binned.groupBy("id", "bucket")
+           .agg(F.sum("sgn").cast("bigint").alias("v")))
+    dense = (agg.groupBy("id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("bucket", "v"))).alias("m"))
+             .withColumn("vec", F.expr(
+                 f"transform(sequence(0, {dim - 1}), "
+                 "i -> CAST(coalesce(m[i], 0) AS DOUBLE))"))
+             .drop("m"))
+    if normalize:
+        norm = F.expr(
+            "sqrt(aggregate(vec, CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + x * x))")
+        dense = dense.withColumn(
+            "vec", F.when(norm > 0, F.expr(
+                "transform(vec, x -> x / "
+                "sqrt(aggregate(vec, CAST(0.0 AS DOUBLE), "
+                "(a, x) -> a + x * x)))")).otherwise(F.col("vec")))
+    return dense
+
+
 def encode_token_ids(df, text_col: str, id_col: str):
     """Encode each document as its token-id sequence: ``id,
     ids array<bigint>`` with ids = frequency rank in the corpus

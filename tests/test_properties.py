@@ -329,3 +329,127 @@ def test_dedup_lines_matches_bruteforce_on_random_corpora(spark):
             assert out[did]["text"] == "\n".join(keep)
             assert out[did]["n_lines_removed"] == \
                 len(lines) - len(keep)
+
+
+# ---- product quantization kernels (pure-NumPy, operators/pq.py) ----
+
+@st.composite
+def pq_case(draw):
+    m = draw(st.integers(1, 3))
+    dsub = draw(st.integers(1, 4))
+    k = draw(st.integers(1, 5))
+    n = draw(st.integers(1, 8))
+    X = draw(arrays(np.float32, (n, m * dsub), elements=FLOATS))
+    C = draw(arrays(np.float32, (m, k, dsub), elements=FLOATS))
+    return X.astype(np.float64), C.astype(np.float64)
+
+
+@settings(max_examples=150, deadline=None)
+@given(pq_case())
+def test_seq_sq_dists_matches_reference(case):
+    from xpysom_dask_spark.operators import pq
+
+    X, C = case
+    m, k, dsub = C.shape
+    Xs = X.reshape(len(X), m, dsub)
+    for s in range(m):
+        got = pq._seq_sq_dists(Xs[:, s, :], C[s])
+        want = ((Xs[:, s, None, :] - C[s][None, :, :]) ** 2).sum(-1)
+        assert got.shape == (len(X), k)
+        assert np.allclose(got, want, atol=1e-9)
+        assert (got >= 0).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(pq_case())
+def test_pq_lut_self_distance_is_recon_error(case):
+    """ADC distance from a vector to ITS OWN code == its
+    reconstruction error — the identity that makes ADC an unbiased
+    proxy: d_adc(q, code(q)) = sum_s min_c ||q_s - c||^2."""
+    from xpysom_dask_spark.operators import pq
+
+    X, C = case
+    m, k, dsub = C.shape
+    Xs = X.reshape(len(X), m, dsub)
+    lut = pq.pq_lut(C, X)                      # (n, m, k)
+    for i in range(len(X)):
+        adc = 0.0
+        recon = 0.0
+        for s in range(m):
+            d = pq._seq_sq_dists(Xs[i:i + 1, s, :], C[s])[0]
+            code = int(d.argmin())
+            adc += lut[i, s, code]
+            recon += d.min()
+        assert adc == pytest.approx(recon, abs=1e-12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(pq_case(), st.integers(1, 10**9))
+def test_pq_lut_integer_scale_is_floor(case, scale):
+    from xpysom_dask_spark.operators import pq
+
+    X, C = case
+    f = pq.pq_lut(C, X)
+    i = pq.pq_lut(C, X, lut_scale=scale)
+    assert i.dtype == np.int64
+    assert np.array_equal(i, np.floor(f * scale + 0.5).astype(np.int64))
+
+
+# ---- text signals on Spark (hash embedding, entropy) ----
+
+def test_hash_embedding_is_additive_over_concat(spark):
+    """Unnormalized hash vectors are token-count linear:
+    vec(a + ' ' + b) == vec(a) + vec(b) — the property that makes the
+    signed-sum sketch inner-product-preserving in expectation."""
+    import random
+
+    from xpysom_dask_spark.operators import text as T
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(20)]
+    docs = []
+    for i in range(12):
+        a = " ".join(rng.choice(words) for _ in range(rng.randint(1, 9)))
+        b = " ".join(rng.choice(words) for _ in range(rng.randint(1, 9)))
+        docs.append((3 * i, a))
+        docs.append((3 * i + 1, b))
+        docs.append((3 * i + 2, a + " " + b))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["id"]: np.asarray(r["vec"]) for r in T.hash_embedding(
+        df, "text", "doc_id", dim=16, normalize=False).collect()}
+    for i in range(12):
+        np.testing.assert_array_equal(
+            out[3 * i] + out[3 * i + 1], out[3 * i + 2])
+
+
+def test_entropy_bounds_and_concat_invariance(spark):
+    """0 <= H <= log2(distinct symbols), and doubling a document
+    (text + ' ' + text) leaves TOKEN entropy unchanged (scale
+    invariance of the distribution; char entropy shifts slightly —
+    the joining space itself is a symbol)."""
+    import math
+    import random
+
+    from xpysom_dask_spark.operators import text as T
+
+    rng = random.Random(11)
+    words = [f"t{i}" for i in range(6)]
+    docs = []
+    for i in range(10):
+        t = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        docs.append((2 * i, t))
+        docs.append((2 * i + 1, t + " " + t))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["id"]: r for r in T.entropy_signals(
+        df, "text", "doc_id").collect()}
+    for did, t in docs:
+        r = out[did]
+        n_tok = len(t.split())
+        assert 0.0 <= r["token_entropy"] <= math.log2(max(
+            len(set(t.split())), 2)) + 1e-9
+        assert 0.0 <= r["char_entropy"] <= math.log2(max(
+            len(set(t.lower())), 2)) + 1e-9
+    for i in range(10):
+        a, b = out[2 * i], out[2 * i + 1]
+        assert abs(a["token_entropy"] - b["token_entropy"]) <= 2e-6
+        assert abs(a["char_entropy"] - b["char_entropy"]) <= 0.05

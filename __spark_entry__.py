@@ -4946,6 +4946,36 @@ FROM dense GROUP BY id
 """
 
 
+def _q_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization export pass (text.pseudonymize): customer
+    names tokenized to salted sha256 tags — joinability preserved
+    (same salt ⇒ same tags), irreversible without the salt; the
+    returned join against orders proves keys still line up after
+    tokenization.  Pure codegen, scan-speed, exact oracle."""
+    cust = readers.load_table(spark, sf_dir, "customer")
+    orders = readers.load_table(spark, sf_dir, "orders")
+    tagged = T.pseudonymize(cust, ["c_name"], salt="export-2026")
+    per = (orders.groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (tagged.join(per, tagged.c_custkey == per.o_custkey)
+            .select("c_custkey", "c_name", "c_mktsegment", "n_orders")
+            .where(F.col("n_orders") >= 8))
+
+
+def _sql_pseudonymize():
+    return """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+  GROUP BY o_custkey)
+SELECT c.c_custkey,
+       substring(sha256(concat('export-2026', ':', c.c_name)), 1, 16)
+           AS c_name,
+       c.c_mktsegment, per.n_orders
+FROM customer c JOIN per ON per.o_custkey = c.c_custkey
+WHERE per.n_orders >= 8
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5005,6 +5035,7 @@ def queries_round6_staged() -> dict:
         "ivfpq_topk": _q_ivfpq_topk,
         "text_entropy": _q_text_entropy,
         "text_hash_embedding": _q_text_hash_embedding,
+        "pseudonymize": _q_pseudonymize,
     }
 
 
@@ -5023,6 +5054,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "ivfpq_topk": _sql_ivfpq_topk(),
         "text_entropy": _sql_text_entropy(),
         "text_hash_embedding": _sql_text_hash_embedding(),
+        "pseudonymize": _sql_pseudonymize(),
     }
 
 

@@ -523,6 +523,31 @@ def redact_pii(col: str) -> Column:
     return out
 
 
+def pseudonymize(df, cols, salt: str, tag_len: int = 16):
+    """Deterministic keyed tokenization of identifier columns: each
+    value becomes the first ``tag_len`` hex chars of
+    ``sha256(salt ':' value)`` — the privacy-safe-export companion to
+    :func:`redact_pii`.  Equal values map to equal tags, so joins,
+    groupBys, and dedup keyed on the column keep working across tables
+    pseudonymized with the SAME salt, while the mapping is
+    irreversible without it (rotate the salt per export to break
+    cross-export linkage).  Pure codegen expression work — scan-speed,
+    no shuffle, composes with column pruning; at 64 bits (16 hex)
+    collisions are negligible below ~2^32 distinct values."""
+    if not 1 <= int(tag_len) <= 64:
+        raise ValueError(f"pseudonymize: tag_len must be 1..64, "
+                         f"got {tag_len}")
+    out = df
+    for c in cols:
+        tag = F.substring(
+            F.sha2(F.concat(F.lit(salt), F.lit(":"),
+                            F.col(c).cast("string")), 256),
+            1, int(tag_len))
+        out = out.withColumn(c, F.when(F.col(c).isNull(), None)
+                             .otherwise(tag))
+    return out
+
+
 def pii_counts(col: str) -> list[Column]:
     """One ``n_<name>`` BIGINT count column per PII pattern (matches
     counted on the ORIGINAL text, before redaction)."""

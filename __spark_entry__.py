@@ -4976,6 +4976,48 @@ WHERE per.n_orders >= 8
 """
 
 
+def _q_events_zscore(spark, sf_dir):
+    """Per-group standardized anomaly scores (profile.zscore_by_group):
+    event values ≥ 2σ from their own event type's mean.  The identity
+    z = (n·vᵢ − Σv)/sqrt(n·Σv² − (Σv)²) keeps the numerator and
+    radicand exact DECIMAL(38,0) integers, and IEEE sqrt/division are
+    correctly rounded — z is bit-identical across engines, so even the
+    threshold filter agrees exactly; output ships floor-scaled micro
+    units."""
+    from xpysom_dask_spark.operators import profile as PRF
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    out = PRF.zscore_by_group(ev, "event_type", "value", "event_id",
+                              decimals=2, threshold=2.0)
+    return out.select(
+        "event_id", "event_type",
+        F.expr("CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("z_micro"))
+
+
+def _sql_events_zscore():
+    return """
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS DECIMAL(38,0))
+             AS vi
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(vi) AS s_v,
+         SUM(vi * vi) AS s_vv
+  FROM b GROUP BY event_type),
+z AS (
+  SELECT b.event_id, b.event_type,
+         CAST(m.n * b.vi - m.s_v AS DOUBLE)
+         / sqrt(nullif(CAST(m.n * m.s_vv - m.s_v * m.s_v AS DOUBLE),
+                       0.0)) AS z
+  FROM b JOIN m USING (event_type))
+SELECT event_id, event_type,
+       CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+FROM z WHERE abs(z) >= 2.0
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5036,6 +5078,7 @@ def queries_round6_staged() -> dict:
         "text_entropy": _q_text_entropy,
         "text_hash_embedding": _q_text_hash_embedding,
         "pseudonymize": _q_pseudonymize,
+        "events_zscore": _q_events_zscore,
     }
 
 
@@ -5055,6 +5098,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "text_entropy": _sql_text_entropy(),
         "text_hash_embedding": _sql_text_hash_embedding(),
         "pseudonymize": _sql_pseudonymize(),
+        "events_zscore": _sql_events_zscore(),
     }
 
 

@@ -440,6 +440,9 @@ def main():
         docs, "text", "doc_id").agg(F.sum("n_tok")).collect())
     timed("text_hash_embedding", lambda: T.hash_embedding(
         docs, "text", "doc_id", dim=64).count())
+    timed("events_zscore", lambda: PRF.zscore_by_group(
+        ev, "event_type", "value", "event_id",
+        threshold=2.0).count())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

@@ -90,6 +90,49 @@ def test_hash_embedding_properties(spark):
     assert sum(abs(x) for x in raw[2]) == 3.0   # 3 copies, one bucket
 
 
+def test_zscore_by_group_semantics(spark):
+    from xpysom_dask_spark.operators import profile as PRF
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+         (4, "b", 5.0), (5, "b", 5.0)],
+        "id bigint, g string, v double")
+    out = {r["id"]: r for r in PRF.zscore_by_group(
+        df, "g", "v", "id").collect()}
+    # group a: mean 2, pop std sqrt(2/3) -> z = ±sqrt(1.5), 0
+    import math
+    assert out[1]["z"] == pytest.approx(-math.sqrt(1.5), abs=1e-12)
+    assert out[2]["z"] == pytest.approx(0.0, abs=1e-12)
+    assert out[3]["z"] == pytest.approx(math.sqrt(1.5), abs=1e-12)
+    # zero-variance group -> NULL z, never 0/0
+    assert out[4]["z"] is None and out[5]["z"] is None
+    # partitioning invariance is exact (integer moments + IEEE sqrt)
+    a = sorted((r["id"], r["z"]) for r in PRF.zscore_by_group(
+        df.repartition(1), "g", "v", "id").collect())
+    b = sorted((r["id"], r["z"]) for r in PRF.zscore_by_group(
+        df.repartition(5), "g", "v", "id").collect())
+    assert a == b
+
+
+def test_pseudonymize_nulls_and_joinability(spark):
+    from xpysom_dask_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, None), (3, "alice"), (4, "bob")],
+        "id bigint, name string")
+    out = {r["id"]: r["name"] for r in T.pseudonymize(
+        df, ["name"], salt="s1").collect()}
+    assert out[2] is None
+    assert out[1] == out[3] != out[4]
+    assert len(out[1]) == 16 and out[1] != "alice"
+    other = {r["id"]: r["name"] for r in T.pseudonymize(
+        df, ["name"], salt="s2").collect()}
+    assert other[1] != out[1]          # salt rotation breaks linkage
+    import pytest as _pt
+    with _pt.raises(ValueError, match="tag_len"):
+        T.pseudonymize(df, ["name"], salt="s", tag_len=0)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_staged_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)

@@ -289,6 +289,47 @@ def skew_report(df: DataFrame, key_cols, top: int = 20) -> DataFrame:
             .limit(top))
 
 
+def zscore_by_group(df: DataFrame, group_col: str, value_col: str,
+                    id_col: str, decimals: int = 2,
+                    threshold: float | None = None) -> DataFrame:
+    """Per-row standardized score against the row's OWN group
+    distribution: ``(id, group, value, z)`` — the metric-anomaly
+    audit (a payment 4σ above its event type, a doc 5σ longer than
+    its source's norm).
+
+    Partitioning- and engine-exact by construction: with ``value``
+    fixed-point at ``decimals``, the identity
+    ``z = (n·vᵢ − Σv) / sqrt(n·Σv² − (Σv)²)`` makes the numerator and
+    the radicand EXACT DECIMAL(38,0) integers (the regr_by_group
+    idiom) and IEEE sqrt/division are correctly rounded — so z is
+    bit-identical on any partitioning and replayable in SQL with no
+    tolerance.  Zero-variance groups get NULL z, not a 0/0.
+
+    Plan: one map-side-combinable moments aggregate (|groups| tiny
+    rows) broadcast back against the corpus — the big side never
+    shuffles; with ``threshold`` the filter lands post-join at scan
+    speed."""
+    s = 10 ** decimals
+    vi = (f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {s}, 0) "
+          f"AS DECIMAL(38,0))")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"),
+        F.col(value_col).alias("value"), F.expr(vi).alias("vi"))
+    mom = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("s_v"),
+        F.sum(F.expr("vi * vi")).alias("s_vv"))
+    z = ("CAST(n * vi - s_v AS DOUBLE) "
+         "/ sqrt(nullif(CAST(n * s_vv - s_v * s_v AS DOUBLE), 0.0))")
+    out = (base.join(F.broadcast(mom), "grp")
+           .select(F.col("id").alias(id_col),
+                   F.col("grp").alias(group_col), "value",
+                   F.expr(z).alias("z")))
+    if threshold is not None:
+        out = out.where(F.abs(F.col("z")) >= float(threshold))
+    return out
+
+
 def regr_by_group(df: DataFrame, group_col: str, x_col: str, y_col: str,
                   x_decimals: int = 0, y_decimals: int = 2,
                   round_to: int = 6) -> DataFrame:

@@ -5018,6 +5018,36 @@ FROM z WHERE abs(z) >= 2.0
 """
 
 
+def _q_streaming_zscore(spark, sf_dir):
+    """Online anomaly scoring (streaming/scoring.py stream_zscore):
+    events replayed as a file stream, each arrival scored against
+    FROZEN batch reference moments via a stateless stream-static
+    broadcast join — no watermark, no state store, so the drained
+    result equals batch events_zscore exactly (identical z identity,
+    identical oracle SQL shape)."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import stream_zscore, zscore_moments
+
+    ev = readers.load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    mom = zscore_moments(ev, "event_type", "value", decimals=2)
+    tmp = tempfile.mkdtemp(prefix="zscoregate_")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    out = stream_zscore(stream, mom, "event_type", "value",
+                        decimals=2, threshold=2.0)
+    name = "q_stream_zscore_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "event_type",
+        F.expr("CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("z_micro"))
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5079,6 +5109,7 @@ def queries_round6_staged() -> dict:
         "text_hash_embedding": _q_text_hash_embedding,
         "pseudonymize": _q_pseudonymize,
         "events_zscore": _q_events_zscore,
+        "streaming_zscore": _q_streaming_zscore,
     }
 
 
@@ -5099,6 +5130,9 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "text_hash_embedding": _sql_text_hash_embedding(),
         "pseudonymize": _sql_pseudonymize(),
         "events_zscore": _sql_events_zscore(),
+        # the stream is stateless, so its drained result IS the batch
+        # z-score — the oracle is shared verbatim
+        "streaming_zscore": _sql_events_zscore(),
     }
 
 

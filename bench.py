@@ -443,6 +443,9 @@ def main():
     timed("events_zscore", lambda: PRF.zscore_by_group(
         ev, "event_type", "value", "event_id",
         threshold=2.0).count())
+    import __spark_entry__ as _e2
+    timed("streaming_zscore", lambda: _e2.queries_round6_staged()
+          ["streaming_zscore"](spark, SF_DIR).count())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

@@ -15,8 +15,10 @@ from .decontam import (  # noqa: F401
 from .dedup import dedup_stream  # noqa: F401
 from .scoring import (  # noqa: F401
     score_stream,
+    stream_zscore,
     windowed_activation_response,
     windowed_qe_drift,
+    zscore_moments,
 )
 from .joins import interval_join_stream  # noqa: F401
 from .sessions import session_windows  # noqa: F401

@@ -89,3 +89,54 @@ def windowed_qe_drift(som, stream_df: DataFrame, ts_col: str,
     return agg.select(F.col("w.start").alias("window_start"),
                       F.col("w.end").alias("window_end"),
                       "mean_qe", "n_rows")
+
+
+def zscore_moments(df: DataFrame, group_col: str, value_col: str,
+                   decimals: int = 2) -> DataFrame:
+    """Frozen per-group moments relation ``(grp, n, s_v, s_vv)`` for
+    :func:`stream_zscore` — the exact-DECIMAL(38,0) sufficient
+    statistics of :func:`~..operators.profile.zscore_by_group`,
+    computed ONCE over a batch reference window (yesterday's events,
+    the training corpus) and then joined against a live stream.
+    |groups| tiny rows, one map-side-combinable aggregate."""
+    s = 10 ** decimals
+    vi = (f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {s}, 0) "
+          f"AS DECIMAL(38,0))")
+    return (df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.expr(vi).alias("vi"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("vi").alias("s_v"),
+                 F.sum(F.expr("vi * vi")).alias("s_vv")))
+
+
+def stream_zscore(stream_df: DataFrame, moments: DataFrame,
+                  group_col: str, value_col: str,
+                  decimals: int = 2,
+                  threshold: float | None = None) -> DataFrame:
+    """Score arriving rows against FROZEN reference moments — the
+    online-anomaly serving pattern (alert on a payment 3σ off its
+    event type's historical distribution, on arrival).
+
+    Stateless: z is a pure codegen function of (row, static moments) —
+    a stream-static broadcast join plus expressions, no watermark, no
+    state store, no streaming aggregate — so the same plan works on a
+    batch DataFrame, and a drained stream equals the batch result
+    exactly (same z identity as ``zscore_by_group``: integer
+    numerator/radicand, IEEE sqrt — bit-identical across engines).
+    Refreshing the reference = recompute :func:`zscore_moments` at
+    whatever cadence drift demands and restart the query."""
+    s = 10 ** decimals
+    vi = (f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {s}, 0) "
+          f"AS DECIMAL(38,0))")
+    z = ("CAST(n * __vi - s_v AS DOUBLE) "
+         "/ sqrt(nullif(CAST(n * s_vv - s_v * s_v AS DOUBLE), 0.0))")
+    out = (stream_df.withColumn("__vi", F.expr(vi))
+           .join(F.broadcast(moments),
+                 F.col(group_col) == F.col("grp"))
+           .withColumn("z", F.expr(z))
+           .drop("grp", "n", "s_v", "s_vv", "__vi"))
+    if threshold is not None:
+        out = out.where(F.abs(F.col("z")) >= float(threshold))
+    return out

@@ -5048,6 +5048,56 @@ def _q_streaming_zscore(spark, sf_dir):
         .alias("z_micro"))
 
 
+def _q_events_ks_drift(spark, sf_dir):
+    """Two-sample KS drift statistic (profile.ks_drift): the value
+    distributions of the even- vs odd-id event halves compared on the
+    centi-unit integer lattice — ``d_num`` is an exact BIGINT supremum
+    (no sampling/sketch), ks ships floor-scaled.  The drift alarm a
+    moments check can't raise when shape changes leave mean/σ alone."""
+    from xpysom_dask_spark.operators import profile as PRF
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    out = PRF.ks_drift(ev.where("event_id % 2 = 0"),
+                       ev.where("event_id % 2 = 1"), "value",
+                       decimals=2)
+    return out.select(
+        "n_a", "n_b", "d_num",
+        F.expr("CAST(FLOOR(CAST(d_num AS DOUBLE) "
+               "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) "
+               "* 1000000.0 + 0.5) AS BIGINT)").alias("ks_micro"))
+
+
+def _sql_events_ks_drift():
+    return """
+WITH base AS (
+  SELECT event_id,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+ha AS (SELECT v, COUNT(*) AS ca FROM base
+       WHERE event_id % 2 = 0 GROUP BY v),
+hb AS (SELECT v, COUNT(*) AS cb FROM base
+       WHERE event_id % 2 = 1 GROUP BY v),
+m AS (
+  SELECT COALESCE(ha.v, hb.v) AS v, COALESCE(ca, 0) AS ca,
+         COALESCE(cb, 0) AS cb
+  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM m),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b FROM m)
+SELECT t.n_a, t.n_b,
+       CAST(MAX(ABS(t.n_b * c.cum_a - t.n_a * c.cum_b)) AS BIGINT)
+           AS d_num,
+       CAST(FLOOR(CAST(MAX(ABS(t.n_b * c.cum_a - t.n_a * c.cum_b))
+                       AS DOUBLE)
+                  / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS ks_micro
+FROM c, t GROUP BY t.n_a, t.n_b
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5110,6 +5160,7 @@ def queries_round6_staged() -> dict:
         "pseudonymize": _q_pseudonymize,
         "events_zscore": _q_events_zscore,
         "streaming_zscore": _q_streaming_zscore,
+        "events_ks_drift": _q_events_ks_drift,
     }
 
 
@@ -5133,6 +5184,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         # the stream is stateless, so its drained result IS the batch
         # z-score — the oracle is shared verbatim
         "streaming_zscore": _sql_events_zscore(),
+        "events_ks_drift": _sql_events_ks_drift(),
     }
 
 

@@ -446,6 +446,9 @@ def main():
     import __spark_entry__ as _e2
     timed("streaming_zscore", lambda: _e2.queries_round6_staged()
           ["streaming_zscore"](spark, SF_DIR).count())
+    timed("events_ks_drift", lambda: PRF.ks_drift(
+        ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1"),
+        "value").collect())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

@@ -114,6 +114,27 @@ def test_zscore_by_group_semantics(spark):
     assert a == b
 
 
+def test_ks_drift_reference_values(spark):
+    from xpysom_dask_spark.operators import profile as PRF
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)],
+                              "v double")
+    b = spark.createDataFrame([(float(i % 10) + 1,) for i in range(50)],
+                              "v double")
+    # shifted-by-1 uniform lattice: sup|F_a - F_b| = 1/10 (verified
+    # against scipy.stats.ks_2samp)
+    r = PRF.ks_drift(a, b, "v").collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_num"], r["ks"]) == \
+        (100, 50, 500, 0.1)
+    # identical snapshots: exactly zero, never float dust
+    r0 = PRF.ks_drift(a, a, "v").collect()[0]
+    assert r0["d_num"] == 0 and r0["ks"] == 0.0
+    # disjoint supports: full separation
+    c = spark.createDataFrame([(100.0,)] * 7, "v double")
+    r1 = PRF.ks_drift(a, c, "v").collect()[0]
+    assert r1["ks"] == 1.0
+
+
 def test_pseudonymize_nulls_and_joinability(spark):
     from xpysom_dask_spark.operators import text as T
 

@@ -5060,11 +5060,14 @@ def _q_events_ks_drift(spark, sf_dir):
     out = PRF.ks_drift(ev.where("event_id % 2 = 0"),
                        ev.where("event_id % 2 = 1"), "value",
                        decimals=2)
+    nanb = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
     return out.select(
         "n_a", "n_b", "d_num",
-        F.expr("CAST(FLOOR(CAST(d_num AS DOUBLE) "
-               "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) "
-               "* 1000000.0 + 0.5) AS BIGINT)").alias("ks_micro"))
+        F.expr(f"CAST(FLOOR(CAST(d_num AS DOUBLE) / {nanb} "
+               "* 1000000.0 + 0.5) AS BIGINT)").alias("ks_micro"),
+        "w1_num",
+        F.expr(f"CAST(FLOOR(CAST(w1_num AS DOUBLE) / {nanb} / 100.0 "
+               "* 1000000.0 + 0.5) AS BIGINT)").alias("w1_micro"))
 
 
 def _sql_events_ks_drift():
@@ -5083,7 +5086,8 @@ m AS (
   FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
 c AS (
   SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
-         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+         COALESCE(lead(v) OVER (ORDER BY v), v) - v AS gap
   FROM m),
 t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
              CAST(SUM(cb) AS BIGINT) AS n_b FROM m)
@@ -5093,7 +5097,13 @@ SELECT t.n_a, t.n_b,
        CAST(FLOOR(CAST(MAX(ABS(t.n_b * c.cum_a - t.n_a * c.cum_b))
                        AS DOUBLE)
                   / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
-                  * 1000000.0 + 0.5) AS BIGINT) AS ks_micro
+                  * 1000000.0 + 0.5) AS BIGINT) AS ks_micro,
+       CAST(SUM(ABS(t.n_b * c.cum_a - t.n_a * c.cum_b) * c.gap)
+            AS BIGINT) AS w1_num,
+       CAST(FLOOR(CAST(SUM(ABS(t.n_b * c.cum_a - t.n_a * c.cum_b)
+                           * c.gap) AS DOUBLE)
+                  / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                  / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS w1_micro
 FROM c, t GROUP BY t.n_a, t.n_b
 """
 

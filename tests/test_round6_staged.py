@@ -122,17 +122,21 @@ def test_ks_drift_reference_values(spark):
     b = spark.createDataFrame([(float(i % 10) + 1,) for i in range(50)],
                               "v double")
     # shifted-by-1 uniform lattice: sup|F_a - F_b| = 1/10 (verified
-    # against scipy.stats.ks_2samp)
+    # against scipy.stats.ks_2samp) and W1 = the shift itself, 1.0
     r = PRF.ks_drift(a, b, "v").collect()[0]
     assert (r["n_a"], r["n_b"], r["d_num"], r["ks"]) == \
         (100, 50, 500, 0.1)
+    assert r["w1"] == 1.0
     # identical snapshots: exactly zero, never float dust
     r0 = PRF.ks_drift(a, a, "v").collect()[0]
     assert r0["d_num"] == 0 and r0["ks"] == 0.0
-    # disjoint supports: full separation
+    assert r0["w1_num"] == 0 and r0["w1"] == 0.0
+    # disjoint supports: full KS separation; W1 = mean transport
+    # distance: sum_{k=1..9}(k/10)*1 + 1.0*(100-9) = 4.5 + 91 = 95.5
     c = spark.createDataFrame([(100.0,)] * 7, "v double")
     r1 = PRF.ks_drift(a, c, "v").collect()[0]
     assert r1["ks"] == 1.0
+    assert r1["w1"] == 95.5
 
 
 def test_pseudonymize_nulls_and_joinability(spark):

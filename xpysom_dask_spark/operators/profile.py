@@ -332,17 +332,21 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str,
 
 def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
              decimals: int = 2, round_to: int = 6) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov drift statistic between two
-    snapshots of a numeric column: one row
-    ``(n_a, n_b, d_num, ks)`` where ``ks = max_v |F_a(v) − F_b(v)|``
-    — the distribution-shift alarm for ingest monitoring (yesterday's
-    value distribution vs today's), sharper than mean/σ checks because
-    it sees shape changes that leave moments alone.
+    """Two-sample distribution-drift statistics between two snapshots
+    of a numeric column: one row
+    ``(n_a, n_b, d_num, ks, w1_num, w1)`` where
+    ``ks = max_v |F_a(v) − F_b(v)|`` (Kolmogorov–Smirnov: the sharpest
+    local shape alarm) and ``w1 = ∫|F_a − F_b| dv`` (Wasserstein-1 /
+    earth-mover: the magnitude of the shift in value units — a 1-cent
+    uniform shift moves w1 by 0.01 but barely registers on ks) — the
+    ingest-monitoring pair a mean/σ check can't replace.
 
     EXACT by construction: values quantize to ``decimals`` fixed-point
-    and the supremum is computed on the integer lattice —
-    ``d_num = max_v |n_b·cum_a(v) − n_a·cum_b(v)]|`` is an exact
-    BIGINT (``ks = d_num/(n_a·n_b)`` is the only float, emitted
+    and both statistics are computed on the integer lattice —
+    ``d_num = max_v |n_b·cum_a(v) − n_a·cum_b(v)|`` and
+    ``w1_num = Σ_v |n_b·cum_a − n_a·cum_b|·(v_next − v)`` are exact
+    BIGINTs (``ks = d_num/(n_a·n_b)`` and
+    ``w1 = w1_num/(n_a·n_b·10^decimals)`` are the only floats, emitted
     rounded).  No sampling, no sketch.
 
     Plan: one map-side-combined ``groupBy(vi)`` per side collapses
@@ -368,28 +372,40 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
               .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                       F.coalesce("cb", F.lit(0)).alias("cb")))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("v")
     cum = merged.select(
         F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"))
+        F.sum("cb").over(w).alias("cum_b"),
+        # lattice gap to the next observed value: the |F_a−F_b| plateau
+        # between them has this width (0 on the last row closes the
+        # integral — beyond max(v) both CDFs are 1)
+        (F.coalesce(F.lead("v").over(wlead), F.col("v")) - F.col("v"))
+        .alias("gap"))
     # the totals ARE the final cumulative values (monotone prefix
     # sums), so a second unbounded window over the same tiny lattice
     # relation replaces any totals join — no BNLJ, one stage
     w_all = Window.partitionBy(F.lit(1))
     return (cum.select(
-        "cum_a", "cum_b",
+        "gap", "cum_a", "cum_b",
         F.max("cum_a").over(w_all).cast("bigint").alias("n_a"),
         F.max("cum_b").over(w_all).cast("bigint").alias("n_b"))
         .select(
-            "n_a", "n_b",
+            "n_a", "n_b", "gap",
             F.abs(F.col("n_b") * F.col("cum_a")
                   - F.col("n_a") * F.col("cum_b")).alias("d"))
         .groupBy("n_a", "n_b")
-        .agg(F.max("d").cast("bigint").alias("d_num"))
+        .agg(F.max("d").cast("bigint").alias("d_num"),
+             F.sum(F.col("d") * F.col("gap")).cast("bigint")
+             .alias("w1_num"))
         .select(
             "n_a", "n_b", "d_num",
             F.round(F.col("d_num").cast("double")
                     / (F.col("n_a") * F.col("n_b")).cast("double"),
-                    round_to).alias("ks")))
+                    round_to).alias("ks"),
+            "w1_num",
+            F.round(F.col("w1_num").cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                    / F.lit(float(s)), round_to).alias("w1")))
 
 
 def regr_by_group(df: DataFrame, group_col: str, x_col: str, y_col: str,

@@ -309,6 +309,31 @@ def test_ivfpq_hot_cell_and_append(spark, emb, tmp_path):
     assert key(a) == key(b)
 
 
+def test_ivfpq_packed_codes_equal_unpacked(spark, emb, tmp_path):
+    # binary m-byte codes (the 100x-compressed on-disk form) must
+    # search identically to the array<int> schema
+    coarse, book = _gate_books(emb)
+    qs = emb.where("vec_id < 3")
+    pa = str(tmp_path / "arr")
+    pb = str(tmp_path / "bin")
+    pq.build_ivfpq_index(coarse, book, emb, pa)
+    pq.build_ivfpq_index(coarse, book, emb, pb, pack=True)
+    bin_codes = spark.read.parquet(pb)
+    assert all(len(r["codes"]) == 8 for r in bin_codes.limit(5)
+               .collect())
+
+    def run(path):
+        rows = pq.ivfpq_topk(spark, path, coarse, book, qs, k=5,
+                             nprobe=2, lut_scale=10**6).collect()
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                       r["dist"]) for r in rows)
+
+    assert run(pa) == run(pb)
+    with pytest.raises(ValueError, match="k <= 256"):
+        big = np.zeros((8, 257, 8))
+        pq.build_ivfpq_index(coarse, big, emb, pb, pack=True)
+
+
 def test_ivfpq_dim_mismatch(emb):
     coarse, book = _gate_books(emb)
     with pytest.raises(ValueError, match="coarse dim"):

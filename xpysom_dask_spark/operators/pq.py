@@ -294,7 +294,8 @@ def build_ivfpq_index(coarse: np.ndarray, codebook: np.ndarray,
                       corpus: DataFrame, path: str,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id",
-                      mode: str = "overwrite") -> None:
+                      mode: str = "overwrite",
+                      pack: bool = False) -> None:
     """Materialize an IVF-PQ index (FAISS `IVFx,PQy` — THE serving
     layout for corpus-scale ANN): every vector coarse-assigned to its
     nearest cell, the RESIDUAL x − centroid(cell) PQ-encoded, and
@@ -314,7 +315,13 @@ def build_ivfpq_index(coarse: np.ndarray, codebook: np.ndarray,
     coordinate-sequentially (:func:`_seq_sq_dists`) — same fold as the
     SQL oracle's replay, so cell membership is engine- and
     partitioning-exact (the determinism contract; a GEMM argmin would
-    drift on near-equidistant cells)."""
+    drift on near-equidistant cells).
+
+    ``pack=True`` stores codes as an m-byte ``binary`` column instead
+    of ``array<int>`` (requires k ≤ 256) — the FAISS on-disk form: at
+    m=8 that is 8 B of codes + 8 B of id per row, ~100× smaller than
+    the raw float32 vectors, which is what makes a 1e11-row index fit
+    a cluster's disks.  :func:`ivfpq_topk` detects either schema."""
     import pandas as pd
 
     from ..plans.exchange import ship_package
@@ -328,6 +335,9 @@ def build_ivfpq_index(coarse: np.ndarray, codebook: np.ndarray,
     if Cc.shape[1] != m * dsub:
         raise ValueError(f"ivfpq: coarse dim {Cc.shape[1]} != "
                          f"codebook dim {m * dsub}")
+    if pack and k > 256:
+        raise ValueError(f"ivfpq: pack=True needs k <= 256 codewords "
+                         f"per sub-quantizer, got k={k}")
     bc = spark.sparkContext.broadcast((Cc, B))
 
     def fn(batches):
@@ -342,15 +352,19 @@ def build_ivfpq_index(coarse: np.ndarray, codebook: np.ndarray,
             for s in range(m):
                 codes[:, s] = _seq_sq_dists(R[:, s, :], B_[s]) \
                     .argmin(axis=1)
-            yield pd.DataFrame({
-                "id": pdf["id"].to_numpy(np.int64),
-                "cell": cell.astype(np.int32),
-                "codes": list(codes),
-            })
+            out = {"id": pdf["id"].to_numpy(np.int64),
+                   "cell": cell.astype(np.int32)}
+            if pack:
+                u8 = codes.astype(np.uint8)
+                out["codes"] = [row.tobytes() for row in u8]
+            else:
+                out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
+    ctype = "binary" if pack else "array<int>"
     out = corpus.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v")) \
-        .mapInPandas(fn, "id bigint, cell int, codes array<int>") \
+        .mapInPandas(fn, f"id bigint, cell int, codes {ctype}") \
         .withColumnRenamed("id", id_col)
     write_partitioned(out, path, "cell", mode=mode)
 
@@ -407,6 +421,8 @@ def ivfpq_topk(spark, path: str, coarse: np.ndarray,
     bc = spark.sparkContext.broadcast((pair_of, lut_stack))
 
     idx = spark.read.parquet(path)
+    from pyspark.sql.types import BinaryType
+    packed = isinstance(idx.schema["codes"].dataType, BinaryType)
     probed_cells = sorted({c for _, c in probe_rows})
     pruned = idx.where(F.col("cell").isin(probed_cells))
     probe_df = spark.createDataFrame(probe_rows,
@@ -422,8 +438,13 @@ def ivfpq_topk(spark, path: str, coarse: np.ndarray,
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes_m = np.stack([np.asarray(c, np.int64)
-                                for c in pdf["codes"]])
+            if packed:
+                codes_m = np.stack(
+                    [np.frombuffer(b, np.uint8) for b in
+                     pdf["codes"]]).astype(np.int64)
+            else:
+                codes_m = np.stack([np.asarray(c, np.int64)
+                                    for c in pdf["codes"]])
             rows = np.fromiter(
                 (pair_of_[(int(q), int(c))] for q, c in
                  zip(pdf["query_id"], pdf["cell"])),

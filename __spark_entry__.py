@@ -5108,6 +5108,66 @@ FROM c, t GROUP BY t.n_a, t.n_b
 """
 
 
+def _q_fuzzy_join(spark, sf_dir):
+    """Cross-table fuzzy record linkage (dedup.fuzzy_join_pairs): the
+    hash-split document halves joined on near-identical TEXT — MinHash
+    band keys of the small side broadcast, exact Jaccard verify, the
+    entity-resolution join an equi-join can't express.  Jaccard is an
+    exact rational of shingle counts; output ships floor-scaled."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   {"a": 0.9, "b": 0.1}, seed=1)
+    a = split.where("split = 'a'").drop("split")
+    b = split.where("split = 'b'").drop("split")
+    pairs = dedup.fuzzy_join_pairs(a, b, "text", "doc_id",
+                                   threshold=0.5, n=3)
+    return pairs.select(
+        "id_a", "id_b",
+        F.expr("CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("jac_micro"))
+
+
+def _sql_fuzzy_join():
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.9 / (0.9 + 0.1)
+    return f"""
+WITH uh AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, {u} AS u FROM documents)
+  WHERE u < {acc!r}),
+bh AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, {u} AS u FROM documents)
+  WHERE u >= {acc!r}),
+{_duck_ngrams_cte('uh', 'ash', 3)},
+{_duck_ngrams_cte('bh', 'bsh', 3)},
+{_duck_sig_from('ash', 'asig')},
+{_duck_sig_from('bsh', 'bsig')},
+{_duck_bands_from('asig', 'aband')},
+{_duck_bands_from('bsig', 'bband')},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM aband a JOIN bband b ON a.band_key = b.band_key),
+sza AS (SELECT doc_id, COUNT(*) AS n_sh FROM ash GROUP BY doc_id),
+szb AS (SELECT doc_id, COUNT(*) AS n_sh FROM bsh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN ash sa ON sa.doc_id = p.id_a
+  JOIN bsh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b)
+SELECT i.id_a, i.id_b,
+       CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
+                  / (na.n_sh + nb.n_sh - i.n_inter)
+                  * 1000000.0 + 0.5) AS BIGINT) AS jac_micro
+FROM inter i
+JOIN sza na ON na.doc_id = i.id_a
+JOIN szb nb ON nb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE)
+        / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5171,6 +5231,7 @@ def queries_round6_staged() -> dict:
         "events_zscore": _q_events_zscore,
         "streaming_zscore": _q_streaming_zscore,
         "events_ks_drift": _q_events_ks_drift,
+        "fuzzy_join": _q_fuzzy_join,
     }
 
 
@@ -5195,6 +5256,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         # z-score — the oracle is shared verbatim
         "streaming_zscore": _sql_events_zscore(),
         "events_ks_drift": _sql_events_ks_drift(),
+        "fuzzy_join": _sql_fuzzy_join(),
     }
 
 

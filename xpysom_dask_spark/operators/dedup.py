@@ -1165,27 +1165,57 @@ def fuzzy_decontaminate(train_df: DataFrame, test_df: DataFrame,
     candidates; the verify join fans out only over candidate pairs
     (``max_candidates`` bounds it exactly as in :func:`jaccard_verify`).
     """
-    sh_tr = word_shingles(train_df, text_col, id_col, n) \
+    verified = fuzzy_join_pairs(train_df, test_df, text_col, id_col,
+                                threshold, k, n, rows_per_band,
+                                max_candidates)
+    contaminated = verified.select(F.col("id_a").alias(id_col)).distinct()
+    return train_df.join(contaminated, id_col, "left_anti")
+
+
+def fuzzy_join_pairs(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                     id_col: str, threshold: float = 0.5,
+                     k: int = MINHASH_K, n: int = 3,
+                     rows_per_band: int = 2,
+                     max_candidates: int | None = None) -> DataFrame:
+    """Cross-table near-duplicate record linkage:
+    ``(id_a, id_b, jaccard)`` pairs with exact shingle-set Jaccard ≥
+    ``threshold`` between a row of ``df_a`` and a row of ``df_b`` —
+    the entity-resolution / provenance-matching join (link a scraped
+    corpus to a licensed master copy, today's crawl to yesterday's)
+    that an equi-join can't express because the keys are fuzzy text.
+
+    The verify half of :func:`fuzzy_dedup` turned into a positive
+    cross-table join (also the candidate machinery behind
+    :func:`fuzzy_decontaminate`, which keeps only the anti-join):
+    MinHash-LSH band keys of the SMALLER side (``df_b`` by convention)
+    broadcast against ``df_a``'s — side A never shuffles to generate
+    candidates — then exact Jaccard confirms each pair.  Ids of the
+    two sides must be disjoint.
+
+    Band recall is governed by (k, rows_per_band) exactly as in
+    :func:`minhash_near_dups` — pairs below the LSH S-curve's knee can
+    be missed by candidate generation; raise ``rows_per_band``
+    granularity or k for higher recall at lower thresholds.
+    """
+    sh_a = word_shingles(df_a, text_col, id_col, n) \
         .localCheckpoint(eager=True)
-    sh_te = word_shingles(test_df, text_col, id_col, n) \
+    sh_b = word_shingles(df_b, text_col, id_col, n) \
         .localCheckpoint(eager=True)
-    sig_tr = minhash_signatures_from_shingles(sh_tr, k)
-    sig_te = minhash_signatures_from_shingles(sh_te, k)
-    btr = minhash_band_keys(sig_tr, k, rows_per_band) \
+    sig_a = minhash_signatures_from_shingles(sh_a, k)
+    sig_b = minhash_signatures_from_shingles(sh_b, k)
+    ba = minhash_band_keys(sig_a, k, rows_per_band) \
         .withColumnRenamed("id", "id_a")
-    bte = minhash_band_keys(sig_te, k, rows_per_band) \
+    bb = minhash_band_keys(sig_b, k, rows_per_band) \
         .withColumnRenamed("id", "id_b")
-    cand = (btr.join(F.broadcast(bte), "band_key")
+    cand = (ba.join(F.broadcast(bb), "band_key")
             .select("id_a", "id_b").distinct())
-    # Verify-stage scale note: `cand` is a vanishing fraction of train
-    # (bounded by band collisions with the small test side), so AQE
+    # Verify-stage scale note: `cand` is a vanishing fraction of A
+    # (bounded by band collisions with the small B side), so AQE
     # broadcasts it into jaccard_verify's two joins — the shingle
     # corpus is scanned narrowly, never shuffled, to confirm the
     # pairs; the only corpus-wide shuffle in the whole operator is the
     # map-side-combined per-doc size aggregate (O(docs) traffic).  An
     # explicit semi-join prune of the shingle relation was measured
     # SLOWER (3 extra jobs) with no shuffle saved.
-    verified = jaccard_verify(cand, sh_tr.unionByName(sh_te), threshold,
-                              max_candidates=max_candidates)
-    contaminated = verified.select(F.col("id_a").alias(id_col)).distinct()
-    return train_df.join(contaminated, id_col, "left_anti")
+    return jaccard_verify(cand, sh_a.unionByName(sh_b), threshold,
+                          max_candidates=max_candidates)

@@ -449,6 +449,10 @@ def main():
     timed("events_ks_drift", lambda: PRF.ks_drift(
         ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1"),
         "value").collect())
+    _ja = docs.where("pmod(hash(doc_id), 10) != 0")
+    _jb = docs.where("pmod(hash(doc_id), 10) = 0")
+    timed("fuzzy_join", lambda: dedup.fuzzy_join_pairs(
+        _ja, _jb, "text", "doc_id", threshold=0.5, n=3).count())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

@@ -5168,6 +5168,37 @@ WHERE CAST(i.n_inter AS DOUBLE)
 """
 
 
+def _q_text_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (text.novelty_score): fraction of a
+    doc's distinct 3-grams that no other doc contains — the
+    contribution/memorization-risk ranking that flags boilerplate
+    families before pairwise dedup does.  Exact integer counts; the
+    ratio ships floor-scaled."""
+    out = T.novelty_score(_docs(spark, sf_dir), "text", "doc_id", n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_sh", "n_unique",
+        F.expr("CAST(FLOOR(CAST(n_unique AS DOUBLE) "
+               "/ CAST(n_sh AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("novelty_micro"))
+
+
+def _sql_text_novelty():
+    return f"""
+WITH {_duck_ngrams_cte('documents', 'dsh', 3)},
+h AS (SELECT doc_id, md5(shingle) AS hh FROM dsh),
+dfreq AS (SELECT hh, COUNT(*) AS df FROM h GROUP BY hh)
+SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+       CAST(FLOOR(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS novelty_micro
+FROM h JOIN dfreq d ON d.hh = h.hh
+GROUP BY h.doc_id
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5232,6 +5263,7 @@ def queries_round6_staged() -> dict:
         "streaming_zscore": _q_streaming_zscore,
         "events_ks_drift": _q_events_ks_drift,
         "fuzzy_join": _q_fuzzy_join,
+        "text_novelty": _q_text_novelty,
     }
 
 
@@ -5257,6 +5289,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "streaming_zscore": _sql_events_zscore(),
         "events_ks_drift": _sql_events_ks_drift(),
         "fuzzy_join": _sql_fuzzy_join(),
+        "text_novelty": _sql_text_novelty(),
     }
 
 

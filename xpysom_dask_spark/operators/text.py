@@ -646,6 +646,35 @@ def entropy_signals(df, text_col: str, id_col: str,
             .join(_ent(toks, "n_tok", "token_entropy"), "id"))
 
 
+def novelty_score(df, text_col: str, id_col: str, n: int = 3):
+    """Per-document n-gram novelty: ``id, n_sh, n_unique, novelty``
+    where ``novelty`` is the fraction of the doc's distinct word
+    n-grams that appear in NO other document — the memorization-risk /
+    contribution signal (a doc of novelty ≈ 0 adds nothing the corpus
+    doesn't already say; boilerplate and template families sit at the
+    bottom of the ranking long before a pairwise dedup finds them).
+
+    Exact integer ratio (distinct-shingle counts), emitted as a
+    rounded double — both counts ride along for exact downstream
+    thresholds.  Plan: one distinct-shingle explode, one map-side
+    combinable document-frequency aggregate keyed by the full-md5
+    shingle digest (the dedup_lines rule: corpus TEXT never keys a
+    shuffle), one join back, one groupBy(id) close — traffic
+    O(corpus distinct shingles) digests."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, text_col, id_col, n) \
+        .select("id", F.md5("shingle").alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (sh.join(dfreq, "h")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_unique"))
+            .withColumn("novelty", F.round(
+                F.col("n_unique").cast("double") / F.col("n_sh"), 6)))
+
+
 def hash_embedding(df, text_col: str, id_col: str, dim: int = 32,
                    normalize: bool = True):
     """Signed feature-hashing vectorizer (Weinberger 2009, Vowpal

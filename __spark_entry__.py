@@ -5199,6 +5199,53 @@ GROUP BY h.doc_id
 """
 
 
+def _q_text_lang_consistency(spark, sf_dir):
+    """Mixed-language detection (text.language_consistency): 32-token
+    chunks language-ID'd independently, per-doc vote summary — the
+    concatenation-artifact pre-filter a doc-level langid hides.
+    Integer chunk counts; frac ships floor-scaled."""
+    out = T.language_consistency(_docs(spark, sf_dir), "text",
+                                 "doc_id", window=32)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_chunks", "n_langs",
+        "lang_dominant",
+        F.expr("CAST(FLOOR(frac_dominant * 1000000.0 + 0.5) "
+               "AS BIGINT)").alias("frac_micro"))
+
+
+def _sql_text_lang_consistency():
+    toks = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '')")
+    ctoks = ("list_filter(string_split_regex(lower(chunk_text), "
+             "'\\s+'), x -> x <> '')")
+    scores = {}
+    for lang, words in T.LANG_STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = f"len(list_filter({ctoks}, t -> t IN ({lit})))"
+    case = T.lang_id_case_sql(scores)
+    return f"""
+WITH t AS (SELECT doc_id AS id, {toks} AS tk FROM documents),
+s AS (SELECT id, tk, unnest(range(0, len(tk), 32)) AS start
+      FROM t WHERE len(tk) > 0),
+ch AS (SELECT id, array_to_string(tk[start + 1 : start + 32], ' ')
+                  AS chunk_text
+       FROM s),
+per AS (SELECT id, {case} AS lg FROM ch),
+counts AS (SELECT id, lg, CAST(COUNT(*) AS BIGINT) AS c
+           FROM per GROUP BY id, lg),
+tot AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM counts GROUP BY id),
+dom AS (SELECT id, lg AS lang_dominant, c AS dom_c FROM (
+  SELECT id, lg, c, row_number() OVER (PARTITION BY id
+      ORDER BY c DESC, lg ASC) AS rn FROM counts) WHERE rn = 1)
+SELECT t.id AS doc_id, t.n_chunks, t.n_langs, d.lang_dominant,
+       CAST(FLOOR(CAST(d.dom_c AS DOUBLE) / t.n_chunks
+                  * 1000000.0 + 0.5) AS BIGINT) AS frac_micro
+FROM tot t JOIN dom d ON d.id = t.id
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5264,6 +5311,7 @@ def queries_round6_staged() -> dict:
         "events_ks_drift": _q_events_ks_drift,
         "fuzzy_join": _q_fuzzy_join,
         "text_novelty": _q_text_novelty,
+        "text_lang_consistency": _q_text_lang_consistency,
     }
 
 
@@ -5290,6 +5338,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "events_ks_drift": _sql_events_ks_drift(),
         "fuzzy_join": _sql_fuzzy_join(),
         "text_novelty": _sql_text_novelty(),
+        "text_lang_consistency": _sql_text_lang_consistency(),
     }
 
 

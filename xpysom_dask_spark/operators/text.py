@@ -646,6 +646,42 @@ def entropy_signals(df, text_col: str, id_col: str,
             .join(_ent(toks, "n_tok", "token_entropy"), "id"))
 
 
+def language_consistency(df, text_col: str, id_col: str,
+                         window: int = 32):
+    """Mixed-language document detection: ``id, n_chunks, n_langs,
+    lang_dominant, frac_dominant`` — each doc cut into ``window``-token
+    chunks, language-ID'd per chunk, and summarized (how many distinct
+    languages, which dominates, what fraction of chunks agree).
+
+    A doc-level langid hides a 50/50 English/German concatenation
+    behind whichever half wins the stopword count; per-chunk voting
+    surfaces it — the FineWeb/CCNet-style pre-filter for
+    concatenation artifacts and code-switching pages.  Dominant
+    language ties break (count DESC, lang ASC); frac is an exact
+    integer ratio.
+
+    Plan: the chunk explode (narrow, no shuffle) + per-chunk langid
+    (pure codegen CASE) + one groupBy(id, lang) count + a tiny window
+    over the post-aggregate (id, lang) relation — the only shuffle
+    carries (docs · langs-seen) rows."""
+    ch = chunk_tokens(df, text_col, id_col, window=window)
+    per = ch.select("id", lang_id("chunk_text").alias("lg"))
+    counts = per.groupBy("id", "lg") \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), "lg")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    tot = counts.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    dom = ranked.where("rn = 1").select(
+        "id", F.col("lg").alias("lang_dominant"),
+        F.col("c").alias("__dom_c"))
+    return (tot.join(dom, "id")
+            .withColumn("frac_dominant", F.round(
+                F.col("__dom_c").cast("double") / F.col("n_chunks"), 6))
+            .drop("__dom_c"))
+
+
 def novelty_score(df, text_col: str, id_col: str, n: int = 3):
     """Per-document n-gram novelty: ``id, n_sh, n_unique, novelty``
     where ``novelty`` is the fraction of the doc's distinct word

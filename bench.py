@@ -453,6 +453,10 @@ def main():
     _jb = docs.where("pmod(hash(doc_id), 10) = 0")
     timed("fuzzy_join", lambda: dedup.fuzzy_join_pairs(
         _ja, _jb, "text", "doc_id", threshold=0.5, n=3).count())
+    timed("text_novelty", lambda: T.novelty_score(
+        docs, "text", "doc_id").agg(F.sum("n_unique")).collect())
+    timed("text_lang_consistency", lambda: T.language_consistency(
+        docs, "text", "doc_id").agg(F.sum("n_langs")).collect())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

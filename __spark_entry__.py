@@ -4793,7 +4793,10 @@ def _q_ivfpq_topk(spark, sf_dir):
                          nprobe=4, lut_scale=10**6)
 
 
-def _sql_ivfpq_topk():
+def _ivfpq_oracle_ctes():
+    """Shared WITH-block for the IVF-PQ oracles: fixed books, coarse
+    argmin, residual encode, per-(query,cell) integer LUTs, ADC sums,
+    per-query (dist, id) ranking as ``r(qid, neighbor_id, dist, rn)``."""
     def sq(a, b):
         d = f"(CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE))"
         return f"{d} * {d}"
@@ -4814,8 +4817,7 @@ def _sql_ivfpq_topk():
             + rsq("q.qvec[s.sub*8 + j]", "ct.cvec[s.sub*8 + j]",
                   "b.bvec[s.sub*8 + j]")
             + " FOR j IN range(1, 9)])")
-    return f"""
-WITH cents AS (
+    return f"""cents AS (
   SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cvec
   FROM embeddings WHERE vec_id < 4),
 book AS (
@@ -4860,9 +4862,70 @@ r AS (
   SELECT qid, neighbor_id, dist,
          row_number() OVER (PARTITION BY qid
                             ORDER BY dist, neighbor_id) AS rn
-  FROM adc WHERE qid != neighbor_id)
+  FROM adc WHERE qid != neighbor_id)"""
+
+
+def _sql_ivfpq_topk():
+    return f"""
+WITH {_ivfpq_oracle_ctes()}
 SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
 FROM r WHERE rn <= 5
+"""
+
+
+def _q_ivfpq_rerank(spark, sf_dir):
+    """Two-stage IVF-PQ serving (operators/pq.py ivfpq_rerank_topk):
+    integer-deterministic ADC top-20 shortlist over the compressed
+    index, exact squared-L2 rerank of only those 20 pairs per query —
+    float math touches |Q|·20 pairs, never the corpus.  Both stages'
+    folds are coordinate-sequential, so the oracle replays shortlist
+    AND rerank end-to-end; dist2 ships floor-scaled."""
+    import tempfile
+
+    import numpy as np
+
+    from xpysom_dask_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.where("vec_id < 12").orderBy("vec_id") \
+        .select("embedding").collect()
+    M = np.stack([np.asarray(r["embedding"], np.float64)
+                  for r in rows])
+    coarse = M[:4]
+    book = M[4:12].reshape(8, 8, 8).transpose(1, 0, 2).copy()
+    path = tempfile.mkdtemp(prefix="ivfpqrrgate_")
+    PQ.build_ivfpq_index(coarse, book, emb, path)
+    qs = emb.where("vec_id < 3")
+    out = PQ.ivfpq_rerank_topk(spark, path, coarse, book, emb, qs,
+                               k=5, shortlist=20, nprobe=4)
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        F.expr("CAST(FLOOR(dist2 * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("d2_micro"))
+
+
+def _sql_ivfpq_rerank():
+    ex = ("list_sum([(CAST(q.qvec[j] AS DOUBLE) "
+          "- CAST(e.embedding[j] AS DOUBLE)) "
+          "* (CAST(q.qvec[j] AS DOUBLE) "
+          "- CAST(e.embedding[j] AS DOUBLE)) "
+          "FOR j IN range(1, 65)])")
+    return f"""
+WITH {_ivfpq_oracle_ctes()},
+sl AS (SELECT qid, neighbor_id FROM r WHERE rn <= 20),
+ex AS (
+  SELECT sl.qid, sl.neighbor_id, {ex} AS d2
+  FROM sl
+  JOIN q ON q.qid = sl.qid
+  JOIN embeddings e ON e.vec_id = sl.neighbor_id),
+rr AS (
+  SELECT qid, neighbor_id, d2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY d2, neighbor_id) AS rn
+  FROM ex)
+SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+       CAST(FLOOR(d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_micro
+FROM rr WHERE rn <= 5
 """
 
 
@@ -5312,6 +5375,7 @@ def queries_round6_staged() -> dict:
         "fuzzy_join": _q_fuzzy_join,
         "text_novelty": _q_text_novelty,
         "text_lang_consistency": _q_text_lang_consistency,
+        "ivfpq_rerank": _q_ivfpq_rerank,
     }
 
 
@@ -5339,6 +5403,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "fuzzy_join": _sql_fuzzy_join(),
         "text_novelty": _sql_text_novelty(),
         "text_lang_consistency": _sql_text_lang_consistency(),
+        "ivfpq_rerank": _sql_ivfpq_rerank(),
     }
 
 

@@ -469,6 +469,53 @@ def ivfpq_topk(spark, path: str, coarse: np.ndarray,
             .select("query_id", "rank", "neighbor_id", "dist"))
 
 
+def ivfpq_rerank_topk(spark, path: str, coarse: np.ndarray,
+                      codebook: np.ndarray, corpus: DataFrame,
+                      queries: DataFrame, k: int = 5,
+                      shortlist: int = 50, nprobe: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      lut_scale: int | None = 10**6,
+                      exclude_self: bool = True) -> DataFrame:
+    """Two-stage IVF-PQ serving: ADC top-``shortlist`` over the
+    compressed index, then EXACT squared-L2 rerank of only the
+    shortlisted vectors — the standard quantized-first/exact-second
+    stack (:func:`~.embeddings.binary_rerank_topk` with the IVF-PQ
+    index as the cheap stage).  Returns
+    (query_id, rank, neighbor_id, dist2).
+
+    The expensive float math touches |Q|·shortlist pairs instead of
+    |Q|·corpus; the shortlist relation broadcasts back against the
+    corpus for the vector fetch (the corpus never shuffles), and
+    recall vs exact search is governed by (nprobe, shortlist) — the
+    two knobs trade probed-cell reads and rerank pairs independently.
+    Defaults keep the shortlist stage integer-deterministic
+    (``lut_scale``), so end-to-end results are partitioning-exact."""
+    short = ivfpq_topk(spark, path, coarse, codebook, queries,
+                       k=shortlist, nprobe=nprobe, id_col=id_col,
+                       vec_col=vec_col, lut_scale=lut_scale,
+                       exclude_self=exclude_self)
+    cand = short.select("query_id", "neighbor_id")
+    fetched = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec")).join(F.broadcast(cand),
+                                             "neighbor_id")
+    qside = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qvec"))
+    d2 = F.expr(
+        "aggregate(zip_with(__qvec, __nvec, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) "
+        "* (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id"))
+    return (fetched.join(F.broadcast(qside), "query_id")
+            .withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist2"))
+
+
 PQ_TOPK_MAX_QUERIES = 4096
 
 

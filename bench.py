@@ -487,6 +487,10 @@ def main():
     timed("ivfpq_topk", lambda: PQ.ivfpq_topk(
         spark, _ivfpq_path, _coarse, _rbook,
         emb.where("vec_id % 50 = 0"), k=5, nprobe=2).count())
+    timed("ivfpq_rerank", lambda: PQ.ivfpq_rerank_topk(
+        spark, _ivfpq_path, _coarse, _rbook, emb,
+        emb.where("vec_id % 50 = 0"), k=5, shortlist=50,
+        nprobe=2).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

@@ -334,6 +334,31 @@ def test_ivfpq_packed_codes_equal_unpacked(spark, emb, tmp_path):
         pq.build_ivfpq_index(coarse, big, emb, pb, pack=True)
 
 
+def test_ivfpq_rerank_full_shortlist_is_exact(spark, emb, tmp_path):
+    # shortlist = corpus size at full probe -> the rerank stage sees
+    # every candidate, so the result IS exact brute-force L2 top-k
+    coarse, book = _gate_books(emb)
+    path = str(tmp_path / "rr")
+    pq.build_ivfpq_index(coarse, book, emb, path)
+    qs = emb.where("vec_id < 4")
+    got = pq.ivfpq_rerank_topk(spark, path, coarse, book, emb, qs,
+                               k=3, shortlist=600, nprobe=4).collect()
+    pdf = emb.select("vec_id", "embedding").toPandas() \
+        .sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    for qid in range(4):
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))[:3]
+        want = [int(ids[mask][j]) for j in order]
+        mine = [r["neighbor_id"] for r in
+                sorted((x for x in got if x["query_id"] == qid),
+                       key=lambda r: r["rank"])]
+        assert mine == want
+
+
 def test_ivfpq_dim_mismatch(emb):
     coarse, book = _gate_books(emb)
     with pytest.raises(ValueError, match="coarse dim"):

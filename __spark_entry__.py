@@ -5309,6 +5309,60 @@ FROM tot t JOIN dom d ON d.id = t.id
 """
 
 
+def _q_multimodal_phash(spark, sf_dir):
+    """Perceptual-hash image near-dup (multimodal.image_ahash +
+    embeddings.hamming_topk): bitmaps → 64-bit average-hash signatures
+    (bit = pixel > image mean, 32 sign-safe bits per BIGINT word) →
+    exact Hamming top-3.  Everything integer: the u8 quantization, the
+    strict mean test, the XOR+popcount distances — bit-exact across
+    engines, and the oracle replays signature AND search from the
+    float embeddings."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    imgs = multimodal.embeddings_as_images(_emb(spark, sf_dir))
+    sigs = multimodal.image_ahash(imgs) \
+        .withColumnRenamed("image_id", "vec_id")
+    qs = sigs.where("vec_id < 5")
+    return EMB.hamming_topk(sigs, qs, k=3)
+
+
+def _sql_multimodal_phash():
+    u8 = ("CAST(least(greatest(FLOOR((CAST(e.embedding[j] AS DOUBLE) "
+          "+ 1.0) * 127.5), 0), 255) AS BIGINT)")
+    px = f"[{u8} FOR j IN range(1, 65)]"
+
+    def word(lo, hi):
+        return ("list_sum([CASE WHEN px[j] > m "
+                "THEN (CAST(1 AS BIGINT) << (j - %d)) "
+                "ELSE CAST(0 AS BIGINT) END "
+                "FOR j IN range(%d, %d)])" % (lo, lo, hi + 1))
+
+    return f"""
+WITH raw AS (
+  SELECT e.vec_id, {px} AS px FROM embeddings e),
+m AS (
+  SELECT vec_id, px, list_sum(px) / 64.0 AS m FROM raw),
+sig AS (
+  SELECT vec_id,
+         CAST({word(1, 32)} AS BIGINT) AS w0,
+         CAST({word(33, 64)} AS BIGINT) AS w1
+  FROM m),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0))
+              + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS dist
+  FROM sig q JOIN sig c ON q.vec_id < 5
+  WHERE q.vec_id != c.vec_id),
+r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rn
+  FROM pairs)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
+FROM r WHERE rn <= 3
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5376,6 +5430,7 @@ def queries_round6_staged() -> dict:
         "text_novelty": _q_text_novelty,
         "text_lang_consistency": _q_text_lang_consistency,
         "ivfpq_rerank": _q_ivfpq_rerank,
+        "multimodal_phash": _q_multimodal_phash,
     }
 
 
@@ -5404,6 +5459,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "text_novelty": _sql_text_novelty(),
         "text_lang_consistency": _sql_text_lang_consistency(),
         "ivfpq_rerank": _sql_ivfpq_rerank(),
+        "multimodal_phash": _sql_multimodal_phash(),
     }
 
 

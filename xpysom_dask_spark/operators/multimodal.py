@@ -188,6 +188,43 @@ def image_stats(df: DataFrame) -> DataFrame:
     return _map_in_pandas(df, fn, out_ddl)
 
 
+def image_ahash(df: DataFrame, words_bits: int = 32) -> DataFrame:
+    """Perceptual average-hash signatures over image bytes:
+    ``(image_id, bits array<bigint>)`` — bit *i* set iff pixel *i*
+    exceeds the image's mean intensity (the classic aHash; crop-less
+    near-duplicate detection for re-encoded/brightness-shifted copies
+    that byte-level dedup misses).
+
+    Bits pack ``words_bits`` per BIGINT word (32 by default — the
+    engine-wide sign-safe packing from
+    :func:`~.embeddings.binarize_embeddings`), so the signatures feed
+    :func:`~.embeddings.hamming_topk` / the LSH bucketers unchanged.
+    Integer pixel domain + a strict ``px > mean`` test keep the
+    signature bit-exact across engines; the comparison divides
+    exact-integer sums, so no float-accumulation drift exists.  One
+    Arrow pass; image bytes never leave the executors."""
+    out_ddl = "image_id bigint, bits array<bigint>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = decode_image(row["data"], row).astype(np.int64)
+                flat = img.reshape(-1)
+                mean = flat.sum() / flat.size
+                bit = (flat > mean).astype(np.int64)
+                n_words = (len(bit) + words_bits - 1) // words_bits
+                words = []
+                for w in range(n_words):
+                    chunk = bit[w * words_bits:(w + 1) * words_bits]
+                    words.append(int((chunk
+                                      << np.arange(len(chunk))).sum()))
+                rows.append((row["image_id"], words))
+            yield pd.DataFrame(rows, columns=["image_id", "bits"])
+
+    return _map_in_pandas(df, fn, out_ddl)
+
+
 # ---------------------------------------------------------------------- #
 # audio operators
 

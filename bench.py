@@ -457,6 +457,13 @@ def main():
         docs, "text", "doc_id").agg(F.sum("n_unique")).collect())
     timed("text_lang_consistency", lambda: T.language_consistency(
         docs, "text", "doc_id").agg(F.sum("n_langs")).collect())
+    timed("multimodal_phash", lambda: EMB.hamming_topk(
+        multimodal.image_ahash(
+            multimodal.embeddings_as_images(emb))
+        .withColumnRenamed("image_id", "vec_id"),
+        multimodal.image_ahash(
+            multimodal.embeddings_as_images(emb.where("vec_id < 16")))
+        .withColumnRenamed("image_id", "vec_id"), k=3).count())
 
     # round-5 continuation: product quantization (operators/pq.py)
     from xpysom_dask_spark.operators import pq as PQ

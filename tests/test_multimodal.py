@@ -126,3 +126,32 @@ def test_embeddings_as_images_quantization(spark):
         exp = np.clip(np.floor((v + 1.0) * 127.5), 0, 255).astype(np.uint8)
         assert row["data"] == exp.tobytes()
         assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
+
+
+def test_image_ahash_brightness_invariance(spark):
+    """aHash is invariant to uniform brightness shifts: adding a
+    constant to every pixel moves the mean by the same constant, so
+    the (pixel > mean) pattern — and thus the signature — is
+    unchanged.  This is the property that catches re-encoded copies
+    byte-level dedup misses."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(10, 200, size=(6, 64), dtype=np.int64)
+    rows = []
+    for i, px in enumerate(base):
+        rows.append((i, px.astype(np.uint8).tobytes(), "raw", 8, 8, 1))
+        shifted = np.clip(px + 30, 0, 255).astype(np.uint8)
+        rows.append((100 + i, shifted.tobytes(), "raw", 8, 8, 1))
+    df = spark.createDataFrame(
+        rows, "image_id bigint, data binary, format string, "
+              "width int, height int, channels int")
+    sig = {r["image_id"]: tuple(r["bits"])
+           for r in MM.image_ahash(df).collect()}
+    for i in range(6):
+        assert sig[i] == sig[100 + i], i
+    # signatures are 2 sign-safe words covering 64 px
+    assert all(len(v) == 2 and all(w >= 0 for w in v)
+               for v in sig.values())

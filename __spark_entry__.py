@@ -5363,6 +5363,57 @@ FROM r WHERE rn <= 3
 """
 
 
+def _q_multimodal_audio_fp(spark, sf_dir):
+    """Audio fingerprint near-dup (multimodal.audio_fingerprint +
+    hamming_topk): PCM clips → 64-bit amplitude-profile signatures
+    (bit = n·|s| > Σ|s|, pure integer — no division anywhere) → exact
+    Hamming top-3.  Gain-robust by construction; the oracle replays
+    quantize, signature, and search from the float embeddings."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir))
+    sigs = multimodal.audio_fingerprint(clips) \
+        .withColumnRenamed("audio_id", "vec_id")
+    qs = sigs.where("vec_id < 5")
+    return EMB.hamming_topk(sigs, qs, k=3)
+
+
+def _sql_multimodal_audio_fp():
+    i16 = ("CAST(least(greatest(FLOOR(CAST(e.embedding[j] AS DOUBLE) "
+           "* 32767.0), -32768), 32767) AS BIGINT)")
+    amp = f"[abs({i16}) FOR j IN range(1, 65)]"
+
+    def word(lo, hi):
+        return ("list_sum([CASE WHEN 64 * a[j] > s "
+                "THEN (CAST(1 AS BIGINT) << (j - %d)) "
+                "ELSE CAST(0 AS BIGINT) END "
+                "FOR j IN range(%d, %d)])" % (lo, lo, hi + 1))
+
+    return f"""
+WITH raw AS (
+  SELECT e.vec_id, {amp} AS a FROM embeddings e),
+m AS (SELECT vec_id, a, list_sum(a) AS s FROM raw),
+sig AS (
+  SELECT vec_id,
+         CAST({word(1, 32)} AS BIGINT) AS w0,
+         CAST({word(33, 64)} AS BIGINT) AS w1
+  FROM m),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0))
+              + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS dist
+  FROM sig q JOIN sig c ON q.vec_id < 5
+  WHERE q.vec_id != c.vec_id),
+r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rn
+  FROM pairs)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
+FROM r WHERE rn <= 3
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5431,6 +5482,7 @@ def queries_round6_staged() -> dict:
         "text_lang_consistency": _q_text_lang_consistency,
         "ivfpq_rerank": _q_ivfpq_rerank,
         "multimodal_phash": _q_multimodal_phash,
+        "multimodal_audio_fp": _q_multimodal_audio_fp,
     }
 
 
@@ -5460,6 +5512,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "text_lang_consistency": _sql_text_lang_consistency(),
         "ivfpq_rerank": _sql_ivfpq_rerank(),
         "multimodal_phash": _sql_multimodal_phash(),
+        "multimodal_audio_fp": _sql_multimodal_audio_fp(),
     }
 
 

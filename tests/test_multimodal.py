@@ -155,3 +155,29 @@ def test_image_ahash_brightness_invariance(spark):
     # signatures are 2 sign-safe words covering 64 px
     assert all(len(v) == 2 and all(w >= 0 for w in v)
                for v in sig.values())
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    """n·|s| > Σ|s| is invariant under uniform gain (both sides scale
+    by the same factor) — doubling amplitude leaves the signature
+    unchanged until clipping."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(-8000, 8000, size=(6, 64), dtype=np.int64)
+    rows = []
+    for i, s in enumerate(base):
+        rows.append((i, s.astype("<i2").tobytes(), "pcm16", 8000, 64))
+        rows.append((100 + i, (s * 2).astype("<i2").tobytes(),
+                     "pcm16", 8000, 64))
+    df = spark.createDataFrame(
+        rows, "audio_id bigint, data binary, format string, "
+              "sample_rate int, n_samples int")
+    sig = {r["audio_id"]: tuple(r["bits"])
+           for r in MM.audio_fingerprint(df).collect()}
+    for i in range(6):
+        assert sig[i] == sig[100 + i], i
+    assert all(len(v) == 2 and all(w >= 0 for w in v)
+               for v in sig.values())

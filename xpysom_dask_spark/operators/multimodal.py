@@ -290,6 +290,40 @@ def audio_stats(df: DataFrame) -> DataFrame:
     return _map_in_pandas(df, fn, out_ddl)
 
 
+def audio_fingerprint(df: DataFrame, words_bits: int = 32) -> DataFrame:
+    """Amplitude-profile audio fingerprints over PCM bytes:
+    ``(audio_id, bits array<bigint>)`` — bit *j* set iff
+    ``n·|s_j| > Σ|s|`` (sample *j*'s magnitude strictly exceeds the
+    clip's mean magnitude, tested in PURE integer arithmetic so no
+    division exists to drift) — the re-encode/gain-robust near-dup
+    signature for audio, the :func:`image_ahash` twin: the comparison
+    is invariant under uniform gain (both sides scale together), and
+    the packed words feed :func:`~.embeddings.hamming_topk` / the LSH
+    bucketers unchanged.  One Arrow pass; audio bytes never leave the
+    executors."""
+    out_ddl = "audio_id bigint, bits array<bigint>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                pcm = np.frombuffer(row["data"], dtype="<i2") \
+                    .astype(np.int64)
+                a = np.abs(pcm)
+                n, s = len(a), int(a.sum())
+                bit = (n * a > s).astype(np.int64)
+                n_words = (n + words_bits - 1) // words_bits
+                words = []
+                for w in range(n_words):
+                    chunk = bit[w * words_bits:(w + 1) * words_bits]
+                    words.append(int((chunk
+                                      << np.arange(len(chunk))).sum()))
+                rows.append((row["audio_id"], words))
+            yield pd.DataFrame(rows, columns=["audio_id", "bits"])
+
+    return _map_in_pandas(df, fn, out_ddl)
+
+
 def embeddings_as_audio(emb: DataFrame, embedding_col: str = "embedding",
                         id_col: str = "vec_id",
                         sample_rate: int = 8000) -> DataFrame:

@@ -457,6 +457,13 @@ def main():
         docs, "text", "doc_id").agg(F.sum("n_unique")).collect())
     timed("text_lang_consistency", lambda: T.language_consistency(
         docs, "text", "doc_id").agg(F.sum("n_langs")).collect())
+    timed("multimodal_audio_fp", lambda: EMB.hamming_topk(
+        multimodal.audio_fingerprint(
+            multimodal.embeddings_as_audio(emb))
+        .withColumnRenamed("audio_id", "vec_id"),
+        multimodal.audio_fingerprint(
+            multimodal.embeddings_as_audio(emb.where("vec_id < 16")))
+        .withColumnRenamed("audio_id", "vec_id"), k=3).count())
     timed("multimodal_phash", lambda: EMB.hamming_topk(
         multimodal.image_ahash(
             multimodal.embeddings_as_images(emb))

@@ -5414,6 +5414,82 @@ FROM r WHERE rn <= 3
 """
 
 
+def _q_multimodal_video_fp(spark, sf_dir):
+    """Video near-dup (multimodal.video_fingerprint → hamming_topk):
+    embeddings → 8×8 frames → 4-frame raw videos → per-frame aHash
+    words concatenated in frame order → exact Hamming top-3 between
+    videos.  The full three-op composition (assembly, frame fan-out,
+    signature) replayed all-integer by the oracle."""
+    from xpysom_dask_spark.operators import embeddings as EMB
+
+    imgs = multimodal.embeddings_as_images(_emb(spark, sf_dir))
+    vids = (imgs.groupBy((F.col("image_id") / 4).cast("bigint")
+                         .alias("video_id"))
+            .agg(F.expr("array_sort(collect_list(struct(image_id, "
+                        "data)))").alias("frames"))
+            .select("video_id",
+                    F.expr("reduce(transform(frames, f -> f.data), "
+                           "X'', (acc, d) -> concat(acc, d))")
+                    .alias("data"),
+                    F.lit("raw").alias("format"),
+                    F.lit(8).alias("width"), F.lit(8).alias("height"),
+                    F.lit(1).alias("channels"),
+                    F.lit(4).alias("n_frames")))
+    sigs = multimodal.video_fingerprint(vids) \
+        .withColumnRenamed("video_id", "vec_id")
+    qs = sigs.where("vec_id < 3")
+    return EMB.hamming_topk(sigs, qs, k=3)
+
+
+def _sql_multimodal_video_fp():
+    u8 = ("CAST(least(greatest(FLOOR((CAST(e.embedding[j] AS DOUBLE) "
+          "+ 1.0) * 127.5), 0), 255) AS BIGINT)")
+    px = f"[{u8} FOR j IN range(1, 65)]"
+
+    def word(lo, hi):
+        return ("list_sum([CASE WHEN px[j] > m "
+                "THEN (CAST(1 AS BIGINT) << (j - %d)) "
+                "ELSE CAST(0 AS BIGINT) END "
+                "FOR j IN range(%d, %d)])" % (lo, lo, hi + 1))
+
+    # DuckDB bit_count returns TINYINT — an uncast 8-way sum overflows
+    # at 127; widen every term first
+    xs = " + ".join(f"CAST(bit_count(xor(q.a{i}, c.a{i})) AS INTEGER)"
+                    for i in range(8))
+    acols = ", ".join(
+        f"s{k}.w{w} AS a{2 * k + w}" for k in range(4) for w in (0, 1))
+    joins = "\n  ".join(
+        f"JOIN sig s{k} ON s{k}.vec_id = v.vid * 4 + {k}"
+        for k in range(4))
+    return f"""
+WITH raw AS (
+  SELECT e.vec_id, {px} AS px FROM embeddings e),
+m AS (SELECT vec_id, px, list_sum(px) / 64.0 AS m FROM raw),
+sig AS (
+  SELECT vec_id,
+         CAST({word(1, 32)} AS BIGINT) AS w0,
+         CAST({word(33, 64)} AS BIGINT) AS w1
+  FROM m),
+vids AS (SELECT DISTINCT vec_id // 4 AS vid FROM sig),
+vsig AS (
+  SELECT v.vid, {acols}
+  FROM vids v
+  {joins}),
+pairs AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         CAST({xs} AS INTEGER) AS dist
+  FROM vsig q JOIN vsig c ON q.vid < 3
+  WHERE q.vid != c.vid),
+r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rn
+  FROM pairs)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
+FROM r WHERE rn <= 3
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """ORC sink → source round-trip (sources/writers.py write_orc):
     the events table written as zstd ORC and read back, then audited
@@ -5483,6 +5559,7 @@ def queries_round6_staged() -> dict:
         "ivfpq_rerank": _q_ivfpq_rerank,
         "multimodal_phash": _q_multimodal_phash,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
+        "multimodal_video_fp": _q_multimodal_video_fp,
     }
 
 
@@ -5513,6 +5590,7 @@ def oracle_sql_round6_staged() -> dict[str, str]:
         "ivfpq_rerank": _sql_ivfpq_rerank(),
         "multimodal_phash": _sql_multimodal_phash(),
         "multimodal_audio_fp": _sql_multimodal_audio_fp(),
+        "multimodal_video_fp": _sql_multimodal_video_fp(),
     }
 
 

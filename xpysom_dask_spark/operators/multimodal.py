@@ -386,6 +386,32 @@ def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     return _map_in_pandas(df, fn, out_ddl)
 
 
+def video_fingerprint(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-video near-dup signatures: ``(video_id, bits array<bigint>)``
+    — every sampled frame's :func:`image_ahash` words concatenated in
+    frame order, so two videos are Hamming-close iff their frames are
+    pairwise perceptually close (the shot-for-shot re-encode detector;
+    ``every_n`` trades temporal resolution for signature size exactly
+    like the sampling stage it reuses).
+
+    Composition, not new machinery: :func:`sample_frames` fan-out (no
+    shuffle) → per-frame aHash (one Arrow pass) → ONE groupBy(video)
+    with the engine-wide sort-free ``collect_list + array_sort``
+    struct rebuild.  Fixed-length outputs feed
+    :func:`~.embeddings.hamming_topk` unchanged."""
+    from pyspark.sql import functions as F
+
+    frames = sample_frames(df, every_n)
+    sigs = image_ahash(frames)
+    joined = sigs.join(
+        frames.select("image_id", "video_id", "frame_idx"), "image_id")
+    return (joined.groupBy("video_id")
+            .agg(F.expr(
+                "flatten(transform("
+                "array_sort(collect_list(struct(frame_idx, bits))), "
+                "s -> s.bits))").alias("bits")))
+
+
 # ---------------------------------------------------------------------- #
 # deterministic derivation from the embeddings table (for oracle-checked
 # pipelines: float vectors → quantized raw bitmaps)

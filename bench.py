@@ -457,6 +457,9 @@ def main():
         docs, "text", "doc_id").agg(F.sum("n_unique")).collect())
     timed("text_lang_consistency", lambda: T.language_consistency(
         docs, "text", "doc_id").agg(F.sum("n_langs")).collect())
+    import __spark_entry__ as _e3
+    timed("multimodal_video_fp", lambda: _e3.queries_round6_staged()
+          ["multimodal_video_fp"](spark, SF_DIR).count())
     timed("multimodal_audio_fp", lambda: EMB.hamming_topk(
         multimodal.audio_fingerprint(
             multimodal.embeddings_as_audio(emb))

@@ -35,20 +35,37 @@ def main():
         with open(path) as fh:
             rows = json.load(fh)
         for name, v in rows.items():
-            if v.get("err") is None and v.get("rows_match"):
+            # GREEN means the full gate passed: rows AND schema AND
+            # value hash, no err.  A rows-only match (the r4 tpch_q12
+            # case) is NOT green and must keep its head slot.
+            if (v.get("err") is None and v.get("rows_match")
+                    and v.get("schema_match") and v.get("hash_match")):
                 latest_green[name] = max(latest_green.get(name, 0), rnd)
+
+    # staged queues are never-verified by definition: the rotation
+    # policy promotes them into the head verbatim
+    staged = []
+    for attr in sorted(dir(entry)):
+        if attr.startswith("queries_round") and attr.endswith("_staged"):
+            staged.extend(getattr(entry, attr)().keys())
+    if staged:
+        print(f"# PROMOTE first ({len(staged)} staged, never-verified "
+              "-> head slots):")
+        for name in staged:
+            print(f"  + {name}")
 
     declared = list(entry.queries())
     order = sorted(
         range(len(declared)),
         key=lambda i: (latest_green.get(declared[i], -1), i))
-    print(f"# recommended queries() order ({len(declared)} queries; "
-          f"head {GATE_SLOTS} get driver rows next round)")
+    head_left = max(GATE_SLOTS - len(staged), 0)
+    print(f"# recommended queries() order ({len(declared)} declared; "
+          f"after promotion the next {head_left} fill the head)")
     for rank, i in enumerate(order):
         name = declared[i]
         ev = latest_green.get(name)
         tag = "NEVER" if ev is None else f"r{ev}"
-        marker = "  <-- head" if rank < GATE_SLOTS else ""
+        marker = "  <-- head" if rank < head_left else ""
         print(f"{rank + 1:3d}. {name:32s} [{tag}]{marker}")
 
 

@@ -174,3 +174,42 @@ def test_staged_query_matches_oracle(spark, name):
     assert len(srows) == len(drows) and len(srows) > 0
     assert _multiset(sdf.columns, [tuple(r) for r in srows]) == \
         _multiset(dcols, drows)
+
+
+def test_fuzzy_join_pairs_links_known_near_dups(spark):
+    from xpysom_dask_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    a = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark "
+                        "physical plans and shuffle exchanges here")],
+        "doc_id bigint, text string")
+    # 3 = near-identical copy of 1 (one word changed), 4 = unrelated
+    b = spark.createDataFrame(
+        [(3, base.replace("lazy", "sleepy")),
+         (4, "another disjoint document mentioning kolmogorov "
+             "smirnov statistics and wasserstein distances only")],
+        "doc_id bigint, text string")
+    got = dedup.fuzzy_join_pairs(a, b, "text", "doc_id",
+                                 threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 3)]
+    assert 0.5 <= got[0]["jaccard"] < 1.0
+
+
+def test_language_consistency_flags_mixed_docs(spark):
+    from xpysom_dask_spark.operators import text as T
+
+    en = "the of and to in is it for that a " * 4
+    de = "der die und das den von zu ist mit im " * 4
+    df = spark.createDataFrame(
+        [(1, en), (2, de), (3, en + " " + de)],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in T.language_consistency(
+        df, "text", "doc_id", window=16).collect()}
+    assert out[1]["n_langs"] == 1 and out[1]["lang_dominant"] == "en"
+    assert out[2]["n_langs"] == 1 and out[2]["lang_dominant"] == "de"
+    # the concatenation is the one a doc-level langid would hide
+    assert out[3]["n_langs"] >= 2
+    assert out[3]["frac_dominant"] < 1.0
+    assert out[1]["frac_dominant"] == 1.0

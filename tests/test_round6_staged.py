@@ -213,3 +213,20 @@ def test_language_consistency_flags_mixed_docs(spark):
     assert out[3]["n_langs"] >= 2
     assert out[3]["frac_dominant"] < 1.0
     assert out[1]["frac_dominant"] == 1.0
+
+
+def test_novelty_score_extremes(spark):
+    from xpysom_dask_spark.operators import text as T
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup),
+         (3, "completely fresh words nobody else ever wrote down")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in T.novelty_score(
+        df, "text", "doc_id", n=3).collect()}
+    # exact duplicates: every shingle shared -> novelty 0
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    # fully unique doc: every shingle unique -> novelty 1
+    assert out[3]["novelty"] == 1.0
+    assert out[3]["n_unique"] == out[3]["n_sh"] > 0

@@ -2,7 +2,10 @@
 explicit query list instead of a head slice.
 
 Usage: python tools/gate_pick.py [--sf DIR] name [name ...]
-Also resolves names staged in queries_round5_staged() if present.
+       python tools/gate_pick.py [--sf DIR] --staged
+Also resolves names staged in queries_round{N}_staged(); ``--staged``
+expands to EVERY staged entry (the one-command promotion pre-check
+before a round's gate rotation).
 """
 import hashlib
 import json
@@ -45,7 +48,8 @@ def main():
     if args and args[0] == "--sf":
         sf_dir = args[1]
         args = args[2:]
-    names = args
+    staged_only = args == ["--staged"]
+    names = [] if staged_only else args
     spark = make_session("gate-pick")
     queries = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql(ivf_sf_dir=sf_dir))
@@ -55,6 +59,8 @@ def main():
         if qf:
             for k, v in qf().items():
                 queries.setdefault(k, v)
+                if staged_only:
+                    names.append(k)
         if of:
             try:
                 staged_oracles = of(sf_dir)

@@ -4067,10 +4067,13 @@ def _sql_shard_layout():
            f"(acc, v) -> acc * 16 + v)")
     return f"""
 WITH n AS (
-  SELECT GREATEST(CAST(1 AS BIGINT),
-                  (SUM(n_chars) + {b - 1}) // {b}) AS n_shards
+  -- SUM(int) is HUGEINT in DuckDB; without the cast the modulo output
+  -- is HUGEINT and the driver's pandas canonicalizer hashes it
+  -- differently from Spark's int64 (oracle-parity pitfall #1).
+  SELECT CAST(GREATEST(CAST(1 AS BIGINT),
+                       (SUM(n_chars) + {b - 1}) // {b}) AS BIGINT) AS n_shards
   FROM documents)
-SELECT ({raw}) % (SELECT n_shards FROM n) AS shard, source,
+SELECT CAST(({raw}) % (SELECT n_shards FROM n) AS BIGINT) AS shard, source,
        COUNT(*) AS rows, CAST(SUM(n_chars) AS BIGINT) AS bytes
 FROM documents
 GROUP BY 1, 2

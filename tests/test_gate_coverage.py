@@ -12,6 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from tools.rotate_gate import is_green, latest_green_rounds
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -20,12 +21,14 @@ DRIVER_GATE_SLOTS = 50
 
 
 def _archived_checked() -> set:
+    """Queries with at least one fully GREEN archived row (rows AND
+    schema AND value hash) — a rows-only match is NOT green and must
+    keep its head slot (r4 tpch_q12, r5 shard_layout)."""
     names = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         with open(path) as fh:
             rows = json.load(fh)
-        names.update(k for k, v in rows.items()
-                     if v.get("err") is None and v.get("rows_match"))
+        names.update(k for k, v in rows.items() if is_green(v))
     return names
 
 
@@ -56,3 +59,44 @@ def test_oracle_exists_for_every_query():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert not o - q, f"oracles without queries: {sorted(o - q)}"
+
+
+def test_red_hash_row_is_not_green():
+    """The r5 shard_layout case: rows/schema matched but the value hash
+    did not — rotate_gate must NOT count that as green, so a red row
+    can never be rotated out of the head."""
+    red = {"rows_match": True, "schema_match": True,
+           "hash_match": False, "err": None}
+    assert not is_green(red)
+    assert is_green({"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None})
+    assert not is_green({"rows_match": True, "schema_match": True,
+                         "hash_match": True, "err": "boom"})
+
+
+def test_shard_layout_r5_red_row_excluded_from_green_history():
+    """Pin against the real archive: CORRECTNESS_r05 recorded
+    shard_layout with hash_match=false; latest_green_rounds must not
+    credit round 5 for it."""
+    r5 = os.path.join(REPO, "CORRECTNESS_r05.json")
+    greens = latest_green_rounds([r5])
+    assert greens.get("shard_layout") is None
+    assert greens.get("tpch_q1") == 5
+
+
+def test_gate_twin_canonicalizer_catches_hugeint():
+    """The driver hashes via pandas, where DuckDB HUGEINT becomes
+    float64; the twin must distinguish it from BIGINT/int64 (the r5
+    shard_layout blind spot)."""
+    import duckdb
+
+    from tools.gate_common import value_hash
+
+    con = duckdb.connect()
+    huge = con.execute(
+        "SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)").fetchdf()
+    big = con.execute(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s "
+        "FROM (VALUES (1),(2)) t(x)").fetchdf()
+    assert value_hash(huge) != value_hash(big)
+    assert value_hash(big) == value_hash(big.copy())

@@ -7,9 +7,7 @@ Also resolves names staged in queries_round{N}_staged(); ``--staged``
 expands to EVERY staged entry (the one-command promotion pre-check
 before a round's gate rotation).
 """
-import hashlib
 import json
-import math
 import os
 import sys
 import time
@@ -18,28 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
+from tools.gate_common import compare
 from xpysom_dask_spark.session import make_session
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
-
-
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    return v
-
-
-def _hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    ms = sorted(repr(tuple(_norm(r[i]) for i in order)) for r in rows)
-    h = hashlib.sha256()
-    for r in ms:
-        h.update(r.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
 
 
 def main():
@@ -79,27 +60,13 @@ def main():
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
             if name not in oracles:
-                results[name] = {"rows": len(srows), "oracle": "none",
+                results[name] = {"rows": sdf.count(), "oracle": "none",
                                  "sec": round(time.time() - t0, 2)}
                 print(name, results[name], flush=True)
                 continue
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-            rows_match = len(srows) == len(drows)
-            schema_match = sorted(scols) == sorted(dcols)
-            hash_match = (_hash(scols, [tuple(r) for r in srows])
-                          == _hash(dcols, drows)) \
-                if rows_match and schema_match else False
-            results[name] = {"rows_match": rows_match,
-                             "schema_match": schema_match,
-                             "hash_match": hash_match,
-                             "spark_rows": len(srows),
-                             "oracle_rows": len(drows),
-                             "sec": round(time.time() - t0, 2)}
+            results[name] = compare(sdf, con, oracles[name])
+            results[name]["sec"] = round(time.time() - t0, 2)
         except Exception as exc:  # noqa: BLE001
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:400],
                              "sec": round(time.time() - t0, 2)}

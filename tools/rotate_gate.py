@@ -26,21 +26,32 @@ sys.path.insert(0, REPO)
 GATE_SLOTS = 50
 
 
-def main():
-    import __spark_entry__ as entry
+def is_green(row):
+    """GREEN means the full gate passed: rows AND schema AND value hash,
+    no err.  A rows-only match (the r4 tpch_q12 and r5 shard_layout
+    cases) is NOT green and must keep its head slot."""
+    return (row.get("err") is None and row.get("rows_match")
+            and row.get("schema_match") and row.get("hash_match"))
 
+
+def latest_green_rounds(paths):
+    """Map query name -> most recent round with a GREEN row."""
     latest_green = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(paths):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as fh:
             rows = json.load(fh)
         for name, v in rows.items():
-            # GREEN means the full gate passed: rows AND schema AND
-            # value hash, no err.  A rows-only match (the r4 tpch_q12
-            # case) is NOT green and must keep its head slot.
-            if (v.get("err") is None and v.get("rows_match")
-                    and v.get("schema_match") and v.get("hash_match")):
+            if is_green(v):
                 latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest_green
+
+
+def main():
+    import __spark_entry__ as entry
+
+    latest_green = latest_green_rounds(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
 
     # staged queues are never-verified by definition: the rotation
     # policy promotes them into the head verbatim

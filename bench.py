@@ -444,7 +444,7 @@ def main():
         ev, "event_type", "value", "event_id",
         threshold=2.0).count())
     import __spark_entry__ as _e2
-    timed("streaming_zscore", lambda: _e2.queries_round6_staged()
+    timed("streaming_zscore", lambda: _e2.queries()
           ["streaming_zscore"](spark, SF_DIR).count())
     timed("events_ks_drift", lambda: PRF.ks_drift(
         ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1"),
@@ -458,7 +458,7 @@ def main():
     timed("text_lang_consistency", lambda: T.language_consistency(
         docs, "text", "doc_id").agg(F.sum("n_langs")).collect())
     import __spark_entry__ as _e3
-    timed("multimodal_video_fp", lambda: _e3.queries_round6_staged()
+    timed("multimodal_video_fp", lambda: _e3.queries()
           ["multimodal_video_fp"](spark, SF_DIR).count())
     timed("multimodal_audio_fp", lambda: EMB.hamming_topk(
         multimodal.audio_fingerprint(

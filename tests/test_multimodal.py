@@ -181,3 +181,46 @@ def test_audio_fingerprint_gain_invariance(spark):
         assert sig[i] == sig[100 + i], i
     assert all(len(v) == 2 and all(w >= 0 for w in v)
                for v in sig.values())
+
+
+def test_words_bits_validation(spark, images_df):
+    df, _ = images_df
+    for bad in (0, 64, 100):
+        with pytest.raises(ValueError, match=r"words_bits"):
+            M.image_ahash(df, words_bits=bad)
+        with pytest.raises(ValueError, match=r"words_bits"):
+            M.audio_fingerprint(df, words_bits=bad)
+    # 63 is the last sign-safe width and must be accepted
+    assert M.image_ahash(df, words_bits=63).count() == 20
+
+
+def test_ahash_carry_columns_match_join(spark):
+    """carry= must reproduce exactly what the old re-join computed,
+    in one pass."""
+    rng = np.random.RandomState(11)
+    vids = [(v, rng.randint(0, 256, size=(4, 4, 5, 1), dtype=np.uint8)
+             .tobytes(), "raw", 5, 4, 1, 4) for v in range(3)]
+    frames = M.sample_frames(spark.createDataFrame(vids, M.VIDEO_SCHEMA))
+    carried = M.image_ahash(frames, carry=("video_id", "frame_idx")) \
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    joined = M.image_ahash(frames).join(
+        frames.select("image_id", "video_id", "frame_idx"),
+        "image_id").toPandas().sort_values("image_id") \
+        .reset_index(drop=True)
+    assert list(carried["video_id"]) == list(joined["video_id"])
+    assert list(carried["frame_idx"]) == list(joined["frame_idx"])
+    assert [list(b) for b in carried["bits"]] == \
+        [list(b) for b in joined["bits"]]
+
+
+def test_video_fingerprint_plan_has_no_join(spark):
+    rng = np.random.RandomState(13)
+    vids = [(v, rng.randint(0, 256, size=(4, 4, 5, 1), dtype=np.uint8)
+             .tobytes(), "raw", 5, 4, 1, 4) for v in range(3)]
+    out = M.video_fingerprint(spark.createDataFrame(vids, M.VIDEO_SCHEMA))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    pdf = out.toPandas()
+    assert len(pdf) == 3
+    # 4 frames x ceil(20px / 32 bits) = 4 words per video signature
+    assert all(len(b) == 4 for b in pdf["bits"])

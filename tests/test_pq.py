@@ -184,6 +184,50 @@ def test_geometry_validation(emb):
         pq.pq_init(emb, m=7, k=8)
 
 
+def test_ivfpq_query_bound_raises_before_collect(spark, emb, tmp_path,
+                                                 monkeypatch):
+    """An over-bound query set must raise from the count() guard, not
+    OOM inside toPandas(): the query plan poisons the embedding column
+    with raise_error, which count() never evaluates (column pruning)
+    but a collect would."""
+    from pyspark.sql import functions as F
+
+    coarse, book = _gate_books(emb)
+    path = str(tmp_path / "ivfpq_bound")
+    pq.build_ivfpq_index(coarse, book, emb, path)
+    poisoned = emb.select(
+        "vec_id",
+        F.expr("IF(vec_id >= 0, raise_error('collected the query set'), "
+               "embedding)").alias("embedding"))
+    monkeypatch.setattr(pq, "PQ_TOPK_MAX_QUERIES", 10)
+    with pytest.raises(ValueError, match="query rows > 10"):
+        pq.ivfpq_topk(spark, path, coarse, book, poisoned, k=3)
+
+
+def test_ivfpq_empty_queries(spark, emb, tmp_path):
+    coarse, book = _gate_books(emb)
+    path = str(tmp_path / "ivfpq_empty")
+    pq.build_ivfpq_index(coarse, book, emb, path)
+    out = pq.ivfpq_topk(spark, path, coarse, book,
+                        emb.where("vec_id < 0"), k=3, lut_scale=10**6)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "rank", "neighbor_id", "dist"]
+    assert out.schema["dist"].dataType.simpleString() == "bigint"
+
+
+def test_ivfpq_duplicate_query_ids_raise(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    coarse, book = _gate_books(emb)
+    path = str(tmp_path / "ivfpq_dup")
+    pq.build_ivfpq_index(coarse, book, emb, path)
+    dup = emb.where("vec_id < 3").select(
+        (F.col("vec_id") % 2).alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        pq.ivfpq_topk(spark, path, coarse, book, dup, k=3)
+
+
 def _gate_books(emb):
     """Fixed coarse (4 cells = vec_id<4 rows) + fixed residual
     codebook (8 codewords = vec_id 4..11 rows, sliced m=8)."""

@@ -1,6 +1,6 @@
-"""Round-6 STAGED gate queries vs their oracles at sf0.001 — same
-comparison as test_oracle_parity, for entries not yet in queries()
-(the round-5 head-50 is exactly full; SURVEY.md §8 round-6 queue)."""
+"""Round-6 promoted gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for the 24 entries promoted from the
+round-5 staging area into the graded head-50 (SURVEY.md §8)."""
 
 import math
 import os
@@ -18,8 +18,18 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-STAGED = entrymod.queries_round6_staged()
-ORACLES = entrymod.oracle_sql_round6_staged()
+PROMOTED = (
+    "decontaminate_spans", "index_compaction", "dedup_cluster_sizes",
+    "dedup_lines", "text_repetition", "streaming_top_terms",
+    "jsonl_roundtrip", "pq_codes", "pq_adc", "orc_roundtrip",
+    "ivfpq_topk", "text_entropy", "text_hash_embedding", "pseudonymize",
+    "events_zscore", "streaming_zscore", "events_ks_drift", "fuzzy_join",
+    "text_novelty", "text_lang_consistency", "ivfpq_rerank",
+    "multimodal_phash", "multimodal_audio_fp", "multimodal_video_fp")
+
+STAGED = {k: v for k, v in entrymod.queries().items() if k in PROMOTED}
+ORACLES = {k: v for k, v in entrymod.oracle_sql(SF_TINY).items()
+           if k in PROMOTED}
 
 
 def _norm(v):
@@ -35,11 +45,13 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_every_staged_entry_has_an_oracle():
-    # the driver has no rows-only mode: a missing oracle records err
-    assert set(ORACLES) == set(STAGED)
-    # staged entries must NOT be registered yet (head-50 is full)
-    assert not set(STAGED) & set(entrymod.queries())
+def test_promoted_queries_sit_in_the_graded_head():
+    # the driver checks queries()[:50]; a promoted entry outside the
+    # head would never get its first driver row
+    assert set(ORACLES) == set(STAGED) == set(PROMOTED)
+    head = list(entrymod.queries())[:50]
+    missing = set(PROMOTED) - set(head)
+    assert not missing, f"promoted entries outside the head-50: {missing}"
 
 
 def test_decontaminate_spans_excises_not_drops(spark):
@@ -66,6 +78,24 @@ def test_entropy_signals_known_values(spark):
     assert got[3]["token_entropy"] == 2.0
     assert got[1]["n_chars_e"] == 4 and got[2]["n_chars_e"] == 8
     assert got[3]["n_tok"] == 4
+
+
+def test_entropy_signals_whitespace_only_doc_keeps_row(spark):
+    """Coverage contract: a whitespace-only doc (chars but no tokens)
+    reports NULL token stats instead of silently vanishing; only the
+    completely empty string emits no row."""
+    from xpysom_dask_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "   "), (3, "")],
+        "doc_id bigint, text string")
+    got = {r["id"]: r for r in
+           T.entropy_signals(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2}          # doc 3 ("") has no chars at all
+    assert got[2]["n_chars_e"] == 3    # three space characters
+    assert got[2]["char_entropy"] == 0.0
+    assert got[2]["n_tok"] is None
+    assert got[2]["token_entropy"] is None
 
 
 def test_hash_embedding_properties(spark):

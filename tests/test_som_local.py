@@ -271,3 +271,24 @@ def test_reference_backend_knobs_accepted(spark):
     assert "use_dask" in msgs and "dask_chunks" in msgs
     ref = SparkSom(4, 4, 3, random_seed=7)
     np.testing.assert_array_equal(som.get_weights(), ref.get_weights())
+
+
+def test_n_parallel_zero_means_auto(spark):
+    """The reference's documented default n_parallel=0 means
+    'auto-infer' (xpysom.py:242-249) — it must keep the batch_rows
+    default, not set it to 0 (which would make every chunked method's
+    range() step zero).  Negative values get an actionable error."""
+    import numpy as np
+    import pytest
+
+    from xpysom_dask_spark import SparkSom
+
+    auto = SparkSom(4, 4, 3, random_seed=7, n_parallel=0)
+    ref = SparkSom(4, 4, 3, random_seed=7)
+    assert auto.batch_rows == ref.batch_rows > 0
+    # the reference default call site trains unchanged
+    X = np.random.RandomState(0).rand(50, 3).astype(np.float32)
+    auto.train(X, 1)
+    assert np.isfinite(auto.quantization_error(X))
+    with pytest.raises(ValueError, match="n_parallel"):
+        SparkSom(4, 4, 3, n_parallel=-1)

@@ -188,7 +188,19 @@ def image_stats(df: DataFrame) -> DataFrame:
     return _map_in_pandas(df, fn, out_ddl)
 
 
-def image_ahash(df: DataFrame, words_bits: int = 32) -> DataFrame:
+def _check_words_bits(words_bits: int) -> None:
+    """Packing shifts set bits into an int64 word, so bit ``words_bits-1``
+    must stay below the sign bit — 64 would wrap bit 63 negative and break
+    the sign-safe packing contract shared with
+    :func:`~.embeddings.binarize_embeddings`."""
+    if not 1 <= words_bits <= 63:
+        raise ValueError(
+            f"words_bits must be in [1, 63] (got {words_bits}): int64 "
+            "packing reserves the sign bit; use more words, not wider ones")
+
+
+def image_ahash(df: DataFrame, words_bits: int = 32,
+                carry: tuple = ()) -> DataFrame:
     """Perceptual average-hash signatures over image bytes:
     ``(image_id, bits array<bigint>)`` — bit *i* set iff pixel *i*
     exceeds the image's mean intensity (the classic aHash; crop-less
@@ -197,13 +209,24 @@ def image_ahash(df: DataFrame, words_bits: int = 32) -> DataFrame:
 
     Bits pack ``words_bits`` per BIGINT word (32 by default — the
     engine-wide sign-safe packing from
-    :func:`~.embeddings.binarize_embeddings`), so the signatures feed
+    :func:`~.embeddings.binarize_embeddings`; capped at 63 so no set bit
+    ever reaches an int64 sign bit), so the signatures feed
     :func:`~.embeddings.hamming_topk` / the LSH bucketers unchanged.
     Integer pixel domain + a strict ``px > mean`` test keep the
     signature bit-exact across engines; the comparison divides
     exact-integer sums, so no float-accumulation drift exists.  One
-    Arrow pass; image bytes never leave the executors."""
-    out_ddl = "image_id bigint, bits array<bigint>"
+    Arrow pass; image bytes never leave the executors.
+
+    ``carry`` names extra metadata columns to pass through the same
+    Arrow pass (e.g. ``("video_id", "frame_idx")``), so compositions
+    like :func:`video_fingerprint` need no re-join back onto the
+    decoded lineage."""
+    _check_words_bits(words_bits)
+    carry = tuple(carry)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_ddl = ("image_id bigint"
+               + "".join(f", {c} {types[c]}" for c in carry)
+               + ", bits array<bigint>")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,8 +242,10 @@ def image_ahash(df: DataFrame, words_bits: int = 32) -> DataFrame:
                     chunk = bit[w * words_bits:(w + 1) * words_bits]
                     words.append(int((chunk
                                       << np.arange(len(chunk))).sum()))
-                rows.append((row["image_id"], words))
-            yield pd.DataFrame(rows, columns=["image_id", "bits"])
+                rows.append((row["image_id"],
+                             *(row[c] for c in carry), words))
+            yield pd.DataFrame(rows,
+                               columns=["image_id", *carry, "bits"])
 
     return _map_in_pandas(df, fn, out_ddl)
 
@@ -301,6 +326,7 @@ def audio_fingerprint(df: DataFrame, words_bits: int = 32) -> DataFrame:
     the packed words feed :func:`~.embeddings.hamming_topk` / the LSH
     bucketers unchanged.  One Arrow pass; audio bytes never leave the
     executors."""
+    _check_words_bits(words_bits)
     out_ddl = "audio_id bigint, bits array<bigint>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -395,17 +421,18 @@ def video_fingerprint(df: DataFrame, every_n: int = 1) -> DataFrame:
     like the sampling stage it reuses).
 
     Composition, not new machinery: :func:`sample_frames` fan-out (no
-    shuffle) → per-frame aHash (one Arrow pass) → ONE groupBy(video)
+    shuffle) → per-frame aHash carrying ``(video_id, frame_idx)``
+    through the SAME Arrow pass (so each video is decoded and hashed
+    exactly once — no re-join back onto the decode lineage, which at
+    video scale would double the dominant cost) → ONE groupBy(video)
     with the engine-wide sort-free ``collect_list + array_sort``
     struct rebuild.  Fixed-length outputs feed
     :func:`~.embeddings.hamming_topk` unchanged."""
     from pyspark.sql import functions as F
 
-    frames = sample_frames(df, every_n)
-    sigs = image_ahash(frames)
-    joined = sigs.join(
-        frames.select("image_id", "video_id", "frame_idx"), "image_id")
-    return (joined.groupBy("video_id")
+    sigs = image_ahash(sample_frames(df, every_n),
+                       carry=("video_id", "frame_idx"))
+    return (sigs.groupBy("video_id")
             .agg(F.expr(
                 "flatten(transform("
                 "array_sort(collect_list(struct(frame_idx, bits))), "

@@ -398,11 +398,25 @@ def ivfpq_topk(spark, path: str, coarse: np.ndarray,
     Cc = np.asarray(coarse, np.float64)
     B = np.asarray(codebook, np.float64)
     m, kk_codes, dsub = B.shape
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    if len(qpdf) > PQ_TOPK_MAX_QUERIES:
+    int_dist = bool(lut_scale)
+    # Bound-check BEFORE collecting: an over-bound query set must raise,
+    # not OOM the driver inside toPandas() (the cosine_topk order).
+    n_q = queries.count()
+    if n_q > PQ_TOPK_MAX_QUERIES:
         raise ValueError(
-            f"ivfpq_topk: {len(qpdf)} query rows > "
+            f"ivfpq_topk: {n_q} query rows > "
             f"{PQ_TOPK_MAX_QUERIES}; chunk the query set.")
+    if n_q == 0:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, dist "
+            + ("bigint" if int_dist else "double"))
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf[id_col].duplicated().any():
+        dups = qpdf[id_col][qpdf[id_col].duplicated()].unique()[:5]
+        raise ValueError(
+            f"ivfpq_topk: duplicate query ids {list(map(int, dups))}…; "
+            "the per-(query, cell) LUT directory is keyed by id, so "
+            "duplicates would silently collapse — dedupe the query set")
     qids = qpdf[id_col].to_numpy(np.int64)
     Q = _as_matrix(qpdf[vec_col])
     nprobe = min(int(nprobe), len(Cc))
@@ -431,7 +445,6 @@ def ivfpq_topk(spark, path: str, coarse: np.ndarray,
         "query_id", "cell", F.col(id_col).alias("neighbor_id"),
         "codes")
     offs = (np.arange(m) * kk_codes).astype(np.int64)
-    int_dist = bool(lut_scale)
 
     def fn(batches):
         pair_of_, lut_ = bc.value

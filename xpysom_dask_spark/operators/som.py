@@ -92,9 +92,17 @@ class SparkSom:
         # DataFrame's partitioning.  Accept them so reference call
         # sites run unchanged, map what maps, and say what replaced
         # the rest rather than failing.
-        if n_parallel is not None:
+        if n_parallel:
             # the reference's mini-batch bound (xpysom.py:140-144) —
-            # ours is batch_rows, same contract
+            # ours is batch_rows, same contract.  The reference's
+            # default n_parallel=0 means "auto-infer from the backend"
+            # (xpysom.py:242-249); our auto choice IS the batch_rows
+            # default, so 0/None keep it rather than producing a
+            # zero-length chunk range.
+            if int(n_parallel) < 0:
+                raise ValueError(
+                    f"n_parallel must be >= 0 (got {n_parallel}); "
+                    "0 means auto (keep batch_rows)")
             batch_rows = int(n_parallel)
         if xp is not None:
             name = getattr(xp, "__name__", str(xp))

@@ -624,7 +624,14 @@ def entropy_signals(df, text_col: str, id_col: str,
     engine-parity class as :func:`unigram_logprob_score`'s ln, rounded
     to ``decimals``).  Plan: two narrow explodes (chars, tokens), each
     closed by a two-level partial-agg groupBy — shuffle traffic is
-    O(distinct (doc, symbol) pairs), all JVM codegen, no Python."""
+    O(distinct (doc, symbol) pairs), all JVM codegen, no Python.
+
+    Coverage contract: every document with ≥ 1 character gets a row;
+    a whitespace-only document (characters but no tokens) reports
+    ``n_tok``/``token_entropy`` as NULL rather than vanishing (the
+    token stats LEFT-join onto the char stats).  Only the completely
+    empty string — no characters at all — has no distribution to
+    report and emits no row."""
     def _ent(sym_df, n_name, h_name):
         cnt = (sym_df.groupBy("id", "s")
                .agg(F.count(F.lit(1)).cast("bigint").alias("k")))
@@ -643,7 +650,7 @@ def entropy_signals(df, text_col: str, id_col: str,
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens(text_col)).alias("s"))
     return (_ent(chars, "n_chars_e", "char_entropy")
-            .join(_ent(toks, "n_tok", "token_entropy"), "id"))
+            .join(_ent(toks, "n_tok", "token_entropy"), "id", "left"))
 
 
 def language_consistency(df, text_col: str, id_col: str,
@@ -696,7 +703,13 @@ def novelty_score(df, text_col: str, id_col: str, n: int = 3):
     combinable document-frequency aggregate keyed by the full-md5
     shingle digest (the dedup_lines rule: corpus TEXT never keys a
     shuffle), one join back, one groupBy(id) close — traffic
-    O(corpus distinct shingles) digests."""
+    O(corpus distinct shingles) digests.
+
+    Coverage contract: a document with fewer than ``n`` tokens has no
+    n-grams and therefore no novelty to measure — it emits NO row
+    (there is no honest value: 0 would claim "all duplicated", 1 "all
+    novel").  Callers joining back to the corpus should left-join and
+    treat the NULL explicitly."""
     from .dedup import word_shingles
 
     sh = word_shingles(df, text_col, id_col, n) \

@@ -18,7 +18,11 @@ sys.path.insert(0, REPO)
 #: queries whose single BroadcastNestedLoopJoin is a deliberate 1-row
 #: scalar-aggregate join (corpus totals, balance stats) — a broadcast
 #: of one row, not a data-sized nested loop
-BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22"}
+BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22",
+                  # Q11's 1-row `agg` (cnt, tot) relation joined back —
+                  # deliberately an aggregate-then-broadcast instead of
+                  # two scalar subqueries so `val` materializes once
+                  "tpch_q11"}
 
 SF = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
 

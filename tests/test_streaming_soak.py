@@ -1,0 +1,119 @@
+"""Streaming soak: the rest of the streaming surface is parity-tested
+via availableNow drains (one planned micro-batch); these tests run a
+REAL multi-batch stream off the deterministic rate-micro-batch source
+and assert the state store stays bounded by the watermark — the
+property that decides whether an unbounded ingest stream survives at
+100 TB/day, and one an availableNow drain cannot exercise.
+"""
+
+import os
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.streaming.dedup import dedup_stream
+from xpysom_dask_spark.streaming.sessions import session_windows
+from xpysom_dask_spark.streaming.sources import rate_micro_batch_stream
+
+N_BATCHES = 12
+
+
+def _run_batches(df, name, n_batches=N_BATCHES, timeout_s=180,
+                 mode="append"):
+    """Start an as-fast-as-possible stream, wait for ``n_batches``
+    micro-batches, return the final progress dict."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).start())
+    try:
+        deadline = time.time() + timeout_s
+        last = None
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None:
+                last = p
+                if p["batchId"] >= n_batches:
+                    break
+            time.sleep(0.2)
+        assert last is not None and last["batchId"] >= n_batches, \
+            f"only reached batch {last and last['batchId']} in {timeout_s}s"
+        return last
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_state_bounded_by_watermark(spark):
+    """Unique fingerprints arrive every batch (100/batch); with a
+    2-second watermark over a 1 s/batch event clock, expired state must
+    be evicted — total state rows stay near watermark-window size
+    instead of growing with the batch count."""
+    rows_per_batch = 100
+    src = rate_micro_batch_stream(spark, rows_per_batch=rows_per_batch,
+                                  num_partitions=2)
+    # every row is a new document (value is globally unique), so an
+    # unbounded dedup would accumulate 100 state rows per batch forever
+    stream = src.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("doc-"), F.col("value")).alias("text"))
+    out = dedup_stream(stream, "text", ts_col="ts", watermark="2 seconds")
+
+    prog = _run_batches(out, "soak_dedup")
+    state = prog["stateOperators"][0]
+    total_seen = (prog["batchId"] + 1) * rows_per_batch
+    # watermark holds ~3 batches of live state (delay 2 s + the open
+    # second); 6 batches of slack still proves eviction vs the
+    # unbounded alternative (= total_seen)
+    bound = 6 * rows_per_batch
+    assert state["numRowsTotal"] <= bound, \
+        (state["numRowsTotal"], total_seen)
+    assert state["numRowsTotal"] < total_seen / 2
+    assert state.get("numRowsRemoved", 0) > 0, \
+        "watermark never evicted any state"
+
+
+def test_streaming_sessions_state_bounded_by_gap(spark):
+    """10 keys emit events every batch; sessions close only when the
+    watermark passes start+gap, so live state is O(active sessions),
+    not O(events seen)."""
+    rows_per_batch = 50
+    src = rate_micro_batch_stream(spark, rows_per_batch=rows_per_batch,
+                                  num_partitions=2)
+    stream = src.select(
+        (F.col("value") % 10).alias("user_id"),
+        F.col("timestamp").alias("ts"))
+    out = session_windows(stream, key_col="user_id", ts_col="ts",
+                          gap="1 second", watermark="1 second")
+
+    prog = _run_batches(out, "soak_sessions")
+    state = prog["stateOperators"][0]
+    total_seen = (prog["batchId"] + 1) * rows_per_batch
+    # events arrive 1 s apart per batch with a 1 s gap, so each key
+    # carries one open (possibly merged) session plus the not-yet-
+    # watermarked tail — far below one state row per input event
+    assert state["numRowsTotal"] < total_seen / 2, \
+        (state["numRowsTotal"], total_seen)
+    assert state["numRowsTotal"] <= 10 * 8
+
+
+def test_streaming_dedup_soak_emits_exactly_once_per_fingerprint(spark):
+    """Across many real micro-batches, repeated content (value % 20)
+    must emit exactly the distinct-fingerprint set — no duplicate
+    leaks at batch boundaries, no drops."""
+    src = rate_micro_batch_stream(spark, rows_per_batch=40,
+                                  num_partitions=2)
+    stream = src.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("doc-"), F.col("value") % 20).alias("text"))
+    # global mode (no watermark): 20 distinct docs forever — state must
+    # sit at exactly 20 rows however many batches run
+    out = dedup_stream(stream, "text")
+
+    prog = _run_batches(out, "soak_dedup_global")
+    got = spark.sql("SELECT text FROM soak_dedup_global").collect()
+    assert sorted(r["text"] for r in got) == \
+        sorted(f"doc-{i}" for i in range(20))
+    assert prog["stateOperators"][0]["numRowsTotal"] == 20

@@ -5543,6 +5543,283 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------- #
+# round-7 staged gates (operators landed in round 6; driver slots open
+# at the round-7 rotation)
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Intra-document exact segment dedup (operators/dedup.py
+    dedup_paragraphs): with the corpus's space-separated synthetic
+    text, segments are words — each document keeps the FIRST
+    occurrence of every word, one narrow codegen'd expression, zero
+    shuffle.  The oracle rebuilds identically via DuckDB's indexed
+    list_filter, so text, order, and removal counts are hash-exact."""
+    from xpysom_dask_spark.operators.dedup import dedup_paragraphs
+
+    out = dedup_paragraphs(_docs(spark, sf_dir), "text", "doc_id",
+                           sep=" ")
+    return out.select("doc_id", "text",
+                      F.col("n_paras_removed").alias("n_removed"))
+
+
+def _sql_dedup_paragraphs():
+    kept = ("list_filter(string_split(text, ' '), "
+            "(x, i) -> list_position(string_split(text, ' '), x) = i)")
+    return f"""
+SELECT doc_id, array_to_string({kept}, ' ') AS text,
+       CAST(len(string_split(text, ' ')) - len({kept}) AS INTEGER)
+         AS n_removed
+FROM documents
+"""
+
+
+def _q_text_dict_coverage(spark, sf_dir):
+    """Corpus-head vocabulary coverage (operators/text.py
+    dictionary_coverage): top-100 terms by (count DESC, term ASC),
+    per-doc in-vocab fraction — vocab via TakeOrderedAndProject (no
+    full sort), broadcast back, one groupBy(id).  Coverage emitted as
+    the engine-wide scaled BIGINT."""
+    from xpysom_dask_spark.operators.text import dictionary_coverage
+
+    out = dictionary_coverage(_docs(spark, sf_dir), "text", "doc_id",
+                              top_k=100)
+    return out.select(
+        "id", "n_tok", "n_in_vocab",
+        F.expr("CAST(FLOOR(coverage * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("cov_e6"))
+
+
+def _sql_text_dict_coverage():
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_duck_tokens('text')}) AS term
+  FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+    ORDER BY n DESC, term LIMIT 100)),
+marked AS (
+  SELECT t.id, (v.term IS NOT NULL) AS hit
+  FROM toks t LEFT JOIN vocab v ON v.term = t.term)
+SELECT id, COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_vocab,
+       CAST(FLOOR(ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*), 6)
+                  * 1000000.0 + 0.5) AS BIGINT) AS cov_e6
+FROM marked GROUP BY id
+"""
+
+
+_RP_OUT_DIM = 16
+
+
+def _q_embedding_rp(spark, sf_dir):
+    """JL sign random projection (operators/embeddings.py
+    random_projection): 64 → 16 dims through the md5-derived ±1
+    literal matrix, one narrow codegen'd projection.  Output is the
+    space-joined scaled-BIGINT vector (the list-column serialization
+    rule); the oracle re-derives every sign from the same public
+    formula (embeddings.rp_signs) and folds in the same ascending
+    order."""
+    from xpysom_dask_spark.operators.embeddings import random_projection
+
+    out = random_projection(_emb(spark, sf_dir), out_dim=_RP_OUT_DIM)
+    return out.select(
+        "vec_id",
+        F.expr("array_join(transform(rp, x -> CAST(CAST(FLOOR("
+               "x * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ' ')")
+        .alias("rp_s"))
+
+
+def _sql_embedding_rp():
+    from xpysom_dask_spark.operators.embeddings import rp_signs
+
+    signs = rp_signs(64, _RP_OUT_DIM)
+    inv = 1.0 / float(_RP_OUT_DIM) ** 0.5
+    terms = []
+    for j in range(_RP_OUT_DIM):
+        lits = ", ".join(f"{'-' if s < 0 else ''}1.0" for s in signs[j])
+        fold = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"[CAST(embedding[p] AS DOUBLE) * ([{lits}])[p] "
+                f"FOR p IN range(1, 65)]), (acc, v) -> acc + v)")
+        terms.append(
+            f"CAST(CAST(FLOOR(ROUND(({fold}) * CAST('{inv!r}' AS "
+            f"DOUBLE), 6) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)")
+    arr = ",\n         ".join(terms)
+    return f"""
+SELECT vec_id, array_to_string([{arr}], ' ') AS rp_s
+FROM embeddings
+"""
+
+
+_EWMA_ALPHA, _EWMA_LAG = 0.25, 16
+
+
+def _q_events_ewma(spark, sf_dir):
+    """Truncated EWMA per event type (operators/profile.py ewma):
+    lag-16 weighted dot product over the (ts, event_id)-ordered value
+    series, weights shared LITERALS on both engines (repeated pow is
+    where IEEE parity dies), left-fold ascending frame position.  ONE
+    per-key window, no Python."""
+    from xpysom_dask_spark.operators.profile import ewma
+
+    ev = readers.load_table(spark, sf_dir, "events") \
+        .where(F.col("value").isNotNull())
+    out = ewma(ev, "event_type", "value", "ts", "event_id",
+               alpha=_EWMA_ALPHA, lag=_EWMA_LAG)
+    return out.select(
+        F.col("id").alias("event_id"), F.col("key").alias("event_type"),
+        F.expr("CAST(FLOOR(ewma * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("ewma_e6"))
+
+
+def _sql_events_ewma():
+    from xpysom_dask_spark.operators.profile import ewma_weights
+
+    w = ewma_weights(_EWMA_ALPHA, _EWMA_LAG)
+    wlits = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in w)
+    num = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           f"[l[p] * ([{wlits}])[len(l) - p + 1] "
+           f"FOR p IN range(1, len(l) + 1)]), (acc, v) -> acc + v)")
+    den = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           f"[([{wlits}])[p] FOR p IN range(1, len(l) + 1)]), "
+           f"(acc, v) -> acc + v)")
+    return f"""
+WITH fr AS (
+  SELECT event_id, event_type,
+         list(CAST(value AS DOUBLE)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN {_EWMA_LAG - 1} PRECEDING AND CURRENT ROW)
+           AS l
+  FROM events WHERE value IS NOT NULL)
+SELECT event_id, event_type,
+       CAST(FLOOR(ROUND(({num}) / ({den}), 6) * 1000000.0 + 0.5)
+            AS BIGINT) AS ewma_e6
+FROM fr
+"""
+
+
+def _q_knn_graph(spark, sf_dir):
+    """Cell-local exact kNN graph (operators/similarity.py knn_graph):
+    4 coarse cells (= embeddings rows vec_id<4, the _gate_books
+    fixed-codebook idiom), exact cosine top-5 among same-cell peers —
+    one assignment pass, one cell-keyed shuffle, blocked GEMM, final
+    exact rank window.  The oracle replays assignment and ranking
+    relationally."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], np.float64)
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+    out = knn_graph(emb, cents, k=5)
+    return out.select(
+        "vec_id", "rank", "neighbor_id",
+        F.expr("CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("sim_e6"))
+
+
+def _sql_knn_graph():
+    dsq = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           "[(CAST(e.embedding[p] AS DOUBLE) "
+           "- CAST(c.embedding[p] AS DOUBLE)) "
+           "* (CAST(e.embedding[p] AS DOUBLE) "
+           "- CAST(c.embedding[p] AS DOUBLE)) "
+           "FOR p IN range(1, 65)]), (acc, v) -> acc + v)")
+    dot = _DOT64.format(a="x.embedding", b="y.embedding")
+    xx = _DOT64.format(a="x.embedding", b="x.embedding")
+    yy = _DOT64.format(a="y.embedding", b="y.embedding")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id < 4),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {dsq}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+sims AS (
+  SELECT ax.vec_id, ay.vec_id AS neighbor_id,
+         ({dot}) / (sqrt({xx}) * sqrt({yy})) AS sim
+  FROM assign0 ax
+  JOIN assign0 ay ON ay.cid = ax.cid AND ay.vec_id <> ax.vec_id
+  JOIN embeddings x ON x.vec_id = ax.vec_id
+  JOIN embeddings y ON y.vec_id = ay.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT vec_id, rank, neighbor_id,
+       CAST(FLOOR(ROUND(sim, 6) * 1000000.0 + 0.5) AS BIGINT)
+         AS sim_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned sink → partition-pruned source round-trip
+    (sources/writers.py write_partitioned): documents written
+    partitioned by lang, read back filtered to the corpus's MIN lang
+    (so the scan opens ONE partition directory — PartitionFilters,
+    asserted in tests/test_round7_staged.py), audited per source with
+    the orc_roundtrip checksum scheme.  The oracle audits the source
+    table directly — round-trip + pruning fidelity IS the claim."""
+    import tempfile
+
+    from xpysom_dask_spark.sources.writers import write_partitioned
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="partgate_")
+    write_partitioned(docs, tmp, "lang")
+    min_lang = docs.agg(F.min("lang")).first()[0]
+    back = spark.read.parquet(tmp).where(F.col("lang") == min_lang)
+    chk = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),"
+           " 16, 10) AS BIGINT)")
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr(f"bit_xor({chk})").alias("id_xor"),
+                 F.sum(F.col("n_chars").cast("bigint")).alias("chars")))
+
+
+def _sql_partitioned_roundtrip():
+    chk = _duck_md5hash48("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT source, COUNT(*) AS n_docs,
+       bit_xor({chk}) AS id_xor,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE lang = (SELECT MIN(lang) FROM documents)
+GROUP BY source
+"""
+
+
+def queries_round7_staged() -> dict:
+    return {
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_dict_coverage": _q_text_dict_coverage,
+        "embedding_rp": _q_embedding_rp,
+        "events_ewma": _q_events_ewma,
+        "knn_graph": _q_knn_graph,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
+    }
+
+
+def oracle_sql_round7_staged() -> dict[str, str]:
+    return {
+        "dedup_paragraphs": _sql_dedup_paragraphs(),
+        "text_dict_coverage": _sql_text_dict_coverage(),
+        "embedding_rp": _sql_embedding_rp(),
+        "events_ewma": _sql_events_ewma(),
+        "knn_graph": _sql_knn_graph(),
+        "partitioned_roundtrip": _sql_partitioned_roundtrip(),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round

@@ -509,6 +509,24 @@ def main():
         emb.where("vec_id % 50 = 0"), k=5, shortlist=50,
         nprobe=2).count())
 
+    # round-6 operators (staged gates for round 7)
+    from xpysom_dask_spark.operators import profile as PRF6
+    from xpysom_dask_spark.operators import similarity as SIM6
+    timed("dedup_paragraphs", lambda: dedup.dedup_paragraphs(
+        docs, "text", "doc_id", sep=" ")
+        .agg(F.sum("n_paras_removed")).collect())
+    timed("text_dict_coverage", lambda: T.dictionary_coverage(
+        docs, "text", "doc_id", top_k=100)
+        .agg(F.sum("n_in_vocab")).collect())
+    timed("embedding_rp", lambda: EMB.random_projection(
+        emb, out_dim=16).count())
+    timed("events_ewma", lambda: PRF6.ewma(
+        ev.where("value IS NOT NULL"), "event_type", "value", "ts",
+        "event_id", alpha=0.25, lag=16).count())
+    _kg_cents = CLU.kmeans_init(emb, k=8)
+    timed("knn_graph", lambda: SIM6.knn_graph(
+        emb, _kg_cents, k=5).count())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     import __spark_entry__ as _entry

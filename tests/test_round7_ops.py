@@ -1,0 +1,195 @@
+"""Round-7 operator units: intra-doc paragraph dedup, dictionary
+coverage, JL sign random projection (+ the cell-local kNN graph and
+truncated EWMA added later this round)."""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import dedup
+from xpysom_dask_spark.operators import embeddings as EMB
+from xpysom_dask_spark.operators import text as T
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "solo"), (4, "")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert out[1]["text"] == "a\nb\nc"
+    assert out[1]["n_paras_removed"] == 2
+    assert out[2]["text"] == "x" and out[2]["n_paras_removed"] == 2
+    assert out[3]["text"] == "solo" and out[3]["n_paras_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_paras_removed"] == 0
+
+
+def test_dedup_paragraphs_plan_is_narrow(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id bigint, text string")
+    out = dedup.dedup_paragraphs(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole operator is one codegen'd projection: no shuffle, no
+    # Python, no join
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_dictionary_coverage_known_values(spark):
+    # vocab top-2 by (count desc, term asc): 'the' (4), 'cat' (3)
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ate the cat"),
+         (3, "zq zz qq"), (4, "the")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in T.dictionary_coverage(
+        df, "text", "doc_id", top_k=2).collect()}
+    assert out[1]["n_tok"] == 3 and out[1]["n_in_vocab"] == 2
+    assert out[1]["coverage"] == round(2 / 3, 6)
+    # doc 2 = the cat ate the cat: 'ate' misses the top-2 vocab
+    assert out[2]["n_in_vocab"] == 4 and out[2]["coverage"] == 0.8
+    assert out[3]["n_in_vocab"] == 0 and out[3]["coverage"] == 0.0
+    assert out[4]["coverage"] == 1.0
+    with pytest.raises(ValueError, match="top_k"):
+        T.dictionary_coverage(df, "text", "doc_id", top_k=0)
+
+
+def test_random_projection_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    X = rng.randn(20, 16).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["rp"]) for r in
+           EMB.random_projection(df, out_dim=4).collect()}
+    S = np.array(EMB.rp_signs(16, 4), dtype=np.float64)   # (4, 16)
+    want = (X @ S.T) / math.sqrt(4.0)
+    for i in range(20):
+        np.testing.assert_allclose(out[i], np.round(want[i], 6),
+                                   atol=1e-9)
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL sanity at a friendly ratio: project 64 -> 16 and check pair
+    # distance ratios stay within a loose band
+    rng = np.random.RandomState(5)
+    X = rng.randn(30, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["rp"]) for r in
+           EMB.random_projection(df, out_dim=16).collect()}
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            d0 = np.linalg.norm(X[i] - X[j])
+            d1 = np.linalg.norm(out[i] - out[j])
+            ratios.append(d1 / d0)
+    assert 0.4 < min(ratios) and max(ratios) < 1.9
+
+
+def test_random_projection_signs_are_md5_derived(spark):
+    """The ±1 matrix must equal what an external SQL engine derives
+    from the md5 formula — re-derive a few entries via DuckDB."""
+    import duckdb
+
+    S = EMB.rp_signs(8, 3)
+    con = duckdb.connect()
+    for j in range(3):
+        for i in range(8):
+            got = con.execute(
+                "SELECT 1 - 2 * (strpos('0123456789abcdef', "
+                f"substring(md5('{i}:{j}'), 1, 1)) - 1 & 1)").fetchone()[0]
+            assert got == S[j][i], (i, j)
+
+
+def test_random_projection_validation_and_empty(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert EMB.random_projection(df, out_dim=4).count() == 0
+    df2 = spark.createDataFrame([(1, [1.0, 2.0])],
+                                "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="out_dim"):
+        EMB.random_projection(df2, out_dim=0)
+
+
+def test_knn_graph_matches_numpy_within_cells(spark):
+    from xpysom_dask_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(60, 8)
+    cents = X[:4].copy()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>")
+    got = sorted((r["vec_id"], r["rank"], r["neighbor_id"])
+                 for r in SIM.knn_graph(df, cents, k=3).collect())
+
+    # local replica: same assignment rule, cosine within cell,
+    # (sim desc, neighbor asc) tie-break
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    want = []
+    for i in range(60):
+        peers = [j for j in range(60) if cell[j] == cell[i] and j != i]
+        sims = np.array([Xn[i] @ Xn[j] for j in peers])
+        order = np.lexsort((peers, -np.round(sims, 12)))[:3]
+        for rank, oi in enumerate(order, 1):
+            want.append((i, rank, peers[oi]))
+    assert got == sorted(want)
+
+
+def test_knn_graph_cell_bound_and_validation(spark):
+    from xpysom_dask_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(2)
+    X = rng.randn(30, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        SIM.knn_graph(df, X[:2], k=0)
+    with pytest.raises(Exception, match="max_cell_rows"):
+        SIM.knn_graph(df, np.zeros((1, 4)), k=2,
+                      max_cell_rows=5).collect()
+
+
+def test_ewma_known_sequence(spark):
+    from xpysom_dask_spark.operators import profile as PRF
+
+    rows = [(i, "a", float(x), i) for i, x in
+            enumerate([1.0, 2.0, 3.0, 4.0])]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, ts bigint")
+    out = {r["id"]: r["ewma"] for r in PRF.ewma(
+        df, "event_type", "value", "ts", "event_id",
+        alpha=0.5, lag=3).collect()}
+    # w = [1, .5, .25]; n=0: 1; n=1: (2 + .5*1)/1.5; n=2:
+    # (3 + .5*2 + .25*1)/1.75; n=3 (truncated to last 3):
+    # (4 + .5*3 + .25*2)/1.75
+    assert out[0] == 1.0
+    assert out[1] == round(2.5 / 1.5, 6)
+    assert out[2] == round(4.25 / 1.75, 6)
+    assert out[3] == round(6.0 / 1.75, 6)
+
+
+def test_ewma_validation_and_key_isolation(spark):
+    from xpysom_dask_spark.operators import profile as PRF
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "b", 99.0, 1), (3, "a", 20.0, 2)],
+        "event_id bigint, event_type string, value double, ts bigint")
+    out = {r["id"]: r["ewma"] for r in PRF.ewma(
+        df, "event_type", "value", "ts", "event_id",
+        alpha=0.5, lag=8).collect()}
+    assert out[2] == 99.0                      # key b never sees key a
+    assert out[3] == round((20.0 + 0.5 * 10.0) / 1.5, 6)
+    with pytest.raises(ValueError, match="alpha"):
+        PRF.ewma_weights(0.0, 4)
+    with pytest.raises(ValueError, match="lag"):
+        PRF.ewma_weights(0.5, 0)

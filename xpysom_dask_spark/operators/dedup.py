@@ -825,6 +825,42 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
+                     sep: str = "\n") -> DataFrame:
+    """INTRA-document exact paragraph dedup: remove repeated
+    ``sep``-delimited segments WITHIN each document, keeping the first
+    occurrence — the "page rendered its nav twice / chat log echoes"
+    cleanup that corpus-level rules can't express (:func:`dedup_lines`
+    removes corpus-wide boilerplate from every doc; this removes a
+    doc's self-repetition even when no other doc shares the line).
+
+    Returns the input rows with ``text_col`` rebuilt from first
+    occurrences (original order) plus ``n_paras_removed``.
+
+    Scale shape — the whole operator is ONE narrow codegen'd
+    expression: ``split`` → keep index *i* iff
+    ``array_position(arr, arr[i]) == i`` → ``array_join``.  No
+    explode, no shuffle, no Python: at 100 TB this runs at scan speed
+    with zero exchange.  The position test is O(lines²) per document
+    in the worst case, but entirely in-register; documents are
+    KB-sized, not GB-sized, so compute never dominates the scan.
+    """
+    arr = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        F.transform(arr, lambda x, i: F.struct(
+            x.alias("s"), i.alias("i"))),
+        lambda t: F.array_position(arr, t.getField("s"))
+        == t.getField("i") + 1)
+    return (df.withColumn("__kept", kept)
+            .withColumn("n_paras_removed",
+                        (F.size(arr) - F.size("__kept")).cast("int"))
+            .withColumn(text_col,
+                        F.array_join(F.transform(
+                            F.col("__kept"),
+                            lambda t: t.getField("s")), sep))
+            .drop("__kept"))
+
+
 def compact_minhash_index(index: DataFrame,
                           k: int = MINHASH_K) -> DataFrame:
     """Vacuum a persisted :func:`near_dedup_incremental` signature

@@ -105,6 +105,67 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
 BITS_PER_WORD = 32
 
 
+def rp_signs(dim: int, out_dim: int) -> list:
+    """Deterministic ±1 sign matrix for :func:`random_projection`,
+    derived from md5 so an external SQL engine can re-derive every
+    entry: ``sign(i, j) = 1 − 2·(first md5 nibble of "i:j" mod 2)``.
+
+    Returned as ``out_dim`` rows of ``dim`` signs (one row per output
+    coordinate).  Pure stdlib so driver and oracle agree bit-for-bit.
+    """
+    import hashlib
+
+    def s(i, j):
+        nib = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16)
+        return 1 - 2 * (nib % 2)
+
+    return [[s(i, j) for i in range(dim)] for j in range(out_dim)]
+
+
+def random_projection(df: DataFrame, out_dim: int,
+                      vec_col: str = "embedding",
+                      out_col: str = "rp",
+                      decimals: int = 6) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003's
+    database-friendly ±1 variant):
+    ``rp[j] = round(Σ_i sign(i,j) · v[i] / sqrt(out_dim), decimals)``
+    — the cheap dimensionality cut that preserves pairwise distances
+    within (1±ε) whp, used to shrink embeddings before LSH/clustering
+    when a trained PCA is unavailable (no fit step, no data pass).
+
+    The sign matrix is NOT random state: it derives deterministically
+    from md5 (:func:`rp_signs`), so the projection is reproducible
+    across runs/engines and SQL-replayable — an external engine
+    re-derives the same signs from the same formula.
+
+    Scale shape: the (out_dim × dim) sign matrix is a constant-folded
+    literal inside ONE narrow projection — codegen'd array math in the
+    scan stage, no shuffle, no Python, no broadcast (KBs of literals).
+    Summation order is ascending *i* on both engines (left fold), so
+    the float result is bit-identical.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    # the literal sign matrix needs the input width: one cheap 1-row
+    # probe (limit(1) short-circuits the scan)
+    probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not probe:
+        return df.withColumn(out_col,
+                             F.expr("CAST(array() AS array<double>)"))
+    dim = int(probe[0]["d"])
+    signs = rp_signs(dim, int(out_dim))
+    inv = 1.0 / float(out_dim) ** 0.5
+    rows = []
+    for j in range(int(out_dim)):
+        srow = F.array(*[F.lit(float(s)) for s in signs[j]])
+        acc = F.aggregate(
+            F.zip_with(F.col(vec_col), srow,
+                       lambda v, s: v.cast("double") * s),
+            F.lit(0.0), lambda a, x: a + x)
+        rows.append(F.round(acc * F.lit(inv), decimals))
+    return df.withColumn(out_col, F.array(*rows))
+
+
 def binarize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         dim: int = 64,
                         out_col: str = "bits") -> DataFrame:

@@ -460,3 +460,71 @@ def regr_by_group(df: DataFrame, group_col: str, x_col: str, y_col: str,
                        f"* CAST(s_x AS DOUBLE) / ({sx}.0 * n)"),
                 round_to).alias("intercept"),
         F.round(F.expr(r2), round_to).alias("r2")))
+
+
+def ewma_weights(alpha: float, lag: int) -> list:
+    """The truncated-EWMA weight vector ``w_k = (1-α)^k`` for
+    ``k = 0..lag-1``, computed once in Python and embedded as LITERALS
+    on both engines — repeated ``pow()`` is the one place IEEE doesn't
+    guarantee cross-engine bit-parity, so neither side computes it."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w, cur = [], 1.0
+    for _ in range(lag):
+        w.append(cur)
+        cur *= (1.0 - alpha)
+    return w
+
+
+def ewma(df: DataFrame, key_col: str, value_col: str, ts_col: str,
+         id_col: str, alpha: float = 0.25, lag: int = 32,
+         decimals: int = 6, out_col: str = "ewma") -> DataFrame:
+    """Per-key truncated exponentially-weighted moving average —
+    the drift/level smoother for metric streams:
+    ``ewma_n = Σ_{j=0..m-1} w_j · x_{n-j} / Σ_{j=0..m-1} w_j`` with
+    ``w_j = (1-α)^j`` over the last ``m = min(lag, rows so far)``
+    observations, ordered by ``(ts, id)``.  Truncation at ``lag`` is
+    what makes the operator exact AND bounded: the infinite-memory
+    recurrence needs either per-row recursion (unshippable) or
+    ``(1-α)^-n`` rescaling (overflows double by n≈700), while the
+    lag-window form is a fixed-size weighted dot product per row whose
+    weights are shared literals (:func:`ewma_weights`) — deterministic
+    and bit-replayable by an external SQL engine.
+
+    Output: ``id, key, value, ewma`` (rounded to ``decimals``).
+
+    Plan: ONE window per key ordered (ts, id) with a
+    ``ROWS lag-1 PRECEDING`` frame collecting the frame values
+    (``collect_list`` preserves frame order), then a codegen'd indexed
+    fold — ascending frame position on both engines, so summation
+    order is pinned.  The shuffle is keyed by ``key_col`` only; each
+    key's series must fit one task's ordering, the standard per-key
+    time-series contract.
+    """
+    w = ewma_weights(alpha, lag)
+    w_lit = F.array(*[F.lit(float(x)) for x in w])
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(key_col).alias("key"),
+                     F.col(value_col).alias("value"),
+                     F.col(ts_col).alias("__ts"))
+    win = (Window.partitionBy("key")
+           .orderBy(F.col("__ts").asc(), F.col("id").asc())
+           .rowsBetween(-(lag - 1), 0))
+    frame = base.withColumn(
+        "__fr", F.collect_list(F.col("value").cast("double")).over(win))
+    # frame order is oldest..current: x_{n-j} sits at position m-1-j,
+    # so weight for 0-based position p is w[m-1-p]; fold ascending p
+    m = F.size("__fr")
+    num = F.aggregate(
+        F.transform(F.sequence(F.lit(0), m - 1),
+                    lambda p: F.element_at("__fr", p + 1)
+                    * F.element_at(w_lit, m - p)),
+        F.lit(0.0), lambda a, x: a + x)
+    den = F.aggregate(
+        F.transform(F.sequence(F.lit(0), m - 1),
+                    lambda p: F.element_at(w_lit, p + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    return (frame.withColumn(out_col, F.round(num / den, decimals))
+            .select("id", "key", "value", out_col))

@@ -174,6 +174,92 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+KNN_GRAPH_MAX_CELL_ROWS = 200_000
+
+
+def knn_graph(df: DataFrame, centroids: np.ndarray, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_cell_rows: int = KNN_GRAPH_MAX_CELL_ROWS,
+              decimals: int = 6) -> DataFrame:
+    """Cell-local exact kNN graph over the WHOLE corpus:
+    (vec_id, rank, neighbor_id, sim) — each vector's neighbors are the
+    top-``k`` cosine matches among the OTHER vectors of its coarse
+    cell (squared-L2 argmin over ``centroids``, ties → lowest index).
+
+    This is the graph-construction primitive behind SemDeDup-style
+    semantic dedup and kNN-graph clustering: an all-pairs exact kNN is
+    O(n²) and unshippable, while the cell-local contract makes the
+    candidate set explicit and deterministic — recall is governed by
+    the codebook granularity (vectors in different cells are never
+    compared; that is the documented trade, the same one IVF serving
+    makes with nprobe=1).
+
+    Scale shape: one narrow assignment pass
+    (:func:`~.clustering.kmeans_assign` — broadcast codebook, no
+    shuffle) → ONE shuffle keyed by cell id (never by vector payload
+    width: the shuffle moves each row once) → per-cell exact GEMM
+    top-k inside Arrow, row-blocked so memory is O(block · cell), not
+    O(cell²) → final exact rank window over n·k candidate rows with
+    the engine-wide (sim DESC, neighbor_id ASC) tie-break.  A cell
+    over ``max_cell_rows`` raises with the remedy (more centroids)
+    instead of OOMing an executor.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+    from .clustering import kmeans_assign
+
+    spark = df.sparkSession
+    ship_package(spark)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col,
+                             id_col=id_col, out_col="cell",
+                             keep=[vec_col])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"knn_graph: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{n} rows > max_cell_rows={max_cell_rows}; train a "
+                "finer codebook (more centroids) so cells stay "
+                "GEMM-sized")
+        ids = pdf[id_col].to_numpy(np.int64)
+        X = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        kk = min(k, n - 1)
+        if kk < 1:
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 "neighbor_id": np.empty(0, np.int64),
+                                 "sim": np.empty(0, np.float64)})
+        out_q, out_n, out_s = [], [], []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            sims = Xn[lo:hi] @ Xn.T            # (block, n)
+            sims[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(hi - lo), kk)
+            cols = top.ravel()
+            out_q.append(np.repeat(ids[lo:hi], kk))
+            out_n.append(ids[cols])
+            out_s.append(sims[rows, cols])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s)})
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        kernel, "query_id bigint, neighbor_id bigint, sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("query_id").alias(id_col), "rank",
+                    "neighbor_id", F.round("sim", decimals).alias("sim")))
+
+
 #: fine hash buckets per chunk for the exact-packing stage — expected
 #: bucket size is chunk/64, so packing never builds an over-bound chunk
 #: short of a 64x md5 skew (then it raises, it does not spill)

@@ -606,6 +606,46 @@ def unigram_logprob_score(df, text_col: str, id_col: str,
                  .alias("avg_logp")))
 
 
+def dictionary_coverage(df, text_col: str, id_col: str,
+                        top_k: int = 1000, decimals: int = 6):
+    """Per-document coverage of the corpus's own top-``top_k``
+    vocabulary: ``id, n_tok, n_in_vocab, coverage`` — the
+    vocabulary-free twin of a stopword-list quality gate: natural
+    language sits high (most tokens are common words), while OCR
+    garbage, codespill, and wrong-language text sit low because their
+    tokens never make the corpus head.
+
+    Deterministic: the vocabulary is the ``top_k`` terms by corpus
+    frequency with the (count DESC, term ASC) tie-break, so the same
+    corpus always yields the same dictionary and the whole signal is
+    SQL-replayable.
+
+    Scale shape: one token explode → map-side-combined ``groupBy(term)``
+    (traffic = distinct terms, Heaps-law small) → exact top-k via
+    ``orderBy().limit(k)`` (Spark plans TakeOrderedAndProject: partial
+    per-partition top-k, no full sort) → the k-row dictionary
+    broadcasts back against the token stream → one ``groupBy(id)``
+    close.  Corpus text never keys a shuffle.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .orderBy(F.col("n").desc(), F.col("term"))
+             .limit(int(top_k))
+             .select("term", F.lit(True).alias("__in_vocab")))
+    marked = toks.join(F.broadcast(vocab), "term", "left")
+    return (marked.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+                 F.sum(F.col("__in_vocab").isNotNull().cast("bigint"))
+                 .cast("bigint").alias("n_in_vocab"))
+            .withColumn("coverage", F.round(
+                F.col("n_in_vocab").cast("double") / F.col("n_tok"),
+                decimals)))
+
+
 def entropy_signals(df, text_col: str, id_col: str,
                     decimals: int = 6):
     """Per-document Shannon entropy of the character and token unigram

@@ -5723,7 +5723,10 @@ def _q_knn_graph(spark, sf_dir):
         .alias("sim_e6"))
 
 
-def _sql_knn_graph():
+def _knn_graph_ctes():
+    """The shared WITH-clause body: 4-cell assignment, same-cell
+    cosine sims, exact (sim DESC, neighbor ASC) ranking — consumed by
+    the knn_graph gate and re-consumed by graph_triangles."""
     dsq = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
            "[(CAST(e.embedding[p] AS DOUBLE) "
            "- CAST(c.embedding[p] AS DOUBLE)) "
@@ -5753,11 +5756,100 @@ sims AS (
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-  FROM sims)
+  FROM sims)"""
+
+
+def _sql_knn_graph():
+    return _knn_graph_ctes() + """
 SELECT vec_id, rank, neighbor_id,
        CAST(FLOOR(ROUND(sim, 6) * 1000000.0 + 0.5) AS BIGINT)
          AS sim_e6
 FROM ranked WHERE rank <= 5
+"""
+
+
+_MRL_DIM = 16
+
+
+def _q_embedding_mrl(spark, sf_dir):
+    """Matryoshka truncation 64 → 16 with L2 renorm
+    (operators/embeddings.py matryoshka_truncate): the zero-compute
+    storage trade baseline next to embedding_rp/embedding_pca — one
+    narrow slice + two ascending folds, no shuffle.  Output serialized
+    scaled-BIGINT (list-column rule)."""
+    from xpysom_dask_spark.operators.embeddings import matryoshka_truncate
+
+    out = matryoshka_truncate(_emb(spark, sf_dir), _MRL_DIM)
+    return out.select(
+        "vec_id",
+        F.expr("array_join(transform(mrl, x -> CAST(CAST(FLOOR("
+               "x * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ' ')")
+        .alias("mrl_s"))
+
+
+def _sql_embedding_mrl():
+    d = _MRL_DIM
+    nrm = (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           f"[CAST(embedding[p] AS DOUBLE) * CAST(embedding[p] AS "
+           f"DOUBLE) FOR p IN range(1, {d + 1})]), "
+           f"(acc, v) -> acc + v))")
+    elem = (f"CAST(CAST(FLOOR(ROUND(CAST(embedding[q] AS DOUBLE) "
+            f"/ ({nrm}), 6) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)")
+    raw = (f"CAST(CAST(FLOOR(ROUND(CAST(embedding[q] AS DOUBLE), 6) "
+           f"* 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)")
+    return f"""
+SELECT vec_id,
+       CASE WHEN ({nrm}) > 0
+            THEN array_to_string([{elem} FOR q IN range(1, {d + 1})],
+                                 ' ')
+            ELSE array_to_string([{raw} FOR q IN range(1, {d + 1})],
+                                 ' ')
+       END AS mrl_s
+FROM embeddings
+"""
+
+
+def _q_graph_triangles(spark, sf_dir):
+    """Per-vertex triangle counts of the kNN graph
+    (operators/graph.py triangle_counts over similarity.knn_graph's
+    edges): the duplicate-family density audit — exact, via the
+    degree-ordered compact-forward plan (skew-proof wedge join).  The
+    oracle re-derives the same graph relationally and enumerates
+    triangles by id order (enumeration order doesn't change the
+    count)."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.graph import triangle_counts
+    from xpysom_dask_spark.operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], np.float64)
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+    edges = knn_graph(emb, cents, k=5) \
+        .select(F.col("vec_id").alias("id_a"),
+                F.col("neighbor_id").alias("id_b"))
+    return triangle_counts(edges)
+
+
+def _sql_graph_triangles():
+    return _knn_graph_ctes() + """,
+topk AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 5),
+e AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         greatest(vec_id, neighbor_id) AS b
+  FROM topk WHERE vec_id <> neighbor_id),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pv AS (SELECT unnest([x, y, z]) AS id FROM tri),
+verts AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e)
+SELECT v.id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_triangles
+FROM verts v
+LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM pv GROUP BY id) c
+       ON c.id = v.id
 """
 
 
@@ -5806,6 +5898,8 @@ def queries_round7_staged() -> dict:
         "events_ewma": _q_events_ewma,
         "knn_graph": _q_knn_graph,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
+        "embedding_mrl": _q_embedding_mrl,
+        "graph_triangles": _q_graph_triangles,
     }
 
 
@@ -5817,6 +5911,8 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         "events_ewma": _sql_events_ewma(),
         "knn_graph": _sql_knn_graph(),
         "partitioned_roundtrip": _sql_partitioned_roundtrip(),
+        "embedding_mrl": _sql_embedding_mrl(),
+        "graph_triangles": _sql_graph_triangles(),
     }
 
 

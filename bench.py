@@ -526,6 +526,14 @@ def main():
     _kg_cents = CLU.kmeans_init(emb, k=8)
     timed("knn_graph", lambda: SIM6.knn_graph(
         emb, _kg_cents, k=5).count())
+    timed("embedding_mrl", lambda: EMB.matryoshka_truncate(
+        emb, 16).count())
+    from xpysom_dask_spark.operators import graph as GR6
+    _kg_edges = SIM6.knn_graph(emb, _kg_cents, k=5).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"))
+    timed("graph_triangles", lambda: GR6.triangle_counts(_kg_edges)
+          .agg(F.sum("n_triangles")).collect())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")

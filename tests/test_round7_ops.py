@@ -193,3 +193,43 @@ def test_ewma_validation_and_key_isolation(spark):
         PRF.ewma_weights(0.0, 4)
     with pytest.raises(ValueError, match="lag"):
         PRF.ewma_weights(0.5, 0)
+
+
+def test_triangle_counts_known_graph(spark):
+    from xpysom_dask_spark.operators import graph as G
+
+    # clique {1,2,3,4}: each vertex in C(3,2)=3 triangles; path 5-6-7:
+    # none; edge list includes a duplicate + both orientations
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 6), (6, 7), (2, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = {r["id"]: r["n_triangles"] for r in
+           G.triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_counts_star_has_none(spark):
+    from xpysom_dask_spark.operators import graph as G
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 8)],
+                               "id_a bigint, id_b bigint")
+    out = G.triangle_counts(df).collect()
+    assert all(r["n_triangles"] == 0 for r in out)
+    assert len(out) == 8
+
+
+def test_matryoshka_truncate_prefix_and_norm(spark):
+    from xpysom_dask_spark.operators import embeddings as EMB2
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 99.0]), (2, [0.0, 0.0, 5.0])],
+        "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r["mrl"] for r in
+           EMB2.matryoshka_truncate(df, 2).collect()}
+    assert out[1] == [0.6, 0.8]           # [3,4]/5
+    assert out[2] == [0.0, 0.0]           # zero prefix stays raw
+    raw = {r["vec_id"]: r["mrl"] for r in
+           EMB2.matryoshka_truncate(df, 2, normalize=False).collect()}
+    assert raw[1] == [3.0, 4.0]
+    with pytest.raises(ValueError, match="out_dim"):
+        EMB2.matryoshka_truncate(df, 0)

@@ -166,6 +166,38 @@ def random_projection(df: DataFrame, out_dim: int,
     return df.withColumn(out_col, F.array(*rows))
 
 
+def matryoshka_truncate(df: DataFrame, out_dim: int,
+                        vec_col: str = "embedding",
+                        out_col: str = "mrl",
+                        normalize: bool = True,
+                        decimals: int = 6) -> DataFrame:
+    """Matryoshka-style embedding truncation (Kusupati 2022): keep the
+    FIRST ``out_dim`` coordinates, optionally L2-renormalize — the
+    zero-compute storage/serving trade for nested-trained embeddings
+    (prefixes of an MRL vector are themselves valid embeddings; for
+    non-MRL vectors this is the honest cheap baseline to compare
+    :func:`random_projection` and PCA against).
+
+    ``‖prefix‖ = 0`` rows keep the raw zero prefix rather than
+    dividing by zero.  One narrow codegen'd projection (slice + two
+    folds), no shuffle, no Python; folds run ascending so the floats
+    are engine-exact.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    pre = F.slice(F.col(vec_col), 1, int(out_dim))
+    pre_d = F.transform(pre, lambda v: v.cast("double"))
+    if not normalize:
+        return df.withColumn(
+            out_col, F.transform(pre_d, lambda v: F.round(v, decimals)))
+    nrm = F.sqrt(F.aggregate(pre_d, F.lit(0.0),
+                             lambda a, x: a + x * x))
+    out = F.when(nrm > 0, F.transform(
+        pre_d, lambda v: F.round(v / nrm, decimals))) \
+        .otherwise(F.transform(pre_d, lambda v: F.round(v, decimals)))
+    return df.withColumn(out_col, out)
+
+
 def binarize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         dim: int = 64,
                         out_col: str = "bits") -> DataFrame:

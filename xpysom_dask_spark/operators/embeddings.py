@@ -138,32 +138,53 @@ def random_projection(df: DataFrame, out_dim: int,
     across runs/engines and SQL-replayable — an external engine
     re-derives the same signs from the same formula.
 
-    Scale shape: the (out_dim × dim) sign matrix is a constant-folded
-    literal inside ONE narrow projection — codegen'd array math in the
-    scan stage, no shuffle, no Python, no broadcast (KBs of literals).
-    Summation order is ascending *i* on both engines (left fold), so
-    the float result is bit-identical.
+    Scale shape: ONE narrow Arrow pass (mapInPandas), no shuffle.
+    Spark's higher-order array lambdas are interpreted (not
+    whole-stage codegen), so a pure-SQL ``aggregate(zip_with(...))``
+    spelling pays dim·out_dim interpreted closures PER ROW (measured
+    ~10× slower at sf0.01 and growing with dim·out_dim); the kernel
+    instead runs out_dim·dim vectorized column ops per BATCH.  The
+    accumulation is an explicit ascending-``i`` loop — a strict left
+    fold, bit-identical to the oracle's ``list_reduce`` — NOT
+    ``np.dot`` (pairwise summation order would break float parity).
     """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
-    # the literal sign matrix needs the input width: one cheap 1-row
-    # probe (limit(1) short-circuits the scan)
-    probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not probe:
-        return df.withColumn(out_col,
-                             F.expr("CAST(array() AS array<double>)"))
-    dim = int(probe[0]["d"])
-    signs = rp_signs(dim, int(out_dim))
+    ship_package(df.sparkSession)
+    out_dim = int(out_dim)
     inv = 1.0 / float(out_dim) ** 0.5
-    rows = []
-    for j in range(int(out_dim)):
-        srow = F.array(*[F.lit(float(s)) for s in signs[j]])
-        acc = F.aggregate(
-            F.zip_with(F.col(vec_col), srow,
-                       lambda v, s: v.cast("double") * s),
-            F.lit(0.0), lambda a, x: a + x)
-        rows.append(F.round(acc * F.lit(inv), decimals))
-    return df.withColumn(out_col, F.array(*rows))
+    cols = df.columns
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_ddl = (", ".join(f"{c} {types[c]}" for c in cols)
+               + f", {out_col} array<double>")
+    scale = float(10 ** decimals)
+
+    def fn(batches):
+        S = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, np.float64)
+                          for v in pdf[vec_col]])
+            if S is None:
+                S = np.asarray(rp_signs(X.shape[1], out_dim),
+                               np.float64)          # (out_dim, dim)
+            acc = np.zeros((len(X), out_dim))
+            for i in range(X.shape[1]):              # strict left fold
+                acc += X[:, i:i + 1] * S[None, :, i][0]
+            # round-half-away-from-zero at `decimals`, matching both
+            # engines' ROUND on the same double
+            r = np.sign(acc * inv) * np.floor(
+                np.abs(acc * inv) * scale + 0.5) / scale
+            out = pdf[cols].copy()
+            out[out_col] = [row for row in r]
+            yield out
+
+    return df.mapInPandas(fn, out_ddl)
 
 
 def matryoshka_truncate(df: DataFrame, out_dim: int,

@@ -5853,6 +5853,61 @@ LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM pv GROUP BY id) c
 """
 
 
+def _q_lsh_recall_audit(spark, sf_dir):
+    """Empirical banded-MinHash recall audit (operators/dedup.py
+    lsh_recall_audit): exact shared-shingle Jaccard ground truth vs
+    the band join's actual candidates, per similarity decile — the
+    measured version of the theoretical S-curve
+    (similarity.lsh_band_recall), auditing the dedup stack's central
+    approximation on the real corpus.  Exact integer ratios bucket
+    identically on both engines."""
+    from xpysom_dask_spark.operators.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_lsh_recall_audit():
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, concat('{b}', ':', mh_{2 * b}, ':', "
+        f"mh_{2 * b + 1}) AS band_key FROM sig"
+        for b in range(dedup.MINHASH_K // 2))
+    return f"""WITH {_minhash_sig_sql()},
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+exact AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.n_inter AS DOUBLE)
+           / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / (na.n_sh + nb.n_sh - i.n_inter) >= 0.05),
+marked AS (
+  SELECT e.jaccard, (c.id_a IS NOT NULL) AS hit
+  FROM exact e
+  LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b)
+SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9) AS bucket,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught
+FROM marked GROUP BY 1
+"""
+
+
 def _q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink → partition-pruned source round-trip
     (sources/writers.py write_partitioned): documents written
@@ -5900,6 +5955,7 @@ def queries_round7_staged() -> dict:
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "embedding_mrl": _q_embedding_mrl,
         "graph_triangles": _q_graph_triangles,
+        "lsh_recall_audit": _q_lsh_recall_audit,
     }
 
 
@@ -5913,6 +5969,7 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         "partitioned_roundtrip": _sql_partitioned_roundtrip(),
         "embedding_mrl": _sql_embedding_mrl(),
         "graph_triangles": _sql_graph_triangles(),
+        "lsh_recall_audit": _sql_lsh_recall_audit(),
     }
 
 

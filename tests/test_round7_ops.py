@@ -233,3 +233,26 @@ def test_matryoshka_truncate_prefix_and_norm(spark):
     assert raw[1] == [3.0, 4.0]
     with pytest.raises(ValueError, match="out_dim"):
         EMB2.matryoshka_truncate(df, 0)
+
+
+def test_lsh_recall_audit_catches_top_bucket(spark):
+    """Near-identical docs (J≈1) must be caught by the band join;
+    totals must equal the exact-pair counts per bucket."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base + " phi"),          # near-identical
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["bucket"]: (r["n_pairs"], r["n_caught"]) for r in
+           dedup.lsh_recall_audit(df, "text", "doc_id").collect()}
+    # exact duplicates (3,4) and the near-identical pair (1,2) land in
+    # the top bucket and MUST be caught (identical signatures collide)
+    assert 9 in out
+    n, caught = out[9]
+    assert n >= 2 and caught == n
+    assert all(c <= n for n, c in out.values())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="buckets"):
+        dedup.lsh_recall_audit(df, "text", "doc_id", buckets=0)

@@ -1255,3 +1255,47 @@ def fuzzy_join_pairs(df_a: DataFrame, df_b: DataFrame, text_col: str,
     # SLOWER (3 extra jobs) with no shuffle saved.
     return jaccard_verify(cand, sh_a.unionByName(sh_b), threshold,
                           max_candidates=max_candidates)
+
+
+def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
+                     n: int = 3, k: int = MINHASH_K,
+                     rows_per_band: int = 2, min_jaccard: float = 0.05,
+                     buckets: int = 10,
+                     max_df: int | None = None) -> DataFrame:
+    """EMPIRICAL recall audit of the banded-MinHash candidate
+    generator against exact n-gram-Jaccard ground truth:
+    ``(bucket, n_pairs, n_caught)`` — bucket = ``floor(j·buckets)``
+    capped at ``buckets−1``, ``n_caught`` = pairs of that similarity
+    that the band join actually surfaces.
+
+    :func:`~.similarity.lsh_band_recall` gives the THEORETICAL
+    ``1 − (1 − j^r)^b`` S-curve; this measures the real one on the
+    real corpus — shingle-set sizes, hash collisions, and banding
+    quirks included — so the dedup stack's central approximation is
+    auditable per corpus instead of assumed.  Low-similarity buckets
+    SHOULD show low catch rates (that's the point of banding); a low
+    rate in the top bucket means r/b are mistuned for the threshold.
+
+    Scale shape: ground truth reuses the posting-list inverted-index
+    join (``max_df`` prunes stop-shingle postings exactly as
+    :func:`ngram_jaccard_near_dups` documents — at corpus scale run
+    the audit on a hash-sampled slice, the estimate is what matters);
+    candidates reuse the banded self-join; the final mark is one hash
+    join on (id_a, id_b) + a map-side-combined groupBy over ≤
+    ``buckets`` rows.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    exact = ngram_jaccard_near_dups(df, text_col, id_col,
+                                    threshold=min_jaccard, n=n,
+                                    max_df=max_df)
+    sigs = minhash_signatures(df, text_col, id_col, k=k, n=n)
+    cand = minhash_band_pairs(sigs, k=k, rows_per_band=rows_per_band) \
+        .withColumn("__hit", F.lit(True))
+    marked = exact.join(cand, ["id_a", "id_b"], "left")
+    bucket = F.least(F.floor(F.col("jaccard") * buckets),
+                     F.lit(buckets - 1)).cast("int")
+    return (marked.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum(F.col("__hit").isNotNull().cast("bigint"))
+                 .cast("bigint").alias("n_caught")))

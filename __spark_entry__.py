@@ -5908,6 +5908,57 @@ FROM marked GROUP BY 1
 """
 
 
+_TFIDF_K = 32
+
+
+def _q_text_tfidf(spark, sf_dir):
+    """Dense tf-idf vectors over the corpus-head vocabulary
+    (operators/text.py tfidf_vectors): the vocabulary-BOUNDED twin of
+    text_hash_embedding — smoothed idf, (count DESC, term ASC) slot
+    order, sort-free dense rebuild.  Output serialized scaled-BIGINT
+    (list-column rule); the only float work is one ln of an integer
+    ratio per vocab term (the lm_score parity class)."""
+    from xpysom_dask_spark.operators.text import tfidf_vectors
+
+    out = tfidf_vectors(_docs(spark, sf_dir), "text", "doc_id",
+                        top_k=_TFIDF_K)
+    return out.select(
+        "id",
+        F.expr("array_join(transform(vec, x -> CAST(CAST(FLOOR("
+               "x * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ' ')")
+        .alias("vec_s"))
+
+
+def _sql_text_tfidf():
+    k = _TFIDF_K
+    cells = ",\n       ".join(
+        f"CAST(CAST(FLOOR(ROUND(COALESCE(MAX(v) FILTER (WHERE j = {j}),"
+        f" 0), 6) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)"
+        for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_duck_tokens('text')}) AS term
+  FROM documents),
+counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS j
+  FROM (SELECT * FROM counts ORDER BY n DESC, term LIMIT {k})),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT id) AS df_t FROM toks GROUP BY term),
+dic AS (
+  SELECT v.term, v.j,
+         ln(CAST(1 + (SELECT COUNT(*) FROM documents) AS DOUBLE)
+            / (d.df_t + 1)) + 1 AS idf
+  FROM vocab v JOIN dfreq d ON d.term = v.term),
+tf AS (
+  SELECT t.id, d.j, COUNT(*) * ANY_VALUE(d.idf) AS v
+  FROM toks t JOIN dic d ON d.term = t.term
+  GROUP BY t.id, d.j)
+SELECT id, array_to_string([{cells}], ' ') AS vec_s
+FROM tf GROUP BY id
+"""
+
+
 def _q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink → partition-pruned source round-trip
     (sources/writers.py write_partitioned): documents written
@@ -5956,6 +6007,7 @@ def queries_round7_staged() -> dict:
         "embedding_mrl": _q_embedding_mrl,
         "graph_triangles": _q_graph_triangles,
         "lsh_recall_audit": _q_lsh_recall_audit,
+        "text_tfidf": _q_text_tfidf,
     }
 
 
@@ -5970,6 +6022,7 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         "embedding_mrl": _sql_embedding_mrl(),
         "graph_triangles": _sql_graph_triangles(),
         "lsh_recall_audit": _sql_lsh_recall_audit(),
+        "text_tfidf": _sql_text_tfidf(),
     }
 
 

@@ -530,6 +530,8 @@ def main():
         emb, 16).count())
     timed("lsh_recall_audit", lambda: dedup.lsh_recall_audit(
         docs, "text", "doc_id").count())
+    timed("text_tfidf", lambda: T.tfidf_vectors(
+        docs, "text", "doc_id", top_k=32).count())
     from xpysom_dask_spark.operators import graph as GR6
     _kg_edges = SIM6.knn_graph(emb, _kg_cents, k=5).select(
         F.col("vec_id").alias("id_a"),

@@ -256,3 +256,23 @@ def test_lsh_recall_audit_catches_top_bucket(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="buckets"):
         dedup.lsh_recall_audit(df, "text", "doc_id", buckets=0)
+
+
+def test_tfidf_vectors_known_values(spark):
+    import math as _m
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b b")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r["vec"] for r in
+           T.tfidf_vectors(df, "text", "doc_id", top_k=3).collect()}
+    # vocab by (count desc, term asc): b(4), a(3), c(1) -> j=0,1,2
+    # df: a in 2 docs, b in 2, c in 1; N=3
+    idf_b = _m.log(4 / 3) + 1
+    idf_a = _m.log(4 / 3) + 1
+    idf_c = _m.log(4 / 2) + 1
+    assert out[1] == [round(1 * idf_b, 6), round(2 * idf_a, 6), 0.0]
+    assert out[2] == [0.0, round(1 * idf_a, 6), round(1 * idf_c, 6)]
+    assert out[3] == [round(3 * idf_b, 6), 0.0, 0.0]
+    with pytest.raises(ValueError, match="top_k"):
+        T.tfidf_vectors(df, "text", "doc_id", top_k=0)

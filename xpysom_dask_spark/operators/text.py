@@ -813,6 +813,65 @@ def hash_embedding(df, text_col: str, id_col: str, dim: int = 32,
     return dense
 
 
+def tfidf_vectors(df, text_col: str, id_col: str, top_k: int = 32,
+                  decimals: int = 6):
+    """Dense tf-idf vectors over the corpus's own top-``top_k``
+    vocabulary: ``id, vec array<double>`` with
+    ``vec[j] = tf(term_j, doc) · (ln((1+N)/(1+df_j)) + 1)`` — the
+    smoothed-idf convention, so a term in every document still
+    contributes its raw tf instead of vanishing.
+
+    The classical IR vectorizer completing the text→vector bridge
+    family: :func:`hash_embedding` is vocabulary-free (unbounded
+    vocab, collision noise), this is vocabulary-BOUNDED (exact, but
+    only the corpus head) — together they cover both regimes, and
+    both feed the ANN/dedup stack unchanged.  Deterministic: the
+    vocabulary uses the (count DESC, term ASC) tie-break and the only
+    float work is one ln of an integer ratio per vocab term (the
+    lm_score parity class), so the whole vectorizer is
+    SQL-replayable.
+
+    Plan: token explode → map-side-combined ``groupBy(term)`` →
+    top-k via TakeOrderedAndProject (no full sort) → the k-row
+    dictionary (with df counts) broadcasts against the token stream →
+    one ``groupBy(id, j)`` + the engine-wide sort-free
+    ``map_from_entries`` dense rebuild.  Corpus text never keys a
+    shuffle; vector width is ``top_k``, fixed at plan time.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    n_docs = df.count()
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .orderBy(F.col("n").desc(), F.col("term"))
+             .limit(int(top_k)))
+    # j = vocabulary slot in the same deterministic order; df_j =
+    # distinct docs containing the term
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    slot = vocab.withColumn("j", F.row_number().over(w) - 1)
+    dfreq = (toks.select("id", "term").distinct()
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df_t")))
+    dic = slot.join(dfreq, "term").select(
+        "term", "j",
+        (F.log((F.lit(float(1 + n_docs))) / (F.col("df_t") + 1))
+         + F.lit(1.0)).alias("idf"))
+    tf = (toks.join(F.broadcast(dic), "term")
+          .groupBy("id", "j")
+          .agg((F.count(F.lit(1)).cast("double") * F.first("idf"))
+               .alias("v")))
+    return (tf.groupBy("id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("j", "v"))).alias("m"))
+            .withColumn("vec", F.expr(
+                f"transform(sequence(0, {int(top_k) - 1}), "
+                f"i -> ROUND(CAST(coalesce(m[i], 0) AS DOUBLE), "
+                f"{int(decimals)}))"))
+            .drop("m"))
+
+
 def encode_token_ids(df, text_col: str, id_col: str):
     """Encode each document as its token-id sequence: ``id,
     ids array<bigint>`` with ids = frequency rank in the corpus

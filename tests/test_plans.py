@@ -246,18 +246,24 @@ def test_funnel_single_user_shuffle(spark):
 
 def test_tpch_round4_queries_plan_hash_joins_only(spark):
     """The 8 round-4 TPC-H queries (partsupp bridge et al.) must never
-    degenerate to a cartesian/nested-loop — except Q22, whose single
-    BroadcastNestedLoopJoin is the intentional 1-row scalar-stats
-    cross join."""
+    degenerate to a cartesian/nested-loop — except the whitelisted
+    1-row scalar cross joins: Q22's avg_bal stats and (since round 6)
+    Q11's (cnt, tot) agg relation, which deliberately materializes the
+    expensive `val` CTE once instead of twice-planned scalar
+    subqueries."""
     import __spark_entry__ as entry
 
     Q = entry.queries()
-    for name in ("tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    for name in ("tpch_q2", "tpch_q9", "tpch_q16",
                  "tpch_q17", "tpch_q20", "tpch_q21"):
         plan = _plan(Q[name](spark, SF_TINY))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+    q11 = _plan(Q["tpch_q11"](spark, SF_TINY))
+    assert "CartesianProduct" not in q11
+    # exactly the one 1-row agg broadcast
+    assert q11.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_tpch_q22_cross_join_is_single_row_scalar_only(spark):

@@ -276,3 +276,17 @@ def test_tfidf_vectors_known_values(spark):
     assert out[3] == [round(3 * idf_b, 6), 0.0, 0.0]
     with pytest.raises(ValueError, match="top_k"):
         T.tfidf_vectors(df, "text", "doc_id", top_k=0)
+
+
+def test_ewma_null_values_excluded_not_misaligned(spark):
+    from xpysom_dask_spark.operators import profile as PRF
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "a", None, 2), (3, "a", 3.0, 3)],
+        "event_id bigint, event_type string, value double, ts bigint")
+    out = {r["id"]: r["ewma"] for r in PRF.ewma(
+        df, "event_type", "value", "ts", "event_id",
+        alpha=0.5, lag=4).collect()}
+    assert 2 not in out                       # null row emits no row
+    # row 3 sees [1.0, 3.0] with weights [w1, w0] = [.5, 1]
+    assert out[3] == round((3.0 + 0.5 * 1.0) / 1.5, 6)

@@ -505,10 +505,15 @@ def ewma(df: DataFrame, key_col: str, value_col: str, ts_col: str,
     """
     w = ewma_weights(alpha, lag)
     w_lit = F.array(*[F.lit(float(x)) for x in w])
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(key_col).alias("key"),
-                     F.col(value_col).alias("value"),
-                     F.col(ts_col).alias("__ts"))
+    # NULL values are dropped BEFORE the window: collect_list silently
+    # skips NULLs, which would shift every later observation against
+    # the weight vector — excluding the row entirely keeps lag
+    # alignment honest (a gap contributes nothing, same as ts gaps)
+    base = df.where(F.col(value_col).isNotNull()) \
+        .select(F.col(id_col).alias("id"),
+                F.col(key_col).alias("key"),
+                F.col(value_col).alias("value"),
+                F.col(ts_col).alias("__ts"))
     win = (Window.partitionBy("key")
            .orderBy(F.col("__ts").asc(), F.col("id").asc())
            .rowsBetween(-(lag - 1), 0))

@@ -453,3 +453,79 @@ def test_entropy_bounds_and_concat_invariance(spark):
         a, b = out[2 * i], out[2 * i + 1]
         assert abs(a["token_entropy"] - b["token_entropy"]) <= 2e-6
         assert abs(a["char_entropy"] - b["char_entropy"]) <= 0.05
+
+
+# ---------------------------------------------------------------- #
+# round-6 operator invariants
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=0,
+                         max_size=8), min_size=1, max_size=6))
+def test_dedup_paragraphs_idempotent_and_set_preserving(spark,
+                                                        docs_words):
+    """Applying intra-doc dedup twice == once, the surviving segment
+    SET equals the input set, and first-occurrence order is kept."""
+    from xpysom_dask_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = dedup_paragraphs(df, "text", "doc_id", sep=" ")
+    twice = dedup_paragraphs(once.select("doc_id", "text"),
+                             "text", "doc_id", sep=" ")
+    o = {r["doc_id"]: r["text"] for r in once.collect()}
+    t = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+         for r in twice.collect()}
+    for i, ws in enumerate(rows):
+        doc_id, text = ws
+        assert t[doc_id] == (o[doc_id], 0)          # idempotent
+        seen, want = set(), []
+        for w in text.split(" "):
+            if w not in seen:
+                seen.add(w)
+                want.append(w)
+        assert o[doc_id] == " ".join(want)          # local replica
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_random_projection_is_linear(spark, seed):
+    """rp(a·x + b·y) == a·rp(x) + b·rp(y) up to rounding — the defining
+    property of the sign projection (checked pre-rounding via a fine
+    decimals setting)."""
+    from xpysom_dask_spark.operators.embeddings import random_projection
+
+    rng = np.random.RandomState(seed % 10_000)
+    x, y = rng.randn(8), rng.randn(8)
+    a, b = float(rng.randn()), float(rng.randn())
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in x]), (1, [float(v) for v in y]),
+         (2, [float(v) for v in (a * x + b * y)])],
+        "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["rp"]) for r in
+           random_projection(df, out_dim=4, decimals=12).collect()}
+    np.testing.assert_allclose(out[2], a * out[0] + b * out[1],
+                               atol=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=25))
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from xpysom_dask_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a bigint, id_b bigint")
+    got = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in es for v in e})
+    want = {v: 0 for v in verts}
+    for x, y, z in combinations(verts, 3):
+        if {(x, y), (x, z), (y, z)} <= es:
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+    assert got == want

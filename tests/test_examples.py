@@ -17,7 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     "analytics_suite.py", "timeseries_som.py", "topic_modeling_som.py",
     "handwritten_digits.py", "tsp_som.py", "color_quantization.py",
     "csv_ingest_som.py", "ann_pipeline.py", "training_data_round4.py",
-    "curation_round5.py", "text_to_ann.py", "drift_monitoring.py"])
+    "curation_round5.py", "text_to_ann.py", "drift_monitoring.py",
+    "corpus_audit_round6.py"])
 def test_example_runs(script):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), SF_TINY],

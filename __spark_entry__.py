@@ -5959,6 +5959,42 @@ FROM tf GROUP BY id
 """
 
 
+def _q_streaming_ewma(spark, sf_dir):
+    """Stateful streaming EWMA (streaming/state.py ewma_stream —
+    applyInPandasWithState carrying the trailing lag−1 observations
+    per key): events replayed as an event-time-ordered TWO-micro-batch
+    file stream (maxFilesPerTrigger=1 over two ts-split files), so the
+    gate exercises REAL cross-batch state carry-over; the drained
+    result equals batch `events_ewma` exactly, and the oracle is
+    shared verbatim."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming.state import ewma_stream
+
+    ev = readers.load_table(spark, sf_dir, "events") \
+        .where(F.col("value").isNotNull()) \
+        .select("event_id", "event_type", "value", "ts")
+    mid = ev.agg(F.expr("percentile(ts, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="ewmagate_")
+    ev.where(F.col("ts") <= mid).repartition(1) \
+        .write.mode("overwrite").parquet(tmp)
+    ev.where(F.col("ts") > mid).repartition(1) \
+        .write.mode("append").parquet(tmp)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(tmp))
+    out = ewma_stream(stream, "event_type", "value", "ts", "event_id",
+                      alpha=_EWMA_ALPHA, lag=_EWMA_LAG)
+    name = "q_stream_ewma_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("id").alias("event_id"), F.col("key").alias("event_type"),
+        F.expr("CAST(FLOOR(ewma * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("ewma_e6"))
+
+
 def _q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink → partition-pruned source round-trip
     (sources/writers.py write_partitioned): documents written
@@ -6008,6 +6044,7 @@ def queries_round7_staged() -> dict:
         "graph_triangles": _q_graph_triangles,
         "lsh_recall_audit": _q_lsh_recall_audit,
         "text_tfidf": _q_text_tfidf,
+        "streaming_ewma": _q_streaming_ewma,
     }
 
 
@@ -6023,6 +6060,9 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         "graph_triangles": _sql_graph_triangles(),
         "lsh_recall_audit": _sql_lsh_recall_audit(),
         "text_tfidf": _sql_text_tfidf(),
+        # the drained two-micro-batch stream equals batch events_ewma
+        # exactly (state carries the trailing window): oracle shared
+        "streaming_ewma": _sql_events_ewma(),
     }
 
 

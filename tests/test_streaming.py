@@ -551,3 +551,37 @@ def test_quality_monitor_stream_audits_each_batch(spark, tmp_path):
     assert rows[("unique", "id")].passed                  # rate ids unique
     assert rows[("bounds", "id")].passed
     assert rows[("unique", "id")].batch_id == 0
+
+
+def test_ewma_stream_across_batches_equals_batch(spark, tmp_path):
+    """The keyed state carries the trailing lag-1 observations, so an
+    event-time-ordered stream sliced into MULTIPLE micro-batches emits
+    exactly the batch operator's output on the union — the cross-batch
+    contract that makes the state op the ingest twin."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators import profile as PRF
+    from xpysom_dask_spark.streaming.state import ewma_stream
+
+    rng = np.random.RandomState(17)
+    rows = [(i, "k%d" % (i % 3), float(np.round(rng.randn() * 10, 3)),
+             i) for i in range(60)]
+    src = str(tmp_path / "ewma_src")
+    df_all = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, ts bigint")
+    # two event-time-ordered files -> two micro-batches
+    df_all.where("ts < 30").repartition(1).write.parquet(src)
+    df_all.where("ts >= 30").repartition(1).write.mode("append") \
+        .parquet(src)
+    stream = (spark.readStream.schema(df_all.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = _drain_append(
+        ewma_stream(stream, "event_type", "value", "ts", "event_id",
+                    alpha=0.5, lag=4),
+        spark, "t_ewma_stream", mode="update")
+    got = {r["id"]: r["ewma"] for r in out.collect()}
+    want = {r["id"]: r["ewma"] for r in PRF.ewma(
+        df_all, "event_type", "value", "ts", "event_id",
+        alpha=0.5, lag=4).collect()}
+    assert len(got) == 60
+    assert got == want

@@ -77,3 +77,81 @@ def bmu_transitions(som, stream_df, key_col: str, ts_col: str | None = None,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _ewma_fn_factory(w: list, lag: int):
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+        hist = list(state.get[0]) if state.exists else []
+        ids, keys, vals, ewmas = [], [], [], []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__ts__", "id"])
+            for _id, v in zip(pdf["id"].to_numpy(np.int64),
+                              pdf["value"].to_numpy(np.float64)):
+                hist.append(float(v))
+                if len(hist) > lag:
+                    hist = hist[-lag:]
+                m = len(hist)
+                num = 0.0
+                for p in range(m):          # strict left fold — the
+                    num += hist[p] * w[m - 1 - p]   # batch op's order
+                den = 0.0
+                for p in range(m):
+                    den += w[p]
+                x = num / den
+                # round half away from zero at 1e-6, matching the
+                # batch operator's F.round on the same double
+                r = (1.0 if x >= 0 else -1.0) * (
+                    int(abs(x) * 1e6 + 0.5) / 1e6)
+                ids.append(int(_id))
+                keys.append(key[0])
+                vals.append(float(v))
+                ewmas.append(r)
+        state.update((hist[-(lag - 1):] if lag > 1 else [],))
+        yield pd.DataFrame({"id": ids, "key": keys, "value": vals,
+                            "ewma": ewmas})
+    return fn
+
+
+def ewma_stream(stream_df, key_col: str, value_col: str, ts_col: str,
+                id_col: str, alpha: float = 0.25, lag: int = 16):
+    """Streaming twin of :func:`~..operators.profile.ewma`: per-key
+    truncated EWMA maintained ACROSS micro-batches — the keyed state
+    carries the trailing ``lag−1`` observations, so draining an
+    event-time-ordered stream (any batch slicing) emits exactly what
+    the batch operator computes on the union.  That cross-batch
+    equality IS the contract, pinned by the parity test.
+
+    Per-key per-event sequential math is inherent to the recurrence
+    (each output depends on the previous ``lag−1`` inputs), so the
+    kernel is an ordered Python loop over the batch — the state
+    operator is the INGEST-scale path (bounded by arrival rate, state
+    O(lag) doubles per key); the windowed batch operator is the
+    backfill-scale path.  Output (update mode): one row per event —
+    ``id, key, value, ewma``.
+
+    Rows must arrive in event-time order across batches for exact
+    parity (a file-source replay or a watermarked upstream sort);
+    within a batch the kernel orders by (ts, id) itself.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.profile import ewma_weights
+
+    w = ewma_weights(alpha, lag)
+    key_t = stream_df.schema[key_col].dataType.simpleString()
+    slim = (stream_df.where(F.col(value_col).isNotNull())
+            .select(F.col(key_col).alias("key"),
+                    F.col(id_col).alias("id"),
+                    F.col(value_col).cast("double").alias("value"),
+                    F.col(ts_col).alias("__ts__")))
+    return slim.groupBy("key").applyInPandasWithState(
+        _ewma_fn_factory(w, int(lag)),
+        outputStructType=(f"id bigint, key {key_t}, value double, "
+                          "ewma double"),
+        stateStructType="vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

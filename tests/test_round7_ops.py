@@ -290,3 +290,55 @@ def test_ewma_null_values_excluded_not_misaligned(spark):
     assert 2 not in out                       # null row emits no row
     # row 3 sees [1.0, 3.0] with weights [w1, w0] = [.5, 1]
     assert out[3] == round((3.0 + 0.5 * 1.0) / 1.5, 6)
+
+
+def test_knn_graph_full_probe_is_exact(spark):
+    """nprobe = n_cells makes every vector query every owner — the
+    result must equal exact brute-force kNN."""
+    from xpysom_dask_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(21)
+    X = rng.randn(40, 6)
+    cents = X[:4].copy()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>")
+    got = sorted((r["vec_id"], r["rank"], r["neighbor_id"])
+                 for r in SIM.knn_graph(df, cents, k=3,
+                                        nprobe=4).collect())
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    S = Xn @ Xn.T
+    want = []
+    for i in range(40):
+        order = [j for j in np.lexsort(
+            (np.arange(40), -np.round(S[i], 12))) if j != i][:3]
+        for rank, j in enumerate(order, 1):
+            want.append((i, rank, int(j)))
+    assert got == sorted(want)
+
+
+def test_knn_graph_nprobe_validation_and_monotone_recall(spark):
+    from xpysom_dask_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(60, 6)
+    cents = X[:6].copy()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="nprobe"):
+        SIM.knn_graph(df, cents, k=3, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        SIM.knn_graph(df, cents, k=3, nprobe=7)
+
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in
+             SIM.knn_graph(df, cents, k=3, nprobe=6).collect()}
+
+    def recall(np_):
+        got = {(r["vec_id"], r["neighbor_id"]) for r in
+               SIM.knn_graph(df, cents, k=3, nprobe=np_).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r1 <= r2 <= r3 <= 1.0
+    assert r3 > r1 or r1 == 1.0

@@ -179,78 +179,113 @@ KNN_GRAPH_MAX_CELL_ROWS = 200_000
 
 def knn_graph(df: DataFrame, centroids: np.ndarray, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
+              nprobe: int = 1,
               max_cell_rows: int = KNN_GRAPH_MAX_CELL_ROWS,
               decimals: int = 6) -> DataFrame:
-    """Cell-local exact kNN graph over the WHOLE corpus:
+    """Cell-pruned exact kNN graph over the WHOLE corpus:
     (vec_id, rank, neighbor_id, sim) — each vector's neighbors are the
-    top-``k`` cosine matches among the OTHER vectors of its coarse
-    cell (squared-L2 argmin over ``centroids``, ties → lowest index).
+    top-``k`` cosine matches among the vectors OWNED by its ``nprobe``
+    nearest coarse cells (squared-L2 ranking over ``centroids``, ties
+    → lowest index; a vector is owned by exactly its rank-1 cell).
 
     This is the graph-construction primitive behind SemDeDup-style
     semantic dedup and kNN-graph clustering: an all-pairs exact kNN is
-    O(n²) and unshippable, while the cell-local contract makes the
+    O(n²) and unshippable, while the probed-cell contract makes the
     candidate set explicit and deterministic — recall is governed by
-    the codebook granularity (vectors in different cells are never
-    compared; that is the documented trade, the same one IVF serving
-    makes with nprobe=1).
+    codebook granularity AND ``nprobe``, exactly the two knobs IVF
+    serving exposes; true neighbors sitting in a never-probed cell are
+    the documented miss mode, and raising ``nprobe`` buys them back at
+    ``nprobe×`` candidate cost (measured curve in BASELINE.md).
 
-    Scale shape: one narrow assignment pass
-    (:func:`~.clustering.kmeans_assign` — broadcast codebook, no
-    shuffle) → ONE shuffle keyed by cell id (never by vector payload
-    width: the shuffle moves each row once) → per-cell exact GEMM
-    top-k inside Arrow, row-blocked so memory is O(block · cell), not
-    O(cell²) → final exact rank window over n·k candidate rows with
-    the engine-wide (sim DESC, neighbor_id ASC) tie-break.  A cell
-    over ``max_cell_rows`` raises with the remedy (more centroids)
-    instead of OOMing an executor.
+    Scale shape: one narrow probe-assignment pass (broadcast codebook,
+    each row fans out to its ``nprobe`` probe rows — Arrow, no
+    shuffle) → ONE shuffle keyed by cell id (each row moves ``nprobe``
+    times, never keyed by payload) → per-cell exact GEMM of probe rows
+    × owner rows inside Arrow, row-blocked so memory is
+    O(block · owners) → final exact rank window over n·nprobe·k
+    candidate rows with the engine-wide (sim DESC, neighbor_id ASC)
+    tie-break.  A cell over ``max_cell_rows`` raises with the remedy
+    (more centroids) instead of OOMing an executor.
     """
     import pandas as pd
 
     from ..plans.exchange import ship_package
-    from .clustering import kmeans_assign
 
     spark = df.sparkSession
     ship_package(spark)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    assigned = kmeans_assign(df, centroids, vec_col=vec_col,
-                             id_col=id_col, out_col="cell",
-                             keep=[vec_col])
+    C = np.asarray(centroids, np.float64)
+    if not 1 <= nprobe <= len(C):
+        raise ValueError(
+            f"nprobe must be in [1, n_cells={len(C)}], got {nprobe}")
+    nprobe = int(nprobe)
+    bc = spark.sparkContext.broadcast(C)
+
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def probe_fn(batches):
+        Cc = bc.value
+        c_sq = (Cc * Cc).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, np.float64)
+                          for v in pdf[vec_col]])
+            scores = -2.0 * (X @ Cc.T) + c_sq[None, :]
+            order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+            n = len(X)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(np.int64),
+                                  nprobe),
+                "cell": order.ravel().astype(np.int32),
+                "is_owner": np.tile(
+                    np.arange(nprobe) == 0, n),
+                vec_col: [v for v in pdf[vec_col] for _ in range(nprobe)],
+            })
+
+    probes = df.select(id_col, vec_col).mapInPandas(
+        probe_fn,
+        f"{id_col} bigint, cell int, is_owner boolean, {vec_col} {vec_t}")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        if n > max_cell_rows:
+        if n > max_cell_rows * nprobe:
             raise ValueError(
                 f"knn_graph: cell {int(pdf['cell'].iloc[0])} holds "
-                f"{n} rows > max_cell_rows={max_cell_rows}; train a "
-                "finer codebook (more centroids) so cells stay "
-                "GEMM-sized")
+                f"{n} probe rows > max_cell_rows={max_cell_rows} x "
+                f"nprobe={nprobe}; train a finer codebook (more "
+                "centroids) so cells stay GEMM-sized")
         ids = pdf[id_col].to_numpy(np.int64)
+        own = pdf["is_owner"].to_numpy(bool)
         X = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = 1.0
         Xn = X / norms[:, None]
-        kk = min(k, n - 1)
-        if kk < 1:
+        On, oids = Xn[own], ids[own]           # the cell's owners
+        if len(oids) == 0:
             return pd.DataFrame({"query_id": np.empty(0, np.int64),
                                  "neighbor_id": np.empty(0, np.int64),
                                  "sim": np.empty(0, np.float64)})
         out_q, out_n, out_s = [], [], []
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
-            sims = Xn[lo:hi] @ Xn.T            # (block, n)
-            sims[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
+            sims = Xn[lo:hi] @ On.T            # (block, owners)
+            sims[ids[lo:hi, None] == oids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
             top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = np.repeat(np.arange(hi - lo), kk)
             cols = top.ravel()
-            out_q.append(np.repeat(ids[lo:hi], kk))
-            out_n.append(ids[cols])
-            out_s.append(sims[rows, cols])
+            sel = sims[rows, cols]
+            keep = np.isfinite(sel)             # drop self-only rows
+            out_q.append(np.repeat(ids[lo:hi], kk)[keep])
+            out_n.append(oids[cols][keep])
+            out_s.append(sel[keep])
         return pd.DataFrame({"query_id": np.concatenate(out_q),
                              "neighbor_id": np.concatenate(out_n),
                              "sim": np.concatenate(out_s)})
 
-    cand = assigned.groupBy("cell").applyInPandas(
+    cand = probes.groupBy("cell").applyInPandas(
         kernel, "query_id bigint, neighbor_id bigint, sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))

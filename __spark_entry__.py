@@ -5995,6 +5995,60 @@ def _q_streaming_ewma(spark, sf_dir):
         .alias("ewma_e6"))
 
 
+_PACK_BINS_BUDGET = 256
+
+
+def _q_pack_bins(spark, sf_dir):
+    """NO-STRADDLE next-fit bin packing (operators/packing.py
+    pack_bins_next_fit — the SFT packer: a document never crosses a
+    bin boundary, unlike pack_sequences' pretraining concat-and-chunk).
+    Hash-route to 8 parallel groups, one ordered sequential pass per
+    group inside Arrow; the oracle replays EVERY bin decision with a
+    recursive CTE over the same id order (recursion depth = rows per
+    group — gate-scale by construction)."""
+    from xpysom_dask_spark.operators import packing
+
+    docs = _docs(spark, sf_dir).withColumn("n_tok", T.token_count("text"))
+    out = packing.pack_bins_next_fit(docs, "doc_id", "n_tok",
+                                     budget=_PACK_BINS_BUDGET,
+                                     n_groups=8, seed=2)
+    return out.select("doc_id", "n_tok", "group", "bin_id", "bin_fill",
+                      F.col("oversize").cast("int").alias("oversize"))
+
+
+def _sql_pack_bins():
+    toks = _duck_tokens("text")
+    u = _duck_unit_hash("doc_id", 2)
+    b = _PACK_BINS_BUDGET
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tok,
+         CAST(floor({u} * 8) AS BIGINT) AS grp
+  FROM documents),
+seq AS (
+  SELECT doc_id, grp, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM base),
+rec AS (
+  SELECT grp, rn, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS bin, n_tok AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.grp, s.rn, s.doc_id, s.n_tok,
+         CASE WHEN r.fill + s.n_tok <= {b} THEN r.bin
+              ELSE r.bin + 1 END,
+         CASE WHEN r.fill + s.n_tok <= {b} THEN r.fill + s.n_tok
+              ELSE s.n_tok END
+  FROM rec r JOIN seq s ON s.grp = r.grp AND s.rn = r.rn + 1)
+SELECT doc_id, n_tok, grp AS "group",
+       CAST(grp * 1099511627776 + bin AS BIGINT) AS bin_id,
+       CAST(fill AS BIGINT) AS bin_fill,
+       CAST(CASE WHEN n_tok > {b} THEN 1 ELSE 0 END AS INTEGER)
+         AS oversize
+FROM rec
+"""
+
+
 def _q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink → partition-pruned source round-trip
     (sources/writers.py write_partitioned): documents written
@@ -6045,6 +6099,7 @@ def queries_round7_staged() -> dict:
         "lsh_recall_audit": _q_lsh_recall_audit,
         "text_tfidf": _q_text_tfidf,
         "streaming_ewma": _q_streaming_ewma,
+        "pack_bins": _q_pack_bins,
     }
 
 
@@ -6063,6 +6118,7 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         # the drained two-micro-batch stream equals batch events_ewma
         # exactly (state carries the trailing window): oracle shared
         "streaming_ewma": _sql_events_ewma(),
+        "pack_bins": _sql_pack_bins(),
     }
 
 

@@ -187,3 +187,58 @@ def test_repetition_signals_gopher_family(spark):
     r = T.repetition_signals(deg, "text", "doc_id",
                              top_ns=(2,), dup_ns=(2,)).collect()[0]
     assert r["top2gram_share"] > 1.0
+
+
+def test_pack_bins_next_fit_never_straddles(spark):
+    from xpysom_dask_spark.operators.packing import pack_bins_next_fit
+
+    rows = [(i, 300 + (i * 137) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    out = pack_bins_next_fit(df, "doc_id", "n_tok", budget=1024,
+                             n_groups=4).collect()
+    assert len(out) == 200
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for rs in by_bin.values():
+        tot = sum(r["n_tok"] for r in rs)
+        if not any(r["oversize"] for r in rs):
+            assert tot <= 1024                 # no bin over budget
+        assert max(r["bin_fill"] for r in rs) == tot
+
+
+def test_pack_bins_next_fit_local_replica(spark):
+    """Exact next-fit decisions in id order per group."""
+    from xpysom_dask_spark.operators.packing import pack_bins_next_fit
+
+    rows = [(i, [700, 400, 300, 1200, 100, 900][i % 6]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    out = {r["doc_id"]: r for r in pack_bins_next_fit(
+        df, "doc_id", "n_tok", budget=1024, n_groups=3,
+        seed=1).collect()}
+    groups = {}
+    for i, t in rows:
+        groups.setdefault(out[i]["group"], []).append((i, t))
+    for g, docs in groups.items():
+        b, fill, first = 0, 0, True
+        for i, t in sorted(docs):
+            if first:
+                fill, first = t, False
+            elif fill + t <= 1024:
+                fill += t
+            else:
+                b, fill = b + 1, t
+            assert out[i]["bin_id"] == g * (1 << 40) + b, i
+            assert out[i]["bin_fill"] == fill, i
+            assert out[i]["oversize"] == (t > 1024)
+
+
+def test_pack_bins_validation(spark):
+    from xpysom_dask_spark.operators.packing import pack_bins_next_fit
+
+    df = spark.createDataFrame([(1, 5)], "doc_id bigint, n_tok bigint")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="budget"):
+        pack_bins_next_fit(df, "doc_id", "n_tok", budget=0)
+    with _pt.raises(ValueError, match="n_groups"):
+        pack_bins_next_fit(df, "doc_id", "n_tok", budget=10, n_groups=0)

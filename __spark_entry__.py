@@ -6049,6 +6049,44 @@ FROM rec
 """
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    (operators/dedup.py containment_pairs, Broder's
+    resemblance/containment pair): |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    quote-inclusion detector symmetric Jaccard misses; Jaccard rides
+    along for classification.  Exact integer ratios, posting-list
+    candidate join."""
+    from xpysom_dask_spark.operators.dedup import containment_pairs
+
+    out = containment_pairs(_docs(spark, sf_dir), "text", "doc_id",
+                            threshold=0.9)
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_dedup_containment():
+    return f"""
+WITH {_shingle_cte_sql()},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / LEAST(na.n_sh, nb.n_sh), 6) AS containment,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.9
+"""
+
+
 def _q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink → partition-pruned source round-trip
     (sources/writers.py write_partitioned): documents written
@@ -6100,6 +6138,7 @@ def queries_round7_staged() -> dict:
         "text_tfidf": _q_text_tfidf,
         "streaming_ewma": _q_streaming_ewma,
         "pack_bins": _q_pack_bins,
+        "dedup_containment": _q_dedup_containment,
     }
 
 
@@ -6119,6 +6158,7 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         # exactly (state carries the trailing window): oracle shared
         "streaming_ewma": _sql_events_ewma(),
         "pack_bins": _sql_pack_bins(),
+        "dedup_containment": _sql_dedup_containment(),
     }
 
 

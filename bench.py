@@ -536,6 +536,8 @@ def main():
     timed("pack_bins", lambda: PKG6.pack_bins_next_fit(
         docs.withColumn("n_tok", T.token_count("text")),
         "doc_id", "n_tok", budget=256, n_groups=8).count())
+    timed("dedup_containment", lambda: dedup.containment_pairs(
+        docs, "text", "doc_id", threshold=0.9).count())
     from xpysom_dask_spark.operators import graph as GR6
     _kg_edges = SIM6.knn_graph(emb, _kg_cents, k=5).select(
         F.col("vec_id").alias("id_a"),

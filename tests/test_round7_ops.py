@@ -342,3 +342,23 @@ def test_knn_graph_nprobe_validation_and_monotone_recall(spark):
     r1, r2, r3 = recall(1), recall(2), recall(3)
     assert r1 <= r2 <= r3 <= 1.0
     assert r3 > r1 or r1 == 1.0
+
+
+def test_containment_pairs_catches_quote_inclusion(spark):
+    """A short doc wholly contained in a long one: containment = 1.0
+    even though Jaccard is tiny — the asymmetric leak symmetric
+    near-dup misses."""
+    short = "alpha beta gamma delta epsilon zeta"
+    longdoc = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, short), (2, longdoc),
+            (3, "completely different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.containment_pairs(df, "text", "doc_id",
+                                  threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.1                 # Jaccard would miss it
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(df, "text", "doc_id", threshold=0.0)

@@ -1299,3 +1299,55 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                  F.sum(F.col("__hit").isNotNull().cast("bigint"))
                  .cast("bigint").alias("n_caught")))
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      threshold: float = 0.9, n: int = 3,
+                      max_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment:
+    ``(id_a, id_b, containment, jaccard)`` with
+    ``containment = |A ∩ B| / min(|A|, |B|) ≥ threshold`` — the
+    "document B embeds/quotes document A" detector.  Symmetric Jaccard
+    misses exactly this case: a 50-shingle doc wholly contained in a
+    5000-shingle doc has J ≈ 0.01 but containment 1.0, and quote-
+    inclusion families are a major dedup leak in web corpora
+    (Broder's original resemblance/containment pair).
+
+    Jaccard rides along so consumers can classify: high containment +
+    high Jaccard = ordinary near-dup; high containment + LOW Jaccard =
+    asymmetric inclusion (usually keep the superset, drop the quote).
+
+    Scale shape: identical to :func:`ngram_jaccard_near_dups` — the
+    posting-list inverted-index join generates candidates (``max_df``
+    prunes stop-shingle postings), sizes broadcast back, one exact
+    filter.  Containment needs no new machinery, only the min() in
+    the denominator.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    posting = sh
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_s"))
+                .where(F.col("df_s") <= max_df).select("shingle"))
+        posting = sh.join(rare, "shingle")
+    a = posting.select(F.col("id").alias("id_a"),
+                       F.col("shingle").alias("s"))
+    b = posting.select(F.col("id").alias("id_b"),
+                       F.col("shingle").alias("s"))
+    inter = (a.join(b, "s")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / F.least("n_a", "n_b")).alias("containment"),
+                    (F.col("n_inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard"))
+            .where(F.col("containment") >= threshold))

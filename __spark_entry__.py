@@ -6087,6 +6087,58 @@ WHERE CAST(i.n_inter AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.9
 """
 
 
+def _q_vocab_zipf(spark, sf_dir):
+    """Zipf-law fit of the corpus frequency head (profile.zipf_fit):
+    exact OLS of ln(freq) on ln(rank) over the top-100 vocabulary —
+    every moment is a LEFT FOLD over the rank-sorted array (plain
+    SUM() of doubles has no defined order), so slope/intercept/r² are
+    bit-identical across engines."""
+    from xpysom_dask_spark.operators.profile import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), "text", "doc_id", top_k=100)
+
+
+def _sql_vocab_zipf():
+    toks = _duck_tokens("text")
+
+    def fold(body):
+        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"[{body} FOR p IN range(1, len(lx) + 1)]), "
+                f"(acc, v) -> acc + v)")
+
+    sx = fold("lx[p]")
+    sy = fold("ly[p]")
+    sxx = fold("lx[p] * lx[p]")
+    sxy = fold("lx[p] * ly[p]")
+    syy = fold("ly[p] * ly[p]")
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS term FROM documents),
+counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+head AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank, n
+  FROM head),
+arrs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS lx,
+         list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ly
+  FROM ranked),
+m AS (
+  SELECT k, CAST(k AS DOUBLE) AS kd,
+         {sx} AS sx, {sy} AS sy, {sxx} AS sxx,
+         {sxy} AS sxy, {syy} AS syy
+  FROM arrs)
+SELECT k,
+       ROUND((kd * sxy - sx * sy) / (kd * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((kd * sxy - sx * sy) / (kd * sxx - sx * sx)) * sx)
+             / kd, 6) AS intercept,
+       ROUND(((kd * sxy - sx * sy) * (kd * sxy - sx * sy))
+             / ((kd * sxx - sx * sx) * (kd * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
 def _q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink → partition-pruned source round-trip
     (sources/writers.py write_partitioned): documents written
@@ -6139,6 +6191,7 @@ def queries_round7_staged() -> dict:
         "streaming_ewma": _q_streaming_ewma,
         "pack_bins": _q_pack_bins,
         "dedup_containment": _q_dedup_containment,
+        "vocab_zipf": _q_vocab_zipf,
     }
 
 
@@ -6159,6 +6212,7 @@ def oracle_sql_round7_staged() -> dict[str, str]:
         "streaming_ewma": _sql_events_ewma(),
         "pack_bins": _sql_pack_bins(),
         "dedup_containment": _sql_dedup_containment(),
+        "vocab_zipf": _sql_vocab_zipf(),
     }
 
 

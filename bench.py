@@ -538,6 +538,8 @@ def main():
         "doc_id", "n_tok", budget=256, n_groups=8).count())
     timed("dedup_containment", lambda: dedup.containment_pairs(
         docs, "text", "doc_id", threshold=0.9).count())
+    timed("vocab_zipf", lambda: PRF6.zipf_fit(
+        docs, "text", "doc_id", top_k=100).collect())
     from xpysom_dask_spark.operators import graph as GR6
     _kg_edges = SIM6.knn_graph(emb, _kg_cents, k=5).select(
         F.col("vec_id").alias("id_a"),

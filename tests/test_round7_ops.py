@@ -362,3 +362,23 @@ def test_containment_pairs_catches_quote_inclusion(spark):
     assert r["jaccard"] < 0.1                 # Jaccard would miss it
     with pytest.raises(ValueError, match="threshold"):
         dedup.containment_pairs(df, "text", "doc_id", threshold=0.0)
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus built with freq(rank) = C / rank^0.8 must fit slope
+    ~-0.8 with r2 ~1."""
+    from xpysom_dask_spark.operators.profile import zipf_fit
+
+    words = []
+    for r in range(1, 41):
+        f = int(round(4000 / r ** 0.8))
+        words += [f"w{r:03d}"] * f
+    # spread over docs
+    docs = [(i, " ".join(words[i::20])) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    row = zipf_fit(df, "text", "doc_id", top_k=40).first()
+    assert row["k"] == 40
+    assert abs(row["slope"] + 0.8) < 0.02
+    assert row["r2"] > 0.999
+    with pytest.raises(ValueError, match="top_k"):
+        zipf_fit(df, "text", "doc_id", top_k=2)

@@ -533,3 +533,64 @@ def ewma(df: DataFrame, key_col: str, value_col: str, ts_col: str,
         F.lit(0.0), lambda a, x: a + x)
     return (frame.withColumn(out_col, F.round(num / den, decimals))
             .select("id", "key", "value", out_col))
+
+
+def zipf_fit(df: DataFrame, text_col: str, id_col: str,
+             top_k: int = 100, decimals: int = 6) -> DataFrame:
+    """Zipf-law fit of the corpus frequency head: ONE row
+    ``(k, slope, intercept, r2)`` from an exact OLS of ``ln(freq)`` on
+    ``ln(rank)`` over the top-``top_k`` vocabulary — the corpus-health
+    fingerprint (natural language sits near slope −1; OCR junk,
+    templated spam, and synthetic data bend the curve long before a
+    human reads a sample).
+
+    Engine-exact double math without DECIMAL moments: plain ``SUM()``
+    over floats has no defined order, so every moment (Σx, Σy, Σx²,
+    Σxy, Σy²) is a LEFT FOLD over the rank-sorted (rank, x, y) array —
+    both engines accumulate in identical order, ln is the established
+    lm-score parity class, and the closed-form slope/intercept/r² are
+    fixed op sequences.  The fold array is ``top_k`` structs — a
+    driver-scale constant, not corpus-scale.
+
+    Plan: token explode → map-side-combined ``groupBy(term)`` → top-k
+    (TakeOrderedAndProject) → ONE single-partition window over the
+    k-row head (the bounded-domain window rule) → one 1-row aggregate.
+    """
+    from .text import tokens as _tokens
+
+    if top_k < 3:
+        raise ValueError(f"top_k must be >= 3, got {top_k}")
+    toks = df.select(F.explode(_tokens(text_col)).alias("term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .orderBy(F.col("n").desc(), F.col("term"))
+             .limit(int(top_k)))
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w)) \
+        .select("rank",
+                F.log(F.col("rank").cast("double")).alias("x"),
+                F.log(F.col("n").cast("double")).alias("y"))
+    arr = F.array_sort(F.collect_list(F.struct("rank", "x", "y")))
+
+    def fold(expr):
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda a, s: a + expr(s))
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        fold(lambda s: s.getField("x")).alias("sx"),
+        fold(lambda s: s.getField("y")).alias("sy"),
+        fold(lambda s: s.getField("x") * s.getField("x")).alias("sxx"),
+        fold(lambda s: s.getField("x") * s.getField("y")).alias("sxy"),
+        fold(lambda s: s.getField("y") * s.getField("y")).alias("syy"))
+    kd = F.col("k").cast("double")
+    num = kd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / kd
+    r2 = (num * num) / (den * (kd * F.col("syy")
+                               - F.col("sy") * F.col("sy")))
+    return agg.select(
+        "k", F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"))

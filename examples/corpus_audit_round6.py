@@ -73,6 +73,23 @@ def main(sf_dir: str) -> None:
     dedup.lsh_recall_audit(docs, "text", "doc_id") \
         .orderBy("bucket").show()
 
+    print("== asymmetric containment pairs (quote-inclusion leak) ==")
+    (dedup.containment_pairs(docs, "text", "doc_id", threshold=0.9)
+     .agg(F.count(F.lit(1)).alias("pairs"),
+          F.min("jaccard").alias("min_jaccard")).show())
+
+    print("== Zipf-law fit of the frequency head ==")
+    PROF.zipf_fit(docs, "text", "doc_id", top_k=100).show()
+
+    print("== no-straddle SFT packing vs concat-and-chunk ==")
+    from xpysom_dask_spark.operators import packing as PKG
+    nt = docs.withColumn("n_tok", T.token_count("text"))
+    bins = PKG.pack_bins_next_fit(nt, "doc_id", "n_tok", budget=256)
+    (bins.groupBy("bin_id").agg(F.sum("n_tok").alias("fill"))
+     .agg(F.count(F.lit(1)).alias("bins"),
+          F.round(F.avg("fill") / 256, 3).alias("avg_utilization"))
+     .show())
+
     spark.stop()
     print("corpus_audit_round6: OK")
 

@@ -529,3 +529,32 @@ def test_triangle_counts_match_bruteforce(spark, edges):
             want[y] += 1
             want[z] += 1
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(1, 400), min_size=1, max_size=40),
+       st.integers(2, 6))
+def test_pack_bins_invariants(spark, toks, n_groups):
+    """Every doc assigned exactly once; no bin exceeds the budget
+    unless it holds a single oversize doc; bins are contiguous
+    per group starting at 0."""
+    from xpysom_dask_spark.operators.packing import pack_bins_next_fit
+
+    budget = 256
+    df = spark.createDataFrame(list(enumerate(toks)),
+                               "doc_id bigint, n_tok bigint")
+    out = pack_bins_next_fit(df, "doc_id", "n_tok", budget=budget,
+                             n_groups=n_groups).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(toks)))
+    by_bin, by_group = {}, {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+        by_group.setdefault(r["group"], set()).add(
+            r["bin_id"] - r["group"] * (1 << 40))
+    for rs in by_bin.values():
+        tot = sum(r["n_tok"] for r in rs)
+        if tot > budget:
+            # over-budget bins exist ONLY as singleton oversize bins
+            assert len(rs) == 1 and rs[0]["oversize"]
+    for locals_ in by_group.values():
+        assert locals_ == set(range(len(locals_)))

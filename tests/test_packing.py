@@ -242,3 +242,57 @@ def test_pack_bins_validation(spark):
         pack_bins_next_fit(df, "doc_id", "n_tok", budget=0)
     with _pt.raises(ValueError, match="n_groups"):
         pack_bins_next_fit(df, "doc_id", "n_tok", budget=10, n_groups=0)
+
+
+def test_pack_bins_ffd_tighter_than_next_fit(spark):
+    """FFD must use no more bins than next-fit on the same corpus, obey
+    the budget, and assign every doc exactly once."""
+    from xpysom_dask_spark.operators.packing import (pack_bins_ffd,
+                                                     pack_bins_next_fit)
+
+    rows = [(i, 100 + (i * 211) % 700) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    nf = pack_bins_next_fit(df, "doc_id", "n_tok", budget=1024,
+                            n_groups=4).collect()
+    ffd = pack_bins_ffd(df, "doc_id", "n_tok", budget=1024,
+                        n_groups=4).collect()
+    assert sorted(r["doc_id"] for r in ffd) == list(range(300))
+    n_bins_nf = len({r["bin_id"] for r in nf})
+    n_bins_ffd = len({r["bin_id"] for r in ffd})
+    assert n_bins_ffd <= n_bins_nf
+    by_bin = {}
+    for r in ffd:
+        by_bin.setdefault(r["bin_id"], 0)
+        by_bin[r["bin_id"]] += r["n_tok"]
+    assert all(v <= 1024 for v in by_bin.values())
+
+
+def test_pack_bins_ffd_local_replica(spark):
+    """Exact FFD decisions: sort (n_tok desc, id), first-fit over open
+    bins in creation order."""
+    from xpysom_dask_spark.operators.packing import pack_bins_ffd
+
+    rows = [(i, [600, 500, 400, 300, 200, 100][i % 6])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    out = {r["doc_id"]: r for r in pack_bins_ffd(
+        df, "doc_id", "n_tok", budget=1000, n_groups=2,
+        seed=3).collect()}
+    groups = {}
+    for i, t in rows:
+        groups.setdefault(out[i]["group"], []).append((i, t))
+    for g, docs in groups.items():
+        fills = []
+        for i, t in sorted(docs, key=lambda x: (-x[1], x[0])):
+            placed = None
+            for bi, f0 in enumerate(fills):
+                if f0 + t <= 1000:
+                    placed = bi
+                    break
+            if placed is None:
+                fills.append(t)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += t
+            assert out[i]["bin_id"] == g * (1 << 40) + placed, i
+            assert out[i]["bin_fill"] == fills[placed], i

@@ -147,3 +147,74 @@ def pack_bins_next_fit(df: DataFrame, id_col: str, token_col: str,
         "bin_id", F.col("group") * F.lit(1 << 40) + F.col("local_bin"))
         .select(F.col("id").alias(id_col), "n_tok", "group",
                 "bin_id", "bin_fill", "oversize"))
+
+
+def pack_bins_ffd(df: DataFrame, id_col: str, token_col: str,
+                  budget: int, n_groups: int = 32,
+                  seed: int = 0) -> DataFrame:
+    """First-fit-DECREASING no-straddle packing: the tighter classical
+    bin packer (guaranteed ≤ 11/9·OPT + 1 bins) for when utilization
+    beats stream order — batch SFT dataset builds where examples are
+    shuffled downstream anyway.  Same output columns as
+    :func:`pack_bins_next_fit`.
+
+    Trade vs next-fit, explicitly: FFD reorders by size (id order is
+    NOT preserved inside bins) and keeps every open bin as live state
+    during the pass (O(bins-per-group) memory, still KBs), in exchange
+    for typically 10-20% fewer bins.  Deterministic: sort key is
+    (n_tok DESC, id), first-fit scans open bins in creation order.
+    Not SQL-replayable in bounded recursion (first-fit needs the whole
+    open-bin state per step), so correctness rides the local-replica
+    and invariant tests rather than a DuckDB gate — the documented
+    trade for the non-gated operator tier.
+
+    Scale shape: identical to the next-fit packer — one hash-route
+    shuffle, one sequential Arrow pass per group.
+    """
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_groups <= 0:
+        raise ValueError(f"n_groups must be positive, got {n_groups}")
+    ship_package(df.sparkSession)
+    grp = F.floor(_unit_hash(id_col, seed) * n_groups).cast("bigint")
+    slim = (df.withColumn("__grp", grp)
+            .select(F.col(id_col).alias("id"),
+                    F.col(token_col).cast("bigint").alias("n_tok"),
+                    F.col("__grp").alias("group")))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(__neg=-pdf["n_tok"]).sort_values(
+            ["__neg", "id"]).drop(columns="__neg")
+        fills = []                       # open-bin fills, creation order
+        assign, after = [], []
+        for t in pdf["n_tok"]:
+            t = int(t)
+            placed = None
+            for bi, f0 in enumerate(fills):
+                if f0 + t <= budget:
+                    placed = bi
+                    break
+            if placed is None:
+                fills.append(t)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += t
+            assign.append(placed)
+            after.append(fills[placed])
+        out = pdf.copy()
+        out["local_bin"] = assign
+        out["bin_fill"] = after
+        out["oversize"] = [int(t) > budget for t in pdf["n_tok"]]
+        return out
+
+    packed = slim.groupBy("group").applyInPandas(
+        kernel, "id bigint, n_tok bigint, group bigint, "
+                "local_bin bigint, bin_fill bigint, oversize boolean")
+    return (packed.withColumn(
+        "bin_id", F.col("group") * F.lit(1 << 40) + F.col("local_bin"))
+        .select(F.col("id").alias(id_col), "n_tok", "group",
+                "bin_id", "bin_fill", "oversize"))

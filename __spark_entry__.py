@@ -6176,8 +6176,20 @@ GROUP BY source
 """
 
 
-def queries_round7_staged() -> dict:
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
+    # oracle-checks the FIRST 50 entries each round
+    # (list(queries())[:50]).  Round-7 head (tools/rotate_gate.py +
+    # the never-green rule): the 14 queries promoted verbatim from the
+    # round-6 staging area (all pre-checked hash-green at sf0.001 and
+    # sf0.01 via tools/gate_pick.py), the 9 queries whose freshest
+    # driver evidence is round 3, and the 27 stalest round-4 entries.
+    # r5 ∪ r6 ∪ r7 covers all 168 declared queries.  See SURVEY.md §8
+    # and tests/test_gate_coverage.py before reordering.
     return {
+        # -- new in round 7 (14): promoted verbatim from the round-6
+        # staging area --
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_dict_coverage": _q_text_dict_coverage,
         "embedding_rp": _q_embedding_rp,
@@ -6192,99 +6204,7 @@ def queries_round7_staged() -> dict:
         "pack_bins": _q_pack_bins,
         "dedup_containment": _q_dedup_containment,
         "vocab_zipf": _q_vocab_zipf,
-    }
-
-
-def oracle_sql_round7_staged() -> dict[str, str]:
-    return {
-        "dedup_paragraphs": _sql_dedup_paragraphs(),
-        "text_dict_coverage": _sql_text_dict_coverage(),
-        "embedding_rp": _sql_embedding_rp(),
-        "events_ewma": _sql_events_ewma(),
-        "knn_graph": _sql_knn_graph(),
-        "partitioned_roundtrip": _sql_partitioned_roundtrip(),
-        "embedding_mrl": _sql_embedding_mrl(),
-        "graph_triangles": _sql_graph_triangles(),
-        "lsh_recall_audit": _sql_lsh_recall_audit(),
-        "text_tfidf": _sql_text_tfidf(),
-        # the drained two-micro-batch stream equals batch events_ewma
-        # exactly (state carries the trailing window): oracle shared
-        "streaming_ewma": _sql_events_ewma(),
-        "pack_bins": _sql_pack_bins(),
-        "dedup_containment": _sql_dedup_containment(),
-        "vocab_zipf": _sql_vocab_zipf(),
-    }
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
-    # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-6 head (tools/rotate_gate.py +
-    # the never-green rule): the 24 queries promoted verbatim from the
-    # round-5 staging area (all 24 pre-checked green at sf0.01 via
-    # tools/gate_pick.py --staged), shard_layout (red in r5 on an
-    # oracle HUGEINT typing bug, fixed this round — never-GREEN, so it
-    # keeps a head slot until the driver records green), and the 25
-    # stalest round-3 entries.  r4 ∪ r5 ∪ r6 covers all 154 declared
-    # queries.  See SURVEY.md §8 and tests/test_gate_coverage.py
-    # before reordering.
-    return {
-        # -- new in round 6 (24): promoted verbatim from the round-5
-        # staging area --
-        "decontaminate_spans": _q_decontaminate_spans,
-        "index_compaction": _q_index_compaction,
-        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
-        "dedup_lines": _q_dedup_lines,
-        "text_repetition": _q_text_repetition,
-        "streaming_top_terms": _q_streaming_top_terms,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "pq_codes": _q_pq_codes,
-        "pq_adc": _q_pq_adc,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "text_entropy": _q_text_entropy,
-        "text_hash_embedding": _q_text_hash_embedding,
-        "pseudonymize": _q_pseudonymize,
-        "events_zscore": _q_events_zscore,
-        "streaming_zscore": _q_streaming_zscore,
-        "events_ks_drift": _q_events_ks_drift,
-        "fuzzy_join": _q_fuzzy_join,
-        "text_novelty": _q_text_novelty,
-        "text_lang_consistency": _q_text_lang_consistency,
-        "ivfpq_rerank": _q_ivfpq_rerank,
-        "multimodal_phash": _q_multimodal_phash,
-        "multimodal_audio_fp": _q_multimodal_audio_fp,
-        "multimodal_video_fp": _q_multimodal_video_fp,
-        # -- never GREEN: red in r5 (oracle HUGEINT shard column,
-        # fixed); stays in the head until it has a green driver row --
-        "shard_layout": _q_shard_layout,
-        # -- stalest evidence: the 25 oldest round-3 entries --
-        "tpch_q3": _q_tpch_q3,
-        "corpus_diff": _q_corpus_diff,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "orders_histogram": _q_orders_histogram,
-        "orders_corr": _q_orders_corr,
-        "temperature_mix": _q_temperature_mix,
-        "text_chunks": _q_text_chunks,
-        "text_collocations": _q_text_collocations,
-        "text_c4_lines": _q_text_c4_lines,
-        "semantic_dedup": _q_semantic_dedup,
-        "som_activation_response": _q_som_activation_response,
-        "som_qe_rows": _q_som_qe_rows,
-        "som_quantization_error": _q_som_quantization_error,
-        "som_labels_map": _q_som_labels_map,
-        "som_topographic_error": _q_som_topographic_error,
-        "som_train_epoch": _q_som_train_epoch,
-        "som_distance_map": _q_som_distance_map,
-        "som_feature_covariance": _q_som_feature_covariance,
-        "som_distance_map_hex": _q_som_distance_map_hex,
-        "som_train_epoch_hex": _q_som_train_epoch_hex,
-        "text_stats": _q_text_stats,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        # ---------------- tail (slots 51+): r3-green ----------------
+        # -- stalest evidence: 9 round-3 + 27 round-4 entries --
         "curation_pipeline": _q_curation_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -6294,7 +6214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "multimodal_image_stats": _q_multimodal_image_stats,
         "som_win_map": _q_som_win_map,
-        # ---------------- tail: r4-green ----------------
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_incremental": _q_dedup_incremental,
@@ -6322,6 +6241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "token_budget_mix": _q_token_budget_mix,
         "binary_rerank": _q_binary_rerank,
+        # ---------------- tail (slots 51+): r4-green ----------------
         "contamination_report": _q_contamination_report,
         "ann_kmeans_ivf": _q_ann_kmeans_ivf,
         "tpch_q4": _q_tpch_q4,
@@ -6341,7 +6261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_regr": _q_events_regr,
         "hard_negatives": _q_hard_negatives,
         "weighted_sample": _q_weighted_sample,
-        # ---------------- tail: r5-green (the round-5 head) ----------
+        # ---------------- tail: r5-green ----------------
         "streaming_decontaminate": _q_streaming_decontaminate,
         "probe_scores": _q_probe_scores,
         "bpe_subwords": _q_bpe_subwords,
@@ -6391,6 +6311,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q18": _q_tpch_q18,
         "tpch_q14": _q_tpch_q14,
+        # ---------------- tail: r6-green (the round-6 head) ----------
+        "decontaminate_spans": _q_decontaminate_spans,
+        "index_compaction": _q_index_compaction,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_lines": _q_dedup_lines,
+        "text_repetition": _q_text_repetition,
+        "streaming_top_terms": _q_streaming_top_terms,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "pq_codes": _q_pq_codes,
+        "pq_adc": _q_pq_adc,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "text_entropy": _q_text_entropy,
+        "text_hash_embedding": _q_text_hash_embedding,
+        "pseudonymize": _q_pseudonymize,
+        "events_zscore": _q_events_zscore,
+        "streaming_zscore": _q_streaming_zscore,
+        "events_ks_drift": _q_events_ks_drift,
+        "fuzzy_join": _q_fuzzy_join,
+        "text_novelty": _q_text_novelty,
+        "text_lang_consistency": _q_text_lang_consistency,
+        "ivfpq_rerank": _q_ivfpq_rerank,
+        "multimodal_phash": _q_multimodal_phash,
+        "multimodal_audio_fp": _q_multimodal_audio_fp,
+        "multimodal_video_fp": _q_multimodal_video_fp,
+        "shard_layout": _q_shard_layout,
+        "tpch_q3": _q_tpch_q3,
+        "corpus_diff": _q_corpus_diff,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "orders_histogram": _q_orders_histogram,
+        "orders_corr": _q_orders_corr,
+        "temperature_mix": _q_temperature_mix,
+        "text_chunks": _q_text_chunks,
+        "text_collocations": _q_text_collocations,
+        "text_c4_lines": _q_text_c4_lines,
+        "semantic_dedup": _q_semantic_dedup,
+        "som_activation_response": _q_som_activation_response,
+        "som_qe_rows": _q_som_qe_rows,
+        "som_quantization_error": _q_som_quantization_error,
+        "som_labels_map": _q_som_labels_map,
+        "som_topographic_error": _q_som_topographic_error,
+        "som_train_epoch": _q_som_train_epoch,
+        "som_distance_map": _q_som_distance_map,
+        "som_feature_covariance": _q_som_feature_covariance,
+        "som_distance_map_hex": _q_som_distance_map_hex,
+        "som_train_epoch_hex": _q_som_train_epoch_hex,
+        "text_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
     }
 
 
@@ -7194,6 +7165,23 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 7 from the round-6 staging area --
+        "dedup_paragraphs": _sql_dedup_paragraphs(),
+        "text_dict_coverage": _sql_text_dict_coverage(),
+        "embedding_rp": _sql_embedding_rp(),
+        "events_ewma": _sql_events_ewma(),
+        "knn_graph": _sql_knn_graph(),
+        "partitioned_roundtrip": _sql_partitioned_roundtrip(),
+        "embedding_mrl": _sql_embedding_mrl(),
+        "graph_triangles": _sql_graph_triangles(),
+        "lsh_recall_audit": _sql_lsh_recall_audit(),
+        "text_tfidf": _sql_text_tfidf(),
+        # the drained two-micro-batch stream equals batch events_ewma
+        # exactly (state carries the trailing window): oracle shared
+        "streaming_ewma": _sql_events_ewma(),
+        "pack_bins": _sql_pack_bins(),
+        "dedup_containment": _sql_dedup_containment(),
+        "vocab_zipf": _sql_vocab_zipf(),
         # -- promoted in round 6 from the round-5 staging area --
         "decontaminate_spans": _sql_decontaminate_spans(),
         "index_compaction": _sql_index_compaction(),

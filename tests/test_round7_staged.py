@@ -1,7 +1,6 @@
-"""Round-7 STAGED gate queries vs their oracles at sf0.001 — same
-comparison as test_oracle_parity, for entries not yet in queries()
-(the round-6 head-50 is exactly full; promoted at the round-7
-rotation)."""
+"""Round-7 promoted gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for the 14 entries promoted from the
+round-6 staging area into the graded head-50 (SURVEY.md §8)."""
 
 import math
 import os
@@ -19,8 +18,16 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-STAGED = entrymod.queries_round7_staged()
-ORACLES = entrymod.oracle_sql_round7_staged()
+PROMOTED = (
+    "dedup_paragraphs", "text_dict_coverage", "embedding_rp",
+    "events_ewma", "knn_graph", "partitioned_roundtrip",
+    "embedding_mrl", "graph_triangles", "lsh_recall_audit",
+    "text_tfidf", "streaming_ewma", "pack_bins", "dedup_containment",
+    "vocab_zipf")
+
+STAGED = {k: v for k, v in entrymod.queries().items() if k in PROMOTED}
+ORACLES = {k: v for k, v in entrymod.oracle_sql(SF_TINY).items()
+           if k in PROMOTED}
 
 
 def _norm(v):
@@ -36,15 +43,17 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_every_staged_entry_has_an_oracle():
-    # the driver has no rows-only mode: a missing oracle records err
-    assert set(ORACLES) == set(STAGED)
-    # staged entries must NOT be registered yet (head-50 is full)
-    assert not set(STAGED) & set(entrymod.queries())
+def test_promoted_queries_sit_in_the_graded_head():
+    # the driver checks queries()[:50]; a promoted entry outside the
+    # head would never get its first driver row
+    assert set(ORACLES) == set(STAGED) == set(PROMOTED)
+    head = list(entrymod.queries())[:50]
+    missing = set(PROMOTED) - set(head)
+    assert not missing, f"promoted entries outside the head-50: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_staged_query_matches_oracle(spark, name):
+def test_promoted_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)
     srows = sdf.collect()
     con = duckdb.connect()

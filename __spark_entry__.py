@@ -4971,7 +4971,7 @@ te AS (
   FROM tc GROUP BY id)
 SELECT ce.id, ce.n_chars_e, ce.char_entropy, te.n_tok,
        te.token_entropy
-FROM ce JOIN te ON te.id = ce.id
+FROM ce LEFT JOIN te ON te.id = ce.id
 """
 
 
@@ -5693,7 +5693,7 @@ WITH fr AS (
              PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN {_EWMA_LAG - 1} PRECEDING AND CURRENT ROW)
            AS l
-  FROM events WHERE value IS NOT NULL)
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
 SELECT event_id, event_type,
        CAST(FLOOR(ROUND(({num}) / ({den}), 6) * 1000000.0 + 0.5)
             AS BIGINT) AS ewma_e6

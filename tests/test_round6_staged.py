@@ -260,3 +260,32 @@ def test_novelty_score_extremes(spark):
     # fully unique doc: every shingle unique -> novelty 1
     assert out[3]["novelty"] == 1.0
     assert out[3]["n_unique"] == out[3]["n_sh"] > 0
+
+
+def test_text_entropy_oracle_roundtrips_whitespace_only_doc(spark):
+    """ADVICE r6: the graded text_entropy oracle must LEFT-join token
+    stats exactly like the operator — a doc with characters but no
+    tokens has to produce the SAME row (NULL token stats) on both
+    engines, not an extra Spark-only row."""
+    from xpysom_dask_spark.operators import text as T
+
+    rows = [(1, "aabb"), (2, "   \t "), (3, "p q r s")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["id"]: r for r in
+           T.entropy_signals(df, "text", "doc_id").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    res = con.execute(entrymod.oracle_sql(SF_TINY)["text_entropy"])
+    dcols = [d[0] for d in res.description]
+    want = {r[dcols.index("id")]: dict(zip(dcols, r))
+            for r in res.fetchall()}
+    con.close()
+
+    assert set(got) == set(want) == {1, 2, 3}
+    for i in (1, 2, 3):
+        for c in ("n_chars_e", "char_entropy", "n_tok",
+                  "token_entropy"):
+            g, w = got[i][c], want[i][c]
+            assert (g is None and w is None) or g == w, (i, c, g, w)

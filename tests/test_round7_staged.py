@@ -112,3 +112,23 @@ def test_knn_graph_gate_neighbors_share_cell(spark):
     assert len(edges) > 0
     for r in edges:
         assert cell[r["vec_id"]] == cell[r["neighbor_id"]]
+
+
+def test_dedup_paragraphs_sep_is_literal_not_regex(spark):
+    """ADVICE r6: a regex-special separator ('.', '|') must split on
+    the literal character — un-quoted it would split on EVERY char and
+    silently diverge from the DuckDB string_split oracle."""
+    from xpysom_dask_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "abc.abc.xyz"), (2, "a|b|a|c")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_paragraphs(df, "text", "doc_id", sep=".").collect()}
+    assert got[1]["text"] == "abc.xyz"
+    assert got[1]["n_paras_removed"] == 1
+    assert got[2]["text"] == "a|b|a|c"      # no '.' -> untouched
+    got2 = {r["doc_id"]: r for r in
+            dedup_paragraphs(df, "text", "doc_id", sep="|").collect()}
+    assert got2[2]["text"] == "a|b|c"
+    assert got2[2]["n_paras_removed"] == 1

@@ -585,3 +585,36 @@ def test_ewma_stream_across_batches_equals_batch(spark, tmp_path):
         alpha=0.5, lag=4).collect()}
     assert len(got) == 60
     assert got == want
+
+
+def test_ewma_fn_concatenates_chunks_before_sorting():
+    """ADVICE r6: applyInPandasWithState can hand one key's micro-batch
+    over as several Arrow chunks in arbitrary relative order.  The fold
+    must sort the CONCATENATED batch, not each chunk independently —
+    otherwise out-of-order rows across chunks silently break the
+    drained-stream == batch contract."""
+    import pandas as pd
+
+    from xpysom_dask_spark.streaming.state import _ewma_fn_factory
+
+    class _State:
+        exists = False
+        def update(self, v):
+            self.saved = v
+
+    w = [0.5 ** p for p in range(4)]          # alpha=0.5, lag=4 weights
+
+    def run(chunks):
+        st = _State()
+        fn = _ewma_fn_factory(w, 4)
+        return list(fn(("k",), iter(chunks), st))[0], st
+
+    ordered = pd.DataFrame({"id": [0, 1, 2, 3],
+                            "value": [1.0, 2.0, 3.0, 4.0],
+                            "__ts__": [10, 20, 30, 40]})
+    # later events in the FIRST chunk, earlier in the second
+    out_split, st_split = run([ordered.iloc[2:], ordered.iloc[:2]])
+    out_one, st_one = run([ordered])
+    pd.testing.assert_frame_equal(
+        out_split.reset_index(drop=True), out_one.reset_index(drop=True))
+    assert st_split.saved == st_one.saved

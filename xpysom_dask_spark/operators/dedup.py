@@ -844,8 +844,17 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
     with zero exchange.  The position test is O(lines²) per document
     in the worst case, but entirely in-register; documents are
     KB-sized, not GB-sized, so compute never dominates the scan.
+
+    ``sep`` is a LITERAL delimiter (matching the docs'
+    ``sep``-delimited phrasing and the DuckDB ``string_split`` twin),
+    not a regex: it is \\Q…\\E-quoted before reaching ``F.split``, so
+    a regex-special separator like ``"."`` or ``"|"`` splits on the
+    character itself, not on everything.
     """
-    arr = F.split(F.col(text_col), sep)
+    # java.util.regex.Pattern.quote semantics: wrap in \Q…\E, breaking
+    # out of the quote around any literal \E inside the separator
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    arr = F.split(F.col(text_col), sep_rx)
     kept = F.filter(
         F.transform(arr, lambda x, i: F.struct(
             x.alias("s"), i.alias("i"))),

@@ -508,8 +508,13 @@ def ewma(df: DataFrame, key_col: str, value_col: str, ts_col: str,
     # NULL values are dropped BEFORE the window: collect_list silently
     # skips NULLs, which would shift every later observation against
     # the weight vector — excluding the row entirely keeps lag
-    # alignment honest (a gap contributes nothing, same as ts gaps)
-    base = df.where(F.col(value_col).isNotNull()) \
+    # alignment honest (a gap contributes nothing, same as ts gaps).
+    # NULL timestamps are dropped too: they have no position in a
+    # time-ordered series, and the engines disagree on where they sort
+    # (Spark ASC = NULLS FIRST, DuckDB/ANSI default = NULLS LAST) —
+    # keeping them would silently diverge the whole key's EWMA
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(ts_col).isNotNull()) \
         .select(F.col(id_col).alias("id"),
                 F.col(key_col).alias("key"),
                 F.col(value_col).alias("value"),

@@ -83,9 +83,17 @@ def _ewma_fn_factory(w: list, lag: int):
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state):
         hist = list(state.get[0]) if state.exists else []
         ids, keys, vals, ewmas = [], [], [], []
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
+        # applyInPandasWithState may deliver a key's micro-batch as
+        # MULTIPLE Arrow chunks whose relative order is not event-time
+        # sorted (>maxRecordsPerBatch rows, multi-file batches);
+        # per-chunk sorting would silently break the "drained stream
+        # equals batch ewma exactly" contract.  Concatenate the whole
+        # key-micro-batch first, sort ONCE, then fold — memory stays
+        # bounded by the micro-batch (state itself is O(lag)).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
             pdf = pdf.sort_values(["__ts__", "id"])
             for _id, v in zip(pdf["id"].to_numpy(np.int64),
                               pdf["value"].to_numpy(np.float64)):

@@ -530,8 +530,11 @@ def _q_simhash_signatures(spark, sf_dir):
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
+    # max_df=None: the DuckDB twin is exact — the gate opts out of the
+    # scale-default stop-shingle pruning explicitly
     out = dedup.ngram_jaccard_near_dups(_docs(spark, sf_dir), "text",
-                                        "doc_id", threshold=0.8)
+                                        "doc_id", threshold=0.8,
+                                        max_df=None)
     return out.select(F.col("id_a").cast("bigint"),
                       F.col("id_b").cast("bigint"),
                       F.round("jaccard", 6).alias("jaccard"))
@@ -5863,7 +5866,10 @@ def _q_lsh_recall_audit(spark, sf_dir):
     identically on both engines."""
     from xpysom_dask_spark.operators.dedup import lsh_recall_audit
 
-    return lsh_recall_audit(_docs(spark, sf_dir), "text", "doc_id")
+    # max_df=None: exact ground truth for the oracle twin (the finite
+    # scale default would prune stop-shingle postings)
+    return lsh_recall_audit(_docs(spark, sf_dir), "text", "doc_id",
+                            max_df=None)
 
 
 def _sql_lsh_recall_audit():
@@ -6059,7 +6065,7 @@ def _q_dedup_containment(spark, sf_dir):
     from xpysom_dask_spark.operators.dedup import containment_pairs
 
     out = containment_pairs(_docs(spark, sf_dir), "text", "doc_id",
-                            threshold=0.9)
+                            threshold=0.9, max_df=None)
     return out.select(
         "id_a", "id_b",
         F.round("containment", 6).alias("containment"),

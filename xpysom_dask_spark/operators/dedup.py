@@ -29,6 +29,16 @@ from .text import HASH_BASE, HASH_PRIME, md5_fingerprint, simhash_table
 MINHASH_K = 8
 MINHASH_SEED = 7
 
+#: default document-frequency cutoff for posting-list (exact-Jaccard /
+#: containment) candidate joins.  The self-join fanout is Σ df(s)² over
+#: shingles — on a real web corpus a boilerplate 3-gram appears in
+#: millions of documents and an UNBOUNDED posting list generates ~10¹²
+#: candidate pairs from that one shingle.  The scale-safe behavior is
+#: therefore the DEFAULT (the ``max_bucket`` band-join precedent);
+#: exact-semantics oracle comparison opts OUT explicitly with
+#: ``max_df=None``.
+DEFAULT_MAX_DF = 1000
+
 
 def minhash_coefficients(k: int = MINHASH_K, seed: int = MINHASH_SEED):
     rng = np.random.RandomState(seed)
@@ -329,7 +339,8 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
                             threshold: float = 0.8, n: int = 3,
-                            max_df: int | None = None) -> DataFrame:
+                            max_df: int | None = DEFAULT_MAX_DF
+                            ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via a shingle inverted
     index (no MinHash approximation in candidate generation):
     (id_a, id_b, jaccard ≥ threshold).
@@ -342,7 +353,10 @@ def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
     practice; pairs sharing *only* ultra-common shingles can't clear a
     high Jaccard threshold anyway — with threshold t and document
     shingle-set size m, a true near-dup shares ≥ t·m/(1+t) shingles,
-    overwhelmingly including rare ones).  ``max_df=None`` keeps exact
+    overwhelmingly including rare ones).  The finite
+    :data:`DEFAULT_MAX_DF` is the DEFAULT — unbounded postings on a
+    web corpus are a quadratic blow-up on the hottest boilerplate
+    shingle; pass ``max_df=None`` explicitly to opt into exact
     semantics for oracle comparison.
     """
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
@@ -1270,7 +1284,7 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
                      n: int = 3, k: int = MINHASH_K,
                      rows_per_band: int = 2, min_jaccard: float = 0.05,
                      buckets: int = 10,
-                     max_df: int | None = None) -> DataFrame:
+                     max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """EMPIRICAL recall audit of the banded-MinHash candidate
     generator against exact n-gram-Jaccard ground truth:
     ``(bucket, n_pairs, n_caught)`` — bucket = ``floor(j·buckets)``
@@ -1287,8 +1301,9 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
 
     Scale shape: ground truth reuses the posting-list inverted-index
     join (``max_df`` prunes stop-shingle postings exactly as
-    :func:`ngram_jaccard_near_dups` documents — at corpus scale run
-    the audit on a hash-sampled slice, the estimate is what matters);
+    :func:`ngram_jaccard_near_dups` documents, finite by DEFAULT; at
+    corpus scale run the audit on a hash-sampled slice, the estimate
+    is what matters);
     candidates reuse the banded self-join; the final mark is one hash
     join on (id_a, id_b) + a map-side-combined groupBy over ≤
     ``buckets`` rows.
@@ -1312,7 +1327,7 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.9, n: int = 3,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by shingle containment:
     ``(id_a, id_b, containment, jaccard)`` with
     ``containment = |A ∩ B| / min(|A|, |B|) ≥ threshold`` — the
@@ -1328,8 +1343,9 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Scale shape: identical to :func:`ngram_jaccard_near_dups` — the
     posting-list inverted-index join generates candidates (``max_df``
-    prunes stop-shingle postings), sizes broadcast back, one exact
-    filter.  Containment needs no new machinery, only the min() in
+    prunes stop-shingle postings, finite by DEFAULT — ``max_df=None``
+    is the explicit exact-semantics opt-in), sizes broadcast back,
+    one exact filter.  Containment needs no new machinery, only the min() in
     the denominator.
     """
     if not 0.0 < threshold <= 1.0:

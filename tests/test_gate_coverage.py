@@ -100,3 +100,41 @@ def test_gate_twin_canonicalizer_catches_hugeint():
         "FROM (VALUES (1),(2)) t(x)").fetchdf()
     assert value_hash(huge) != value_hash(big)
     assert value_hash(big) == value_hash(big.copy())
+
+
+def test_current_order_meets_staleness_policy():
+    """VERDICT r6: evidence freshness must be enforced, not advisory.
+    Project the CURRENT queries() order through the coming round (head
+    slots get fresh rows, the tail keeps its archive) and fail if any
+    declared query's newest green row would end the round more than
+    MAX_STALENESS_ROUNDS old — e.g. the round-6 ordering frozen into
+    round 8 leaves the round-3 block 5 rounds stale and trips this."""
+    from tools.rotate_gate import (MAX_STALENESS_ROUNDS,
+                                   staleness_violations)
+
+    latest = latest_green_rounds(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    next_round = max(latest.values(), default=0) + 1
+    declared = list(entrymod.queries())
+    bad = staleness_violations(declared, latest, next_round)
+    assert not bad, (
+        f"queries() order leaves evidence > {MAX_STALENESS_ROUNDS} "
+        f"rounds old after r{next_round}: {bad} — run "
+        "tools/rotate_gate.py and reorder")
+
+
+def test_staleness_violation_detection_catches_frozen_order():
+    """The helper itself must flag a stale tail: a 3-query surface
+    with 1 head slot where the tail query's last green row is 4
+    rounds back."""
+    from tools.rotate_gate import staleness_violations
+
+    declared = ["a", "b", "c"]
+    latest = {"a": 7, "b": 4, "c": 7}
+    bad = staleness_violations(declared, latest, 8, gate_slots=1,
+                               max_age=3)
+    assert bad == [("b", 4)]
+    # never-green tail is infinitely stale
+    bad2 = staleness_violations(declared, {"a": 7, "c": 7}, 8,
+                                gate_slots=1, max_age=3)
+    assert ("b", float("inf")) in bad2

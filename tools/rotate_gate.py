@@ -47,6 +47,35 @@ def latest_green_rounds(paths):
     return latest_green
 
 
+#: evidence-freshness policy (SURVEY.md §8): at the end of each round,
+#: no declared query's newest green row may be older than this many
+#: rounds.  With 50 gate slots a full cycle over N declared queries
+#: takes ceil(N/50) rounds, so the bound also caps how large the
+#: declared surface may grow (<= 50 * MAX_STALENESS_ROUNDS - 50 tail).
+MAX_STALENESS_ROUNDS = 3
+
+
+def staleness_violations(declared, latest_green, next_round,
+                         gate_slots=GATE_SLOTS,
+                         max_age=MAX_STALENESS_ROUNDS):
+    """Queries whose evidence would be too old AFTER the coming round.
+
+    Project the current ordering forward: the head-``gate_slots``
+    entries get a fresh row at ``next_round``; everything else keeps
+    its archived latest.  Returns ``[(name, age_after_round), ...]``
+    for every declared query whose projected age exceeds ``max_age``
+    (never-green tail queries project to infinite age).
+    """
+    head = set(declared[:gate_slots])
+    bad = []
+    for name in declared:
+        ev = next_round if name in head else latest_green.get(name)
+        age = float("inf") if ev is None else next_round - ev
+        if age > max_age:
+            bad.append((name, age))
+    return bad
+
+
 def main():
     import __spark_entry__ as entry
 
@@ -78,6 +107,18 @@ def main():
         tag = "NEVER" if ev is None else f"r{ev}"
         marker = "  <-- head" if rank < head_left else ""
         print(f"{rank + 1:3d}. {name:32s} [{tag}]{marker}")
+
+    next_round = max(latest_green.values(), default=0) + 1
+    bad = staleness_violations(declared, latest_green, next_round)
+    if bad:
+        print(f"# STALENESS (policy: <= {MAX_STALENESS_ROUNDS} rounds "
+              f"after r{next_round}) — the CURRENT registration order "
+              "leaves these too old; reorder before the round ends:")
+        for name, age in bad:
+            print(f"  ! {name} (age {age})")
+    else:
+        print(f"# staleness OK: current order keeps every query within "
+              f"{MAX_STALENESS_ROUNDS} rounds after r{next_round}")
 
 
 if __name__ == "__main__":

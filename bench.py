@@ -613,13 +613,32 @@ def main():
     spark.stop()
 
     sys.stdout.flush()
-    print(json.dumps({
+    full_payload = {
         "metric": "som_train10+predict+qe+pipeline_ops",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }, separators=(",", ":")))
+    }
+    # The driver archives only the last ~2000 bytes of stdout and
+    # parses the FINAL line (VERDICT r06 #6): the full ~95-workload
+    # dict no longer fits, so emit it as an EARLIER line (recoverable
+    # from full logs + always in BENCH_DETAIL.json) and keep the LAST
+    # line a compact headline that always survives tail truncation.
+    print(json.dumps(full_payload, separators=(",", ":")))
+    head_names = ["train_10ep", "predict", "qe"]
+    qsel = {n: timings[n] for n in head_names if n in timings}
+    payload = dict(full_payload)
+    payload["queries"] = qsel
+    payload["n_queries_total"] = len(timings)
+    payload["detail"] = "BENCH_DETAIL.json"
+    for n in sorted((k for k in timings if k not in qsel),
+                    key=lambda k: -timings[k]):
+        qsel[n] = timings[n]
+        if len(json.dumps(payload, separators=(",", ":"))) > 1700:
+            del qsel[n]
+            break
+    print(json.dumps(payload, separators=(",", ":")))
     sys.stdout.flush()
 
 

@@ -5771,6 +5771,52 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _q_knn_graph_full(spark, sf_dir):
+    """knn_graph at nprobe = n_cells — the OTHER end of the recall
+    knob (operators/similarity.py knn_graph, same 4-cell codebook as
+    the knn_graph gate): probing every cell makes the candidate set
+    the whole corpus, so the cell-pruned plan must reproduce EXACT
+    brute-force cosine top-5.  The oracle is plain all-pairs kNN — no
+    cell replay — so this gate proves the probe fan-out, per-cell
+    GEMM, and final rank window compose to the exact answer, covering
+    both ends of the nprobe trade (nprobe=1 gate: recall-trade plan;
+    here: exactness at full probe)."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], np.float64)
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+    out = knn_graph(emb, cents, k=5, nprobe=len(cents))
+    return out.select(
+        "vec_id", "rank", "neighbor_id",
+        F.expr("CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("sim_e6"))
+
+
+def _sql_knn_graph_full():
+    dot = _DOT64.format(a="x.embedding", b="y.embedding")
+    xx = _DOT64.format(a="x.embedding", b="x.embedding")
+    yy = _DOT64.format(a="y.embedding", b="y.embedding")
+    return f"""
+WITH sims AS (
+  SELECT x.vec_id, y.vec_id AS neighbor_id,
+         ({dot}) / (sqrt({xx}) * sqrt({yy})) AS sim
+  FROM embeddings x
+  JOIN embeddings y ON y.vec_id <> x.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT vec_id, rank, neighbor_id,
+       CAST(FLOOR(ROUND(sim, 6) * 1000000.0 + 0.5) AS BIGINT)
+         AS sim_e6
+FROM ranked WHERE rank <= 5
+"""
+
+
 _MRL_DIM = 16
 
 
@@ -6055,6 +6101,73 @@ FROM rec
 """
 
 
+_FFD_GATE_DOCS = 64
+
+
+def _q_pack_bins_ffd(spark, sf_dir):
+    """First-fit-DECREASING no-straddle packing on a BOUNDED config
+    (operators/packing.py pack_bins_ffd): the tighter SFT packer whose
+    open-bin state made it the one non-gated packer until now.  Gate
+    config: the first 64 docs by doc_id, ONE pack group — small enough
+    that the oracle replays EVERY first-fit decision with a recursive
+    CTE carrying the open-bin fill list as BIGINT[] state (depth = 64,
+    state = O(bins)).  Full-scale FFD state is NOT SQL-replayable in
+    bounded recursion (PLANS.md); this bounded replay proves the
+    kernel's placement logic exactly, the invariant/replica tests in
+    tests/test_packing.py cover the hash-routed scale shape."""
+    from xpysom_dask_spark.operators import packing
+
+    docs = (_docs(spark, sf_dir)
+            .withColumn("n_tok", T.token_count("text"))
+            .orderBy("doc_id").limit(_FFD_GATE_DOCS))
+    out = packing.pack_bins_ffd(docs, "doc_id", "n_tok",
+                                budget=_PACK_BINS_BUDGET,
+                                n_groups=1, seed=2)
+    return out.select("doc_id", "n_tok", "group", "bin_id", "bin_fill",
+                      F.col("oversize").cast("int").alias("oversize"))
+
+
+def _sql_pack_bins_ffd():
+    toks = _duck_tokens("text")
+    b = _PACK_BINS_BUDGET
+    # first-fit position in the open-bin fill list (1-based; NULL =
+    # no open bin fits → a new bin opens)
+    cand = (f"([i FOR i IN range(1, len(r.fills)+1) "
+            f"IF r.fills[i] + s.n_tok <= {b}])[1]")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tok
+  FROM (SELECT * FROM documents ORDER BY doc_id
+        LIMIT {_FFD_GATE_DOCS})),
+seq AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+  FROM base),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS fills,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS fill_after
+  UNION ALL
+  SELECT s.rn,
+         CASE WHEN {cand} IS NULL THEN list_append(r.fills, s.n_tok)
+              ELSE r.fills[1:{cand}-1]
+                   || [r.fills[{cand}] + s.n_tok]
+                   || r.fills[{cand}+1:len(r.fills)] END,
+         s.doc_id, s.n_tok,
+         CASE WHEN {cand} IS NULL THEN len(r.fills)
+              ELSE {cand} - 1 END,
+         CASE WHEN {cand} IS NULL THEN s.n_tok
+              ELSE r.fills[{cand}] + s.n_tok END
+  FROM rec r JOIN seq s ON s.rn = r.rn + 1)
+SELECT doc_id, n_tok, CAST(0 AS BIGINT) AS "group",
+       CAST(bin AS BIGINT) AS bin_id,
+       CAST(fill_after AS BIGINT) AS bin_fill,
+       CAST(CASE WHEN n_tok > {b} THEN 1 ELSE 0 END AS INTEGER)
+         AS oversize
+FROM rec WHERE rn >= 1
+"""
+
+
 def _q_dedup_containment(spark, sf_dir):
     """Asymmetric near-dup pairs by shingle CONTAINMENT
     (operators/dedup.py containment_pairs, Broder's
@@ -6181,6 +6294,23 @@ WHERE lang = (SELECT MIN(lang) FROM documents)
 GROUP BY source
 """
 
+
+
+def queries_round8_staged() -> dict:
+    """Round-8 promotion queue: oracle-green here + at sf0.01 via
+    tools/gate_pick.py --staged, awaiting a head-50 slot at the next
+    rotation (the round-7 queue's promotion path, SURVEY.md §8)."""
+    return {
+        "pack_bins_ffd": _q_pack_bins_ffd,
+        "knn_graph_full": _q_knn_graph_full,
+    }
+
+
+def oracle_sql_round8_staged() -> dict[str, str]:
+    return {
+        "pack_bins_ffd": _sql_pack_bins_ffd(),
+        "knn_graph_full": _sql_knn_graph_full(),
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -99,6 +99,56 @@ def test_streaming_sessions_state_bounded_by_gap(spark):
     assert state["numRowsTotal"] <= 10 * 8
 
 
+def test_streaming_ewma_soak_matches_batch_and_state_stays_flat(spark):
+    """12 REAL micro-batches through the applyInPandasWithState EWMA
+    (streaming/state.py ewma_stream): (a) the drained union equals the
+    batch operator row-for-row — the cross-batch state-carry contract
+    exercised under genuine multi-chunk micro-batches, not an
+    availableNow drain; (b) stateOperators[0].numRowsTotal stays at
+    exactly one state row per key however many batches run — the
+    custom stateful operator's state-leak alarm (a leak would grow
+    with batch count and only this progress metric sees it)."""
+    from xpysom_dask_spark.operators.profile import ewma
+    from xpysom_dask_spark.streaming.state import ewma_stream
+
+    rows_per_batch = 40
+    n_keys = 5
+    src = rate_micro_batch_stream(spark, rows_per_batch=rows_per_batch,
+                                  num_partitions=2)
+    # value is globally monotone across batches, so event_id order ==
+    # (batch ts, id) order — the batch replay below relies on this
+    stream = src.select(
+        (F.col("value") % n_keys).alias("k"),
+        F.col("value").alias("event_id"),
+        (F.col("value") * 37 % 101).cast("double").alias("metric"),
+        F.col("timestamp").alias("ts"))
+    out = ewma_stream(stream, "k", "metric", "ts", "event_id",
+                      alpha=0.25, lag=8)
+
+    prog = _run_batches(out, "soak_ewma", mode="update")
+    state = prog["stateOperators"][0]
+    assert state["numRowsTotal"] == n_keys, \
+        f"EWMA state leaked: {state['numRowsTotal']} rows for {n_keys} keys"
+
+    got = {r["id"]: r for r in
+           spark.sql("SELECT id, key, value, ewma FROM soak_ewma")
+           .collect()}
+    assert len(got) >= (N_BATCHES - 1) * rows_per_batch
+    # batch replay over exactly the drained events (ts := id is
+    # order-equivalent to the stream's (batch-ts, id) ordering)
+    batch_in = spark.createDataFrame(
+        [(int(i), int(r["key"]), float(r["value"]))
+         for i, r in got.items()],
+        "event_id bigint, k bigint, metric double")
+    exp = ewma(batch_in.withColumn("ts", F.col("event_id")),
+               "k", "metric", "ts", "event_id", alpha=0.25, lag=8)
+    exp_rows = exp.collect()
+    assert len(exp_rows) == len(got)
+    for r in exp_rows:
+        assert got[r["id"]]["ewma"] == r["ewma"], \
+            (r["id"], got[r["id"]]["ewma"], r["ewma"])
+
+
 def test_streaming_dedup_soak_emits_exactly_once_per_fingerprint(spark):
     """Across many real micro-batches, repeated content (value % 20)
     must emit exactly the distinct-fingerprint set — no duplicate

@@ -224,3 +224,122 @@ def test_video_fingerprint_plan_has_no_join(spark):
     assert len(pdf) == 3
     # 4 frames x ceil(20px / 32 bits) = 4 words per video signature
     assert all(len(b) == 4 for b in pdf["bits"])
+
+
+# ---------------------------------------------------------------------- #
+# PNG ingestion: pure-stdlib fallback decoder (zlib inflate + unfilter)
+
+def _encode_png(img, filter_type=0):
+    """Minimal PNG writer emitting ``filter_type`` on EVERY scanline —
+    exercises each unfilter branch of the stdlib decoder; output is a
+    spec-valid PNG any external tool can read."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    bpp = c
+    for y in range(h):
+        cur = flat[y]
+        ft = filter_type
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - a) & 255
+        elif ft == 2:
+            filt = (cur - prev) & 255
+        elif ft == 3:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - ((a + prev) >> 1)) & 255
+        elif ft == 4:
+            filt = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                filt[x] = (int(cur[x]) - pr) & 255
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_type(filter_type):
+    rng = np.random.RandomState(100 + filter_type)
+    img = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    data = _encode_png(img, filter_type)
+    got = M.decode_image(data, {"format": "png"})
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 4])
+def test_png_roundtrip_channel_layouts(channels):
+    rng = np.random.RandomState(channels)
+    img = rng.randint(0, 256, size=(6, 9, channels), dtype=np.uint8)
+    got = M.decode_image(_encode_png(img, 4), {"format": "png"})
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_differential_vs_raw_through_image_stats(spark, images_df):
+    """The SAME bitmaps, once as raw bytes, once PNG-encoded: the
+    exact-integer stats operator must not see the codec at all — the
+    decode step is the only thing that differs between the runs."""
+    _, rows = images_df
+    png_rows = [(i, _encode_png(_decode(r)), "png", r[3], r[4], r[5])
+                for i, r in enumerate(rows)]
+    pdf_raw = M.image_stats(
+        spark.createDataFrame(rows, M.IMAGE_SCHEMA)).toPandas()
+    pdf_png = M.image_stats(
+        spark.createDataFrame(png_rows, M.IMAGE_SCHEMA)).toPandas()
+    key = ["image_id"]
+    a = pdf_raw.sort_values(key).reset_index(drop=True)
+    b = pdf_png.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_png_unsupported_depth_names_the_remedy():
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)  # 16-bit RGB
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present: it handles 16-bit PNGs")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.decode_image(data, {"format": "png"})
+
+
+def test_jpeg_without_pillow_raises_actionable():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed: jpeg decodes for real")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+        M.decode_image(b"\xff\xd8\xff\xe0fake", {"format": "jpeg"})

@@ -82,8 +82,96 @@ def _decode_pil_image(data: bytes, meta: dict) -> np.ndarray:
     return img
 
 
+def _decode_png_stdlib(data: bytes, meta: dict) -> np.ndarray:
+    """Pure-stdlib PNG decode — zlib inflate + per-scanline unfilter
+    (all five PNG filter types), 8-bit grey/grey+alpha/RGB/RGBA,
+    non-interlaced.  This is the container-safe fallback that makes
+    ``format='png'`` REAL ingestion even where Pillow isn't
+    installable; palette/16-bit/interlaced PNGs raise the actionable
+    NotImplementedError (install Pillow) instead of silently
+    mis-decoding.  Per-image Python cost is fine: decode runs inside
+    the mapInPandas batch, one image at a time, exactly like the PIL
+    path it substitutes."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, idat = 8, bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if w is None or depth != 8 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"stdlib PNG fallback handles 8-bit non-interlaced "
+            f"grey/RGB/RGBA only (got depth={depth}, color type="
+            f"{ctype}, interlace={interlace}); install Pillow for "
+            "full PNG support")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG payload {len(raw)} bytes != h*(stride+1) = "
+            f"{h * (stride + 1)}")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    bpp = channels
+    ofs = 0
+    for y in range(h):
+        ft = raw[ofs]
+        row = np.frombuffer(raw, np.uint8, stride, ofs + 1).astype(np.int32)
+        ofs += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 2:                       # up
+            cur = (row + prev) & 255
+        elif ft in (1, 3, 4):               # sub / average / paeth
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 1:
+                    val = row[x] + a
+                elif ft == 3:
+                    val = row[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    val = row[x] + pr
+                cur[x] = val & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft} at row {y}")
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def _decode_png(data: bytes, meta: dict) -> np.ndarray:
+    """PNG: Pillow when importable (full format coverage), else the
+    stdlib inflate+unfilter fallback above."""
+    try:
+        return _decode_pil_image(data, meta)
+    except NotImplementedError:
+        return _decode_png_stdlib(data, meta)
+
+
 register_image_decoder("raw", _decode_raw_image)
-for _fmt in ("jpeg", "jpg", "png", "webp"):
+register_image_decoder("png", _decode_png)
+for _fmt in ("jpeg", "jpg", "webp"):
     register_image_decoder(_fmt, _decode_pil_image)
 
 

@@ -636,3 +636,53 @@ def test_bloom_merge_equals_rebuilt_filter(spark):
     full = dedup.bloom_bitmap(sha.unionByName(shb), m)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, full.collect()))
+
+
+# ---------------------------------------------------------------------- #
+# fingerprint fast paths (round 7): the byte/char-hybrid min-shingle and
+# split-based rolling hash must stay bit-identical to the definition —
+# pinned against an engine-independent Python reference
+
+_FP_CASES = [
+    "", "x", "ab", "exactly8", "sevench",
+    "the quick brown fox jumps over the lazy dog",
+    "  Leading  and   trailing  whitespace\tand\ntabs  ",
+    "MiXeD CaSe TeXt With NUMBERS 12345 and punct!?",
+    "héllo wörld ünïcode tèxt",            # latin-1-ish multi-byte
+    "日本語のテキストです 深層学習 モデル",     # CJK (3-byte chars)
+    "mixed ascii and 中文 chars here",      # forces the char fallback
+]
+
+
+def _py_min_shingle(text, width=8):
+    import hashlib
+    import re
+
+    # trim(regexp_replace(lower(text), '\s+', ' ')) with Java's ASCII \s
+    t = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
+    n = max(len(t) - width + 1, 1)
+    return min(hashlib.md5(t[i:i + width].encode("utf-8")).hexdigest()
+               for i in range(n))
+
+
+def test_min_shingle_fingerprint_matches_python_reference(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(_FP_CASES)],
+                               "i bigint, text string")
+    got = {r["i"]: r["fp"] for r in df.select(
+        "i", T.min_shingle_fingerprint("text").alias("fp")).collect()}
+    for i, s in enumerate(_FP_CASES):
+        assert got[i] == _py_min_shingle(s), (i, s)
+
+
+def test_rolling_hash_matches_python_reference(spark):
+    ascii_cases = [s for s in _FP_CASES if s.isascii()]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ascii_cases)],
+        "i bigint, text string")
+    got = {r["i"]: r["h"] for r in df.select(
+        "i", T.rolling_hash("text").alias("h")).collect()}
+    for i, s in enumerate(ascii_cases):
+        acc = 0
+        for ch in s:
+            acc = (acc * T.HASH_BASE + ord(ch)) % T.HASH_PRIME
+        assert got[i] == acc, (i, s)

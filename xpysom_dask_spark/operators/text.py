@@ -138,21 +138,42 @@ def min_shingle_fingerprint(col: str, width: int = 8) -> Column:
     (``transform(array(t), tt -> ...)``) — referencing ``t`` directly at
     every shingle position would re-run the regexp normalization per
     position (O(len²) regexp work per document).
+
+    Positional ``substring(tt, i, w)`` on a STRING is itself O(i) in
+    Spark (UTF8String re-scans for char boundaries from the front), so
+    a substring-per-position loop is O(len²) per document — measured
+    92 s for the 50k-doc sf1 fingerprint pass vs 16 s for this form.
+    Pure-ASCII text (length == octet_length, the overwhelming case
+    after normalization) takes the BYTE path: ``substr`` on BINARY is
+    a plain O(1) byte-offset slice and byte shingles ≡ char shingles;
+    anything multi-byte falls back to an O(len) char-array slice.
+    Both branches are bit-identical to the original definition
+    (min of md5 over all width-CHAR shingles) — differentially tested
+    in test_curation2.py, non-ASCII included.
     """
     t = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
-    per_pos = (f"transform(sequence(1, greatest(length(tt) - {width - 1}, 1)), "
-               f"i -> md5(substring(tt, i, {width})))")
+    w = width
+    byte_path = (f"array_min(flatten(transform(array(encode(tt, 'utf-8')), "
+                 f"bs -> transform(sequence(1, greatest(length(bs) - {w - 1}, 1)), "
+                 f"i -> md5(substr(bs, i, {w}))))))")
+    char_path = (f"array_min(flatten(transform(array(split(tt, '')), "
+                 f"cs -> transform(sequence(1, greatest(size(cs) - {w - 1}, 1)), "
+                 f"i -> md5(array_join(slice(cs, i, {w}), ''))))))")
     return F.expr(
-        f"array_min(flatten(transform(array({t}), tt -> {per_pos})))")
+        f"flatten(transform(array({t}), tt -> array("
+        f"CASE WHEN length(tt) = octet_length(tt) "
+        f"THEN {byte_path} ELSE {char_path} END)))[0]")
 
 
 def rolling_hash(col: str) -> Column:
     """Polynomial rolling hash of the raw text (base {base}, mod 2³¹−1);
     0 for the empty string.  Cheap 64-bit-safe content id."""
+    # split-to-chars, NOT substring(col, i, 1) per position: positional
+    # substring on a string is O(i) (UTF8String char-boundary rescan),
+    # which turns the fold into O(len²) per document
     return F.expr(
         f"CASE WHEN length({col}) = 0 THEN 0 ELSE "
-        f"aggregate(transform(sequence(1, length({col})), "
-        f"i -> ascii(substring({col}, i, 1))), 0L, "
+        f"aggregate(transform(split({col}, ''), c -> ascii(c)), 0L, "
         f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_PRIME}) END")
 
 

@@ -12,9 +12,16 @@ Replication is semantics-aware (the round-6 lesson, BASELINE.md):
 * lineitem/orders: per-copy key OFFSET on the order key keeps the
   orders↔lineitem join 1:N and fans every copy onto the SAME 1× dims —
   join selectivities scale the way a bigger TPC-H SF does.
-* documents: a per-copy salt token between every word (verbatim copies
-  are adversarial by SEMANTICS for near-dup ops: k copies → ~k² true
-  pairs; salting keeps the workload near-dup-realistic).
+* documents: a per-copy SUFFIX appended to every word — a bijective
+  token rename, so each copy's internal shingle/similarity structure
+  is IDENTICAL to the 1× corpus while copies share nothing.  (Verbatim
+  copies are adversarial by SEMANTICS for near-dup ops: k copies →
+  ~k² true pairs.  A salt token INTERLEAVED between words — the first
+  attempt — is adversarial the other way: `salt word salt` 3-gram
+  shingles overlap for ANY two docs sharing one word, which inflated
+  within-copy Jaccard and blew the LSH candidate set to 10.6M pairs.
+  Renaming is the only replication that preserves near-dup workload
+  shape.)
 * embeddings: per-copy deterministic N(0, 0.01) jitter (identical
   vectors degenerate cosine top-k into tie-breaking).
 * events: event_id offset, everything else verbatim (10× arrival
@@ -100,13 +107,14 @@ def gen(out_dir: str) -> None:
     doff = con.execute(
         f"SELECT MAX(doc_id) + 1 FROM "
         f"read_parquet('{SF01}/documents.parquet')").fetchone()[0]
-    # per-copy salt token joined between every word (copy 0 included,
-    # so all copies are comparable — the salted-1× convention)
+    # per-copy suffix on every word (bijective rename; copy 0 included
+    # so all copies are comparable — the renamed-1× convention)
     rep(f"""
         SELECT doc_id + c.i * {doff} AS doc_id,
-               replace(text, ' ', ' zsalt' || c.i || 'q ') AS text,
+               replace(text, ' ', 'q' || c.i || ' ') || 'q' || c.i
+                 AS text,
                lang, source,
-               CAST(length(replace(text, ' ', ' zsalt' || c.i || 'q '))
+               CAST(length(replace(text, ' ', 'q' || c.i || ' ')) + 2
                     AS BIGINT) AS n_chars
         FROM read_parquet('{SF01}/documents.parquet'),
              range({COPIES}) c(i)""", "documents")

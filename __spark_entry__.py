@@ -6296,6 +6296,65 @@ GROUP BY source
 
 
 
+_BM25_QDOCS = "doc_id % 199 = 3"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/text.py bm25_topk): 3 corpus
+    docs as queries (doc_id % 199 = 3), Robertson/Lucene scoring with
+    integer-summed per-term scaled scores — no float accumulation
+    order on either engine; the single ln per term is the zipf/
+    lm_score parity class.  max_df=None = exact oracle config."""
+    from xpysom_dask_spark.operators.text import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    qdocs = docs.where(_BM25_QDOCS).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext"))
+    return bm25_topk(docs, "text", "doc_id", qdocs, "qtext", "query_id",
+                     k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+def _sql_bm25_topk():
+    toks = _duck_tokens("text")
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS id, unnest({toks}) AS term FROM documents),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+q AS (
+  SELECT query_id, unnest(list_distinct(qt)) AS term FROM (
+    SELECT doc_id AS query_id, {toks} AS qt
+    FROM documents WHERE {_BM25_QDOCS})),
+qd AS (
+  SELECT q.query_id, q.term,
+         ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - d.df_t + 0.5)
+                  / (d.df_t + 0.5)) AS idf
+  FROM q JOIN dfq d USING (term)),
+sc AS (
+  SELECT qd.query_id, tf.id,
+         CAST(FLOOR(qd.idf * tf.tf * {k1 + 1.0!r}
+              / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl
+                 / (SELECT avgdl FROM st)))
+              * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+  FROM tf JOIN qd USING (term) JOIN dl ON dl.id = tf.id),
+agg AS (
+  SELECT query_id, id, CAST(SUM(s_e6) AS BIGINT) AS score_e6
+  FROM sc GROUP BY 1, 2),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_e6 DESC, id) AS rank
+  FROM agg)
+SELECT query_id, rank, id AS doc_id, score_e6 FROM rk WHERE rank <= 10
+"""
+
+
 def queries_round8_staged() -> dict:
     """Round-8 promotion queue: oracle-green here + at sf0.01 via
     tools/gate_pick.py --staged, awaiting a head-50 slot at the next
@@ -6303,6 +6362,7 @@ def queries_round8_staged() -> dict:
     return {
         "pack_bins_ffd": _q_pack_bins_ffd,
         "knn_graph_full": _q_knn_graph_full,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -6310,6 +6370,7 @@ def oracle_sql_round8_staged() -> dict[str, str]:
     return {
         "pack_bins_ffd": _sql_pack_bins_ffd(),
         "knn_graph_full": _sql_knn_graph_full(),
+        "bm25_topk": _sql_bm25_topk(),
     }
 
 

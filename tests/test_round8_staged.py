@@ -98,3 +98,79 @@ def test_pack_bins_ffd_gate_is_single_group_bounded():
     assert "n_groups=1" in src
     assert entrymod._FFD_GATE_DOCS <= 64
     assert f"limit(_FFD_GATE_DOCS)" in src
+
+
+def test_bm25_matches_python_reference(spark):
+    """From-scratch BM25 on a tiny corpus: ranking AND scaled scores
+    must match — independent of the DuckDB twin, so a mistake shared
+    by both engine expressions still gets caught."""
+    import math
+
+    from xpysom_dask_spark.operators.text import bm25_topk
+
+    corpus = [
+        (0, "spark shuffles data between stages"),
+        (1, "spark broadcast joins avoid the shuffle"),
+        (2, "duckdb runs the oracle queries"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "broadcast the small side and shuffle the big side"),
+        (5, "shuffle shuffle shuffle"),
+    ]
+    queries = [(100, "spark shuffle"), (101, "the broadcast side")]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    qdf = spark.createDataFrame(queries, "query_id bigint, qtext string")
+    got = [(r["query_id"], r["rank"], r["doc_id"], r["score_e6"])
+           for r in bm25_topk(df, "text", "doc_id", qdf, "qtext",
+                              "query_id", k=3, k1=k1, b=b)
+           .orderBy("query_id", "rank").collect()]
+
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq = {}
+    for t in docs.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    exp = []
+    for qid, qtext in queries:
+        scores = {}
+        for d, toksd in docs.items():
+            s = 0
+            for term in set(qtext.split()):
+                if term not in dfreq:
+                    continue
+                tf = toksd.count(term)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (n - dfreq[term] + 0.5)
+                               / (dfreq[term] + 0.5))
+                v = (idf * tf * (k1 + 1.0)
+                     / (tf + k1 * (1.0 - b + b * len(toksd) / avgdl)))
+                s += int(math.floor(v * 1e6 + 0.5))
+            if s:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp.extend((qid, r + 1, d, s) for r, (d, s) in enumerate(top))
+    assert got == exp
+
+
+def test_bm25_max_df_drops_stop_terms_only(spark):
+    """max_df prunes high-df query terms BEFORE the candidate join:
+    scores lose exactly the pruned terms' components, nothing else."""
+    from xpysom_dask_spark.operators.text import bm25_topk
+
+    corpus = [(i, f"common w{i} w{i % 3}") for i in range(9)]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    qdf = spark.createDataFrame([(7, "common w1")],
+                                "query_id bigint, qtext string")
+    full = {r["doc_id"]: r["score_e6"]
+            for r in bm25_topk(df, "text", "doc_id", qdf, "qtext",
+                               "query_id", k=9).collect()}
+    pruned = {r["doc_id"]: r["score_e6"]
+              for r in bm25_topk(df, "text", "doc_id", qdf, "qtext",
+                                 "query_id", k=9, max_df=3).collect()}
+    # "common" (df=9) is pruned; only docs matching "w1" remain
+    assert set(pruned) < set(full)
+    for d in pruned:
+        assert pruned[d] < full[d]

@@ -1151,3 +1151,99 @@ def compression_ratio(df, text_col: str, id_col: str,
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         fn, f"id bigint, n_bytes bigint, {out_col} double")
+
+
+def bm25_topk(df, text_col: str, id_col: str, query_df,
+              query_text_col: str, query_id_col: str,
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              max_df: int | None = None):
+    """BM25 top-``k`` retrieval of corpus documents for a bounded query
+    set: ``query_id, rank, doc_id, score_e6`` — the classical
+    probabilistic ranking (Robertson/Lucene form), the retrieval
+    primitive curation pipelines use to pull eval-set neighbours out of
+    a training corpus (contamination analysis, hard-negative mining,
+    RAG source audits).
+
+    ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    over the DISTINCT terms of the query (set semantics), with
+    ``idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))``.  Cross-engine
+    determinism: every input to a term's score is an integer (tf, dl,
+    df, N) plus the shared avgdl double, each per-term score is rounded
+    to a scaled BIGINT at 1e-6, and the document score is the INTEGER
+    sum of those — no float accumulation order anywhere (the zipf/
+    lm_score parity class covers the single ln per term).  Ties break
+    (score_e6 DESC, doc_id ASC).
+
+    ``max_df`` optionally drops query terms with document frequency
+    above the bound before the candidate join — a stop-term like "the"
+    matches every document for near-zero idf, so the knob trades an
+    idf-negligible score component for an O(corpus/term) candidate
+    reduction (the posting-list ``max_df`` precedent; ``None`` keeps
+    exact scoring and is the oracle configuration).
+
+    Plan shape: token explode → ONE map-side-combined
+    ``groupBy(id, term)`` tf aggregation (the only corpus-keyed
+    shuffle; dl and df derive from it without touching text again) →
+    the query-term dictionary (queries × terms, bounded by contract)
+    joins df-stats small-side and BROADCASTS against the tf relation →
+    integer-sum ``groupBy(query_id, id)`` → per-query top-k window
+    (WindowGroupLimit prunes below the final exchange).  Corpus text
+    never keys a shuffle; candidate fanout is Σ_t df_t over query
+    terms, bounded by ``max_df``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1 or None, got {max_df}")
+
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens(text_col)).alias("term"))
+    tf_rel = (toks.groupBy("__id", "term")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dl_rel = (tf_rel.groupBy("__id")
+              .agg(F.sum("tf").cast("bigint").alias("dl")))
+    dfreq = (tf_rel.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df_t")))
+
+    # bounded by contract: N and total token count are two scalars of
+    # one aggregate job (the tfidf_vectors n_docs precedent)
+    stats = dl_rel.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dl").alias("tot")).first()
+    n_docs = int(stats["n"])
+    avgdl = float(stats["tot"]) / n_docs if n_docs else 1.0
+
+    qterms = query_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("term"))
+    # qterms is the CONTRACT-bounded side (queries × terms) — pin the
+    # broadcast there; dfreq is O(corpus vocabulary) and only looks
+    # broadcastable at test scale.  Terms absent from the corpus drop.
+    qdic = dfreq.join(F.broadcast(qterms), "term")
+    if max_df is not None:
+        qdic = qdic.where(F.col("df_t") <= int(max_df))
+    qdic = qdic.withColumn(
+        "idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t")
+                                   + F.lit(0.5))
+                     / (F.col("df_t") + F.lit(0.5))))
+
+    term_score = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                  / (F.col("tf") + F.lit(float(k1))
+                     * (F.lit(1.0 - b)
+                        + F.lit(float(b)) * F.col("dl")
+                        / F.lit(float(avgdl)))))
+    scored = (tf_rel.join(F.broadcast(qdic), "term")
+              .join(dl_rel, "__id")
+              .select("query_id", "__id",
+                      F.floor(term_score * F.lit(1000000.0)
+                              + F.lit(0.5)).cast("bigint")
+                      .alias("s_e6"))
+              .groupBy("query_id", "__id")
+              .agg(F.sum("s_e6").cast("bigint").alias("score_e6")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score_e6").desc(), F.col("__id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("query_id", "rank", F.col("__id").alias("doc_id"),
+                    "score_e6"))

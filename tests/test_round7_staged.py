@@ -43,13 +43,23 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_promoted_queries_sit_in_the_graded_head():
-    # the driver checks queries()[:50]; a promoted entry outside the
-    # head would never get its first driver row
+def test_promoted_queries_head_until_green():
+    # the driver checks queries()[:50]; a promoted entry must keep a
+    # head slot until it has a fully GREEN archived row (rows AND
+    # schema AND hash) — afterwards the rotation may move it out
+    import glob
+
+    from tools.rotate_gate import latest_green_rounds
+
     assert set(ORACLES) == set(STAGED) == set(PROMOTED)
-    head = list(entrymod.queries())[:50]
-    missing = set(PROMOTED) - set(head)
-    assert not missing, f"promoted entries outside the head-50: {missing}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens = latest_green_rounds(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    names = list(entrymod.queries())
+    for name in PROMOTED:
+        if greens.get(name) is None:
+            assert names.index(name) < 50, \
+                f"{name} has no green row yet but sits outside the head"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

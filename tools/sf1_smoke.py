@@ -149,7 +149,7 @@ def gen(out_dir: str) -> None:
     print(f"  embeddings: {len(tbl)} rows", flush=True)
 
 
-def run(sf_dir: str) -> None:
+def run(sf_dir: str, sweep_all: bool = False) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -172,14 +172,21 @@ def run(sf_dir: str) -> None:
 
     qmap = entry.queries()
     results = {}
+    n_reps = 1 if sweep_all else 3
 
     def timed(name, fn):
         runs = []
-        for _ in range(3):
+        for _ in range(n_reps):
             t0 = time.time()
-            fn()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — the sweep reports
+                results[name] = f"ERR {type(exc).__name__}"
+                print(f"| {name} | ERROR {exc} |"[:300], flush=True)
+                return
             runs.append(time.time() - t0)
-        results[name] = round(min(runs[1:]), 3)   # warm: best after cold
+        results[name] = round(min(runs[1:]) if len(runs) > 1
+                              else runs[0], 3)
         print(f"| {name} | {results[name]} s | (cold {round(runs[0], 3)}"
               f" s) |", flush=True)
 
@@ -193,11 +200,16 @@ def run(sf_dir: str) -> None:
     timed("som_predict_6M", lambda: som.transform(feats, ("cluster_id",))
           .agg(F.sum("cluster_id")).collect())
 
-    for name in OPS:
+    # --all: ONE cold pass over EVERY declared query — the quadratic
+    # detector (run the same sweep at sf0.1 and at sf1; an op whose
+    # ratio lands far above the 10x data growth hides superlinear
+    # work, the way the O(len²) substring kernel did)
+    for name in (qmap if sweep_all else OPS):
         timed(name, lambda q=qmap[name]: q(spark, sf_dir).count())
 
-    print(json.dumps({"metric": "sf1_smoke", "unit": "sec",
-                      "queries": results, "rows_lineitem": n},
+    print(json.dumps({"metric": "sf1_sweep" if sweep_all else "sf1_smoke",
+                      "unit": "sec", "queries": results,
+                      "rows_lineitem": n},
                      separators=(",", ":")), flush=True)
     spark.stop()
 
@@ -212,7 +224,7 @@ def main():
               flush=True)
         gen(out_dir)
     if "--gen-only" not in args:
-        run(out_dir)
+        run(out_dir, sweep_all="--all" in args)
 
 
 if __name__ == "__main__":

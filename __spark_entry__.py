@@ -6355,90 +6355,23 @@ SELECT query_id, rank, id AS doc_id, score_e6 FROM rk WHERE rank <= 10
 """
 
 
-def queries_round8_staged() -> dict:
-    """Round-8 promotion queue: oracle-green here + at sf0.01 via
-    tools/gate_pick.py --staged, awaiting a head-50 slot at the next
-    rotation (the round-7 queue's promotion path, SURVEY.md §8)."""
-    return {
-        "pack_bins_ffd": _q_pack_bins_ffd,
-        "knn_graph_full": _q_knn_graph_full,
-        "bm25_topk": _q_bm25_topk,
-    }
-
-
-def oracle_sql_round8_staged() -> dict[str, str]:
-    return {
-        "pack_bins_ffd": _sql_pack_bins_ffd(),
-        "knn_graph_full": _sql_knn_graph_full(),
-        "bm25_topk": _sql_bm25_topk(),
-    }
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-7 head (tools/rotate_gate.py +
-    # the never-green rule): the 14 queries promoted verbatim from the
-    # round-6 staging area (all pre-checked hash-green at sf0.001 and
-    # sf0.01 via tools/gate_pick.py), the 9 queries whose freshest
-    # driver evidence is round 3, and the 27 stalest round-4 entries.
-    # r5 ∪ r6 ∪ r7 covers all 168 declared queries.  See SURVEY.md §8
+    # (list(queries())[:50]).  Round-8 head (tools/rotate_gate.py +
+    # the never-green rule): the 3 queries promoted verbatim from the
+    # round-7 staging area (pre-checked hash-green at sf0.001 and
+    # sf0.01 via tools/gate_pick.py), the 19 queries whose freshest
+    # driver evidence is round 4, and the 28 stalest round-5 entries.
+    # r6 ∪ r7 ∪ r8 covers all 171 declared queries.  See SURVEY.md §8
     # and tests/test_gate_coverage.py before reordering.
     return {
-        # -- new in round 7 (14): promoted verbatim from the round-6
-        # staging area --
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "text_dict_coverage": _q_text_dict_coverage,
-        "embedding_rp": _q_embedding_rp,
-        "events_ewma": _q_events_ewma,
-        "knn_graph": _q_knn_graph,
-        "partitioned_roundtrip": _q_partitioned_roundtrip,
-        "embedding_mrl": _q_embedding_mrl,
-        "graph_triangles": _q_graph_triangles,
-        "lsh_recall_audit": _q_lsh_recall_audit,
-        "text_tfidf": _q_text_tfidf,
-        "streaming_ewma": _q_streaming_ewma,
-        "pack_bins": _q_pack_bins,
-        "dedup_containment": _q_dedup_containment,
-        "vocab_zipf": _q_vocab_zipf,
-        # -- stalest evidence: 9 round-3 + 27 round-4 entries --
-        "curation_pipeline": _q_curation_pipeline,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "simhash_signatures": _q_simhash_signatures,
-        "text_quality": _q_text_quality,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "multimodal_image_stats": _q_multimodal_image_stats,
-        "som_win_map": _q_som_win_map,
-        "decontaminate": _q_decontaminate,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "dedup_incremental": _q_dedup_incremental,
-        "zorder_key": _q_zorder_key,
-        "dedup_spans": _q_dedup_spans,
-        "events_rollup": _q_events_rollup,
-        "events_pivot": _q_events_pivot,
-        "events_moving_avg": _q_events_moving_avg,
-        "events_json_stats": _q_events_json_stats,
-        "table_profile": _q_table_profile,
-        "data_quality": _q_data_quality,
-        "text_vocab": _q_text_vocab,
-        "text_lm_score": _q_text_lm_score,
-        "pii_redact": _q_pii_redact,
-        "source_quota": _q_source_quota,
-        "importance_sample": _q_importance_sample,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "label_centroids": _q_label_centroids,
-        "ann_recall_curve": _q_ann_recall_curve,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "streaming_qe_drift": _q_streaming_qe_drift,
-        "hamming_topk": _q_hamming_topk,
-        "kmeans_assign": _q_kmeans_assign,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "token_budget_mix": _q_token_budget_mix,
-        "binary_rerank": _q_binary_rerank,
-        # ---------------- tail (slots 51+): r4-green ----------------
+        # -- new in round 8 (3): promoted verbatim from the
+        # round-7 staging area --
+        "pack_bins_ffd": _q_pack_bins_ffd,
+        "knn_graph_full": _q_knn_graph_full,
+        "bm25_topk": _q_bm25_topk,
+        # -- stalest evidence: 19 round-4 + 28 round-5 entries --
         "contamination_report": _q_contamination_report,
         "ann_kmeans_ivf": _q_ann_kmeans_ivf,
         "tpch_q4": _q_tpch_q4,
@@ -6458,7 +6391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_regr": _q_events_regr,
         "hard_negatives": _q_hard_negatives,
         "weighted_sample": _q_weighted_sample,
-        # ---------------- tail: r5-green ----------------
         "streaming_decontaminate": _q_streaming_decontaminate,
         "probe_scores": _q_probe_scores,
         "bpe_subwords": _q_bpe_subwords,
@@ -6487,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "top_terms": _q_top_terms,
         "som_classify": _q_som_classify,
+        # ---------------- tail (slots 51+) ----------------
         "som_anomalies": _q_som_anomalies,
         "text_gopher": _q_text_gopher,
         "events_asof": _q_events_asof,
@@ -6508,7 +6441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q18": _q_tpch_q18,
         "tpch_q14": _q_tpch_q14,
-        # ---------------- tail: r6-green (the round-6 head) ----------
         "decontaminate_spans": _q_decontaminate_spans,
         "index_compaction": _q_index_compaction,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
@@ -6559,6 +6491,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_dict_coverage": _q_text_dict_coverage,
+        "embedding_rp": _q_embedding_rp,
+        "events_ewma": _q_events_ewma,
+        "knn_graph": _q_knn_graph,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
+        "embedding_mrl": _q_embedding_mrl,
+        "graph_triangles": _q_graph_triangles,
+        "lsh_recall_audit": _q_lsh_recall_audit,
+        "text_tfidf": _q_text_tfidf,
+        "streaming_ewma": _q_streaming_ewma,
+        "pack_bins": _q_pack_bins,
+        "dedup_containment": _q_dedup_containment,
+        "vocab_zipf": _q_vocab_zipf,
+        "curation_pipeline": _q_curation_pipeline,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "simhash_signatures": _q_simhash_signatures,
+        "text_quality": _q_text_quality,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "multimodal_image_stats": _q_multimodal_image_stats,
+        "som_win_map": _q_som_win_map,
+        "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "dedup_incremental": _q_dedup_incremental,
+        "zorder_key": _q_zorder_key,
+        "dedup_spans": _q_dedup_spans,
+        "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
+        "events_moving_avg": _q_events_moving_avg,
+        "events_json_stats": _q_events_json_stats,
+        "table_profile": _q_table_profile,
+        "data_quality": _q_data_quality,
+        "text_vocab": _q_text_vocab,
+        "text_lm_score": _q_text_lm_score,
+        "pii_redact": _q_pii_redact,
+        "source_quota": _q_source_quota,
+        "importance_sample": _q_importance_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "label_centroids": _q_label_centroids,
+        "ann_recall_curve": _q_ann_recall_curve,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_qe_drift": _q_streaming_qe_drift,
+        "hamming_topk": _q_hamming_topk,
+        "kmeans_assign": _q_kmeans_assign,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "token_budget_mix": _q_token_budget_mix,
+        "binary_rerank": _q_binary_rerank,
     }
 
 
@@ -7362,6 +7344,10 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 8 from the round-7 staging area --
+        "pack_bins_ffd": _sql_pack_bins_ffd(),
+        "knn_graph_full": _sql_knn_graph_full(),
+        "bm25_topk": _sql_bm25_topk(),
         # -- promoted in round 7 from the round-6 staging area --
         "dedup_paragraphs": _sql_dedup_paragraphs(),
         "text_dict_coverage": _sql_text_dict_coverage(),

@@ -1,0 +1,63 @@
+"""Round-8 operator-level tests: dedup_paragraphs fast path +
+oversize guard (VERDICT r7 items 2-3)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xpysom_dask_spark.operators import dedup
+
+
+def test_dedup_paragraphs_plain_sep_not_quoted(spark):
+    """VERDICT r7 #2: \\Q-quoting a plain separator defeats Spark's
+    non-regex literal-split fast path (2.1x measured at sf0.1).  Plain
+    seps must reach F.split verbatim; regex-special seps must still be
+    quoted (round-7 parity fix preserved)."""
+    df = spark.createDataFrame([(1, "a\nb\na")],
+                               "doc_id bigint, text string")
+    plan = (dedup.dedup_paragraphs(df, "text", "doc_id", sep="\n")
+            ._jdf.queryExecution().analyzed().toString())
+    assert "\\Q" not in plan, plan
+    plan_dot = (dedup.dedup_paragraphs(df, "text", "doc_id", sep=".")
+                ._jdf.queryExecution().analyzed().toString())
+    assert "\\Q" in plan_dot, plan_dot
+
+
+def test_dedup_paragraphs_results_unchanged_by_fast_path(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, ""), (4, "q r q")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert out[1]["text"] == "a\nb\nc" and out[1]["n_paras_removed"] == 2
+    assert out[2]["text"] == "x"
+    assert out[3]["text"] == ""
+    sp = {r["doc_id"]: r for r in
+          dedup.dedup_paragraphs(df, "text", "doc_id", sep=" ").collect()}
+    assert sp[4]["text"] == "q r" and sp[4]["n_paras_removed"] == 1
+
+
+def test_dedup_paragraphs_max_segments_guard(spark):
+    """VERDICT r7 #3: the O(segments^2) position test needs a bound —
+    with max_segments set, an oversized document fails loudly (naming
+    its id) instead of burning quadratic CPU; compliant docs pass
+    through bit-identically."""
+    from pyspark.errors import SparkRuntimeException
+
+    ok = spark.createDataFrame([(7, "a\nb\na")],
+                               "doc_id bigint, text string")
+    got = dedup.dedup_paragraphs(ok, "text", "doc_id",
+                                 max_segments=8).collect()
+    assert got[0]["text"] == "a\nb" and got[0]["n_paras_removed"] == 1
+
+    big = spark.createDataFrame(
+        [(42, "\n".join(str(i) for i in range(20)))],
+        "doc_id bigint, text string")
+    with pytest.raises(SparkRuntimeException,
+                       match="max_segments=8") as ei:
+        dedup.dedup_paragraphs(big, "text", "doc_id",
+                               max_segments=8).collect()
+    assert "42" in str(ei.value)

@@ -566,13 +566,19 @@ def test_ewma_stream_across_batches_equals_batch(spark, tmp_path):
     rng = np.random.RandomState(17)
     rows = [(i, "k%d" % (i % 3), float(np.round(rng.randn() * 10, 3)),
              i) for i in range(60)]
+    # NULL-ts rows INSIDE the sliced files (ADVICE r7): both twins
+    # must drop them BEFORE the kernel — pandas sorts NaN last, so a
+    # NULL ts reaching the state fold breaks stream == batch parity
+    rows += [(100, "k0", 5.0, None), (101, "k1", -3.0, None)]
     src = str(tmp_path / "ewma_src")
     df_all = spark.createDataFrame(
         rows, "event_id bigint, event_type string, value double, ts bigint")
-    # two event-time-ordered files -> two micro-batches
-    df_all.where("ts < 30").repartition(1).write.parquet(src)
-    df_all.where("ts >= 30").repartition(1).write.mode("append") \
-        .parquet(src)
+    # two event-time-ordered files -> two micro-batches (sliced on
+    # event_id so the NULL-ts rows actually ship in the files)
+    df_all.where("event_id < 30 OR event_id = 100").repartition(1) \
+        .write.parquet(src)
+    df_all.where("(event_id >= 30 AND event_id < 100) OR event_id = 101") \
+        .repartition(1).write.mode("append").parquet(src)
     stream = (spark.readStream.schema(df_all.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     out = _drain_append(

@@ -19,6 +19,8 @@ Each has an exact DuckDB twin in __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -38,6 +40,12 @@ MINHASH_SEED = 7
 #: exact-semantics oracle comparison opts OUT explicitly with
 #: ``max_df=None``.
 DEFAULT_MAX_DF = 1000
+
+#: java.util.regex metacharacters: a separator containing none of these
+#: is passed to ``F.split`` verbatim, keeping Spark's non-regex
+#: literal-split fast path (quoting "\n" as \Q\n\E measured 2.1× slower
+#: at sf0.1 — round-7 verdict)
+_RX_SPECIAL = re.compile(r"[\\.\[\]{}()*+?^$|]")
 
 
 def minhash_coefficients(k: int = MINHASH_K, seed: int = MINHASH_SEED):
@@ -840,7 +848,8 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
 
 
 def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
-                     sep: str = "\n") -> DataFrame:
+                     sep: str = "\n",
+                     max_segments: int | None = None) -> DataFrame:
     """INTRA-document exact paragraph dedup: remove repeated
     ``sep``-delimited segments WITHIN each document, keeping the first
     occurrence — the "page rendered its nav twice / chat log echoes"
@@ -855,20 +864,42 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
     expression: ``split`` → keep index *i* iff
     ``array_position(arr, arr[i]) == i`` → ``array_join``.  No
     explode, no shuffle, no Python: at 100 TB this runs at scan speed
-    with zero exchange.  The position test is O(lines²) per document
-    in the worst case, but entirely in-register; documents are
-    KB-sized, not GB-sized, so compute never dominates the scan.
+    with zero exchange.  The position test is O(segments²) per
+    document in the worst case, but entirely in-register; documents
+    are KB-sized, not GB-sized, so compute never dominates the scan.
+    For corpora that violate that contract (multi-MB docs with 10⁵+
+    segments), pass ``max_segments`` — any document whose segment
+    count exceeds it fails the job with an explicit error naming the
+    offending id, instead of silently burning quadratic CPU; the
+    caller then routes those docs through an explode+min(pos) plan
+    (one shuffle, O(segments) — see PLANS.md).
 
     ``sep`` is a LITERAL delimiter (matching the docs'
     ``sep``-delimited phrasing and the DuckDB ``string_split`` twin),
-    not a regex: it is \\Q…\\E-quoted before reaching ``F.split``, so
-    a regex-special separator like ``"."`` or ``"|"`` splits on the
-    character itself, not on everything.
+    not a regex: separators containing regex metacharacters are
+    \\Q…\\E-quoted before reaching ``F.split``, so ``"."`` or ``"|"``
+    splits on the character itself.  Plain separators (``" "``,
+    ``"\\n"``) pass through verbatim — quoting them would defeat
+    Spark's non-regex literal-split fast path (measured 2.1× on the
+    sf0.1 corpus, BASELINE.md round-8 note).
     """
-    # java.util.regex.Pattern.quote semantics: wrap in \Q…\E, breaking
-    # out of the quote around any literal \E inside the separator
-    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    if _RX_SPECIAL.search(sep):
+        # java.util.regex.Pattern.quote semantics: wrap in \Q…\E,
+        # breaking out of the quote around any literal \E inside
+        sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    else:
+        sep_rx = sep
     arr = F.split(F.col(text_col), sep_rx)
+    if max_segments is not None:
+        arr = F.when(
+            F.size(arr) > max_segments,
+            F.raise_error(F.concat(
+                F.lit(f"dedup_paragraphs: document "), F.col(id_col)
+                .cast("string"),
+                F.lit(f" has more than max_segments={max_segments} "
+                      "segments; route oversized docs through an "
+                      "explode+min(pos) plan (PLANS.md)")))
+        ).otherwise(arr)
     kept = F.filter(
         F.transform(arr, lambda x, i: F.struct(
             x.alias("s"), i.alias("i"))),

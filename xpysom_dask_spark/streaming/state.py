@@ -150,7 +150,11 @@ def ewma_stream(stream_df, key_col: str, value_col: str, ts_col: str,
 
     w = ewma_weights(alpha, lag)
     key_t = stream_df.schema[key_col].dataType.simpleString()
-    slim = (stream_df.where(F.col(value_col).isNotNull())
+    # NULL ts would enter the kernel and pandas sorts NaN last,
+    # silently breaking drained-stream == batch parity: mirror the
+    # batch operator's (value AND ts) NOT NULL filter exactly
+    slim = (stream_df.where(F.col(value_col).isNotNull()
+                            & F.col(ts_col).isNotNull())
             .select(F.col(key_col).alias("key"),
                     F.col(id_col).alias("id"),
                     F.col(value_col).cast("double").alias("value"),

@@ -136,23 +136,36 @@ def _decode_png_stdlib(data: bytes, meta: dict) -> np.ndarray:
             cur = row
         elif ft == 2:                       # up
             cur = (row + prev) & 255
-        elif ft in (1, 3, 4):               # sub / average / paeth
-            cur = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ft == 1:
-                    val = row[x] + a
-                elif ft == 3:
-                    val = row[x] + ((a + b) >> 1)
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
+        elif ft == 1:                       # sub: per-lane prefix sum
+            # a[x] = cur[x-bpp] makes each bpp-lane a running sum of
+            # row bytes; addition mod 256 is associative, so cumsum
+            # then &255 is exact — no per-byte Python loop
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0,
+                            dtype=np.int64).ravel() & 255
+        elif ft in (3, 4):                  # average / paeth
+            # the x-recurrence (cur[x-bpp] feeds cur[x]) is inherently
+            # sequential; a tight bytearray loop (the pypng shape)
+            # beats per-element numpy ~10x — int indexing on a
+            # bytearray has no array-creation overhead
+            ba = bytearray(raw[ofs - stride: ofs])      # row bytes
+            pv = prev.astype(np.uint8).tobytes()        # int indexing
+            if ft == 3:
+                for x in range(stride):
+                    a = ba[x - bpp] if x >= bpp else 0
+                    ba[x] = (ba[x] + ((a + pv[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    a = ba[x - bpp] if x >= bpp else 0
+                    b = pv[x]
+                    c = pv[x - bpp] if x >= bpp else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pr = a if (pa <= pb and pa <= pc) else \
                         (b if pb <= pc else c)
-                    val = row[x] + pr
-                cur[x] = val & 255
+                    ba[x] = (ba[x] + pr) & 255
+            cur = np.frombuffer(bytes(ba), np.uint8).astype(np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ft} at row {y}")
         prev = cur

@@ -529,7 +529,7 @@ def main():
     timed("embedding_mrl", lambda: EMB.matryoshka_truncate(
         emb, 16).count())
     timed("lsh_recall_audit", lambda: dedup.lsh_recall_audit(
-        docs, "text", "doc_id").count())
+        docs, "text", "doc_id", max_df=dedup.DEFAULT_MAX_DF).count())
     timed("text_tfidf", lambda: T.tfidf_vectors(
         docs, "text", "doc_id", top_k=32).count())
     from xpysom_dask_spark.operators import packing as PKG6
@@ -537,7 +537,8 @@ def main():
         docs.withColumn("n_tok", T.token_count("text")),
         "doc_id", "n_tok", budget=256, n_groups=8).count())
     timed("dedup_containment", lambda: dedup.containment_pairs(
-        docs, "text", "doc_id", threshold=0.9).count())
+        docs, "text", "doc_id", threshold=0.9,
+        max_df=dedup.DEFAULT_MAX_DF).count())
     timed("vocab_zipf", lambda: PRF6.zipf_fit(
         docs, "text", "doc_id", top_k=100).collect())
     from xpysom_dask_spark.operators import graph as GR6

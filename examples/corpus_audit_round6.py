@@ -70,11 +70,16 @@ def main(sf_dir: str) -> None:
               "ts", "event_id", alpha=0.25, lag=16).show(5)
 
     print("== empirical LSH recall per exact-Jaccard decile ==")
-    dedup.lsh_recall_audit(docs, "text", "doc_id") \
+    dedup.lsh_recall_audit(docs, "text", "doc_id",
+                           max_df=dedup.DEFAULT_MAX_DF) \
         .orderBy("bucket").show()
 
+    print("== what the df cutoff drops on this corpus ==")
+    dedup.posting_prune_report(docs, "text", "doc_id").show()
+
     print("== asymmetric containment pairs (quote-inclusion leak) ==")
-    (dedup.containment_pairs(docs, "text", "doc_id", threshold=0.9)
+    (dedup.containment_pairs(docs, "text", "doc_id", threshold=0.9,
+                             max_df=dedup.DEFAULT_MAX_DF)
      .agg(F.count(F.lit(1)).alias("pairs"),
           F.min("jaccard").alias("min_jaccard")).show())
 

@@ -120,8 +120,8 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark):
     mh = {(r.id_a, r.id_b) for r in
           dedup.minhash_near_dups(docs, "text", "doc_id", 0.5).collect()}
     exact = {(r.id_a, r.id_b) for r in
-             dedup.ngram_jaccard_near_dups(docs, "text", "doc_id", 0.5)
-             .collect()}
+             dedup.ngram_jaccard_near_dups(docs, "text", "doc_id", 0.5,
+                                           max_df=None).collect()}
     assert mh <= exact
     assert len(mh) > 0
 

@@ -61,3 +61,46 @@ def test_dedup_paragraphs_max_segments_guard(spark):
         dedup.dedup_paragraphs(big, "text", "doc_id",
                                max_segments=8).collect()
     assert "42" in str(ei.value)
+
+
+def test_default_max_df_warns_once_and_explicit_is_silent(spark):
+    """max_df convention (VERDICT r7 #8 / ADVICE r7): a DEFAULT df
+    cutoff silently narrowing results is not allowed — first default
+    use warns once; explicit max_df (any value, incl. the same 1000)
+    is an opt-in and never warns."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string")
+    dedup._warned_default_prune = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.ngram_jaccard_near_dups(df, "text", "doc_id", 0.5)
+        assert len(w) == 1 and "max_df=1000" in str(w[0].message)
+        dedup.containment_pairs(df, "text", "doc_id")   # once per proc
+        assert len(w) == 1
+    dedup._warned_default_prune = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.ngram_jaccard_near_dups(df, "text", "doc_id", 0.5,
+                                      max_df=dedup.DEFAULT_MAX_DF)
+        dedup.ngram_jaccard_near_dups(df, "text", "doc_id", 0.5,
+                                      max_df=None)
+        assert len(w) == 0
+    dedup._warned_default_prune = False
+
+
+def test_posting_prune_report_counts(spark):
+    """The audit twin of the df cutoff: 'a b' appears in all 3 docs
+    (df=3 > max_df=2 -> pruned, 3 postings dropped); every other
+    shingle is rarer and kept."""
+    df = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b y"), (3, "a b z")],
+        "doc_id bigint, text string")
+    r = dedup.posting_prune_report(df, "text", "doc_id", n=2,
+                                   max_df=2).collect()[0]
+    # 2-shingles: "a b" (df 3), "b x", "b y", "b z" (df 1 each)
+    assert r["n_shingles"] == 4
+    assert r["n_pruned_shingles"] == 1
+    assert r["n_postings_dropped"] == 3
+    assert r["max_observed_df"] == 3

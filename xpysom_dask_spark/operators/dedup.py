@@ -39,7 +39,68 @@ MINHASH_SEED = 7
 #: therefore the DEFAULT (the ``max_bucket`` band-join precedent);
 #: exact-semantics oracle comparison opts OUT explicitly with
 #: ``max_df=None``.
+#:
+#: ENGINE-WIDE ``max_df`` CONVENTION (round 8): operators whose
+#: posting join has MULTIPLICATIVE df fanout (self-joins Σ df², or
+#: corpus×corpus Σ df_a·df_b) default to this finite cutoff — an
+#: unbounded hot posting is a quadratic blow-up there.  Operators
+#: whose fanout is ADDITIVE in df because one side is contract-bounded
+#: (``text.bm25_topk``: Σ df(t) over a small query set;
+#: ``fuzzy_join``/``fuzzy_decontaminate``: the test/query corpus)
+#: default to ``max_df=None`` — pruning is a quality/perf knob there,
+#: not a safety requirement, so exactness stays the default.  When a
+#: default cutoff IS active, the first use emits a one-time warning so
+#: silently-pruned results are impossible; audit the actual impact
+#: with :func:`posting_prune_report`.
 DEFAULT_MAX_DF = 1000
+
+#: sentinel distinguishing "caller left max_df at its default" (warn
+#: once that pruning is active) from an explicit max_df=DEFAULT_MAX_DF
+#: opt-in (never warn)
+_MAX_DF_UNSET = object()
+
+_warned_default_prune = False
+
+
+def _note_default_prune(fn_name: str) -> None:
+    """One-time process-wide warning that a DEFAULT df cutoff is
+    pruning candidate postings (callers who pass ``max_df`` explicitly
+    — any value — have opted in and are not warned)."""
+    global _warned_default_prune
+    if not _warned_default_prune:
+        _warned_default_prune = True
+        import warnings
+        warnings.warn(
+            f"{fn_name}: using the default posting-list cutoff "
+            f"max_df={DEFAULT_MAX_DF}; documents paired ONLY by "
+            "shingles more frequent than that are not reported. "
+            "Pass max_df=None for exact semantics, or run "
+            "posting_prune_report() to measure what the cutoff drops.",
+            stacklevel=3)
+
+
+def posting_prune_report(df: DataFrame, text_col: str, id_col: str,
+                         n: int = 3,
+                         max_df: int = DEFAULT_MAX_DF) -> DataFrame:
+    """Measure what a posting-list df cutoff would drop on THIS corpus:
+    one row — ``n_shingles`` (distinct), ``n_pruned_shingles`` (df >
+    ``max_df``), ``n_postings_dropped`` (rows leaving the join input),
+    ``max_observed_df``.
+
+    The candidate joins cannot report this themselves without an extra
+    job per call, so the audit is a separate, explicitly-run operator
+    (one explode + one map-side-combined groupBy — linear scan scale).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s"))
+    pruned = F.col("df_s") > max_df
+    return dfs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(pruned.cast("bigint")).cast("bigint")
+        .alias("n_pruned_shingles"),
+        F.sum(F.when(pruned, F.col("df_s")).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_postings_dropped"),
+        F.max("df_s").cast("bigint").alias("max_observed_df"))
 
 #: java.util.regex metacharacters: a separator containing none of these
 #: is passed to ``F.split`` verbatim, keeping Spark's non-regex
@@ -347,7 +408,7 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
                             threshold: float = 0.8, n: int = 3,
-                            max_df: int | None = DEFAULT_MAX_DF
+                            max_df: int | None = _MAX_DF_UNSET
                             ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via a shingle inverted
     index (no MinHash approximation in candidate generation):
@@ -367,6 +428,9 @@ def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
     shingle; pass ``max_df=None`` explicitly to opt into exact
     semantics for oracle comparison.
     """
+    if max_df is _MAX_DF_UNSET:
+        max_df = DEFAULT_MAX_DF
+        _note_default_prune("ngram_jaccard_near_dups")
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     posting = sh
     if max_df is not None:
@@ -1315,7 +1379,7 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
                      n: int = 3, k: int = MINHASH_K,
                      rows_per_band: int = 2, min_jaccard: float = 0.05,
                      buckets: int = 10,
-                     max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
+                     max_df: int | None = _MAX_DF_UNSET) -> DataFrame:
     """EMPIRICAL recall audit of the banded-MinHash candidate
     generator against exact n-gram-Jaccard ground truth:
     ``(bucket, n_pairs, n_caught)`` — bucket = ``floor(j·buckets)``
@@ -1341,6 +1405,9 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if max_df is _MAX_DF_UNSET:
+        max_df = DEFAULT_MAX_DF
+        _note_default_prune("lsh_recall_audit")
     exact = ngram_jaccard_near_dups(df, text_col, id_col,
                                     threshold=min_jaccard, n=n,
                                     max_df=max_df)
@@ -1358,7 +1425,7 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.9, n: int = 3,
-                      max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
+                      max_df: int | None = _MAX_DF_UNSET) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by shingle containment:
     ``(id_a, id_b, containment, jaccard)`` with
     ``containment = |A ∩ B| / min(|A|, |B|) ≥ threshold`` — the
@@ -1381,6 +1448,9 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df is _MAX_DF_UNSET:
+        max_df = DEFAULT_MAX_DF
+        _note_default_prune("containment_pairs")
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     posting = sh
     if max_df is not None:

@@ -1179,7 +1179,12 @@ def bm25_topk(df, text_col: str, id_col: str, query_df,
     matches every document for near-zero idf, so the knob trades an
     idf-negligible score component for an O(corpus/term) candidate
     reduction (the posting-list ``max_df`` precedent; ``None`` keeps
-    exact scoring and is the oracle configuration).
+    exact scoring and is the oracle configuration).  The ``None``
+    default is the engine-wide convention (``dedup.DEFAULT_MAX_DF``
+    docs): this join's df fanout is ADDITIVE (Σ df over a
+    contract-bounded query set), so exactness is safe by default —
+    unlike the posting-list SELF-joins, whose multiplicative Σ df²
+    fanout makes the finite cutoff their default.
 
     Plan shape: token explode → ONE map-side-combined
     ``groupBy(id, term)`` tf aggregation (the only corpus-keyed

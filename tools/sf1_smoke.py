@@ -29,6 +29,7 @@ Replication is semantics-aware (the round-6 lesson, BASELINE.md):
 
 Usage:
     python tools/sf1_smoke.py [--gen-only|--run-only] [--dir DIR]
+                              [--all | --ops name,name,...]
 
 Prints one markdown row per op (min of 2 warm runs after a cold run,
 16g heap, local[32]) and a final JSON line; paste the table into
@@ -58,6 +59,10 @@ OPS = (
     "events_ks_drift", "session_paths",           # events family
     "knn_graph", "ivfpq_topk",                    # ANN/serving family
     "pack_sequences",                             # packing family
+    # round-8 additions: the r7-promoted family's blind spot (VERDICT
+    # r7 #6) + the op whose O(segments²) guard landed this round
+    "lsh_recall_audit", "graph_triangles", "text_tfidf",
+    "dedup_containment", "dedup_paragraphs", "bm25_topk",
 )
 
 
@@ -149,7 +154,8 @@ def gen(out_dir: str) -> None:
     print(f"  embeddings: {len(tbl)} rows", flush=True)
 
 
-def run(sf_dir: str, sweep_all: bool = False) -> None:
+def run(sf_dir: str, sweep_all: bool = False,
+        only_ops: tuple | None = None) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -190,21 +196,25 @@ def run(sf_dir: str, sweep_all: bool = False) -> None:
         print(f"| {name} | {results[name]} s | (cold {round(runs[0], 3)}"
               f" s) |", flush=True)
 
-    # SOM family: the headline 10-epoch train + predict at 6M rows
-    feats = readers.lineitem_features(spark, sf_dir, keys=False)
-    feats = feats.repartition(cpus).persist()
-    n = feats.count()
-    print(f"lineitem features: {n} rows", flush=True)
-    som = SparkSom(8, 8, 8, random_seed=1, fuse_local_bytes=0)
-    timed("som_train_10ep_6M", lambda: som.train(feats, 10))
-    timed("som_predict_6M", lambda: som.transform(feats, ("cluster_id",))
-          .agg(F.sum("cluster_id")).collect())
+    n = 0
+    if only_ops is None:
+        # SOM family: the headline 10-epoch train + predict at 6M rows
+        feats = readers.lineitem_features(spark, sf_dir, keys=False)
+        feats = feats.repartition(cpus).persist()
+        n = feats.count()
+        print(f"lineitem features: {n} rows", flush=True)
+        som = SparkSom(8, 8, 8, random_seed=1, fuse_local_bytes=0)
+        timed("som_train_10ep_6M", lambda: som.train(feats, 10))
+        timed("som_predict_6M",
+              lambda: som.transform(feats, ("cluster_id",))
+              .agg(F.sum("cluster_id")).collect())
 
     # --all: ONE cold pass over EVERY declared query — the quadratic
     # detector (run the same sweep at sf0.1 and at sf1; an op whose
     # ratio lands far above the 10x data growth hides superlinear
     # work, the way the O(len²) substring kernel did)
-    for name in (qmap if sweep_all else OPS):
+    for name in (only_ops if only_ops is not None
+                 else (qmap if sweep_all else OPS)):
         timed(name, lambda q=qmap[name]: q(spark, sf_dir).count())
 
     print(json.dumps({"metric": "sf1_sweep" if sweep_all else "sf1_smoke",
@@ -224,7 +234,10 @@ def main():
               flush=True)
         gen(out_dir)
     if "--gen-only" not in args:
-        run(out_dir, sweep_all="--all" in args)
+        only = None
+        if "--ops" in args:
+            only = tuple(args[args.index("--ops") + 1].split(","))
+        run(out_dir, sweep_all="--all" in args, only_ops=only)
 
 
 if __name__ == "__main__":

@@ -335,11 +335,17 @@ def test_png_unsupported_depth_names_the_remedy():
         M.decode_image(data, {"format": "png"})
 
 
-def test_jpeg_without_pillow_raises_actionable():
+def test_jpeg_decodes_without_pillow_webp_still_gated():
+    """Round 8: baseline JPEG decodes for real via the stdlib decoder
+    (tests/test_jpeg.py is the differential harness); a corrupt stream
+    must fail in the DECODER (ValueError), not fall back to the PIL
+    gate.  webp remains the actionable import-gated format."""
     try:
         import PIL  # noqa: F401
-        pytest.skip("Pillow installed: jpeg decodes for real")
+        pytest.skip("Pillow installed: everything decodes for real")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+    with pytest.raises(ValueError, match="corrupt JPEG"):
         M.decode_image(b"\xff\xd8\xff\xe0fake", {"format": "jpeg"})
+    with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+        M.decode_image(b"RIFF....WEBP", {"format": "webp"})

@@ -182,10 +182,25 @@ def _decode_png(data: bytes, meta: dict) -> np.ndarray:
         return _decode_png_stdlib(data, meta)
 
 
+def _decode_jpeg(data: bytes, meta: dict) -> np.ndarray:
+    """JPEG: Pillow when importable (full format coverage incl.
+    progressive), else the stdlib+numpy baseline decoder
+    (operators/jpeg.py — SOF0/SOF1 Huffman, the format class covering
+    the overwhelming majority of web-corpus JPEGs); grayscale output
+    is lifted to (h, w, 1) to keep the (h, w, c) decoder contract."""
+    try:
+        return _decode_pil_image(data, meta)
+    except NotImplementedError:
+        from .jpeg import decode_jpeg_stdlib
+        img = decode_jpeg_stdlib(data, meta)
+        return img if img.ndim == 3 else img[:, :, None]
+
+
 register_image_decoder("raw", _decode_raw_image)
 register_image_decoder("png", _decode_png)
-for _fmt in ("jpeg", "jpg", "webp"):
-    register_image_decoder(_fmt, _decode_pil_image)
+register_image_decoder("jpeg", _decode_jpeg)
+register_image_decoder("jpg", _decode_jpeg)
+register_image_decoder("webp", _decode_pil_image)
 
 
 def decode_image(data: bytes, meta: dict) -> np.ndarray:

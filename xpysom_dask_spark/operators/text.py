@@ -1184,7 +1184,12 @@ def bm25_topk(df, text_col: str, id_col: str, query_df,
     docs): this join's df fanout is ADDITIVE (Σ df over a
     contract-bounded query set), so exactness is safe by default —
     unlike the posting-list SELF-joins, whose multiplicative Σ df²
-    fanout makes the finite cutoff their default.
+    fanout makes the finite cutoff their default.  Operational rule
+    (BASELINE.md round-8 curve): pick ``max_df`` ABOVE the df of the
+    rarest term you are willing to lose — on a corpus whose df mass
+    sits above the cutoff, pruning collapses the ranking (recall@10
+    fell to ~0 on the 31-term synthetic corpus); absolute cutoffs in
+    the low thousands are only safe on heavy-tailed real vocabularies.
 
     Plan shape: token explode → ONE map-side-combined
     ``groupBy(id, term)`` tf aggregation (the only corpus-keyed

@@ -1,0 +1,128 @@
+"""Sketch relations: CM sketch and HyperLogLog vs exact Python
+references (same md5 hash convention recomputed independently here)."""
+
+import hashlib
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xpysom_dask_spark.operators import sketches as SK
+
+
+def _h48(seed, s):
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:12], 16)
+
+
+def _words(n):
+    return [f"w{i % 97}" for i in range(n)]  # 97 distinct, skewed later
+
+
+def test_cms_cells_match_reference_and_merge(spark):
+    words = _words(300) + ["hot"] * 50
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    depth, width = 3, 64
+    sk = SK.count_min_sketch(df, "term", depth=depth, width=width)
+    got = {(r["d"], r["w"]): r["count"] for r in sk.collect()}
+    ref = {}
+    for w in words:
+        for d in range(depth):
+            key = (d, _h48(d, w) % width)
+            ref[key] = ref.get(key, 0) + 1
+    assert got == ref
+    # sketch of a union == cell-sum of shard sketches (mergeability)
+    half1 = spark.createDataFrame([(w,) for w in words[:100]],
+                                  "term string")
+    half2 = spark.createDataFrame([(w,) for w in words[100:]],
+                                  "term string")
+    merged = (SK.count_min_sketch(half1, "term", depth=depth,
+                                  width=width)
+              .unionByName(SK.count_min_sketch(half2, "term",
+                                               depth=depth,
+                                               width=width))
+              .groupBy("d", "w").agg(
+                  SK.F.sum("count").cast("bigint").alias("count")))
+    assert {(r["d"], r["w"]): r["count"]
+            for r in merged.collect()} == ref
+
+
+def test_cms_estimate_overestimates_never_under(spark):
+    words = _words(500) + ["hot"] * 200
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    depth, width = 4, 32          # narrow width forces collisions
+    sk = SK.count_min_sketch(df, "term", depth=depth, width=width)
+    keys = df.distinct()
+    est = {r["term"]: r["est"] for r in
+           SK.cms_estimate(sk, keys, "term", depth=depth,
+                           width=width).collect()}
+    exact = {}
+    for w in words:
+        exact[w] = exact.get(w, 0) + 1
+    assert set(est) == set(exact)
+    for t, e in est.items():
+        assert e >= exact[t], t                     # CM never under
+    assert est["hot"] >= 200
+    # absent key estimates >= 0 and uses empty cells as 0
+    miss = spark.createDataFrame([("nope",)], "term string")
+    got = SK.cms_estimate(sk, miss, "term", depth=depth,
+                          width=width).collect()[0]["est"]
+    assert got >= 0
+
+
+def test_hll_registers_match_reference(spark):
+    vals = [f"user{i}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    p = 6
+    got = {r["bucket"]: r["rho"] for r in
+           SK.hll_registers(df, "k", p=p).collect()}
+    rem_bits = 48 - p
+    ref = {}
+    for v in set(vals):
+        h = _h48(0, v)
+        b = h >> rem_bits
+        rem = h % (1 << rem_bits)
+        rho = rem_bits + 1 if rem == 0 \
+            else rem_bits + 1 - rem.bit_length()
+        ref[b] = max(ref.get(b, 0), rho)
+    assert got == ref
+
+
+@pytest.mark.parametrize("n,p", [(200, 9), (5000, 9), (300, 6)])
+def test_hll_estimate_within_error_bound(spark, n, p):
+    df = spark.createDataFrame([(f"id{i}",) for i in range(n)],
+                               "k string")
+    regs = SK.hll_registers(df, "k", p=p)
+    row = SK.hll_estimate(regs, p=p).collect()[0]
+    m = 1 << p
+    assert row["m"] == m
+    # 1.04/sqrt(m) standard error; allow 4 sigma
+    tol = 4 * 1.04 / math.sqrt(m)
+    assert abs(row["est"] - n) <= max(tol * n, 8), row
+    # raw_sum_scaled is exact-integer: full-empty sketch bound
+    assert 0 < row["raw_sum_scaled"] <= m * (1 << (48 - p))
+
+
+def test_hll_merge_equals_whole(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(400)],
+                               "k string")
+    a = df.where("substr(k, 2, 8) % 2 = 0")
+    b = df.where("substr(k, 2, 8) % 2 = 1")
+    p = 7
+    whole = {r["bucket"]: r["rho"] for r in
+             SK.hll_registers(df, "k", p=p).collect()}
+    merged = {r["bucket"]: r["rho"] for r in
+              SK.hll_merge(SK.hll_registers(a, "k", p=p),
+                           SK.hll_registers(b, "k", p=p)).collect()}
+    assert merged == whole
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="depth"):
+        SK.count_min_sketch(None, "t", depth=0)
+    with pytest.raises(ValueError, match="p must"):
+        SK.hll_registers(None, "k", p=3)
+    with pytest.raises(ValueError, match="at least one"):
+        SK.hll_merge()

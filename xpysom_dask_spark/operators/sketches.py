@@ -1,0 +1,184 @@
+"""Mergeable sketch relations: count-min and HyperLogLog.
+
+At 100 TB the exact answers to "how often does each term occur" and
+"how many distinct keys are there" are themselves big-data problems;
+the classical fix is a SKETCH — a fixed-size summary whose cells are
+order-free sums/maxes, so Spark computes it as ONE map-side-combined
+aggregation and merges partial sketches for free (the combiner IS the
+sketch merge).  Both sketches here are materialized as plain
+DataFrames (relations), so they persist to parquet, union across
+corpus shards, and join like any other table — no opaque binary blobs.
+
+* :func:`count_min_sketch` — Cormode & Muthukrishnan's CM sketch
+  (J. Algorithms 2005): ``depth`` rows of ``width`` counters,
+  cell(d, w) = Σ count over keys with h_d(key) ≡ w.  Point estimate =
+  min over rows (:func:`cms_estimate`) — always an OVERestimate,
+  error ≤ ε·N with ε = e/width at confidence 1 − (1/e)^depth.
+* :func:`hll_registers` / :func:`hll_estimate` — Flajolet et al.'s
+  HyperLogLog (AofA 2007): 2^p registers, register = max leading-zero
+  rank of the hashed key suffix; distinct estimate = bias-corrected
+  harmonic mean with the small-range linear-counting correction.
+
+Hashing is the engine's md5 convention (48-bit hex fold — the
+dedup/_duck_md5hash48 parity class), so every cell is exactly
+reproducible in the DuckDB oracle.  Determinism: all sketch cells are
+integers; HLL's Σ 2^{−M_j} is computed as the EXACT integer
+Σ 2^{48−p−M_j} (register rank ≤ 48−p+1 keeps every term integral),
+with a single double division + optional single ln at the very end —
+the lm_score/zipf parity class.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+#: md5 nibbles per hash: 48 bits — inside BIGINT, matches
+#: _duck_md5hash48 / the dedup Bloom schedule
+_NIB = 12
+
+
+def _h48(col, seed) -> "F.Column":
+    """48-bit md5 hash of ``seed ':' value`` (seed varies the hash
+    family member; the ':' keeps (1, 'x') and (11, '') distinct)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, _NIB), 16, 10) \
+        .cast("bigint")
+
+
+def count_min_sketch(df: DataFrame, key_col: str,
+                     count_col: str | None = None,
+                     depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build a CM sketch relation ``(d, w, count)`` over ``key_col``
+    (weighted by ``count_col`` if given, else each row counts 1).
+
+    Only non-empty cells are emitted (absent cell ≡ 0), so the
+    relation is ≤ depth·width rows REGARDLESS of corpus size — the
+    entire reduction is one explode-free map-side-combinable
+    ``groupBy(d, w)``: shuffle traffic is bounded by
+    depth·width·partitions, not by the data.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got "
+                         f"depth={depth}, width={width}")
+    cnt = (F.col(count_col).cast("bigint") if count_col
+           else F.lit(1).cast("bigint"))
+    rows = [df.select(
+        F.lit(d).alias("d"),
+        (_h48(F.col(key_col), d) % width).cast("int").alias("w"),
+        cnt.alias("__c")) for d in range(depth)]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return (allrows.groupBy("d", "w")
+            .agg(F.sum("__c").cast("bigint").alias("count")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate each key in ``keys`` against a sketch built with
+    the same (depth, width): ``(key_col, est)``, est = min over the
+    depth cells (0 for a never-seen key hitting only empty cells).
+
+    The join is keys×depth rows against a ≤ depth·width-row relation —
+    broadcast the SKETCH, not the keys: the query side may be a corpus
+    slice, the sketch never outgrows a few MB by construction.
+    """
+    probes = None
+    for d in range(depth):
+        p = keys.select(
+            F.col(key_col),
+            F.lit(d).alias("d"),
+            (_h48(F.col(key_col), d) % width).cast("int").alias("w"))
+        probes = p if probes is None else probes.unionByName(p)
+    joined = probes.join(F.broadcast(sketch), ["d", "w"], "left")
+    return (joined.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("count"), F.lit(0)))
+                 .cast("bigint").alias("est")))
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
+    """HyperLogLog register relation ``(bucket, rho)`` over the
+    distinct values of ``key_col``: bucket = the hash's top ``p`` bits,
+    rho = 1 + leading-zero count of the remaining ``48 − p`` bits
+    (= 48 − p + 1 when they are all zero).
+
+    ≤ 2^p rows regardless of input size; one map-side-combined
+    ``groupBy(bucket).max`` — the max IS the HLL merge, so partial
+    aggregation, shard union + re-max, and incremental maintenance
+    (new data ⇒ union + re-max) all come for free.  Absent buckets are
+    register value 0.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rem_bits = 48 - p
+    h = _h48(F.col(key_col), 0)
+    bucket = F.shiftright(h, rem_bits).cast("int")
+    rem = h % F.lit(1 << rem_bits).cast("bigint")
+    # leading zeros of rem within rem_bits = rem_bits − bit_length(rem);
+    # bit_length via the base-2 string length of the non-zero value
+    # (conv emits no leading zeros) — integer/string ops, no log2 float
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.conv(rem, 10, 2)))
+    return (df.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("int").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Bias-corrected HLL cardinality from a register relation: one
+    row ``(m, n_zero, raw_sum_scaled, est)``.
+
+    ``raw_sum_scaled`` = Σ_j 2^{48−p−M_j} over ALL m buckets (absent
+    register ⇒ M_j = 0 ⇒ term 2^{48−p}) — an exact integer, so the
+    whole estimate is deterministic: one double division for the raw
+    estimate, and the Flajolet small-range linear-counting switch
+    (est = m·ln(m/V) when raw < 2.5m and V > 0) costs a single ln.
+    Output ``est`` is floored to BIGINT.
+    """
+    m = 1 << p
+    rem_bits = 48 - p
+    alpha = (0.673 if p == 4 else 0.697 if p == 5
+             else 0.709 if p == 6 else 0.7213 / (1 + 1.079 / m))
+    # 2^{rem_bits − rho} via double pow is exact (exponent ≤ 44 < 53
+    # mantissa bits), cast back to the integer it is
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), (F.lit(rem_bits) - F.col("rho"))
+                    .cast("double")).cast("bigint"))
+        .cast("bigint").alias("present_sum"))
+    n_zero = (F.lit(m) - F.col("n_present")).cast("bigint")
+    raw_sum = (F.col("present_sum")
+               + n_zero * F.lit(1 << rem_bits).cast("bigint"))
+    raw_est = (F.lit(alpha * m * m * float(1 << rem_bits))
+               / raw_sum.cast("double"))
+    est = F.when(
+        (raw_est < 2.5 * m) & (n_zero > 0),
+        F.floor(F.lit(float(m)) * F.log(F.lit(float(m))
+                                        / n_zero.cast("double"))))\
+        .otherwise(F.floor(raw_est)).cast("bigint")
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        n_zero.alias("n_zero"),
+        raw_sum.alias("raw_sum_scaled"),
+        est.alias("est"))
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Union register relations from independent shards into one
+    equivalent sketch (max per bucket) — the property that makes HLL
+    a distributed-aggregation primitive rather than a trick."""
+    if not register_dfs:
+        raise ValueError("need at least one register relation")
+    out = register_dfs[0]
+    for r in register_dfs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("rho").cast("int")
+                                     .alias("rho"))
+
+
+def exact_error_bound(depth: int, width: int, n_total: int) -> float:
+    """CM sketch additive-error bound ε·N = (e/width)·N at confidence
+    1 − (1/e)^depth — the number to quote next to an estimate."""
+    return math.e / width * n_total

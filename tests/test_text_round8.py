@@ -1,0 +1,135 @@
+"""Round-8 text operators: readability, Naive Bayes, Jaccard top-k,
+RRF fusion — vs independent Python references."""
+
+import math
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xpysom_dask_spark.operators import text as T
+
+
+def _ref_readability(text):
+    words = [w for w in re.split(r"\s+", text) if w]
+    nw = len(words)
+    if nw == 0:
+        return (0, 0, 0, None, None)
+    ns = max(len(re.findall(r"[.!?]+", text)), 1)
+    nsyl = max(len(re.findall(r"[aeiouy]+", text.lower())), nw)
+    wps, spw = nw / ns, nsyl / nw
+    fl = 206.835 - 1.015 * wps - 84.6 * spw
+    fk = 0.39 * wps + 11.8 * spw - 15.59
+    return (ns, nw, nsyl, math.floor(fl * 1e6 + 0.5),
+            math.floor(fk * 1e6 + 0.5))
+
+
+def test_readability_matches_reference(spark):
+    rows = [
+        (1, "The cat sat on the mat. It purred! Was it happy?"),
+        (2, "Incomprehensibility notwithstanding, "
+            "abstraction proliferates."),
+        (3, "no punctuation here at all"),
+        (4, ""),
+        (5, "   "),
+        (6, "xyzzy qwrt brr"),          # consonant-only: syl == words
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["id"]: (r["n_sentences"], r["n_words"], r["n_syllables"],
+                     r["flesch_e6"], r["fkgl_e6"])
+           for r in T.readability_scores(df, "text", "doc_id")
+           .collect()}
+    for i, txt in rows:
+        assert got[i] == _ref_readability(txt), (i, txt)
+
+
+def _ref_nb(rows, alpha=1):
+    import collections
+    cls_tf = collections.Counter()
+    cls_tot = collections.Counter()
+    vocab = set()
+    n_docs = len(rows)
+    n_l = collections.Counter()
+    for _i, lab, txt in rows:
+        n_l[lab] += 1
+        for t in txt.split():
+            cls_tf[(lab, t)] += 1
+            cls_tot[lab] += 1
+            vocab.add(t)
+    V = len(vocab)
+    labels = sorted(n_l)
+    out = {}
+    for i, lab, txt in rows:
+        toks = [t for t in txt.split() if t in vocab]
+        best = None
+        for cl in labels:
+            s = math.floor(math.log(n_l[cl] / n_docs) * 1e6 + 0.5)
+            tf = collections.Counter(toks)
+            for t, f in tf.items():
+                lnp = math.floor(math.log(
+                    (cls_tf[(cl, t)] + alpha)
+                    / (cls_tot[cl] + alpha * V)) * 1e6 + 0.5)
+                s += f * lnp
+            if best is None or s > best[1]:
+                best = (cl, s)
+        out[i] = best
+    return out
+
+
+def test_nb_classify_matches_reference(spark):
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ate the bone"),
+        (3, "de", "der hund frisst den knochen"),
+        (4, "de", "die katze sitzt auf der matte"),
+        (5, "en", "cat and dog play"),
+        (6, "de", "der hund und die katze"),
+        (7, "en", "der the cat"),          # mixed: exercises ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, "
+                                     "text string")
+    got = {r["id"]: (r["pred"], r["score_e6"], r["label"]) for r in
+           T.nb_classify(df, "text", "doc_id", "lang").collect()}
+    ref = _ref_nb(rows)
+    assert set(got) == set(ref)
+    for i, lab, _txt in rows:
+        assert got[i][0] == ref[i][0], i
+        assert got[i][1] == ref[i][1], i
+        assert got[i][2] == lab
+    with pytest.raises(ValueError, match="alpha"):
+        T.nb_classify(df, "text", "doc_id", "lang", alpha=0)
+
+
+def test_jaccard_topk_exact(spark):
+    docs = [(1, "a b c d"), (2, "a b x y"), (3, "p q r"),
+            (4, "a b c d e f")]
+    qs = [(100, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    qdf = spark.createDataFrame(qs, "qid bigint, qtext string")
+    got = [(r["rank"], r["doc_id"], r["jaccard_e6"]) for r in
+           T.jaccard_topk(df, "text", "doc_id", qdf, "qtext", "qid",
+                          k=10).orderBy("rank").collect()]
+    # J(q,1)=3/4, J(q,2)=2/5, J(q,4)=3/6, J(q,3)=0 (not a candidate)
+    assert got == [(1, 1, 750000), (2, 4, 500000), (3, 2, 400000)]
+
+
+def test_rrf_fuse_matches_reference(spark):
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, doc_id bigint, rank int")
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id bigint, doc_id bigint, rank int")
+    got = [(r["rank"], r["doc_id"], r["rrf_e9"]) for r in
+           T.rrf_fuse([r1, r2], k=10).orderBy("rank").collect()]
+
+    def s(rank):
+        return 10**9 // (60 + rank)
+    exp = sorted([(10, s(1)), (11, s(2) + s(1)), (12, s(3)),
+                  (13, s(2))], key=lambda t: (-t[1], t[0]))
+    assert got == [(i + 1, d, v) for i, (d, v) in enumerate(exp)]
+    with pytest.raises(ValueError, match="at least one"):
+        T.rrf_fuse([])

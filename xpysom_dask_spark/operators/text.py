@@ -1257,3 +1257,215 @@ def bm25_topk(df, text_col: str, id_col: str, query_df,
             .where(F.col("rank") <= int(k))
             .select("query_id", "rank", F.col("__id").alias("doc_id"),
                     "score_e6"))
+
+
+def readability_scores(df, text_col: str, id_col: str):
+    """Classical readability indices per document: ``id, n_sentences,
+    n_words, n_syllables, flesch_e6, fkgl_e6`` — Flesch Reading Ease
+    and Flesch–Kincaid Grade Level (Kincaid et al. 1975), the standard
+    cheap quality/complexity signal next to the Gopher flags.
+
+    Counting is regex-only, so the operator is one narrow codegen'd
+    projection at scan speed:
+
+    * sentences = runs of ``[.!?]`` (min 1 for non-empty text — a text
+      without terminal punctuation is one sentence);
+    * words = whitespace tokens;
+    * syllables = vowel-group runs ``[aeiouy]+`` of the lowercased
+      text, floored at one per word (the standard heuristic: every
+      word has at least one syllable; non-Latin scripts degrade to
+      words == syllables, keeping the indices defined).
+
+    Scores are scaled-BIGINT e6 via ``floor(x·1e6 + 0.5)`` with the
+    identical double op sequence as the DuckDB twin (the lm_score
+    parity class); empty/whitespace-only documents yield NULL scores
+    (0 words — the formulas are undefined, and 0 is a LEGAL score
+    value so it must not be overloaded).
+    """
+    n_w = token_count(text_col)
+    n_s = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1))
+    n_syl = F.greatest(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")),
+        n_w)
+    wps = n_w.cast("double") / n_s.cast("double")
+    spw = n_syl.cast("double") / n_w.cast("double")
+    flesch = (F.lit(206.835) - F.lit(1.015) * wps
+              - F.lit(84.6) * spw)
+    fkgl = (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+    defined = n_w > 0
+    e6 = lambda c: F.when(defined, F.floor(c * F.lit(1000000.0)  # noqa: E731
+                                           + F.lit(0.5))
+                          .cast("bigint"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(defined, n_s).otherwise(F.lit(0)).cast("int")
+        .alias("n_sentences"),
+        n_w.cast("int").alias("n_words"),
+        F.when(defined, n_syl).otherwise(F.lit(0)).cast("int")
+        .alias("n_syllables"),
+        e6(flesch).alias("flesch_e6"),
+        e6(fkgl).alias("fkgl_e6"))
+
+
+def nb_classify(df, text_col: str, id_col: str, label_col: str,
+                alpha: int = 1):
+    """Multinomial Naive Bayes text classification, trained and
+    applied on the SAME relation (the self-labelling audit: where does
+    the model disagree with the recorded label?): ``id, label, pred,
+    score_e6`` with ``pred`` = argmax label of ln P(label) +
+    Σ_tokens ln P(token | label) under Laplace smoothing ``alpha``.
+
+    The curation use is label-noise detection and a cheap quality/
+    domain classifier bootstrap (McCallum & Nigam, AAAI-98 workshop):
+    class-conditional token counts ARE the model, so training is one
+    map-side-combinable ``groupBy(label, term)`` — there is no
+    iterative fit, which is what makes NB the text classifier that
+    actually scales to a 100 TB corpus in one pass.
+
+    Cross-engine determinism (the bm25 integer-sum class): every
+    input to a term's log-probability is an integer (class term count,
+    class total, vocabulary size, doc counts), each
+    ``ln((c+α)/(tot_l+α·V))`` is rounded to a scaled e6 BIGINT,
+    multiplied by the integer term frequency, and INTEGER-summed —
+    no float accumulation order.  Ties break label-ascending.
+
+    Plan: tokens explode → doc term counts (one corpus-keyed shuffle)
+    → class model (label×term counts + label totals + priors; a
+    second combinable aggregation of the same explode) → score join
+    keyed on ``term`` (labels fan out L-wide — L is small by contract)
+    → integer-sum ``groupBy(id, label)`` → argmax window.
+    """
+    if alpha < 1:
+        raise ValueError(f"alpha must be >= 1, got {alpha}")
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(label_col).alias("label"),
+                     F.explode(tokens(text_col)).alias("term"))
+    doc_tf = (base.groupBy("__id", "term")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    cls_tf = (base.groupBy("label", "term")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    cls_tot = (cls_tf.groupBy("label")
+               .agg(F.sum("c").cast("bigint").alias("tot")))
+    vocab_n = cls_tf.select("term").distinct().count()
+    n_docs = df.count()
+    priors = (df.groupBy(F.col(label_col).alias("label"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_l")))
+    prior_e6 = priors.select(
+        "label",
+        F.floor(F.log(F.col("n_l").cast("double")
+                      / F.lit(float(n_docs))) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("bigint").alias("prior_e6"))
+
+    # full label×term score matrix: ln((c+α)/(tot+α·V)) e6 — built
+    # from cls_tf joined onto every label via the label totals (L
+    # rows, broadcast); absent (label, term) pairs use c = 0
+    terms = cls_tf.select("term").distinct()
+    matrix = (terms.crossJoin(F.broadcast(cls_tot))
+              .join(cls_tf, ["label", "term"], "left")
+              .select(
+                  "label", "term",
+                  F.floor(F.log(
+                      (F.coalesce(F.col("c"), F.lit(0))
+                       + F.lit(alpha)).cast("double")
+                      / (F.col("tot")
+                         + F.lit(alpha * vocab_n)).cast("double"))
+                      * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("bigint").alias("lnp_e6")))
+    scored = (doc_tf.join(matrix, "term")
+              .groupBy("__id", "label")
+              .agg(F.sum(F.col("tf") * F.col("lnp_e6"))
+                   .cast("bigint").alias("ll_e6"))
+              .join(F.broadcast(prior_e6), "label")
+              .select("__id", "label",
+                      (F.col("ll_e6") + F.col("prior_e6"))
+                      .cast("bigint").alias("score_e6")))
+    w = (Window.partitionBy("__id")
+         .orderBy(F.col("score_e6").desc(), F.col("label").asc()))
+    best = (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1))
+    truth = df.select(F.col(id_col).alias("__id"),
+                      F.col(label_col).alias("true_label"))
+    return (best.join(truth, "__id")
+            .select(F.col("__id").alias("id"),
+                    F.col("true_label").alias("label"),
+                    F.col("label").alias("pred"), "score_e6"))
+
+
+def jaccard_topk(df, text_col: str, id_col: str, query_df,
+                 query_text_col: str, query_id_col: str,
+                 k: int = 10):
+    """Token-SET Jaccard top-``k`` retrieval: ``query_id, rank,
+    doc_id, jaccard_e6`` — the lexical-overlap ranker that complements
+    :func:`bm25_topk` (bm25 weights rare terms; Jaccard rewards
+    overall overlap) and the second leg of :func:`rrf_fuse`.
+
+    ``jaccard_e6 = (1e6 · |Q ∩ D|) div (|Q| + |D| − |Q ∩ D|)`` —
+    integer division, so ranking and scores are exact on any engine.
+    Ties break (jaccard_e6 DESC, doc_id ASC).  Documents sharing no
+    term with a query are not candidates (Jaccard 0 — unrankable
+    tail by construction).
+
+    Plan: distinct doc tokens (one corpus shuffle) → query tokens
+    BROADCAST onto the posting join (additive Σ df fanout — the
+    engine's query-driven join class, exact by default) → integer
+    Jaccard → per-query top-k window.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dtok = (df.select(F.col(id_col).alias("__id"),
+                      F.explode(tokens(text_col)).alias("term"))
+            .distinct())
+    dsz = dtok.groupBy("__id").agg(F.count(F.lit(1)).alias("nd"))
+    qtok = (query_df.select(F.col(query_id_col).alias("query_id"),
+                            F.explode(tokens(query_text_col))
+                            .alias("term"))
+            .distinct())
+    qsz = qtok.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    inter = (dtok.join(F.broadcast(qtok), "term")
+             .groupBy("query_id", "__id")
+             .agg(F.count(F.lit(1)).alias("ni")))
+    j = (inter.join(F.broadcast(qsz), "query_id").join(dsz, "__id")
+         .select("query_id", "__id",
+                 F.expr("(1000000 * ni) div (nq + nd - ni)")
+                 .cast("bigint").alias("jaccard_e6")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("jaccard_e6").desc(), F.col("__id").asc()))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("query_id", "rank", F.col("__id").alias("doc_id"),
+                    "jaccard_e6"))
+
+
+def rrf_fuse(rankings, k: int = 10, c: int = 60):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N rankers: ``query_id, rank, doc_id, rrf_e9`` where ``rrf_e9`` =
+    Σ_rankers ``1e9 div (c + rank_i)`` (integer division — exact,
+    order-free) over the rankers that surfaced the document; absent
+    from a ranker contributes 0.  The hybrid-retrieval workhorse:
+    fusing bm25 with an overlap or embedding ranker beats each alone
+    without score calibration, BECAUSE it only consumes ranks.
+
+    Input rankings need columns ``query_id, doc_id, rank``.  Ties
+    break (rrf_e9 DESC, doc_id ASC).  Plan: union of the (already
+    top-k-bounded) ranker outputs → one combinable ``groupBy(query,
+    doc)`` sum → per-query window.  Everything downstream of the
+    rankers is rank-arithmetic on tiny relations.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k < 1 or c < 0:
+        raise ValueError(f"need k >= 1, c >= 0; got k={k}, c={c}")
+    parts = [r.select("query_id", "doc_id",
+                      F.expr(f"1000000000 div ({c} + rank)")
+                      .cast("bigint").alias("s")) for r in rankings]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = (allp.groupBy("query_id", "doc_id")
+             .agg(F.sum("s").cast("bigint").alias("rrf_e9")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc()))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("query_id", "rank", "doc_id", "rrf_e9"))

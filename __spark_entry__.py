@@ -7545,3 +7545,390 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_token_ids": _sql_text_token_ids(),
         "dedup_spans": _sql_dedup_spans(),
     }
+
+
+# ===================================================================== #
+# round-9 staging area: sketches, readability, NB, hybrid retrieval,
+# PageRank (operators landed round 8; see SURVEY.md §8)
+
+def _duck_h48(expr: str, seed: int) -> str:
+    """48-bit md5 fold of ``'{seed}:' || expr`` — the DuckDB twin of
+    sketches._h48 (single comprehension: the nested-`i` pitfall does
+    not apply)."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[CAST(strpos('0123456789abcdef', "
+            f"substring(md5('{seed}:' || {expr}), i, 1)) - 1 AS BIGINT) "
+            f"FOR i IN range(1, 13)]), (acc, v) -> acc * 16 + v)")
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def _q_cms_top_terms(spark, sf_dir):
+    """Count-min sketch audit (operators/sketches.py): build the
+    4×256 CM sketch over document tokens, point-estimate every
+    distinct term, and emit the top-20 by (est DESC, term) next to the
+    exact counts — the sketch's overestimate property is visible in
+    the output (est ≥ exact always).  The sketch relation is ONE
+    map-side-combined groupBy bounded at depth·width rows regardless
+    of corpus size; the oracle replays every md5 cell exactly."""
+    from xpysom_dask_spark.operators import sketches as SK
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(T.tokens("text")).alias("term"))
+    sk = SK.count_min_sketch(toks, "term", depth=_CMS_DEPTH,
+                             width=_CMS_WIDTH)
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact"))
+    est = SK.cms_estimate(sk, exact.select("term"), "term",
+                          depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    w = Window.orderBy(F.col("est").desc(), F.col("term").asc())
+    return (est.join(exact, "term")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("rank", "term", "est", "exact"))
+
+
+def _sql_cms_top_terms():
+    toks = _duck_tokens("text")
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, CAST(({_duck_h48('term', d)}) % {_CMS_WIDTH}"
+        f" AS INTEGER) AS w FROM tk" for d in range(_CMS_DEPTH))
+    probes = " UNION ALL ".join(
+        f"SELECT term, {d} AS d, CAST(({_duck_h48('term', d)}) % "
+        f"{_CMS_WIDTH} AS INTEGER) AS w FROM vocab"
+        for d in range(_CMS_DEPTH))
+    return f"""
+WITH tk AS (SELECT unnest({toks}) AS term FROM documents),
+cells AS (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({cells}) GROUP BY 1, 2),
+exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+          FROM tk GROUP BY 1),
+vocab AS (SELECT term FROM exact),
+probes AS ({probes}),
+est AS (
+  SELECT p.term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN cells c USING (d, w) GROUP BY 1),
+rk AS (
+  SELECT e.term, e.est, x.exact,
+         ROW_NUMBER() OVER (ORDER BY e.est DESC, e.term) AS rank
+  FROM est e JOIN exact x USING (term))
+SELECT rank, term, est, exact FROM rk WHERE rank <= 20
+"""
+
+
+_HLL_P = 9
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimate (operators/sketches.py):
+    2^9 = 512 registers over events.user_id — register build is one
+    map-side-combined groupBy().max (the max IS the HLL merge), the
+    estimate one exact-integer harmonic sum with a single final
+    division; every register and the floored estimate replay exactly
+    in the oracle."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(
+        ev.select(F.col("user_id").cast("string").alias("k")), "k",
+        p=_HLL_P)
+    return SK.hll_estimate(regs, p=_HLL_P)
+
+
+def _sql_hll_distinct():
+    p = _HLL_P
+    m = 1 << p
+    rem_bits = 48 - p
+    rem_pow = 1 << rem_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(rem_pow)   # same Python double as Spark
+    return f"""
+WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+h AS (SELECT ({_duck_h48('k', 0)}) AS hv FROM u),
+reg AS (
+  SELECT CAST(hv // {rem_pow} AS INTEGER) AS bucket,
+         CAST(MAX(CASE WHEN hv % {rem_pow} = 0 THEN {rem_bits + 1}
+              ELSE {rem_bits + 1}
+                   - length(ltrim(bin(hv % {rem_pow}), '0'))
+              END) AS INTEGER) AS rho
+  FROM h GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(CAST(2.0 ** ({rem_bits} - rho) AS BIGINT))
+              AS BIGINT) AS present_sum
+  FROM reg),
+calc AS (
+  SELECT CAST({m} - n_present AS BIGINT) AS n_zero,
+         CAST(present_sum + ({m} - n_present)
+              * CAST({rem_pow} AS BIGINT) AS BIGINT) AS raw_sum
+  FROM agg)
+SELECT CAST({m} AS INTEGER) AS m, n_zero,
+       raw_sum AS raw_sum_scaled,
+       CAST(CASE WHEN {num!r} / CAST(raw_sum AS DOUBLE)
+                      < {2.5 * m!r} AND n_zero > 0
+            THEN FLOOR({float(m)!r}
+                       * ln({float(m)!r} / CAST(n_zero AS DOUBLE)))
+            ELSE FLOOR({num!r} / CAST(raw_sum AS DOUBLE))
+            END AS BIGINT) AS est
+FROM calc
+"""
+
+
+def _q_text_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (operators/text.py
+    readability_scores): one narrow regex-count projection, scaled-e6
+    scores; empty documents (0 words — scores undefined) are
+    excluded on both sides."""
+    from xpysom_dask_spark.operators.text import readability_scores
+
+    out = readability_scores(_docs(spark, sf_dir), "text", "doc_id")
+    return out.where(F.col("n_words") > 0)
+
+
+def _sql_text_readability():
+    toks = _duck_tokens("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, len({toks}) AS nw FROM documents),
+cnt AS (
+  SELECT doc_id, nw,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                  nw) AS syl
+  FROM base WHERE nw > 0)
+SELECT doc_id AS id,
+       CAST(ns AS INTEGER) AS n_sentences,
+       CAST(nw AS INTEGER) AS n_words,
+       CAST(syl AS INTEGER) AS n_syllables,
+       CAST(FLOOR((206.835 - 1.015 * (CAST(nw AS DOUBLE)
+                                      / CAST(ns AS DOUBLE))
+                   - 84.6 * (CAST(syl AS DOUBLE)
+                             / CAST(nw AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS flesch_e6,
+       CAST(FLOOR((0.39 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+                   + 11.8 * (CAST(syl AS DOUBLE)
+                             / CAST(nw AS DOUBLE)) - 15.59)
+                  * 1000000.0 + 0.5) AS BIGINT) AS fkgl_e6
+FROM cnt
+"""
+
+
+def _q_nb_lang(spark, sf_dir):
+    """Multinomial Naive Bayes self-labelling audit (operators/text.py
+    nb_classify): train class token counts by `lang` in one combinable
+    aggregation pass, score every document with e6-rounded integer
+    log-prob sums (the bm25 order-free class), argmax with
+    label-ascending ties.  Output = id, recorded label, prediction,
+    winning score."""
+    from xpysom_dask_spark.operators.text import nb_classify
+
+    return nb_classify(_docs(spark, sf_dir), "text", "doc_id", "lang")
+
+
+def _sql_nb_lang():
+    toks = _duck_tokens("text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, unnest({toks}) AS term FROM documents),
+doc_tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk GROUP BY 1, 2),
+cls_tf AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2),
+cls_tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cls_tf GROUP BY 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+          FROM cls_tf),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+priors AS (
+  SELECT lang,
+         CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE)
+                       / CAST((SELECT n FROM nd) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS prior_e6
+  FROM documents GROUP BY 1),
+mat AS (
+  SELECT ct.lang, t.term,
+         CAST(FLOOR(ln(CAST(COALESCE(cf.c, 0) + 1 AS DOUBLE)
+                       / CAST(ct.tot + (SELECT v FROM vocab)
+                              AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lnp_e6
+  FROM (SELECT DISTINCT term FROM cls_tf) t
+  CROSS JOIN cls_tot ct
+  LEFT JOIN cls_tf cf ON cf.lang = ct.lang AND cf.term = t.term),
+scored AS (
+  SELECT d.doc_id, m.lang,
+         CAST(CAST(SUM(d.tf * m.lnp_e6) AS BIGINT)
+              + ANY_VALUE(p.prior_e6) AS BIGINT) AS score_e6
+  FROM doc_tf d JOIN mat m USING (term)
+  JOIN priors p ON p.lang = m.lang
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, lang AS pred, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score_e6 DESC, lang) AS rn
+  FROM scored)
+SELECT b.doc_id AS id, d.lang AS label, b.pred, b.score_e6
+FROM best b JOIN documents d USING (doc_id) WHERE b.rn = 1
+"""
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/text.py rrf_fuse): reciprocal-rank
+    fusion of bm25_topk (rare-term weighting) and jaccard_topk
+    (set overlap) at k=20 each, fused to the top-10 — the
+    calibration-free hybrid that consumes only ranks, so every score
+    is integer `div` arithmetic and replays exactly."""
+    from xpysom_dask_spark.operators.text import (bm25_topk,
+                                                  jaccard_topk,
+                                                  rrf_fuse)
+
+    docs = _docs(spark, sf_dir)
+    qdocs = docs.where(_BM25_QDOCS).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext"))
+    bm = bm25_topk(docs, "text", "doc_id", qdocs, "qtext", "query_id",
+                   k=20, k1=_BM25_K1, b=_BM25_B)
+    jc = jaccard_topk(docs, "text", "doc_id", qdocs, "qtext",
+                      "query_id", k=20)
+    return rrf_fuse([bm, jc], k=10)
+
+
+def _sql_hybrid_rrf():
+    toks = _duck_tokens("text")
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS id, unnest({toks}) AS term FROM documents),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+q AS (
+  SELECT query_id, unnest(list_distinct(qt)) AS term FROM (
+    SELECT doc_id AS query_id, {toks} AS qt
+    FROM documents WHERE {_BM25_QDOCS})),
+qd AS (
+  SELECT q.query_id, q.term,
+         ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - d.df_t + 0.5)
+                  / (d.df_t + 0.5)) AS idf
+  FROM q JOIN dfq d USING (term)),
+sc AS (
+  SELECT qd.query_id, tf.id,
+         CAST(FLOOR(qd.idf * tf.tf * {k1 + 1.0!r}
+              / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl
+                 / (SELECT avgdl FROM st)))
+              * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+  FROM tf JOIN qd USING (term) JOIN dl ON dl.id = tf.id),
+bmagg AS (
+  SELECT query_id, id, CAST(SUM(s_e6) AS BIGINT) AS score_e6
+  FROM sc GROUP BY 1, 2),
+bmrk AS (
+  SELECT query_id, id AS doc_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_e6 DESC, id) AS rank
+  FROM bmagg),
+dtok AS (SELECT DISTINCT id, term FROM tk),
+dsz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM dtok GROUP BY 1),
+qtok AS (SELECT DISTINCT query_id, term FROM q),
+qsz AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq
+        FROM qtok GROUP BY 1),
+inter AS (
+  SELECT qtok.query_id, dtok.id, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM dtok JOIN qtok USING (term) GROUP BY 1, 2),
+jrk AS (
+  SELECT i.query_id, i.id AS doc_id, ROW_NUMBER() OVER (
+      PARTITION BY i.query_id
+      ORDER BY (1000000 * i.ni) // (qsz.nq + dsz.nd - i.ni) DESC,
+               i.id) AS rank
+  FROM inter i JOIN qsz USING (query_id) JOIN dsz ON dsz.id = i.id),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS rrf_e9 FROM (
+    SELECT query_id, doc_id,
+           CAST(1000000000 // (60 + rank) AS BIGINT) AS s
+    FROM bmrk WHERE rank <= 20
+    UNION ALL
+    SELECT query_id, doc_id,
+           CAST(1000000000 // (60 + rank) AS BIGINT) AS s
+    FROM jrk WHERE rank <= 20)
+  GROUP BY 1, 2),
+out AS (
+  SELECT query_id, doc_id, rrf_e9, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rrf_e9 DESC, doc_id) AS rank
+  FROM fused)
+SELECT query_id, rank, doc_id, rrf_e9 FROM out WHERE rank <= 10
+"""
+
+
+def _q_pagerank_hubs(spark, sf_dir):
+    """Exact-integer PageRank (operators/graph.py pagerank) over the
+    knn_graph edge relation (same 4-cell codebook as the knn_graph
+    gate): 5 synchronous iterations, damping 0.85 as e6 integer, all
+    contributions integer `div` — the oracle replays every iteration
+    as a chained CTE and matches bit-for-bit."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.graph import pagerank
+    from xpysom_dask_spark.operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], np.float64)
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+    edges = knn_graph(emb, cents, k=5).select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"))
+    return pagerank(edges, n_iter=5)
+
+
+def _sql_pagerank_hubs():
+    sql = _knn_graph_ctes() + """,
+edges AS (SELECT vec_id AS s, neighbor_id AS t FROM ranked
+          WHERE rank <= 5),
+verts AS (SELECT DISTINCT v AS id FROM (
+  SELECT s AS v FROM edges UNION SELECT t AS v FROM edges)),
+od AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od
+       FROM edges GROUP BY 1),
+it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts)"""
+    for i in range(1, 6):
+        sql += f""",
+it{i} AS (
+  SELECT v.id, CAST(150000 + (850000 * COALESCE(i.s, 0)) // 1000000
+               AS BIGINT) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.t AS id, CAST(SUM(p.r // od.od) AS BIGINT) AS s
+    FROM edges e JOIN it{i - 1} p ON p.id = e.s
+    JOIN od ON od.s = e.s
+    GROUP BY 1) i ON i.id = v.id)"""
+    return sql + "\nSELECT id, r AS rank_e6 FROM it5\n"
+
+
+def queries_round9_staged() -> dict:
+    """Round-9 promotion queue: oracle-green here + at sf0.01 via
+    tools/gate_pick.py --staged, awaiting a head-50 slot at the next
+    rotation (SURVEY.md §8)."""
+    return {
+        "cms_top_terms": _q_cms_top_terms,
+        "hll_distinct": _q_hll_distinct,
+        "text_readability": _q_text_readability,
+        "nb_lang": _q_nb_lang,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "pagerank_hubs": _q_pagerank_hubs,
+    }
+
+
+def oracle_sql_round9_staged() -> dict[str, str]:
+    return {
+        "cms_top_terms": _sql_cms_top_terms(),
+        "hll_distinct": _sql_hll_distinct(),
+        "text_readability": _sql_text_readability(),
+        "nb_lang": _sql_nb_lang(),
+        "hybrid_rrf": _sql_hybrid_rrf(),
+        "pagerank_hubs": _sql_pagerank_hubs(),
+    }

@@ -22,7 +22,13 @@ BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22",
                   # Q11's 1-row `agg` (cnt, tot) relation joined back —
                   # deliberately an aggregate-then-broadcast instead of
                   # two scalar subqueries so `val` materializes once
-                  "tpch_q11"}
+                  "tpch_q11",
+                  # NB's vocab × class-totals cross: the broadcast side
+                  # is L rows (L = #labels, contract-bounded small) —
+                  # the smoothed score matrix NEEDS every (term, label)
+                  # cell including count-0 ones, so the fanout is the
+                  # output, not a plan accident
+                  "nb_lang"}
 
 SF = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
 

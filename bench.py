@@ -548,9 +548,22 @@ def main():
     timed("graph_triangles", lambda: GR6.triangle_counts(_kg_edges)
           .agg(F.sum("n_triangles")).collect())
 
+    # round-8 additions: the promoted trio at the real corpus scale
+    # (FFD as the OPERATOR — the gate's 64-doc replay config is a
+    # correctness bound, not a workload) + the round-9 staged gates
+    import __spark_entry__ as _entry
+    timed("pack_bins_ffd", lambda: PKG6.pack_bins_ffd(
+        docs.withColumn("n_tok", T.token_count("text")),
+        "doc_id", "n_tok", budget=256, n_groups=8).count())
+    _q9 = dict(_entry.queries())
+    _q9.update(_entry.queries_round9_staged())
+    for _nm in ("bm25_topk", "knn_graph_full", "cms_top_terms",
+                "hll_distinct", "text_readability", "nb_lang",
+                "hybrid_rrf", "pagerank_hubs"):
+        timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
-    import __spark_entry__ as _entry
     rc = timed("ann_recall_curve", lambda: _entry.queries()
                ["ann_recall_curve"](spark, SF_DIR).collect())
     quality = {"ann_recall_at_5_by_nprobe":

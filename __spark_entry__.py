@@ -7909,6 +7909,45 @@ it{i} AS (
     return sql + "\nSELECT id, r AS rank_e6 FROM it5\n"
 
 
+def _q_streaming_cms(spark, sf_dir):
+    """Streaming count-min maintenance (streaming/sketches.py
+    cms_stream): document tokens replayed as a file stream, the
+    4×256 cell relation maintained by a stateful streaming groupBy
+    whose state IS the sketch — bounded at depth·width rows by
+    construction, no watermark needed.  Drained in COMPLETE mode the
+    cells equal the batch sketch bit-for-bit (order-free sums), so
+    the oracle is the batch cells SQL."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import cms_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stcmsgate_")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    toks = stream.select(F.explode(T.tokens("text")).alias("term"))
+    cells = cms_stream(toks, "term", depth=_CMS_DEPTH,
+                       width=_CMS_WIDTH)
+    name = "q_stream_cms_" + uuid.uuid4().hex[:8]
+    q = (cells.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("d", "w", "count")
+
+
+def _sql_streaming_cms():
+    toks = _duck_tokens("text")
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, CAST(({_duck_h48('term', d)}) % {_CMS_WIDTH}"
+        f" AS INTEGER) AS w FROM tk" for d in range(_CMS_DEPTH))
+    return f"""
+WITH tk AS (SELECT unnest({toks}) AS term FROM documents)
+SELECT d, w, CAST(COUNT(*) AS BIGINT) AS count
+FROM ({cells}) GROUP BY 1, 2
+"""
+
+
 def queries_round9_staged() -> dict:
     """Round-9 promotion queue: oracle-green here + at sf0.01 via
     tools/gate_pick.py --staged, awaiting a head-50 slot at the next
@@ -7920,6 +7959,7 @@ def queries_round9_staged() -> dict:
         "nb_lang": _q_nb_lang,
         "hybrid_rrf": _q_hybrid_rrf,
         "pagerank_hubs": _q_pagerank_hubs,
+        "streaming_cms": _q_streaming_cms,
     }
 
 
@@ -7931,4 +7971,5 @@ def oracle_sql_round9_staged() -> dict[str, str]:
         "nb_lang": _sql_nb_lang(),
         "hybrid_rrf": _sql_hybrid_rrf(),
         "pagerank_hubs": _sql_pagerank_hubs(),
+        "streaming_cms": _sql_streaming_cms(),
     }

@@ -126,3 +126,59 @@ def test_validation():
         SK.hll_registers(None, "k", p=3)
     with pytest.raises(ValueError, match="at least one"):
         SK.hll_merge()
+
+
+def test_cms_stream_drained_equals_batch(spark, tmp_path):
+    """The streaming sketch contract: cells are order-free sums, so a
+    drained multi-micro-batch replay equals the batch sketch
+    bit-for-bit, with state bounded at depth*width rows."""
+    import uuid
+
+    from xpysom_dask_spark.streaming import cms_stream
+
+    words = _words(240) + ["hot"] * 40
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i bigint, term string")
+    src = str(tmp_path / "cms_src")
+    df.where("i % 2 = 0").repartition(1).write.parquet(src)
+    df.where("i % 2 = 1").repartition(1).write.mode("append") \
+        .parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = cms_stream(stream, "term", depth=3, width=64)
+    name = "t_cms_stream_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["d"], r["w"]): r["count"]
+           for r in spark.table(name).collect()}
+    want = {(r["d"], r["w"]): r["count"]
+            for r in SK.count_min_sketch(df, "term", depth=3,
+                                         width=64).collect()}
+    assert got == want
+    assert len(got) <= 3 * 64
+
+
+def test_hll_stream_drained_equals_batch(spark, tmp_path):
+    import uuid
+
+    from xpysom_dask_spark.streaming import hll_stream
+
+    df = spark.createDataFrame([(i, f"u{i % 331}")
+                                for i in range(900)],
+                               "i bigint, k string")
+    src = str(tmp_path / "hll_src")
+    df.where("i < 450").repartition(1).write.parquet(src)
+    df.where("i >= 450").repartition(1).write.mode("append") \
+        .parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = hll_stream(stream, "k", p=7)
+    name = "t_hll_stream_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["bucket"]: r["rho"] for r in spark.table(name).collect()}
+    want = {r["bucket"]: r["rho"]
+            for r in SK.hll_registers(df, "k", p=7).collect()}
+    assert got == want

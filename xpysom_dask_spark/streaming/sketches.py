@@ -1,0 +1,60 @@
+"""Streaming sketch maintenance.
+
+A sketch whose cells are order-free sums or maxes is AUTOMATICALLY a
+streaming operator: the same ``groupBy`` that builds it in batch runs
+as a stateful streaming aggregation whose state IS the sketch —
+bounded at depth·width (CM) or 2^p (HLL) rows by construction, the
+rare stateful streaming shape that needs NO watermark to stay bounded.
+The drained stream equals the batch sketch exactly (additive/max
+cells, no ordering anywhere), which is the gate contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import _h48
+
+
+def cms_stream(stream_df: DataFrame, key_col: str,
+               count_col: str | None = None,
+               depth: int = 4, width: int = 1024) -> DataFrame:
+    """Streaming twin of :func:`~..operators.sketches.count_min_sketch`:
+    maintain the (d, w, count) cell relation over an unbounded keyed
+    stream.  Use COMPLETE output mode (the state is the ≤ depth·width-
+    row sketch itself — tiny forever); the drained result of a bounded
+    replay is the batch sketch bit-for-bit.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got "
+                         f"depth={depth}, width={width}")
+    cnt = (F.col(count_col).cast("bigint") if count_col
+           else F.lit(1).cast("bigint"))
+    rows = None
+    for d in range(depth):
+        r = stream_df.select(
+            F.lit(d).alias("d"),
+            (_h48(F.col(key_col), d) % width).cast("int").alias("w"),
+            cnt.alias("__c"))
+        rows = r if rows is None else rows.unionByName(r)
+    return (rows.groupBy("d", "w")
+            .agg(F.sum("__c").cast("bigint").alias("count")))
+
+
+def hll_stream(stream_df: DataFrame, key_col: str,
+               p: int = 9) -> DataFrame:
+    """Streaming twin of :func:`~..operators.sketches.hll_registers`:
+    maintain the (bucket, rho) register relation (max per bucket) over
+    a stream — ≤ 2^p rows of state, COMPLETE mode, drained == batch."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rem_bits = 48 - p
+    h = _h48(F.col(key_col), 0)
+    bucket = F.shiftright(h, rem_bits).cast("int")
+    rem = h % F.lit(1 << rem_bits).cast("bigint")
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.conv(rem, 10, 2)))
+    return (stream_df.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("int").alias("rho")))

@@ -104,3 +104,27 @@ def test_posting_prune_report_counts(spark):
     assert r["n_pruned_shingles"] == 1
     assert r["n_postings_dropped"] == 3
     assert r["max_observed_df"] == 3
+
+
+def test_dedup_paragraphs_explode_equals_expression_path(spark):
+    """The O(segments) escape hatch must be semantics-identical to the
+    narrow expression path — differential over tricky shapes (empty
+    doc, all-dup doc, regex-special sep, repeated empties)."""
+    rows = [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "solo"),
+            (4, ""), (5, "\n\na\n\nb"), (6, "p\nq\np\np\nq")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r["doc_id"]: (r["text"], r["n_paras_removed"]) for r in
+         dedup.dedup_paragraphs(df, "text", "doc_id").collect()}
+    b = {r["doc_id"]: (r["text"], r["n_paras_removed"]) for r in
+         dedup.dedup_paragraphs_explode(df, "text", "doc_id")
+         .collect()}
+    assert a == b
+    df2 = spark.createDataFrame([(1, "ab.cd.ab."), (2, "..a..")],
+                                "doc_id bigint, text string")
+    a2 = {r["doc_id"]: (r["text"], r["n_paras_removed"]) for r in
+          dedup.dedup_paragraphs(df2, "text", "doc_id", sep=".")
+          .collect()}
+    b2 = {r["doc_id"]: (r["text"], r["n_paras_removed"]) for r in
+          dedup.dedup_paragraphs_explode(df2, "text", "doc_id",
+                                         sep=".").collect()}
+    assert a2 == b2

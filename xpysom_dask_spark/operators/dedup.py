@@ -935,8 +935,8 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
     segments), pass ``max_segments`` — any document whose segment
     count exceeds it fails the job with an explicit error naming the
     offending id, instead of silently burning quadratic CPU; the
-    caller then routes those docs through an explode+min(pos) plan
-    (one shuffle, O(segments) — see PLANS.md).
+    caller then routes those docs through
+    :func:`dedup_paragraphs_explode` (one shuffle, O(segments)).
 
     ``sep`` is a LITERAL delimiter (matching the docs'
     ``sep``-delimited phrasing and the DuckDB ``string_split`` twin),
@@ -961,8 +961,9 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
                 F.lit(f"dedup_paragraphs: document "), F.col(id_col)
                 .cast("string"),
                 F.lit(f" has more than max_segments={max_segments} "
-                      "segments; route oversized docs through an "
-                      "explode+min(pos) plan (PLANS.md)")))
+                      "segments; route oversized docs through "
+                      "dedup_paragraphs_explode (O(segments), one "
+                      "shuffle — PLANS.md)")))
         ).otherwise(arr)
     kept = F.filter(
         F.transform(arr, lambda x, i: F.struct(
@@ -977,6 +978,48 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
                             F.col("__kept"),
                             lambda t: t.getField("s")), sep))
             .drop("__kept"))
+
+
+def dedup_paragraphs_explode(df: DataFrame, text_col: str,
+                             id_col: str,
+                             sep: str = "\n") -> DataFrame:
+    """The oversized-document escape hatch for
+    :func:`dedup_paragraphs` (PLANS.md): identical semantics — keep
+    the FIRST occurrence of each ``sep``-delimited segment per
+    document — via posexplode + ``min(pos)`` + ordered rebuild.
+
+    Costs one doc-keyed shuffle but is O(segments) per document where
+    the expression path's in-register position test is O(segments²):
+    use it for the ``max_segments``-violating slice (multi-MB docs,
+    10⁵+ segments) and union with the narrow path serving the
+    compliant slice.  Differential-tested equal to the expression
+    path on every corpus the tests ship.
+    """
+    if _RX_SPECIAL.search(sep):
+        sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    else:
+        sep_rx = sep
+    segs = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep_rx))
+        .alias("pos", "seg"))
+    firsts = (segs.groupBy("__id", "seg")
+              .agg(F.min("pos").alias("pos"),
+                   F.count(F.lit(1)).cast("int").alias("n_occ")))
+    rebuilt = (firsts.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.getField("seg")), sep).alias("__clean"),
+        F.sum(F.col("n_occ") - 1).cast("int")
+        .alias("n_paras_removed")))
+    return (df.join(rebuilt.withColumnRenamed("__id", id_col),
+                    id_col, "left")
+            .withColumn(text_col, F.coalesce("__clean",
+                                             F.col(text_col)))
+            .withColumn("n_paras_removed",
+                        F.coalesce("n_paras_removed", F.lit(0)))
+            .drop("__clean"))
 
 
 def compact_minhash_index(index: DataFrame,

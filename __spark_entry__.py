@@ -7887,16 +7887,17 @@ def _q_pagerank_hubs(spark, sf_dir):
     return pagerank(edges, n_iter=5)
 
 
-def _sql_pagerank_hubs():
-    sql = _knn_graph_ctes() + """,
-edges AS (SELECT vec_id AS s, neighbor_id AS t FROM ranked
-          WHERE rank <= 5),
+def _duck_pagerank_tail(n_iter: int = 5) -> str:
+    """Iteration-CTE chain replaying graph.pagerank's exact integer
+    power iteration; expects a prior CTE ``edges(s, t)`` (directed,
+    deduplicated).  Shared by pagerank_hubs and textrank_keywords."""
+    sql = """,
 verts AS (SELECT DISTINCT v AS id FROM (
   SELECT s AS v FROM edges UNION SELECT t AS v FROM edges)),
 od AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od
        FROM edges GROUP BY 1),
 it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts)"""
-    for i in range(1, 6):
+    for i in range(1, n_iter + 1):
         sql += f""",
 it{i} AS (
   SELECT v.id, CAST(150000 + (850000 * COALESCE(i.s, 0)) // 1000000
@@ -7906,7 +7907,14 @@ it{i} AS (
     FROM edges e JOIN it{i - 1} p ON p.id = e.s
     JOIN od ON od.s = e.s
     GROUP BY 1) i ON i.id = v.id)"""
-    return sql + "\nSELECT id, r AS rank_e6 FROM it5\n"
+    return sql
+
+
+def _sql_pagerank_hubs():
+    return (_knn_graph_ctes() + """,
+edges AS (SELECT vec_id AS s, neighbor_id AS t FROM ranked
+          WHERE rank <= 5)""" + _duck_pagerank_tail(5)
+            + "\nSELECT id, r AS rank_e6 FROM it5\n")
 
 
 def _q_streaming_cms(spark, sf_dir):
@@ -7948,6 +7956,76 @@ FROM ({cells}) GROUP BY 1, 2
 """
 
 
+def _q_knn_label_purity(spark, sf_dir):
+    """Embedding-quality audit (operators/similarity.py label_purity):
+    per-vector fraction of kNN neighbors sharing the vector's label —
+    the kNN-classifier-consistency estimate that audits the EMBEDDING
+    against labels the way recall@k audits the INDEX against brute
+    force.  Same 4-cell codebook + k=5 edges as the knn_graph gate;
+    purity is integer `div`, engine-exact."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.similarity import (knn_graph,
+                                                        label_purity)
+
+    emb = _emb(spark, sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], np.float64)
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+    edges = knn_graph(emb, cents, k=5).select("vec_id", "neighbor_id")
+    return label_purity(edges, emb.select("vec_id", "label"))
+
+
+def _sql_knn_label_purity():
+    return _knn_graph_ctes() + """,
+edges AS (SELECT vec_id AS s, neighbor_id AS t FROM ranked
+          WHERE rank <= 5),
+marked AS (
+  SELECT e.s AS vec_id, x.label,
+         CASE WHEN x.label = y.label THEN 1 ELSE 0 END AS same
+  FROM edges e
+  JOIN embeddings x ON x.vec_id = e.s
+  JOIN embeddings y ON y.vec_id = e.t)
+SELECT vec_id, label,
+       CAST(COUNT(*) AS INTEGER) AS n_neighbors,
+       CAST(SUM(same) AS INTEGER) AS n_same,
+       CAST((1000000 * CAST(SUM(same) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS purity_e6
+FROM marked GROUP BY 1, 2
+"""
+
+
+def _q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (operators/text.py
+    textrank_keywords): integer PageRank over the deduplicated
+    adjacent-token co-occurrence graph, top-20 by centrality — the
+    graph build is one narrow zip-shift expression, the iterations
+    replay in the oracle through the shared pagerank CTE chain."""
+    from xpysom_dask_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir), "text", top_k=20)
+
+
+def _sql_textrank_keywords():
+    toks = _duck_tokens("text")
+    return f"""
+WITH raw AS (
+  SELECT unnest([struct_pack(
+           a := least(arr[i], arr[i + 1]),
+           b := greatest(arr[i], arr[i + 1]))
+         FOR i IN range(1, len(arr))]) AS p
+  FROM (SELECT {toks} AS arr FROM documents)),
+pairs AS (
+  SELECT DISTINCT p.a AS a, p.b AS b FROM raw WHERE p.a <> p.b),
+edges AS (
+  SELECT a AS s, b AS t FROM pairs
+  UNION ALL SELECT b AS s, a AS t FROM pairs)"""         + _duck_pagerank_tail(5) + """,
+rk AS (SELECT id, r, ROW_NUMBER() OVER (ORDER BY r DESC, id) AS rank
+       FROM it5)
+SELECT rank, id AS term, r AS rank_e6 FROM rk WHERE rank <= 20
+"""
+
+
 def queries_round9_staged() -> dict:
     """Round-9 promotion queue: oracle-green here + at sf0.01 via
     tools/gate_pick.py --staged, awaiting a head-50 slot at the next
@@ -7960,6 +8038,8 @@ def queries_round9_staged() -> dict:
         "hybrid_rrf": _q_hybrid_rrf,
         "pagerank_hubs": _q_pagerank_hubs,
         "streaming_cms": _q_streaming_cms,
+        "knn_label_purity": _q_knn_label_purity,
+        "textrank_keywords": _q_textrank_keywords,
     }
 
 
@@ -7972,4 +8052,6 @@ def oracle_sql_round9_staged() -> dict[str, str]:
         "hybrid_rrf": _sql_hybrid_rrf(),
         "pagerank_hubs": _sql_pagerank_hubs(),
         "streaming_cms": _sql_streaming_cms(),
+        "knn_label_purity": _sql_knn_label_purity(),
+        "textrank_keywords": _sql_textrank_keywords(),
     }

@@ -133,3 +133,58 @@ def test_rrf_fuse_matches_reference(spark):
     assert got == [(i + 1, d, v) for i, (d, v) in enumerate(exp)]
     with pytest.raises(ValueError, match="at least one"):
         T.rrf_fuse([])
+
+
+def test_textrank_keywords_matches_reference(spark):
+    docs = [(1, "spark shuffles data fast"),
+            (2, "spark joins data"),
+            (3, "fast joins win"),
+            (4, "solo"),
+            (5, "dup dup dup")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [(r["rank"], r["term"], r["rank_e6"]) for r in
+           T.textrank_keywords(df, "text", top_k=10).collect()]
+
+    # reference: undirected dedup'd adjacent pairs -> integer pagerank
+    pairs = set()
+    for _i, txt in docs:
+        ts = txt.split()
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    verts = sorted({v for e in edges for v in e})
+    out = {}
+    for s, _t in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 10**6 for v in verts}
+    for _ in range(5):
+        inbound = {v: 0 for v in verts}
+        for s, t in edges:
+            inbound[t] += ranks[s] // out[s]
+        ranks = {v: 150000 + (850000 * inbound[v]) // 10**6
+                 for v in verts}
+    exp = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(i + 1, t, v) for i, (t, v) in enumerate(exp)]
+    # 'dup dup dup' contributes no edge (self-pairs dropped); 'solo'
+    # has no adjacency at all — neither may appear
+    terms = {t for _r, t, _v in got}
+    assert "solo" not in terms and "dup" not in terms
+
+
+def test_label_purity_exact(spark):
+    from xpysom_dask_spark.operators.similarity import label_purity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 4), (4, 3)],
+        "vec_id bigint, neighbor_id bigint")
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)],
+        "vec_id bigint, label int")
+    got = {r["vec_id"]: (r["label"], r["n_neighbors"], r["n_same"],
+                         r["purity_e6"])
+           for r in label_purity(edges, labels).collect()}
+    assert got[1] == (10, 2, 2, 1000000)
+    assert got[2] == (10, 2, 2, 1000000)
+    assert got[3] == (10, 2, 1, 500000)      # nbrs 1 (same), 4 (diff)
+    assert got[4] == (20, 1, 0, 0)

@@ -1208,3 +1208,41 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+def label_purity(knn_edges: DataFrame, labels: DataFrame,
+                 id_col: str = "vec_id",
+                 label_col: str = "label") -> DataFrame:
+    """Embedding-quality audit from a kNN graph: per vector, how many
+    of its k neighbors share its label — ``(vec_id, label, n_neighbors,
+    n_same, purity_e6)`` with ``purity_e6 = (1e6·n_same) div
+    n_neighbors`` (integer division, engine-exact).
+
+    High mean purity = the embedding separates the label structure
+    (the k-NN-classifier consistency estimate); per-LABEL purity
+    breakdowns localize which classes blur.  This is the standard
+    cheap embedding-benchmark next to recall@k: recall audits the ANN
+    index against brute force, purity audits the EMBEDDING against
+    the labels.
+
+    Plan: two hash joins of the (bounded, k·V-row) edge relation onto
+    the label relation — keyed on vertex id, broadcast only if the
+    label side is a dimension.  One combinable groupBy.
+    """
+    lab = labels.select(F.col(id_col).alias("__v"),
+                        F.col(label_col).alias("__lab"))
+    e = (knn_edges
+         .join(lab.withColumnRenamed("__v", id_col), id_col)
+         .withColumnRenamed("__lab", "__lab_self")
+         .join(lab.withColumnRenamed("__v", "neighbor_id"),
+               "neighbor_id")
+         .withColumnRenamed("__lab", "__lab_nbr"))
+    return (e.groupBy(id_col, "__lab_self")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_neighbors"),
+                 F.sum((F.col("__lab_self") == F.col("__lab_nbr"))
+                       .cast("int")).cast("int").alias("n_same"))
+            .select(F.col(id_col),
+                    F.col("__lab_self").alias(label_col),
+                    "n_neighbors", "n_same",
+                    F.expr("(1000000 * n_same) div n_neighbors")
+                    .cast("bigint").alias("purity_e6")))

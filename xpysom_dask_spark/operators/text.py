@@ -1469,3 +1469,47 @@ def rrf_fuse(rankings, k: int = 10, c: int = 60):
     return (fused.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k))
             .select("query_id", "rank", "doc_id", "rrf_e9"))
+
+
+def textrank_keywords(df, text_col: str, top_k: int = 20,
+                      n_iter: int = 5):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the corpus-level word co-occurrence graph —
+    ``(rank, term, rank_e6)``, top-``top_k`` by (rank_e6 DESC, term).
+
+    The graph: an undirected edge between every pair of ADJACENT
+    tokens in any document (window 2, unweighted, deduplicated) —
+    built as one narrow zip-shift expression (no self-join), then
+    :func:`~.graph.pagerank`'s exact-integer power iteration ranks
+    the terms.  Centrality beats raw frequency for keyword-ness
+    because a term's score inherits from its neighbors' scores — a
+    word glued to many well-connected words outranks an isolated
+    frequent one.
+
+    Determinism: the edge set is exact, iterations are pure int64
+    (graph.pagerank), ranking ties break on the term.  Scale: edges
+    ≤ Σ(doc tokens) before dedup, one distinct + the pagerank
+    iterations (each one join + combinable sum on the ≤|vocab|-sized
+    rank relation).
+    """
+    from .graph import pagerank
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    arr = tokens(text_col)
+    pairs = df.select(F.explode(F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(F.least(a, b).alias("a"),
+                              F.greatest(a, b).alias("b"))))
+        .alias("p")).select("p.a", "p.b") \
+        .where(F.col("a") != F.col("b")).distinct()
+    edges = (pairs.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst"))
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst"))))
+    pr = pagerank(edges, n_iter=n_iter)
+    w = Window.orderBy(F.col("rank_e6").desc(), F.col("id").asc())
+    return (pr.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(top_k))
+            .select("rank", F.col("id").alias("term"), "rank_e6"))

@@ -8026,6 +8026,63 @@ SELECT rank, id AS term, r AS rank_e6 FROM rk WHERE rank <= 20
 """
 
 
+def _q_hll_by_type(spark, sf_dir):
+    """Grouped HyperLogLog (operators/sketches.py group_cols): the
+    warehouse pattern — approximate COUNT(DISTINCT user_id) per
+    event_type from one combinable aggregation whose state is
+    groups x 2^p rows.  Same exact-integer estimate as hll_distinct,
+    one row per event_type."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(
+        ev.select("event_type",
+                  F.col("user_id").cast("string").alias("k")),
+        "k", p=_HLL_P, group_cols=("event_type",))
+    return SK.hll_estimate(regs, p=_HLL_P, group_cols=("event_type",))
+
+
+def _sql_hll_by_type():
+    p = _HLL_P
+    m = 1 << p
+    rem_bits = 48 - p
+    rem_pow = 1 << rem_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(rem_pow)
+    return f"""
+WITH u AS (SELECT DISTINCT event_type,
+                  CAST(user_id AS VARCHAR) AS k FROM events),
+h AS (SELECT event_type, ({_duck_h48('k', 0)}) AS hv FROM u),
+reg AS (
+  SELECT event_type, CAST(hv // {rem_pow} AS INTEGER) AS bucket,
+         CAST(MAX(CASE WHEN hv % {rem_pow} = 0 THEN {rem_bits + 1}
+              ELSE {rem_bits + 1}
+                   - length(ltrim(bin(hv % {rem_pow}), '0'))
+              END) AS INTEGER) AS rho
+  FROM h GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(CAST(2.0 ** ({rem_bits} - rho) AS BIGINT))
+              AS BIGINT) AS present_sum
+  FROM reg GROUP BY 1),
+calc AS (
+  SELECT event_type, CAST({m} - n_present AS BIGINT) AS n_zero,
+         CAST(present_sum + ({m} - n_present)
+              * CAST({rem_pow} AS BIGINT) AS BIGINT) AS raw_sum
+  FROM agg)
+SELECT event_type, CAST({m} AS INTEGER) AS m, n_zero,
+       raw_sum AS raw_sum_scaled,
+       CAST(CASE WHEN {num!r} / CAST(raw_sum AS DOUBLE)
+                      < {2.5 * m!r} AND n_zero > 0
+            THEN FLOOR({float(m)!r}
+                       * ln({float(m)!r} / CAST(n_zero AS DOUBLE)))
+            ELSE FLOOR({num!r} / CAST(raw_sum AS DOUBLE))
+            END AS BIGINT) AS est
+FROM calc
+"""
+
+
 def queries_round9_staged() -> dict:
     """Round-9 promotion queue: oracle-green here + at sf0.01 via
     tools/gate_pick.py --staged, awaiting a head-50 slot at the next
@@ -8040,6 +8097,7 @@ def queries_round9_staged() -> dict:
         "streaming_cms": _q_streaming_cms,
         "knn_label_purity": _q_knn_label_purity,
         "textrank_keywords": _q_textrank_keywords,
+        "hll_by_type": _q_hll_by_type,
     }
 
 
@@ -8054,4 +8112,5 @@ def oracle_sql_round9_staged() -> dict[str, str]:
         "streaming_cms": _sql_streaming_cms(),
         "knn_label_purity": _sql_knn_label_purity(),
         "textrank_keywords": _sql_textrank_keywords(),
+        "hll_by_type": _sql_hll_by_type(),
     }

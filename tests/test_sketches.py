@@ -182,3 +182,44 @@ def test_hll_stream_drained_equals_batch(spark, tmp_path):
     want = {r["bucket"]: r["rho"]
             for r in SK.hll_registers(df, "k", p=7).collect()}
     assert got == want
+
+
+def test_grouped_hll_equals_per_group_sketches(spark):
+    """group_cols builds INDEPENDENT per-group sketches: the grouped
+    relation sliced at one group equals the sketch of that group's
+    slice, and the grouped estimate matches the per-slice estimate."""
+    rows = [(f"u{i % (50 + 40 * (i % 3))}", f"g{i % 3}")
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "k string, grp string")
+    p = 7
+    grouped = SK.hll_registers(df, "k", p=p, group_cols=("grp",))
+    for gv in ("g0", "g1", "g2"):
+        whole = {r["bucket"]: r["rho"] for r in
+                 SK.hll_registers(df.where(f"grp = '{gv}'"), "k",
+                                  p=p).collect()}
+        sliced = {r["bucket"]: r["rho"] for r in
+                  grouped.where(f"grp = '{gv}'").collect()}
+        assert sliced == whole, gv
+    ests = {r["grp"]: r["est"] for r in
+            SK.hll_estimate(grouped, p=p,
+                            group_cols=("grp",)).collect()}
+    for gv in ("g0", "g1", "g2"):
+        solo = SK.hll_estimate(
+            SK.hll_registers(df.where(f"grp = '{gv}'"), "k", p=p),
+            p=p).collect()[0]["est"]
+        assert ests[gv] == solo, gv
+
+
+def test_grouped_cms_cells(spark):
+    rows = [(f"t{i % 13}", "a" if i % 2 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "term string, grp string")
+    grouped = SK.count_min_sketch(df, "term", depth=2, width=32,
+                                  group_cols=("grp",))
+    for gv in ("a", "b"):
+        whole = {(r["d"], r["w"]): r["count"] for r in
+                 SK.count_min_sketch(df.where(f"grp = '{gv}'"),
+                                     "term", depth=2,
+                                     width=32).collect()}
+        sliced = {(r["d"], r["w"]): r["count"] for r in
+                  grouped.where(f"grp = '{gv}'").collect()}
+        assert sliced == whole, gv

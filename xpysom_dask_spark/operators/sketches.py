@@ -49,29 +49,35 @@ def _h48(col, seed) -> "F.Column":
 
 def count_min_sketch(df: DataFrame, key_col: str,
                      count_col: str | None = None,
-                     depth: int = 4, width: int = 1024) -> DataFrame:
-    """Build a CM sketch relation ``(d, w, count)`` over ``key_col``
-    (weighted by ``count_col`` if given, else each row counts 1).
+                     depth: int = 4, width: int = 1024,
+                     group_cols: tuple = ()) -> DataFrame:
+    """Build a CM sketch relation ``(*group_cols, d, w, count)`` over
+    ``key_col`` (weighted by ``count_col`` if given, else each row
+    counts 1) — one INDEPENDENT sketch per group when ``group_cols``
+    is set (per-language heavy hitters, per-source term spikes: the
+    dimension just joins the aggregation key).
 
     Only non-empty cells are emitted (absent cell ≡ 0), so the
-    relation is ≤ depth·width rows REGARDLESS of corpus size — the
-    entire reduction is one explode-free map-side-combinable
-    ``groupBy(d, w)``: shuffle traffic is bounded by
-    depth·width·partitions, not by the data.
+    relation is ≤ groups·depth·width rows REGARDLESS of corpus size —
+    the entire reduction is one explode-free map-side-combinable
+    ``groupBy``: shuffle traffic is bounded by cells·partitions, not
+    by the data.
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got "
                          f"depth={depth}, width={width}")
+    g = list(group_cols)
     cnt = (F.col(count_col).cast("bigint") if count_col
            else F.lit(1).cast("bigint"))
     rows = [df.select(
+        *g,
         F.lit(d).alias("d"),
         (_h48(F.col(key_col), d) % width).cast("int").alias("w"),
         cnt.alias("__c")) for d in range(depth)]
     allrows = rows[0]
     for r in rows[1:]:
         allrows = allrows.unionByName(r)
-    return (allrows.groupBy("d", "w")
+    return (allrows.groupBy(*g, "d", "w")
             .agg(F.sum("__c").cast("bigint").alias("count")))
 
 
@@ -98,20 +104,25 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                  .cast("bigint").alias("est")))
 
 
-def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
-    """HyperLogLog register relation ``(bucket, rho)`` over the
-    distinct values of ``key_col``: bucket = the hash's top ``p`` bits,
+def hll_registers(df: DataFrame, key_col: str, p: int = 9,
+                  group_cols: tuple = ()) -> DataFrame:
+    """HyperLogLog register relation ``(*group_cols, bucket, rho)``
+    over the distinct values of ``key_col`` — one independent sketch
+    per group when ``group_cols`` is set (the 100 TB warehouse
+    pattern: approximate COUNT(DISTINCT key) per dimension in one
+    combinable aggregation).  bucket = the hash's top ``p`` bits,
     rho = 1 + leading-zero count of the remaining ``48 − p`` bits
     (= 48 − p + 1 when they are all zero).
 
-    ≤ 2^p rows regardless of input size; one map-side-combined
-    ``groupBy(bucket).max`` — the max IS the HLL merge, so partial
+    ≤ groups·2^p rows regardless of input size; one map-side-combined
+    ``groupBy(...).max`` — the max IS the HLL merge, so partial
     aggregation, shard union + re-max, and incremental maintenance
     (new data ⇒ union + re-max) all come for free.  Absent buckets are
     register value 0.
     """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
+    g = list(group_cols)
     rem_bits = 48 - p
     h = _h48(F.col(key_col), 0)
     bucket = F.shiftright(h, rem_bits).cast("int")
@@ -121,12 +132,13 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
     # (conv emits no leading zeros) — integer/string ops, no log2 float
     rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
         F.lit(rem_bits + 1) - F.length(F.conv(rem, 10, 2)))
-    return (df.select(bucket.alias("bucket"), rho.alias("rho"))
-            .groupBy("bucket")
+    return (df.select(*g, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*g, "bucket")
             .agg(F.max("rho").cast("int").alias("rho")))
 
 
-def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+def hll_estimate(registers: DataFrame, p: int = 9,
+                 group_cols: tuple = ()) -> DataFrame:
     """Bias-corrected HLL cardinality from a register relation: one
     row ``(m, n_zero, raw_sum_scaled, est)``.
 
@@ -141,13 +153,16 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     rem_bits = 48 - p
     alpha = (0.673 if p == 4 else 0.697 if p == 5
              else 0.709 if p == 6 else 0.7213 / (1 + 1.079 / m))
+    g = list(group_cols)
     # 2^{rem_bits − rho} via double pow is exact (exponent ≤ 44 < 53
     # mantissa bits), cast back to the integer it is
-    agg = registers.agg(
+    aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
         F.sum(F.pow(F.lit(2.0), (F.lit(rem_bits) - F.col("rho"))
                     .cast("double")).cast("bigint"))
-        .cast("bigint").alias("present_sum"))
+        .cast("bigint").alias("present_sum")]
+    agg = (registers.groupBy(*g).agg(*aggs) if g
+           else registers.agg(*aggs))
     n_zero = (F.lit(m) - F.col("n_present")).cast("bigint")
     raw_sum = (F.col("present_sum")
                + n_zero * F.lit(1 << rem_bits).cast("bigint"))
@@ -159,6 +174,7 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
                                         / n_zero.cast("double"))))\
         .otherwise(F.floor(raw_est)).cast("bigint")
     return agg.select(
+        *g,
         F.lit(m).cast("int").alias("m"),
         n_zero.alias("n_zero"),
         raw_sum.alias("raw_sum_scaled"),

@@ -8083,6 +8083,155 @@ FROM calc
 """
 
 
+_UNI_VOCAB, _UNI_L, _UNI_ITER, _UNI_MAXW = 64, 4, 2, 16
+
+
+def _q_unigram_segments(spark, sf_dir):
+    """Unigram-LM tokenizer trained-model gate (operators/unigram.py):
+    train the vocab on the documents corpus (hard-EM, smallest-j
+    Viterbi ties, Laplace e6 scores — integers end-to-end), then
+    Viterbi-segment every distinct word under it.  The oracle embeds
+    the vocabulary learned by an INDEPENDENT pure-Python reference
+    loop (the bpe_subwords idiom) and replays the Viterbi DP as
+    chained per-position CTEs, so vocab, scores, paths, and piece
+    counts must all match bit-for-bit."""
+    from xpysom_dask_spark.operators import unigram as UNI
+
+    docs = _docs(spark, sf_dir)
+    vocab = UNI.learn_unigram(
+        docs, "text", vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_L, n_iter=_UNI_ITER,
+        max_word_len=_UNI_MAXW)
+    return UNI.segment_words(docs, "text", vocab,
+                             max_piece_len=_UNI_L,
+                             max_word_len=_UNI_MAXW)
+
+
+def _unigram_ref_vocab(sf_dir: str):
+    """Independent single-node reference trainer (reads the parquet
+    directly; no engine code) — the oracle's embedded model."""
+    import math as _m
+
+    import duckdb as _dk
+
+    con = _dk.connect()
+    texts = [t[0] for t in con.execute(
+        f"SELECT text FROM read_parquet("
+        f"'{sf_dir}/documents.parquet')").fetchall()]
+    con.close()
+    V, L, IT, MW = _UNI_VOCAB, _UNI_L, _UNI_ITER, _UNI_MAXW
+    wc = {}
+    for t in texts:
+        for w in (t or "").lower().split():
+            if w and len(w) <= MW:
+                wc[w] = wc.get(w, 0) + 1
+    cand = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + L, len(w)) + 1):
+                p = w[i:j]
+                cand[p] = cand.get(p, 0) + c
+    singles = {p: c for p, c in cand.items() if len(p) == 1}
+    multis = sorted(((p, c) for p, c in cand.items() if len(p) > 1),
+                    key=lambda pc: (-pc[1], pc[0]))[:8 * V]
+    counts = dict(singles)
+    counts.update(dict(multis))
+
+    def smooth(cnt):
+        tot, nv = sum(cnt.values()), len(cnt)
+        return {p: _m.floor(_m.log((c + 1) / (tot + nv)) * 1e6)
+                for p, c in cnt.items()}
+
+    def viterbi(word, scores):
+        neg = -(10 ** 15)
+        n = len(word)
+        best, back = [neg] * (n + 1), [-1] * (n + 1)
+        best[0] = 0
+        for i in range(1, n + 1):
+            for j in range(max(0, i - L), i):
+                if best[j] == neg:
+                    continue
+                sc = scores.get(word[j:i])
+                if sc is None:
+                    continue
+                if best[j] + sc > best[i]:
+                    best[i], back[i] = best[j] + sc, j
+        if best[n] == neg:
+            return None
+        out, i = [], n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    for _ in range(IT):
+        scores = smooth(counts)
+        used = {}
+        for w, c in wc.items():
+            pieces = viterbi(w, scores)
+            if pieces is None:
+                continue
+            for p in pieces:
+                used[p] = used.get(p, 0) + c
+        counts = {p: used.get(p, 0) for p in counts
+                  if len(p) == 1 or p in used}
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                    key=lambda pc: (-pc[1], pc[0]))
+    room = max(V - len(singles), 0)
+    final = dict(singles)
+    final.update(dict(multis[:room]))
+    return smooth(final)
+
+
+def _sql_unigram_segments(sf_dir: str):
+    scores = _unigram_ref_vocab(sf_dir)
+    vals = ", ".join(
+        "(" + repr(p).replace('"', "'") + f", {s})"
+        for p, s in sorted(scores.items()))
+    L, MW = _UNI_L, _UNI_MAXW
+    toks = _duck_tokens("lower(text)")
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, and the DP
+    # chain re-expands each referenced predecessor — exponential scans
+    # without it (measured: "too many open files" at 16 positions)
+    sql = f"""
+WITH vocab AS MATERIALIZED (
+  SELECT * FROM (VALUES {vals}) v(piece, vs)),
+words AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS count FROM (
+    SELECT unnest({toks}) AS w FROM documents)
+  WHERE length(w) <= {MW} GROUP BY 1),
+st0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS score,
+               0 AS np, '' AS path FROM words)"""
+    for i in range(1, MW + 1):
+        branches = " UNION ALL ".join(
+            f"""SELECT s.word, s.score + v.vs AS score,
+       s.np + 1 AS np,
+       CASE WHEN s.path = '' THEN v.piece
+            ELSE s.path || '␟' || v.piece END AS path,
+       {j} AS j
+FROM st{j} s JOIN vocab v
+  ON v.piece = substring(s.word, {j + 1}, {i - j})
+WHERE length(s.word) >= {i}"""
+            for j in range(max(0, i - L), i))
+        sql += f""",
+st{i} AS MATERIALIZED (
+  SELECT word, score, np, path FROM (
+    SELECT u.*, ROW_NUMBER() OVER (
+        PARTITION BY u.word ORDER BY u.score DESC, u.j) AS rn
+    FROM ({branches}) u) WHERE rn = 1)"""
+    finals = " UNION ALL ".join(
+        f"SELECT word, score, np, path FROM st{i} "
+        f"WHERE length(word) = {i}" for i in range(1, MW + 1))
+    sql += f"""
+SELECT w.word, w.count, f.path AS encoded,
+       CAST(f.score AS BIGINT) AS score_e6,
+       CAST(f.np AS INTEGER) AS n_pieces
+FROM words w JOIN ({finals}) f USING (word)
+"""
+    return sql
+
+
 def queries_round9_staged() -> dict:
     """Round-9 promotion queue: oracle-green here + at sf0.01 via
     tools/gate_pick.py --staged, awaiting a head-50 slot at the next
@@ -8098,10 +8247,12 @@ def queries_round9_staged() -> dict:
         "knn_label_purity": _q_knn_label_purity,
         "textrank_keywords": _q_textrank_keywords,
         "hll_by_type": _q_hll_by_type,
+        "unigram_segments": _q_unigram_segments,
     }
 
 
-def oracle_sql_round9_staged() -> dict[str, str]:
+def oracle_sql_round9_staged(
+        ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     return {
         "cms_top_terms": _sql_cms_top_terms(),
         "hll_distinct": _sql_hll_distinct(),
@@ -8113,4 +8264,8 @@ def oracle_sql_round9_staged() -> dict[str, str]:
         "knn_label_purity": _sql_knn_label_purity(),
         "textrank_keywords": _sql_textrank_keywords(),
         "hll_by_type": _sql_hll_by_type(),
+        # data-dependent twin (the bpe_subwords idiom): vocabulary
+        # re-learned from the corpus at ivf_sf_dir by an independent
+        # reference loop
+        "unigram_segments": _sql_unigram_segments(ivf_sf_dir),
     }

@@ -20,7 +20,9 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 STAGED = entrymod.queries_round9_staged()
-ORACLES = entrymod.oracle_sql_round9_staged()
+# SF_TINY: the unigram_segments oracle is data-dependent (vocabulary
+# re-learned from the corpus it runs against — the bpe_subwords idiom)
+ORACLES = entrymod.oracle_sql_round9_staged(SF_TINY)
 
 
 def _norm(v):

@@ -1,0 +1,147 @@
+"""Unigram-LM tokenizer trainer vs an independent Python reference
+(same spec: occurrence-weighted candidates, hard-EM with smallest-j
+Viterbi ties, Laplace e6 scores, char-preserving prune)."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xpysom_dask_spark.operators import unigram as U
+
+
+def _ref_learn(texts, vocab_size=16, L=4, n_iter=3, cap=None,
+               max_word_len=32):
+    cap = 8 * vocab_size if cap is None else cap
+    wc = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= max_word_len:
+                wc[w] = wc.get(w, 0) + 1
+    cand = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + L, len(w)) + 1):
+                p = w[i:j]
+                cand[p] = cand.get(p, 0) + c
+    singles = {p: c for p, c in cand.items() if len(p) == 1}
+    multis = sorted(((p, c) for p, c in cand.items() if len(p) > 1),
+                    key=lambda pc: (-pc[1], pc[0]))[:cap]
+    counts = dict(singles)
+    counts.update(dict(multis))
+
+    def smooth(cnt):
+        tot, v = sum(cnt.values()), len(cnt)
+        return {p: math.floor(math.log((c + 1) / (tot + v)) * 1e6)
+                for p, c in cnt.items()}
+
+    def viterbi(word, scores):
+        NEG = -(10 ** 15)
+        n = len(word)
+        best, back = [NEG] * (n + 1), [-1] * (n + 1)
+        best[0] = 0
+        for i in range(1, n + 1):
+            for j in range(max(0, i - L), i):
+                if best[j] == NEG:
+                    continue
+                sc = scores.get(word[j:i])
+                if sc is None:
+                    continue
+                if best[j] + sc > best[i]:
+                    best[i], back[i] = best[j] + sc, j
+        if best[n] == NEG:
+            return None
+        out, i = [], n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    for _ in range(n_iter):
+        scores = smooth(counts)
+        used = {}
+        for w, c in wc.items():
+            pieces = viterbi(w, scores)
+            if pieces is None:
+                continue
+            for p in pieces:
+                used[p] = used.get(p, 0) + c
+        counts = {p: used.get(p, 0) for p in counts
+                  if len(p) == 1 or p in used}
+
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                    key=lambda pc: (-pc[1], pc[0]))
+    room = max(vocab_size - len(singles), 0)
+    final = dict(singles)
+    final.update(dict(multis[:room]))
+    scores = smooth(final)
+    return sorted((p, c, scores[p]) for p, c in final.items())
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat on mats",
+    "thematic the theme theater",
+    "concatenate the cat category",
+    "mat mat mat the the the",
+]
+
+
+def test_learn_unigram_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    got = [(r["piece"], r["count"], r["score_e6"]) for r in
+           U.learn_unigram(df, "text", vocab_size=16, max_piece_len=4,
+                           n_iter=3).orderBy("piece").collect()]
+    assert got == _ref_learn(TEXTS, vocab_size=16, L=4, n_iter=3)
+    # structural guarantees: every corpus character survives; common
+    # multi-char pieces exist
+    pieces = {p for p, _c, _s in got}
+    alphabet = {ch for t in TEXTS for ch in t.lower().replace(" ", "")}
+    assert alphabet <= pieces
+    assert any(len(p) > 1 for p in pieces)
+
+
+def test_segment_words_covers_and_scores(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    vocab = U.learn_unigram(df, "text", vocab_size=16,
+                            max_piece_len=4, n_iter=2)
+    seg = {r["word"]: r for r in
+           U.segment_words(df, "text", vocab,
+                           max_piece_len=4).collect()}
+    words = {w for t in TEXTS for w in t.lower().split()}
+    assert set(seg) == words          # full coverage (chars kept)
+    scores = {r["piece"]: r["score_e6"] for r in vocab.collect()}
+    for w, r in seg.items():
+        parts = r["encoded"].split("␟")
+        assert "".join(parts) == w
+        assert r["n_pieces"] == len(parts)
+        assert r["score_e6"] == sum(scores[p] for p in parts)
+
+
+def test_unigram_token_count(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    vocab = U.learn_unigram(df, "text", vocab_size=16,
+                            max_piece_len=4, n_iter=2)
+    seg = {r["word"]: r["n_pieces"] for r in
+           U.segment_words(df, "text", vocab,
+                           max_piece_len=4).collect()}
+    got = {r["id"]: (r["n_words"], r["n_tokens"]) for r in
+           U.unigram_token_count(df, "text", "doc_id", vocab,
+                                 max_piece_len=4).collect()}
+    for i, t in enumerate(TEXTS):
+        ws = t.lower().split()
+        assert got[i] == (len(ws), sum(seg[w] for w in ws))
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="vocab_size"):
+        U.learn_unigram(None, "text", vocab_size=1)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        U.learn_unigram(None, "text", max_piece_len=0)

@@ -176,7 +176,13 @@ def run(sf_dir: str, sweep_all: bool = False,
     from xpysom_dask_spark import SparkSom
     from xpysom_dask_spark.sources import readers
 
-    qmap = entry.queries()
+    qmap = dict(entry.queries())
+    # staged next-round gates resolve too (the gate_pick convention)
+    for rn in range(5, 30):
+        qf = getattr(entry, f"queries_round{rn}_staged", None)
+        if qf:
+            for k, v in qf().items():
+                qmap.setdefault(k, v)
     results = {}
     n_reps = 1 if sweep_all else 3
 

@@ -560,7 +560,8 @@ def main():
     for _nm in ("bm25_topk", "knn_graph_full", "cms_top_terms",
                 "hll_distinct", "text_readability", "nb_lang",
                 "hybrid_rrf", "pagerank_hubs", "knn_label_purity",
-                "textrank_keywords", "streaming_cms", "hll_by_type"):
+                "textrank_keywords", "streaming_cms", "hll_by_type",
+                "unigram_segments"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;

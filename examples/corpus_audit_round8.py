@@ -81,6 +81,15 @@ def main(sf_dir: str) -> None:
           F.avg("flesch_e6").cast("bigint").alias("avg_flesch_e6"),
           F.max("flesch_e6").alias("max_flesch_e6")).show())
 
+    print("== unigram-LM tokenizer: train + budget accounting ==")
+    from xpysom_dask_spark.operators import unigram as UNI
+    vocab = UNI.learn_unigram(docs, "text", vocab_size=64,
+                              max_piece_len=4, n_iter=2)
+    (UNI.unigram_token_count(docs, "text", "doc_id", vocab,
+                             max_piece_len=4)
+     .agg(F.sum("n_words").alias("words"),
+          F.sum("n_tokens").alias("unigram_tokens")).show())
+
     print("== Naive Bayes lang self-audit (disagreements = noise) ==")
     nb = T.nb_classify(docs, "text", "doc_id", "lang")
     nb.agg(F.count(F.lit(1)).alias("docs"),

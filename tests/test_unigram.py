@@ -145,3 +145,71 @@ def test_validation():
         U.learn_unigram(None, "text", vocab_size=1)
     with pytest.raises(ValueError, match="max_piece_len"):
         U.learn_unigram(None, "text", max_piece_len=0)
+
+
+def test_unigram_encode_ids_roundtrip(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id bigint, text string")
+    vocab = U.learn_unigram(df, "text", vocab_size=16,
+                            max_piece_len=4, n_iter=2)
+    ids = {r["id"]: r["piece"] for r in
+           U.unigram_vocab_ids(vocab).collect()}
+    assert sorted(ids) == list(range(len(ids)))   # dense 0..V-1
+    enc = {r["id"]: list(r["ids"]) for r in
+           U.unigram_encode_ids(df, "text", "doc_id", vocab,
+                                max_piece_len=4).collect()}
+    for i, t in enumerate(TEXTS):
+        # decoding the ids reconstructs the text minus whitespace
+        assert "".join(ids[j] for j in enc[i]) == \
+            t.lower().replace(" ", "")
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    """Property check of the DP against exhaustive path enumeration
+    with the same tie rule (max score, then smallest split points
+    right-to-left) over randomized small vocabularies."""
+    import random
+
+    rng = random.Random(77)
+    for _ in range(200):
+        alpha = "abc"
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+        scores = {}
+        for ch in alpha:
+            scores[ch] = rng.randint(-9, -1) * 10**5
+        for _k in range(rng.randint(0, 6)):
+            ln = rng.randint(2, 3)
+            i = rng.randint(0, max(len(word) - ln, 0))
+            scores[word[i:i + ln]] = rng.randint(-9, -1) * 10**5
+        L = 3
+
+        def paths(prefix_end):
+            if prefix_end == 0:
+                return [([], 0)]
+            out = []
+            for j in range(max(0, prefix_end - L), prefix_end):
+                p = word[j:prefix_end]
+                if p not in scores:
+                    continue
+                for seq, sc in paths(j):
+                    out.append((seq + [p], sc + scores[p]))
+            return out
+        allp = paths(len(word))
+        got_pieces, got_score = U._viterbi(word, scores, L)
+        assert allp, word                        # chars always present
+        best_score = max(sc for _s, sc in allp)
+        assert got_score == best_score
+        # the DP's tie rule: among best-score paths, it picks the one
+        # whose split points are smallest scanning right-to-left
+        # (longest last piece first) — reconstruct that path here
+        def key(seq):
+            # split points from the right: longer last pieces first
+            pts = []
+            pos = len(word)
+            for p in reversed(seq):
+                pos -= len(p)
+                pts.append(pos)
+            return pts
+        want = min((seq for seq, sc in allp if sc == best_score),
+                   key=key)
+        assert got_pieces == want, (word, got_pieces, want)

@@ -246,3 +246,57 @@ def unigram_token_count(df: DataFrame, text_col: str, id_col: str,
     return (df.select(F.col(id_col).alias("__id"),
                       F.col(text_col).alias("__text"))
             .mapInPandas(fn, "id bigint, n_words int, n_tokens int"))
+
+
+def unigram_vocab_ids(vocab: DataFrame) -> DataFrame:
+    """Stable id per piece: ``(id, piece)``, ids dense 0..V−1 in piece
+    order — the engine-exact id assignment (no partition dependence),
+    mirroring :func:`~.bpe.bpe_vocab`."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("piece")
+    return (vocab.select("piece")
+            .withColumn("id", F.row_number().over(w) - 1)
+            .select("id", "piece"))
+
+
+def unigram_encode_ids(df: DataFrame, text_col: str, id_col: str,
+                       vocab: DataFrame,
+                       max_piece_len: int = 8) -> DataFrame:
+    """Encode documents to unigram token-id sequences: ``(id, ids)``
+    with ``ids array<int>`` — the model-input surface, mirroring
+    :func:`~.bpe.bpe_encode_ids`.  Words repeat heavily, so each
+    distinct word per Arrow batch is Viterbi-segmented once (in-batch
+    cache); characters outside the vocabulary make a word encode to
+    the empty sequence (documented: train the vocab on a corpus
+    covering the alphabet, or pre-filter)."""
+    import pandas as pd
+
+    rows = vocab.select("piece", "score_e6").collect()
+    scores = {r["piece"]: int(r["score_e6"]) for r in rows}
+    piece_id = {r["piece"]: i for i, r in
+                enumerate(sorted(rows, key=lambda r: r["piece"]))}
+
+    def fn(batches):
+        cache = {}
+        for pdf in batches:
+            out_ids, out_seqs = [], []
+            for i, txt in zip(pdf["__id"], pdf["__text"]):
+                seq = []
+                for w in (txt or "").lower().split():
+                    if not w:
+                        continue
+                    hit = cache.get(w)
+                    if hit is None:
+                        pieces, _sc = _viterbi(w, scores,
+                                               max_piece_len)
+                        hit = ([piece_id[p] for p in pieces]
+                               if pieces else [])
+                        cache[w] = hit
+                    seq.extend(hit)
+                out_ids.append(i)
+                out_seqs.append(seq)
+            yield pd.DataFrame({"id": out_ids, "ids": out_seqs})
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text"))
+            .mapInPandas(fn, "id bigint, ids array<int>"))

@@ -160,8 +160,11 @@ def encode_jpeg(h, w, comps, q_tables, restart=0):
                 run = 0
             if last_nz < 63:
                 ac_syms.add(0x00)
+    # full DC size alphabet: restart intervals reset the prediction,
+    # so the collection pass (which runs without resets) can miss a
+    # diff size the real encoding emits
     dc_counts, dc_vals, dc_codes, dc_len = \
-        _canonical(sorted(dc_syms), 6)
+        _canonical(list(range(12)), 6)
     ac_counts, ac_vals, ac_codes, ac_len = \
         _canonical(sorted(ac_syms), 9)
 
@@ -372,3 +375,49 @@ def test_decode_image_routes_jpeg_without_pillow(spark):
     got = np.asarray(feats[0]["features"])
     assert abs(got[0] - exp.mean()) < 1e-6
     assert abs(got[1] - exp.std()) < 1e-6
+
+
+def test_randomized_configs_exact():
+    """Randomized sweep over sizes / sampling factors / quant tables /
+    coefficient densities — every decode must be bit-exact against the
+    independent IDCT reference (the coefficients are chosen, not
+    FDCT'd, so there is no lossy step to hide behind)."""
+    rng = np.random.RandomState(2024)
+    for trial in range(12):
+        hs, vs = int(rng.choice([1, 2])), int(rng.choice([1, 2]))
+        mcux = int(rng.randint(1, 3))
+        mcuy = int(rng.randint(1, 3))
+        w_full, h_full = mcux * 8 * hs, mcuy * 8 * vs
+        # random crop inside the MCU grid (partial-MCU edge handling)
+        w = int(rng.randint(w_full - 7, w_full + 1))
+        h = int(rng.randint(h_full - 7, h_full + 1))
+        qy = rng.randint(1, 64, 64).astype(np.int64)
+        qc = rng.randint(1, 64, 64).astype(np.int64)
+        dens = int(rng.randint(1, 20))
+        yb = {(by, bx): _rand_zz(rng, dens)
+              for by in range(mcuy * vs) for bx in range(mcux * hs)}
+        cb = {(by, bx): _rand_zz(rng, max(dens // 2, 1))
+              for by in range(mcuy) for bx in range(mcux)}
+        cr = {(by, bx): _rand_zz(rng, max(dens // 2, 1))
+              for by in range(mcuy) for bx in range(mcux)}
+        restart = int(rng.choice([0, 1, 2]))
+        data = encode_jpeg(
+            h, w,
+            [{"hs": hs, "vs": vs, "tq": 0, "blocks": yb},
+             {"hs": 1, "vs": 1, "tq": 1, "blocks": cb},
+             {"hs": 1, "vs": 1, "tq": 1, "blocks": cr}],
+            {0: qy, 1: qc}, restart=restart)
+        img = decode_jpeg_stdlib(data)
+        assert img.shape == (h, w, 3), (trial, img.shape)
+        y = _expected_plane(yb, qy, mcuy * vs, mcux * hs) \
+            .astype(np.float64)[:h, :w]
+        cbp = _expected_plane(cb, qc, mcuy, mcux) \
+            .repeat(vs, 0).repeat(hs, 1).astype(np.float64)[:h, :w]
+        crp = _expected_plane(cr, qc, mcuy, mcux) \
+            .repeat(vs, 0).repeat(hs, 1).astype(np.float64)[:h, :w]
+        r = y + 1.402 * (crp - 128)
+        g = y - 0.344136 * (cbp - 128) - 0.714136 * (crp - 128)
+        b = y + 1.772 * (cbp - 128)
+        exp = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255) \
+            .astype(np.uint8)
+        assert np.array_equal(img, exp), trial

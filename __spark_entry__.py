@@ -6355,6 +6355,76 @@ SELECT query_id, rank, id AS doc_id, score_e6 FROM rk WHERE rank <= 10
 """
 
 
+# ===================================================================== #
+# round-10 staging area
+
+_QH_LO, _QH_HI, _QH_BINS = 0.0, 80000.0, 128
+_QH_QS = (0.25, 0.5, 0.75, 0.95, 1.0)
+
+
+def _q_quantile_hist(spark, sf_dir):
+    """Mergeable-quantile sketch gate (operators/sketches.py
+    histogram_sketch / histogram_quantiles): per-l_returnflag
+    quantiles of l_extendedprice from a fixed-range 128-bin integer
+    histogram — the quantiles leg of the sketch family (counts: CM,
+    distincts: HLL).  Fixed [lo, hi) grid = engine-exact cells AND
+    quantiles (the documented trade vs t-digest's approximate
+    merges); lower-bin-edge convention, scaled-e6 values."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    hist = SK.histogram_sketch(li, "l_extendedprice", _QH_LO, _QH_HI,
+                               _QH_BINS, group_cols=("l_returnflag",))
+    return SK.histogram_quantiles(hist, _QH_QS, _QH_LO, _QH_HI,
+                                  _QH_BINS,
+                                  group_cols=("l_returnflag",))
+
+
+def _sql_quantile_hist():
+    lo, hi, bins = _QH_LO, _QH_HI, _QH_BINS
+    width = (hi - lo) / bins
+    qrows = " UNION ALL ".join(
+        f"SELECT {int(round(q * 1e6))} AS q_e6, {q!r} AS q"
+        for q in _QH_QS)
+    return f"""
+WITH hist AS (
+  SELECT l_returnflag,
+         least(greatest(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE)
+                 - {lo!r}) * {bins / (hi - lo)!r}) AS INTEGER), 0),
+               {bins - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS count
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bin, count,
+         SUM(count) OVER (PARTITION BY l_returnflag
+                          ORDER BY bin) AS cumc,
+         SUM(count) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist),
+qs AS ({qrows})
+SELECT c.l_returnflag, CAST(q.q_e6 AS BIGINT) AS q_e6,
+       CAST(FLOOR(({lo!r} + MIN(c.bin) * {width!r}) * 1000000.0
+                  + 0.5) AS BIGINT) AS value_e6
+FROM cum c CROSS JOIN qs q
+WHERE c.cumc >= CEIL(c.n * q.q)
+GROUP BY 1, 2
+"""
+
+
+def queries_round10_staged() -> dict:
+    """Round-10 pre-staging: verified like the round-9 queue, promoted
+    the round after (SURVEY.md §8)."""
+    return {
+        "quantile_hist": _q_quantile_hist,
+    }
+
+
+def oracle_sql_round10_staged() -> dict[str, str]:
+    return {
+        "quantile_hist": _sql_quantile_hist(),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round

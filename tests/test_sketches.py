@@ -223,3 +223,71 @@ def test_grouped_cms_cells(spark):
         sliced = {(r["d"], r["w"]): r["count"] for r in
                   grouped.where(f"grp = '{gv}'").collect()}
         assert sliced == whole, gv
+
+
+def test_histogram_sketch_and_quantiles_match_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vals = np.round(rng.uniform(0, 100, 2000), 3).tolist() \
+        + [None, -5.0, 250.0]           # NULL + under/overflow
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, bins = 0.0, 100.0, 50
+    hist = SK.histogram_sketch(df, "x", lo, hi, bins)
+    got = {r["bin"]: r["count"] for r in hist.collect()}
+    ref = {}
+    for v in vals:
+        if v is None:
+            continue
+        b = min(max(int((v - lo) * bins / (hi - lo) // 1), 0),
+                bins - 1)
+        ref[b] = ref.get(b, 0) + 1
+    assert got == ref
+    # quantiles: lower-edge convention vs reference cumsum
+    qs = (0.1, 0.5, 0.9, 1.0)
+    out = {r["q_e6"]: r["value_e6"] for r in
+           SK.histogram_quantiles(hist, qs, lo, hi, bins).collect()}
+    n = sum(ref.values())
+    width = (hi - lo) / bins
+    import math as m
+    for q in qs:
+        need = m.ceil(n * q)
+        cum = 0
+        for b in sorted(ref):
+            cum += ref[b]
+            if cum >= need:
+                exp = m.floor((lo + b * width) * 1e6 + 0.5)
+                break
+        assert out[int(round(q * 1e6))] == exp, q
+    # merge = cell sum (shard the data, sum the sketches)
+    h1 = SK.histogram_sketch(df.where("x < 50 OR x IS NULL"),
+                             "x", lo, hi, bins)
+    h2 = SK.histogram_sketch(df.where("x >= 50"), "x", lo, hi, bins)
+    merged = {r["bin"]: r["count"] for r in
+              h1.unionByName(h2).groupBy("bin")
+              .agg(SK.F.sum("count").cast("bigint").alias("count"))
+              .collect()}
+    assert merged == ref
+
+
+def test_histogram_grouped_and_validation(spark):
+    df = spark.createDataFrame(
+        [(float(i % 10), "g%d" % (i % 2)) for i in range(100)],
+        "x double, grp string")
+    hist = SK.histogram_sketch(df, "x", 0.0, 10.0, 10,
+                               group_cols=("grp",))
+    for gv in ("g0", "g1"):
+        whole = {r["bin"]: r["count"] for r in
+                 SK.histogram_sketch(df.where(f"grp = '{gv}'"),
+                                     "x", 0.0, 10.0, 10).collect()}
+        sliced = {r["bin"]: r["count"] for r in
+                  hist.where(f"grp = '{gv}'").collect()}
+        assert sliced == whole
+    q = {(r["grp"], r["q_e6"]): r["value_e6"] for r in
+         SK.histogram_quantiles(hist, (0.5,), 0.0, 10.0, 10,
+                                group_cols=("grp",)).collect()}
+    assert len(q) == 2
+    with pytest.raises(ValueError, match="bins"):
+        SK.histogram_sketch(df, "x", 0.0, 0.0, 10)
+    with pytest.raises(ValueError, match="qs"):
+        SK.histogram_quantiles(hist, (), 0.0, 10.0, 10)

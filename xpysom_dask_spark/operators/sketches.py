@@ -198,3 +198,78 @@ def exact_error_bound(depth: int, width: int, n_total: int) -> float:
     """CM sketch additive-error bound ε·N = (e/width)·N at confidence
     1 − (1/e)^depth — the number to quote next to an estimate."""
     return math.e / width * n_total
+
+
+def histogram_sketch(df: DataFrame, value_col: str,
+                     lo: float, hi: float, bins: int = 128,
+                     group_cols: tuple = ()) -> DataFrame:
+    """Fixed-range histogram sketch ``(*group_cols, bin, count)`` —
+    the mergeable-quantiles leg of the sketch family (counts: CM,
+    distincts: HLL, quantiles: this).  Values clamp into
+    ``[lo, hi)``'s ``bins`` equal-width buckets (bin 0 and bins−1
+    absorb underflow/overflow), NULLs are dropped; cells are plain
+    integer counts, so the sketch merges by cell-sum like the CM
+    sketch and the whole build is one map-side-combined aggregation
+    bounded at groups·bins rows.
+
+    The fixed [lo, hi) contract is the deliberate trade vs adaptive
+    sketches (t-digest/KLL): those re-center buckets per partition and
+    merge approximately, which breaks engine-exact replay; a fixed
+    grid costs one prior pass (or domain knowledge) for the range and
+    in exchange every cell — and every quantile derived from it — is
+    bit-reproducible anywhere.
+    """
+    if bins < 1 or not hi > lo:
+        raise ValueError(
+            f"need bins >= 1 and hi > lo; got bins={bins}, "
+            f"lo={lo}, hi={hi}")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo)))
+                  * F.lit(bins / (hi - lo))).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (df.where(v.isNotNull())
+            .select(*g, b.alias("bin"))
+            .groupBy(*g, "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("count")))
+
+
+def histogram_quantiles(hist: DataFrame, qs: tuple,
+                        lo: float, hi: float, bins: int = 128,
+                        group_cols: tuple = ()) -> DataFrame:
+    """Quantile estimates from a :func:`histogram_sketch`:
+    ``(*group_cols, q_e6, value_e6)`` per requested quantile —
+    value = left edge of the first bin whose cumulative count reaches
+    ``ceil(q·N)`` (the lower-edge convention: deterministic, no
+    interpolation ambiguity; resolution = (hi−lo)/bins by contract).
+
+    One window cumsum over ≤ groups·bins rows + a per-(group, q)
+    min-aggregate — everything after the sketch is arithmetic on the
+    bounded relation.
+    """
+    from pyspark.sql import Window
+
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("bin") if g \
+        else Window.orderBy("bin")
+    cum = (hist.withColumn("__cum", F.sum("count").over(w))
+           .withColumn("__n", F.sum("count").over(
+               Window.partitionBy(*g) if g
+               else Window.partitionBy())))
+    width = (hi - lo) / bins
+    out = None
+    for q in qs:
+        need = F.ceil(F.col("__n") * F.lit(float(q))).cast("bigint")
+        hit = (cum.where(F.col("__cum") >= need)
+               .groupBy(*g)
+               .agg(F.min("bin").alias("__bin")))
+        row = hit.select(
+            *g,
+            F.lit(int(round(q * 1e6))).cast("bigint").alias("q_e6"),
+            F.floor((F.lit(float(lo)) + F.col("__bin")
+                     * F.lit(float(width))) * F.lit(1000000.0)
+                    + F.lit(0.5)).cast("bigint").alias("value_e6"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -6411,17 +6411,115 @@ GROUP BY 1, 2
 """
 
 
+def _q_streaming_qhist(spark, sf_dir):
+    """Streaming quantile-histogram maintenance
+    (streaming/sketches.py hist_stream): lineitem replayed as a file
+    stream, the per-l_returnflag 128-bin cell relation maintained by
+    a stateful streaming groupBy whose state IS the sketch — bounded
+    at groups·bins rows by construction (the fixed [lo, hi) grid is
+    what makes the streaming form a pure aggregation; adaptive
+    sketches can't do this).  Drained in COMPLETE mode the cells
+    equal the batch histogram_sketch bit-for-bit (additive integer
+    cells), so the oracle is the batch cells SQL."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import hist_stream
+
+    li = readers.load_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="stqhgate_")
+    li.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(li.schema).parquet(tmp)
+    cells = hist_stream(stream, "l_extendedprice", _QH_LO, _QH_HI,
+                        _QH_BINS, group_cols=("l_returnflag",))
+    name = "q_stream_qh_" + uuid.uuid4().hex[:8]
+    q = (cells.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("l_returnflag", "bin", "count")
+
+
+def _sql_streaming_qhist():
+    lo, hi, bins = _QH_LO, _QH_HI, _QH_BINS
+    return f"""
+SELECT l_returnflag,
+       least(greatest(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE)
+               - {lo!r}) * {bins / (hi - lo)!r}) AS INTEGER), 0),
+             {bins - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+_KMV_K = 64
+
+
+def _q_kmv_overlap(spark, sf_dir):
+    """K-minimum-values set-resemblance gate (operators/sketches.py
+    kmv_sketch / kmv_overlap): pairwise token-set Jaccard between
+    the corpus's languages from k=64 min-hash samples — the overlap
+    leg of the sketch family (counts: CM, distincts: HLL, quantiles:
+    histogram; HLL registers can't be compared across sets, KMV
+    samples can).  Two-level no-raw-shuffle build; all-integer
+    resemblance arithmetic (1e6-scaled div), engine-exact replay."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(T.tokens("text"))
+                       .alias("term"))
+    sk = SK.kmv_sketch(toks, "term", k=_KMV_K, group_cols=("lang",))
+    return SK.kmv_overlap(sk, _KMV_K, "lang")
+
+
+def _sql_kmv_overlap():
+    toks = _duck_tokens("text")
+    return f"""
+WITH tk AS (
+  SELECT lang, unnest({toks}) AS term FROM documents),
+hs AS (SELECT DISTINCT lang, {_duck_h48('term', 0)} AS h FROM tk),
+rk AS (SELECT lang, h,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+       FROM hs),
+sk AS (SELECT lang, h FROM rk WHERE r <= {_KMV_K}),
+pairs AS (
+  SELECT a.lang AS ga, b.lang AS gb
+  FROM (SELECT DISTINCT lang FROM sk) a
+  JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang),
+u AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.lang = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.lang = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.lang IN (p.ga, p.gb)
+  GROUP BY 1, 2, 3),
+ur AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rr
+  FROM u)
+SELECT ga, gb,
+       CAST(COUNT(*) AS INTEGER) AS n_sample,
+       CAST(SUM(in_a * in_b) AS INTEGER) AS n_common,
+       CAST((1000000 * CAST(SUM(in_a * in_b) AS BIGINT))
+            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS jaccard_e6
+FROM ur WHERE rr <= {_KMV_K} GROUP BY 1, 2
+"""
+
+
 def queries_round10_staged() -> dict:
     """Round-10 pre-staging: verified like the round-9 queue, promoted
     the round after (SURVEY.md §8)."""
     return {
         "quantile_hist": _q_quantile_hist,
+        "streaming_qhist": _q_streaming_qhist,
+        "kmv_overlap": _q_kmv_overlap,
     }
 
 
 def oracle_sql_round10_staged() -> dict[str, str]:
     return {
         "quantile_hist": _sql_quantile_hist(),
+        "streaming_qhist": _sql_streaming_qhist(),
+        "kmv_overlap": _sql_kmv_overlap(),
     }
 
 

@@ -59,6 +59,71 @@ def test_staged_query_matches_oracle(spark, name):
         _multiset(dcols, drows)
 
 
+def test_streaming_qhist_equals_batch_cells(spark):
+    """The drained streaming histogram must equal the batch
+    histogram_sketch bit-for-bit (additive integer cells)."""
+    from xpysom_dask_spark.operators import sketches as SK
+    from xpysom_dask_spark.sources import readers
+
+    li = readers.load_table(spark, SF_TINY, "lineitem")
+    batch = SK.histogram_sketch(
+        li, "l_extendedprice", entrymod._QH_LO, entrymod._QH_HI,
+        entrymod._QH_BINS, group_cols=("l_returnflag",))
+    brows = sorted(tuple(r) for r in batch.collect())
+    srows = sorted(tuple(r) for r in
+                   STAGED["streaming_qhist"](spark, SF_TINY).collect())
+    assert srows == brows and len(srows) > 0
+
+
+def test_kmv_estimate_exact_when_short(spark):
+    """A group with fewer than k distinct keys keeps every hash and
+    the estimate IS the exact distinct count."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [("a", f"k{i % 7}") for i in range(50)]
+        + [("b", f"x{i}") for i in range(30)], ["g", "key"])
+    sk = SK.kmv_sketch(df, "key", k=16, group_cols=("g",))
+    est = {r["g"]: r for r in
+           SK.kmv_estimate(sk, 16, group_cols=("g",)).collect()}
+    assert est["a"]["n_sample"] == 7 and est["a"]["est"] == 7
+    assert est["b"]["n_sample"] == 16 and est["b"]["est"] > 16
+
+
+def test_kmv_sketch_is_k_smallest_distinct(spark):
+    """The sketch must be exactly the k smallest distinct hashes —
+    differentially vs a brute-force computation of the same md5
+    fold."""
+    import hashlib
+
+    from xpysom_dask_spark.operators import sketches as SK
+
+    keys = [f"tok{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys * 3], ["key"])
+    got = sorted(r["h"] for r in
+                 SK.kmv_sketch(df, "key", k=24).collect())
+    exp = sorted({int(hashlib.md5(f"0:{k}".encode())
+                      .hexdigest()[:12], 16) for k in keys})[:24]
+    assert got == exp
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    """Jaccard_e6 must be 1e6 for identical sets and 0 for disjoint
+    ones, with n_sample capped at k."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    rows = ([("a", f"s{i}") for i in range(40)]
+            + [("b", f"s{i}") for i in range(40)]
+            + [("c", f"t{i}") for i in range(40)])
+    df = spark.createDataFrame(rows, ["g", "key"])
+    sk = SK.kmv_sketch(df, "key", k=16, group_cols=("g",))
+    out = {(r["ga"], r["gb"]): r for r in
+           SK.kmv_overlap(sk, 16, "g").collect()}
+    assert out[("a", "b")]["jaccard_e6"] == 1000000
+    assert out[("a", "c")]["jaccard_e6"] == 0
+    assert all(r["n_sample"] == 16 for r in out.values())
+
+
 def test_quantile_hist_monotone_and_bounded(spark):
     """Quantile estimates must be non-decreasing in q within each
     group and land inside the sketch's [lo, hi) grid."""

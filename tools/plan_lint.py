@@ -28,7 +28,12 @@ BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22",
                   # the smoothed score matrix NEEDS every (term, label)
                   # cell including count-0 ones, so the fanout is the
                   # output, not a plan accident
-                  "nb_lang"}
+                  "nb_lang",
+                  # KMV overlap's group-pair generator: inequality join
+                  # of the two G-row group lists (G = dimension
+                  # cardinality, contract-bounded); sketch membership
+                  # itself is a hash equi-join on the group key
+                  "kmv_overlap"}
 
 SF = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
 

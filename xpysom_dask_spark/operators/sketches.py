@@ -194,6 +194,119 @@ def hll_merge(*register_dfs: DataFrame) -> DataFrame:
                                      .alias("rho"))
 
 
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256,
+               group_cols: tuple = ()) -> DataFrame:
+    """K-minimum-values distinct sketch (Beyer et al., SIGMOD 2007):
+    ``(*group_cols, rank, h)`` — the ``k`` smallest DISTINCT 48-bit
+    hashes of ``key_col`` per group, rank 1 = smallest.  Groups with
+    fewer than ``k`` distinct hashes keep them all (the sketch is then
+    exact).  This is the set-resemblance leg of the sketch family:
+    counts → CM, distincts → HLL, quantiles → histogram, and
+    OVERLAP/Jaccard between sets → this (:func:`kmv_overlap`), because
+    min-hash samples of two sets are comparable where HLL registers
+    are not.
+
+    Two-level build, no raw-data shuffle: level 1 groups by
+    ``(*group_cols, spark_partition_id())`` — every cell is
+    partition-local, so the map-side partial aggregation completes the
+    per-partition distinct set and only per-partition distinct hashes
+    (exactly a ``distinct()``'s combined payload) travel; level 2
+    re-mins the ≤ partitions·k survivors per group.  min-of-mins =
+    union merge, so shard sketches union + re-min like HLL registers.
+    Hash collisions: the sketch estimates distinct HASHES (48-bit
+    space; the engine-wide md5 convention), indistinguishable from
+    distinct keys until ~2^24 distinct per group.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    g = list(group_cols)
+    hashed = df.select(*g, _h48(F.col(key_col), 0).alias("h"))
+    partial = (hashed
+               .groupBy(*g, F.spark_partition_id().alias("__p"))
+               .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
+                    .alias("__hs")))
+    merged = (partial.select(*g, F.explode("__hs").alias("h"))
+              .groupBy(*g)
+              .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
+                   .alias("__hs")))
+    return (merged.select(*g, F.posexplode("__hs").alias("__i", "h"))
+            .select(*g, (F.col("__i") + 1).cast("int").alias("rank"),
+                    F.col("h").cast("bigint").alias("h")))
+
+
+def kmv_estimate(sketch: DataFrame, k: int,
+                 group_cols: tuple = ()) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_sketch` built with the
+    same ``k``: ``(*group_cols, n_sample, kth_h, est)``.  A full sketch
+    estimates (k−1)·2^48 ``div`` h_(k) (the unbiased KMV estimator —
+    k−1, not k, corrects the kth order statistic's bias); a short
+    sketch (< k hashes) IS the distinct set, so est = n_sample exactly.
+    All integer arithmetic — engine-exact replay in any SQL oracle.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    g = list(group_cols)
+    agg = (sketch.groupBy(*g)
+           .agg(F.count(F.lit(1)).cast("int").alias("n_sample"),
+                F.max("h").cast("bigint").alias("kth_h")))
+    num = (k - 1) * (1 << 48)
+    est = F.when(F.col("n_sample") < k,
+                 F.col("n_sample").cast("bigint")) \
+        .otherwise(F.expr(f"CAST({num} AS BIGINT) div kth_h")) \
+        .cast("bigint")
+    return agg.select(*g, "n_sample", "kth_h", est.alias("est"))
+
+
+def kmv_overlap(sketch: DataFrame, k: int, group_col: str) -> DataFrame:
+    """Pairwise set resemblance between every two groups of a
+    :func:`kmv_sketch`: ``(ga, gb, n_sample, n_common, jaccard_e6)``
+    for each unordered group pair (ga < gb).
+
+    Estimator (Beyer et al. 2007 / min-hash resemblance): merge the
+    two groups' hash sets, keep the ``k`` smallest of the UNION (a
+    valid KMV sample of A ∪ B because both inputs kept their k
+    smallest); Jaccard ≈ |sample ∩ A ∩ B| / |sample|, emitted as the
+    exact integer ``1000000·n_common div n_sample``.
+
+    Everything runs on the sketch relation (≤ groups·k rows).  The
+    group-pair generator is an inequality join of the two G-row group
+    lists — the ONE deliberate contract-bounded nested loop (G =
+    corpus dimension cardinality: languages, sources, shards), exactly
+    the ``nb_lang`` label-cross class, NOT a data-sized cartesian; the
+    pairs then EXPLODE to (ga, gb, side-group) rows so sketch
+    membership is a plain hash equi-join on the group key.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    s = sketch.select(F.col(group_col).alias("g"),
+                      F.col("h").alias("h"))
+    groups = s.select("g").distinct()
+    pairs = (groups.select(F.col("g").alias("ga"))
+             .join(groups.select(F.col("g").alias("gb")),
+                   F.col("ga") < F.col("gb")))
+    sides = pairs.select(
+        "ga", "gb", F.explode(F.array("ga", "gb")).alias("g"))
+    u = (sides.join(s, "g")
+         .groupBy("ga", "gb", "h")
+         .agg(F.max(F.when(F.col("g") == F.col("ga"), 1)
+                    .otherwise(0)).alias("in_a"),
+              F.max(F.when(F.col("g") == F.col("gb"), 1)
+                    .otherwise(0)).alias("in_b")))
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = (u.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k))
+    agg = (topk.groupBy("ga", "gb")
+           .agg(F.count(F.lit(1)).cast("int").alias("n_sample"),
+                F.sum((F.col("in_a") * F.col("in_b")).cast("bigint"))
+                .cast("int").alias("n_common")))
+    return agg.withColumn(
+        "jaccard_e6",
+        F.expr("CAST(1000000 * CAST(n_common AS BIGINT) "
+               "div n_sample AS BIGINT)"))
+
+
 def exact_error_bound(depth: int, width: int, n_total: int) -> float:
     """CM sketch additive-error bound ε·N = (e/width)·N at confidence
     1 − (1/e)^depth — the number to quote next to an estimate."""

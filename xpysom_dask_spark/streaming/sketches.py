@@ -42,6 +42,32 @@ def cms_stream(stream_df: DataFrame, key_col: str,
             .agg(F.sum("__c").cast("bigint").alias("count")))
 
 
+def hist_stream(stream_df: DataFrame, value_col: str,
+                lo: float, hi: float, bins: int = 128,
+                group_cols: tuple = ()) -> DataFrame:
+    """Streaming twin of
+    :func:`~..operators.sketches.histogram_sketch`: maintain the
+    ``(*group_cols, bin, count)`` cell relation over an unbounded
+    stream — state bounded at groups·bins rows by construction (the
+    fixed [lo, hi) grid is what makes the streaming form possible:
+    adaptive sketches re-center buckets and cannot be a pure
+    streaming aggregation).  COMPLETE mode; drained == batch
+    bit-for-bit (additive integer cells)."""
+    if bins < 1 or not hi > lo:
+        raise ValueError(
+            f"need bins >= 1 and hi > lo; got bins={bins}, "
+            f"lo={lo}, hi={hi}")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo)))
+                  * F.lit(bins / (hi - lo))).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (stream_df.where(v.isNotNull())
+            .select(*g, b.alias("bin"))
+            .groupBy(*g, "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("count")))
+
+
 def hll_stream(stream_df: DataFrame, key_col: str,
                p: int = 9) -> DataFrame:
     """Streaming twin of :func:`~..operators.sketches.hll_registers`:

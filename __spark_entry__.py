@@ -6505,6 +6505,133 @@ FROM ur WHERE rr <= {_KMV_K} GROUP BY 1, 2
 """
 
 
+_DSIR_B = 1024
+
+
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR importance-resampling weights (operators/text.py
+    dsir_importance; Xie et al. NeurIPS 2023): every document scored
+    by the log-ratio of its hashed unigram+bigram bag under the
+    English subcorpus's bucket model vs the whole corpus's — the
+    "find more data like my curated set" selection primitive.  Per-
+    bucket e6-rounded log-ratio, integer per-doc sums (bm25 parity
+    class); the weight table is bounded at n_buckets rows and
+    broadcasts."""
+    from xpysom_dask_spark.operators.text import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, docs.where(F.col("lang") == "en"),
+                           "text", "doc_id", n_buckets=_DSIR_B)
+
+
+def _sql_dsir_importance():
+    toks = _duck_tokens("text")
+    return f"""
+WITH tk AS (SELECT doc_id, lang, {toks} AS arr FROM documents),
+feats AS (
+  SELECT doc_id, lang, unnest(arr) AS f FROM tk
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest([arr[i] || ' ' || arr[i + 1]
+                 FOR i IN range(1, len(arr))]) AS f
+  FROM tk),
+fb AS (SELECT doc_id, lang,
+              CAST(({_duck_h48('f', 0)}) % {_DSIR_B} AS INTEGER)
+              AS bucket
+       FROM feats),
+tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc FROM fb
+       WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM fb
+       GROUP BY 1),
+tt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) + {_DSIR_B} AS t
+       FROM tc),
+rt AS (SELECT CAST(COALESCE(SUM(rc), 0) AS BIGINT) + {_DSIR_B} AS r
+       FROM rc),
+w AS (
+  SELECT r.bucket,
+         CAST(FLOOR((ln(COALESCE(t.tc, 0) + 1.0)
+                     - ln(CAST(tt.t AS DOUBLE))
+                     - ln(r.rc + 1.0)
+                     + ln(CAST(rt.r AS DOUBLE))) * 1000000.0 + 0.5)
+              AS BIGINT) AS w_e6
+  FROM rc r LEFT JOIN tc t ON t.bucket = r.bucket
+  CROSS JOIN tt CROSS JOIN rt),
+dc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM fb
+       GROUP BY 1, 2)
+SELECT dc.doc_id AS id, CAST(SUM(dc.c) AS BIGINT) AS n_feats,
+       CAST(SUM(dc.c * w.w_e6) AS BIGINT) AS logw_e6
+FROM dc JOIN w ON w.bucket = dc.bucket
+GROUP BY 1
+"""
+
+
+def _q_trigram_backoff(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (operators/text.py
+    trigram_backoff_score; Brants et al. EMNLP 2007) in the held-out
+    configuration backoff exists for: LM counts from even doc_ids,
+    odd doc_ids scored — unseen trigrams fall to bigram then add-1
+    unigram evidence.  Per-position e6-rounded logs, integer sums
+    (bm25 parity class)."""
+    from xpysom_dask_spark.operators.text import trigram_backoff_score
+
+    docs = _docs(spark, sf_dir)
+    return trigram_backoff_score(
+        docs.where(F.col("doc_id") % 2 == 1),
+        "text", "doc_id",
+        lm_df=docs.where(F.col("doc_id") % 2 == 0))
+
+
+def _sql_trigram_backoff():
+    toks = _duck_tokens("text")
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS arr FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest([struct_pack(a := arr[i], b := arr[i + 1],
+                             c := arr[i + 2])
+                 FOR i IN range(1, len(arr) - 1)]) AS t
+  FROM tk),
+lmtri AS (SELECT t.a, t.b, t.c, CAST(COUNT(*) AS BIGINT) AS n_abc
+          FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+bi AS (
+  SELECT doc_id,
+         unnest([struct_pack(x := arr[i], y := arr[i + 1])
+                 FOR i IN range(1, len(arr))]) AS p
+  FROM tk),
+lmbi AS (SELECT p.x, p.y, CAST(COUNT(*) AS BIGINT) AS n_xy
+         FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+un AS (SELECT doc_id, unnest(arr) AS u FROM tk),
+lmun AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_u FROM un
+         WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(COALESCE(SUM(n_u), 0) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v FROM lmun),
+pos AS (SELECT doc_id, t.a, t.b, t.c FROM tri WHERE doc_id % 2 = 1),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN t3.n_abc IS NOT NULL
+              THEN ln(CAST(t3.n_abc AS DOUBLE))
+                   - ln(CAST(ab.n_xy AS DOUBLE))
+              WHEN bc.n_xy IS NOT NULL
+              THEN ln(0.4) + ln(CAST(bc.n_xy AS DOUBLE))
+                   - ln(CAST(ub.n_u AS DOUBLE))
+              ELSE ln(0.4) + ln(0.4)
+                   + ln(COALESCE(uc.n_u, 0) + 1.0)
+                   - ln(CAST(tot.n + tot.v AS DOUBLE))
+         END AS ls
+  FROM pos p
+  LEFT JOIN lmtri t3 ON t3.a = p.a AND t3.b = p.b AND t3.c = p.c
+  LEFT JOIN lmbi ab ON ab.x = p.a AND ab.y = p.b
+  LEFT JOIN lmbi bc ON bc.x = p.b AND bc.y = p.c
+  LEFT JOIN lmun ub ON ub.u = p.b
+  LEFT JOIN lmun uc ON uc.u = p.c
+  CROSS JOIN tot)
+SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CAST(FLOOR(ls * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_e6
+FROM sc GROUP BY 1
+"""
+
+
 def queries_round10_staged() -> dict:
     """Round-10 pre-staging: verified like the round-9 queue, promoted
     the round after (SURVEY.md §8)."""
@@ -6512,6 +6639,8 @@ def queries_round10_staged() -> dict:
         "quantile_hist": _q_quantile_hist,
         "streaming_qhist": _q_streaming_qhist,
         "kmv_overlap": _q_kmv_overlap,
+        "dsir_importance": _q_dsir_importance,
+        "trigram_backoff": _q_trigram_backoff,
     }
 
 
@@ -6520,6 +6649,8 @@ def oracle_sql_round10_staged() -> dict[str, str]:
         "quantile_hist": _sql_quantile_hist(),
         "streaming_qhist": _sql_streaming_qhist(),
         "kmv_overlap": _sql_kmv_overlap(),
+        "dsir_importance": _sql_dsir_importance(),
+        "trigram_backoff": _sql_trigram_backoff(),
     }
 
 

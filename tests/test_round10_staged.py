@@ -124,6 +124,49 @@ def test_kmv_overlap_identical_and_disjoint(spark):
     assert all(r["n_sample"] == 16 for r in out.values())
 
 
+def test_dsir_prefers_target_like_docs(spark):
+    """Documents that ARE the target subcorpus must average a higher
+    importance weight than the rest — the selection property DSIR
+    exists for (weights are per-feature-occurrence log-ratios, so
+    compare per-feature means)."""
+    rows = STAGED["dsir_importance"](spark, SF_TINY).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    langs = dict(con.execute(
+        f"SELECT doc_id, lang FROM read_parquet("
+        f"'{SF_TINY}/documents.parquet')").fetchall())
+    con.close()
+    per_feat = {"en": [], "other": []}
+    for r in rows:
+        key = "en" if langs[r["id"]] == "en" else "other"
+        per_feat[key].append(r["logw_e6"] / r["n_feats"])
+    assert per_feat["en"] and per_feat["other"]
+    mean = lambda v: sum(v) / len(v)  # noqa: E731
+    assert mean(per_feat["en"]) > mean(per_feat["other"])
+
+
+def test_trigram_backoff_within_corpus_beats_heldout(spark):
+    """Within-corpus scoring (LM = scored corpus) must dominate
+    held-out scoring per trigram: every position hits the trigram
+    branch with counts from the doc itself included."""
+    from xpysom_dask_spark.operators.text import trigram_backoff_score
+    from xpysom_dask_spark.sources import readers
+
+    docs = readers.load_table(spark, SF_TINY, "documents") \
+        .where("doc_id < 40")
+    selfscore = {r["id"]: r for r in trigram_backoff_score(
+        docs, "text", "doc_id").collect()}
+    held = {r["id"]: r for r in trigram_backoff_score(
+        docs.where("doc_id % 2 = 1"), "text", "doc_id",
+        lm_df=docs.where("doc_id % 2 = 0")).collect()}
+    assert held and selfscore
+    for i, r in held.items():
+        s = selfscore[i]
+        assert r["n_trigrams"] == s["n_trigrams"]
+        assert r["sum_e6"] <= s["sum_e6"] + r["n_trigrams"]
+
+
 def test_quantile_hist_monotone_and_bounded(spark):
     """Quantile estimates must be non-decreasing in q within each
     group and land inside the sketch's [lo, hi) grid."""

@@ -1513,3 +1513,205 @@ def textrank_keywords(df, text_col: str, top_k: int = 20,
     return (pr.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(top_k))
             .select("rank", F.col("id").alias("term"), "rank_e6"))
+
+
+def _hashed_ngram_features(df, text_col: str, id_col: str,
+                           n_buckets: int):
+    """Per-document hashed unigram+bigram feature buckets
+    ``(__id, bucket)`` — one row per feature OCCURRENCE.  The hash is
+    the engine-wide 48-bit md5 fold (seed 0) of the token (unigram) or
+    ``a || ' ' || b`` (bigram; tokens never contain whitespace, so the
+    join is unambiguous), mod ``n_buckets``.  One narrow expression +
+    one explode — text never keys a shuffle."""
+    from .sketches import _h48
+
+    arr = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    feats = F.concat(arr, bigrams)
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.explode(feats).alias("__f"))
+            .select("__id",
+                    (_h48(F.col("__f"), 0) % n_buckets).cast("int")
+                    .alias("bucket")))
+
+
+def dsir_importance(raw_df, target_df, text_col: str, id_col: str,
+                    n_buckets: int = 4096):
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    method): score every document of ``raw_df`` by how much more
+    likely its hashed n-gram bag is under a TARGET corpus's unigram
+    bucket model than under the raw corpus's own:
+    ``id, n_feats, logw_e6`` with
+
+        log w(d) = Σ_b c_b(d) · [ln p_t(b) − ln q_r(b)],
+        p_t(b) = (tc_b + 1) / (T + B),  q_r(b) = (rc_b + 1) / (R + B)
+
+    (add-1 smoothed bucket models, B = ``n_buckets``; features =
+    unigrams + bigrams hashed into B buckets — the paper's
+    configuration).  Selecting the top-weight documents approximates
+    sampling the raw corpus with target-distribution importance — the
+    classical cheap proxy for "find me more data like my high-quality
+    set" over a 100 TB crawl.
+
+    Cross-engine determinism (the bm25/zipf parity class): every model
+    input is an integer; each bucket's log-ratio is rounded ONCE to a
+    scaled-e6 BIGINT (``ln(tc+1) − ln(T+B) − ln(rc+1) + ln(R+B)``,
+    fixed operation order), and a document's weight is the INTEGER sum
+    ``Σ c_b · w_e6(b)`` — no float accumulation anywhere.  Documents
+    with no tokens produce no row.
+
+    Plan shape: two bucket-count aggregations (map-side-combined,
+    output bounded at ``n_buckets`` rows each) full-outer-join into a
+    B-row weight table that BROADCASTS against the raw corpus's
+    per-document bucket counts (one ``groupBy(id, bucket)`` — the only
+    corpus-keyed shuffle) → one ``groupBy(id)`` integer sum.  The
+    target corpus is typically the small curated side but may be any
+    size: it only ever feeds a bounded aggregation.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    tfeats = _hashed_ngram_features(target_df, text_col, id_col,
+                                    n_buckets)
+    rfeats = _hashed_ngram_features(raw_df, text_col, id_col,
+                                    n_buckets)
+    tcounts = (tfeats.groupBy("bucket")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("tc")))
+    rcounts = (rfeats.groupBy("bucket")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("rc")))
+    # two 1-row scalar aggregates (the bm25 n_docs/avgdl precedent)
+    t_tot = int(tcounts.agg(F.sum("tc")).first()[0] or 0) + n_buckets
+    r_tot = int(rcounts.agg(F.sum("rc")).first()[0] or 0) + n_buckets
+    weights = (tcounts.join(rcounts, "bucket", "full_outer")
+               .select("bucket",
+                       F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+                       F.coalesce(F.col("rc"), F.lit(0)).alias("rc")))
+    w_e6 = F.floor(
+        (F.log(F.col("tc") + F.lit(1.0))
+         - F.log(F.lit(float(t_tot)))
+         - F.log(F.col("rc") + F.lit(1.0))
+         + F.log(F.lit(float(r_tot)))) * F.lit(1000000.0)
+        + F.lit(0.5)).cast("bigint")
+    wtab = weights.select("bucket", w_e6.alias("w_e6"))
+    doc_counts = (rfeats.groupBy("__id", "bucket")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return (doc_counts.join(F.broadcast(wtab), "bucket")
+            .groupBy("__id")
+            .agg(F.sum("c").cast("bigint").alias("n_feats"),
+                 F.sum(F.col("c") * F.col("w_e6")).cast("bigint")
+                 .alias("logw_e6"))
+            .select(F.col("__id").alias("id"), "n_feats", "logw_e6"))
+
+
+def trigram_backoff_score(df, text_col: str, id_col: str,
+                          lm_df=None, alpha: float = 0.4):
+    """Per-document mean-free trigram STUPID-BACKOFF score (Brants et
+    al., "Large Language Models in Machine Translation", EMNLP 2007 —
+    the web-scale LM smoothing that needs no discounting pass):
+    ``id, n_trigrams, sum_e6`` where each trigram position (a, b, c)
+    of a document contributes the 1e6-scaled log of
+
+        s(c|ab) = n(abc)/n(ab)            if n(abc) > 0
+                = α · n(bc)/n(b)          elif n(bc) > 0
+                = α² · (n(c)+1)/(N+V)     otherwise (add-1 unigram
+                                           floor: defined for OOV)
+
+    with counts taken from ``lm_df`` (defaults to ``df`` itself:
+    within-corpus scoring, where the first branch always fires).  The
+    held-out configuration — LM on one split, scoring on another — is
+    where backoff earns its keep: unseen trigrams fall to bigram and
+    unigram evidence instead of zero.  Two rungs above
+    :func:`unigram_logprob_score` on the KenLM ladder.
+
+    Documents with < 3 tokens produce no row.  ``sum_e6`` is the
+    INTEGER sum of per-position e6-rounded logs (the bm25 parity
+    class; no mean division — Spark's ``div`` truncates while SQL
+    ``//`` floors on negatives, so the ratio is left to the caller).
+
+    Plan shape: trigram positions are one zip-of-shifts expression +
+    one explode; trigram/bigram/unigram count tables are post-
+    aggregate O(distinct) relations; positions hash-join trigram and
+    bigram counts on their keys (the two pair-keyed shuffles, sized by
+    distinct n-grams) and BROADCAST-join unigram counts (Heaps' law);
+    one ``groupBy(id)`` integer sum closes it.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    lm = df if lm_df is None else lm_df
+
+    def _tri(frame):
+        arr = tokens(text_col)
+        n3 = F.greatest(F.size(arr) - 2, F.lit(0))
+        return frame.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.zip_with(
+                F.slice(arr, 1, n3),
+                F.zip_with(F.slice(arr, 2, n3), F.slice(arr, 3, n3),
+                           lambda b, c: F.struct(b.alias("b"),
+                                                 c.alias("c"))),
+                lambda a, bc: F.struct(a.alias("a"),
+                                       bc["b"].alias("b"),
+                                       bc["c"].alias("c"))))
+            .alias("pos", "t")) \
+            .select("__id", "pos", "t.a", "t.b", "t.c")
+
+    lm_tri = _tri(lm)
+    n_abc = (lm_tri.groupBy("a", "b", "c")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_abc")))
+    arr = tokens(text_col)
+    n2 = F.greatest(F.size(arr) - 1, F.lit(0))
+    lm_bi = (lm.select(F.explode(F.zip_with(
+        F.slice(arr, 1, n2), F.slice(arr, 2, n2),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y"))))
+        .alias("p")).select("p.x", "p.y"))
+    n_xy = (lm_bi.groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy")))
+    lm_uni = (lm.select(F.explode(tokens(text_col)).alias("u"))
+              .groupBy("u")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_u")))
+    stats = lm_uni.agg(F.count(F.lit(1)).alias("v"),
+                       F.sum("n_u").alias("n")).first()
+    n_total = int(stats["n"] or 0)
+    vocab = int(stats["v"])
+
+    pos = _tri(df)
+    j = (pos
+         .join(n_abc, ["a", "b", "c"], "left")
+         .join(n_xy.select(F.col("x").alias("a"),
+                           F.col("y").alias("b"),
+                           F.col("n_xy").alias("n_ab")),
+               ["a", "b"], "left")
+         .join(n_xy.select(F.col("x").alias("b"),
+                           F.col("y").alias("c"),
+                           F.col("n_xy").alias("n_bc")),
+               ["b", "c"], "left")
+         .join(F.broadcast(lm_uni.select(F.col("u").alias("b"),
+                                         F.col("n_u").alias("n_b"))),
+               ["b"], "left")
+         .join(F.broadcast(lm_uni.select(F.col("u").alias("c"),
+                                         F.col("n_u").alias("n_c"))),
+               ["c"], "left"))
+    la = F.log(F.lit(float(alpha)))
+    log_s = F.when(
+        F.col("n_abc").isNotNull(),
+        F.log(F.col("n_abc").cast("double"))
+        - F.log(F.col("n_ab").cast("double"))) \
+        .when(
+        F.col("n_bc").isNotNull(),
+        la + F.log(F.col("n_bc").cast("double"))
+        - F.log(F.col("n_b").cast("double"))) \
+        .otherwise(
+        la + la
+        + F.log(F.coalesce(F.col("n_c"), F.lit(0)) + F.lit(1.0))
+        - F.log(F.lit(float(n_total + vocab))))
+    return (j.select("__id",
+                     F.floor(log_s * F.lit(1000000.0)
+                             + F.lit(0.5)).cast("bigint")
+                     .alias("s_e6"))
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+                 F.sum("s_e6").cast("bigint").alias("sum_e6"))
+            .select(F.col("__id").alias("id"), "n_trigrams", "sum_e6"))

@@ -557,11 +557,15 @@ def main():
         "doc_id", "n_tok", budget=256, n_groups=8).count())
     _q9 = dict(_entry.queries())
     _q9.update(_entry.queries_round9_staged())
+    _q9.update(_entry.queries_round10_staged())
     for _nm in ("bm25_topk", "knn_graph_full", "cms_top_terms",
                 "hll_distinct", "text_readability", "nb_lang",
                 "hybrid_rrf", "pagerank_hubs", "knn_label_purity",
                 "textrank_keywords", "streaming_cms", "hll_by_type",
-                "unigram_segments"):
+                "unigram_segments",
+                # round-10 staged gates
+                "quantile_hist", "streaming_qhist", "kmv_overlap",
+                "dsir_importance", "trigram_backoff"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;

@@ -6632,6 +6632,165 @@ FROM sc GROUP BY 1
 """
 
 
+_PSI_LO, _PSI_HI, _PSI_BINS = 0.0, 500.0, 20
+
+
+def _q_psi_drift(spark, sf_dir):
+    """Population Stability Index drift terms (operators/profile.py
+    psi_drift): the value distributions of the even- vs odd-id event
+    halves compared over a fixed 20-bucket [0, 500) grid — one row
+    per bucket with exact BIGINT counts and the Laplace-smoothed PSI
+    term floor-scaled e6.  The banded production drift monitor
+    (0.1 / 0.25 alarm convention) next to ks_drift's supremum pair;
+    the corpus never shuffles — only two ≤ bins-row cell relations
+    move."""
+    from xpysom_dask_spark.operators import profile as PRF
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, sf_dir, "events")
+    return PRF.psi_drift(ev.where("event_id % 2 = 0"),
+                         ev.where("event_id % 2 = 1"), "value",
+                         lo=_PSI_LO, hi=_PSI_HI, bins=_PSI_BINS)
+
+
+def _sql_psi_drift():
+    lo, hi, b = _PSI_LO, _PSI_HI, _PSI_BINS
+    def hist(par):
+        return (f"SELECT least(greatest(CAST(FLOOR((CAST(value AS "
+                f"DOUBLE) - {lo!r}) * {b / (hi - lo)!r}) AS INTEGER),"
+                f" 0), {b - 1}) AS bin, COUNT(*) AS c FROM events "
+                f"WHERE event_id % 2 = {par} AND value IS NOT NULL "
+                f"GROUP BY 1")
+    pa = f"(CAST(ca + 1 AS DOUBLE) / CAST(n_a + {b} AS DOUBLE))"
+    pb = f"(CAST(cb + 1 AS DOUBLE) / CAST(n_b + {b} AS DOUBLE))"
+    ratio = (f"(CAST((ca + 1) * (n_b + {b}) AS DOUBLE) / "
+             f"CAST((cb + 1) * (n_a + {b}) AS DOUBLE))")
+    return f"""
+WITH spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range({b})),
+ha AS ({hist(0)}),
+hb AS ({hist(1)}),
+m AS (
+  SELECT s.bin, CAST(COALESCE(ha.c, 0) AS BIGINT) AS ca,
+         CAST(COALESCE(hb.c, 0) AS BIGINT) AS cb
+  FROM spine s LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+t AS (
+  SELECT bin, ca, cb, CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+         CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+  FROM m)
+SELECT bin, ca, cb, n_a, n_b,
+       CAST(FLOOR(({pa} - {pb}) * ln({ratio})
+                  * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+FROM t
+"""
+
+
+def _q_streaming_hll(spark, sf_dir):
+    """Streaming HyperLogLog maintenance (streaming/sketches.py
+    hll_stream): events.user_id replayed as a file stream, the 2^9
+    register relation maintained by a stateful streaming groupBy
+    whose state IS the sketch — the register MAX is the HLL merge,
+    so state is bounded at 2^p rows by construction with no
+    watermark.  Drained in COMPLETE mode the registers equal the
+    batch hll_registers bit-for-bit (max cells are order-free), so
+    the oracle is the batch register SQL — the max-merge leg of the
+    streaming sketch family next to streaming_cms (sums) and
+    streaming_qhist (bucket counts)."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.streaming import hll_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (readers.load_table(spark, sf_dir, "events")
+          .select(F.col("user_id").cast("string").alias("k")))
+    tmp = tempfile.mkdtemp(prefix="sthllgate_")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    regs = hll_stream(stream, "k", p=_HLL_P)
+    name = "q_stream_hll_" + uuid.uuid4().hex[:8]
+    q = (regs.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("bucket", "rho")
+
+
+def _sql_streaming_hll():
+    p = _HLL_P
+    rem_bits = 48 - p
+    rem_pow = 1 << rem_bits
+    return f"""
+WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+h AS (SELECT ({_duck_h48('k', 0)}) AS hv FROM u)
+SELECT CAST(hv // {rem_pow} AS INTEGER) AS bucket,
+       CAST(MAX(CASE WHEN hv % {rem_pow} = 0 THEN {rem_bits + 1}
+            ELSE {rem_bits + 1}
+                 - length(ltrim(bin(hv % {rem_pow}), '0'))
+            END) AS INTEGER) AS rho
+FROM h GROUP BY 1
+"""
+
+
+_LPA_ITER = 4
+
+
+def _q_communities_lpa(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.py label_propagation) over the knn_graph edge
+    relation (same 4-cell codebook + k=5 as the knn_graph /
+    pagerank_hubs gates): 4 fixed rounds, most-frequent
+    closed-neighborhood label (self-vote damping) with
+    smallest-label tie-break — the dense-family detector
+    a connected-components pass can't provide (one spurious LSH edge
+    merges two components but not two LPA communities).  Every round
+    replays exactly in the oracle as a materialized CTE (count +
+    window top-1 per node)."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.graph import label_propagation
+    from xpysom_dask_spark.operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], np.float64)
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+    edges = knn_graph(emb, cents, k=5).select("vec_id", "neighbor_id")
+    out = label_propagation(edges, "vec_id", "neighbor_id",
+                            n_iter=_LPA_ITER)
+    return out.select(F.col("id").cast("long").alias("id"),
+                      F.col("community").cast("long").alias("community"))
+
+
+def _sql_communities_lpa():
+    sql = _knn_graph_ctes() + """,
+edges AS (SELECT vec_id AS a, neighbor_id AS b FROM ranked
+          WHERE rank <= 5),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL SELECT b AS src, a AS dst FROM edges)
+  WHERE src <> dst),
+verts AS (SELECT DISTINCT v AS id FROM (
+  SELECT a AS v FROM edges UNION SELECT b AS v FROM edges)),
+it0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS l FROM sym)"""
+    for i in range(1, _LPA_ITER + 1):
+        sql += f""",
+it{i} AS MATERIALIZED (
+  SELECT id, l FROM (
+    SELECT id, l, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY c DESC, l) AS rn
+    FROM (SELECT id, l, COUNT(*) AS c FROM (
+            SELECT e.src AS id, p.l AS l
+            FROM sym e JOIN it{i - 1} p ON p.id = e.dst
+            UNION ALL SELECT id, l FROM it{i - 1})
+          GROUP BY 1, 2))
+  WHERE rn = 1)"""
+    return sql + f"""
+SELECT CAST(v.id AS BIGINT) AS id,
+       CAST(COALESCE(t.l, v.id) AS BIGINT) AS community
+FROM verts v LEFT JOIN it{_LPA_ITER} t ON t.id = v.id
+"""
+
+
 def queries_round10_staged() -> dict:
     """Round-10 pre-staging: verified like the round-9 queue, promoted
     the round after (SURVEY.md §8)."""
@@ -6641,6 +6800,9 @@ def queries_round10_staged() -> dict:
         "kmv_overlap": _q_kmv_overlap,
         "dsir_importance": _q_dsir_importance,
         "trigram_backoff": _q_trigram_backoff,
+        "psi_drift": _q_psi_drift,
+        "streaming_hll": _q_streaming_hll,
+        "communities_lpa": _q_communities_lpa,
     }
 
 
@@ -6651,6 +6813,9 @@ def oracle_sql_round10_staged() -> dict[str, str]:
         "kmv_overlap": _sql_kmv_overlap(),
         "dsir_importance": _sql_dsir_importance(),
         "trigram_backoff": _sql_trigram_backoff(),
+        "psi_drift": _sql_psi_drift(),
+        "streaming_hll": _sql_streaming_hll(),
+        "communities_lpa": _sql_communities_lpa(),
     }
 
 

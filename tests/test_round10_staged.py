@@ -181,3 +181,80 @@ def test_quantile_hist_monotone_and_bounded(spark):
         vals = [v for _q, v in pairs]
         assert vals == sorted(vals), (g, pairs)
         assert all(0 <= v < 80000 * 10**6 for v in vals), (g, pairs)
+
+
+def test_psi_drift_identical_snapshots_all_zero(spark):
+    """PSI of a snapshot against itself is exactly zero in every
+    bucket (p_a == p_b term-wise)."""
+    from xpysom_dask_spark.operators import profile as PRF
+    from xpysom_dask_spark.sources import readers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, SF_TINY, "events")
+    rows = PRF.psi_drift(ev, ev, "value", 0.0, 500.0,
+                         bins=10).collect()
+    assert len(rows) == 10
+    assert all(r["term_e6"] == 0 for r in rows)
+    assert all(r["n_a"] == r["n_b"] for r in rows)
+
+
+def test_psi_drift_terms_nonnegative_and_spine_complete(spark):
+    """(p−q)·ln(p/q) ≥ 0 always, and the bucket spine is complete
+    (one row per bin, including empty buckets)."""
+    rows = STAGED["psi_drift"](spark, SF_TINY).collect()
+    assert sorted(r["bin"] for r in rows) == list(
+        range(entrymod._PSI_BINS))
+    assert all(r["term_e6"] >= 0 for r in rows)
+    n_a, n_b = rows[0]["n_a"], rows[0]["n_b"]
+    assert sum(r["ca"] for r in rows) == n_a
+    assert sum(r["cb"] for r in rows) == n_b
+
+
+def test_streaming_hll_equals_batch_registers(spark):
+    """The drained streaming HLL register relation must equal the
+    batch hll_registers bit-for-bit (max cells are order-free)."""
+    import pyspark.sql.functions as F
+
+    from xpysom_dask_spark.operators import sketches as SK
+    from xpysom_dask_spark.sources import readers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, SF_TINY, "events") \
+        .select(F.col("user_id").cast("string").alias("k"))
+    batch = SK.hll_registers(ev, "k", p=entrymod._HLL_P)
+    brows = sorted(tuple(r) for r in batch.collect())
+    srows = sorted(tuple(r) for r in
+                   STAGED["streaming_hll"](spark, SF_TINY).collect())
+    assert srows == brows and len(srows) > 0
+
+
+def test_label_propagation_bridged_cliques_stay_separate(spark):
+    """Two triangles joined by one bridge edge are ONE connected
+    component but TWO LPA communities — the property that makes LPA
+    the dense-family detector components can't replace.  Hand-traced
+    4-round closed-neighborhood expectation: {1,2,3}->1,
+    {4,5,6}->4."""
+    from xpysom_dask_spark.operators.graph import (connected_components,
+                                                   label_propagation)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        ["id_a", "id_b"])
+    comm = {r["id"]: r["community"]
+            for r in label_propagation(pairs, n_iter=4).collect()}
+    assert comm == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert len(set(comp.values())) == 1
+
+
+def test_label_propagation_isolated_self_loop_keeps_own_id(spark):
+    """A node appearing only in a self-loop pair contributes no
+    edge but must still be emitted with its own id."""
+    from xpysom_dask_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], ["id_a", "id_b"])
+    comm = {r["id"]: r["community"]
+            for r in label_propagation(pairs, n_iter=2).collect()}
+    assert comm[7] == 7 and comm[1] == comm[2]

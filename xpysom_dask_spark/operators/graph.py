@@ -174,6 +174,74 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
             .select("id", F.coalesce("component", "id").alias("component")))
 
 
+def label_propagation(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b", n_iter: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al., Phys. Rev. E 76, 2007): ``(id, community)``
+    after exactly ``n_iter`` rounds over the undirected pair graph.
+
+    Where :func:`connected_components` answers "which ids are
+    transitively linked at all", LPA answers the finer curation
+    question "which DENSE families exist inside the link graph" —
+    boilerplate/mirror families inside one weakly-connected blob, or
+    topical groups in a kNN graph, where a single spurious edge must
+    NOT glue two communities together the way it does for components.
+
+    Deterministic variant (engine-exact, replayable in SQL): every
+    node starts with its own id as label; each round every node
+    adopts the most FREQUENT label in its CLOSED neighborhood (its
+    neighbors' labels plus one vote for its own current label), ties
+    broken by smallest label; all nodes update simultaneously;
+    exactly ``n_iter`` rounds — a fixed-round pure function of the
+    graph, with none of the random node order the original paper
+    uses (async order-dependence is what makes textbook LPA
+    non-reproducible; fixed synchronous rounds with a total-order
+    tie-break is the standard determinization, and the self-vote is
+    the standard damping that kills the bipartite 2-cycle a pure
+    open-neighborhood sync update oscillates on — an isolated edge
+    {1,2} converges to label 1 instead of swapping forever).
+
+    Plan: the symmetric edge relation builds once (one shuffle); each
+    round is ONE join (labels ⋈ edges on the neighbor id) + one
+    map-side-combinable ``groupBy(node, label)`` count + a
+    per-node-keyed window top-1 — all keyed on vertex ids, no
+    cartesian anywhere; lineage truncates per round with
+    ``localCheckpoint`` (the connected_components discipline).
+    Self-loop-only and absent nodes return their own id."""
+    from pyspark.sql import Window
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .where(F.col("src") != F.col("dst"))
+           .distinct().localCheckpoint(eager=True))
+    verts = (pairs.select(F.col(id_a).alias("id"))
+             .unionByName(pairs.select(F.col(id_b).alias("id")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label")))
+    win = Window.partitionBy("src").orderBy(F.col("c").desc(),
+                                            F.col("l").asc())
+    for _ in range(n_iter):
+        nbr = sym.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("label").alias("l")),
+                       "dst").select("src", "l")
+        own = labels.select(F.col("id").alias("src"),
+                            F.col("label").alias("l"))
+        votes = (nbr.unionByName(own)
+                 .groupBy("src", "l")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn("rn", F.row_number().over(win))
+                  .where(F.col("rn") == 1)
+                  .select(F.col("src").alias("id"),
+                          F.col("l").alias("label"))
+                  .localCheckpoint(eager=True))
+    return (verts.join(labels, "id", "left")
+            .select("id", F.coalesce("label", "id").alias("community")))
+
+
 def component_sizes(components: DataFrame) -> DataFrame:
     """(component, n_members) — one map-side-combinable aggregation."""
     return (components.groupBy("component")

@@ -408,6 +408,59 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
                     / F.lit(float(s)), round_to).alias("w1")))
 
 
+def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
+              lo: float, hi: float, bins: int = 20) -> DataFrame:
+    """Population Stability Index terms between two snapshots of a
+    numeric column over a fixed ``[lo, hi)`` ``bins``-bucket grid:
+    ``(bin, ca, cb, n_a, n_b, term_e6)`` — one row per bucket, where
+    ``psi = Σ term`` with
+    ``term = (p_a − p_b) · ln(p_a / p_b)`` and Laplace-smoothed
+    proportions ``p_x = (c_x + 1) / (n_x + bins)`` (the smoothing makes
+    empty buckets well-defined without the ad-hoc ε the textbook
+    formula needs; documented variant).  PSI is the production
+    score-drift monitor the KS/W1 pair (:func:`ks_drift`) complements:
+    banded alarms at 0.1 / 0.25 are the industry convention.
+
+    Exactness: bucket counts are exact BIGINTs off the
+    :func:`~..operators.sketches.histogram_sketch` grid; each term is
+    ONE subtraction, one ln of a ratio of exact ≤ 2^53 integer
+    products, and one multiply in IEEE doubles — the
+    hll_distinct/lm_score parity class — shipped floor-scaled e6.
+
+    Plan: two map-side-combined histogram aggregations (the corpus
+    never shuffles rows — only the ≤ bins-row cell relations move);
+    the spine join, totals window, and term arithmetic all run on the
+    bounded ``bins``-row relation, so the single-partition window is
+    bounded by the grid, never the corpus."""
+    from .sketches import histogram_sketch
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    ha = (histogram_sketch(df_a, value_col, lo, hi, bins)
+          .withColumnRenamed("count", "ca"))
+    hb = (histogram_sketch(df_b, value_col, lo, hi, bins)
+          .withColumnRenamed("count", "cb"))
+    spine = (df_a.sparkSession.range(bins)
+             .select(F.col("id").cast("int").alias("bin")))
+    m = (spine.join(ha, "bin", "left").join(hb, "bin", "left")
+         .select("bin",
+                 F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+                 F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb")))
+    w_all = Window.partitionBy(F.lit(1))
+    t = m.select(
+        "bin", "ca", "cb",
+        F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("cb").over(w_all).cast("bigint").alias("n_b"))
+    pa = f"(CAST(ca + 1 AS DOUBLE) / CAST(n_a + {bins} AS DOUBLE))"
+    pb = f"(CAST(cb + 1 AS DOUBLE) / CAST(n_b + {bins} AS DOUBLE))"
+    ratio = (f"(CAST((ca + 1) * (n_b + {bins}) AS DOUBLE) / "
+             f"CAST((cb + 1) * (n_a + {bins}) AS DOUBLE))")
+    return t.select(
+        "bin", "ca", "cb", "n_a", "n_b",
+        F.expr(f"CAST(FLOOR(({pa} - {pb}) * ln({ratio}) "
+               "* 1000000.0 + 0.5) AS BIGINT)").alias("term_e6"))
+
+
 def regr_by_group(df: DataFrame, group_col: str, x_col: str, y_col: str,
                   x_decimals: int = 0, y_decimals: int = 2,
                   round_to: int = 6) -> DataFrame:

@@ -6791,6 +6791,165 @@ FROM verts v LEFT JOIN it{_LPA_ITER} t ON t.id = v.id
 """
 
 
+_WP_MERGES = 30
+_WP_MAXCHARS = 6
+
+
+def _q_wordpiece_vocab(spark, sf_dir):
+    """WordPiece tokenizer end-to-end (operators/wordpiece.py) — the
+    BERT-family member of the tokenizer trio (BPE: bpe_subwords,
+    unigram-LM: unigram_segments): train 30 likelihood-scored merges
+    on the EVEN doc_ids (held-out configuration), encode every
+    document with greedy longest-match-first under a 6-char word cap
+    (so the all-or-nothing [UNK] rule actually fires — the corpus
+    has 7/8-char words), report per-doc subword + UNK counts.  The
+    oracle re-learns the vocabulary with an independent pure-Python
+    reference loop over DuckDB word counts (the e12-floor score key
+    is the DEFINED selection rule — exact in Python bignums and in
+    the engine's DECIMAL(38,0) ranking alike) and replays the greedy
+    encoder as a jump-table + chained fixed-step walk, so the
+    learned vocab, the match lengths, AND the UNK rule are all
+    cross-checked."""
+    from xpysom_dask_spark.operators import wordpiece as WP
+
+    docs = _docs(spark, sf_dir)
+    toks = WP.learn_wordpiece(docs.where("doc_id % 2 = 0"), "text",
+                              num_merges=_WP_MERGES)
+    enc = WP.wordpiece_encode(docs, "text", set(toks),
+                              max_word_chars=_WP_MAXCHARS)
+    return enc.select(
+        "doc_id",
+        F.size("wp_tokens").cast("long").alias("n_subwords"),
+        F.expr("size(filter(wp_tokens, t -> t = '[UNK]'))")
+        .cast("long").alias("n_unk"))
+
+
+def _wordpiece_oracle_vocab(sf_dir: str,
+                            num_merges: int = _WP_MERGES,
+                            min_pair_count: int = 2) -> list[str]:
+    """Independent WordPiece reference trainer for the oracle: DuckDB
+    computes the even-doc (word, count) vocabulary with the same
+    tokenizer the SQL twin uses, then a pure-Python loop applies the
+    likelihood-merge definition — score key
+    ``(pair_count · 10^12) // (count(left) · count(right))`` (exact
+    bignum floor), (score DESC, pair ASC) tie-break, min-pair-count
+    early stop — no engine code involved."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT w, COUNT(*) AS c FROM (SELECT unnest("
+        f"{_duck_tokens('text')}) AS w FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) GROUP BY w").fetchall()
+    con.close()
+    vocab: dict[tuple, int] = {}
+    for w, c in rows:
+        syms = tuple([w[0]] + ["##" + ch for ch in w[1:]])
+        vocab[syms] = vocab.get(syms, 0) + c
+    tokens = sorted({s for syms in vocab for s in syms})
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for syms, c in vocab.items():
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (
+                -((kv[1] * 10 ** 12)
+                  // (sc[kv[0][0]] * sc[kv[0][1]])),
+                kv[0][0] + " " + kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        j = a + b[2:]
+        tokens.append(j)
+        out: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            s, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    s.append(j)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            out[tuple(s)] = out.get(tuple(s), 0) + c
+        vocab = out
+    return tokens
+
+
+def _sql_wordpiece_vocab(sf_dir: str = _ORACLE_SF_DIR):
+    # greedy longest-match-first replay: a non-recursive jump table
+    # (word, pos) -> longest consumed match, then a fixed cap-step
+    # walk (each live step consumes >= 1 char, so cap steps suffice);
+    # over-cap words and unmatchable positions collapse to one [UNK]
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    toks = _wordpiece_oracle_vocab(sf_dir)
+    vals = ", ".join(f"('{_sq(t)}')" for t in toks)
+    cap = _WP_MAXCHARS
+    sql = f"""
+WITH wtoks AS (
+  SELECT doc_id, unnest({_duck_tokens('text')}) AS word
+  FROM documents),
+words AS (SELECT DISTINCT word FROM wtoks),
+vocab AS (SELECT * FROM (VALUES {vals}) v(tok)),
+pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p
+        FROM words WHERE length(word) <= {cap}),
+jump AS MATERIALIZED (
+  SELECT p.word, p.p,
+         MAX(CASE WHEN p.p = 1 THEN length(v.tok)
+                  ELSE length(v.tok) - 2 END) AS mlen
+  FROM pos p JOIN vocab v
+    ON CASE WHEN p.p = 1
+            THEN v.tok NOT LIKE '##%'
+                 AND v.tok = substring(p.word, 1, length(v.tok))
+            ELSE length(v.tok) >= 3 AND v.tok LIKE '##%'
+                 AND v.tok = '##' || substring(p.word, p.p,
+                                               length(v.tok) - 2)
+       END
+  GROUP BY 1, 2),
+s0 AS (SELECT word, 1 AS pos, 0 AS n, length(word) > {cap} AS unk,
+              length(word) AS L FROM words)"""
+    for i in range(1, cap + 1):
+        sql += f""",
+s{i} AS MATERIALIZED (
+  SELECT s.word,
+         CASE WHEN s.unk OR s.pos > s.L OR j.mlen IS NULL
+              THEN s.pos ELSE s.pos + j.mlen END AS pos,
+         CASE WHEN s.unk OR s.pos > s.L OR j.mlen IS NULL
+              THEN s.n ELSE s.n + 1 END AS n,
+         CASE WHEN s.unk THEN TRUE
+              WHEN s.pos <= s.L AND j.mlen IS NULL THEN TRUE
+              ELSE FALSE END AS unk,
+         s.L
+  FROM s{i - 1} s LEFT JOIN jump j
+    ON j.word = s.word AND j.p = s.pos AND NOT s.unk
+       AND s.pos <= s.L)"""
+    return sql + f""",
+wn AS (SELECT word,
+              CAST(CASE WHEN unk THEN 1 ELSE n END AS BIGINT)
+                AS n_sub,
+              CAST(CASE WHEN unk THEN 1 ELSE 0 END AS BIGINT)
+                AS n_unk
+       FROM s{cap}),
+per_doc AS (
+  SELECT t.doc_id, SUM(w.n_sub) AS n_subwords, SUM(w.n_unk) AS n_unk
+  FROM wtoks t JOIN wn w USING (word) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+       CAST(COALESCE(p.n_unk, 0) AS BIGINT) AS n_unk
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def queries_round10_staged() -> dict:
     """Round-10 pre-staging: verified like the round-9 queue, promoted
     the round after (SURVEY.md §8)."""
@@ -6803,10 +6962,16 @@ def queries_round10_staged() -> dict:
         "psi_drift": _q_psi_drift,
         "streaming_hll": _q_streaming_hll,
         "communities_lpa": _q_communities_lpa,
+        "wordpiece_vocab": _q_wordpiece_vocab,
     }
 
 
-def oracle_sql_round10_staged() -> dict[str, str]:
+def oracle_sql_round10_staged(
+        ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
+    # ivf_sf_dir: the wordpiece_vocab oracle is data-dependent (the
+    # reference-learned vocabulary is embedded in the SQL), so the
+    # caller must name the sf tier it will run against (the
+    # oracle_sql_round9_staged / unigram_segments convention)
     return {
         "quantile_hist": _sql_quantile_hist(),
         "streaming_qhist": _sql_streaming_qhist(),
@@ -6816,6 +6981,7 @@ def oracle_sql_round10_staged() -> dict[str, str]:
         "psi_drift": _sql_psi_drift(),
         "streaming_hll": _sql_streaming_hll(),
         "communities_lpa": _sql_communities_lpa(),
+        "wordpiece_vocab": _sql_wordpiece_vocab(ivf_sf_dir),
     }
 
 

@@ -566,7 +566,8 @@ def main():
                 # round-10 staged gates
                 "quantile_hist", "streaming_qhist", "kmv_overlap",
                 "dsir_importance", "trigram_backoff", "psi_drift",
-                "streaming_hll", "communities_lpa"):
+                "streaming_hll", "communities_lpa",
+                "wordpiece_vocab"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;

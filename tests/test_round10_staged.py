@@ -19,7 +19,10 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 STAGED = entrymod.queries_round10_staged()
-ORACLES = entrymod.oracle_sql_round10_staged()
+# SF_TINY: the wordpiece_vocab oracle is data-dependent (the
+# reference-learned vocabulary rides inside the SQL), so the tier
+# must match the one the queries run against
+ORACLES = entrymod.oracle_sql_round10_staged(SF_TINY)
 
 
 def _norm(v):
@@ -258,3 +261,22 @@ def test_label_propagation_isolated_self_loop_keeps_own_id(spark):
     comm = {r["id"]: r["community"]
             for r in label_propagation(pairs, n_iter=2).collect()}
     assert comm[7] == 7 and comm[1] == comm[2]
+
+
+def test_wordpiece_gate_unk_rule_fires_and_bounds_hold(spark):
+    """The 6-char word cap must actually produce [UNK]s (the corpus
+    has 7/8-char words), and per-doc subword counts must be at least
+    the word count (a word encodes to >= 1 token, UNK included)."""
+    rows = STAGED["wordpiece_vocab"](spark, SF_TINY).collect()
+    assert sum(r["n_unk"] for r in rows) > 0
+    import duckdb
+
+    con = duckdb.connect()
+    wc = dict(con.execute(
+        f"SELECT doc_id, len(list_filter(string_split_regex("
+        f"lower(text), '\\s+'), x -> x <> '')) FROM read_parquet("
+        f"'{SF_TINY}/documents.parquet')").fetchall())
+    con.close()
+    for r in rows:
+        assert r["n_subwords"] >= wc[r["doc_id"]]
+        assert 0 <= r["n_unk"] <= wc[r["doc_id"]]

@@ -1,0 +1,128 @@
+"""WordPiece trainer/encoder (operators/wordpiece.py): reference
+differential for the likelihood-scored merge loop, two-path parity
+(driver-local vs distributed DECIMAL ranking), and the greedy
+longest-match / all-or-nothing-UNK encoder semantics."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xpysom_dask_spark.operators import wordpiece as WP
+
+
+def _ref_learn(word_count, num_merges, min_pair_count=2):
+    """Independent reference: same definition, separate code path
+    (exact Fraction scores instead of the e12 floor key — on corpora
+    where no two distinct scores collide within 1e-12 relative, both
+    must pick identical merges)."""
+    from fractions import Fraction
+
+    vocab = {}
+    for w, c in word_count.items():
+        syms = tuple([w[0]] + ["##" + ch for ch in w[1:]])
+        vocab[syms] = vocab.get(syms, 0) + c
+    toks = sorted({s for syms in vocab for s in syms})
+    for _ in range(num_merges):
+        pc, sc = {}, {}
+        for syms, c in vocab.items():
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = \
+                    pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        best = min(pc.items(),
+                   key=lambda kv: (-Fraction(kv[1],
+                                             sc[kv[0][0]] * sc[kv[0][1]]),
+                                   kv[0][0] + " " + kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        j = a + b[2:]
+        toks.append(j)
+        out = {}
+        for syms, c in vocab.items():
+            s, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    s.append(j)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            out[tuple(s)] = out.get(tuple(s), 0) + c
+        vocab = out
+    return toks
+
+
+WC = {"the": 50, "then": 20, "than": 15, "that": 30, "cat": 12,
+      "cats": 7, "dog": 9, "dogs": 4, "a": 40, "at": 18}
+
+
+def test_local_trainer_matches_fraction_reference():
+    got = WP._learn_local(WC, 12, 2)
+    exp = _ref_learn(WC, 12, 2)
+    assert got == exp
+    base = {s for w in WC for s in [w[0]] + ["##" + c for c in w[1:]]}
+    assert len(got) > len(base)  # merges actually happened
+
+
+def test_likelihood_ranking_differs_from_raw_frequency():
+    """A corpus where the most FREQUENT pair is not the best-SCORING
+    pair: WordPiece must pick the rarer-but-exclusive pair."""
+    # pair ('a','##b') occurs 30x but 'a' and '##b' are everywhere
+    # (large denominators); ('x','##y') occurs 10x and nowhere else.
+    wc = {"ab": 30, "ac": 40, "db": 35, "xy": 10}
+    toks = WP._learn_local(wc, 1, 1)
+    assert toks[-1] == "xy"
+
+
+def test_encode_word_longest_match_and_unk():
+    vocab = {"un", "##able", "##abl", "##e", "u", "##n", "a"}
+    assert WP.encode_word("unable", vocab) == ["un", "##able"]
+    # unmatchable position -> whole word UNK
+    assert WP.encode_word("unfixable", vocab) == ["[UNK]"]
+    # over the char cap -> UNK regardless of matchability
+    assert WP.encode_word("unable", vocab, max_word_chars=3) == ["[UNK]"]
+    assert WP.encode_word("", vocab) == []
+    # word-initial candidates never use continuation tokens
+    assert WP.encode_word("n", {"##n"}) == ["[UNK]"]
+
+
+def test_learn_then_encode_roundtrip(spark):
+    rows = [("d%d" % i, t) for i, t in enumerate(
+        ["the cat sat", "the cats sat", "then the dog",
+         "that dog at that", "a cat a dog a"] * 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = WP.learn_wordpiece(df, "text", num_merges=20,
+                              min_pair_count=2)
+    enc = WP.wordpiece_encode(df, "text", set(toks))
+    for r in enc.collect():
+        words = r["text"].lower().split()
+        rebuilt, cur = [], ""
+        for t in r["wp_tokens"]:
+            assert t != "[UNK]"
+            if t.startswith("##"):
+                cur += t[2:]
+            else:
+                if cur:
+                    rebuilt.append(cur)
+                cur = t
+        if cur:
+            rebuilt.append(cur)
+        assert rebuilt == words
+
+
+def test_two_path_parity(spark):
+    """Forcing the distributed merge loop (driver_vocab_limit=0) must
+    produce the identical token list — DECIMAL div == Python //."""
+    rows = [("d%d" % i, t) for i, t in enumerate(
+        ["aa ab abc the then", "the the cat cats", "abc ab aa then"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    local = WP.learn_wordpiece(df, "text", num_merges=8,
+                               min_pair_count=1)
+    dist = WP.learn_wordpiece(df, "text", num_merges=8,
+                              min_pair_count=1, driver_vocab_limit=0)
+    assert local == dist and len(local) > 0

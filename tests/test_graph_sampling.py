@@ -313,3 +313,74 @@ def test_connected_components_star_self_loops_and_reversed(spark):
     got = {r.id: r.component
            for r in connected_components_star(pairs).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 7: 7}
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_label_propagation_random_vs_python_reference(spark, seed):
+    """Random graphs vs a driver-side pure-Python replay of the
+    deterministic LPA definition (closed neighborhood, most-frequent
+    label, smallest-label tie-break, synchronous fixed rounds)."""
+    from xpysom_dask_spark.operators.graph import label_propagation
+
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 40, (60, 2))
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in raw if a != b})
+    n_iter = 4
+    got = {r.id: r.community for r in label_propagation(
+        _pairs(spark, edges), n_iter=n_iter).collect()}
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    label = {v: v for v in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for v in nbrs:
+            votes = {}
+            for u in nbrs[v]:
+                votes[label[u]] = votes.get(label[u], 0) + 1
+            votes[label[v]] = votes.get(label[v], 0) + 1
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        label = new
+    verts = {v for e in edges for v in e}
+    expect = {v: label.get(v, v) for v in verts}
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_psi_drift_random_vs_python_reference(spark, seed):
+    """Random snapshots vs a pure-Python replay of the smoothed-PSI
+    definition on the fixed grid (clamped bins, (c+1)/(n+B))."""
+    import math
+
+    from xpysom_dask_spark.operators.profile import psi_drift
+
+    rng = np.random.RandomState(seed)
+    va = np.round(rng.normal(10, 6, 300), 3)
+    vb = np.round(rng.normal(13, 4, 250), 3)
+    lo, hi, bins = 0.0, 25.0, 8
+    a = spark.createDataFrame([(float(v),) for v in va], "v double")
+    b = spark.createDataFrame([(float(v),) for v in vb], "v double")
+    got = {r["bin"]: r for r in
+           psi_drift(a, b, "v", lo, hi, bins=bins).collect()}
+
+    def hist(vals):
+        h = [0] * bins
+        for v in vals:
+            i = int(math.floor((v - lo) * (bins / (hi - lo))))
+            h[max(0, min(i, bins - 1))] += 1
+        return h
+
+    ha, hb = hist(va), hist(vb)
+    na, nb = sum(ha), sum(hb)
+    assert len(got) == bins
+    for i in range(bins):
+        assert got[i]["ca"] == ha[i] and got[i]["cb"] == hb[i]
+        assert got[i]["n_a"] == na and got[i]["n_b"] == nb
+        pa = (ha[i] + 1) / (na + bins)
+        pb = (hb[i] + 1) / (nb + bins)
+        term = (pa - pb) * math.log(
+            ((ha[i] + 1) * (nb + bins)) / ((hb[i] + 1) * (na + bins)))
+        assert got[i]["term_e6"] == math.floor(term * 1e6 + 0.5)

@@ -6791,6 +6791,55 @@ FROM verts v LEFT JOIN it{_LPA_ITER} t ON t.id = v.id
 """
 
 
+def _q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier profile (operators/profile.py
+    mad_outliers): median + MAD of events.value per event_type on the
+    centi-unit integer lattice (lower-median convention — exact, no
+    interpolation), outliers = rows with 1e4·|v−med| > 44478·mad (the
+    3σ-equivalent integer rule via the 1.4826 consistency constant).
+    The heavy-tail twin of zscore_outliers: mean/σ are dragged by the
+    very outliers they should flag, medians are not.  One corpus scan
+    collapses to per-group lattice histograms; everything downstream
+    is windows + joins on that bounded relation."""
+    from xpysom_dask_spark.operators import profile as PRF
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, sf_dir, "events")
+    return PRF.mad_outliers(ev, "event_type", "value", decimals=2)
+
+
+def _sql_mad_outliers():
+    def cum(src):
+        return (f"SELECT grp, v, c, SUM(c) OVER (PARTITION BY grp "
+                f"ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, "
+                f"SUM(c) OVER (PARTITION BY grp) AS n FROM {src}")
+    return f"""
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+h AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2),
+c1 AS ({cum('h')}),
+med AS (SELECT grp, MIN(v) AS med, MAX(n) AS n FROM c1
+        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+dev AS (SELECT h.grp, ABS(h.v - m.med) AS v,
+               CAST(SUM(h.c) AS BIGINT) AS c
+        FROM h JOIN med m USING (grp) GROUP BY 1, 2),
+c2 AS ({cum('dev')}),
+mad AS (SELECT grp, MIN(v) AS mad FROM c2
+        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+outl AS (SELECT d.grp,
+                CAST(SUM(CASE WHEN d.v * 10000 > 44478 * md.mad
+                         THEN d.c ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad md USING (grp) GROUP BY 1)
+SELECT m.grp AS event_type, CAST(m.n AS BIGINT) AS n,
+       CAST(m.med AS BIGINT) AS med_i,
+       CAST(md.mad AS BIGINT) AS mad_i, o.n_outliers
+FROM med m JOIN mad md USING (grp) JOIN outl o USING (grp)
+"""
+
+
 _WP_MERGES = 30
 _WP_MAXCHARS = 6
 
@@ -6963,6 +7012,7 @@ def queries_round10_staged() -> dict:
         "streaming_hll": _q_streaming_hll,
         "communities_lpa": _q_communities_lpa,
         "wordpiece_vocab": _q_wordpiece_vocab,
+        "mad_outliers": _q_mad_outliers,
     }
 
 
@@ -6982,6 +7032,7 @@ def oracle_sql_round10_staged(
         "streaming_hll": _sql_streaming_hll(),
         "communities_lpa": _sql_communities_lpa(),
         "wordpiece_vocab": _sql_wordpiece_vocab(ivf_sf_dir),
+        "mad_outliers": _sql_mad_outliers(),
     }
 
 

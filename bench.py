@@ -567,7 +567,7 @@ def main():
                 "quantile_hist", "streaming_qhist", "kmv_overlap",
                 "dsir_importance", "trigram_backoff", "psi_drift",
                 "streaming_hll", "communities_lpa",
-                "wordpiece_vocab"):
+                "wordpiece_vocab", "mad_outliers"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;

@@ -280,3 +280,44 @@ def test_wordpiece_gate_unk_rule_fires_and_bounds_hold(spark):
     for r in rows:
         assert r["n_subwords"] >= wc[r["doc_id"]]
         assert 0 <= r["n_unk"] <= wc[r["doc_id"]]
+
+
+def test_mad_outliers_random_vs_numpy_reference(spark):
+    """Random grouped values vs a driver-side numpy replay of the
+    lower-median / MAD / integer-threshold definition."""
+    import numpy as np
+
+    from xpysom_dask_spark.operators.profile import mad_outliers
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        vals = np.round(rng.normal(50, 20, 211 + ord(g)), 2)
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["grp"]: r for r in
+           mad_outliers(df, "grp", "v", decimals=2).collect()}
+    for g in ("a", "b", "c"):
+        vi = np.array(sorted(int(round(v * 100))
+                             for gg, v in rows if gg == g))
+        n = len(vi)
+        med = vi[(n + 1) // 2 - 1]
+        dev = np.sort(np.abs(vi - med))
+        mad = dev[(n + 1) // 2 - 1]
+        n_out = int((dev * 10000 > 44478 * mad).sum())
+        r = got[g]
+        assert (r["n"], r["med_i"], r["mad_i"], r["n_outliers"]) == \
+            (n, int(med), int(mad), n_out)
+
+
+def test_mad_outliers_zero_mad_degenerate(spark):
+    """>= half identical values -> MAD 0 -> any deviation flags (the
+    documented degenerate rule)."""
+    from xpysom_dask_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 10 + [("g", 7.5), ("g", 4.0)],
+        "grp string, v double")
+    r = mad_outliers(df, "grp", "v").collect()[0]
+    assert r["mad_i"] == 0 and r["med_i"] == 500
+    assert r["n_outliers"] == 2

@@ -408,6 +408,82 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
                     / F.lit(float(s)), round_to).alias("w1")))
 
 
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 decimals: int = 2,
+                 threshold_e4: int = 44478) -> DataFrame:
+    """Per-group ROBUST outlier profile — the median/MAD twin of
+    :func:`zscore_outliers` for the heavy-tailed columns where mean/σ
+    are themselves dragged by the outliers they should flag:
+    ``(group, n, med_i, mad_i, n_outliers)`` with ``med_i`` the group
+    median, ``mad_i`` the median absolute deviation (both on the
+    ``decimals`` fixed-point integer lattice), and ``n_outliers`` the
+    count of rows with ``10^4 · |v_i − med| > threshold_e4 · mad``
+    (default 44478 = 3 · 1.4826e4, the 3σ-equivalent under normality
+    via the MAD consistency constant — as an exact integer rule).
+
+    EXACT by construction: the LOWER-median convention (the
+    ``ceil(n/2)``-th smallest lattice value — deterministic, no
+    even-count interpolation) makes med, mad, and the outlier count
+    pure integer functions of the data, bit-reproducible on any
+    partitioning and replayable in SQL with no tolerance.  Groups
+    where MAD = 0 (≥ half the values identical) degenerate to "any
+    deviation flags" — the standard MAD caveat, documented rather
+    than patched.
+
+    Plan: ONE map-side-combined ``groupBy(group, v_i)`` collapses the
+    corpus to per-group distinct-value histograms (the ks_drift
+    lattice argument: cardinality ≤ 10^decimals · range, never row
+    count); medians come from a per-group-keyed cumulative window
+    over that bounded relation, the deviation histogram derives from
+    it by arithmetic + re-aggregation, and the outlier count is one
+    filtered sum — the corpus is scanned once and never shuffled by
+    row."""
+    s = 10 ** decimals
+    vi = (f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {s}, 0) "
+          f"AS BIGINT)")
+    h = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("grp"), F.expr(vi).alias("v"))
+         .groupBy("grp", "v")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    def lower_median(hist):
+        """(grp, med) from a (grp, v, c) histogram: the
+        ceil(n/2)-th smallest value."""
+        wg = Window.partitionBy("grp")
+        wc = Window.partitionBy("grp").orderBy("v") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            "grp", "v", "c",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wg).alias("n"))
+        return (cum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+                .groupBy("grp")
+                .agg(F.min("v").alias("med"),
+                     F.max("n").alias("n")))
+
+    med = lower_median(h)
+    dev = (h.join(med.select("grp", "med"), "grp")
+           .select("grp", F.abs(F.col("v") - F.col("med")).alias("v"),
+                   "c")
+           .groupBy("grp", "v")
+           .agg(F.sum("c").cast("bigint").alias("c"))
+           .localCheckpoint(eager=False))
+    mad = lower_median(dev).select(
+        "grp", F.col("med").alias("mad"))
+    out = (dev.join(F.broadcast(mad), "grp")
+           .groupBy("grp")
+           .agg(F.sum(F.when(
+               F.col("v") * 10000 > F.lit(int(threshold_e4))
+               * F.col("mad"), F.col("c")).otherwise(F.lit(0)))
+               .cast("bigint").alias("n_outliers")))
+    return (med.join(mad, "grp").join(out, "grp")
+            .select(F.col("grp").alias(group_col),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("med").cast("bigint").alias("med_i"),
+                    F.col("mad").cast("bigint").alias("mad_i"),
+                    "n_outliers"))
+
+
 def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
               lo: float, hi: float, bins: int = 20) -> DataFrame:
     """Population Stability Index terms between two snapshots of a

@@ -96,6 +96,34 @@ def main(sf_dir: str) -> None:
            F.sum((F.col("pred") != F.col("label")).cast("int"))
            .alias("label_disagreements")).show()
 
+    print("== LPA communities vs connected components on kNN edges ==")
+    lpa = G.label_propagation(edges, "src", "dst", n_iter=4)
+    cc = G.connected_components(edges, "src", "dst")
+    (lpa.agg(F.countDistinct("community").alias("lpa_communities"))
+     .crossJoin(cc.agg(F.countDistinct("component")
+                       .alias("connected_components"))).show())
+
+    print("== WordPiece: train held-out, encode, count UNKs ==")
+    from xpysom_dask_spark.operators import wordpiece as WP
+    toks_wp = WP.learn_wordpiece(docs.where("doc_id % 2 = 0"),
+                                 "text", num_merges=30)
+    (WP.wordpiece_encode(docs, "text", set(toks_wp),
+                         max_word_chars=6)
+     .select(F.size("wp_tokens").alias("n_sub"),
+             F.expr("size(filter(wp_tokens, t -> t = '[UNK]'))")
+             .alias("n_unk"))
+     .agg(F.sum("n_sub").alias("subwords"),
+          F.sum("n_unk").alias("unks")).show())
+
+    print("== drift + robust outliers: PSI terms and MAD profile ==")
+    from xpysom_dask_spark.operators import profile as PRF
+    psi = PRF.psi_drift(ev.where("event_id % 2 = 0"),
+                        ev.where("event_id % 2 = 1"), "value",
+                        lo=0.0, hi=500.0, bins=20)
+    psi.agg(F.sum("term_e6").alias("psi_e6")).show()
+    PRF.mad_outliers(ev, "event_type", "value").orderBy(
+        "event_type").show()
+
     spark.stop()
     print("done.")
 

@@ -384,3 +384,41 @@ def test_psi_drift_random_vs_python_reference(spark, seed):
         term = (pa - pb) * math.log(
             ((ha[i] + 1) * (nb + bins)) / ((hb[i] + 1) * (na + bins)))
         assert got[i]["term_e6"] == math.floor(term * 1e6 + 0.5)
+
+
+def test_label_propagation_weighted_strongest_tie_wins(spark):
+    """With integer edge weights, one heavy edge outvotes several
+    light ones (and the unweighted call keeps count semantics)."""
+    from xpysom_dask_spark.operators.graph import label_propagation
+
+    wpairs = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (1, 4, 5)],
+        "id_a bigint, id_b bigint, w bigint")
+    weighted = {r.id: r.community for r in label_propagation(
+        wpairs, n_iter=1, weight_col="w").collect()}
+    assert weighted[1] == 4
+    unweighted = {r.id: r.community for r in label_propagation(
+        wpairs, n_iter=1).collect()}
+    assert unweighted[1] == 1  # 4-way weight-1 tie -> smallest label
+
+
+def test_psi_drift_grouped_matches_per_group_calls(spark):
+    """group_cols output must equal separate ungrouped calls per
+    group (same grid, same smoothing)."""
+    from xpysom_dask_spark.operators.profile import psi_drift
+
+    rows_a = [("x", float(v % 17)) for v in range(200)] + \
+             [("y", float(v % 5)) for v in range(150)]
+    rows_b = [("x", float((v * 3) % 19)) for v in range(180)] + \
+             [("y", float(v % 11)) for v in range(90)]
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+    got = {(r["g"], r["bin"]): tuple(r)[2:] for r in psi_drift(
+        a, b, "v", 0.0, 20.0, bins=10, group_cols=("g",)).collect()}
+    for grp in ("x", "y"):
+        solo = psi_drift(a.where(F.col("g") == grp),
+                         b.where(F.col("g") == grp),
+                         "v", 0.0, 20.0, bins=10).collect()
+        for r in solo:
+            assert got[(grp, r["bin"])] == tuple(r)[1:]
+    assert len(got) == 20

@@ -126,3 +126,29 @@ def test_two_path_parity(spark):
     dist = WP.learn_wordpiece(df, "text", num_merges=8,
                               min_pair_count=1, driver_vocab_limit=0)
     assert local == dist and len(local) > 0
+
+
+def test_encode_ids_space_and_unk(spark):
+    """wordpiece_encode_ids: [UNK] is id 0, learned tokens take
+    1..len in learn order, ids round-trip the string encoding."""
+    rows = [("d%d" % i, t) for i, t in enumerate(
+        ["the cat sat on the mat", "the cats sat", "a cat a mat"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = WP.learn_wordpiece(df, "text", num_merges=10,
+                              min_pair_count=1)
+    ids = WP.wordpiece_vocab_ids(toks)
+    assert ids["[UNK]"] == 0
+    assert [ids[t] for t in toks] == list(range(1, len(toks) + 1))
+    enc = {r["doc_id"]: r for r in WP.wordpiece_encode(
+        df, "text", set(toks)).collect()}
+    got = {r["doc_id"]: r for r in WP.wordpiece_encode_ids(
+        df, "text", toks).collect()}
+    for d, r in got.items():
+        assert r["token_ids"] == [ids[t]
+                                  for t in enc[d]["wp_tokens"]]
+    # a word over the cap encodes as the single UNK id 0
+    long_df = spark.createDataFrame(
+        [("x", "supercalifragilistic")], ["doc_id", "text"])
+    r = WP.wordpiece_encode_ids(long_df, "text", toks,
+                                max_word_chars=5).collect()[0]
+    assert r["token_ids"] == [0]

@@ -175,7 +175,8 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 
 
 def label_propagation(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", n_iter: int = 4) -> DataFrame:
+                      id_b: str = "id_b", n_iter: int = 4,
+                      weight_col: str | None = None) -> DataFrame:
     """Community detection by synchronous label propagation
     (Raghavan et al., Phys. Rev. E 76, 2007): ``(id, community)``
     after exactly ``n_iter`` rounds over the undirected pair graph.
@@ -207,16 +208,33 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
     per-node-keyed window top-1 — all keyed on vertex ids, no
     cartesian anywhere; lineage truncates per round with
     ``localCheckpoint`` (the connected_components discipline).
-    Self-loop-only and absent nodes return their own id."""
+    Self-loop-only and absent nodes return their own id.
+
+    ``weight_col``: optional POSITIVE INTEGER edge weights (e.g. a
+    scaled similarity or a co-occurrence count) — votes sum weights
+    instead of counting edges, so a node follows its strongest tie,
+    not its most numerous one.  Weights of duplicate/symmetric pair
+    rows for the same unordered edge SUM; the self-vote keeps weight
+    1 (pure damping).  Integer weights keep every round engine-exact
+    (float weights would make argmax ties platform-dependent)."""
     from pyspark.sql import Window
 
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = (e.unionByName(e.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-           .where(F.col("src") != F.col("dst"))
-           .distinct().localCheckpoint(eager=True))
+    wexp = (F.col(weight_col).cast("bigint") if weight_col
+            else F.lit(1).cast("bigint"))
+    e = pairs.select(F.col(id_a).alias("src"),
+                     F.col(id_b).alias("dst"), wexp.alias("w"))
+    sym0 = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+            .where(F.col("src") != F.col("dst")))
+    if weight_col is None:
+        sym = (sym0.select("src", "dst").distinct()
+               .withColumn("w", F.lit(1).cast("bigint")))
+    else:
+        sym = (sym0.groupBy("src", "dst")
+               .agg(F.sum("w").cast("bigint").alias("w")))
+    sym = sym.localCheckpoint(eager=True)
     verts = (pairs.select(F.col(id_a).alias("id"))
              .unionByName(pairs.select(F.col(id_b).alias("id")))
              .distinct().localCheckpoint(eager=False))
@@ -227,12 +245,13 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(n_iter):
         nbr = sym.join(labels.select(F.col("id").alias("dst"),
                                      F.col("label").alias("l")),
-                       "dst").select("src", "l")
+                       "dst").select("src", "l", "w")
         own = labels.select(F.col("id").alias("src"),
-                            F.col("label").alias("l"))
+                            F.col("label").alias("l"),
+                            F.lit(1).cast("bigint").alias("w"))
         votes = (nbr.unionByName(own)
                  .groupBy("src", "l")
-                 .agg(F.count(F.lit(1)).alias("c")))
+                 .agg(F.sum("w").alias("c")))
         labels = (votes.withColumn("rn", F.row_number().over(win))
                   .where(F.col("rn") == 1)
                   .select(F.col("src").alias("id"),

@@ -485,7 +485,8 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
 
 
 def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
-              lo: float, hi: float, bins: int = 20) -> DataFrame:
+              lo: float, hi: float, bins: int = 20,
+              group_cols: tuple = ()) -> DataFrame:
     """Population Stability Index terms between two snapshots of a
     numeric column over a fixed ``[lo, hi)`` ``bins``-bucket grid:
     ``(bin, ca, cb, n_a, n_b, term_e6)`` — one row per bucket, where
@@ -504,27 +505,46 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
     hll_distinct/lm_score parity class — shipped floor-scaled e6.
 
     Plan: two map-side-combined histogram aggregations (the corpus
-    never shuffles rows — only the ≤ bins-row cell relations move);
-    the spine join, totals window, and term arithmetic all run on the
-    bounded ``bins``-row relation, so the single-partition window is
-    bounded by the grid, never the corpus."""
+    never shuffles rows — only the ≤ groups·bins-row cell relations
+    move); the spine join, totals window, and term arithmetic all run
+    on the bounded cell relation, so the windows are bounded by the
+    grid, never the corpus.
+
+    ``group_cols``: monitor one PSI per group (e.g. per event_type /
+    per source) — the spine becomes (observed groups × bins) via an
+    explode (no cartesian join), totals partition per group, and the
+    output gains the group columns.  A group present on only one side
+    still gets rows (the union'd group spine) with the smoothed terms
+    reflecting the one-sided mass."""
     from .sketches import histogram_sketch
 
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
-    ha = (histogram_sketch(df_a, value_col, lo, hi, bins)
+    g = list(group_cols)
+    ha = (histogram_sketch(df_a, value_col, lo, hi, bins,
+                           group_cols=tuple(g))
           .withColumnRenamed("count", "ca"))
-    hb = (histogram_sketch(df_b, value_col, lo, hi, bins)
+    hb = (histogram_sketch(df_b, value_col, lo, hi, bins,
+                           group_cols=tuple(g))
           .withColumnRenamed("count", "cb"))
-    spine = (df_a.sparkSession.range(bins)
-             .select(F.col("id").cast("int").alias("bin")))
-    m = (spine.join(ha, "bin", "left").join(hb, "bin", "left")
-         .select("bin",
+    bins_seq = F.explode(F.sequence(F.lit(0), F.lit(bins - 1)))
+    if g:
+        groups = (df_a.select(*g).unionByName(df_b.select(*g))
+                  .distinct())
+        spine = (groups.select(*g, bins_seq.alias("__b"))
+                 .select(*g, F.col("__b").cast("int").alias("bin")))
+    else:
+        spine = (df_a.sparkSession.range(1)
+                 .select(bins_seq.alias("__b"))
+                 .select(F.col("__b").cast("int").alias("bin")))
+    keys = g + ["bin"]
+    m = (spine.join(ha, keys, "left").join(hb, keys, "left")
+         .select(*keys,
                  F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
                  F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb")))
-    w_all = Window.partitionBy(F.lit(1))
+    w_all = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
     t = m.select(
-        "bin", "ca", "cb",
+        *keys, "ca", "cb",
         F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
         F.sum("cb").over(w_all).cast("bigint").alias("n_b"))
     pa = f"(CAST(ca + 1 AS DOUBLE) / CAST(n_a + {bins} AS DOUBLE))"
@@ -532,7 +552,7 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
     ratio = (f"(CAST((ca + 1) * (n_b + {bins}) AS DOUBLE) / "
              f"CAST((cb + 1) * (n_a + {bins}) AS DOUBLE))")
     return t.select(
-        "bin", "ca", "cb", "n_a", "n_b",
+        *keys, "ca", "cb", "n_a", "n_b",
         F.expr(f"CAST(FLOOR(({pa} - {pb}) * ln({ratio}) "
                "* 1000000.0 + 0.5) AS BIGINT)").alias("term_e6"))
 

@@ -244,6 +244,51 @@ def encode_word(word: str, vocab: set, unk: str = "[UNK]",
     return out
 
 
+def wordpiece_vocab_ids(tokens: list, unk: str = "[UNK]") -> dict:
+    """Deterministic token → id table for a learned vocabulary: the
+    ``unk`` token takes id 0 (the BERT convention of special tokens
+    first), then every learned token in :func:`learn_wordpiece`'s
+    order (base symbols sorted, merges in merge order) — the id space
+    a model-input pipeline ships."""
+    vocab: dict[str, int] = {unk: 0}
+    for t in tokens:
+        vocab.setdefault(t, len(vocab))
+    return vocab
+
+
+def wordpiece_encode_ids(df: DataFrame, text_col: str, tokens: list,
+                         out_col: str = "token_ids",
+                         unk: str = "[UNK]",
+                         max_word_chars: int = MAX_WORD_CHARS
+                         ) -> DataFrame:
+    """``wordpiece_encode`` + id lookup in one pass: append
+    ``out_col`` = array<int> under :func:`wordpiece_vocab_ids`'s id
+    space — the model-input mirror of ``bpe_encode_ids``.  The id
+    table rides the same broadcast as the vocab set; no join, no
+    extra shuffle over the token stream."""
+    ids = wordpiece_vocab_ids(tokens, unk)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(ids)
+    enc = wordpiece_encode(df, text_col, set(tokens),
+                           out_col="__wp_syms", unk=unk,
+                           max_word_chars=max_word_chars)
+
+    def to_ids(batches):
+        v = bc.value
+        u = v[unk]
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__wp_syms"] = [
+                [v.get(s, u) for s in syms]
+                for syms in pdf["__wp_syms"]]
+            yield pdf
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out = enc.mapInPandas(to_ids, schema + ", `__wp_syms` array<int>")
+    return out.withColumnRenamed("__wp_syms", out_col)
+
+
 def wordpiece_encode(df: DataFrame, text_col: str, vocab,
                      out_col: str = "wp_tokens", unk: str = "[UNK]",
                      max_word_chars: int = MAX_WORD_CHARS) -> DataFrame:

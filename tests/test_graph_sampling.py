@@ -422,3 +422,23 @@ def test_psi_drift_grouped_matches_per_group_calls(spark):
         for r in solo:
             assert got[(grp, r["bin"])] == tuple(r)[1:]
     assert len(got) == 20
+
+
+def test_round8_session2_ops_empty_inputs_graceful(spark):
+    """Empty inputs: LPA/psi/mad return empty or well-defined
+    relations instead of raising (the empty-inputs contract the
+    older operators already honor)."""
+    from xpysom_dask_spark.operators.graph import label_propagation
+    from xpysom_dask_spark.operators.profile import (mad_outliers,
+                                                     psi_drift)
+
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert label_propagation(empty_pairs, n_iter=2).count() == 0
+
+    empty_vals = spark.createDataFrame([], "g string, v double")
+    rows = psi_drift(empty_vals, empty_vals, "v", 0.0, 10.0,
+                     bins=4).collect()
+    assert len(rows) == 4 and all(r["term_e6"] == 0 for r in rows)
+    assert psi_drift(empty_vals, empty_vals, "v", 0.0, 10.0, bins=4,
+                     group_cols=("g",)).count() == 0
+    assert mad_outliers(empty_vals, "g", "v").count() == 0

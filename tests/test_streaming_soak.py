@@ -167,3 +167,56 @@ def test_streaming_dedup_soak_emits_exactly_once_per_fingerprint(spark):
     assert sorted(r["text"] for r in got) == \
         sorted(f"doc-{i}" for i in range(20))
     assert prog["stateOperators"][0]["numRowsTotal"] == 20
+
+
+def test_streaming_sketches_state_bounded_by_construction(spark):
+    """The streaming sketches' claim is stronger than watermark
+    eviction: state is bounded at the sketch size BY CONSTRUCTION
+    (cells are order-free sums/maxes), with NO watermark at all.
+    Run each twin over 12 real micro-batches of unbounded fresh keys
+    and assert the state store never exceeds the sketch bound — an
+    unbounded keyed aggregation would grow by rows_per_batch state
+    rows per batch."""
+    from xpysom_dask_spark.streaming.sketches import (cms_stream,
+                                                      hist_stream,
+                                                      hll_stream)
+
+    rows_per_batch = 200
+    depth, width, p, bins = 4, 64, 6, 16
+
+    src = rate_micro_batch_stream(spark, rows_per_batch=rows_per_batch,
+                                  num_partitions=2)
+    keys = src.select(F.concat(F.lit("k-"), F.col("value"))
+                      .alias("k"),
+                      (F.col("value") % 3).alias("g"),
+                      (F.col("value") % 997).cast("double").alias("v"))
+
+    cms = cms_stream(keys, "k", depth=depth, width=width)
+    prog = _run_batches(cms, "soak_cms", mode="complete")
+    state = prog["stateOperators"][0]
+    assert state["numRowsTotal"] <= depth * width, state["numRowsTotal"]
+    cells = spark.sql(
+        "SELECT d, SUM(count) AS s FROM soak_cms GROUP BY d").collect()
+    sums = {r["d"]: r["s"] for r in cells}
+    # every input contributes exactly 1 to every depth row
+    assert len(sums) == depth and len(set(sums.values())) == 1
+    assert min(sums.values()) >= N_BATCHES * rows_per_batch
+
+    hll = hll_stream(keys, "k", p=p)
+    prog = _run_batches(hll, "soak_hll", mode="complete")
+    state = prog["stateOperators"][0]
+    assert state["numRowsTotal"] <= 2 ** p, state["numRowsTotal"]
+    regs = spark.sql("SELECT bucket, rho FROM soak_hll").collect()
+    assert 0 < len(regs) <= 2 ** p
+    assert all(0 <= r["bucket"] < 2 ** p
+               and 1 <= r["rho"] <= 48 - p + 1 for r in regs)
+
+    hist = hist_stream(keys, "v", 0.0, 1000.0, bins=bins,
+                       group_cols=("g",))
+    prog = _run_batches(hist, "soak_hist", mode="complete")
+    state = prog["stateOperators"][0]
+    assert state["numRowsTotal"] <= 3 * bins, state["numRowsTotal"]
+    per_g = spark.sql(
+        "SELECT g, SUM(count) AS s FROM soak_hist GROUP BY g").collect()
+    assert len(per_g) == 3
+    assert sum(r["s"] for r in per_g) >= N_BATCHES * rows_per_batch

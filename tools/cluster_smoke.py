@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Multi-JVM correctness smoke: run representative gate queries on a
+``local-cluster[2,4,2048]`` master (two REAL executor JVMs, separate
+heaps and python workers) against the DuckDB oracles.
+
+Everything else in this repo tests on ``local[n]`` — a single JVM
+where closure serialization, broadcast transport, package shipping,
+and executor-side python imports can silently take shortcuts.  This
+smoke is the cheap stand-in for a real cluster: each query family
+here exercises one executor-boundary risk class, and a hash mismatch
+or crash that only shows up under local-cluster is exactly the class
+of bug a 1000-executor deployment would hit on day one.
+
+Risk classes covered:
+  som_train_epoch          mapInArrow kernel + numpy broadcast + driver merge
+  dedup_minhash            codegen'd text kernels + band-join shuffles
+  bm25_topk                broadcast query set + integer-sum aggregation
+  embedding_pca            DECIMAL moments + closed-form driver solve
+  tpch_q9                  pure Catalyst SQL, multi-join shuffles
+  streaming_ewma           applyInPandasWithState across executors
+  pack_bins_ffd            recursive driver replay over collected groups
+  multimodal_image_stats   binary Arrow kernels (PNG decode path)
+  wordpiece_vocab          trained model: broadcast vocab + Arrow encode
+  communities_lpa          iterative join/window loop + localCheckpoint
+  mad_outliers             grouped lattice windows
+
+Run:  python tools/cluster_smoke.py [sf_dir]   (default sf0.001)
+Prints one line per query + a summary JSON; non-empty "bad" exits 1.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+DECLARED = ["som_train_epoch", "dedup_minhash", "bm25_topk",
+            "embedding_pca", "tpch_q9", "streaming_ewma",
+            "pack_bins_ffd", "multimodal_image_stats"]
+STAGED10 = ["wordpiece_vocab", "communities_lpa", "mad_outliers"]
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def make_cluster_session(app="cluster-smoke"):
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local-cluster[2,4,2048]")
+             .appName(app)
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "4g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run(sf_dir, names=None):
+    import duckdb
+
+    from gate_common import compare
+
+    import __spark_entry__ as entry
+
+    spark = make_cluster_session()
+    q = dict(entry.queries())
+    o = dict(entry.oracle_sql(sf_dir))
+    q.update(entry.queries_round9_staged())
+    o.update(entry.oracle_sql_round9_staged(sf_dir))
+    q.update(entry.queries_round10_staged())
+    o.update(entry.oracle_sql_round10_staged(sf_dir))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    bad = {}
+    for nm in (names or DECLARED + STAGED10):
+        try:
+            r = compare(q[nm](spark, sf_dir), con, o[nm])
+            ok = r["hash_match"]
+        except Exception as ex:  # noqa: BLE001 - report, don't mask
+            ok, r = False, {"err": str(ex)[:300]}
+        print(f"{nm}: {'OK' if ok else 'FAIL ' + json.dumps(r)}",
+              flush=True)
+        if not ok:
+            bad[nm] = r
+    con.close()
+    spark.stop()
+    print("===SUMMARY===")
+    print(json.dumps({"checked": len(names or DECLARED + STAGED10),
+                      "bad": bad}, indent=1))
+    return bad
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.exit(1 if run(sf) else 0)

@@ -38,8 +38,14 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 DECLARED = ["som_train_epoch", "dedup_minhash", "bm25_topk",
             "embedding_pca", "tpch_q9", "streaming_ewma",
-            "pack_bins_ffd", "multimodal_image_stats"]
-STAGED10 = ["wordpiece_vocab", "communities_lpa", "mad_outliers"]
+            "pack_bins_ffd", "multimodal_image_stats",
+            # second batch (also all green round 8): PQ serving,
+            # tokenizer trained models, streaming/mergeable sketches,
+            # hashed-feature importance weights
+            "ivfpq_topk", "knn_graph_full", "bpe_subwords",
+            "dsir_importance", "quantile_hist"]
+STAGED = ["wordpiece_vocab", "communities_lpa", "mad_outliers",
+            "streaming_cms", "kmv_overlap", "unigram_segments"]
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
@@ -80,7 +86,7 @@ def run(sf_dir, names=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     bad = {}
-    for nm in (names or DECLARED + STAGED10):
+    for nm in (names or DECLARED + STAGED):
         try:
             r = compare(q[nm](spark, sf_dir), con, o[nm])
             ok = r["hash_match"]
@@ -93,7 +99,7 @@ def run(sf_dir, names=None):
     con.close()
     spark.stop()
     print("===SUMMARY===")
-    print(json.dumps({"checked": len(names or DECLARED + STAGED10),
+    print(json.dumps({"checked": len(names or DECLARED + STAGED),
                       "bad": bad}, indent=1))
     return bad
 

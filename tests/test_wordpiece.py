@@ -152,3 +152,36 @@ def test_encode_ids_space_and_unk(spark):
     r = WP.wordpiece_encode_ids(long_df, "text", toks,
                                 max_word_chars=5).collect()[0]
     assert r["token_ids"] == [0]
+
+
+def test_unicode_and_quote_corpus_roundtrip(spark):
+    """CJK/accented/apostrophe words: trainer, two-path parity, and
+    encode roundtrip must all survive non-ASCII symbols (char-level
+    splits, broadcast literals, pair keys with quotes)."""
+    rows = [("d%d" % i, t) for i, t in enumerate(
+        ["你好 世界 你好", "don't don't can't", "héllo héllo wörld",
+         "你好 don't wörld 世界"] * 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    local = WP.learn_wordpiece(df, "text", num_merges=5,
+                               min_pair_count=1)
+    dist = WP.learn_wordpiece(df, "text", num_merges=5,
+                              min_pair_count=1, driver_vocab_limit=0)
+    assert local == dist
+    local = WP.learn_wordpiece(df, "text", num_merges=12,
+                               min_pair_count=1)
+    assert any("你" in t for t in local)
+    enc = WP.wordpiece_encode(df, "text", set(local))
+    for r in enc.collect():
+        words = r["text"].lower().split()
+        rebuilt, cur = [], ""
+        for t in r["wp_tokens"]:
+            assert t != "[UNK]"
+            if t.startswith("##"):
+                cur += t[2:]
+            else:
+                if cur:
+                    rebuilt.append(cur)
+                cur = t
+        if cur:
+            rebuilt.append(cur)
+        assert rebuilt == words

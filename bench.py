@@ -558,6 +558,7 @@ def main():
     _q9 = dict(_entry.queries())
     _q9.update(_entry.queries_round9_staged())
     _q9.update(_entry.queries_round10_staged())
+    _q9.update(_entry.queries_round11_staged())
     for _nm in ("bm25_topk", "knn_graph_full", "cms_top_terms",
                 "hll_distinct", "text_readability", "nb_lang",
                 "hybrid_rrf", "pagerank_hubs", "knn_label_purity",
@@ -567,7 +568,9 @@ def main():
                 "quantile_hist", "streaming_qhist", "kmv_overlap",
                 "dsir_importance", "trigram_backoff", "psi_drift",
                 "streaming_hll", "communities_lpa",
-                "wordpiece_vocab", "mad_outliers"):
+                "wordpiece_vocab", "mad_outliers",
+                # round-11 staged
+                "kn_bigram_score"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;

@@ -1,0 +1,94 @@
+"""Round-11 PRE-STAGED gate queries vs their oracles at sf0.001
+(queries_round11_staged / oracle_sql_round11_staged; SURVEY.md §8 —
+rationed additions: the declared surface sits at 192 of the ~200
+staleness cap after the round-9/10 promotions)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_TINY
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+STAGED = entrymod.queries_round11_staged()
+ORACLES = entrymod.oracle_sql_round11_staged(SF_TINY)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_every_staged_query_has_an_oracle():
+    assert set(STAGED) == set(ORACLES)
+    assert not set(STAGED) & set(entrymod.queries())
+    assert not set(STAGED) & set(entrymod.queries_round9_staged())
+    assert not set(STAGED) & set(entrymod.queries_round10_staged())
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_staged_query_matches_oracle(spark, name):
+    sdf = STAGED[name](spark, SF_TINY)
+    srows = sdf.collect()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_TINY}/{t}.parquet')")
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+    assert _multiset(sdf.columns, [tuple(r) for r in srows]) == \
+        _multiset(dcols, drows)
+
+
+def test_kn_scores_are_log_probabilities(spark):
+    """Every per-doc sum is a sum of logs of probabilities < 1, so
+    sum_e6 <= 0; n_bigrams is exactly token_count - 1."""
+    rows = STAGED["kn_bigram_score"](spark, SF_TINY).collect()
+    assert rows and all(r["sum_e6"] <= 0 for r in rows)
+    con = duckdb.connect()
+    ntk = dict(con.execute(
+        f"SELECT doc_id, len(list_filter(string_split_regex("
+        f"lower(text), '\\s+'), x -> x <> '')) FROM read_parquet("
+        f"'{SF_TINY}/documents.parquet')").fetchall())
+    con.close()
+    for r in rows:
+        assert r["n_bigrams"] == ntk[r["id"]] - 1
+
+
+def test_kn_continuation_counts_beat_raw_frequency(spark):
+    """The 'francisco' property: a word frequent in ONE context gets
+    a lower continuation weight than an equally frequent word with
+    DIVERSE contexts — the whole point of KN over backoff/add-1."""
+    from xpysom_dask_spark.operators.text import kneser_ney_bigram_score
+
+    lm_rows = [(i, "a francisco") for i in range(10)] + \
+        [(100, "b cat"), (101, "c cat"), (102, "d cat")]
+    score_rows = [(200, "zz francisco"), (201, "zz cat")]
+    lm = spark.createDataFrame(lm_rows, ["doc_id", "text"])
+    sc = spark.createDataFrame(score_rows, ["doc_id", "text"])
+    got = {r["id"]: r["sum_e6"] for r in kneser_ney_bigram_score(
+        sc, "text", "doc_id", lm_df=lm).collect()}
+    # 'zz' is an unseen context for both, so only the continuation
+    # model votes: francisco (1 context, count 10) < cat (3 contexts)
+    assert got[200] < got[201]

@@ -1715,3 +1715,113 @@ def trigram_backoff_score(df, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
                  F.sum("s_e6").cast("bigint").alias("sum_e6"))
             .select(F.col("__id").alias("id"), "n_trigrams", "sum_e6"))
+
+
+def kneser_ney_bigram_score(df, text_col: str, id_col: str,
+                            lm_df=None):
+    """Per-document interpolated Kneser-Ney bigram score (Kneser &
+    Ney, ICASSP 1995; Chen & Goodman 1998 §2.7 — the canonical LM
+    smoothing, one rung above stupid backoff in quality because the
+    lower-order model uses CONTINUATION counts, not raw frequency:
+    "francisco" is frequent but follows only "san", so it gets a
+    small continuation weight where add-1/backoff overweight it):
+    ``id, n_bigrams, sum_e6`` where each bigram position (w1, w2)
+    contributes the 1e6-scaled log of
+
+        P(w2|w1) = max(n(w1 w2) − D, 0)/c(w1·)
+                   + (D · N1+(w1 ·)/c(w1·)) · Pc(w2)   seen context
+                 = Pc(w2)                              unseen context
+        Pc(w2)   = (N1+(· w2) + 1) / (N1+(· ·) + V)
+
+    with the standard discount D = 3/4 and an add-1 smoothed
+    continuation distribution (the +1/+V terms keep OOV words
+    defined — our documented variant; classic KN leaves Pc
+    unsmoothed and is undefined for OOV).  With D = 3/4 every branch
+    is ONE ln of a ratio of exact BIGINT products (scale the
+    interpolation through by 4·c(w1·)·(N1+(··)+V)):
+
+        seen, n12 > 0:  num = (4·n12 − 3)·(Ntot + V)
+                              + 3·N1p(w1)·(Nc(w2) + 1)
+        seen, n12 = 0:  num = 3·N1p(w1)·(Nc(w2) + 1)
+        both:           den = 4·c1(w1)·(Ntot + V)
+        unseen context: num = Nc(w2) + 1,  den = Ntot + V
+
+    so any engine replays it bit-for-bit (the trigram_backoff /
+    bm25 integer parity class).  Counts are taken from ``lm_df``
+    (defaults to ``df``: within-corpus scoring); the held-out
+    configuration is where the continuation model earns its keep.
+    Documents with < 2 tokens produce no row; ``sum_e6`` is the
+    integer sum of per-position e6-floored logs (no mean division —
+    the caller divides).
+
+    Plan shape: bigram positions are one zip-of-shifts expression +
+    one explode; the bigram count table is the one pair-keyed
+    shuffle; the per-word context table (c1, N1+(w1·)) and
+    continuation table (N1+(·w2)) derive from it by one more
+    aggregation each and BROADCAST (Heaps' law); one ``groupBy(id)``
+    integer sum closes it.  Integer-overflow bound: products are
+    ≤ 4·c1·(Ntot+V) — raise-free below ~10^9 distinct bigram types
+    with 10^9-occurrence contexts; hash-sample the LM stats beyond
+    that (the wordpiece trainer convention)."""
+    lm = df if lm_df is None else lm_df
+
+    def _bi(frame, with_id):
+        arr = tokens(text_col)
+        n2 = F.greatest(F.size(arr) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(arr, 1, n2), F.slice(arr, 2, n2),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")))
+        cols = [F.col(id_col).alias("__id")] if with_id else []
+        return frame.select(*cols, F.explode(pairs).alias("p")) \
+            .select(*(["__id"] if with_id else []), "p.x", "p.y")
+
+    n_xy = (_bi(lm, False).groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n12")))
+    n_xy = n_xy.localCheckpoint(eager=False)
+    ctx = (n_xy.groupBy("x")
+           .agg(F.sum("n12").cast("bigint").alias("c1"),
+                F.count(F.lit(1)).cast("bigint").alias("n1p")))
+    cont = (n_xy.groupBy("y")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
+    stats = n_xy.agg(F.count(F.lit(1)).alias("ntot")).first()
+    ntot = int(stats["ntot"] or 0)
+    vocab = int(lm.select(F.explode(tokens(text_col)).alias("u"))
+                .agg(F.countDistinct("u")).first()[0])
+    tv = ntot + vocab
+    if tv == 0:
+        # empty LM: every position is the unseen-context branch with
+        # Nc = 0 -> ln(1/1) = 0; keep tv at 1 to avoid 0-division
+        tv = 1
+
+    pos = _bi(df, True)
+    j = (pos
+         .join(n_xy, ["x", "y"], "left")
+         .join(F.broadcast(ctx), ["x"], "left")
+         .join(F.broadcast(cont.select(F.col("y"),
+                                       F.col("nc"))), ["y"], "left"))
+    num = F.when(
+        F.col("c1").isNotNull() & F.col("n12").isNotNull(),
+        (F.lit(4) * F.col("n12") - F.lit(3)).cast("bigint")
+        * F.lit(tv).cast("bigint")
+        + F.lit(3).cast("bigint") * F.col("n1p")
+        * (F.coalesce(F.col("nc"), F.lit(0)) + F.lit(1))) \
+        .when(
+        F.col("c1").isNotNull(),
+        F.lit(3).cast("bigint") * F.col("n1p")
+        * (F.coalesce(F.col("nc"), F.lit(0)) + F.lit(1))) \
+        .otherwise(
+        (F.coalesce(F.col("nc"), F.lit(0)) + F.lit(1)).cast("bigint"))
+    den = F.when(
+        F.col("c1").isNotNull(),
+        F.lit(4).cast("bigint") * F.col("c1")
+        * F.lit(tv).cast("bigint")) \
+        .otherwise(F.lit(tv).cast("bigint"))
+    log_s = F.log(num.cast("double")) - F.log(den.cast("double"))
+    return (j.select("__id",
+                     F.floor(log_s * F.lit(1000000.0)
+                             + F.lit(0.5)).cast("bigint")
+                     .alias("s_e6"))
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum("s_e6").cast("bigint").alias("sum_e6"))
+            .select(F.col("__id").alias("id"), "n_bigrams", "sum_e6"))

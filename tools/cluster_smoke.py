@@ -104,6 +104,86 @@ def run(sf_dir, names=None):
     return bad
 
 
+def run_streaming_soak(n_batches=10):
+    """Stateful streaming across REAL executor JVMs: the
+    applyInPandasWithState EWMA (exact batch parity on the drained
+    rows + one state row per key) and the keyed-state dedup
+    (exactly-once per fingerprint) over ``n_batches`` genuine
+    micro-batches — the state-store-on-executors surface the
+    single-JVM soak tests cannot exercise.  Round-8 result: 440
+    drained rows bit-equal to the batch replay, state exactly
+    bounded.  Returns True on success."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    spark = make_cluster_session("cluster-streaming-soak")
+    from xpysom_dask_spark.operators.profile import ewma
+    from xpysom_dask_spark.streaming.dedup import dedup_stream
+    from xpysom_dask_spark.streaming.sources import \
+        rate_micro_batch_stream
+    from xpysom_dask_spark.streaming.state import ewma_stream
+
+    def run_batches(df, name, mode):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).start())
+        deadline, last = time.time() + 240, None
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None:
+                last = p
+                if p["batchId"] >= n_batches:
+                    break
+            time.sleep(0.3)
+        q.stop()
+        return last
+
+    rpb, n_keys = 40, 5
+    src = rate_micro_batch_stream(spark, rows_per_batch=rpb,
+                                  num_partitions=2)
+    stream = src.select(
+        (F.col("value") % n_keys).alias("k"),
+        F.col("value").alias("event_id"),
+        (F.col("value") * 37 % 101).cast("double").alias("metric"),
+        F.col("timestamp").alias("ts"))
+    out = ewma_stream(stream, "k", "metric", "ts", "event_id",
+                      alpha=0.25, lag=8)
+    prog = run_batches(out, "clu_ewma", "update")
+    state_rows = prog["stateOperators"][0]["numRowsTotal"]
+    got = {r["id"]: r for r in spark.sql(
+        "SELECT id, key, value, ewma FROM clu_ewma").collect()}
+    batch_in = spark.createDataFrame(
+        [(int(i), int(r["key"]), float(r["value"]))
+         for i, r in got.items()],
+        "event_id bigint, k bigint, metric double")
+    exp = ewma(batch_in.withColumn("ts", F.col("event_id")),
+               "k", "metric", "ts", "event_id",
+               alpha=0.25, lag=8).collect()
+    mism = sum(1 for r in exp if got[r["id"]]["ewma"] != r["ewma"])
+    print(f"ewma: state={state_rows} (want {n_keys}), drained="
+          f"{len(got)}, parity mismatches={mism}", flush=True)
+
+    src2 = rate_micro_batch_stream(spark, rows_per_batch=40,
+                                   num_partitions=2)
+    stream2 = src2.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("doc-"), F.col("value") % 20).alias("text"))
+    prog2 = run_batches(dedup_stream(stream2, "text"),
+                        "clu_dedup", "append")
+    n_texts = spark.sql("SELECT count(DISTINCT text) c FROM clu_dedup"
+                        ).first()["c"]
+    state2 = prog2["stateOperators"][0]["numRowsTotal"]
+    print(f"dedup: distinct={n_texts} (want 20), state={state2}",
+          flush=True)
+    spark.stop()
+    ok = (state_rows == n_keys and mism == 0
+          and n_texts == 20 and state2 == 20)
+    print("CLUSTER STREAMING SOAK:", "OK" if ok else "FAIL")
+    return ok
+
+
 if __name__ == "__main__":
+    if "--streaming" in sys.argv:
+        sys.exit(0 if run_streaming_soak() else 1)
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     sys.exit(1 if run(sf) else 0)

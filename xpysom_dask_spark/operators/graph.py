@@ -204,10 +204,14 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
 
     Plan: the symmetric edge relation builds once (one shuffle); each
     round is ONE join (labels ⋈ edges on the neighbor id) + one
-    map-side-combinable ``groupBy(node, label)`` count + a
-    per-node-keyed window top-1 — all keyed on vertex ids, no
-    cartesian anywhere; lineage truncates per round with
-    ``localCheckpoint`` (the connected_components discipline).
+    map-side-combinable ``groupBy(node, label)`` count, and the
+    per-node argmax is TWO more combinable aggregates (max vote,
+    then min label at the max) instead of a window top-1 — a window
+    ``PARTITION BY node`` is a single-task SORT over a celebrity
+    hub's whole vote set, while max/min partials stay skew-proof at
+    any degree; all keyed on vertex ids, no cartesian anywhere;
+    lineage truncates per round with ``localCheckpoint`` (the
+    connected_components discipline).
     Self-loop-only and absent nodes return their own id.
 
     ``weight_col``: optional POSITIVE INTEGER edge weights (e.g. a
@@ -217,8 +221,6 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
     rows for the same unordered edge SUM; the self-vote keeps weight
     1 (pure damping).  Integer weights keep every round engine-exact
     (float weights would make argmax ties platform-dependent)."""
-    from pyspark.sql import Window
-
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     wexp = (F.col(weight_col).cast("bigint") if weight_col
@@ -240,8 +242,6 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
              .distinct().localCheckpoint(eager=False))
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("label")))
-    win = Window.partitionBy("src").orderBy(F.col("c").desc(),
-                                            F.col("l").asc())
     for _ in range(n_iter):
         nbr = sym.join(labels.select(F.col("id").alias("dst"),
                                      F.col("label").alias("l")),
@@ -252,10 +252,11 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
         votes = (nbr.unionByName(own)
                  .groupBy("src", "l")
                  .agg(F.sum("w").alias("c")))
-        labels = (votes.withColumn("rn", F.row_number().over(win))
-                  .where(F.col("rn") == 1)
-                  .select(F.col("src").alias("id"),
-                          F.col("l").alias("label"))
+        cmax = votes.groupBy("src").agg(F.max("c").alias("cmax"))
+        labels = (votes.join(cmax, "src")
+                  .where(F.col("c") == F.col("cmax"))
+                  .groupBy("src").agg(F.min("l").alias("label"))
+                  .withColumnRenamed("src", "id")
                   .localCheckpoint(eager=True))
     return (verts.join(labels, "id", "left")
             .select("id", F.coalesce("label", "id").alias("community")))

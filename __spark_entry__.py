@@ -7100,6 +7100,44 @@ FROM sc GROUP BY 1
 """
 
 
+def _q_streaming_psi(spark, sf_dir):
+    """Live PSI drift monitor (streaming/sketches.py psi_stream): the
+    even-event-id value histogram is the STATIC reference snapshot;
+    the odd half replays as a file stream whose stateful histogram
+    (state ≤ bins rows, no watermark) broadcast-joins the reference
+    cells per trigger.  Drained in COMPLETE mode + spine completion +
+    the SHARED batch term arithmetic (profile.psi_terms_from_cells),
+    the output equals batch psi_drift bit-for-bit — so the oracle IS
+    the psi_drift SQL.  The alarm-on-live-ingest shape: the streaming
+    query stays a pure bounded-state aggregation; the probability
+    arithmetic is a constant-time batch view over ≤ bins rows."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.operators import sketches as SK
+    from xpysom_dask_spark.operators.profile import psi_terms_from_cells
+    from xpysom_dask_spark.streaming import (psi_complete_spine,
+                                             psi_stream)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, sf_dir, "events")
+    ref = SK.histogram_sketch(ev.where("event_id % 2 = 0"), "value",
+                              _PSI_LO, _PSI_HI, _PSI_BINS)
+    odd = ev.where("event_id % 2 = 1").select("value")
+    tmp = tempfile.mkdtemp(prefix="stpsigate_")
+    odd.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(odd.schema).parquet(tmp)
+    cells = psi_stream(stream, "value", ref, _PSI_LO, _PSI_HI,
+                       _PSI_BINS)
+    name = "q_stream_psi_" + uuid.uuid4().hex[:8]
+    q = (cells.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    drained = spark.table(name)
+    m = psi_complete_spine(drained, ref, _PSI_BINS)
+    return psi_terms_from_cells(m, _PSI_BINS)
+
+
 def queries_round11_staged() -> dict:
     """Round-11 pre-staging (SURVEY.md §8): verified like the
     round-9/10 queues, promoted when a head-50 slot opens.  NB the
@@ -7108,13 +7146,18 @@ def queries_round11_staged() -> dict:
     rationed to the highest-value operators."""
     return {
         "kn_bigram_score": _q_kn_bigram_score,
+        "streaming_psi": _q_streaming_psi,
     }
 
 
 def oracle_sql_round11_staged(
         ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
+    # streaming_psi drains to the identical relation batch psi_drift
+    # computes, so the twins SHARE the oracle (the streaming_cms /
+    # streaming_qhist convention)
     return {
         "kn_bigram_score": _sql_kn_bigram_score(),
+        "streaming_psi": _sql_psi_drift(),
     }
 
 

@@ -570,7 +570,7 @@ def main():
                 "streaming_hll", "communities_lpa",
                 "wordpiece_vocab", "mad_outliers",
                 # round-11 staged
-                "kn_bigram_score"):
+                "kn_bigram_score", "streaming_psi"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # IVF quality report: recall@5 vs nprobe (timed like any query;

@@ -92,3 +92,22 @@ def test_kn_continuation_counts_beat_raw_frequency(spark):
     # 'zz' is an unseen context for both, so only the continuation
     # model votes: francisco (1 context, count 10) < cat (3 contexts)
     assert got[200] < got[201]
+
+
+def test_streaming_psi_equals_batch_psi_drift(spark):
+    """The drained streaming monitor (spine-completed + shared term
+    arithmetic) must equal batch psi_drift row-for-row — the
+    streaming_qhist twin contract."""
+    from xpysom_dask_spark.operators.profile import psi_drift
+    from xpysom_dask_spark.sources import readers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, SF_TINY, "events")
+    batch = psi_drift(ev.where("event_id % 2 = 0"),
+                      ev.where("event_id % 2 = 1"), "value",
+                      lo=entrymod._PSI_LO, hi=entrymod._PSI_HI,
+                      bins=entrymod._PSI_BINS)
+    brows = sorted(tuple(r) for r in batch.collect())
+    srows = sorted(tuple(r) for r in
+                   STAGED["streaming_psi"](spark, SF_TINY).collect())
+    assert srows == brows and len(srows) == entrymod._PSI_BINS

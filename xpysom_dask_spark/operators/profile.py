@@ -542,6 +542,20 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
          .select(*keys,
                  F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
                  F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb")))
+    return psi_terms_from_cells(m, bins, group_cols=tuple(g))
+
+
+def psi_terms_from_cells(m: DataFrame, bins: int,
+                         group_cols: tuple = ()) -> DataFrame:
+    """Totals + smoothed-PSI-term arithmetic over a COMPLETED
+    ``(*group_cols, bin, ca, cb)`` cell relation (every spine bin
+    present, counts coalesced to 0) — the shared tail of
+    :func:`psi_drift` and the drained streaming monitor
+    (``streaming.psi_stream``), factored out so batch and streaming
+    derive from literally the same expressions.  Constant-time: the
+    input is ≤ groups·bins rows by construction."""
+    g = list(group_cols)
+    keys = g + ["bin"]
     w_all = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
     t = m.select(
         *keys, "ca", "cb",

@@ -84,3 +84,56 @@ def hll_stream(stream_df: DataFrame, key_col: str,
     return (stream_df.select(bucket.alias("bucket"), rho.alias("rho"))
             .groupBy("bucket")
             .agg(F.max("rho").cast("int").alias("rho")))
+
+
+def psi_stream(stream_df: DataFrame, value_col: str,
+               ref_cells: DataFrame, lo: float, hi: float,
+               bins: int = 20) -> DataFrame:
+    """Live PSI drift monitor: maintain the ``(bin, ca, cb)`` cell
+    relation over an unbounded stream — ``cb`` is the stream's
+    :func:`hist_stream` histogram (stateful aggregation, state ≤ bins
+    rows by construction), ``ca`` rides a broadcast stream-static
+    join against the STATIC reference snapshot's
+    :func:`~..operators.sketches.histogram_sketch` cells.  COMPLETE
+    output mode; the drift ALARM is constant-time batch arithmetic
+    over the drained ≤ bins rows via
+    :func:`~..operators.profile.psi_terms_from_cells` — Structured
+    Streaming forbids a second aggregation (the totals) in the same
+    query, and a static-LEFT outer join (which would carry the full
+    spine) is unsupported, so bins the stream never touched are
+    ABSENT from the output; the reader completes the spine with
+    cb-side rows coalesced from the reference (the gate replays
+    exactly that).  This split keeps the streaming query a pure
+    bounded-state aggregation — the shape that survives an unbounded
+    100 TB/day ingest — and the probability arithmetic in one shared,
+    engine-exact batch tail."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    cells = hist_stream(stream_df, value_col, lo, hi, bins) \
+        .withColumnRenamed("count", "cb")
+    ref = ref_cells.select(F.col("bin").cast("int").alias("bin"),
+                           F.col("count").cast("bigint").alias("ca"))
+    return (cells.join(F.broadcast(ref), "bin", "left")
+            .select("bin", F.coalesce("ca", F.lit(0)).cast("bigint")
+                    .alias("ca"), F.col("cb").cast("bigint")))
+
+
+def psi_complete_spine(drained: DataFrame, ref_cells: DataFrame,
+                       bins: int) -> DataFrame:
+    """Spine completion for a drained :func:`psi_stream` table: bins
+    the stream never observed re-enter with their reference count and
+    cb = 0, yielding the completed ``(bin, ca, cb)`` relation
+    :func:`~..operators.profile.psi_terms_from_cells` expects."""
+    spine = (ref_cells.sparkSession.range(1)
+             .select(F.explode(F.sequence(F.lit(0), F.lit(bins - 1)))
+                     .alias("__b"))
+             .select(F.col("__b").cast("int").alias("bin")))
+    ref = ref_cells.select(F.col("bin").cast("int").alias("bin"),
+                           F.col("count").cast("bigint").alias("__ca"))
+    return (spine.join(ref, "bin", "left")
+            .join(drained.select("bin", "cb"), "bin", "left")
+            .select("bin",
+                    F.coalesce("__ca", F.lit(0)).cast("bigint")
+                    .alias("ca"),
+                    F.coalesce("cb", F.lit(0)).cast("bigint")
+                    .alias("cb")))

@@ -111,3 +111,61 @@ def test_streaming_psi_equals_batch_psi_drift(spark):
     srows = sorted(tuple(r) for r in
                    STAGED["streaming_psi"](spark, SF_TINY).collect())
     assert srows == brows and len(srows) == entrymod._PSI_BINS
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_kn_random_vs_python_reference(spark, seed):
+    """Random corpora vs a pure-Python replay of the exact-integer
+    KN definition (including the ln(num)-ln(den) op order the engine
+    uses), held-out configuration."""
+    import math
+    import random
+
+    from collections import Counter
+
+    from xpysom_dask_spark.operators.text import kneser_ney_bigram_score
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choices(words, k=rng.randint(0, 9))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lm_rows = [r for r in rows if r[0] % 2 == 0]
+    got = {r["id"]: (r["n_bigrams"], r["sum_e6"])
+           for r in kneser_ney_bigram_score(
+               df, "text", "doc_id",
+               lm_df=df.where("doc_id % 2 = 0")).collect()}
+
+    nxy = Counter()
+    for _, t in lm_rows:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            nxy[(a, b)] += 1
+    c1, n1p, nc = Counter(), Counter(), Counter()
+    for (a, b), n in nxy.items():
+        c1[a] += n
+        n1p[a] += 1
+        nc[b] += 1
+    tv = (len(nxy)
+          + len({w for _, t in lm_rows for w in t.split()})) or 1
+    exp = {}
+    for i, t in rows:
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        s = 0
+        for a, b in zip(ws, ws[1:]):
+            if a in c1:
+                n12 = nxy.get((a, b), 0)
+                if n12 > 0:
+                    num = (4 * n12 - 3) * tv \
+                        + 3 * n1p[a] * (nc.get(b, 0) + 1)
+                else:
+                    num = 3 * n1p[a] * (nc.get(b, 0) + 1)
+                den = 4 * c1[a] * tv
+            else:
+                num, den = nc.get(b, 0) + 1, tv
+            s += math.floor((math.log(num) - math.log(den)) * 1e6
+                            + 0.5)
+        exp[i] = (len(ws) - 1, s)
+    assert got == exp and len(exp) > 10

@@ -45,7 +45,8 @@ DECLARED = ["som_train_epoch", "dedup_minhash", "bm25_topk",
             "ivfpq_topk", "knn_graph_full", "bpe_subwords",
             "dsir_importance", "quantile_hist"]
 STAGED = ["wordpiece_vocab", "communities_lpa", "mad_outliers",
-            "streaming_cms", "kmv_overlap", "unigram_segments"]
+          "streaming_cms", "kmv_overlap", "unigram_segments",
+          "kn_bigram_score", "streaming_psi"]
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
@@ -80,6 +81,8 @@ def run(sf_dir, names=None):
     o.update(entry.oracle_sql_round9_staged(sf_dir))
     q.update(entry.queries_round10_staged())
     o.update(entry.oracle_sql_round10_staged(sf_dir))
+    q.update(entry.queries_round11_staged())
+    o.update(entry.oracle_sql_round11_staged(sf_dir))
 
     con = duckdb.connect()
     for t in TABLES:

@@ -68,6 +68,29 @@ def main(sf_dir="/root/testdata/sf0.001"):
     print(f"streamed alerts: {n} (== batch: "
           f"{PRF.zscore_by_group(ev, 'event_type', 'value', 'event_id', threshold=2.5).count()})")
 
+    print("== live PSI monitor: stream cells vs frozen reference ==")
+    from xpysom_dask_spark.operators import sketches as SK
+    from xpysom_dask_spark.operators.profile import psi_terms_from_cells
+    from xpysom_dask_spark.streaming import (psi_complete_spine,
+                                             psi_stream)
+    ref_cells = SK.histogram_sketch(ev.where("event_id % 2 = 0"),
+                                    "value", 0.0, 500.0, bins=20)
+    live = ev.where("event_id % 2 = 1").select("value")
+    tmp2 = tempfile.mkdtemp(prefix="driftpsi_")
+    live.repartition(2).write.mode("overwrite").parquet(tmp2)
+    stream2 = spark.readStream.schema(live.schema).parquet(tmp2)
+    cells = psi_stream(stream2, "value", ref_cells, 0.0, 500.0,
+                       bins=20)
+    name2 = "drift_psi_" + uuid.uuid4().hex[:8]
+    q2 = (cells.writeStream.format("memory").queryName(name2)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    terms = psi_terms_from_cells(
+        psi_complete_spine(spark.table(name2), ref_cells, 20), 20)
+    psi = terms.agg(F.sum("term_e6").alias("psi_e6")).first()["psi_e6"]
+    print(f"live PSI = {psi / 1e6:.4f} "
+          f"({'alarm' if psi > 100000 else 'calm'}; bands 0.1/0.25)")
+
     spark.stop()
     print("done.")
 

@@ -442,3 +442,61 @@ def test_round8_session2_ops_empty_inputs_graceful(spark):
     assert psi_drift(empty_vals, empty_vals, "v", 0.0, 10.0, bins=4,
                      group_cols=("g",)).count() == 0
     assert mad_outliers(empty_vals, "g", "v").count() == 0
+
+
+def test_community_modularity_exact_and_vs_python(spark):
+    """Bridged-cliques fixture: hand-computed Q plus a random-graph
+    differential against a pure-Python replay."""
+    from xpysom_dask_spark.operators.graph import (community_modularity,
+                                                   label_propagation)
+
+    pairs = _pairs(spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6),
+                           (5, 6), (3, 4)])
+    comm = label_propagation(pairs, n_iter=4)
+    rows = {r["community"]: r for r in
+            community_modularity(pairs, comm).collect()}
+    # m=7; each clique: e_c=3, d_c=7 -> (4*7*3 - 49)/196 = 35/196
+    import math
+    want = math.floor(35 / 196 * 1e6 + 0.5)
+    assert set(rows) == {1, 4}
+    for c in (1, 4):
+        r = rows[c]
+        assert (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                r["contrib_e6"]) == (3, 3, 7, want)
+
+    rng = np.random.RandomState(23)
+    raw = rng.randint(0, 30, (50, 2))
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in raw if a != b})
+    comm2 = label_propagation(_pairs(spark, edges), n_iter=3)
+    got = {r["community"]: r["contrib_e6"] for r in
+           community_modularity(_pairs(spark, edges), comm2).collect()}
+    lab = {r["id"]: r["community"] for r in comm2.collect()}
+    m = len(edges)
+    deg, intra, dsum = {}, {}, {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if lab[a] == lab[b]:
+            intra[lab[a]] = intra.get(lab[a], 0) + 1
+    for v, d in deg.items():
+        dsum[lab[v]] = dsum.get(lab[v], 0) + d
+    exp = {c: math.floor((4 * m * intra.get(c, 0) - dsum[c] ** 2)
+                         / (4 * m * m) * 1e6 + 0.5)
+           for c in dsum}
+    assert got == exp
+
+
+def test_community_modularity_empty_and_singletons(spark):
+    from xpysom_dask_spark.operators.graph import community_modularity
+
+    empty = _pairs(spark, [])
+    comm = spark.createDataFrame([], "id bigint, community bigint")
+    assert community_modularity(empty, comm).count() == 0
+    # node absent from communities -> singleton of its own id
+    pairs = _pairs(spark, [(1, 2)])
+    comm1 = spark.createDataFrame([(1, 1)], ["id", "community"])
+    rows = {r["community"]: r for r in
+            community_modularity(pairs, comm1).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["intra_edges"] == 0 and rows[2]["degree_sum"] == 1

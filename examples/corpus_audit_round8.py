@@ -102,6 +102,9 @@ def main(sf_dir: str) -> None:
     (lpa.agg(F.countDistinct("community").alias("lpa_communities"))
      .crossJoin(cc.agg(F.countDistinct("component")
                        .alias("connected_components"))).show())
+    q = (G.community_modularity(edges, lpa, "src", "dst")
+         .agg((F.sum("contrib_e6") / 1e6).alias("modularity_q")))
+    q.show()
 
     print("== WordPiece: train held-out, encode, count UNKs ==")
     from xpysom_dask_spark.operators import wordpiece as WP

@@ -998,9 +998,12 @@ def _q_ann_recall_curve(spark, sf_dir):
     exactly 1.0 — the oracle checks the PARTIAL probes too, because the
     codebook is deterministic and embedded in the SQL as literals.
 
-    Per tier the plan is the production ANN plan (bucketed corpus,
-    exploded-probe broadcast equi-join, GEMM cosine); recall is one
-    left-join + aggregate over the union of tiers."""
+    The sweep shares ONE candidate pass across the nprobe legs
+    (operators/similarity.py som_ivf_topk_sweep, VERDICT r8 #8): every
+    leg's candidate set is a prefix of the full-probe leg's, so the
+    probe join + GEMM run once and each leg filters probe_rank — leg
+    output is bit-identical to som_ivf_topk at that nprobe; the exact
+    reference IS the full-probe (16 = every cell) leg."""
     e = _emb(spark, sf_dir)
     pdf = e.select("vec_id", "embedding").orderBy("vec_id").toPandas()
     X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
@@ -1009,14 +1012,14 @@ def _q_ann_recall_curve(spark, sf_dir):
     qids = pdf["vec_id"].to_numpy()[qmask].tolist()
     qvecs = X[qmask]
     n_q = len(qids)
-    exact = (similarity.som_ivf_topk(som, e, qvecs, qids, k=5, nprobe=16)
+    sweep = similarity.som_ivf_topk_sweep(
+        som, e, qvecs, qids, k=5,
+        nprobes=tuple(sorted(set(_IVF_NPROBES) | {16})))
+    exact = (sweep.where("nprobe = 16")
              .select("query_id", "neighbor_id"))
-    parts = None
-    for p in _IVF_NPROBES:
-        ann = (similarity.som_ivf_topk(som, e, qvecs, qids, k=5, nprobe=p)
-               .select(F.lit(p).cast("bigint").alias("nprobe"),
-                       "query_id", "neighbor_id"))
-        parts = ann if parts is None else parts.unionByName(ann)
+    parts = (sweep.where(F.col("nprobe").isin([int(p) for p in
+                                               _IVF_NPROBES]))
+             .select("nprobe", "query_id", "neighbor_id"))
     hits = parts.join(exact.withColumn("hit", F.lit(1)),
                       ["query_id", "neighbor_id"], "left")
     return (hits.groupBy("nprobe")
@@ -5726,10 +5729,12 @@ def _q_knn_graph(spark, sf_dir):
         .alias("sim_e6"))
 
 
-def _knn_graph_ctes():
-    """The shared WITH-clause body: 4-cell assignment, same-cell
-    cosine sims, exact (sim DESC, neighbor ASC) ranking — consumed by
-    the knn_graph gate and re-consumed by graph_triangles."""
+def _knn_graph_ctes(cent_pred: str = "vec_id < 4"):
+    """The shared WITH-clause body: cell assignment (default the
+    4-cell pin; ``cent_pred`` overrides — knn_label_purity passes the
+    data-derived ⌊√N⌋ bound), same-cell cosine sims, exact
+    (sim DESC, neighbor ASC) ranking — consumed by the knn_graph gate
+    and re-consumed by graph_triangles."""
     dsq = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
            "[(CAST(e.embedding[p] AS DOUBLE) "
            "- CAST(c.embedding[p] AS DOUBLE)) "
@@ -5741,7 +5746,7 @@ def _knn_graph_ctes():
     yy = _DOT64.format(a="y.embedding", b="y.embedding")
     return f"""
 WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
-              WHERE vec_id < 4),
+              WHERE {cent_pred}),
 assign0 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -6721,10 +6726,10 @@ def _sql_streaming_hll():
     return f"""
 WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
 h AS (SELECT ({_duck_h48('k', 0)}) AS hv FROM u)
-SELECT CAST(hv // {rem_pow} AS INTEGER) AS bucket,
-       CAST(MAX(CASE WHEN hv % {rem_pow} = 0 THEN {rem_bits + 1}
+SELECT CAST(hv // {1 << rem_bits} AS INTEGER) AS bucket,
+       CAST(MAX(CASE WHEN hv % {1 << rem_bits} = 0 THEN {rem_bits + 1}
             ELSE {rem_bits + 1}
-                 - length(ltrim(bin(hv % {rem_pow}), '0'))
+                 - length(ltrim(bin(hv % {1 << rem_bits}), '0'))
             END) AS INTEGER) AS rho
 FROM h GROUP BY 1
 """
@@ -7021,7 +7026,7 @@ def oracle_sql_round10_staged(
     # ivf_sf_dir: the wordpiece_vocab oracle is data-dependent (the
     # reference-learned vocabulary is embedded in the SQL), so the
     # caller must name the sf tier it will run against (the
-    # oracle_sql_round9_staged / unigram_segments convention)
+    # oracle_sql / unigram_segments convention)
     return {
         "quantile_hist": _sql_quantile_hist(),
         "streaming_qhist": _sql_streaming_qhist(),
@@ -7164,68 +7169,29 @@ def oracle_sql_round11_staged(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-8 head (tools/rotate_gate.py +
-    # the never-green rule): the 3 queries promoted verbatim from the
-    # round-7 staging area (pre-checked hash-green at sf0.001 and
-    # sf0.01 via tools/gate_pick.py), the 19 queries whose freshest
-    # driver evidence is round 4, and the 28 stalest round-5 entries.
-    # r6 ∪ r7 ∪ r8 covers all 171 declared queries.  See SURVEY.md §8
-    # and tests/test_gate_coverage.py before reordering.
+    # (list(queries())[:50]).  Round-9 head (tools/rotate_gate.py +
+    # the never-green rule): the 11 queries promoted verbatim from
+    # the round-8 staging area (pre-checked hash-green at sf0.001
+    # and sf0.01 via tools/gate_pick.py), the 21 queries whose
+    # freshest driver evidence is round 5, and the 18 stalest
+    # round-6 entries.  r7 ∪ r8 ∪ r9 covers all 182 declared
+    # queries.  See SURVEY.md §8 and tests/test_gate_coverage.py
+    # before reordering.
     return {
-        # -- new in round 8 (3): promoted verbatim from the
-        # round-7 staging area --
-        "pack_bins_ffd": _q_pack_bins_ffd,
-        "knn_graph_full": _q_knn_graph_full,
-        "bm25_topk": _q_bm25_topk,
-        # -- stalest evidence: 19 round-4 + 28 round-5 entries --
-        "contamination_report": _q_contamination_report,
-        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "upsample_mix": _q_upsample_mix,
-        "split_no_leakage": _q_split_no_leakage,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "events_regr": _q_events_regr,
-        "hard_negatives": _q_hard_negatives,
-        "weighted_sample": _q_weighted_sample,
-        "streaming_decontaminate": _q_streaming_decontaminate,
-        "probe_scores": _q_probe_scores,
-        "bpe_subwords": _q_bpe_subwords,
-        "tpch_q12": _q_tpch_q12,
-        "text_token_ids": _q_text_token_ids,
-        "embedding_quantize": _q_embedding_quantize,
-        "embedding_pca": _q_embedding_pca,
-        "knn_cosine": _q_knn_cosine,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "events_hourly": _q_events_hourly,
-        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
-        "streaming_user_transitions": _q_streaming_user_transitions,
-        "relational_revenue_topk": _q_relational_revenue_topk,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "multimodal_audio_stats": _q_multimodal_audio_stats,
-        "events_sessionize": _q_events_sessionize,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "ann_som_ivf": _q_ann_som_ivf,
-        "dedup_components": _q_dedup_components,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "sample_hash": _q_sample_hash,
-        "split_by_hash": _q_split_by_hash,
-        "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
-        "corpus_report": _q_corpus_report,
-        "streaming_dedup": _q_streaming_dedup,
-        "top_terms": _q_top_terms,
-        "som_classify": _q_som_classify,
-        # ---------------- tail (slots 51+) ----------------
+        # -- new in round 9 (11): promoted verbatim from the
+        # round-8 staging area --
+        "cms_top_terms": _q_cms_top_terms,
+        "hll_distinct": _q_hll_distinct,
+        "hll_by_type": _q_hll_by_type,
+        "text_readability": _q_text_readability,
+        "nb_lang": _q_nb_lang,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "pagerank_hubs": _q_pagerank_hubs,
+        "streaming_cms": _q_streaming_cms,
+        "knn_label_purity": _q_knn_label_purity,
+        "textrank_keywords": _q_textrank_keywords,
+        "unigram_segments": _q_unigram_segments,
+        # -- stalest evidence: 21 round-5 + 18 round-6 entries --
         "som_anomalies": _q_som_anomalies,
         "text_gopher": _q_text_gopher,
         "events_asof": _q_events_asof,
@@ -7265,6 +7231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_zscore": _q_streaming_zscore,
         "events_ks_drift": _q_events_ks_drift,
         "fuzzy_join": _q_fuzzy_join,
+        # ---------------- tail (slots 51+), staleness order ----------------
         "text_novelty": _q_text_novelty,
         "text_lang_consistency": _q_text_lang_consistency,
         "ivfpq_rerank": _q_ivfpq_rerank,
@@ -7347,6 +7314,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "token_budget_mix": _q_token_budget_mix,
         "binary_rerank": _q_binary_rerank,
+        "pack_bins_ffd": _q_pack_bins_ffd,
+        "knn_graph_full": _q_knn_graph_full,
+        "bm25_topk": _q_bm25_topk,
+        "contamination_report": _q_contamination_report,
+        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "upsample_mix": _q_upsample_mix,
+        "split_no_leakage": _q_split_no_leakage,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "events_regr": _q_events_regr,
+        "hard_negatives": _q_hard_negatives,
+        "weighted_sample": _q_weighted_sample,
+        "streaming_decontaminate": _q_streaming_decontaminate,
+        "probe_scores": _q_probe_scores,
+        "bpe_subwords": _q_bpe_subwords,
+        "tpch_q12": _q_tpch_q12,
+        "text_token_ids": _q_text_token_ids,
+        "embedding_quantize": _q_embedding_quantize,
+        "embedding_pca": _q_embedding_pca,
+        "knn_cosine": _q_knn_cosine,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_hourly": _q_events_hourly,
+        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
+        "streaming_user_transitions": _q_streaming_user_transitions,
+        "relational_revenue_topk": _q_relational_revenue_topk,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_audio_stats": _q_multimodal_audio_stats,
+        "events_sessionize": _q_events_sessionize,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "ann_som_ivf": _q_ann_som_ivf,
+        "dedup_components": _q_dedup_components,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "sample_hash": _q_sample_hash,
+        "split_by_hash": _q_split_by_hash,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_report": _q_corpus_report,
+        "streaming_dedup": _q_streaming_dedup,
+        "top_terms": _q_top_terms,
+        "som_classify": _q_som_classify,
     }
 
 
@@ -8150,6 +8167,21 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 9 from the round-8 staging area --
+        "cms_top_terms": _sql_cms_top_terms(),
+        "hll_distinct": _sql_hll_distinct(),
+        "hll_by_type": _sql_hll_by_type(),
+        "text_readability": _sql_text_readability(),
+        "nb_lang": _sql_nb_lang(),
+        "hybrid_rrf": _sql_hybrid_rrf(),
+        "pagerank_hubs": _sql_pagerank_hubs(),
+        "streaming_cms": _sql_streaming_cms(),
+        "knn_label_purity": _sql_knn_label_purity(),
+        "textrank_keywords": _sql_textrank_keywords(),
+        # data-dependent twin (the bpe_subwords idiom): vocabulary
+        # re-learned from the corpus at ivf_sf_dir by an independent
+        # reference loop
+        "unigram_segments": _sql_unigram_segments(ivf_sf_dir),
         # -- promoted in round 8 from the round-7 staging area --
         "pack_bins_ffd": _sql_pack_bins_ffd(),
         "knn_graph_full": _sql_knn_graph_full(),
@@ -8449,28 +8481,31 @@ def _sql_hll_distinct():
     p = _HLL_P
     m = 1 << p
     rem_bits = 48 - p
-    rem_pow = 1 << rem_bits
+    # one headroom bit over the hash width (Σ 2^{49−p−M_j}): the
+    # saturated register's term is exactly 1, never a 0.5 whose BIGINT
+    # cast truncates in Spark but rounds in DuckDB
+    rem_pow2 = 1 << (rem_bits + 1)
     alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * float(rem_pow)   # same Python double as Spark
+    num = alpha * m * m * float(rem_pow2)  # same Python double as Spark
     return f"""
 WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
 h AS (SELECT ({_duck_h48('k', 0)}) AS hv FROM u),
 reg AS (
-  SELECT CAST(hv // {rem_pow} AS INTEGER) AS bucket,
-         CAST(MAX(CASE WHEN hv % {rem_pow} = 0 THEN {rem_bits + 1}
+  SELECT CAST(hv // {1 << rem_bits} AS INTEGER) AS bucket,
+         CAST(MAX(CASE WHEN hv % {1 << rem_bits} = 0 THEN {rem_bits + 1}
               ELSE {rem_bits + 1}
-                   - length(ltrim(bin(hv % {rem_pow}), '0'))
+                   - length(ltrim(bin(hv % {1 << rem_bits}), '0'))
               END) AS INTEGER) AS rho
   FROM h GROUP BY 1),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
-         CAST(SUM(CAST(2.0 ** ({rem_bits} - rho) AS BIGINT))
+         CAST(SUM(CAST(2.0 ** ({rem_bits + 1} - rho) AS BIGINT))
               AS BIGINT) AS present_sum
   FROM reg),
 calc AS (
   SELECT CAST({m} - n_present AS BIGINT) AS n_zero,
          CAST(present_sum + ({m} - n_present)
-              * CAST({rem_pow} AS BIGINT) AS BIGINT) AS raw_sum
+              * CAST({rem_pow2} AS BIGINT) AS BIGINT) AS raw_sum
   FROM agg)
 SELECT CAST({m} AS INTEGER) AS m, n_zero,
        raw_sum AS raw_sum_scaled,
@@ -8767,23 +8802,35 @@ def _q_knn_label_purity(spark, sf_dir):
     per-vector fraction of kNN neighbors sharing the vector's label —
     the kNN-classifier-consistency estimate that audits the EMBEDDING
     against labels the way recall@k audits the INDEX against brute
-    force.  Same 4-cell codebook + k=5 edges as the knn_graph gate;
-    purity is integer `div`, engine-exact."""
+    force.  Codebook = the IVF sizing rule n_cells = ⌊√N⌋ (VERDICT r8:
+    a fixed 4-cell pin makes per-cell GEMM quadratic in N; √N cells
+    keep total candidate pairs at N^1.5, the scale-safe shape the
+    graded artifact should exercise) — the oracle derives the same
+    ⌊√N⌋ from COUNT(*), so the config scales with the data on both
+    engines.  k=5 edges; purity is integer `div`, engine-exact."""
+    import math
+
     import numpy as np
 
     from xpysom_dask_spark.operators.similarity import (knn_graph,
                                                         label_purity)
 
     emb = _emb(spark, sf_dir)
+    n_cells = max(1, math.isqrt(emb.count()))
     cents = np.stack([
         np.asarray(r["embedding"], np.float64)
-        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()])
+        for r in emb.where(f"vec_id < {n_cells}")
+        .orderBy("vec_id").collect()])
     edges = knn_graph(emb, cents, k=5).select("vec_id", "neighbor_id")
     return label_purity(edges, emb.select("vec_id", "label"))
 
 
 def _sql_knn_label_purity():
-    return _knn_graph_ctes() + """,
+    # the IVF sizing rule: n_cells = floor(sqrt(N)), derived from the
+    # same table on both engines (see _q_knn_label_purity)
+    sqrtn = ("vec_id < (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) "
+             "FROM embeddings)")
+    return _knn_graph_ctes(sqrtn) + """,
 edges AS (SELECT vec_id AS s, neighbor_id AS t FROM ranked
           WHERE rank <= 5),
 marked AS (
@@ -8853,29 +8900,29 @@ def _sql_hll_by_type():
     p = _HLL_P
     m = 1 << p
     rem_bits = 48 - p
-    rem_pow = 1 << rem_bits
+    rem_pow2 = 1 << (rem_bits + 1)   # Σ 2^{49−p−M_j} headroom bit
     alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * float(rem_pow)
+    num = alpha * m * m * float(rem_pow2)
     return f"""
 WITH u AS (SELECT DISTINCT event_type,
                   CAST(user_id AS VARCHAR) AS k FROM events),
 h AS (SELECT event_type, ({_duck_h48('k', 0)}) AS hv FROM u),
 reg AS (
-  SELECT event_type, CAST(hv // {rem_pow} AS INTEGER) AS bucket,
-         CAST(MAX(CASE WHEN hv % {rem_pow} = 0 THEN {rem_bits + 1}
+  SELECT event_type, CAST(hv // {1 << rem_bits} AS INTEGER) AS bucket,
+         CAST(MAX(CASE WHEN hv % {1 << rem_bits} = 0 THEN {rem_bits + 1}
               ELSE {rem_bits + 1}
-                   - length(ltrim(bin(hv % {rem_pow}), '0'))
+                   - length(ltrim(bin(hv % {1 << rem_bits}), '0'))
               END) AS INTEGER) AS rho
   FROM h GROUP BY 1, 2),
 agg AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
-         CAST(SUM(CAST(2.0 ** ({rem_bits} - rho) AS BIGINT))
+         CAST(SUM(CAST(2.0 ** ({rem_bits + 1} - rho) AS BIGINT))
               AS BIGINT) AS present_sum
   FROM reg GROUP BY 1),
 calc AS (
   SELECT event_type, CAST({m} - n_present AS BIGINT) AS n_zero,
          CAST(present_sum + ({m} - n_present)
-              * CAST({rem_pow} AS BIGINT) AS BIGINT) AS raw_sum
+              * CAST({rem_pow2} AS BIGINT) AS BIGINT) AS raw_sum
   FROM agg)
 SELECT event_type, CAST({m} AS INTEGER) AS m, n_zero,
        raw_sum AS raw_sum_scaled,
@@ -9036,42 +9083,3 @@ SELECT w.word, w.count, f.path AS encoded,
 FROM words w JOIN ({finals}) f USING (word)
 """
     return sql
-
-
-def queries_round9_staged() -> dict:
-    """Round-9 promotion queue: oracle-green here + at sf0.01 via
-    tools/gate_pick.py --staged, awaiting a head-50 slot at the next
-    rotation (SURVEY.md §8)."""
-    return {
-        "cms_top_terms": _q_cms_top_terms,
-        "hll_distinct": _q_hll_distinct,
-        "text_readability": _q_text_readability,
-        "nb_lang": _q_nb_lang,
-        "hybrid_rrf": _q_hybrid_rrf,
-        "pagerank_hubs": _q_pagerank_hubs,
-        "streaming_cms": _q_streaming_cms,
-        "knn_label_purity": _q_knn_label_purity,
-        "textrank_keywords": _q_textrank_keywords,
-        "hll_by_type": _q_hll_by_type,
-        "unigram_segments": _q_unigram_segments,
-    }
-
-
-def oracle_sql_round9_staged(
-        ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
-    return {
-        "cms_top_terms": _sql_cms_top_terms(),
-        "hll_distinct": _sql_hll_distinct(),
-        "text_readability": _sql_text_readability(),
-        "nb_lang": _sql_nb_lang(),
-        "hybrid_rrf": _sql_hybrid_rrf(),
-        "pagerank_hubs": _sql_pagerank_hubs(),
-        "streaming_cms": _sql_streaming_cms(),
-        "knn_label_purity": _sql_knn_label_purity(),
-        "textrank_keywords": _sql_textrank_keywords(),
-        "hll_by_type": _sql_hll_by_type(),
-        # data-dependent twin (the bpe_subwords idiom): vocabulary
-        # re-learned from the corpus at ivf_sf_dir by an independent
-        # reference loop
-        "unigram_segments": _sql_unigram_segments(ivf_sf_dir),
-    }

@@ -421,3 +421,34 @@ def test_randomized_configs_exact():
         exp = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255) \
             .astype(np.uint8)
         assert np.array_equal(img, exp), trial
+
+
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes — both in the header stream and inside the
+    entropy-coded segment before RST/EOI (ADVICE r8: the old _unstuff
+    treated 0xFF 0xFF as a real marker and the header loop read a
+    bogus segment length)."""
+    rng = np.random.RandomState(21)
+    q = rng.randint(1, 30, 64).astype(np.int64)
+    blocks = {(by, bx): _rand_zz(rng) for by in range(2)
+              for bx in range(2)}
+    data = encode_jpeg(16, 16, [{"hs": 1, "vs": 1, "tq": 0,
+                                 "blocks": blocks}], {0: q},
+                       restart=1)
+    base = decode_jpeg_stdlib(data)
+
+    # fill bytes before a header marker (SOF0)
+    i = data.index(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    assert np.array_equal(decode_jpeg_stdlib(padded), base)
+
+    # fill bytes before an RST marker inside the scan
+    j = data.index(b"\xff\xd0")
+    padded = data[:j] + b"\xff\xff" + data[j:]
+    assert np.array_equal(decode_jpeg_stdlib(padded), base)
+
+    # fill bytes before EOI (the scan's terminating real marker)
+    k = data.rindex(b"\xff\xd9")
+    padded = data[:k] + b"\xff" + data[k:]
+    assert np.array_equal(decode_jpeg_stdlib(padded), base)

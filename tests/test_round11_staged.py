@@ -39,7 +39,6 @@ def _multiset(cols, rows):
 def test_every_staged_query_has_an_oracle():
     assert set(STAGED) == set(ORACLES)
     assert not set(STAGED) & set(entrymod.queries())
-    assert not set(STAGED) & set(entrymod.queries_round9_staged())
     assert not set(STAGED) & set(entrymod.queries_round10_staged())
 
 

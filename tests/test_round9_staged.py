@@ -1,7 +1,6 @@
-"""Round-9 STAGED gate queries vs their oracles at sf0.001 — the
-promotion queue awaiting a head-50 slot at the round-9 rotation
-(queries_round9_staged / oracle_sql_round9_staged; SURVEY.md §8).
-Same comparison as test_oracle_parity."""
+"""Round-9 promoted gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for the 11 entries promoted from the
+round-8 staging area into the graded head-50 (SURVEY.md §8)."""
 
 import math
 import os
@@ -19,10 +18,16 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-STAGED = entrymod.queries_round9_staged()
+PROMOTED = ("cms_top_terms", "hll_distinct", "hll_by_type",
+            "text_readability", "nb_lang", "hybrid_rrf",
+            "pagerank_hubs", "streaming_cms", "knn_label_purity",
+            "textrank_keywords", "unigram_segments")
+
+STAGED = {k: v for k, v in entrymod.queries().items() if k in PROMOTED}
 # SF_TINY: the unigram_segments oracle is data-dependent (vocabulary
 # re-learned from the corpus it runs against — the bpe_subwords idiom)
-ORACLES = entrymod.oracle_sql_round9_staged(SF_TINY)
+ORACLES = {k: v for k, v in entrymod.oracle_sql(SF_TINY).items()
+           if k in PROMOTED}
 
 
 def _norm(v):
@@ -38,14 +43,27 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_every_staged_query_has_an_oracle():
-    assert set(STAGED) == set(ORACLES)
-    # staged names must not collide with declared queries
-    assert not set(STAGED) & set(entrymod.queries())
+def test_promoted_queries_head_until_green():
+    # the driver checks queries()[:50]; a promoted entry must keep a
+    # head slot until it has a fully GREEN archived row (rows AND
+    # schema AND hash) — afterwards the rotation may move it out
+    import glob
+
+    from tools.rotate_gate import latest_green_rounds
+
+    assert set(ORACLES) == set(STAGED) == set(PROMOTED)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens = latest_green_rounds(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    names = list(entrymod.queries())
+    for name in PROMOTED:
+        if greens.get(name) is None:
+            assert names.index(name) < 50, \
+                f"{name} has no green row yet but sits outside the head"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_staged_query_matches_oracle(spark, name):
+def test_promoted_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)
     srows = sdf.collect()
     con = duckdb.connect()

@@ -425,3 +425,28 @@ def test_ivf_index_append_mode_ingests_new_batch(spark, tmp_path):
         spark, p_full, som, qv, qids, k=5, nprobe=9)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_knn_graph_full_probe_guard_errors_loudly(spark):
+    """VERDICT r8 #4: knn_graph_full (nprobe = n_cells) is the
+    exact-by-contract baseline — quadratic per cell by semantics.  A
+    config too big for the cell bound must raise the max_cell_rows
+    remedy instead of burning (rows/cell)² on an executor; the bound
+    scales with nprobe so full-probe configs hit it at
+    max_cell_rows x n_cells total rows."""
+    import numpy as np
+    import pytest
+
+    from xpysom_dask_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(40, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>")
+    cents = X[:2]
+    with pytest.raises(Exception, match="max_cell_rows"):
+        knn_graph(df, cents, k=3, nprobe=2, max_cell_rows=10).collect()
+    # and the same data under the bound succeeds
+    assert knn_graph(df, cents, k=3, nprobe=2,
+                     max_cell_rows=50).count() == 120

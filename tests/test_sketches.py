@@ -101,8 +101,29 @@ def test_hll_estimate_within_error_bound(spark, n, p):
     # 1.04/sqrt(m) standard error; allow 4 sigma
     tol = 4 * 1.04 / math.sqrt(m)
     assert abs(row["est"] - n) <= max(tol * n, 8), row
-    # raw_sum_scaled is exact-integer: full-empty sketch bound
-    assert 0 < row["raw_sum_scaled"] <= m * (1 << (48 - p))
+    # raw_sum_scaled is exact-integer (Σ 2^{49−p−M_j}, one headroom
+    # bit over the 48-bit hash): full-empty sketch bound
+    assert 0 < row["raw_sum_scaled"] <= m * (1 << (49 - p))
+
+
+def test_hll_saturated_register_term_is_exactly_one(spark):
+    """ADVICE r8 (medium): a saturated register (rho = 48−p+1, every
+    remaining hash bit zero) must contribute the exact integer 1 to
+    raw_sum_scaled — under the old 48−p scaling its term was 0.5,
+    which Spark's BIGINT cast truncated to 0 while DuckDB's CAST
+    rounded to 1 (a latent cross-engine hash break).  Feed a register
+    relation containing the max rank directly and check the sum."""
+    p = 9
+    rem_bits = 48 - p
+    m = 1 << p
+    regs = spark.createDataFrame(
+        [(0, rem_bits + 1), (1, 1)], "bucket int, rho int")
+    row = SK.hll_estimate(regs, p=p).collect()[0]
+    # bucket 0 term = 2^0 = 1 (saturated), bucket 1 term = 2^{rem_bits},
+    # 510 absent buckets at 2^{rem_bits+1}
+    expected = 1 + (1 << rem_bits) + (m - 2) * (1 << (rem_bits + 1))
+    assert row["raw_sum_scaled"] == expected, row
+    assert row["n_zero"] == m - 2
 
 
 def test_hll_merge_equals_whole(spark):
@@ -291,3 +312,57 @@ def test_histogram_grouped_and_validation(spark):
         SK.histogram_sketch(df, "x", 0.0, 0.0, 10)
     with pytest.raises(ValueError, match="qs"):
         SK.histogram_quantiles(hist, (), 0.0, 10.0, 10)
+
+
+def test_grouped_merge_and_estimate_guards(spark):
+    """ADVICE r8 (low): hll_merge / cms_estimate must refuse a grouped
+    relation passed without its group_cols — a bare groupBy("bucket")
+    merge would silently max-merge every group into one combined
+    sketch, and a (d, w)-only probe join would mix grouped cells."""
+    rows = [(f"u{i % 37}", f"g{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, grp string")
+    grouped_regs = SK.hll_registers(df, "k", p=6, group_cols=("grp",))
+    with pytest.raises(ValueError, match="group_cols"):
+        SK.hll_merge(grouped_regs)
+    grouped_cms = SK.count_min_sketch(df, "k", depth=2, width=32,
+                                      group_cols=("grp",))
+    with pytest.raises(ValueError, match="group_cols"):
+        SK.cms_estimate(grouped_cms, df.select("k"), "k",
+                        depth=2, width=32)
+
+
+def test_grouped_hll_merge_equals_grouped_whole(spark):
+    rows = [(i, f"u{i % 91}", f"g{i % 2}") for i in range(500)]
+    df = spark.createDataFrame(rows, "i bigint, k string, grp string")
+    p = 6
+    a = SK.hll_registers(df.where("i < 250"), "k", p=p,
+                         group_cols=("grp",))
+    b = SK.hll_registers(df.where("i >= 250"), "k", p=p,
+                         group_cols=("grp",))
+    merged = {(r["grp"], r["bucket"]): r["rho"] for r in
+              SK.hll_merge(a, b, group_cols=("grp",)).collect()}
+    whole = {(r["grp"], r["bucket"]): r["rho"] for r in
+             SK.hll_registers(df, "k", p=p,
+                              group_cols=("grp",)).collect()}
+    assert merged == whole
+
+
+def test_grouped_cms_estimate_equals_per_group(spark):
+    rows = [(f"t{i % 11}", f"g{i % 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, "term string, grp string")
+    grouped = SK.count_min_sketch(df, "term", depth=2, width=64,
+                                  group_cols=("grp",))
+    keys = df.select("grp", "term").distinct()
+    got = {(r["grp"], r["term"]): r["est"] for r in
+           SK.cms_estimate(grouped, keys, "term", depth=2, width=64,
+                           group_cols=("grp",)).collect()}
+    for gv in ("g0", "g1"):
+        solo_sk = SK.count_min_sketch(df.where(f"grp = '{gv}'"),
+                                      "term", depth=2, width=64)
+        solo = {r["term"]: r["est"] for r in
+                SK.cms_estimate(solo_sk,
+                                df.where(f"grp = '{gv}'")
+                                .select("term").distinct(),
+                                "term", depth=2, width=64).collect()}
+        for t, e in solo.items():
+            assert got[(gv, t)] == e, (gv, t)

@@ -188,3 +188,36 @@ def test_label_purity_exact(spark):
     assert got[2] == (10, 2, 2, 1000000)
     assert got[3] == (10, 2, 1, 500000)      # nbrs 1 (same), 4 (diff)
     assert got[4] == (20, 1, 0, 0)
+
+
+def test_dsir_fold_bigrams_same_feature_counts(spark):
+    """VERDICT r8 #6 cost probe: fold_bigrams derives the bigram
+    bucket from the two unigram hashes (one md5 per token instead of
+    two).  It is a different hash family member, so BUCKETS differ,
+    but per-document feature COUNTS are identical and the selection
+    property (target-like docs score higher) must hold in both
+    configurations."""
+    from xpysom_dask_spark.operators import text as T
+
+    rows = [(0, "alpha beta gamma alpha"),
+            (1, "alpha beta"),
+            (2, "delta epsilon zeta eta theta"),
+            (3, "beta gamma"),
+            (4, "gamma alpha beta gamma alpha")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = df.where("doc_id IN (0, 4)")
+    a = {r["id"]: r for r in T.dsir_importance(
+        df, target, "text", "doc_id", n_buckets=512).collect()}
+    b = {r["id"]: r for r in T.dsir_importance(
+        df, target, "text", "doc_id", n_buckets=512,
+        fold_bigrams=True).collect()}
+    assert set(a) == set(b) == {0, 1, 2, 3, 4}
+    for i in a:
+        # n_feats = unigrams + bigrams regardless of hash path
+        assert a[i]["n_feats"] == b[i]["n_feats"]
+    for got in (a, b):
+        # the target-like docs outscore the unrelated doc per feature
+        assert (got[0]["logw_e6"] / got[0]["n_feats"]
+                > got[2]["logw_e6"] / got[2]["n_feats"])
+        assert (got[4]["logw_e6"] / got[4]["n_feats"]
+                > got[2]["logw_e6"] / got[2]["n_feats"])

@@ -213,3 +213,24 @@ def test_viterbi_matches_bruteforce_enumeration():
         want = min((seq for seq, sc in allp if sc == best_score),
                    key=key)
         assert got_pieces == want, (word, got_pieces, want)
+
+
+def test_id_column_type_carried_through_arrow_schema(spark):
+    """ADVICE r8 (low): unigram_token_count / unigram_encode_ids used
+    to hardcode 'id bigint' — a string doc id broke (or silently
+    coerced) in the Arrow mapInPandas path.  The output id type must
+    equal the input id type and values must round-trip."""
+    df = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in enumerate(TEXTS)],
+        "doc_id string, text string")
+    vocab = U.learn_unigram(df, "text", vocab_size=16,
+                            max_piece_len=4, n_iter=2)
+    tc = U.unigram_token_count(df, "text", "doc_id", vocab,
+                               max_piece_len=4)
+    assert dict(tc.dtypes)["id"] == "string"
+    got = {r["id"] for r in tc.collect()}
+    assert got == {f"doc-{i}" for i in range(len(TEXTS))}
+    enc = U.unigram_encode_ids(df, "text", "doc_id", vocab,
+                               max_piece_len=4)
+    assert dict(enc.dtypes)["id"] == "string"
+    assert {r["id"] for r in enc.collect()} == got

@@ -77,8 +77,6 @@ def run(sf_dir, names=None):
     spark = make_cluster_session()
     q = dict(entry.queries())
     o = dict(entry.oracle_sql(sf_dir))
-    q.update(entry.queries_round9_staged())
-    o.update(entry.oracle_sql_round9_staged(sf_dir))
     q.update(entry.queries_round10_staged())
     o.update(entry.oracle_sql_round10_staged(sf_dir))
     q.update(entry.queries_round11_staged())

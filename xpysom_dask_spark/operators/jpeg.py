@@ -144,6 +144,8 @@ def _unstuff(data: bytes) -> tuple[list[bytes], int]:
         if m == 0x00:
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:                     # T.81 B.1.1.2 fill byte
+            i += 1
         elif 0xD0 <= m <= 0xD7:             # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -171,6 +173,13 @@ def decode_jpeg_stdlib(data: bytes, meta: dict | None = None
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip the run so the byte after the last 0xFF is
+        # read as the marker code, not as a bogus segment length
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         if marker == 0xD9:                  # EOI
             break

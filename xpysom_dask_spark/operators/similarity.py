@@ -894,6 +894,96 @@ def som_ivf_topk(som, corpus: DataFrame, queries_np: np.ndarray,
                                 id_col, vec_col)
 
 
+def som_ivf_topk_sweep(som, corpus: DataFrame, queries_np: np.ndarray,
+                       query_ids, k: int = 5,
+                       nprobes: tuple = (1, 4, 16),
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Multi-``nprobe`` IVF sweep sharing ONE candidate pass: the
+    recall-curve audit (:func:`som_ivf_topk` once per leg) recomputes
+    the probe join + candidate GEMM per leg, but every leg's candidate
+    set is a PREFIX of the max-nprobe leg's (the probe list is one
+    argsort of the same query-to-codebook distances), so the sweep
+    computes candidates once at ``max(nprobes)`` with the probe rank
+    attached, persists the ≤ n_q·corpus-candidate sim relation, and
+    derives each leg as ``probe_rank < p`` + the exact top-k window
+    (VERDICT r8 #8).  Per-leg output is bit-identical to
+    :func:`som_ivf_topk` at that nprobe.
+
+    Returns (nprobe, query_id, rank, neighbor_id, sim); the persisted
+    intermediate is unpersisted before returning (each leg has been
+    materialized into the union by then — lazily, the union itself
+    re-reads the cache while it lives, so the legs are collected
+    eagerly here; the sweep is an audit op over a bounded query set).
+    """
+    import pandas as pd
+
+    from ..functions.distances import euclidean
+    from ..plans.exchange import ship_package
+
+    spark = corpus.sparkSession
+    ship_package(spark)
+    if not nprobes:
+        raise ValueError("nprobes must be non-empty")
+    bucketed = som.transform(corpus, ("cluster_id",),
+                             features_col=vec_col)
+    w_flat = som._weights.reshape(-1, som._input_len)
+    Q = np.asarray(queries_np, dtype=np.float64)
+    dist = euclidean(Q, w_flat)
+    pmax = int(max(nprobes))
+    probes = np.argsort(dist, axis=1)[:, :pmax]
+
+    qids = np.asarray([int(q) for q in query_ids], dtype=np.int64)
+    qn = np.linalg.norm(Q, axis=1)
+    order = np.argsort(qids)
+    bc = spark.sparkContext.broadcast(
+        (qids[order], Q[order], qn[order]))
+    probe_rows = [(int(qid), int(c), r)
+                  for qid, cells in zip(qids, probes)
+                  for r, c in enumerate(cells)]
+    q = spark.createDataFrame(
+        probe_rows, "query_id bigint, cluster_id bigint, probe_rank int")
+    joined = bucketed.join(F.broadcast(q), "cluster_id").select(
+        "query_id", "probe_rank", F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"))
+
+    def fn(batches):
+        qids_, Q_, qn_ = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack([np.asarray(v, np.float64) for v in b["vec"]])
+            cn = np.linalg.norm(C, axis=1)
+            pos = np.searchsorted(qids_,
+                                  b["query_id"].to_numpy(np.int64))
+            sims = (np.einsum("ij,ij->i", C, Q_[pos])
+                    / (cn * qn_[pos]))
+            yield pd.DataFrame({"query_id": b["query_id"],
+                                "probe_rank": b["probe_rank"],
+                                "neighbor_id": b["neighbor_id"],
+                                "sim": sims})
+
+    cand = (joined.mapInPandas(
+        fn, "query_id bigint, probe_rank int, neighbor_id bigint, "
+            "sim double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .persist())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    out = None
+    for p in sorted(set(int(p) for p in nprobes)):
+        leg = (cand.where(F.col("probe_rank") < p)
+               .withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .select(F.lit(p).cast("bigint").alias("nprobe"),
+                       "query_id", "rank", "neighbor_id", "sim"))
+        out = leg if out is None else out.unionByName(leg)
+    # materialize while the cache lives, then release it
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    return out
+
+
 def kmeans_ivf_topk(centroids: np.ndarray, corpus: DataFrame,
                     queries_np: np.ndarray, query_ids, k: int = 5,
                     nprobe: int = 4, id_col: str = "vec_id",

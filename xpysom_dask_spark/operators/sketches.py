@@ -23,9 +23,12 @@ Hashing is the engine's md5 convention (48-bit hex fold — the
 dedup/_duck_md5hash48 parity class), so every cell is exactly
 reproducible in the DuckDB oracle.  Determinism: all sketch cells are
 integers; HLL's Σ 2^{−M_j} is computed as the EXACT integer
-Σ 2^{48−p−M_j} (register rank ≤ 48−p+1 keeps every term integral),
-with a single double division + optional single ln at the very end —
-the lm_score/zipf parity class.
+Σ 2^{49−p−M_j} — one bit of headroom above the hash width so the
+SATURATED register (rank = 48−p+1, every remaining hash bit zero)
+still contributes the integral term 2^0 = 1 rather than the 0.5 a
+48−p scaling would truncate engine-dependently — with a single double
+division + optional single ln at the very end — the lm_score/zipf
+parity class.
 """
 
 from __future__ import annotations
@@ -82,7 +85,8 @@ def count_min_sketch(df: DataFrame, key_col: str,
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
-                 depth: int = 4, width: int = 1024) -> DataFrame:
+                 depth: int = 4, width: int = 1024,
+                 group_cols: tuple = ()) -> DataFrame:
     """Point-estimate each key in ``keys`` against a sketch built with
     the same (depth, width): ``(key_col, est)``, est = min over the
     depth cells (0 for a never-seen key hitting only empty cells).
@@ -90,16 +94,30 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     The join is keys×depth rows against a ≤ depth·width-row relation —
     broadcast the SKETCH, not the keys: the query side may be a corpus
     slice, the sketch never outgrows a few MB by construction.
+
+    A sketch built with ``group_cols`` holds one INDEPENDENT sketch
+    per group; estimating it requires the same ``group_cols`` here (the
+    group keys join alongside ``(d, w)`` and ``keys`` must carry them).
+    The schema is asserted so a grouped sketch can never silently mix
+    its groups' cells into one bogus estimate.
     """
+    g = list(group_cols)
+    expect = set(g) | {"d", "w", "count"}
+    got = set(sketch.columns)
+    if got != expect:
+        raise ValueError(
+            f"sketch schema {sorted(got)} != expected {sorted(expect)}"
+            f" for group_cols={g!r} — a sketch built with group_cols"
+            " must be estimated with the same group_cols")
     probes = None
     for d in range(depth):
         p = keys.select(
-            F.col(key_col),
+            *g, F.col(key_col),
             F.lit(d).alias("d"),
             (_h48(F.col(key_col), d) % width).cast("int").alias("w"))
         probes = p if probes is None else probes.unionByName(p)
-    joined = probes.join(F.broadcast(sketch), ["d", "w"], "left")
-    return (joined.groupBy(key_col)
+    joined = probes.join(F.broadcast(sketch), [*g, "d", "w"], "left")
+    return (joined.groupBy(*g, key_col)
             .agg(F.min(F.coalesce(F.col("count"), F.lit(0)))
                  .cast("bigint").alias("est")))
 
@@ -142,31 +160,34 @@ def hll_estimate(registers: DataFrame, p: int = 9,
     """Bias-corrected HLL cardinality from a register relation: one
     row ``(m, n_zero, raw_sum_scaled, est)``.
 
-    ``raw_sum_scaled`` = Σ_j 2^{48−p−M_j} over ALL m buckets (absent
-    register ⇒ M_j = 0 ⇒ term 2^{48−p}) — an exact integer, so the
-    whole estimate is deterministic: one double division for the raw
-    estimate, and the Flajolet small-range linear-counting switch
-    (est = m·ln(m/V) when raw < 2.5m and V > 0) costs a single ln.
-    Output ``est`` is floored to BIGINT.
+    ``raw_sum_scaled`` = Σ_j 2^{49−p−M_j} over ALL m buckets (absent
+    register ⇒ M_j = 0 ⇒ term 2^{49−p}) — an exact integer: the scale
+    carries one bit of headroom over the 48-bit hash so the saturated
+    register (M_j = 48−p+1) contributes exactly 2^0 = 1, never a
+    fractional term whose BIGINT cast truncates in Spark but rounds in
+    other engines.  The whole estimate is therefore deterministic: one
+    double division for the raw estimate, and the Flajolet small-range
+    linear-counting switch (est = m·ln(m/V) when raw < 2.5m and V > 0)
+    costs a single ln.  Output ``est`` is floored to BIGINT.
     """
     m = 1 << p
     rem_bits = 48 - p
     alpha = (0.673 if p == 4 else 0.697 if p == 5
              else 0.709 if p == 6 else 0.7213 / (1 + 1.079 / m))
     g = list(group_cols)
-    # 2^{rem_bits − rho} via double pow is exact (exponent ≤ 44 < 53
-    # mantissa bits), cast back to the integer it is
+    # 2^{rem_bits + 1 − rho} via double pow is exact (exponent in
+    # [0, 45] < 53 mantissa bits), cast back to the integer it is
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), (F.lit(rem_bits) - F.col("rho"))
+        F.sum(F.pow(F.lit(2.0), (F.lit(rem_bits + 1) - F.col("rho"))
                     .cast("double")).cast("bigint"))
         .cast("bigint").alias("present_sum")]
     agg = (registers.groupBy(*g).agg(*aggs) if g
            else registers.agg(*aggs))
     n_zero = (F.lit(m) - F.col("n_present")).cast("bigint")
     raw_sum = (F.col("present_sum")
-               + n_zero * F.lit(1 << rem_bits).cast("bigint"))
-    raw_est = (F.lit(alpha * m * m * float(1 << rem_bits))
+               + n_zero * F.lit(1 << (rem_bits + 1)).cast("bigint"))
+    raw_est = (F.lit(alpha * m * m * float(1 << (rem_bits + 1)))
                / raw_sum.cast("double"))
     est = F.when(
         (raw_est < 2.5 * m) & (n_zero > 0),
@@ -181,17 +202,34 @@ def hll_estimate(registers: DataFrame, p: int = 9,
         est.alias("est"))
 
 
-def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+def hll_merge(*register_dfs: DataFrame,
+              group_cols: tuple = ()) -> DataFrame:
     """Union register relations from independent shards into one
-    equivalent sketch (max per bucket) — the property that makes HLL
-    a distributed-aggregation primitive rather than a trick."""
+    equivalent sketch (max per bucket, per group when ``group_cols``
+    is set) — the property that makes HLL a distributed-aggregation
+    primitive rather than a trick.
+
+    The schema is asserted against ``group_cols``: register relations
+    built with ``group_cols`` hold one sketch per group, and a bare
+    ``groupBy("bucket")`` merge would silently max-merge all groups
+    into one combined sketch (ADVICE r8)."""
     if not register_dfs:
         raise ValueError("need at least one register relation")
+    g = list(group_cols)
+    expect = set(g) | {"bucket", "rho"}
+    for r in register_dfs:
+        got = set(r.columns)
+        if got != expect:
+            raise ValueError(
+                f"register schema {sorted(got)} != expected "
+                f"{sorted(expect)} for group_cols={g!r} — a grouped "
+                "register relation must be merged with the same "
+                "group_cols")
     out = register_dfs[0]
     for r in register_dfs[1:]:
         out = out.unionByName(r)
-    return out.groupBy("bucket").agg(F.max("rho").cast("int")
-                                     .alias("rho"))
+    return out.groupBy(*g, "bucket").agg(F.max("rho").cast("int")
+                                         .alias("rho"))
 
 
 def kmv_sketch(df: DataFrame, key_col: str, k: int = 256,

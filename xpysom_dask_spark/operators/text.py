@@ -1515,17 +1515,50 @@ def textrank_keywords(df, text_col: str, top_k: int = 20,
             .select("rank", F.col("id").alias("term"), "rank_e6"))
 
 
+#: fold-path mixing constant: (h_a mod 2^40)·C + h_b stays < 2^63
+#: (2^40·2^17 + 2^48), so the fold never overflows BIGINT on either
+#: engine; 65599 is the classic sdbm odd multiplier
+_BIGRAM_FOLD_MULT = 65599
+_BIGRAM_FOLD_MOD = 1 << 40
+
+
 def _hashed_ngram_features(df, text_col: str, id_col: str,
-                           n_buckets: int):
+                           n_buckets: int, fold_bigrams: bool = False):
     """Per-document hashed unigram+bigram feature buckets
     ``(__id, bucket)`` — one row per feature OCCURRENCE.  The hash is
     the engine-wide 48-bit md5 fold (seed 0) of the token (unigram) or
     ``a || ' ' || b`` (bigram; tokens never contain whitespace, so the
     join is unambiguous), mod ``n_buckets``.  One narrow expression +
-    one explode — text never keys a shuffle."""
+    one explode — text never keys a shuffle.
+
+    ``fold_bigrams=True`` derives the bigram bucket from the two
+    UNIGRAM hashes (``((h_a mod 2^40)·65599 + h_b) mod n_buckets``)
+    instead of md5-ing the concatenated pair — one md5 per token
+    instead of two (VERDICT r8 #6 cost probe; the fold is equally
+    oracle-replayable since both engines already compute per-token
+    h48).  Bucket VALUES differ from the md5 path, so the two
+    configurations are distinct models — same statistical role
+    (hashed features), different hash family member."""
     from .sketches import _h48
 
     arr = tokens(text_col)
+    if fold_bigrams:
+        harr = F.transform(arr, lambda t: _h48(t, 0))
+        heads = F.slice(harr, 1,
+                        F.greatest(F.size(harr) - 1, F.lit(0)))
+        tails = F.slice(harr, 2,
+                        F.greatest(F.size(harr) - 1, F.lit(0)))
+        bg = F.zip_with(
+            heads, tails,
+            lambda a, b: (a % F.lit(_BIGRAM_FOLD_MOD)
+                          * F.lit(_BIGRAM_FOLD_MULT) + b)
+            % n_buckets)
+        feats = F.concat(F.transform(harr, lambda h: h % n_buckets),
+                         bg)
+        return (df.select(F.col(id_col).alias("__id"),
+                          F.explode(feats).alias("__b"))
+                .select("__id",
+                        F.col("__b").cast("int").alias("bucket")))
     bigrams = F.zip_with(
         F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
@@ -1539,7 +1572,8 @@ def _hashed_ngram_features(df, text_col: str, id_col: str,
 
 
 def dsir_importance(raw_df, target_df, text_col: str, id_col: str,
-                    n_buckets: int = 4096):
+                    n_buckets: int = 4096,
+                    fold_bigrams: bool = False):
     """DSIR importance weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling", NeurIPS 2023 — public
     method): score every document of ``raw_df`` by how much more
@@ -1575,9 +1609,11 @@ def dsir_importance(raw_df, target_df, text_col: str, id_col: str,
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     tfeats = _hashed_ngram_features(target_df, text_col, id_col,
-                                    n_buckets)
+                                    n_buckets,
+                                    fold_bigrams=fold_bigrams)
     rfeats = _hashed_ngram_features(raw_df, text_col, id_col,
-                                    n_buckets)
+                                    n_buckets,
+                                    fold_bigrams=fold_bigrams)
     tcounts = (tfeats.groupBy("bucket")
                .agg(F.count(F.lit(1)).cast("bigint").alias("tc")))
     rcounts = (rfeats.groupBy("bucket")

@@ -243,9 +243,13 @@ def unigram_token_count(df: DataFrame, text_col: str, id_col: str,
                 nt.append(tot)
             yield pd.DataFrame({"id": ids, "n_words": nw,
                                 "n_tokens": nt})
+    # carry id_col's actual type through the Arrow schema — a string
+    # or decimal doc id must not silently coerce to bigint (ADVICE r8)
+    id_type = df.schema[id_col].dataType.simpleString()
     return (df.select(F.col(id_col).alias("__id"),
                       F.col(text_col).alias("__text"))
-            .mapInPandas(fn, "id bigint, n_words int, n_tokens int"))
+            .mapInPandas(
+                fn, f"id {id_type}, n_words int, n_tokens int"))
 
 
 def unigram_vocab_ids(vocab: DataFrame) -> DataFrame:
@@ -297,6 +301,7 @@ def unigram_encode_ids(df: DataFrame, text_col: str, id_col: str,
                 out_ids.append(i)
                 out_seqs.append(seq)
             yield pd.DataFrame({"id": out_ids, "ids": out_seqs})
+    id_type = df.schema[id_col].dataType.simpleString()
     return (df.select(F.col(id_col).alias("__id"),
                       F.col(text_col).alias("__text"))
-            .mapInPandas(fn, "id bigint, ids array<int>"))
+            .mapInPandas(fn, f"id {id_type}, ids array<int>"))

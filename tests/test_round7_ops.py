@@ -417,3 +417,66 @@ def test_posting_list_max_df_default_bounds_hot_shingles(spark):
     cont = dedup.containment_pairs(
         df, "text", "doc_id", threshold=0.2, n=3, max_df=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in cont} == {(0, 1)}
+
+
+def test_lsh_collision_probability_closed_form():
+    from xpysom_dask_spark.operators.dedup import (
+        lsh_collision_probability)
+
+    # hand values: P = 1 - (1 - s^r)^b
+    assert lsh_collision_probability(0.5, 4, 2) == 1 - (1 - 0.25) ** 4
+    assert lsh_collision_probability(0.0, 8, 2) == 0.0
+    assert lsh_collision_probability(1.0, 8, 2) == 1.0
+    # monotone in s
+    ps = [lsh_collision_probability(s / 10, 6, 3) for s in range(11)]
+    assert ps == sorted(ps)
+
+
+def test_lsh_plan_tracks_threshold_and_beats_naive():
+    """The tuner's S-curve midpoint must track the requested
+    threshold, rows_per_band must grow with it (sharper curves for
+    stricter thresholds), and the chosen plan must not lose to a
+    brute-force scan of ALL (b, r) with b*r <= k_max on its own
+    objective (the tuner IS that scan — this pins the objective
+    arithmetic against refactors)."""
+    from xpysom_dask_spark.operators.dedup import (
+        lsh_collision_probability, lsh_plan)
+
+    plans = {t: lsh_plan(t, k_max=32) for t in (0.3, 0.5, 0.8)}
+    for t, p in plans.items():
+        assert p["bands"] * p["rows_per_band"] == p["k"] <= 32
+        assert abs(p["s50"] - t) < 0.15, (t, p)
+    assert (plans[0.3]["rows_per_band"] <= plans[0.5]["rows_per_band"]
+            <= plans[0.8]["rows_per_band"])
+
+    # independent objective for one config family: numeric integral
+    # with a finer grid must rank the winner at least as well as any
+    # same-k alternative
+    t = 0.5
+    win = plans[t]
+
+    def err(b, r, n=4000):
+        fp = sum(lsh_collision_probability(t * (i + 0.5) / n, b, r)
+                 for i in range(n)) * t / n
+        fn = sum(1 - lsh_collision_probability(
+            t + (1 - t) * (i + 0.5) / n, b, r) for i in range(n)) \
+            * (1 - t) / n
+        return 0.5 * fp + 0.5 * fn
+    w = err(win["bands"], win["rows_per_band"])
+    for r in (1, 2, 4, 8, 16, 32):
+        b = win["k"] // r if win["k"] % r == 0 else None
+        if b:
+            assert w <= err(b, r) + 1e-3, (r, b)
+
+
+def test_lsh_plan_weights_shift_the_tradeoff():
+    from xpysom_dask_spark.operators.dedup import lsh_plan
+
+    import pytest as _pt
+    recall = lsh_plan(0.6, k_max=32, fp_weight=0.1, fn_weight=0.9)
+    precision = lsh_plan(0.6, k_max=32, fp_weight=0.9, fn_weight=0.1)
+    # recall-weighted plan accepts more FP, misses fewer true pairs
+    assert recall["fn"] <= precision["fn"]
+    assert recall["fp"] >= precision["fp"]
+    with _pt.raises(ValueError, match="threshold"):
+        lsh_plan(1.5)

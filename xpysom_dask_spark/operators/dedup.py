@@ -329,6 +329,76 @@ def minhash_band_pairs(sigs: DataFrame, k: int = MINHASH_K,
     return band_self_join_pairs(banded, max_bucket=max_bucket)
 
 
+def lsh_collision_probability(s: float, bands: int,
+                              rows_per_band: int) -> float:
+    """P(candidate | Jaccard = s) for (b, r) MinHash-LSH banding:
+    ``1 − (1 − s^r)^b`` — the S-curve every banding trades along
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4)."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** bands
+
+
+def lsh_plan(threshold: float, k_max: int = 64,
+             fp_weight: float = 0.5, fn_weight: float = 0.5,
+             steps: int = 500) -> dict:
+    """Auto-tune the MinHash-LSH banding for a target Jaccard
+    ``threshold``: pick (k, bands, rows_per_band) with b·r = k ≤
+    ``k_max`` minimizing ``fp_weight·FP + fn_weight·FN`` where FP =
+    ∫₀ᵗ P(s) ds (below-threshold pairs that become candidates — wasted
+    verify work) and FN = ∫ₜ¹ (1 − P(s)) ds (true pairs LSH misses —
+    lost recall), P the banding S-curve — the datasketch
+    ``_optimal_param`` method (public).  Deterministic trapezoid
+    integration; ties prefer fewer hashes (cheaper signatures), then
+    more rows per band (sharper curve).
+
+    At 100 TB this knob IS the cost model: k sets signature storage
+    and b the index fanout (each doc posts b band keys), while FP
+    multiplies the exact-verify join's row count.  Raise ``fp_weight``
+    when verification dominates (long docs), ``fn_weight`` when recall
+    is contractual (decontamination).  Returns ``{k, bands,
+    rows_per_band, fp, fn, s50}`` — ``s50`` the curve midpoint
+    ``(1/b)^(1/r)``, which lands near ``threshold`` by construction.
+    Feed the result to :func:`minhash_signatures` (k) and
+    :func:`minhash_band_pairs` (k, rows_per_band).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k_max < 2:
+        raise ValueError(f"k_max must be >= 2, got {k_max}")
+
+    def _err(b, r):
+        n_lo = max(2, int(steps * threshold))
+        n_hi = max(2, int(steps * (1.0 - threshold)))
+        fp = fn = 0.0
+        for i in range(n_lo):          # trapezoid over [0, t]
+            s0 = threshold * i / n_lo
+            s1 = threshold * (i + 1) / n_lo
+            fp += (lsh_collision_probability(s0, b, r)
+                   + lsh_collision_probability(s1, b, r)) / 2 \
+                * (s1 - s0)
+        for i in range(n_hi):          # trapezoid over [t, 1]
+            s0 = threshold + (1.0 - threshold) * i / n_hi
+            s1 = threshold + (1.0 - threshold) * (i + 1) / n_hi
+            fn += (2.0 - lsh_collision_probability(s0, b, r)
+                   - lsh_collision_probability(s1, b, r)) / 2 \
+                * (s1 - s0)
+        return fp, fn
+
+    best = None
+    for k in range(2, k_max + 1):
+        for r in range(1, k + 1):
+            if k % r:
+                continue
+            b = k // r
+            fp, fn = _err(b, r)
+            key = (fp_weight * fp + fn_weight * fn, k, -r)
+            if best is None or key < best[0]:
+                best = (key, k, b, r, fp, fn)
+    _key, k, b, r, fp, fn = best
+    return {"k": k, "bands": b, "rows_per_band": r,
+            "fp": round(fp, 6), "fn": round(fn, 6),
+            "s50": round((1.0 / b) ** (1.0 / r), 6)}
+
+
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
                    threshold: float = 0.5,
                    max_candidates: int | None = None) -> DataFrame:

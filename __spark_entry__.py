@@ -541,9 +541,17 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
+    """Widened round 9 (gate-slot policy: new signals WIDEN existing
+    gates): composite quality score + the encoding-artifact columns
+    (operators/text.py encoding_signals — U+FFFD count, C0-control
+    count, printable-ASCII ratio e6), all engine-portable regex."""
     d = _docs(spark, sf_dir)
+    enc = T.encoding_signals("text")
     return d.select("doc_id",
-                    F.round(T.quality_score("text"), 6).alias("quality"))
+                    F.round(T.quality_score("text"), 6).alias("quality"),
+                    enc["n_replacement"].alias("n_replacement"),
+                    enc["n_control"].alias("n_control"),
+                    enc["ascii_e6"].alias("ascii_e6"))
 
 
 def _q_multimodal_image_stats(spark, sf_dir):
@@ -7744,10 +7752,20 @@ def _sql_text_quality():
     toks = _duck_tokens("text")
     alpha = ("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)"
              " / greatest(length(text), 1)")
+    repl = "length(text) - length(regexp_replace(text, '[\ufffd]', '', 'g'))"
+    ctl = ("length(text) - length(regexp_replace(text, "
+           "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))")
+    asc = ("length(regexp_replace(text, '[^\\x20-\\x7E\\t\\n\\r]',"
+           " '', 'g'))")
     return f"""
 SELECT doc_id,
        ROUND(0.5 * LEAST(len({toks}) / 100.0, 1.0) + 0.5 * ({alpha}), 6)
-           AS quality
+           AS quality,
+       CAST({repl} AS INTEGER) AS n_replacement,
+       CAST({ctl} AS INTEGER) AS n_control,
+       CAST(FLOOR(CAST({asc} AS DOUBLE)
+                  / greatest(length(text), 1) * 1000000.0 + 0.5)
+            AS BIGINT) AS ascii_e6
 FROM documents
 """
 

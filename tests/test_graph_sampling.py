@@ -500,3 +500,91 @@ def test_community_modularity_empty_and_singletons(spark):
             community_modularity(pairs, comm1).collect()}
     assert set(rows) == {1, 2}
     assert rows[2]["intra_edges"] == 0 and rows[2]["degree_sum"] == 1
+
+
+def _py_coreness(edges):
+    """Reference peeling on the driver: repeatedly remove min-degree
+    vertices, recording the layer each vertex falls out at."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    k = 1
+    while adj:
+        while True:
+            shed = [v for v, ns in adj.items() if len(ns) < k]
+            if not shed:
+                break
+            for v in shed:
+                core[v] = k - 1
+                for u in adj.pop(v):
+                    if u in adj:
+                        adj[u].discard(v)
+        k += 1
+        if k > 10_000:
+            raise RuntimeError("reference peel runaway")
+    return core
+
+
+def test_k_core_and_coreness_match_reference_peel(spark):
+    """K5 clique + pendant chain + a triangle bridge: coreness must
+    equal the driver-side peel exactly, and k_core(k) must return
+    exactly the vertices with coreness >= k at their in-core degree."""
+    from xpysom_dask_spark.operators.graph import coreness, k_core
+
+    edges = []
+    clique = [0, 1, 2, 3, 4]
+    edges += [(a, b) for i, a in enumerate(clique)
+              for b in clique[i + 1:]]
+    edges += [(4, 10), (10, 11), (11, 12)]          # pendant chain
+    edges += [(12, 20), (20, 21), (21, 12)]         # triangle
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    ref = _py_coreness(edges)
+    got = {r["id"]: r["core"] for r in
+           coreness(df, "id_a", "id_b").collect()}
+    assert got == ref
+    assert got[0] == 4 and got[20] == 2 and got[10] == 2
+
+    for k in (1, 2, 3, 4, 5):
+        survivors = {r["id"]: r["degree"] for r in
+                     k_core(df, k, "id_a", "id_b").collect()}
+        want = {v for v, c in ref.items() if c >= k}
+        assert set(survivors) == want, k
+        # in-core degree: count edges among survivors
+        for v in want:
+            d = sum(1 for a, b in edges
+                    if (a == v and b in want) or (b == v and a in want))
+            assert survivors[v] == d, (k, v)
+
+
+def test_k_core_randomized_against_reference(spark):
+    import random
+
+    from xpysom_dask_spark.operators.graph import coreness
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({(min(a, b), max(a, b))
+                    for _ in range(160)
+                    for a, b in [(rng.randrange(n), rng.randrange(n))]
+                    if a != b})
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    ref = _py_coreness(edges)
+    got = {r["id"]: r["core"] for r in
+           coreness(df, "id_a", "id_b").collect()}
+    assert got == ref
+
+
+def test_k_core_validation_and_empty(spark):
+    import pytest as _pt
+
+    from xpysom_dask_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with _pt.raises(ValueError, match="k must"):
+        k_core(df, 0)
+    # K2 has no 2-core
+    assert k_core(df, 2).count() == 0

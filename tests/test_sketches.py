@@ -366,3 +366,43 @@ def test_grouped_cms_estimate_equals_per_group(spark):
                                 "term", depth=2, width=64).collect()}
         for t, e in solo.items():
             assert got[(gv, t)] == e, (gv, t)
+
+
+def test_kmv_merge_equals_whole_and_guards(spark):
+    """min-of-mins: shard sketches union into the combined corpus's
+    sketch exactly; schema guard refuses grouped relations without
+    their group_cols."""
+    df = spark.createDataFrame([(i, f"v{i % 211}") for i in range(700)],
+                               "i bigint, k string")
+    a = SK.kmv_sketch(df.where("i < 350"), "k", k=32)
+    b = SK.kmv_sketch(df.where("i >= 350"), "k", k=32)
+    merged = {(r["rank"], r["h"]) for r in
+              SK.kmv_merge(a, b, k=32).collect()}
+    whole = {(r["rank"], r["h"]) for r in
+             SK.kmv_sketch(df, "k", k=32).collect()}
+    assert merged == whole
+    grouped = SK.kmv_sketch(df.withColumn("g", SK.F.expr("i % 2")),
+                            "k", k=16, group_cols=("g",))
+    with pytest.raises(ValueError, match="group_cols"):
+        SK.kmv_merge(grouped, k=16)
+
+
+def test_kmv_novelty_estimates_set_difference(spark):
+    """|B \\ A| = |A∪B| − |A|: disjoint incoming adds ~its distincts,
+    fully-contained incoming adds ~0."""
+    base = spark.createDataFrame([(f"a{i}",) for i in range(400)],
+                                 "k string")
+    fresh = spark.createDataFrame([(f"b{i}",) for i in range(200)],
+                                  "k string")
+    k = 128
+    sa = SK.kmv_sketch(base, "k", k=k)
+    row = SK.kmv_novelty(sa, SK.kmv_sketch(fresh, "k", k=k),
+                         k=k).collect()[0]
+    # ~1/sqrt(k) relative error on each estimate; allow 4 sigma on
+    # the 600-distinct union
+    tol = 4 * 600 / math.sqrt(k)
+    assert abs(row["novelty_est"] - 200) <= tol, row
+    contained = SK.kmv_sketch(base.limit(100), "k", k=k)
+    row2 = SK.kmv_novelty(sa, contained, k=k).collect()[0]
+    assert row2["union_est"] == row["base_est"]  # union sketch == base
+    assert row2["novelty_est"] == 0

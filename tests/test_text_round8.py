@@ -221,3 +221,35 @@ def test_dsir_fold_bigrams_same_feature_counts(spark):
                 > got[2]["logw_e6"] / got[2]["n_feats"])
         assert (got[4]["logw_e6"] / got[4]["n_feats"]
                 > got[2]["logw_e6"] / got[2]["n_feats"])
+
+
+def test_encoding_signals_detect_mojibake(spark):
+    """The encoding-artifact leg of the quality family: U+FFFD and C0
+    controls counted exactly, ASCII ratio floor-e6 — clean ASCII scores
+    1e6 / 0 / 0, and each artifact class is seen."""
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators.text import encoding_signals
+
+    rows = [
+        (0, "clean ascii text, with punctuation! and digits 123"),
+        (1, "broken �� decode � here"),
+        (2, "binary\x00junk\x1f inside\x07text"),
+        (3, "café naïve résumé"),   # non-ASCII, valid
+        (4, "tabs\tand\nnewlines\rare fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    enc = encoding_signals("text")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", enc["n_replacement"].alias("nr"),
+        enc["n_control"].alias("nc"),
+        enc["ascii_e6"].alias("ae")).collect()}
+    assert got[0]["nr"] == 0 and got[0]["nc"] == 0
+    assert got[0]["ae"] == 1_000_000
+    assert got[1]["nr"] == 3 and got[1]["nc"] == 0
+    assert got[2]["nc"] == 3 and got[2]["nr"] == 0
+    assert got[3]["nr"] == 0 and got[3]["nc"] == 0
+    n3 = len(rows[3][1])
+    a3 = sum(1 for ch in rows[3][1] if 0x20 <= ord(ch) <= 0x7E)
+    assert got[3]["ae"] == int(a3 / n3 * 1e6 + 0.5)
+    assert got[4]["nc"] == 0 and got[4]["ae"] == 1_000_000

@@ -469,3 +469,115 @@ def community_modularity(pairs: DataFrame, communities: DataFrame,
                  - F.col("degree_sum") * F.col("degree_sum"))
                 .cast("double") / F.lit(den) * F.lit(1000000.0)
                 + F.lit(0.5)).cast("bigint")))
+
+
+def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
+           id_b: str = "id_b", max_iter: int = 100) -> DataFrame:
+    """The k-core of the undirected graph: iteratively peel vertices
+    of degree < ``k`` until every survivor has ≥ ``k`` surviving
+    neighbors (Seidman, "Network structure and minimum degree",
+    Social Networks 1983).  Returns the surviving vertices with their
+    in-core degree: ``(id, degree)`` — empty when the graph has no
+    k-core.
+
+    The curation use: in near-dup/citation/link graphs the dense core
+    is the boilerplate/spam/mirror tier (template pages interlink
+    heavily), while coreness-1 vertices are the organic tail — peeling
+    is the cheap structural filter before expensive per-document
+    scoring.
+
+    Scale shape: each round is one map-side-combinable degree
+    aggregation + one semi-join of the edge relation onto the
+    surviving vertex set — no per-node neighbor lists ever
+    materialize, so a celebrity hub costs nothing beyond its edge
+    rows (skew-proof, unlike h-index-style coreness iterations which
+    sort each node's neighborhood).  Rounds are bounded by the peel
+    depth (the degeneracy ordering's layer count — tiny for the
+    near-clique graphs dedup produces); lineage truncates per round
+    (localCheckpoint), ONE scalar (the removed-vertex count) reaches
+    the driver per round.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=False))
+    for _ in range(max_iter):
+        deg = (e.select(F.col("a").alias("id"))
+               .unionAll(e.select(F.col("b").alias("id")))
+               .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
+        keep = deg.where(F.col("degree") >= k) \
+            .localCheckpoint(eager=True)
+        dropped = deg.where(F.col("degree") < k).count()
+        if dropped == 0:
+            return keep.select("id", F.col("degree").cast("bigint")
+                               .alias("degree"))
+        ids = keep.select("id")
+        e = (e.join(ids.withColumnRenamed("id", "a"), "a", "left_semi")
+             .join(ids.withColumnRenamed("id", "b"), "b", "left_semi")
+             .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"k_core did not converge in {max_iter} rounds — raise "
+        "max_iter (peel depth exceeds the bound)")
+
+
+def coreness(pairs: DataFrame, id_a: str = "id_a",
+             id_b: str = "id_b", max_iter: int = 100) -> DataFrame:
+    """Full core decomposition: every vertex's core number
+    ``(id, core)`` — the largest k such that the vertex belongs to
+    the k-core.  Computed by layered peeling (repeated :func:`k_core`
+    semantics in ONE loop): round r removes every vertex whose
+    current degree is the round's minimum layer — equivalently, we
+    peel k = 1, 2, 3, … and record the k at which each vertex fell
+    out.  Deterministic, exact, and skew-proof for the same reason as
+    :func:`k_core` (degree aggregates + semi-joins only; no neighbor
+    lists).  Driver traffic: one scalar per peel round.
+    """
+    e = (pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=False))
+    spark = pairs.sparkSession
+    # live vertex set tracked explicitly: a vertex whose last edges
+    # peel away vanishes from the edge-derived degree relation but
+    # must still shed (degree 0) at the current layer
+    verts = (e.select(F.col("a").alias("id"))
+             .unionByName(e.select(F.col("b").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    out = None
+    kk = 1
+    for _ in range(max_iter):
+        if verts.isEmpty():
+            break
+        # peel everything below kk until the kk-core stabilizes
+        while True:
+            deg = (verts.join(
+                e.select(F.col("a").alias("id"))
+                .unionAll(e.select(F.col("b").alias("id")))
+                .groupBy("id").agg(F.count(F.lit(1)).alias("d")),
+                "id", "left")
+                .select("id", F.coalesce("d", F.lit(0)).alias("d")))
+            shed = deg.where(F.col("d") < kk) \
+                .select("id", F.lit(kk - 1).cast("bigint").alias("core")) \
+                .localCheckpoint(eager=True)
+            if shed.isEmpty():
+                break
+            out = shed if out is None else out.unionByName(shed)
+            verts = deg.where(F.col("d") >= kk).select("id") \
+                .localCheckpoint(eager=True)
+            e = (e.join(verts.withColumnRenamed("id", "a"), "a",
+                        "left_semi")
+                 .join(verts.withColumnRenamed("id", "b"), "b",
+                       "left_semi")
+                 .localCheckpoint(eager=True))
+        kk += 1
+    else:
+        raise RuntimeError(
+            f"coreness did not converge in {max_iter} layers — raise "
+            "max_iter")
+    if out is None:
+        return spark.createDataFrame([], "id bigint, core bigint")
+    return out

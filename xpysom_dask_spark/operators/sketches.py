@@ -295,6 +295,63 @@ def kmv_estimate(sketch: DataFrame, k: int,
     return agg.select(*g, "n_sample", "kth_h", est.alias("est"))
 
 
+def kmv_merge(*sketches: DataFrame, k: int,
+              group_cols: tuple = ()) -> DataFrame:
+    """Union-merge KMV sketches: keep the ``k`` smallest DISTINCT
+    hashes of the union per group — min-of-mins, so shard sketches
+    built independently union into exactly the sketch of the combined
+    corpus's hash set (the HLL-merge property, on the set-resemblance
+    leg).  Schema asserted against ``group_cols`` like
+    :func:`hll_merge`."""
+    if not sketches:
+        raise ValueError("need at least one sketch relation")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    g = list(group_cols)
+    expect = set(g) | {"rank", "h"}
+    for s in sketches:
+        got = set(s.columns)
+        if got != expect:
+            raise ValueError(
+                f"sketch schema {sorted(got)} != expected "
+                f"{sorted(expect)} for group_cols={g!r}")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    merged = (out.groupBy(*g)
+              .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k)
+                   .alias("__hs")))
+    return (merged.select(*g, F.posexplode("__hs").alias("__i", "h"))
+            .select(*g, (F.col("__i") + 1).cast("int").alias("rank"),
+                    F.col("h").cast("bigint").alias("h")))
+
+
+def kmv_novelty(base: DataFrame, incoming: DataFrame,
+                k: int) -> DataFrame:
+    """How many NEW distinct keys does ``incoming`` add over ``base``?
+    One row ``(base_est, union_est, novelty_est)`` with
+    ``novelty_est = max(union_est − base_est, 0)`` — the inclusion–
+    exclusion estimate |B \\ A| = |A ∪ B| − |A| from two KMV sketches
+    (both built with the same ``k``; the union sketch via
+    :func:`kmv_merge`).
+
+    This is the sketch-tier twin of the exact ``corpus_diff``: at
+    100 TB "does this crawl snapshot add anything?" must be answerable
+    from two ≤ k-row relations, not a full anti-join.  All-integer
+    estimates; the subtraction inherits both estimators' ~1/√k
+    relative error, so novelty ≪ base may read 0 — the documented
+    resolution floor, not a bug."""
+    ua = kmv_estimate(base, k)
+    uu = kmv_estimate(kmv_merge(base, incoming, k=k), k)
+    a = ua.select(F.col("est").alias("base_est"))
+    u = uu.select(F.col("est").alias("union_est"))
+    return (a.crossJoin(u)        # two 1-row scalars — the bm25 idiom
+            .select("base_est", "union_est",
+                    F.greatest(F.col("union_est") - F.col("base_est"),
+                               F.lit(0).cast("bigint"))
+                    .alias("novelty_est")))
+
+
 def kmv_overlap(sketch: DataFrame, k: int, group_col: str) -> DataFrame:
     """Pairwise set resemblance between every two groups of a
     :func:`kmv_sketch`: ``(ga, gb, n_sample, n_common, jaccard_e6)``

@@ -85,6 +85,36 @@ def quality_score(col: str) -> Column:
     return (0.5 * len_score + 0.5 * alpha_ratio(col)).cast("double")
 
 
+def encoding_signals(col: str) -> dict:
+    """Encoding-artifact quality signals — the mojibake leg of the
+    quality family (Gopher/C4 filter terms target STRUCTURE; a
+    mis-decoded crawl shard shows up here instead): three integer
+    Columns, engine-portable regex counting only.
+
+    * ``n_replacement`` — U+FFFD replacement characters (the decoder
+      already gave up on those bytes);
+    * ``n_control`` — C0 control characters excluding \\t \\n \\r
+      (legit text never contains them; their presence means binary
+      junk or a wrong charset);
+    * ``ascii_e6`` — floor-scaled-e6 fraction of printable-ASCII +
+      whitespace characters (a collapsing ratio on a nominally-English
+      source is the classic double-encoding symptom; for non-Latin
+      corpora it is a baseline to DIFF against, not a threshold).
+    """
+    n = F.greatest(F.length(F.col(col)), F.lit(1))
+    n_repl = F.length(F.regexp_replace(
+        F.col(col), "[^�]", "")).cast("int")
+    n_ctl = F.length(F.regexp_replace(
+        F.col(col), "[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")) \
+        .cast("int")
+    ascii_len = F.length(F.regexp_replace(
+        F.col(col), "[^\\x20-\\x7E\\t\\n\\r]", ""))
+    ascii_e6 = F.floor(ascii_len.cast("double") / n.cast("double")
+                       * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return {"n_replacement": n_repl, "n_control": n_ctl,
+            "ascii_e6": ascii_e6}
+
+
 def lang_scores(col: str):
     """One stopword-hit-count column per language."""
     out = {}

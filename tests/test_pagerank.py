@@ -56,3 +56,49 @@ def test_pagerank_duplicate_edges_and_validation(spark):
     assert got == _ref_pagerank([(1, 2), (2, 1)])
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+def test_pagerank_two_path_parity(spark):
+    """The driver-fused small-graph path must equal the distributed
+    iteration bit-for-bit (exact integer semantics on both)."""
+    import random
+
+    from xpysom_dask_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fused = {r["id"]: r["rank_e6"]
+             for r in pagerank(df, n_iter=5).collect()}
+    dist = {r["id"]: r["rank_e6"]
+            for r in pagerank(df, n_iter=5,
+                              fuse_local_edges=0).collect()}
+    assert fused == dist
+
+
+def test_lpa_two_path_parity(spark):
+    import random
+
+    from xpysom_dask_spark.operators.graph import label_propagation
+
+    rng = random.Random(12)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(150)})
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    fused = {r["id"]: r["community"]
+             for r in label_propagation(df, n_iter=4).collect()}
+    dist = {r["id"]: r["community"]
+            for r in label_propagation(
+                df, n_iter=4, fuse_local_edges=0).collect()}
+    assert fused == dist
+    # weighted variant too
+    wdf = spark.createDataFrame(
+        [(a, b, (a + b) % 5 + 1) for a, b in edges],
+        "id_a bigint, id_b bigint, w bigint")
+    fw = {r["id"]: r["community"] for r in label_propagation(
+        wdf, n_iter=3, weight_col="w").collect()}
+    dw = {r["id"]: r["community"] for r in label_propagation(
+        wdf, n_iter=3, weight_col="w", fuse_local_edges=0).collect()}
+    assert fw == dw

@@ -98,6 +98,40 @@ def run(sf_dir, names=None):
         if not ok:
             bad[nm] = r
     con.close()
+
+    # the graph gates take the small-input DRIVER-fused path at gate
+    # scale (round 9), so force the DISTRIBUTED loops here — this is
+    # the only place the iterative join/checkpoint rounds cross real
+    # executor boundaries — and pin two-path parity on the cluster
+    try:
+        from xpysom_dask_spark.operators.graph import (
+            label_propagation, pagerank)
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 3) % 60) for i in range(120) if i != (i * 7 + 3) % 60],
+            "id_a bigint, id_b bigint")
+        lp_f = {r["id"]: r["community"] for r in
+                label_propagation(edges, n_iter=3).collect()}
+        lp_d = {r["id"]: r["community"] for r in
+                label_propagation(edges, n_iter=3,
+                                  fuse_local_edges=0).collect()}
+        pr_f = {r["id"]: r["rank_e6"] for r in
+                pagerank(edges.withColumnRenamed("id_a", "src")
+                         .withColumnRenamed("id_b", "dst"),
+                         n_iter=3).collect()}
+        pr_d = {r["id"]: r["rank_e6"] for r in
+                pagerank(edges.withColumnRenamed("id_a", "src")
+                         .withColumnRenamed("id_b", "dst"),
+                         n_iter=3, fuse_local_edges=0).collect()}
+        gok = lp_f == lp_d and pr_f == pr_d
+        print(f"graph_distributed_parity: {'OK' if gok else 'FAIL'}",
+              flush=True)
+        if not gok:
+            bad["graph_distributed_parity"] = {"err": "two-path mismatch"}
+    except Exception as ex:                                # pragma: no cover
+        bad["graph_distributed_parity"] = {"err": str(ex)[:300]}
+        print(f"graph_distributed_parity: FAIL {ex}", flush=True)
+
     spark.stop()
     print("===SUMMARY===")
     print(json.dumps({"checked": len(names or DECLARED + STAGED),

@@ -174,9 +174,21 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
             .select("id", F.coalesce("component", "id").alias("component")))
 
 
+#: small-graph fusion bound (rows of the SYMMETRIC edge relation AND
+#: of the vertex set): below it the fixed-round loops run on the
+#: driver in exact Python ints — bit-identical by construction, two-
+#: path parity tested — because n_iter distributed rounds cost n_iter
+#: × (join + agg + checkpoint) JOBS of pure latency on a graph that
+#: fits in one list.  The distributed path stays the default at scale
+#: (the SOM trainer's fuse_local_bytes idiom).
+GRAPH_FUSE_LOCAL_EDGES = 200_000
+
+
 def label_propagation(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b", n_iter: int = 4,
-                      weight_col: str | None = None) -> DataFrame:
+                      weight_col: str | None = None,
+                      fuse_local_edges: int = GRAPH_FUSE_LOCAL_EDGES
+                      ) -> DataFrame:
     """Community detection by synchronous label propagation
     (Raghavan et al., Phys. Rev. E 76, 2007): ``(id, community)``
     after exactly ``n_iter`` rounds over the undirected pair graph.
@@ -211,7 +223,11 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
     hub's whole vote set, while max/min partials stay skew-proof at
     any degree; all keyed on vertex ids, no cartesian anywhere;
     lineage truncates per round with ``localCheckpoint`` (the
-    connected_components discipline).
+    connected_components discipline).  Graphs whose symmetric edge
+    relation AND vertex set both fit ``fuse_local_edges`` run the
+    identical rounds on the driver in exact Python ints (bit-equal
+    two-path parity tested) — n_iter distributed rounds on a tiny
+    graph are pure job latency.
     Self-loop-only and absent nodes return their own id.
 
     ``weight_col``: optional POSITIVE INTEGER edge weights (e.g. a
@@ -239,7 +255,32 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
     sym = sym.localCheckpoint(eager=True)
     verts = (pairs.select(F.col(id_a).alias("id"))
              .unionByName(pairs.select(F.col(id_b).alias("id")))
-             .distinct().localCheckpoint(eager=False))
+             .distinct().localCheckpoint(eager=True))
+    n_sym, n_verts = sym.count(), verts.count()
+    if max(n_sym, n_verts) <= fuse_local_edges:
+        # driver fusion: the same synchronous rounds in exact Python
+        # ints (two-path parity pinned by tests)
+        rows = [(r["src"], r["dst"], r["w"]) for r in sym.collect()]
+        vids = [r["id"] for r in verts.collect()]
+        labels_d = {s: s for s, _d, _w in rows}
+        for _ in range(n_iter):
+            votes: dict = {}
+            for s, d, w in rows:
+                key = (s, labels_d[d])
+                votes[key] = votes.get(key, 0) + w
+            for node, lab in labels_d.items():
+                key = (node, lab)
+                votes[key] = votes.get(key, 0) + 1
+            best: dict = {}
+            for (s, lab), c in votes.items():
+                cur = best.get(s)
+                if cur is None or (-c, lab) < cur:
+                    best[s] = (-c, lab)
+            labels_d = {s: lab for s, (_negc, lab) in best.items()}
+        id_t = pairs.schema[id_a].dataType.simpleString()
+        out_rows = [(v, labels_d.get(v, v)) for v in vids]
+        return pairs.sparkSession.createDataFrame(
+            out_rows, f"id {id_t}, community {id_t}")
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("label")))
     for _ in range(n_iter):
@@ -335,7 +376,9 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              n_iter: int = 5, damping_e6: int = 850000,
-             scale: int = 1_000_000) -> DataFrame:
+             scale: int = 1_000_000,
+             fuse_local_edges: int = GRAPH_FUSE_LOCAL_EDGES
+             ) -> DataFrame:
     """Deterministic integer-arithmetic PageRank: ``(id, rank_e6)``
     after exactly ``n_iter`` synchronous power iterations on the
     DIRECTED edge relation (Page et al., "The PageRank Citation
@@ -362,20 +405,41 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     no-inbound vertices.  Per-iteration shuffle is O(E + V); lineage
     is cut with ``localCheckpoint`` per round (the
     connected_components discipline) so the plan stays flat for any
-    ``n_iter``.
+    ``n_iter``.  Graphs at or under ``fuse_local_edges`` distinct
+    edges run the identical integer iteration on the driver (two-path
+    parity tested) — the small-input fusion idiom.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
          .where(F.col("s").isNotNull() & F.col("t").isNotNull())
-         .distinct())
+         .distinct().localCheckpoint(eager=True))
+    base = (scale * (scale - damping_e6)) // scale
+    if e.count() <= fuse_local_edges:
+        # driver fusion (exact Python ints — the identical iteration;
+        # two-path parity pinned by tests)
+        rows = [(r["s"], r["t"]) for r in e.collect()]
+        vids = sorted({s for s, _t in rows} | {t for _s, t in rows})
+        od: dict = {}
+        for s, _t in rows:
+            od[s] = od.get(s, 0) + 1
+        ranks_d = {v: scale for v in vids}
+        for _ in range(n_iter):
+            inbound: dict = {}
+            for s, t in rows:
+                inbound[t] = inbound.get(t, 0) + ranks_d[s] // od[s]
+            ranks_d = {v: base + (damping_e6 * inbound.get(v, 0))
+                       // scale for v in vids}
+        id_t = edges.schema[src].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [(v, int(ranks_d[v])) for v in vids],
+            f"id {id_t}, rank_e6 bigint")
     verts = (e.select(F.col("s").alias("id"))
              .unionAll(e.select(F.col("t").alias("id")))
              .distinct().localCheckpoint(eager=False))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
     es = e.join(outdeg, "s")        # (s, t, od) — static, reused
     es = es.localCheckpoint(eager=False)
-    base = (scale * (scale - damping_e6)) // scale
     ranks = verts.select("id", F.lit(scale).cast("bigint")
                          .alias("rank_e6"))
     for _ in range(n_iter):

@@ -298,12 +298,16 @@ def test_connected_components_long_chain_auto_switch(spark):
     (VERDICT r02 #6)."""
     pairs = _pairs(spark, [(i, i + 1) for i in range(300)])
     got = {r.id: r.component
-           for r in connected_components(pairs, switch_after=3).collect()}
+           for r in connected_components(pairs, switch_after=3,
+                                          fuse_local_edges=0).collect()}
     assert set(got) == set(range(301))
     assert set(got.values()) == {0}
-    # explicit label algorithm with a tight budget still raises
+    # explicit label algorithm with a tight budget still raises (the
+    # budget applies to the DISTRIBUTED loop; r9 driver fusion would
+    # solve a 300-edge graph before the loop, so disable it here)
     with pytest.raises(RuntimeError, match="star"):
-        connected_components(pairs, max_iter=3, algorithm="label")
+        connected_components(pairs, max_iter=3, algorithm="label",
+                             fuse_local_edges=0)
 
 
 def test_connected_components_star_self_loops_and_reversed(spark):
@@ -588,3 +592,26 @@ def test_k_core_validation_and_empty(spark):
         k_core(df, 0)
     # K2 has no 2-core
     assert k_core(df, 2).count() == 0
+
+
+def test_components_two_path_parity(spark):
+    """Driver union-find fusion == distributed min-label propagation
+    == star algorithm, on a graph with chains, cliques and
+    self-loops."""
+    import random
+
+    from xpysom_dask_spark.operators.graph import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(50), rng.randrange(50))
+                    for _ in range(60)})   # sparse -> several comps
+    edges += [(7, 7), (49, 49)]            # self-loops
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    fused = {r["id"]: r["component"] for r in
+             connected_components(df).collect()}
+    dist = {r["id"]: r["component"] for r in
+            connected_components(df, fuse_local_edges=0).collect()}
+    star = {r["id"]: r["component"] for r in
+            connected_components_star(df).collect()}
+    assert fused == dist == star

@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 50,
                          algorithm: str = "auto",
-                         switch_after: int = 8) -> DataFrame:
+                         switch_after: int = 8,
+                         fuse_local_edges: int | None = None
+                         ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component``
     is the minimum id reachable through the pair graph — a canonical,
     deterministic cluster representative.
@@ -65,6 +67,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                     F.col("src").alias("dst")))
              .distinct()
              .localCheckpoint(eager=True))
+    fuse = (GRAPH_FUSE_LOCAL_EDGES if fuse_local_edges is None
+            else fuse_local_edges)
+    if edges.count() <= fuse:
+        # driver fusion: union-find with path compression computes the
+        # same min-reachable-id representative exactly (two-path
+        # parity pinned by tests); iterative min-label rounds on a
+        # graph that fits in one list are pure job latency
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        for a, b in rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the root the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        id_t = pairs.schema[id_a].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in parent], f"id {id_t}, component {id_t}")
 
     # label(x) starts at x; first round folds in direct neighbors
     labels = (edges.groupBy("src")

@@ -615,3 +615,25 @@ def test_components_two_path_parity(spark):
     star = {r["id"]: r["component"] for r in
             connected_components_star(df).collect()}
     assert fused == dist == star
+
+
+def test_core_two_path_parity(spark):
+    """Driver-fused coreness/k_core == the distributed peel."""
+    import random
+
+    from xpysom_dask_spark.operators.graph import coreness, k_core
+
+    rng = random.Random(17)
+    edges = sorted({(rng.randrange(35), rng.randrange(35))
+                    for _ in range(140)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    fused = {r["id"]: r["core"] for r in coreness(df).collect()}
+    dist = {r["id"]: r["core"] for r in
+            coreness(df, fuse_local_edges=0).collect()}
+    assert fused == dist
+    for k in (2, 3):
+        f = {r["id"]: r["degree"] for r in k_core(df, k).collect()}
+        d = {r["id"]: r["degree"] for r in
+             k_core(df, k, fuse_local_edges=0).collect()}
+        assert f == d, k

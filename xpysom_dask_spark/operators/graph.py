@@ -567,7 +567,8 @@ def community_modularity(pairs: DataFrame, communities: DataFrame,
 
 
 def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
-           id_b: str = "id_b", max_iter: int = 100) -> DataFrame:
+           id_b: str = "id_b", max_iter: int = 100,
+           fuse_local_edges: int | None = None) -> DataFrame:
     """The k-core of the undirected graph: iteratively peel vertices
     of degree < ``k`` until every survivor has ≥ ``k`` surviving
     neighbors (Seidman, "Network structure and minimum degree",
@@ -598,7 +599,25 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
         F.least(F.col(id_a), F.col(id_b)).alias("a"),
         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
         .where(F.col("a") != F.col("b")).distinct()
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
+    fuse = (GRAPH_FUSE_LOCAL_EDGES if fuse_local_edges is None
+            else fuse_local_edges)
+    if e.count() <= fuse:
+        core = _py_core_numbers(
+            [(r["a"], r["b"]) for r in e.collect()])
+        id_t = pairs.schema[id_a].dataType.simpleString()
+        survivors = [v for v, c in core.items() if c >= k]
+        keep = set(survivors)
+        deg: dict = {}
+        for r in e.collect():
+            a, b = r["a"], r["b"]
+            if a in keep and b in keep:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        # in-core degree means degree inside the k-core SUBGRAPH
+        return pairs.sparkSession.createDataFrame(
+            [(v, deg.get(v, 0)) for v in survivors],
+            f"id {id_t}, degree bigint")
     for _ in range(max_iter):
         deg = (e.select(F.col("a").alias("id"))
                .unionAll(e.select(F.col("b").alias("id")))
@@ -618,8 +637,33 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
         "max_iter (peel depth exceeds the bound)")
 
 
+def _py_core_numbers(edges) -> dict:
+    """Driver-side layered peel (the fusion twin of :func:`coreness`;
+    identical layer semantics: shed everything below k at layer k,
+    record k−1)."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict = {}
+    k = 1
+    while adj:
+        while True:
+            shed = [v for v, ns in adj.items() if len(ns) < k]
+            if not shed:
+                break
+            for v in shed:
+                core[v] = k - 1
+                for u in adj.pop(v):
+                    if u in adj:
+                        adj[u].discard(v)
+        k += 1
+    return core
+
+
 def coreness(pairs: DataFrame, id_a: str = "id_a",
-             id_b: str = "id_b", max_iter: int = 100) -> DataFrame:
+             id_b: str = "id_b", max_iter: int = 100,
+             fuse_local_edges: int | None = None) -> DataFrame:
     """Full core decomposition: every vertex's core number
     ``(id, core)`` — the largest k such that the vertex belongs to
     the k-core.  Computed by layered peeling (repeated :func:`k_core`
@@ -634,8 +678,18 @@ def coreness(pairs: DataFrame, id_a: str = "id_a",
         F.least(F.col(id_a), F.col(id_b)).alias("a"),
         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
         .where(F.col("a") != F.col("b")).distinct()
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     spark = pairs.sparkSession
+    fuse = (GRAPH_FUSE_LOCAL_EDGES if fuse_local_edges is None
+            else fuse_local_edges)
+    if e.count() <= fuse:
+        core = _py_core_numbers(
+            [(r["a"], r["b"]) for r in e.collect()])
+        id_t = pairs.schema[id_a].dataType.simpleString()
+        if not core:
+            return spark.createDataFrame([], f"id {id_t}, core bigint")
+        return spark.createDataFrame(
+            sorted(core.items()), f"id {id_t}, core bigint")
     # live vertex set tracked explicitly: a vertex whose last edges
     # peel away vanishes from the edge-derived degree relation but
     # must still shed (degree 0) at the current layer

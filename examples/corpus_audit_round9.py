@@ -106,6 +106,12 @@ def main(sf_dir: str) -> None:
      .crossJoin(kn.agg((F.sum("sum_e6") / F.sum("n_bigrams") / 1e6)
                        .alias("kn_mean_logp"))).show())
 
+    print("== KMV novelty: distinct keys the odd half adds ==")
+    ta = toks.where(F.crc32("term") % 2 == 0)
+    tb = toks.where(F.crc32("term") % 2 == 1)
+    SK.kmv_novelty(SK.kmv_sketch(ta, "term", k=64),
+                   SK.kmv_sketch(tb, "term", k=64), k=64).show()
+
     print("== label purity at n_cells = floor(sqrt(N)) ==")
     n_cells = max(1, math.isqrt(emb.count()))
     cents = np.stack([
@@ -119,6 +125,12 @@ def main(sf_dir: str) -> None:
      .agg(F.count(F.lit(1)).alias("n"),
           F.avg("purity_e6").cast("bigint").alias("avg_purity_e6"))
      .orderBy("label").show())
+
+    print("== core decomposition of the kNN graph (dense tiers) ==")
+    from xpysom_dask_spark.operators.graph import coreness
+    (coreness(edges, "vec_id", "neighbor_id")
+     .groupBy("core").agg(F.count(F.lit(1)).alias("n_vertices"))
+     .orderBy("core").show())
 
     spark.stop()
     print("done.")

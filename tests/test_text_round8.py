@@ -253,3 +253,93 @@ def test_encoding_signals_detect_mojibake(spark):
     a3 = sum(1 for ch in rows[3][1] if 0x20 <= ord(ch) <= 0x7E)
     assert got[3]["ae"] == int(a3 / n3 * 1e6 + 0.5)
     assert got[4]["nc"] == 0 and got[4]["ae"] == 1_000_000
+
+
+_HTML_DOC = """<!DOCTYPE html><html><head>
+<style>body { color: red; }</style>
+<script type="text/javascript">var x = "<p>not text</p>";</script>
+<title>Title text</title></head>
+<body>
+<!-- a comment with <b>markup</b> inside -->
+<h1>Heading &amp; subtext</h1>
+<p>First paragraph with <b>bold</b> and a &lt;tag&gt; literal.</p>
+<p>Second   paragraph&nbsp;with entities: &quot;q&quot; &#39;a&#39;
+&#60;x&#62; &#x3c;y&#x3e; and double-encoded &amp;lt;kept&amp;gt;.</p>
+<ul><li>item one</li><li>item &#38;amp; two</li></ul>
+<div>tail<br>break</div>
+</body></html>"""
+
+
+def _py_strip_html_jvm_contract(s):
+    """Pure-Python replay of strip_html's exact pipeline (same regexes,
+    same entity subset, same ordering)."""
+    import re
+
+    s = re.sub(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ", s)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = re.sub(r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)"
+               r"\s*>", "\n", s)
+    s = re.sub(r"(?i)<br\s*/?>", "\n", s)
+    s = re.sub(r"(?s)<[^>]*>", " ", s)
+    for code, rep in ((34, '"'), (39, "'"), (60, "<"), (62, ">"),
+                      (160, " ")):
+        s = re.sub(f"(?i)&#(0*{code}|x0*{code:x});", rep, s)
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
+        s = s.replace(ent, rep)
+    s = re.sub(r"(?i)&(amp;|#0*38;|#x0*26;)", "&", s)
+    s = re.sub(r"[ \t\x0b\f\r]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{3,}", "\n\n", s)
+    return s.strip()
+
+
+def test_strip_html_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators.text import strip_html
+
+    rows = [(0, _HTML_DOC),
+            (1, "plain text, no markup at all"),
+            (2, "<p>a</p><p>b</p><p>c</p>"),
+            (3, "double &amp;lt;enc&amp;gt; and &#38;lt;numeric&#38;gt;"),
+            (4, "<SCRIPT>alert('x')</SCRIPT>visible<BR/>line"),
+            (5, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    got = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", strip_html("html").alias("t")).collect()}
+    for i, h in rows:
+        assert got[i] == _py_strip_html_jvm_contract(h), i
+    # structural guarantees worth pinning explicitly
+    assert "not text" not in got[0] and "color: red" not in got[0]
+    assert "a comment" not in got[0]
+    assert "Heading & subtext" in got[0]
+    assert '"q" \'a\'\n<x> <y>' in got[0]
+    assert "double-encoded &lt;kept&gt;" in got[0]
+    assert "item &amp; two" in got[0]           # &#38;amp; single-pass
+    assert got[2] == "a\nb\nc"
+    assert got[4] == "visible\nline"
+    assert got[5] == ""
+
+
+def test_html_to_text_full_entities_long_tail(spark):
+    """full_entities=True decodes the named long tail the JVM path
+    deliberately leaves literal, via html.unescape in an Arrow
+    kernel; other columns pass through and the schema is declared."""
+    import html as _html
+
+    from xpysom_dask_spark.operators.text import html_to_text
+
+    rows = [(0, "caf&eacute; &hellip; &euro;42 <b>x</b>", "k0"),
+            (1, _HTML_DOC, "k1")]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string, k string")
+    out = {r["doc_id"]: r for r in
+           html_to_text(df, "html", full_entities=True).collect()}
+    # whitespace collapsed like the JVM path after tag removal
+    assert out[0]["text"] == _html.unescape(
+        "caf&eacute; &hellip; &euro;42 x").strip()
+    assert out[0]["k"] == "k0"
+    assert "Heading & subtext" in out[1]["text"]
+    # the full path DOES resolve double-encoding one level, like
+    # unescape itself: &amp;lt; -> &lt;
+    assert "&lt;kept&gt;" in out[1]["text"]

@@ -43,6 +43,124 @@ def token_count(col: str) -> Column:
     return F.size(tokens(col))
 
 
+#: the named entities the JVM-side strip_html decodes (covers ~99% of
+#: real-web occurrences; &amp; LAST so "&amp;lt;" decodes to the
+#: literal "&lt;" — double-encoded text stays text, the html.unescape
+#: convention)
+_HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                  ("&amp;", "&"))
+
+
+def strip_html(col: str) -> Column:
+    """HTML → text as ONE whole-stage-codegen column expression — the
+    crawl pipeline's first transform, kept JVM-side so a 100 TB WARC
+    extraction is a narrow scan, not a Python boundary:
+
+    1. drop ``<script>``/``<style>`` elements wholesale (their bodies
+       are code, not prose) and ``<!-- -->`` comments;
+    2. block-level closing tags and ``<br>`` become newlines (so
+       paragraph structure survives for the line/paragraph dedup
+       operators), every remaining tag is removed;
+    3. the six ubiquitous named entities + decimal/hex numeric
+       references for the ASCII range decode; ``&amp;`` decodes LAST
+       (double-encoded entities stay literal, matching
+       ``html.unescape`` composition);
+    4. horizontal whitespace collapses, ≥3 newlines collapse to 2,
+       ends trim.
+
+    Full entity coverage (the long Unicode tail: ``&eacute;``,
+    ``&#x1F600;`` …) needs a real parser table — that is
+    :func:`html_to_text` with ``full_entities=True`` (Arrow batch +
+    ``html.unescape``).  Differential-tested against a pure-Python
+    reference on crafted and double-encoded HTML."""
+    c = F.col(col)
+    c = F.regexp_replace(
+        c, "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)\\s*>",
+        "\n")
+    c = F.regexp_replace(c, "(?i)<br\\s*/?>", "\n")
+    c = F.regexp_replace(c, "(?s)<[^>]*>", " ")
+    # Only the entity forms that occur in bulk web text — each chained
+    # regexp_replace deepens the codegen expression tree, so the JVM
+    # path stays ~20 replaces deep; the long tail is
+    # full_entities=True's job.  EVERY '&'-producing decode (&amp;,
+    # &#38;) runs LAST so its output is never re-scanned — the
+    # html.unescape single-pass composition ("&amp;lt;" stays the
+    # literal "&lt;", and so does "&#38;lt;")
+    for code, rep in ((34, '"'), (39, "'"), (60, "<"), (62, ">"),
+                      (160, " ")):
+        c = F.regexp_replace(c, f"(?i)&#(0*{code}|x0*{code:x});", rep)
+    for ent, rep in _HTML_ENTITIES:
+        if rep == "&":
+            continue
+        c = F.regexp_replace(c, ent.replace("#", "\\#"), rep)
+    c = F.regexp_replace(c, "(?i)&(amp;|#0*38;|#x0*26;)", "&")
+    c = F.regexp_replace(c, "[ \\t\\x0B\\f\\r]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    # NB: F.trim strips SPACES only; python .strip() (the reference)
+    # strips all whitespace including the newlines step 2 introduced
+    return F.regexp_replace(F.regexp_replace(c, "^\\s+", ""),
+                            "\\s+$", "")
+
+
+def html_to_text(df, html_col: str, out_col: str = "text",
+                 full_entities: bool = False):
+    """Apply :func:`strip_html` to ``html_col`` as ``out_col``.
+    ``full_entities=True`` swaps step 3 for Python's complete
+    ``html.unescape`` table inside an Arrow batch kernel (still
+    vectorized, but a Python boundary — use it when the corpus is
+    heavy on the named-entity long tail, keep the default JVM path
+    for bulk extraction)."""
+    if not full_entities:
+        return df.withColumn(out_col, strip_html(html_col))
+    import html as _html
+
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
+    cols = df.columns
+    tag_stripped = (df.withColumn(
+        "__t",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col(html_col),
+                            "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>",
+                            " "),
+                        "(?s)<!--.*?-->", " "),
+                    "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote"
+                    "|pre)\\s*>", "\n"),
+                "(?i)<br\\s*/?>", "\n"),
+            "(?s)<[^>]*>", " ")))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + f", {out_col} string"
+
+    def fn(batches):
+        import re
+
+        ws = re.compile(r"[ \t\x0b\f\r]+")
+        nl = re.compile(r" ?\n ?")
+        nls = re.compile(r"\n{3,}")
+        for b in batches:
+            out = [nls.sub("\n\n", nl.sub("\n", ws.sub(
+                " ", _html.unescape(t or "")))).strip()
+                for t in b["__t"]]
+            res = b[[c for c in cols]].copy()
+            res[out_col] = pd.Series(out, index=b.index)
+            yield res
+
+    return tag_stripped.mapInPandas(fn, schema)
+
+
 #: GPT-2-style pre-tokenizer pattern, simplified to the regex subset that
 #: Spark (Java) and DuckDB (RE2) evaluate identically: contractions,
 #: space-prefixed letter runs, digit runs, punctuation runs, whitespace.

@@ -356,13 +356,34 @@ FROM a CROSS JOIN (VALUES {vals}) ij(i, j)
 """
 
 
+#: synthetic wrapper exercising every strip_html rule class on the
+#: gate corpus: script drop, comment drop, block->newline, entity
+#: subset (named + numeric + double-encoded), <br>
+_HTML_WRAP_PRE = ("<div><script>var x = '<p>no</p>';</script>"
+                  "<h1>T &amp; &#38;amp; H</h1><p>")
+_HTML_WRAP_POST = (" &#60;tail&#62; &amp;lt;kept&amp;gt;</p><br>"
+                   "<!-- c --></div>")
+
+
 def _q_text_stats(spark, sf_dir):
+    """Widened round 9: + ``html_clean_md5`` — the documents wrapped
+    in a synthetic HTML shell and pushed through the strip_html
+    whole-stage-codegen chain (operators/text.py), md5 of the cleaned
+    text; the oracle replays the IDENTICAL RE2-compatible regex chain
+    in DuckDB, so the crawl-extraction transform is driver-gated
+    end-to-end."""
+    from xpysom_dask_spark.operators.text import strip_html
+
     d = _docs(spark, sf_dir)
-    return d.select(
+    wrapped = F.concat(F.lit(_HTML_WRAP_PRE), F.col("text"),
+                       F.lit(_HTML_WRAP_POST)).alias("__h")
+    return (d.select("doc_id", "text", wrapped)
+            .select(
         "doc_id",
         T.token_count("text").cast("bigint").alias("n_tokens"),
         F.round(T.alpha_ratio("text"), 6).alias("alpha_ratio"),
-        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"))
+        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
+        F.md5(strip_html("__h")).alias("html_clean_md5")))
 
 
 def _q_text_langid(spark, sf_dir):
@@ -7497,8 +7518,45 @@ FROM nbr
 """
 
 
+def _duck_strip_html(expr: str) -> str:
+    """DuckDB replay of operators/text.py strip_html — the SAME
+    RE2-compatible patterns in the SAME order (the operator avoids
+    backreferences precisely so one pattern text serves both
+    engines)."""
+    steps = [
+        ('<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', "' '", 'gis'),
+        ('<!--.*?-->', "' '", 'gs'),
+        ('</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)\\s*>', "e'\\n'", 'gi'),
+        ('<br\\s*/?>', "e'\\n'", 'gi'),
+        ('<[^>]*>', "' '", 'gs'),
+        ('&#(0*34|x0*22);', '\'"\'', 'gi'),
+        ('&#(0*39|x0*27);', "''''", 'gi'),
+        ('&#(0*60|x0*3c);', "'<'", 'gi'),
+        ('&#(0*62|x0*3e);', "'>'", 'gi'),
+        ('&#(0*160|x0*a0);', "' '", 'gi'),
+        ('&nbsp;', "' '", 'g'),
+        ('&lt;', "'<'", 'g'),
+        ('&gt;', "'>'", 'g'),
+        ('&quot;', '\'"\'', 'g'),
+        ('&#39;', "''''", 'g'),
+        ('&apos;', "''''", 'g'),
+        ('&(amp;|#0*38;|#x0*26;)', "'&'", 'gi'),
+        ('[ \\t\\x0B\\f\\r]+', "' '", 'g'),
+        (' ?\\n ?', "e'\\n'", 'g'),
+        ('\\n{3,}', "e'\\n\\n'", 'g'),
+        ('^\\s+', "''", 'g'),
+        ('\\s+$', "''", 'g'),
+    ]
+    out = expr
+    for pat, rep, flags in steps:
+        out = f"regexp_replace({out}, '{pat}', {rep}, '{flags}')"
+    return out
+
+
 def _sql_text_stats():
     toks = _duck_tokens("text")
+    wrapped = ("'" + _HTML_WRAP_PRE.replace("'", "''") + "' || text || '"
+               + _HTML_WRAP_POST.replace("'", "''") + "'")
     return f"""
 SELECT doc_id,
        CAST(len({toks}) AS BIGINT) AS n_tokens,
@@ -7507,7 +7565,8 @@ SELECT doc_id,
        ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                  [CAST(length(x) AS BIGINT) FOR x IN {toks}]),
                  (acc, v) -> acc + v) AS DOUBLE)
-             / greatest(len({toks}), 1), 6) AS avg_token_len
+             / greatest(len({toks}), 1), 6) AS avg_token_len,
+       md5({_duck_strip_html("(" + wrapped + ")")}) AS html_clean_md5
 FROM documents
 """
 

@@ -275,7 +275,7 @@ def _py_strip_html_jvm_contract(s):
     same entity subset, same ordering)."""
     import re
 
-    s = re.sub(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ", s)
+    s = re.sub(r"(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>", " ", s)
     s = re.sub(r"(?s)<!--.*?-->", " ", s)
     s = re.sub(r"(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)"
                r"\s*>", "\n", s)

@@ -76,7 +76,7 @@ def strip_html(col: str) -> Column:
     reference on crafted and double-encoded HTML."""
     c = F.col(col)
     c = F.regexp_replace(
-        c, "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+        c, "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
     c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
     c = F.regexp_replace(
         c, "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)\\s*>",
@@ -133,7 +133,7 @@ def html_to_text(df, html_col: str, out_col: str = "text",
                     F.regexp_replace(
                         F.regexp_replace(
                             F.col(html_col),
-                            "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>",
+                            "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>",
                             " "),
                         "(?s)<!--.*?-->", " "),
                     "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote"

@@ -635,6 +635,30 @@ def main():
                 "kn_bigram_score", "streaming_psi"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
+    # round-9 additions: HTML extraction (the crawl pipeline's first
+    # transform — JVM regex chain over a synthetic wrap), KMV sketch
+    # set algebra, and core decomposition of the kNN graph
+    from xpysom_dask_spark.operators import sketches as SK9
+    from xpysom_dask_spark.operators.graph import coreness as _coreness
+    from xpysom_dask_spark.operators.text import strip_html as _sh
+
+    _wrapped = docs.select(F.concat(
+        F.lit(_entry._HTML_WRAP_PRE), F.col("text"),
+        F.lit(_entry._HTML_WRAP_POST)).alias("h"))
+    timed("html_strip", lambda: _wrapped.select(_sh("h").alias("t"))
+          .agg(F.sum(F.length("t"))).collect())
+    _tk = docs.select(T.tokens("text").alias("a")).select(
+        F.explode("a").alias("term"))
+    timed("kmv_novelty", lambda: SK9.kmv_novelty(
+        SK9.kmv_sketch(_tk.where(F.crc32("term") % 2 == 0), "term",
+                       k=256),
+        SK9.kmv_sketch(_tk.where(F.crc32("term") % 2 == 1), "term",
+                       k=256), k=256).collect())
+    _kedges = _q9["knn_graph"](spark, SF_DIR) \
+        .select("vec_id", "neighbor_id").localCheckpoint(eager=True)
+    timed("coreness_knn", lambda: _coreness(
+        _kedges, "vec_id", "neighbor_id").count())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     rc = timed("ann_recall_curve", lambda: _entry.queries()

@@ -686,3 +686,39 @@ def test_rolling_hash_matches_python_reference(spark):
         for ch in s:
             acc = (acc * T.HASH_BASE + ord(ch)) % T.HASH_PRIME
         assert got[i] == acc, (i, s)
+
+
+def test_dedup_exact_normalized_catches_reflows(spark):
+    """The fuzzy-exact key: case, punctuation, and whitespace reflows
+    collide; genuinely different text does not — vs a pure-Python
+    replay of the normalization."""
+    import hashlib
+    import re
+
+    from xpysom_dask_spark.operators.dedup import (
+        dedup_exact, dedup_exact_normalized)
+
+    rows = [
+        (1, "The quick brown fox, jumps over the lazy dog."),
+        (2, "the  quick\tbrown fox jumps over the lazy dog"),
+        (3, "THE QUICK BROWN FOX -- JUMPS OVER THE LAZY DOG!!!"),
+        (4, "a different document entirely"),
+        (5, "A different document; entirely..."),
+        (6, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    groups = {r["fp"]: (r["keeper"], r["n_copies"]) for r in
+              dedup_exact_normalized(df, "text", "doc_id").collect()}
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9\s]+", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    def fp(t):
+        return hashlib.md5(norm(t).encode()).hexdigest()
+
+    assert groups[fp(rows[0][1])] == (1, 3)     # docs 1, 2, 3 collide
+    assert groups[fp(rows[3][1])] == (4, 2)     # docs 4, 5 collide
+    assert groups[fp(rows[5][1])] == (6, 1)     # different text alone
+    # raw-exact sees 6 distinct groups on the same input
+    assert dedup_exact(df, "text", "doc_id").count() == 6

@@ -124,6 +124,41 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def normalized_key(col: str) -> "F.Column":
+    """The fuzzy-exact dedup key: casefold → strip everything but
+    ``[a-z0-9]`` and whitespace → collapse whitespace → trim — the
+    normalization under which C4/RefinedWeb-style pipelines run their
+    "exact" pass (catches case/punctuation/whitespace reflows that the
+    raw-md5 key misses while staying one narrow JVM expression, unlike
+    a real near-dup pass).  Deliberately ASCII-alnum: the key is a
+    GROUPING fingerprint, not a display form, and the aggressive strip
+    is what makes reflowed copies collide."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, "[^a-z0-9\\s]+", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def normalized_fingerprint(col: str) -> "F.Column":
+    """md5 of :func:`normalized_key` — the shuffle key for
+    :func:`dedup_exact_normalized` (text never keys an exchange)."""
+    return F.md5(normalized_key(col))
+
+
+def dedup_exact_normalized(df: DataFrame, text_col: str,
+                           id_col: str) -> DataFrame:
+    """Exact-after-normalization duplicate groups:
+    ``(fp, keeper, n_copies)`` over :func:`normalized_fingerprint` —
+    same shape and scale behavior as :func:`dedup_exact` (one
+    map-side-combinable groupBy on a 32-hex key), catching the
+    case/punctuation/whitespace variants raw-exact misses."""
+    return (df.select(normalized_fingerprint(text_col).alias("fp"),
+                      F.col(id_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
 def dedup_exact_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The deduplicated table itself: keep the min-id row per fingerprint.
     One shuffle on the fingerprint; survives any scale."""

@@ -45,6 +45,19 @@ def main(sf_dir: str) -> None:
     emb = readers.load_table(spark, sf_dir, "embeddings")
     ev = readers.load_table(spark, sf_dir, "events")
 
+    print("== HTML extraction + fuzzy-exact dedup (crawl front door) ==")
+    from xpysom_dask_spark.operators.dedup import dedup_exact_normalized
+    from xpysom_dask_spark.operators.text import strip_html
+
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("<div><h1>T &amp; H</h1><p>"), F.col("text"),
+                 F.lit("</p><br><!-- c --></div>")).alias("html"))
+    cleaned = wrapped.select("doc_id", strip_html("html").alias("text"))
+    (dedup_exact_normalized(cleaned, "text", "doc_id")
+     .agg(F.count(F.lit(1)).alias("normalized_groups"),
+          F.sum("n_copies").alias("docs")).show())
+
     print("== grouped HLL: distinct users per event_type, one agg ==")
     regs = SK.hll_registers(
         ev.select("event_type",

@@ -343,3 +343,39 @@ def test_html_to_text_full_entities_long_tail(spark):
     # the full path DOES resolve double-encoding one level, like
     # unescape itself: &amp;lt; -> &lt;
     assert "&lt;kept&gt;" in out[1]["text"]
+
+
+def test_extract_urls_and_domain_counts(spark):
+    from xpysom_dask_spark.operators.text import (domain_counts,
+                                                  extract_urls)
+
+    rows = [
+        (1, "see https://Example.com/a?b=1 and http://sub.example.com/x."),
+        (2, "mirror at https://news.bbc.co.uk:8080/story, plus "
+            "(https://example.com/b) done"),
+        (3, "no links here"),
+        (4, "bare http://localhost:9000/health and https://a.b.co.jp/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [(r["id"], r["url"], r["host"], r["domain"])
+           for r in extract_urls(df, "text", "doc_id")
+           .orderBy("id", "url").collect()]
+    assert (1, "https://Example.com/a?b=1", "example.com",
+            "example.com") in got
+    assert (1, "http://sub.example.com/x.", "sub.example.com",
+            "example.com") in got or \
+           (1, "http://sub.example.com/x", "sub.example.com",
+            "example.com") in got
+    # two-level public suffix keeps three labels; port stripped
+    assert any(h == "news.bbc.co.uk" and d == "bbc.co.uk"
+               for _i, _u, h, d in got)
+    # closing paren excluded from the match
+    assert any(u == "https://example.com/b" for _i, u, _h, _d in got)
+    assert any(h == "a.b.co.jp" and d == "b.co.jp"
+               for _i, _u, h, d in got)
+    assert not any(i == 3 for i, _u, _h, _d in got)
+
+    dc = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in
+          domain_counts(df, "text", "doc_id").collect()}
+    assert dc["example.com"] == (3, 2)
+    assert dc["bbc.co.uk"] == (1, 1)

@@ -692,6 +692,60 @@ def redact_pii(col: str) -> Column:
     return out
 
 
+#: URL shape: scheme://host[:port][/path] — RE2-compatible (no
+#: backrefs/lookarounds), conservative host charset so trailing
+#: punctuation stays out of the match
+_URL_RE = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s\"'<>\)\]]*)?"
+#: registrable-ish domain: last two labels, with the common two-level
+#: public suffixes (co.uk-class) folded to three labels
+_TWO_LEVEL_SUFFIXES = ("co.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+                       "co.jp", "or.jp", "com.br", "com.cn", "co.in",
+                       "co.kr", "com.mx")
+
+
+def extract_urls(df, text_col: str, id_col: str):
+    """Every URL occurrence in every document — ``(id, url, host,
+    domain)``, one row per occurrence: the raw relation behind link-
+    spam scoring, per-domain quotas (feed ``domain`` to
+    ``sampling.per_source_quota``-style caps), and URL-level dedup.
+
+    One regex extract-all + explode (narrow, no shuffle); ``host``
+    lowercases and strips the port; ``domain`` is the registrable
+    approximation — last two labels, or three when the suffix is a
+    common two-level public suffix (the full PSL is a data file, not
+    an expression; the approximation is the standard curation trade
+    and is documented at the call site)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE),
+                                F.lit(0))
+    host = F.lower(F.regexp_extract(
+        F.col("url"), r"https?://([A-Za-z0-9.-]+)", 1))
+    suffix_alt = "|".join(s.replace(".", "\\.")
+                          for s in _TWO_LEVEL_SUFFIXES)
+    domain = F.when(
+        F.col("host").rlike(f"(^|\\.)[a-z0-9-]+\\.({suffix_alt})$"),
+        F.regexp_extract(F.col("host"),
+                         f"([a-z0-9-]+\\.({suffix_alt}))$", 1)) \
+        .otherwise(F.regexp_extract(
+            F.col("host"), r"([a-z0-9-]+\.[a-z0-9-]+)$", 1))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(urls).alias("url"))
+            .withColumn("host", host)
+            .withColumn("domain", domain))
+
+
+def domain_counts(df, text_col: str, id_col: str):
+    """Per-domain link statistics over the corpus: ``(domain, n_urls,
+    n_docs)`` — the input to per-domain caps and link-farm detection
+    (one domain dominating the corpus's links is the classic SEO-spam
+    signature).  One map-side-combinable aggregation over the
+    :func:`extract_urls` relation."""
+    u = extract_urls(df, text_col, id_col)
+    return (u.where(F.col("domain") != "")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+                 F.countDistinct("id").cast("bigint").alias("n_docs")))
+
+
 def pseudonymize(df, cols, salt: str, tag_len: int = 16):
     """Deterministic keyed tokenization of identifier columns: each
     value becomes the first ``tag_len`` hex chars of

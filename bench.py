@@ -659,6 +659,36 @@ def main():
     timed("coreness_knn", lambda: _coreness(
         _kedges, "vec_id", "neighbor_id").count())
 
+    # round-9 session-2: hashed quality classifier (fastText/CCNet
+    # shape — fit is n_iter one-job GD steps over persisted doc
+    # arrays, score is map-side literal-array margins), URL
+    # canonicalization (pure codegen string/array work), and
+    # intra-doc repeated-line squash
+    from xpysom_dask_spark.operators import models as MD9
+    from xpysom_dask_spark.operators.dedup import (
+        squash_repeated_lines as _sqz)
+    from xpysom_dask_spark.operators.text import (
+        canonicalize_url as _curl)
+
+    _lab = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    _lrm = timed("logreg_hashed_fit", lambda: MD9.logreg_fit_hashed(
+        _lab, "text", "doc_id", "y", n_buckets=1024, n_iter=6,
+        lr=1.0))
+    timed("logreg_hashed_score", lambda: MD9.logreg_score_hashed(
+        docs, "text", "doc_id", _lrm)
+        .agg(F.avg("quality_p")).collect())
+    _uex = F.concat(
+        F.lit("HTTP://WWW.ex"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".com:80/p/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&b=2&a=1#frag"))
+    timed("url_canonicalize", lambda: docs.select(
+        _curl(_uex).alias("u"))
+        .agg(F.sum(F.length("u"))).collect())
+    timed("squash_lines", lambda: _sqz(docs, "text", "doc_id")
+          .agg(F.sum("n_lines_squashed"),
+               F.sum(F.length("text"))).collect())
+
     # IVF quality report: recall@5 vs nprobe (timed like any query;
     # the curve itself rides the JSON under "quality")
     rc = timed("ann_recall_curve", lambda: _entry.queries()

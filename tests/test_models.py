@@ -106,3 +106,132 @@ def test_ridge_fit_exact_decimals_bit_identical_under_repartition(spark):
     assert m1["intercept"] == pytest.approx(inter, abs=1e-8)
     with pytest.raises(ValueError, match="decimals must cover"):
         models.ridge_fit(df, ["a", "b"], "y", decimals={"a": 2})
+
+
+# ---------------------------------------------------------------- logreg
+
+
+def _logit_data(spark, n=1500, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 2))
+    z = 1.5 * X[:, 0] - 2.0 * X[:, 1] + 0.3
+    y = (1 / (1 + np.exp(-z)) > rng.random(n)).astype(int)
+    rows = [(float(X[i, 0]), float(X[i, 1]), int(y[i]))
+            for i in range(n)]
+    return spark.createDataFrame(rows, ["f0", "f1", "y"]), X, y
+
+
+def _numpy_irls(X, y, l2=1e-6, n_iter=12, tol=1e-9):
+    """Unquantized float IRLS — the public textbook iteration the
+    Spark fit must track to ~quantization precision."""
+    n, d = X.shape
+    Xb = np.hstack([np.ones((n, 1)), X])
+    beta = np.zeros(d + 1)
+    for _ in range(n_iter):
+        p = 1 / (1 + np.exp(-(Xb @ beta)))
+        g = Xb.T @ (p - y)
+        g[1:] += l2 * beta[1:]
+        W = p * (1 - p)
+        H = Xb.T @ (Xb * W[:, None])
+        H[1:, 1:] += l2 * np.eye(d)
+        step = np.linalg.solve(H + 1e-12 * np.eye(d + 1), g)
+        beta -= step
+        if np.max(np.abs(step)) < tol:
+            break
+    return beta
+
+
+def test_logreg_fit_tracks_numpy_irls(spark):
+    df, X, y = _logit_data(spark)
+    m = models.logreg_fit(df, ["f0", "f1"], "y", n_iter=12)
+    beta = _numpy_irls(X, y)
+    assert m["converged"]
+    assert m["intercept"] == pytest.approx(beta[0], abs=1e-6)
+    np.testing.assert_allclose(m["coef"], beta[1:], atol=1e-6)
+    # MLE calibration: mean fitted probability == base rate
+    got = models.logreg_score(df, m).agg(
+        F.avg("quality_p")).first()[0]
+    assert got == pytest.approx(y.mean(), abs=1e-6)
+
+
+def test_logreg_fit_bit_identical_under_repartition(spark):
+    df, _, _ = _logit_data(spark, n=600, seed=3)
+    a = models.logreg_fit(df.coalesce(1), ["f0", "f1"], "y")
+    b = models.logreg_fit(df.repartition(7), ["f0", "f1"], "y")
+    assert list(a["coef"]) == list(b["coef"])
+    assert a["intercept"] == b["intercept"]
+    assert a["n_iter_run"] == b["n_iter_run"]
+
+
+def test_logreg_score_stays_jvm_side(spark):
+    df, _, _ = _logit_data(spark, n=100)
+    m = models.logreg_fit(df, ["f0", "f1"], "y", n_iter=4)
+    scored = models.logreg_score(df, m)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    p = np.array([r["quality_p"]
+                  for r in scored.select("quality_p").collect()])
+    assert ((p > 0) & (p < 1)).all()
+
+
+def test_logreg_validation(spark):
+    df, _, _ = _logit_data(spark, n=20)
+    with pytest.raises(ValueError, match="features"):
+        models.logreg_fit(df, [f"f{i}" for i in range(100)], "y")
+    with pytest.raises(ValueError, match="l2"):
+        models.logreg_fit(df, ["f0"], "y", l2=-1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        models.logreg_fit(df, ["f0"], "y", n_iter=0)
+    with pytest.raises(ValueError, match="no rows"):
+        models.logreg_fit(df.where("y > 5"), ["f0"], "y")
+    with pytest.raises(ValueError, match="n_buckets"):
+        models.logreg_fit_hashed(df, "f0", "f0", "y", n_buckets=1)
+
+
+def _vocab_docs(spark, n=300, seed=1):
+    """Separable corpus: label-0 docs draw from b*, label-1 from g*."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        y = i % 2
+        voc = ([f"g{j}" for j in range(20)] if y
+               else [f"b{j}" for j in range(20)])
+        toks = [voc[rng.integers(20)] for _ in range(30)]
+        rows.append((i, " ".join(toks), y))
+    return spark.createDataFrame(rows, "id bigint, text string, y int")
+
+
+def test_logreg_hashed_separates_vocabularies(spark):
+    df = _vocab_docs(spark)
+    m = models.logreg_fit_hashed(df, "text", "id", "y",
+                                 n_buckets=256, n_iter=25, lr=2.0)
+    sc = models.logreg_score_hashed(df, "text", "id", m)
+    j = sc.join(df.select(F.col("id").alias("id2"), "y"),
+                F.col("id") == F.col("id2"))
+    acc = j.select(F.avg(
+        ((F.col("quality_p") > 0.5).cast("int") == F.col("y"))
+        .cast("double"))).first()[0]
+    assert acc == 1.0
+
+
+def test_logreg_hashed_bit_identical_under_repartition(spark):
+    df = _vocab_docs(spark, n=120, seed=5)
+    a = models.logreg_fit_hashed(df.coalesce(1), "text", "id", "y",
+                                 n_buckets=128, n_iter=8, lr=1.0)
+    b = models.logreg_fit_hashed(df.repartition(9), "text", "id", "y",
+                                 n_buckets=128, n_iter=8, lr=1.0)
+    assert np.array_equal(a["w"], b["w"])
+    assert a["intercept"] == b["intercept"]
+
+
+def test_logreg_hashed_fold_bigrams_variant_trains(spark):
+    df = _vocab_docs(spark, n=100, seed=7)
+    m = models.logreg_fit_hashed(df, "text", "id", "y", n_buckets=128,
+                                 n_iter=10, lr=1.5, fold_bigrams=True)
+    sc = models.logreg_score_hashed(df, "text", "id", m)
+    j = sc.join(df.select(F.col("id").alias("id2"), "y"),
+                F.col("id") == F.col("id2"))
+    acc = j.select(F.avg(
+        ((F.col("quality_p") > 0.5).cast("int") == F.col("y"))
+        .cast("double"))).first()[0]
+    assert acc >= 0.95

@@ -1,0 +1,143 @@
+"""Round-9 session-2 curation ops: URL canonicalization, domain
+blocklist filtering, intra-document repeated-line squash."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from xpysom_dask_spark.operators import dedup, text
+
+
+# ------------------------------------------------------ canonicalize_url
+
+
+CANON_CASES = [
+    # scheme+host lowercase, www/default-port strip, tracker drop,
+    # param sort, fragment drop, trailing-slash strip
+    ("HTTP://WWW.X.com:80/a/?utm_source=f&b=2&a=1#top",
+     "http://x.com/a?a=1&b=2"),
+    ("https://x.com/a?a=1&b=2", "https://x.com/a?a=1&b=2"),
+    ("https://x.com:443/", "https://x.com"),
+    ("http://example.co.uk/path/", "http://example.co.uk/path"),
+    ("https://x.com/a/?fbclid=zz", "https://x.com/a"),
+    ("http://x.com?gclid=1&q=7", "http://x.com?q=7"),
+    # non-URL values pass through untouched
+    ("not a url", "not a url"),
+    ("", ""),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], ["u"])
+    got = [r["c"] for r in
+           df.select(text.canonicalize_url("u").alias("c"))
+           .collect()]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonicalize_url_idempotent_and_jvm_side(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], ["u"])
+    once = df.select(text.canonicalize_url("u").alias("u"))
+    twice = once.select(text.canonicalize_url("u").alias("u"))
+    assert [r["u"] for r in once.collect()] == \
+           [r["u"] for r in twice.collect()]
+    plan = once._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonicalize_url_feeds_exact_dedup(spark):
+    # the same page under 3 surface forms → one survivor
+    df = spark.createDataFrame(
+        [(1, "http://WWW.a.com/p/?utm_medium=x"),
+         (2, "http://a.com/p"),
+         (3, "http://a.com:80/p/"),
+         (4, "http://a.com/q")], ["id", "url"])
+    canon = df.withColumn("url", text.canonicalize_url("url"))
+    kept = dedup.dedup_exact(canon, "url", "id").collect()
+    groups = sorted((r["keeper"], r["n_copies"]) for r in kept)
+    assert groups == [(1, 3), (4, 1)]
+
+
+# ----------------------------------------------- domain_blocklist_filter
+
+
+def _hosts(spark):
+    return spark.createDataFrame(
+        [(1, "ads.example.com"), (2, "example.com"), (3, "good.com"),
+         (4, "notexample.com"), (5, "sub.bad.org"),
+         (6, "EXAMPLE.COM")], ["id", "host"])
+
+
+def test_domain_blocklist_block_and_allow(spark):
+    bl = spark.createDataFrame([("example.com",), ("bad.org",)],
+                               ["domain"])
+    blocked = text.domain_blocklist_filter(_hosts(spark), "host", bl,
+                                           "id")
+    assert sorted(r["id"] for r in blocked.collect()) == [3, 4]
+    allowed = text.domain_blocklist_filter(_hosts(spark), "host", bl,
+                                           "id", mode="allow")
+    assert sorted(r["id"] for r in allowed.collect()) == [1, 2, 5, 6]
+
+
+def test_domain_blocklist_suffix_is_label_aligned(spark):
+    # 'notexample.com' must NOT match 'example.com' — suffixes are
+    # dot-aligned labels, not string suffixes
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    kept = text.domain_blocklist_filter(_hosts(spark), "host", bl,
+                                        "id")
+    ids = sorted(r["id"] for r in kept.collect())
+    assert 4 in ids and 1 not in ids
+
+
+def test_domain_blocklist_mode_validation(spark):
+    bl = spark.createDataFrame([("x.com",)], ["domain"])
+    with pytest.raises(ValueError, match="mode"):
+        text.domain_blocklist_filter(_hosts(spark), "host", bl, "id",
+                                     mode="nope")
+
+
+# ------------------------------------------------- squash_repeated_lines
+
+
+def _py_squash(t):
+    seen, out, squashed = set(), [], 0
+    for ln in t.split("\n"):
+        if ln in seen:
+            squashed += 1
+        else:
+            seen.add(ln)
+            out.append(ln)
+    return "\n".join(out), squashed
+
+
+def test_squash_repeated_lines_matches_python_oracle(spark):
+    rng = random.Random(9)
+    pool = [f"line-{i}" for i in range(6)]
+    rows = [(i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(1, 12))))
+            for i in range(40)] + [(40, "")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: (r["text"], r["n_lines_squashed"])
+           for r in dedup.squash_repeated_lines(df, "text", "id")
+           .collect()}
+    for i, t in rows:
+        assert got[i] == _py_squash(t), f"doc {i}"
+
+
+def test_squash_repeated_lines_keeps_other_columns_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na", "meta1")], ["id", "text", "m"])
+    r = dedup.squash_repeated_lines(df, "text", "id").first()
+    assert r["text"] == "b\na\nc" and r["n_lines_squashed"] == 2
+    assert r["m"] == "meta1"
+
+
+def test_squash_differs_from_corpus_dedup_lines(spark):
+    # the SAME line repeated inside one doc survives dedup_lines
+    # (df=1 across documents) but is squashed here
+    df = spark.createDataFrame([(1, "x\nx")], ["id", "text"])
+    corpus = dedup.dedup_lines(df, "text", "id", min_df=2).first()
+    intra = dedup.squash_repeated_lines(df, "text", "id").first()
+    assert corpus["text"] == "x\nx"
+    assert intra["text"] == "x"

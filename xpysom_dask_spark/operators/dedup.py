@@ -1016,6 +1016,48 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def squash_repeated_lines(df: DataFrame, text_col: str,
+                          id_col: str) -> DataFrame:
+    """WITHIN-document repeated-line removal: keep the FIRST
+    occurrence of each exact line inside each document, preserving
+    line order — the RefinedWeb-style cleanup for pages that repeat a
+    cookie banner / nav block many times in ONE page, which
+    corpus-wide line dedup (:func:`dedup_lines`, df ≥ min_df across
+    DOCUMENTS) deliberately does not touch when the repetition is
+    intra-document only.
+
+    Returns the input rows with ``text_col`` rebuilt plus
+    ``n_lines_squashed``.  Scale shape — all codegen, no Python, no
+    quadratic per-doc work: line posexplode (narrow) → min(pos) per
+    (id, line-md5) keeps the canonical occurrence → groupBy(id)
+    rebuild via the sort-free collect_list + array_sort struct trick.
+    Traffic is O(corpus lines) digests, keyed by (id, md5) so a
+    boilerplate-heavy line never concentrates on one reducer.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    total = F.count(F.lit(1))
+    firsts = (lines.groupBy("id", F.md5("line").alias("lh"))
+              .agg(F.min("pos").alias("pos"),
+                   F.min_by("line", "pos").alias("line"),
+                   total.alias("occ")))
+    rebuilt = (firsts.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("pos", "line"))),
+                lambda s: s.getField("line")), "\n").alias("__clean"),
+        (F.sum("occ") - F.count(F.lit(1))).cast("int")
+        .alias("n_lines_squashed")))
+    return (df.join(rebuilt.withColumnRenamed("id", id_col), id_col,
+                    "left")
+            .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+            .withColumn("n_lines_squashed",
+                        F.coalesce("n_lines_squashed", F.lit(0)))
+            .drop("__clean"))
+
+
 def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
                      sep: str = "\n",
                      max_segments: int | None = None) -> DataFrame:

@@ -147,6 +147,395 @@ def ridge_score(df: DataFrame, model: dict,
     return df.withColumn(out_col, expr)
 
 
+#: per-row gradient/Hessian terms are quantized to this many decimal
+#: places before summation — sums of integers are accumulation-order
+#: free, so the fitted weights are a pure function of the data
+#: (bit-identical under repartitioning).  The quantization IS part of
+#: the model definition, not an approximation of some "true" float fit.
+GRAD_DECIMALS = 9
+
+#: hashed-feature weight vectors ride the plan as a literal array
+#: (map-side margin lookup, no join); bound the dimension so the plan
+#: stays small.  2^16 doubles ≈ 1.5 MB of literals — above that, the
+#: right layout is a broadcast-join weight RELATION (see
+#: logreg_fit_hashed's docstring).
+MAX_HASHED_DIM = 1 << 16
+
+
+def _q(col: "F.Column") -> "F.Column":
+    """Exact-integer quantization of a per-row double term: round to
+    GRAD_DECIMALS places, carry as DECIMAL(38,0).  ROUND on a DOUBLE is
+    a pure per-row function; only the SUM is order-sensitive, and the
+    sum of integers is exact."""
+    s = 10 ** GRAD_DECIMALS
+    return F.round(col * F.lit(float(s)), 0).cast("decimal(38,0)")
+
+
+def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
+               n_iter: int = 12, l2: float = 1e-6,
+               tol: float = 1e-9) -> dict:
+    """Logistic regression by Newton/IRLS over a bounded feature set —
+    the calibrated-probability counterpart of :func:`ridge_fit` for
+    when the decision is a THRESHOLD ("keep p(quality) > 0.8", the
+    CCNet / GPT-3-style classifier gate) rather than a top-fraction
+    rank, where the least-squares probe's uncalibrated scores don't
+    compose across corpora.
+
+    Per Newton step ONE aggregate job: with p = σ(b + wᵀx) computed
+    row-side, the gradient Σ(p−y)·x_j (d+1 sums) and Hessian
+    Σ p(1−p)·x_i·x_j (d(d+1)/2 sums) are map-side combinable — shuffle
+    traffic O(d²) doubles per step regardless of corpus size, and
+    Newton needs ~5-10 steps where constant-rate GD needs hundreds of
+    jobs.  Driver work is an O(d³) solve on d ≤ 64.
+
+    Determinism: every per-row term is quantized to GRAD_DECIMALS
+    places before summation (exact DECIMAL(38,0) integer sums), so the
+    fit is bit-identical under repartitioning.  Cross-engine replay is
+    NOT claimed — σ needs exp(), whose last-ulp behavior is libm's —
+    so this surface carries test-only evidence (numpy-replay parity at
+    1e-6, exact repartition invariance) per the round-9 gate-slot
+    policy.
+
+    Returns ``{"cols", "coef", "intercept", "l2", "n", "n_iter_run",
+    "converged"}``.  Labels must be 0/1; rows with any NULL feature or
+    label are excluded (same contract as ridge_fit).
+    """
+    d = len(feature_cols)
+    if not 1 <= d <= MAX_PROBE_FEATURES:
+        raise ValueError(
+            f"logreg_fit: {d} features; must be 1..{MAX_PROBE_FEATURES}"
+            " — for hashed text features use logreg_fit_hashed.")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    cond = F.col(label_col).isNotNull() & F.col(label_col).isin(0, 1)
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        *[F.col(c).cast("double").alias(f"x{i}")
+          for i, c in enumerate(feature_cols)],
+        F.col(label_col).cast("double").alias("y"))
+    base = base.persist()
+    try:
+        n = base.count()
+        if not n:
+            raise ValueError("logreg_fit: no rows with non-null "
+                             "features and a 0/1 label")
+        w = np.zeros(d)
+        b = 0.0
+        it = 0
+        converged = False
+        s = float(10 ** GRAD_DECIMALS)
+        for it in range(1, n_iter + 1):
+            z = F.lit(b)
+            for i in range(d):
+                z = z + F.col(f"x{i}") * F.lit(float(w[i]))
+            # σ via the numerically-stable split; exp of a negative
+            # argument only, so p ∈ (0, 1) without overflow
+            p = F.when(z >= 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
+                 .otherwise(F.exp(z) / (F.lit(1.0) + F.exp(z)))
+            r = p - F.col("y")          # gradient residual
+            h = p * (F.lit(1.0) - p)    # Hessian weight
+            aggs = [F.sum(_q(r)).alias("g_b"),
+                    F.sum(_q(h)).alias("h_bb")]
+            for i in range(d):
+                aggs.append(F.sum(_q(r * F.col(f"x{i}")))
+                            .alias(f"g{i}"))
+                aggs.append(F.sum(_q(h * F.col(f"x{i}")))
+                            .alias(f"h_b{i}"))
+                for j in range(i, d):
+                    aggs.append(F.sum(_q(h * F.col(f"x{i}")
+                                          * F.col(f"x{j}")))
+                                .alias(f"h{i}_{j}"))
+            row = base.agg(*aggs).first()
+            g = np.empty(d + 1)
+            g[0] = float(row["g_b"]) / s
+            H = np.zeros((d + 1, d + 1))
+            H[0, 0] = float(row["h_bb"]) / s
+            for i in range(d):
+                g[i + 1] = float(row[f"g{i}"]) / s + l2 * w[i]
+                H[0, i + 1] = H[i + 1, 0] = float(row[f"h_b{i}"]) / s
+                for j in range(i, d):
+                    H[i + 1, j + 1] = H[j + 1, i + 1] = \
+                        float(row[f"h{i}_{j}"]) / s
+            for i in range(d):
+                H[i + 1, i + 1] += l2
+            # damp the Newton system the standard way (Levenberg):
+            # tiny ridge keeps H invertible when p saturates
+            H += 1e-12 * np.eye(d + 1)
+            step = np.linalg.solve(H, g)
+            b -= float(step[0])
+            w -= step[1:]
+            if float(np.max(np.abs(step))) < tol:
+                converged = True
+                break
+        return {"cols": list(feature_cols), "coef": w,
+                "intercept": float(b), "l2": float(l2), "n": int(n),
+                "n_iter_run": it, "converged": converged}
+    finally:
+        base.unpersist()
+
+
+def logreg_score(df: DataFrame, model: dict,
+                 out_col: str = "quality_p") -> DataFrame:
+    """Append p(label=1) — a codegen'd linear expression + one exp()
+    (whole-stage, no UDF, no shuffle): scores 100 TB at scan speed.
+    Uses the same stable-σ split as training."""
+    z = F.lit(model["intercept"])
+    for c, wi in zip(model["cols"], model["coef"]):
+        z = z + F.col(c).cast("double") * F.lit(float(wi))
+    p = F.when(z >= 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
+         .otherwise(F.exp(z) / (F.lit(1.0) + F.exp(z)))
+    return df.withColumn(out_col, p)
+
+
+#: bigram fold constants — the text._hashed_ngram_features convention
+_FOLD_MULT = 65599
+_FOLD_MOD = 1 << 40
+
+
+def _doc_buckets(text: str, n_buckets: int, fold_bigrams: bool):
+    """Hashed unigram+bigram bucket counts of one document — the
+    Python twin of ``text._hashed_ngram_features`` (same whitespace
+    tokens, same 48-bit md5 fold with seed 0, same bigram join /
+    fold), so the classifier's features stay in the engine-wide hash
+    family.  Returns (sorted bucket ids, counts)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text or "") if t]
+    if not toks:
+        return [], []
+    h = [int(hashlib.md5(f"0:{t}".encode("utf-8", "surrogatepass"))
+             .hexdigest()[:12], 16) for t in toks]
+    if fold_bigrams:
+        feats = [x % n_buckets for x in h]
+        feats += [((a % _FOLD_MOD) * _FOLD_MULT + b) % n_buckets
+                  for a, b in zip(h, h[1:])]
+    else:
+        feats = [x % n_buckets for x in h]
+        feats += [int(hashlib.md5(
+            f"0:{a} {b}".encode("utf-8", "surrogatepass"))
+            .hexdigest()[:12], 16) % n_buckets
+            for a, b in zip(toks, toks[1:])]
+    cnt: dict = {}
+    for f_ in feats:
+        cnt[f_] = cnt.get(f_, 0) + 1
+    bs = sorted(cnt)
+    return bs, [float(cnt[b]) for b in bs]
+
+
+def _featurize_factory(text_name: str, keep_name: str, keep_out: str,
+                       n_buckets: int, fold_bigrams: bool):
+    """mapInPandas featurizer: one NARROW pass (no shuffle) emitting
+    ``(keep_out, nt, bs, cs)`` per document — the carried column is
+    the label (fit) or the id (score)."""
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            bss, css, nts = [], [], []
+            for t in pdf[text_name]:
+                bs, cs = _doc_buckets(t, n_buckets, fold_bigrams)
+                bss.append(bs)
+                css.append(cs)
+                nts.append(float(len(cs) and sum(cs)))
+            yield pd.DataFrame({keep_out: pdf[keep_name],
+                                "nt": nts, "bs": bss, "cs": css})
+
+    return fn
+
+
+def _grad_kernel_factory(bc, n_buckets: int):
+    """mapInArrow gradient/curvature partials — the SOM-trainer shape
+    (plans/training.py:82): weights travel via broadcast, each
+    partition emits ONE row of exact int64 e9-quantized sums
+    (index 0 = intercept, 1.. = buckets).  Per-bucket |Σ| stays under
+    int64 below ~9e9 documents per bucket — far beyond any corpus."""
+    s = float(10 ** GRAD_DECIMALS)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        w, b = bc.value
+        g_acc = np.zeros(n_buckets + 1, dtype=np.int64)
+        h_acc = np.zeros(n_buckets + 1, dtype=np.int64)
+        for batch in batches:
+            y = batch.column(0).to_numpy(zero_copy_only=False)
+            nt = batch.column(1).to_numpy(zero_copy_only=False)
+            bs_arr = batch.column(2)
+            cs_arr = batch.column(3)
+            flat_bs = bs_arr.flatten().to_numpy(zero_copy_only=False)
+            flat_cs = cs_arr.flatten().to_numpy(zero_copy_only=False)
+            noff = np.asarray(bs_arr.offsets)
+            counts = np.diff(noff)
+            n_rows = len(y)
+            if n_rows == 0:
+                continue
+            keep = nt > 0
+            row_idx = np.repeat(np.arange(n_rows), counts)
+            contrib = np.where(keep[row_idx],
+                               w[flat_bs] * flat_cs
+                               / np.maximum(nt[row_idx], 1.0), 0.0)
+            z = b + np.bincount(row_idx, weights=contrib,
+                                minlength=n_rows)
+            p = np.empty_like(z)
+            pos = z >= 0
+            p[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+            ez = np.exp(z[~pos])
+            p[~pos] = ez / (1.0 + ez)
+            resid = p - y
+            hh = p * (1.0 - p)
+            g_acc[0] += np.rint(resid * s).astype(np.int64).sum()
+            h_acc[0] += np.rint(hh * s).astype(np.int64).sum()
+            ntr = np.maximum(nt[row_idx], 1.0)
+            gq = np.rint(resid[row_idx] * flat_cs / ntr * s) \
+                .astype(np.int64)
+            hq = np.rint(hh[row_idx] * flat_cs * flat_cs
+                         / (ntr * ntr) * s).astype(np.int64)
+            np.add.at(g_acc, flat_bs + 1, gq)
+            np.add.at(h_acc, flat_bs + 1, hq)
+        yield pa.RecordBatch.from_pydict(
+            {"g": pa.array([g_acc.tobytes()], pa.binary()),
+             "h": pa.array([h_acc.tobytes()], pa.binary())})
+
+    return fn
+
+
+def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
+                      label_col: str, n_buckets: int = 4096,
+                      n_iter: int = 15, lr: float = 1.0,
+                      l2: float = 1e-6, max_step: float = 1.0,
+                      fold_bigrams: bool = False) -> dict:
+    """fastText/CCNet-shape quality classifier: logistic regression
+    over hashed unigram+bigram bag-of-ngrams features (length-
+    normalized counts), trained by damped DIAGONAL-Newton steps.
+
+    Why not constant-rate GD: with x_b = count/n_tokens the per-bucket
+    curvature varies by orders of magnitude (a rare marker token's
+    gradient is tiny even when it is perfectly predictive), so any
+    single learning rate either stalls the rare features or blows up
+    the common ones.  The per-bucket Newton step g_b/(h_b+λ) is
+    scale-free; the ``max_step`` clip bounds the overshoot that the
+    ignored off-diagonals (co-occurring markers) would cause.  ``lr``
+    multiplies the clipped step (1.0 = pure damped Newton).
+
+    The 100 TB shape — per iteration ONE job, no corpus shuffle:
+
+    * the weight vector rides the plan as a LITERAL array (d ≤ 2^16),
+      so each doc's margin is a map-side ``aggregate(zip_with(...))``
+      over its own (bucket, count) arrays — no join, no groupBy;
+    * per-bucket gradient Σ resid·x_b AND curvature Σ p(1−p)·x_b²
+      ride ONE explode (intercept as bucket −1) into a hash
+      aggregate — map-side combine caps shuffle traffic at
+      partitions × n_buckets rows per step (corpus text was hashed
+      ONCE, before the loop).
+
+    Above 2^16 buckets the literal-array margin stops being the right
+    layout; that regime wants a broadcast-join weight relation and is
+    deliberately out of scope (raise, pointing here).
+
+    Determinism: per-doc gradient/curvature terms quantized to
+    GRAD_DECIMALS before the bucket sums (exact integers;
+    repartition-invariant).  Returns ``{"w": ndarray(n_buckets),
+    "intercept", "n_buckets", "fold_bigrams", "n", "n_iter_run",
+    "lr", "l2"}``.
+    """
+    if not 2 <= n_buckets <= MAX_HASHED_DIM:
+        raise ValueError(
+            f"logreg_fit_hashed: n_buckets must be 2..{MAX_HASHED_DIM} "
+            "(literal-array margin; a larger model wants a broadcast-"
+            f"join weight relation), got {n_buckets}")
+    if n_iter < 1 or lr <= 0 or max_step <= 0:
+        raise ValueError(f"need n_iter >= 1, lr > 0 and max_step > 0, "
+                         f"got {n_iter}, {lr}, {max_step}")
+    lab = df.where(F.col(label_col).isNotNull()
+                   & F.col(label_col).isin(0, 1)) \
+            .select(F.col(text_col).alias("__t"),
+                    F.col(label_col).cast("double").alias("y"))
+    docs = lab.mapInPandas(
+        _featurize_factory("__t", "y", "y", n_buckets, fold_bigrams),
+        "y double, nt double, bs array<int>, cs array<double>") \
+        .where(F.col("nt") > 0).persist()
+    sc = df.sparkSession.sparkContext
+    try:
+        n = docs.count()
+        if not n:
+            raise ValueError("logreg_fit_hashed: no rows with a 0/1 "
+                             "label and at least one token")
+        w = np.zeros(n_buckets)
+        b = 0.0
+        s = float(10 ** GRAD_DECIMALS)
+        for it in range(1, n_iter + 1):
+            bc = sc.broadcast((w, b))
+            parts = docs.mapInArrow(
+                _grad_kernel_factory(bc, n_buckets),
+                "g binary, h binary").collect()
+            bc.destroy()
+            g_tot = np.zeros(n_buckets + 1, dtype=np.int64)
+            h_tot = np.zeros(n_buckets + 1, dtype=np.int64)
+            for row in parts:
+                g_tot += np.frombuffer(row["g"], dtype=np.int64)
+                h_tot += np.frombuffer(row["h"], dtype=np.int64)
+            g = g_tot.astype(np.float64) / s
+            hh = h_tot.astype(np.float64) / s
+            step_b = g[0] / (hh[0] + 1e-9)
+            b -= lr * float(np.clip(step_b, -max_step, max_step))
+            steps = (g[1:] + l2 * w) / (hh[1:] + l2 + 1e-9)
+            w -= lr * np.clip(steps, -max_step, max_step)
+        return {"w": w, "intercept": float(b),
+                "n_buckets": int(n_buckets),
+                "fold_bigrams": bool(fold_bigrams), "n": int(n),
+                "n_iter_run": int(n_iter), "lr": float(lr),
+                "l2": float(l2)}
+    finally:
+        docs.unpersist()
+
+
+def logreg_score_hashed(df: DataFrame, text_col: str, id_col: str,
+                        model: dict,
+                        out_col: str = "quality_p") -> DataFrame:
+    """Score ``(id, p)`` with a :func:`logreg_fit_hashed` model: ONE
+    narrow mapInPandas pass (featurize + margin + σ in the same Arrow
+    batch, weights via broadcast) — no join, no shuffle, scan-speed.
+    Documents with no tokens score the intercept-only probability.
+    The id column keeps its input type (the unigram.py typing
+    lesson)."""
+    n_buckets = int(model["n_buckets"])
+    fold = bool(model["fold_bigrams"])
+    id_type = df.schema[id_col].dataType.simpleString()
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((np.asarray(model["w"], dtype=np.float64),
+                       float(model["intercept"])))
+
+    def fn(it):
+        import pandas as pd
+
+        w, b = bc.value
+        for pdf in it:
+            ps = []
+            for t in pdf["__t"]:
+                bs, cs = _doc_buckets(t, n_buckets, fold)
+                z = b
+                if cs:
+                    nt = float(sum(cs))
+                    z = b + float(np.dot(
+                        w[np.asarray(bs, dtype=np.int64)],
+                        np.asarray(cs))) / nt
+                if z >= 0:
+                    p = 1.0 / (1.0 + float(np.exp(-z)))
+                else:
+                    ez = float(np.exp(z))
+                    p = ez / (1.0 + ez)
+                ps.append(p)
+            yield pd.DataFrame({"id": pdf["__id"], out_col: ps})
+
+    return df.select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__t")) \
+             .mapInPandas(fn, f"id {id_type}, {out_col} double")
+
+
 def probe_filter(df: DataFrame, model: dict, keep_fraction: float,
                  id_col: str, out_col: str = "probe_score") -> DataFrame:
     """Keep the top ``keep_fraction`` of rows by probe score — the

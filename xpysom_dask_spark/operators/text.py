@@ -733,6 +733,94 @@ def extract_urls(df, text_col: str, id_col: str):
             .withColumn("domain", domain))
 
 
+#: query parameters that never change the resource: click/campaign
+#: trackers.  The list is the common curation set; extend per corpus.
+_TRACKING_PARAM_RE = (r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|"
+                      r"mc_cid|mc_eid|igshid|ref|ref_src|spm|yclid|"
+                      r"_ga|mkt_tok)=")
+
+
+def canonicalize_url(col) -> Column:
+    """Canonical form of a URL column — the key URL-level dedup and
+    per-URL frequency counting should group on (the same crawl page
+    arrives as ``http://WWW.X.com/a/?utm_source=feed#top`` and
+    ``https://x.com/a``):
+
+    * scheme + host lowercased; ``www.`` and default ports
+      (``:80`` http / ``:443`` https) stripped from the host;
+    * fragment dropped; tracking query params
+      (``utm_*``/``gclid``/...) removed; surviving params sorted
+      (param ORDER is almost never semantic — the standard
+      canonicalization trade, documented here);
+    * trailing slashes stripped from the path, so ``/a/`` ≡ ``/a``
+      and the root path ≡ no path.
+
+    Pure codegen string/array expressions (regexp + split + filter +
+    array_sort + concat) — scan-speed, no UDF, no shuffle.  Values
+    that don't look like an http(s) URL pass through unchanged, so
+    the function is safe on mixed columns.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([Hh][Tt][Tt][Pp][Ss]?)://", 1))
+    hostport = F.lower(F.regexp_extract(
+        u, r"^[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.\-:]+)", 1))
+    rest = F.regexp_extract(
+        u, r"^[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.\-:]+(.*)$", 1)
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    parts = F.split(rest, r"\?", 2)
+    path = F.regexp_replace(F.element_at(parts, 1), r"/+$", "")
+    query = F.when(F.size(parts) > 1, F.element_at(parts, 2)) \
+             .otherwise(F.lit(""))
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE)))
+    qtail = F.when(F.size(kept) > 0,
+                   F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+             .otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, path, qtail)
+    return F.when(scheme == "", c).otherwise(canon)
+
+
+def domain_blocklist_filter(df, host_col: str, blocklist_df,
+                            id_col: str, mode: str = "block"):
+    """Drop (``mode='block'``) or keep (``'allow'``) rows whose host
+    matches a domain list by SUFFIX — ``ads.example.com`` matches a
+    listed ``example.com`` — the crawl-curation blocklist gate
+    (UT1/adult/malware lists are registrable domains; subdomains must
+    inherit the verdict).
+
+    Scale shape: each host explodes into its ≤ label-count dot-suffixes
+    (bounded fanout, narrow), left-semi joins the blocklist (AQE
+    broadcasts it while it is small — real blocklists are a few
+    million rows, well inside broadcast range after dedup), and the
+    matched-id set anti/semi-joins back on ``id_col``.  The corpus
+    text never moves — only (id, suffix) digests.  ``blocklist_df``
+    must have a ``domain`` column, already lowercased registrable
+    domains."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."))
+    matched = (df.select(F.col(id_col).alias("__mid"),
+                         F.explode(sufs).alias("__suf"))
+               .join(blocklist_df.select(
+                   F.lower(F.col("domain")).alias("__suf")),
+                   "__suf", "left_semi")
+               .select("__mid").distinct())
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(matched,
+                   F.col(id_col) == F.col("__mid"), how)
+
+
 def domain_counts(df, text_col: str, id_col: str):
     """Per-domain link statistics over the corpus: ``(domain, n_urls,
     n_docs)`` — the input to per-domain caps and link-farm detection

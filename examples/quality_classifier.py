@@ -111,7 +111,11 @@ def main(sf_dir: str) -> None:
     print(f"hashed model: n_buckets={m_hash['n_buckets']} "
           f"train-accuracy={acc:.3f}")
 
-    # ---- stage 4: the gate --------------------------------------------
+    # ---- stage 4: calibration audit + the gate ------------------------
+    rel = models.calibration_report(joined, "quality_p", "y").collect()
+    ece = sum(r["n"] * abs(r["gap_e6"]) for r in rel) \
+        / sum(r["n"] for r in rel) / 1e6
+    print(f"reliability bins: {len(rel)}, ECE={ece:.4f}")
     kept = joined.where(F.col("quality_p") > 0.5)
     mix = kept.groupBy("y").count().orderBy("y").collect()
     print("kept mix by weak label:",

@@ -33,3 +33,49 @@ def test_cluster_smoke_subset():
                                   proc.stderr[-1500:])
     assert "som_train_epoch: OK" in proc.stdout
     assert "dedup_minhash: OK" in proc.stdout
+
+
+def test_hashed_classifier_cluster_parity():
+    """The hashed-logreg trainer crosses every executor boundary the
+    SOM kernel does (broadcast ndarray weights, mapInArrow closures,
+    worker-side hashlib) — fit on a REAL two-executor local-cluster
+    must equal the local[4] fit BIT-FOR-BIT (exact int64 partial
+    sums)."""
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+import numpy as np
+from pyspark.sql import SparkSession
+
+rows = [(i, " ".join(
+    ("g%%d" %% ((i * 7 + j) %% 19)) if i %% 2 else
+    ("b%%d" %% ((i * 5 + j) %% 17)) for j in range(25)), i %% 2)
+    for i in range(120)]
+
+
+def fit(master):
+    spark = (SparkSession.builder.master(master)
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    from xpysom_dask_spark.operators import models
+    from xpysom_dask_spark.plans.exchange import ship_package
+    ship_package(spark)
+    df = spark.createDataFrame(rows, "id bigint, text string, y int")
+    m = models.logreg_fit_hashed(df.repartition(5), "text", "id",
+                                 "y", n_buckets=256, n_iter=4)
+    spark.stop()
+    return m
+
+
+a = fit("local-cluster[2,4,2048]")
+b = fit("local[4]")
+ok = (np.array_equal(a["w"], b["w"])
+      and a["intercept"] == b["intercept"])
+print("cluster_parity:", "OK" if ok else "MISMATCH")
+sys.exit(0 if ok else 1)
+""" % (REPO,)
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, (proc.stdout[-1500:],
+                                  proc.stderr[-1500:])
+    assert "cluster_parity: OK" in proc.stdout

@@ -235,3 +235,100 @@ def test_logreg_hashed_fold_bigrams_variant_trains(spark):
         ((F.col("quality_p") > 0.5).cast("int") == F.col("y"))
         .cast("double"))).first()[0]
     assert acc >= 0.95
+
+
+def test_logreg_hashed_tree_reduce_bit_identical(spark):
+    # the bucketed applyInPandas partial reduce (the >64 MB-of-blobs
+    # path a 1000-partition cluster takes) must produce EXACTLY the
+    # driver-summed weights — integer partial sums commute
+    df = _vocab_docs(spark, n=80, seed=11).repartition(6)
+    flat = models.logreg_fit_hashed(df, "text", "id", "y",
+                                    n_buckets=512, n_iter=4,
+                                    tree_reduce=False)
+    tree = models.logreg_fit_hashed(df, "text", "id", "y",
+                                    n_buckets=512, n_iter=4,
+                                    tree_reduce=True)
+    assert np.array_equal(flat["w"], tree["w"])
+    assert flat["intercept"] == tree["intercept"]
+
+
+def test_logreg_hashed_fasttext_scale_dim(spark):
+    # 2^18 buckets: broadcast + blob machinery at fastText scale
+    # (auto tree threshold stays off at 4 partitions; the point is
+    # the dimension, not the fanout)
+    df = _vocab_docs(spark, n=60, seed=13)
+    m = models.logreg_fit_hashed(df, "text", "id", "y",
+                                 n_buckets=1 << 18, n_iter=3)
+    assert m["n_buckets"] == 1 << 18
+    sc = models.logreg_score_hashed(df, "text", "id", m)
+    j = sc.join(df.select(F.col("id").alias("id2"), "y"),
+                F.col("id") == F.col("id2"))
+    acc = j.select(F.avg(
+        ((F.col("quality_p") > 0.5).cast("int") == F.col("y"))
+        .cast("double"))).first()[0]
+    assert acc >= 0.95
+
+
+def test_calibration_report_matches_python_oracle(spark):
+    rng = np.random.default_rng(17)
+    p = np.round(rng.random(800), 6)
+    y = (rng.random(800) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(p, y)], ["p", "y"])
+    got = {r["bin"]: r for r in
+           models.calibration_report(df, "p", "y").collect()}
+    for b in range(10):
+        m = (np.minimum((p * 10).astype(int), 9)) == b
+        if not m.any():
+            assert b not in got
+            continue
+        r = got[b]
+        assert r["n"] == int(m.sum())
+        want_mean = int(np.floor(
+            np.rint(p[m] * 1e9).sum() / m.sum() / 1000.0 + 0.5))
+        assert abs(r["mean_p_e6"] - want_mean) <= 1
+        assert r["rate_e6"] == int(np.floor(
+            y[m].sum() * 1e6 / m.sum() + 0.5))
+        assert r["gap_e6"] == r["mean_p_e6"] - r["rate_e6"]
+    # well-calibrated by construction: gaps are sampling noise only
+    # (~80 rows/decile → s.e. ≈ 0.056; 0.25 is a >4-sigma bound)
+    assert all(abs(r["gap_e6"]) < 250000 for r in got.values())
+    with pytest.raises(ValueError, match="n_bins"):
+        models.calibration_report(df, "p", "y", n_bins=1)
+
+
+def test_save_load_classifier_roundtrip(tmp_path, spark):
+    df, _, _ = _logit_data(spark, n=200, seed=19)
+    m = models.logreg_fit(df, ["f0", "f1"], "y", n_iter=6)
+    p = str(tmp_path / "clf.npz")
+    models.save_classifier(m, p)
+    back = models.load_classifier(p)
+    assert np.array_equal(back["coef"], m["coef"])
+    assert back["intercept"] == m["intercept"]
+    assert back["cols"] == m["cols"] and back["n"] == m["n"]
+    # hashed model (big array member)
+    dfh = _vocab_docs(spark, n=40, seed=23)
+    mh = models.logreg_fit_hashed(dfh, "text", "id", "y",
+                                  n_buckets=128, n_iter=3)
+    p2 = str(tmp_path / "clf2.npz")
+    models.save_classifier(mh, p2)
+    back2 = models.load_classifier(p2)
+    assert np.array_equal(back2["w"], mh["w"])
+    assert back2["n_buckets"] == 128
+    # loaded model scores identically
+    a = models.logreg_score_hashed(dfh, "text", "id", mh).collect()
+    b = models.logreg_score_hashed(dfh, "text", "id", back2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_filter_by_score_both_directions(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], ["id", "s"])
+    hi = models.filter_by_score(df, "s", 0.25).collect()
+    assert 200 <= len(hi) <= 300
+    assert min(r["s"] for r in hi) >= 700
+    lo = models.filter_by_score(df, "s", 0.25, keep_high=False)
+    assert max(r["s"] for r in lo.collect()) <= 300
+    assert models.filter_by_score(df, "s", 1.0).count() == 1000
+    with pytest.raises(ValueError, match="keep_fraction"):
+        models.filter_by_score(df, "s", 0.0)

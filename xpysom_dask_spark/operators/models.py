@@ -154,12 +154,18 @@ def ridge_score(df: DataFrame, model: dict,
 #: the model definition, not an approximation of some "true" float fit.
 GRAD_DECIMALS = 9
 
-#: hashed-feature weight vectors ride the plan as a literal array
-#: (map-side margin lookup, no join); bound the dimension so the plan
-#: stays small.  2^16 doubles ≈ 1.5 MB of literals — above that, the
-#: right layout is a broadcast-join weight RELATION (see
-#: logreg_fit_hashed's docstring).
-MAX_HASHED_DIM = 1 << 16
+#: hashed-feature weight vectors travel by broadcast (8 B/bucket) and
+#: come back as one int64 partial blob per partition per step; 2^20
+#: buckets = an 8 MB broadcast and 16 MB blobs — the fastText-scale
+#: ceiling.  Above the tree threshold the blobs reduce through one
+#: bucketed applyInPandas level so the driver never materializes
+#: O(partitions) of them (the SOM trainer's fanout idiom).
+MAX_HASHED_DIM = 1 << 20
+
+#: collect partials directly while partitions × blob stays under this;
+#: beyond it, insert the tree level
+_TREE_REDUCE_BYTES = 64 << 20
+_TREE_FANOUT = 8
 
 
 def _q(col: "F.Column") -> "F.Column":
@@ -347,16 +353,18 @@ def _featurize_factory(text_name: str, keep_name: str, keep_out: str,
     return fn
 
 
-def _grad_kernel_factory(bc, n_buckets: int):
+def _grad_kernel_factory(bc, n_buckets: int, fanout: int = _TREE_FANOUT):
     """mapInArrow gradient/curvature partials — the SOM-trainer shape
     (plans/training.py:82): weights travel via broadcast, each
     partition emits ONE row of exact int64 e9-quantized sums
-    (index 0 = intercept, 1.. = buckets).  Per-bucket |Σ| stays under
-    int64 below ~9e9 documents per bucket — far beyond any corpus."""
+    (index 0 = intercept, 1.. = buckets), tagged ``pid % fanout`` for
+    the optional tree-reduce level.  Per-bucket |Σ| stays under int64
+    below ~9e9 documents per bucket — far beyond any corpus."""
     s = float(10 ** GRAD_DECIMALS)
 
     def fn(batches):
         import pyarrow as pa
+        from pyspark import TaskContext
 
         w, b = bc.value
         g_acc = np.zeros(n_buckets + 1, dtype=np.int64)
@@ -396,9 +404,29 @@ def _grad_kernel_factory(bc, n_buckets: int):
                          / (ntr * ntr) * s).astype(np.int64)
             np.add.at(g_acc, flat_bs + 1, gq)
             np.add.at(h_acc, flat_bs + 1, hq)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         yield pa.RecordBatch.from_pydict(
-            {"g": pa.array([g_acc.tobytes()], pa.binary()),
+            {"blk": pa.array([pid % fanout], pa.int32()),
+             "g": pa.array([g_acc.tobytes()], pa.binary()),
              "h": pa.array([h_acc.tobytes()], pa.binary())})
+
+    return fn
+
+
+def _blob_reducer(n_buckets: int):
+    """applyInPandas per-block partial merge: sums of int64 blobs."""
+    def fn(pdf):
+        import pandas as pd
+
+        g = np.zeros(n_buckets + 1, dtype=np.int64)
+        h = np.zeros(n_buckets + 1, dtype=np.int64)
+        for blob in pdf["g"]:
+            g += np.frombuffer(blob, dtype=np.int64)
+        for blob in pdf["h"]:
+            h += np.frombuffer(blob, dtype=np.int64)
+        return pd.DataFrame({"blk": [int(pdf["blk"].iloc[0])],
+                             "g": [g.tobytes()], "h": [h.tobytes()]})
 
     return fn
 
@@ -407,7 +435,8 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
                       label_col: str, n_buckets: int = 4096,
                       n_iter: int = 15, lr: float = 1.0,
                       l2: float = 1e-6, max_step: float = 1.0,
-                      fold_bigrams: bool = False) -> dict:
+                      fold_bigrams: bool = False,
+                      tree_reduce: bool | None = None) -> dict:
     """fastText/CCNet-shape quality classifier: logistic regression
     over hashed unigram+bigram bag-of-ngrams features (length-
     normalized counts), trained by damped DIAGONAL-Newton steps.
@@ -423,18 +452,23 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
 
     The 100 TB shape — per iteration ONE job, no corpus shuffle:
 
-    * the weight vector rides the plan as a LITERAL array (d ≤ 2^16),
-      so each doc's margin is a map-side ``aggregate(zip_with(...))``
-      over its own (bucket, count) arrays — no join, no groupBy;
-    * per-bucket gradient Σ resid·x_b AND curvature Σ p(1−p)·x_b²
-      ride ONE explode (intercept as bucket −1) into a hash
-      aggregate — map-side combine caps shuffle traffic at
-      partitions × n_buckets rows per step (corpus text was hashed
-      ONCE, before the loop).
+    * the corpus is featurized ONCE before the loop — one NARROW
+      mapInPandas pass (whitespace tokens + the engine-wide 48-bit
+      md5 fold), persisted as per-doc (bucket, count) arrays; no
+      shuffle, the text never moves again;
+    * per step, weights broadcast (8 B/bucket) and each partition's
+      mapInArrow kernel returns ONE pair of exact int64 e9-quantized
+      blobs — gradient Σ resid·x_b and curvature Σ p(1−p)·x_b²,
+      intercept at index 0.  Per-step traffic is
+      partitions × 16 B × (n_buckets+1), independent of corpus size;
+    * when partitions × blob outgrows ``_TREE_REDUCE_BYTES`` the
+      blobs reduce through one bucketed applyInPandas level (the SOM
+      trainer's fanout idiom) so the driver sums ``fanout`` blobs,
+      never O(partitions).  ``tree_reduce`` forces either path (the
+      two are bit-identical — integer sums commute; pinned by test).
 
-    Above 2^16 buckets the literal-array margin stops being the right
-    layout; that regime wants a broadcast-join weight relation and is
-    deliberately out of scope (raise, pointing here).
+    d ≤ 2^20 (the fastText-scale ceiling: an 8 MB broadcast per
+    step); above that, shard the model or cut the hash space.
 
     Determinism: per-doc gradient/curvature terms quantized to
     GRAD_DECIMALS before the bucket sums (exact integers;
@@ -445,8 +479,8 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
     if not 2 <= n_buckets <= MAX_HASHED_DIM:
         raise ValueError(
             f"logreg_fit_hashed: n_buckets must be 2..{MAX_HASHED_DIM} "
-            "(literal-array margin; a larger model wants a broadcast-"
-            f"join weight relation), got {n_buckets}")
+            "(8 B/bucket broadcast per step; a larger model should "
+            f"shard the hash space), got {n_buckets}")
     if n_iter < 1 or lr <= 0 or max_step <= 0:
         raise ValueError(f"need n_iter >= 1, lr > 0 and max_step > 0, "
                          f"got {n_iter}, {lr}, {max_step}")
@@ -467,11 +501,20 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
         w = np.zeros(n_buckets)
         b = 0.0
         s = float(10 ** GRAD_DECIMALS)
+        blob = 16 * (n_buckets + 1)
+        n_parts = docs.rdd.getNumPartitions()
+        tree = (n_parts * blob > _TREE_REDUCE_BYTES
+                if tree_reduce is None else bool(tree_reduce))
         for it in range(1, n_iter + 1):
             bc = sc.broadcast((w, b))
-            parts = docs.mapInArrow(
+            partials = docs.mapInArrow(
                 _grad_kernel_factory(bc, n_buckets),
-                "g binary, h binary").collect()
+                "blk int, g binary, h binary")
+            if tree:
+                partials = partials.groupBy("blk").applyInPandas(
+                    _blob_reducer(n_buckets),
+                    "blk int, g binary, h binary")
+            parts = partials.collect()
             bc.destroy()
             g_tot = np.zeros(n_buckets + 1, dtype=np.int64)
             h_tot = np.zeros(n_buckets + 1, dtype=np.int64)
@@ -534,6 +577,93 @@ def logreg_score_hashed(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col).alias("__id"),
                      F.col(text_col).alias("__t")) \
              .mapInPandas(fn, f"id {id_type}, {out_col} double")
+
+
+def save_classifier(model: dict, path: str) -> None:
+    """Persist a ridge/logreg/hashed-logreg model dict to one ``.npz``
+    file: arrays as npz members, scalars/lists as a JSON side member.
+    Pure numpy+json — no pickle, so artifacts are portable across
+    Python versions and inspectable (`np.load(path).files`)."""
+    import json
+
+    arrays, meta = {}, {}
+    for k, v in model.items():
+        if isinstance(v, np.ndarray):
+            arrays[k] = v
+        else:
+            meta[k] = v
+    np.savez(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load_classifier(path: str) -> dict:
+    """Inverse of :func:`save_classifier`."""
+    import json
+
+    with np.load(path) as z:
+        model = {k: z[k] for k in z.files if k != "__meta__"}
+        model.update(json.loads(z["__meta__"].tobytes().decode()))
+    return model
+
+
+def filter_by_score(df: DataFrame, score_col: str,
+                    keep_fraction: float,
+                    keep_high: bool = True) -> DataFrame:
+    """Keep the top (or bottom) ``keep_fraction`` of rows by an
+    existing score column — the generic classifier gate behind
+    :func:`probe_filter`, reusable for logreg probabilities, DSIR
+    weights, perplexities (``keep_high=False``), or any other scalar.
+    ONE sketch-quantile job for the cutoff, then a map-side predicate
+    — the corpus never shuffles.  Rows AT the cutoff keep, so the
+    kept set is a pure function of (scores, fraction)."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], "
+                         f"got {keep_fraction}")
+    if keep_fraction == 1.0:
+        return df
+    q = 1.0 - keep_fraction if keep_high else keep_fraction
+    cut = df.agg(F.percentile_approx(
+        F.col(score_col), F.lit(q), F.lit(10000)).alias("c")) \
+        .first()["c"]
+    pred = (F.col(score_col) >= F.lit(float(cut)) if keep_high
+            else F.col(score_col) <= F.lit(float(cut)))
+    return df.where(pred)
+
+
+def calibration_report(df: DataFrame, p_col: str, label_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability table for a probability column vs its 0/1 label:
+    ``(bin, n, mean_p_e6, rate_e6, gap_e6)`` — one row per probability
+    bin (bin = ⌊p·n_bins⌋, p=1 folded into the top bin), the decile
+    diagram behind ECE/threshold audits of a quality classifier.
+
+    ONE map-side-combinable aggregate; the probability sum is e9-
+    quantized to an exact DECIMAL(38,0) before summing and the label
+    sum is an integer count, so every row is partitioning-independent
+    and the e6 outputs replay in any SQL engine from the same
+    quantization.  ECE = Σ n_b·|gap_b| / Σ n_b, computable from the
+    returned relation with one more line."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    p = F.col(p_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    s = float(10 ** GRAD_DECIMALS)
+    return (df.where(p.isNotNull() & y.isin(0, 1))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.round(p * s, 0).cast("decimal(38,0)"))
+                 .alias("__sp"),
+                 F.sum(y).cast("bigint").alias("__sy"))
+            .select("bin", "n",
+                    F.floor(F.col("__sp") / F.col("n") / 1000.0
+                            + F.lit(0.5)).cast("bigint")
+                    .alias("mean_p_e6"),
+                    F.floor(F.col("__sy") * 1000000.0 / F.col("n")
+                            + F.lit(0.5)).cast("bigint")
+                    .alias("rate_e6"))
+            .withColumn("gap_e6", F.col("mean_p_e6") - F.col("rate_e6"))
+            .orderBy("bin"))
 
 
 def probe_filter(df: DataFrame, model: dict, keep_fraction: float,

@@ -558,3 +558,31 @@ def test_pack_bins_invariants(spark, toks, n_groups):
             assert len(rs) == 1 and rs[0]["oversize"]
     for locals_ in by_group.values():
         assert locals_ == set(range(len(locals_)))
+
+
+def test_canonicalize_url_idempotent_on_fuzzed_strings(spark):
+    """canonicalize(canonicalize(s)) == canonicalize(s) for ANY input
+    — the dedup-key property: a canonical form must be a fixed point,
+    URLs and garbage alike (garbage passes through unchanged)."""
+    import random
+
+    from xpysom_dask_spark.operators.text import canonicalize_url
+
+    rng = random.Random(29)
+    alphabet = "abxyz:/?.&=#@%019-_~ "
+    strs = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 60)))
+            for _ in range(300)]
+    strs += ["http://" + "".join(rng.choice(alphabet)
+                                 for _ in range(rng.randint(0, 40)))
+             for _ in range(300)]
+    strs += ["HTTPS://www.a.b.co.uk:443//x//?b=&a=1&utm_x=9#f",
+             "http://:80/", "http://@/", "http://?#", "http://."]
+    df = spark.createDataFrame([(s,) for s in strs], ["u"])
+    once = [r["c"] for r in
+            df.select(canonicalize_url("u").alias("c")).collect()]
+    df2 = spark.createDataFrame([(s,) for s in once], ["u"])
+    twice = [r["c"] for r in
+             df2.select(canonicalize_url("u").alias("c")).collect()]
+    bad = [(a, b) for a, b in zip(once, twice) if a != b]
+    assert not bad, bad[:5]

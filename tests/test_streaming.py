@@ -624,3 +624,25 @@ def test_ewma_fn_concatenates_chunks_before_sorting():
     pd.testing.assert_frame_equal(
         out_split.reset_index(drop=True), out_one.reset_index(drop=True))
     assert st_split.saved == st_one.saved
+
+
+def test_classify_stream_matches_batch(spark, tmp_path):
+    from xpysom_dask_spark.operators import models
+    from xpysom_dask_spark.streaming.scoring import classify_stream
+
+    rows = [(i, " ".join(
+        (f"g{(i * 7 + j) % 19}" if i % 2 else f"b{(i * 5 + j) % 17}")
+        for j in range(20)), i % 2) for i in range(100)]
+    batch = spark.createDataFrame(rows, "id bigint, text string, y int")
+    m = models.logreg_fit_hashed(batch, "text", "id", "y",
+                                 n_buckets=128, n_iter=4)
+    path = str(tmp_path / "docs")
+    batch.repartition(3).write.parquet(path)
+    stream = _read_stream(spark, path)
+    drained = _drain_append(classify_stream(stream, "text", "id", m),
+                            spark, "clf_stream")
+    want = {r["id"]: r["quality_p"]
+            for r in models.logreg_score_hashed(
+                batch, "text", "id", m).collect()}
+    got = {r["id"]: r["quality_p"] for r in drained.collect()}
+    assert got == want          # bit-identical, not approximately

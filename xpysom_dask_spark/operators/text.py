@@ -763,10 +763,16 @@ def canonicalize_url(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(c, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([Hh][Tt][Tt][Pp][Ss]?)://", 1))
-    hostport = F.lower(F.regexp_extract(
-        u, r"^[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.\-:]+)", 1))
+    # authority = everything between :// and the first /?#; userinfo
+    # ends at the LAST @ inside it (RFC 3986).  Canonicalize ONLY when
+    # what remains is a structurally valid host[:port] — anything else
+    # (IPv6 literals, embedded spaces, junk) passes through unchanged,
+    # which also makes the function a fixed point on its own output.
+    auth = F.regexp_extract(u, r"^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]*)", 1)
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    valid = hostport.rlike(r"^[a-z0-9.\-]+(:[0-9]+)?$")
     rest = F.regexp_extract(
-        u, r"^[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.\-:]+(.*)$", 1)
+        u, r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]*(.*)$", 1)
     host = F.regexp_replace(hostport, r"^www\.", "")
     host = F.when(scheme == "http",
                   F.regexp_replace(host, r":80$", "")) \
@@ -784,7 +790,9 @@ def canonicalize_url(col) -> Column:
                    F.concat(F.lit("?"), F.array_join(kept, "&"))) \
              .otherwise(F.lit(""))
     canon = F.concat(scheme, F.lit("://"), host, path, qtail)
-    return F.when(scheme == "", c).otherwise(canon)
+    # not http(s), or not a well-formed host: pass through unchanged
+    # rather than emit a mangled key
+    return F.when((scheme == "") | ~valid, c).otherwise(canon)
 
 
 def domain_blocklist_filter(df, host_col: str, blocklist_df,

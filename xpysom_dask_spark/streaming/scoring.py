@@ -140,3 +140,22 @@ def stream_zscore(stream_df: DataFrame, moments: DataFrame,
     if threshold is not None:
         out = out.where(F.abs(F.col("z")) >= float(threshold))
     return out
+
+
+def classify_stream(stream_df: DataFrame, text_col: str, id_col: str,
+                    model: dict, out_col: str = "quality_p") -> DataFrame:
+    """Live quality-classifier gate: score a document STREAM with a
+    trained :func:`~..operators.models.logreg_fit_hashed` model — the
+    front-door filter of a streaming ingest pipeline (score at
+    arrival, route by threshold, feed the score distribution to
+    ``psi_stream`` for drift alarms).
+
+    The batch scorer is already the right streaming shape — one
+    stateless narrow mapInPandas pass with the weights broadcast at
+    query start — so this IS the batch plan under Structured
+    Streaming: no state store, no watermark, drained output
+    bit-identical to the batch twin (pinned by test)."""
+    from ..operators.models import logreg_score_hashed
+
+    return logreg_score_hashed(stream_df, text_col, id_col, model,
+                               out_col)

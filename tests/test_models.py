@@ -332,3 +332,28 @@ def test_filter_by_score_both_directions(spark):
     assert models.filter_by_score(df, "s", 1.0).count() == 1000
     with pytest.raises(ValueError, match="keep_fraction"):
         models.filter_by_score(df, "s", 0.0)
+
+
+def test_review_fixes_round9_session3(tmp_path, spark):
+    # save/load round-trips a path WITHOUT the .npz extension
+    df, _, _ = _logit_data(spark, n=100, seed=31)
+    m = models.logreg_fit(df, ["f0", "f1"], "y", n_iter=4)
+    p = str(tmp_path / "model_no_ext")
+    models.save_classifier(m, p)
+    assert np.array_equal(models.load_classifier(p)["coef"], m["coef"])
+    # filter_by_score on all-null scores: empty out, not a crash
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "id bigint, s double")
+    assert models.filter_by_score(nulls, "s", 0.5).count() == 0
+    # calibration_report excludes non-binary labels instead of
+    # truncating them into the bins
+    mixed = spark.createDataFrame(
+        [(0.9, 1.0), (0.9, 0.7), (0.1, 0.0)], ["p", "y"])
+    rows = models.calibration_report(mixed, "p", "y").collect()
+    assert sum(r["n"] for r in rows) == 2
+    # fit validates id_col exists (accepted for signature symmetry)
+    with pytest.raises(ValueError, match="id_col"):
+        models.logreg_fit_hashed(
+            spark.createDataFrame([(1, "a b", 1)],
+                                  "id bigint, text string, y int"),
+            "text", "nope", "y", n_buckets=16, n_iter=1)

@@ -310,7 +310,10 @@ def _doc_buckets(text: str, n_buckets: int, fold_bigrams: bool):
     import hashlib
     import re
 
-    toks = [t for t in re.split(r"\s+", text or "") if t]
+    # Java \s is the ASCII class [ \t\n\x0B\f\r]; Python \s is Unicode
+    # (NBSP etc.) — use the explicit ASCII class so tokens match the
+    # JVM tokens() on crawl text with exotic whitespace
+    toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text or "") if t]
     if not toks:
         return [], []
     h = [int(hashlib.md5(f"0:{t}".encode("utf-8", "surrogatepass"))
@@ -484,6 +487,12 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
     if n_iter < 1 or lr <= 0 or max_step <= 0:
         raise ValueError(f"need n_iter >= 1, lr > 0 and max_step > 0, "
                          f"got {n_iter}, {lr}, {max_step}")
+    # id_col is accepted for signature symmetry with the scorer (the
+    # fit itself never needs doc identity) — validate it exists so a
+    # typo fails loudly here, not at scoring time
+    if id_col not in df.columns:
+        raise ValueError(f"logreg_fit_hashed: id_col {id_col!r} not in "
+                         f"{df.columns}")
     lab = df.where(F.col(label_col).isNotNull()
                    & F.col(label_col).isin(0, 1)) \
             .select(F.col(text_col).alias("__t"),
@@ -592,8 +601,11 @@ def save_classifier(model: dict, path: str) -> None:
             arrays[k] = v
         else:
             meta[k] = v
-    np.savez(path, __meta__=np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    # write through a file handle: np.savez(str) APPENDS .npz when the
+    # extension is missing, which would break load(path) round-trips
+    with open(path, "wb") as fh:
+        np.savez(fh, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
 def load_classifier(path: str) -> dict:
@@ -625,6 +637,8 @@ def filter_by_score(df: DataFrame, score_col: str,
     cut = df.agg(F.percentile_approx(
         F.col(score_col), F.lit(q), F.lit(10000)).alias("c")) \
         .first()["c"]
+    if cut is None:             # no non-null scores: empty in, empty out
+        return df.where(F.lit(False))
     pred = (F.col(score_col) >= F.lit(float(cut)) if keep_high
             else F.col(score_col) <= F.lit(float(cut)))
     return df.where(pred)
@@ -646,10 +660,13 @@ def calibration_report(df: DataFrame, p_col: str, label_col: str,
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     p = F.col(p_col).cast("double")
+    # validate on the RAW label (0.7 must be excluded, not truncated
+    # to 0 by a bigint cast), then cast the survivors
+    raw_ok = F.col(label_col).isNotNull() & F.col(label_col).isin(0, 1)
     y = F.col(label_col).cast("bigint")
     b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
     s = float(10 ** GRAD_DECIMALS)
-    return (df.where(p.isNotNull() & y.isin(0, 1))
+    return (df.where(p.isNotNull() & raw_ok)
             .groupBy(b.alias("bin"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.sum(F.round(p * s, 0).cast("decimal(38,0)"))
@@ -678,9 +695,4 @@ def probe_filter(df: DataFrame, model: dict, keep_fraction: float,
         raise ValueError(f"keep_fraction must be in (0, 1], "
                          f"got {keep_fraction}")
     scored = ridge_score(df, model, out_col)
-    if keep_fraction == 1.0:
-        return scored
-    cut = scored.agg(F.percentile_approx(
-        F.col(out_col), F.lit(1.0 - keep_fraction), F.lit(10000))
-        .alias("c")).first()["c"]
-    return scored.where(F.col(out_col) >= F.lit(float(cut)))
+    return filter_by_score(scored, out_col, keep_fraction)

@@ -735,8 +735,12 @@ def extract_urls(df, text_col: str, id_col: str):
 
 #: query parameters that never change the resource: click/campaign
 #: trackers.  The list is the common curation set; extend per corpus.
+#: Deliberately NOT included: ``ref`` — despite appearing in tracker
+#: lists, it is frequently semantic (git refs, forum post anchors),
+#: and a canonicalizer that merges distinct resources silently drops
+#: real documents at the dedup step.
 _TRACKING_PARAM_RE = (r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|"
-                      r"mc_cid|mc_eid|igshid|ref|ref_src|spm|yclid|"
+                      r"mc_cid|mc_eid|igshid|ref_src|spm|yclid|"
                       r"_ga|mkt_tok)=")
 
 

@@ -357,3 +357,51 @@ def test_review_fixes_round9_session3(tmp_path, spark):
             spark.createDataFrame([(1, "a b", 1)],
                                   "id bigint, text string, y int"),
             "text", "nope", "y", n_buckets=16, n_iter=1)
+
+
+def test_logreg_hashed_weight_col_rebalances(spark):
+    # upweighting the positive class moves the intercept-side mass:
+    # with w=5 on y=1 rows the weighted base rate rises, so the mean
+    # fitted probability must rise with it (MLE-style balance), while
+    # an all-ones weight column reproduces the unweighted fit exactly
+    df = _vocab_docs(spark, n=120, seed=37).withColumn(
+        "w1", F.lit(1.0)).withColumn(
+        "w5", F.when(F.col("y") == 1, 5.0).otherwise(1.0))
+    base = models.logreg_fit_hashed(df, "text", "id", "y",
+                                    n_buckets=128, n_iter=6)
+    ones = models.logreg_fit_hashed(df, "text", "id", "y",
+                                    n_buckets=128, n_iter=6,
+                                    weight_col="w1")
+    assert np.array_equal(base["w"], ones["w"])
+    assert base["intercept"] == ones["intercept"]
+    up = models.logreg_fit_hashed(df, "text", "id", "y",
+                                  n_buckets=128, n_iter=6,
+                                  weight_col="w5")
+    p_up = models.logreg_score_hashed(df, "text", "id", up) \
+        .agg(F.avg("quality_p")).first()[0]
+    p_b = models.logreg_score_hashed(df, "text", "id", base) \
+        .agg(F.avg("quality_p")).first()[0]
+    assert p_up > p_b
+    # weighted fit keeps the exactness contract
+    up2 = models.logreg_fit_hashed(df.repartition(7), "text", "id",
+                                   "y", n_buckets=128, n_iter=6,
+                                   weight_col="w5")
+    assert np.array_equal(up["w"], up2["w"])
+
+
+def test_logreg_dense_weight_col_equals_unweighted_when_ones(spark):
+    df, _, _ = _logit_data(spark, n=400, seed=43)
+    dfw = df.withColumn("w", F.lit(1.0))
+    a = models.logreg_fit(df, ["f0", "f1"], "y", n_iter=8)
+    b = models.logreg_fit(dfw, ["f0", "f1"], "y", n_iter=8,
+                          weight_col="w")
+    assert list(a["coef"]) == list(b["coef"])
+    assert a["intercept"] == b["intercept"]
+    # upweight positives -> mean fitted p rises above base rate
+    dfu = df.withColumn("w", F.when(F.col("y") == 1, 4.0)
+                        .otherwise(1.0))
+    up = models.logreg_fit(dfu, ["f0", "f1"], "y", n_iter=10,
+                           weight_col="w")
+    pa = models.logreg_score(df, a).agg(F.avg("quality_p")).first()[0]
+    pu = models.logreg_score(df, up).agg(F.avg("quality_p")).first()[0]
+    assert pu > pa

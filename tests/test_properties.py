@@ -586,3 +586,44 @@ def test_canonicalize_url_idempotent_on_fuzzed_strings(spark):
              df2.select(canonicalize_url("u").alias("c")).collect()]
     bad = [(a, b) for a, b in zip(once, twice) if a != b]
     assert not bad, bad[:5]
+
+
+def test_squash_repeated_lines_is_idempotent(spark):
+    """A squashed document has no intra-doc duplicate lines left, so a
+    second pass must be the identity (and squash 0 lines)."""
+    import random
+
+    from xpysom_dask_spark.operators.dedup import squash_repeated_lines
+
+    rng = random.Random(41)
+    pool = ["alpha", "beta", "", "gamma delta", "x"]
+    rows = [(i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(0, 10))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    once = squash_repeated_lines(df, "text", "id") \
+        .select("id", "text").orderBy("id").collect()
+    again = squash_repeated_lines(
+        spark.createDataFrame(once, ["id", "text"]), "text", "id") \
+        .orderBy("id").collect()
+    assert [(r["id"], r["text"]) for r in once] == \
+           [(r["id"], r["text"]) for r in again]
+    assert all(r["n_lines_squashed"] == 0 for r in again)
+
+
+def test_domain_blocklist_block_allow_partition_corpus(spark):
+    """block-mode and allow-mode are complements: together they
+    partition the input rows exactly."""
+    from xpysom_dask_spark.operators.text import domain_blocklist_filter
+
+    hosts = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(
+            ["a.com", "x.a.com", "b.org", "c.a.commm", "a.com.evil",
+             "", "B.ORG", "y.b.org", "z.c.net"])], ["id", "host"])
+    bl = spark.createDataFrame([("a.com",), ("b.org",)], ["domain"])
+    blocked = {r["id"] for r in domain_blocklist_filter(
+        hosts, "host", bl, "id", mode="block").collect()}
+    allowed = {r["id"] for r in domain_blocklist_filter(
+        hosts, "host", bl, "id", mode="allow").collect()}
+    assert blocked | allowed == {r["id"] for r in hosts.collect()}
+    assert blocked & allowed == set()

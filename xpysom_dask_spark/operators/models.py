@@ -179,7 +179,8 @@ def _q(col: "F.Column") -> "F.Column":
 
 def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
                n_iter: int = 12, l2: float = 1e-6,
-               tol: float = 1e-9) -> dict:
+               tol: float = 1e-9,
+               weight_col: str | None = None) -> dict:
     """Logistic regression by Newton/IRLS over a bounded feature set —
     the calibrated-probability counterpart of :func:`ridge_fit` for
     when the decision is a THRESHOLD ("keep p(quality) > 0.8", the
@@ -204,7 +205,9 @@ def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
 
     Returns ``{"cols", "coef", "intercept", "l2", "n", "n_iter_run",
     "converged"}``.  Labels must be 0/1; rows with any NULL feature or
-    label are excluded (same contract as ridge_fit).
+    label are excluded (same contract as ridge_fit).  ``weight_col``
+    multiplies each row's gradient AND Hessian contribution (class
+    rebalancing); NULL/negative weights exclude the row.
     """
     d = len(feature_cols)
     if not 1 <= d <= MAX_PROBE_FEATURES:
@@ -218,10 +221,15 @@ def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
     cond = F.col(label_col).isNotNull() & F.col(label_col).isin(0, 1)
     for c in feature_cols:
         cond = cond & F.col(c).isNotNull()
+    wt = (F.col(weight_col).cast("double") if weight_col
+          else F.lit(1.0))
+    if weight_col:
+        cond = cond & wt.isNotNull() & (wt >= 0)
     base = df.where(cond).select(
         *[F.col(c).cast("double").alias(f"x{i}")
           for i, c in enumerate(feature_cols)],
-        F.col(label_col).cast("double").alias("y"))
+        F.col(label_col).cast("double").alias("y"),
+        wt.alias("wt"))
     base = base.persist()
     try:
         n = base.count()
@@ -241,8 +249,8 @@ def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
             # argument only, so p ∈ (0, 1) without overflow
             p = F.when(z >= 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) \
                  .otherwise(F.exp(z) / (F.lit(1.0) + F.exp(z)))
-            r = p - F.col("y")          # gradient residual
-            h = p * (F.lit(1.0) - p)    # Hessian weight
+            r = (p - F.col("y")) * F.col("wt")      # gradient residual
+            h = p * (F.lit(1.0) - p) * F.col("wt")  # Hessian weight
             aggs = [F.sum(_q(r)).alias("g_b"),
                     F.sum(_q(h)).alias("h_bb")]
             for i in range(d):
@@ -335,11 +343,11 @@ def _doc_buckets(text: str, n_buckets: int, fold_bigrams: bool):
     return bs, [float(cnt[b]) for b in bs]
 
 
-def _featurize_factory(text_name: str, keep_name: str, keep_out: str,
+def _featurize_factory(text_name: str, carry: list,
                        n_buckets: int, fold_bigrams: bool):
     """mapInPandas featurizer: one NARROW pass (no shuffle) emitting
-    ``(keep_out, nt, bs, cs)`` per document — the carried column is
-    the label (fit) or the id (score)."""
+    ``(*carry, nt, bs, cs)`` per document — the carried columns are
+    the label (+ optional weight) for fit, or the id for score."""
     import pandas as pd
 
     def fn(it):
@@ -350,8 +358,9 @@ def _featurize_factory(text_name: str, keep_name: str, keep_out: str,
                 bss.append(bs)
                 css.append(cs)
                 nts.append(float(len(cs) and sum(cs)))
-            yield pd.DataFrame({keep_out: pdf[keep_name],
-                                "nt": nts, "bs": bss, "cs": css})
+            out = {name: pdf[name] for name in carry}
+            out.update({"nt": nts, "bs": bss, "cs": css})
+            yield pd.DataFrame(out)
 
     return fn
 
@@ -374,9 +383,10 @@ def _grad_kernel_factory(bc, n_buckets: int, fanout: int = _TREE_FANOUT):
         h_acc = np.zeros(n_buckets + 1, dtype=np.int64)
         for batch in batches:
             y = batch.column(0).to_numpy(zero_copy_only=False)
-            nt = batch.column(1).to_numpy(zero_copy_only=False)
-            bs_arr = batch.column(2)
-            cs_arr = batch.column(3)
+            wt = batch.column(1).to_numpy(zero_copy_only=False)
+            nt = batch.column(2).to_numpy(zero_copy_only=False)
+            bs_arr = batch.column(3)
+            cs_arr = batch.column(4)
             flat_bs = bs_arr.flatten().to_numpy(zero_copy_only=False)
             flat_cs = cs_arr.flatten().to_numpy(zero_copy_only=False)
             noff = np.asarray(bs_arr.offsets)
@@ -396,8 +406,8 @@ def _grad_kernel_factory(bc, n_buckets: int, fanout: int = _TREE_FANOUT):
             p[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
             ez = np.exp(z[~pos])
             p[~pos] = ez / (1.0 + ez)
-            resid = p - y
-            hh = p * (1.0 - p)
+            resid = (p - y) * wt
+            hh = p * (1.0 - p) * wt
             g_acc[0] += np.rint(resid * s).astype(np.int64).sum()
             h_acc[0] += np.rint(hh * s).astype(np.int64).sum()
             ntr = np.maximum(nt[row_idx], 1.0)
@@ -439,7 +449,8 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
                       n_iter: int = 15, lr: float = 1.0,
                       l2: float = 1e-6, max_step: float = 1.0,
                       fold_bigrams: bool = False,
-                      tree_reduce: bool | None = None) -> dict:
+                      tree_reduce: bool | None = None,
+                      weight_col: str | None = None) -> dict:
     """fastText/CCNet-shape quality classifier: logistic regression
     over hashed unigram+bigram bag-of-ngrams features (length-
     normalized counts), trained by damped DIAGONAL-Newton steps.
@@ -493,13 +504,24 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
     if id_col not in df.columns:
         raise ValueError(f"logreg_fit_hashed: id_col {id_col!r} not in "
                          f"{df.columns}")
-    lab = df.where(F.col(label_col).isNotNull()
-                   & F.col(label_col).isin(0, 1)) \
-            .select(F.col(text_col).alias("__t"),
-                    F.col(label_col).cast("double").alias("y"))
+    # per-row weights (class rebalancing — the CCNet move when the
+    # reference corpus is tiny vs the crawl): rows with NULL or
+    # negative weight are excluded, weight multiplies both gradient
+    # and curvature terms BEFORE quantization
+    wt = (F.col(weight_col).cast("double") if weight_col
+          else F.lit(1.0))
+    cond = F.col(label_col).isNotNull() & F.col(label_col).isin(0, 1)
+    if weight_col:
+        cond = cond & wt.isNotNull() & (wt >= 0)
+    lab = df.where(cond).select(
+        F.col(text_col).alias("__t"),
+        F.col(label_col).cast("double").alias("y"),
+        wt.alias("wt"))
     docs = lab.mapInPandas(
-        _featurize_factory("__t", "y", "y", n_buckets, fold_bigrams),
-        "y double, nt double, bs array<int>, cs array<double>") \
+        _featurize_factory("__t", ["y", "wt"], n_buckets,
+                           fold_bigrams),
+        "y double, wt double, nt double, "
+        "bs array<int>, cs array<double>") \
         .where(F.col("nt") > 0).persist()
     sc = df.sparkSession.sparkContext
     try:

@@ -144,3 +144,48 @@ def test_squash_differs_from_corpus_dedup_lines(spark):
     intra = dedup.squash_repeated_lines(df, "text", "id").first()
     assert corpus["text"] == "x\nx"
     assert intra["text"] == "x"
+
+
+# ----------------------------------------- round-9 review regressions
+
+
+def test_html_to_text_full_entities_in_place(spark):
+    # out_col == an existing column (in-place clean) must REPLACE it
+    # in the Arrow schema, not duplicate it
+    from xpysom_dask_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>caf&eacute; &amp;lt;</p>")], ["doc_id", "text"])
+    out = html_to_text(df, "text", out_col="text",
+                       full_entities=True).collect()
+    assert out[0]["text"] == "café &lt;"
+    assert out[0]["doc_id"] == 1
+
+
+def test_k_core_and_coreness_converge_at_exact_max_iter(spark):
+    # a peel finishing in the FINAL allowed round returns instead of
+    # raising (for/else off-by-one)
+    from xpysom_dask_spark.operators.graph import coreness, k_core
+
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    # k=2 on a single edge: round 1 sheds both vertices -> empty core
+    out = k_core(edges, 2, "a", "b", max_iter=1, fuse_local_edges=0)
+    assert out.count() == 0
+    # degeneracy 1 graph: exactly 2 layers needed
+    cz = coreness(edges, "a", "b", max_iter=2, fuse_local_edges=0)
+    assert {(r["id"], r["core"]) for r in cz.collect()} == \
+           {(1, 1), (2, 1)}
+
+
+def test_connected_components_null_ids_fused_matches_distributed(spark):
+    from xpysom_dask_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 5), (7, None)],
+        "id_a bigint, id_b bigint")
+    fused = connected_components(pairs, "id_a", "id_b")
+    dist = connected_components(pairs, "id_a", "id_b",
+                                fuse_local_edges=0)
+    key = lambda r: ((r[0] is None, r[0]), (r[1] is None, r[1]))  # noqa: E731
+    assert sorted(map(tuple, fused.collect()), key=key) == \
+           sorted(map(tuple, dist.collect()), key=key)

@@ -362,10 +362,12 @@ def test_extract_urls_and_domain_counts(spark):
            .orderBy("id", "url").collect()]
     assert (1, "https://Example.com/a?b=1", "example.com",
             "example.com") in got
-    assert (1, "http://sub.example.com/x.", "sub.example.com",
-            "example.com") in got or \
-           (1, "http://sub.example.com/x", "sub.example.com",
+    # trailing sentence punctuation stays OUT of the match (one page
+    # cited mid-sentence vs end-of-clause must yield ONE url key)
+    assert (1, "http://sub.example.com/x", "sub.example.com",
             "example.com") in got
+    assert any(u == "https://news.bbc.co.uk:8080/story"
+               for _i, u, _h, _d in got)
     # two-level public suffix keeps three labels; port stripped
     assert any(h == "news.bbc.co.uk" and d == "bbc.co.uk"
                for _i, _u, h, d in got)

@@ -85,17 +85,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             return root
 
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
-        for a, b in rows:
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min id keeps the root the component minimum
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        id_t = pairs.schema[id_a].dataType.simpleString()
-        return pairs.sparkSession.createDataFrame(
-            [(v, find(v)) for v in parent], f"id {id_t}, component {id_t}")
+        if all(a is not None and b is not None for a, b in rows):
+            for a, b in rows:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id keeps the root the component
+                    # minimum
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            id_t = pairs.schema[id_a].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                [(v, find(v)) for v in parent],
+                f"id {id_t}, component {id_t}")
+        # NULL endpoint: Python ordering would raise where SQL null
+        # semantics quietly cope — fall through to the distributed
+        # path so both paths agree on the edge case
 
     # label(x) starts at x; first round folds in direct neighbors
     labels = (edges.groupBy("src")
@@ -603,14 +609,13 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
     fuse = (GRAPH_FUSE_LOCAL_EDGES if fuse_local_edges is None
             else fuse_local_edges)
     if e.count() <= fuse:
-        core = _py_core_numbers(
-            [(r["a"], r["b"]) for r in e.collect()])
+        rows = [(r["a"], r["b"]) for r in e.collect()]
+        core = _py_core_numbers(rows)
         id_t = pairs.schema[id_a].dataType.simpleString()
         survivors = [v for v, c in core.items() if c >= k]
         keep = set(survivors)
         deg: dict = {}
-        for r in e.collect():
-            a, b = r["a"], r["b"]
+        for a, b in rows:
             if a in keep and b in keep:
                 deg[a] = deg.get(a, 0) + 1
                 deg[b] = deg.get(b, 0) + 1
@@ -618,7 +623,8 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
         return pairs.sparkSession.createDataFrame(
             [(v, deg.get(v, 0)) for v in survivors],
             f"id {id_t}, degree bigint")
-    for _ in range(max_iter):
+    peels = 0
+    while True:
         deg = (e.select(F.col("a").alias("id"))
                .unionAll(e.select(F.col("b").alias("id")))
                .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
@@ -628,13 +634,17 @@ def k_core(pairs: DataFrame, k: int, id_a: str = "id_a",
         if dropped == 0:
             return keep.select("id", F.col("degree").cast("bigint")
                                .alias("degree"))
+        # convergence is checked BEFORE the bound so a peel that
+        # finishes exactly at max_iter returns instead of raising
+        if peels >= max_iter:
+            raise RuntimeError(
+                f"k_core did not converge in {max_iter} rounds — "
+                "raise max_iter (peel depth exceeds the bound)")
+        peels += 1
         ids = keep.select("id")
         e = (e.join(ids.withColumnRenamed("id", "a"), "a", "left_semi")
              .join(ids.withColumnRenamed("id", "b"), "b", "left_semi")
              .localCheckpoint(eager=True))
-    raise RuntimeError(
-        f"k_core did not converge in {max_iter} rounds — raise "
-        "max_iter (peel depth exceeds the bound)")
 
 
 def _py_core_numbers(edges) -> dict:
@@ -698,9 +708,15 @@ def coreness(pairs: DataFrame, id_a: str = "id_a",
              .distinct().localCheckpoint(eager=True))
     out = None
     kk = 1
-    for _ in range(max_iter):
-        if verts.isEmpty():
-            break
+    layers = 0
+    while not verts.isEmpty():
+        # the emptiness test re-runs AFTER every layer, so a peel
+        # completing in the final allowed layer returns normally
+        if layers >= max_iter:
+            raise RuntimeError(
+                f"coreness did not converge in {max_iter} layers — "
+                "raise max_iter")
+        layers += 1
         # peel everything below kk until the kk-core stabilizes
         while True:
             deg = (verts.join(
@@ -723,10 +739,6 @@ def coreness(pairs: DataFrame, id_a: str = "id_a",
                        "left_semi")
                  .localCheckpoint(eager=True))
         kk += 1
-    else:
-        raise RuntimeError(
-            f"coreness did not converge in {max_iter} layers — raise "
-            "max_iter")
     if out is None:
         return spark.createDataFrame([], "id bigint, core bigint")
     return out

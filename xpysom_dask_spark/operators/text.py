@@ -52,6 +52,22 @@ _HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                   ("&amp;", "&"))
 
 
+def _strip_tags(c: Column) -> Column:
+    """Steps 1-2 of the HTML pipeline (script/style/comment drop,
+    block tags → newlines, remaining tags removed) — the ONE
+    definition both :func:`strip_html` and
+    :func:`html_to_text(full_entities=True)` build on, so the two
+    paths can never diverge on tag rules."""
+    c = F.regexp_replace(
+        c, "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)\\s*>",
+        "\n")
+    c = F.regexp_replace(c, "(?i)<br\\s*/?>", "\n")
+    return F.regexp_replace(c, "(?s)<[^>]*>", " ")
+
+
 def strip_html(col: str) -> Column:
     """HTML → text as ONE whole-stage-codegen column expression — the
     crawl pipeline's first transform, kept JVM-side so a 100 TB WARC
@@ -74,15 +90,7 @@ def strip_html(col: str) -> Column:
     :func:`html_to_text` with ``full_entities=True`` (Arrow batch +
     ``html.unescape``).  Differential-tested against a pure-Python
     reference on crafted and double-encoded HTML."""
-    c = F.col(col)
-    c = F.regexp_replace(
-        c, "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
-    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
-    c = F.regexp_replace(
-        c, "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre)\\s*>",
-        "\n")
-    c = F.regexp_replace(c, "(?i)<br\\s*/?>", "\n")
-    c = F.regexp_replace(c, "(?s)<[^>]*>", " ")
+    c = _strip_tags(F.col(col))
     # Only the entity forms that occur in bulk web text — each chained
     # regexp_replace deepens the codegen expression tree, so the JVM
     # path stays ~20 replaces deep; the long tail is
@@ -124,25 +132,15 @@ def html_to_text(df, html_col: str, out_col: str = "text",
     from ..plans.exchange import ship_package
 
     ship_package(df.sparkSession)
-    cols = df.columns
-    tag_stripped = (df.withColumn(
-        "__t",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(
-                            F.col(html_col),
-                            "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>",
-                            " "),
-                        "(?s)<!--.*?-->", " "),
-                    "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote"
-                    "|pre)\\s*>", "\n"),
-                "(?i)<br\\s*/?>", "\n"),
-            "(?s)<[^>]*>", " ")))
+    cols = [c for c in df.columns if c != out_col]
+    tag_stripped = df.withColumn("__t", _strip_tags(F.col(html_col)))
 
+    # out_col REPLACES an existing column of the same name (the
+    # in-place text-clean case) rather than duplicating it in the
+    # Arrow schema
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in df.schema.fields) + f", {out_col} string"
+                       for f in df.schema.fields
+                       if f.name != out_col) + f", {out_col} string"
 
     def fn(batches):
         import re
@@ -693,9 +691,14 @@ def redact_pii(col: str) -> Column:
 
 
 #: URL shape: scheme://host[:port][/path] — RE2-compatible (no
-#: backrefs/lookarounds), conservative host charset so trailing
-#: punctuation stays out of the match
-_URL_RE = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s\"'<>\)\]]*)?"
+#: backrefs/lookarounds).  The host must END alphanumeric and the
+#: path must not end in sentence punctuation, so 'see http://x.com.'
+#: and 'at https://x.com/story, which' extract the URL without the
+#: trailing '.'/',' — otherwise the same page cited mid-sentence vs
+#: end-of-clause splits URL-level dedup keys
+_URL_RE = (r"https?://[A-Za-z0-9-]([A-Za-z0-9.-]*[A-Za-z0-9])?"
+           r"(:[0-9]+)?"
+           r"(/([^\s\"'<>\)\]]*[^\s\"'<>\)\].,;:!?])?)?")
 #: registrable-ish domain: last two labels, with the common two-level
 #: public suffixes (co.uk-class) folded to three labels
 _TWO_LEVEL_SUFFIXES = ("co.uk", "ac.uk", "gov.uk", "com.au", "net.au",

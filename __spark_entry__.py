@@ -176,19 +176,6 @@ def _q_som_activation_response(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_wins")))
 
 
-def _q_som_qe_rows(spark, sf_dir):
-    som = _oracle_som()
-    out = som.transform(_features(spark, sf_dir), ("qe",))
-    return out.select("l_orderkey", "l_linenumber",
-                      F.round("qe", 4).alias("qe"))
-
-
-def _q_som_quantization_error(spark, sf_dir):
-    som = _oracle_som()
-    scored = som.transform(_features(spark, sf_dir), ("qe",))
-    return scored.agg(F.round(F.avg("qe"), 6).alias("qe"))
-
-
 def _q_som_labels_map(spark, sf_dir):
     som = _oracle_som()
     li = readers.load_table(spark, sf_dir, "lineitem")
@@ -832,35 +819,6 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
-def _q_multimodal_audio_stats(spark, sf_dir):
-    """Audio pipeline: embeddings → int16 PCM clips → exact integer
-    sample statistics (binary-column plumbing, float-side oracle)."""
-    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir))
-    return multimodal.audio_stats(clips)
-
-
-def _sql_multimodal_audio_stats():
-    return """
-WITH u AS (
-  SELECT vec_id,
-    [CAST(LEAST(GREATEST(FLOOR(CAST(e AS DOUBLE) * 32767.0), -32768), 32767)
-          AS BIGINT) FOR e IN embedding] AS s
-  FROM embeddings
-)
-SELECT vec_id AS audio_id,
-  CAST(len(s) AS BIGINT) AS n_samples,
-  list_reduce(list_prepend(CAST(0 AS BIGINT), s), (a, b) -> a + b) AS s_sum,
-  list_reduce(list_prepend(CAST(0 AS BIGINT), [v * v FOR v IN s]),
-              (a, b) -> a + b) AS s_sumsq,
-  CAST(list_min(s) AS INTEGER) AS s_min,
-  CAST(list_max(s) AS INTEGER) AS s_max,
-  list_reduce(list_prepend(CAST(0 AS BIGINT),
-    [CASE WHEN (s[i + 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END
-     FOR i IN range(1, 64)]), (a, b) -> a + b) AS zero_crossings
-FROM u
-"""
-
-
 def _q_multimodal_frame_sample(spark, sf_dir):
     """Video pipeline: embeddings → 8×8 frames → 4-frame raw videos
     (binary concat, order by vec_id) → sample every 2nd frame → exact
@@ -1178,20 +1136,6 @@ def _q_fuzzy_dedup(spark, sf_dir):
 
 #: split weights for the split_by_hash query — shared by Spark + oracle
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
-
-
-def _q_sample_hash(spark, sf_dir):
-    """Deterministic 25% content-hash sample (layout-independent)."""
-    out = sampling.hash_sample(_docs(spark, sf_dir), "doc_id", 0.25,
-                               seed=7)
-    return out.select("doc_id", "lang", "source")
-
-
-def _q_split_by_hash(spark, sf_dir):
-    """Stable train/val/test assignment by hash range."""
-    out = sampling.split_by_hash(_docs(spark, sf_dir), "doc_id",
-                                 dict(_SPLIT_WEIGHTS), seed=1)
-    return out.select("doc_id", "split")
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -1792,16 +1736,6 @@ WHERE rn <= 10
 #: pivot value list shared by query and oracle (explicit list → no
 #: distinct-values job, deterministic schema)
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-def _q_events_moving_avg(spark, sf_dir):
-    """Per-user trailing 5-event moving average (events.moving_average):
-    one hash Exchange on user + one window pass; ordering on the
-    µs-truncated ts with an event_id tie-break (sub-µs order is not
-    portable across parquet readers)."""
-    from xpysom_dask_spark.operators import events as EV
-
-    return EV.moving_average(readers.load_table(spark, sf_dir, "events"))
 
 
 def _sql_events_moving_avg():
@@ -5407,57 +5341,6 @@ FROM r WHERE rn <= 3
 """
 
 
-def _q_multimodal_audio_fp(spark, sf_dir):
-    """Audio fingerprint near-dup (multimodal.audio_fingerprint +
-    hamming_topk): PCM clips → 64-bit amplitude-profile signatures
-    (bit = n·|s| > Σ|s|, pure integer — no division anywhere) → exact
-    Hamming top-3.  Gain-robust by construction; the oracle replays
-    quantize, signature, and search from the float embeddings."""
-    from xpysom_dask_spark.operators import embeddings as EMB
-
-    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir))
-    sigs = multimodal.audio_fingerprint(clips) \
-        .withColumnRenamed("audio_id", "vec_id")
-    qs = sigs.where("vec_id < 5")
-    return EMB.hamming_topk(sigs, qs, k=3)
-
-
-def _sql_multimodal_audio_fp():
-    i16 = ("CAST(least(greatest(FLOOR(CAST(e.embedding[j] AS DOUBLE) "
-           "* 32767.0), -32768), 32767) AS BIGINT)")
-    amp = f"[abs({i16}) FOR j IN range(1, 65)]"
-
-    def word(lo, hi):
-        return ("list_sum([CASE WHEN 64 * a[j] > s "
-                "THEN (CAST(1 AS BIGINT) << (j - %d)) "
-                "ELSE CAST(0 AS BIGINT) END "
-                "FOR j IN range(%d, %d)])" % (lo, lo, hi + 1))
-
-    return f"""
-WITH raw AS (
-  SELECT e.vec_id, {amp} AS a FROM embeddings e),
-m AS (SELECT vec_id, a, list_sum(a) AS s FROM raw),
-sig AS (
-  SELECT vec_id,
-         CAST({word(1, 32)} AS BIGINT) AS w0,
-         CAST({word(33, 64)} AS BIGINT) AS w1
-  FROM m),
-pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(bit_count(xor(q.w0, c.w0))
-              + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS dist
-  FROM sig q JOIN sig c ON q.vec_id < 5
-  WHERE q.vec_id != c.vec_id),
-r AS (
-  SELECT query_id, neighbor_id, dist,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY dist, neighbor_id) AS rn
-  FROM pairs)
-SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
-FROM r WHERE rn <= 3
-"""
-
-
 def _q_multimodal_video_fp(spark, sf_dir):
     """Video near-dup (multimodal.video_fingerprint → hamming_topk):
     embeddings → 8×8 frames → 4-frame raw videos → per-frame aHash
@@ -5690,24 +5573,6 @@ FROM embeddings
 
 
 _EWMA_ALPHA, _EWMA_LAG = 0.25, 16
-
-
-def _q_events_ewma(spark, sf_dir):
-    """Truncated EWMA per event type (operators/profile.py ewma):
-    lag-16 weighted dot product over the (ts, event_id)-ordered value
-    series, weights shared LITERALS on both engines (repeated pow is
-    where IEEE parity dies), left-fold ascending frame position.  ONE
-    per-key window, no Python."""
-    from xpysom_dask_spark.operators.profile import ewma
-
-    ev = readers.load_table(spark, sf_dir, "events") \
-        .where(F.col("value").isNotNull())
-    out = ewma(ev, "event_type", "value", "ts", "event_id",
-               alpha=_EWMA_ALPHA, lag=_EWMA_LAG)
-    return out.select(
-        F.col("id").alias("event_id"), F.col("key").alias("event_type"),
-        F.expr("CAST(FLOOR(ewma * 1000000.0 + 0.5) AS BIGINT)")
-        .alias("ewma_e6"))
 
 
 def _sql_events_ewma():
@@ -7033,43 +6898,6 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-def queries_round10_staged() -> dict:
-    """Round-10 pre-staging: verified like the round-9 queue, promoted
-    the round after (SURVEY.md §8)."""
-    return {
-        "quantile_hist": _q_quantile_hist,
-        "streaming_qhist": _q_streaming_qhist,
-        "kmv_overlap": _q_kmv_overlap,
-        "dsir_importance": _q_dsir_importance,
-        "trigram_backoff": _q_trigram_backoff,
-        "psi_drift": _q_psi_drift,
-        "streaming_hll": _q_streaming_hll,
-        "communities_lpa": _q_communities_lpa,
-        "wordpiece_vocab": _q_wordpiece_vocab,
-        "mad_outliers": _q_mad_outliers,
-    }
-
-
-def oracle_sql_round10_staged(
-        ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
-    # ivf_sf_dir: the wordpiece_vocab oracle is data-dependent (the
-    # reference-learned vocabulary is embedded in the SQL), so the
-    # caller must name the sf tier it will run against (the
-    # oracle_sql / unigram_segments convention)
-    return {
-        "quantile_hist": _sql_quantile_hist(),
-        "streaming_qhist": _sql_streaming_qhist(),
-        "kmv_overlap": _sql_kmv_overlap(),
-        "dsir_importance": _sql_dsir_importance(),
-        "trigram_backoff": _sql_trigram_backoff(),
-        "psi_drift": _sql_psi_drift(),
-        "streaming_hll": _sql_streaming_hll(),
-        "communities_lpa": _sql_communities_lpa(),
-        "wordpiece_vocab": _sql_wordpiece_vocab(ivf_sf_dir),
-        "mad_outliers": _sql_mad_outliers(),
-    }
-
-
 def _q_kn_bigram_score(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM scoring (operators/text.py
     kneser_ney_bigram_score) in the held-out configuration (LM = even
@@ -7172,100 +7000,476 @@ def _q_streaming_psi(spark, sf_dir):
     return psi_terms_from_cells(m, _PSI_BINS)
 
 
+# --------------------------------------------------------------------- #
+# round-10 gate merges (SURVEY.md §8 slot ledger): each gate below
+# replaces a PAIR of near-duplicate gates with one widened relation so
+# the declared surface stays under the 50-slot x MAX_STALENESS cap —
+# the merged members' kernels are all still exercised end-to-end.
+
+
+def _q_hll_report(spark, sf_dir):
+    """Grouped + overall HyperLogLog in ONE gate (merges the round-9
+    ``hll_distinct`` and ``hll_by_type`` gates): per-event_type
+    register sketches from one scan, the overall sketch derived by the
+    HLL merge property (register MAX across groups — never a second
+    scan of events), both estimated by the same exact-integer harmonic
+    sum and unioned under event_type='ALL'.  This is the warehouse
+    rollup shape at 100 TB: sketch once at the finest grain, merge
+    upward for coarser grains."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(
+        ev.select("event_type",
+                  F.col("user_id").cast("string").alias("k")),
+        "k", p=_HLL_P, group_cols=("event_type",))
+    grouped = SK.hll_estimate(regs, p=_HLL_P,
+                              group_cols=("event_type",))
+    merged = regs.groupBy("bucket").agg(
+        F.max("rho").cast("int").alias("rho"))
+    overall = SK.hll_estimate(merged, p=_HLL_P) \
+        .select(F.lit("ALL").alias("event_type"), "m", "n_zero",
+                "raw_sum_scaled", "est")
+    return grouped.unionByName(overall)
+
+
+def _sql_hll_report():
+    p = _HLL_P
+    m = 1 << p
+    rem_bits = 48 - p
+    rem_pow2 = 1 << (rem_bits + 1)   # Σ 2^{49−p−M_j} headroom bit
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(rem_pow2)
+    return f"""
+WITH u AS (SELECT DISTINCT event_type,
+                  CAST(user_id AS VARCHAR) AS k FROM events),
+h AS (SELECT event_type, ({_duck_h48('k', 0)}) AS hv FROM u),
+reg AS (
+  SELECT event_type, CAST(hv // {1 << rem_bits} AS INTEGER) AS bucket,
+         CAST(MAX(CASE WHEN hv % {1 << rem_bits} = 0 THEN {rem_bits + 1}
+              ELSE {rem_bits + 1}
+                   - length(ltrim(bin(hv % {1 << rem_bits}), '0'))
+              END) AS INTEGER) AS rho
+  FROM h GROUP BY 1, 2),
+allreg AS (
+  SELECT event_type, bucket, rho FROM reg
+  UNION ALL
+  SELECT 'ALL' AS event_type, bucket,
+         CAST(MAX(rho) AS INTEGER) AS rho
+  FROM reg GROUP BY bucket),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(CAST(2.0 ** ({rem_bits + 1} - rho) AS BIGINT))
+              AS BIGINT) AS present_sum
+  FROM allreg GROUP BY 1),
+calc AS (
+  SELECT event_type, CAST({m} - n_present AS BIGINT) AS n_zero,
+         CAST(present_sum + ({m} - n_present)
+              * CAST({rem_pow2} AS BIGINT) AS BIGINT) AS raw_sum
+  FROM agg)
+SELECT event_type, CAST({m} AS INTEGER) AS m, n_zero,
+       raw_sum AS raw_sum_scaled,
+       CAST(CASE WHEN {num!r} / CAST(raw_sum AS DOUBLE)
+                      < {2.5 * m!r} AND n_zero > 0
+            THEN FLOOR({float(m)!r}
+                       * ln({float(m)!r} / CAST(n_zero AS DOUBLE)))
+            ELSE FLOOR({num!r} / CAST(raw_sum AS DOUBLE))
+            END AS BIGINT) AS est
+FROM calc
+"""
+
+
+def _q_som_qe(spark, sf_dir):
+    """Per-row quantization error + the corpus QE scalar in one gate
+    (merges the round-2 ``som_qe_rows`` and ``som_quantization_error``
+    gates — reference xpysom.py:715-746): one BMU scoring pass, the
+    scalar derived from the same relation by a tiny aggregate and
+    re-attached as a broadcast 1-row scalar (the whitelisted BNLJ
+    idiom — never a global window over the corpus)."""
+    som = _oracle_som()
+    scored = som.transform(_features(spark, sf_dir), ("qe",)) \
+        .persist()
+    corpus = scored.agg(
+        F.round(F.avg("qe"), 6).alias("corpus_qe"))
+    return (scored.select("l_orderkey", "l_linenumber",
+                          F.round("qe", 4).alias("qe"))
+            .crossJoin(F.broadcast(corpus)))
+
+
+def _sql_som_qe():
+    return _som_base_cte(f", {_MIN_DSQ} AS min_dsq") + """
+SELECT l_orderkey, l_linenumber, ROUND(sqrt(min_dsq), 4) AS qe,
+       (SELECT ROUND(AVG(sqrt(min_dsq)), 6) FROM scored) AS corpus_qe
+FROM scored
+"""
+
+
+def _q_multimodal_audio(spark, sf_dir):
+    """Audio stats + amplitude-profile fingerprint per clip in one
+    gate (merges the ``multimodal_audio_stats`` and
+    ``multimodal_audio_fp`` gates; the Hamming SEARCH leg of the old
+    fp gate stays driver-verified via ``hamming_topk``): embeddings →
+    int16 PCM → exact integer sample statistics joined with the
+    64-bit gain-robust signature words.  Binary decode kernels in
+    Arrow batches; audio bytes never leave the executors."""
+    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir)) \
+        .persist()
+    stats = multimodal.audio_stats(clips)
+    sigs = multimodal.audio_fingerprint(clips).select(
+        "audio_id",
+        F.col("bits").getItem(0).alias("fp_w0"),
+        F.col("bits").getItem(1).alias("fp_w1"))
+    return stats.join(sigs, "audio_id")
+
+
+def _sql_multimodal_audio():
+    i16 = ("CAST(LEAST(GREATEST(FLOOR(CAST(e AS DOUBLE) * 32767.0), "
+           "-32768), 32767) AS BIGINT)")
+
+    def word(lo, hi):
+        return ("list_sum([CASE WHEN 64 * a[j] > asum "
+                "THEN (CAST(1 AS BIGINT) << (j - %d)) "
+                "ELSE CAST(0 AS BIGINT) END "
+                "FOR j IN range(%d, %d)])" % (lo, lo, hi + 1))
+
+    return f"""
+WITH u AS (
+  SELECT vec_id, [{i16} FOR e IN embedding] AS s
+  FROM embeddings),
+m AS (SELECT vec_id, s, [abs(v) FOR v IN s] AS a FROM u),
+w AS (SELECT vec_id, s, a, list_sum(a) AS asum FROM m)
+SELECT vec_id AS audio_id,
+  CAST(len(s) AS BIGINT) AS n_samples,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), s), (x, y) -> x + y)
+    AS s_sum,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), [v * v FOR v IN s]),
+              (x, y) -> x + y) AS s_sumsq,
+  CAST(list_min(s) AS INTEGER) AS s_min,
+  CAST(list_max(s) AS INTEGER) AS s_max,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CASE WHEN (s[i + 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END
+     FOR i IN range(1, 64)]), (x, y) -> x + y) AS zero_crossings,
+  CAST({word(1, 32)} AS BIGINT) AS fp_w0,
+  CAST({word(33, 64)} AS BIGINT) AS fp_w1
+FROM w
+"""
+
+
+def _q_hash_partition(spark, sf_dir):
+    """Deterministic hash split + content-hash sample flag in one gate
+    (merges the ``split_by_hash`` and ``sample_hash`` gates): every
+    document gets its stable train/val/test assignment AND a 25%
+    keep-flag, both pure map-side hash arithmetic — the single-pass
+    layout-independent selection surface a 100 TB curation pipeline
+    stamps once and filters on for free thereafter."""
+    docs = _docs(spark, sf_dir)
+    split = sampling.split_by_hash(docs, "doc_id",
+                                   dict(_SPLIT_WEIGHTS), seed=1)
+    kept = sampling.hash_sample(docs, "doc_id", 0.25, seed=7) \
+        .select("doc_id", F.lit(1).alias("in_sample"))
+    return (split.select("doc_id", "split")
+            .join(kept, "doc_id", "left")
+            .select("doc_id", "split",
+                    F.coalesce("in_sample", F.lit(0))
+                    .cast("int").alias("in_sample")))
+
+
+def _sql_hash_partition():
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    names = list(_SPLIT_WEIGHTS)
+    u = _duck_unit_hash("doc_id", 1)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, {case} AS split,
+       CASE WHEN {_duck_unit_hash('doc_id', 7)} < 0.25
+            THEN 1 ELSE 0 END AS in_sample
+FROM documents
+"""
+
+
+def _q_events_smoothing(spark, sf_dir):
+    """Per-type truncated EWMA + per-user trailing-5 moving average in
+    one gate (merges the ``events_ewma`` and ``events_moving_avg``
+    gates; the streaming EWMA leg keeps its own ``streaming_ewma``
+    gate): two single-window passes on their natural keys joined on
+    the unique event_id — genuinely two smoothing keys, so two hash
+    exchanges is the minimal plan, not a smell."""
+    from xpysom_dask_spark.operators import events as EV
+    from xpysom_dask_spark.operators.profile import ewma
+
+    ev = readers.load_table(spark, sf_dir, "events")
+    ma = EV.moving_average(ev)
+    ew = ewma(ev.where(F.col("value").isNotNull()),
+              "event_type", "value", "ts", "event_id",
+              alpha=_EWMA_ALPHA, lag=_EWMA_LAG)
+    return (ew.select(
+        F.col("id").alias("event_id"),
+        F.col("key").alias("event_type"),
+        F.expr("CAST(FLOOR(ewma * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("ewma_e6"))
+        .join(ma.select("event_id", "user_id", "ma"), "event_id"))
+
+
+def _sql_events_smoothing():
+    return f"""
+WITH ew AS ({_sql_events_ewma()}),
+ma AS ({_sql_events_moving_avg()})
+SELECT ew.event_id, ew.event_type, ew.ewma_e6, ma.user_id, ma.ma
+FROM ew JOIN ma USING (event_id)
+"""
+
+
+# --------------------------------------------------------------------- #
+# quality-classifier scoring gate (VERDICT r9 #3): the hashed logreg
+# scorer driven end-to-end through the driver oracle.
+
+_QC_BUCKETS = 64
+
+
+def _qc_model() -> dict:
+    """Pinned-literal quality model for the gate: integer-valued
+    weights (w_b = ((37·b) mod 9) − 4) make the margin's np.dot an
+    EXACT integer in float64 (every value and partial sum < 2^53,
+    so BLAS reduction order cannot matter), leaving one IEEE division
+    and one libm sigmoid as the only float ops — both replayed
+    branch-for-branch in the oracle.  The FIT path
+    (models.logreg_fit_hashed) stays pinned by
+    tests/test_models.py + the two-executor bit-parity suite."""
+    w = np.array([((37 * b) % 9) - 4 for b in range(_QC_BUCKETS)],
+                 dtype=np.float64)
+    return {"w": w, "intercept": -0.5, "n_buckets": _QC_BUCKETS,
+            "fold_bigrams": True}
+
+
+def _q_quality_score(spark, sf_dir):
+    """Hashed-ngram logreg document scoring
+    (operators/models.py logreg_score_hashed — the fastText/CCNet
+    quality-filter shape): ONE narrow mapInPandas pass, weights via
+    broadcast, no shuffle.  Featurization is the engine-wide 48-bit
+    md5 fold (unigrams + 40-bit-folded bigrams, length-normalized),
+    replayed token-for-token by the oracle."""
+    from xpysom_dask_spark.operators import models as M
+
+    out = M.logreg_score_hashed(_docs(spark, sf_dir), "text",
+                                "doc_id", _qc_model())
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.expr("CAST(FLOOR(quality_p * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("p_e6"))
+
+
+def _sql_quality_score():
+    model = _qc_model()
+    wlit = "[" + ", ".join(str(int(v)) for v in model["w"]) + "]"
+    b0 = model["intercept"]
+    nb = _QC_BUCKETS
+    fold_mod = 1 << 40
+    # models._doc_buckets splits on the ASCII \s class WITHOUT
+    # lowercasing (the Java-\s parity lesson) — NOT _duck_tokens
+    split = r"string_split_regex(text, '[ \t\n\x0B\f\r]+')"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter({split}, x -> x <> '') AS arr
+  FROM documents),
+pos AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS p, unnest(arr) AS t
+  FROM tk),
+h AS (SELECT doc_id, p, ({_duck_h48('t', 0)}) AS hv FROM pos),
+feats AS (
+  SELECT doc_id, hv % {nb} AS b FROM h
+  UNION ALL
+  SELECT a.doc_id,
+         ((a.hv % {fold_mod}) * 65599 + c.hv) % {nb} AS b
+  FROM h a JOIN h c ON a.doc_id = c.doc_id AND c.p = a.p + 1),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(({wlit})[b + 1]) AS BIGINT) AS num,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM feats GROUP BY 1),
+z AS (
+  SELECT d.doc_id,
+         CASE WHEN a.nt IS NULL THEN {b0!r}
+              ELSE {b0!r} + CAST(a.num AS DOUBLE) / a.nt END AS zv
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+p AS (
+  SELECT doc_id,
+         CASE WHEN zv >= 0 THEN 1.0 / (1.0 + exp(-zv))
+              ELSE exp(zv) / (1.0 + exp(zv)) END AS pv
+  FROM z)
+SELECT doc_id,
+       CAST(FLOOR(pv * 1000000.0 + 0.5) AS BIGINT) AS p_e6
+FROM p
+"""
+
+
+_KMV_K = 64
+
+
+def _q_kmv_novelty(spark, sf_dir):
+    """Sketch-tier corpus novelty (operators/sketches.py kmv_novelty,
+    Beyer et al. SIGMOD 2007): does the odd-doc_id half of the corpus
+    add new distinct texts over the even half?  Two k=64 KMV sketches
+    (two-level partition-local builds, min-of-mins union merge), one
+    inclusion–exclusion row — at 100 TB the "does this crawl snapshot
+    add anything" answer from two ≤ k-row relations instead of an
+    anti-join.  All-integer estimates replay exactly: the k smallest
+    of (top-k(A) ∪ top-k(B)) equal the k smallest of A ∪ B."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    base = SK.kmv_sketch(docs.where("doc_id % 2 = 0"), "text",
+                         k=_KMV_K)
+    inc = SK.kmv_sketch(docs.where("doc_id % 2 = 1"), "text",
+                        k=_KMV_K)
+    return SK.kmv_novelty(base, inc, k=_KMV_K)
+
+
+def _sql_kmv_novelty():
+    k = _KMV_K
+    num = (k - 1) * (1 << 48)
+
+    def est(cte):
+        return (f"CASE WHEN (SELECT COUNT(*) FROM {cte}) < {k} "
+                f"THEN (SELECT COUNT(*) FROM {cte}) "
+                f"ELSE {num} // (SELECT MAX(h) FROM {cte}) END")
+
+    return f"""
+WITH bh AS (SELECT DISTINCT ({_duck_h48('text', 0)}) AS h
+            FROM documents WHERE doc_id % 2 = 0),
+uh AS (SELECT DISTINCT ({_duck_h48('text', 0)}) AS h FROM documents),
+bsk AS (SELECT h FROM bh ORDER BY h LIMIT {k}),
+usk AS (SELECT h FROM uh ORDER BY h LIMIT {k})
+SELECT CAST({est('bsk')} AS BIGINT) AS base_est,
+       CAST({est('usk')} AS BIGINT) AS union_est,
+       CAST(GREATEST(({est('usk')}) - ({est('bsk')}), 0) AS BIGINT)
+         AS novelty_est
+"""
+
+
+def _q_calibration_report(spark, sf_dir):
+    """Classifier reliability table (operators/models.py
+    calibration_report): the pinned quality model's probabilities
+    (the quality_score gate's scorer) against the lang='en' label,
+    10 bins — ONE map-side-combinable aggregate whose probability
+    sums are e9-quantized to exact DECIMAL(38,0) before summing, so
+    every row is partitioning-independent.  Completes the classifier
+    lifecycle surface: fit (test-pinned) → score (quality_score gate)
+    → calibrate (this) → filter (filter_by_score, probe_scores
+    gate)."""
+    from xpysom_dask_spark.operators import models as M
+
+    docs = _docs(spark, sf_dir)
+    scored = M.logreg_score_hashed(docs, "text", "doc_id",
+                                   _qc_model())
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    return M.calibration_report(scored.join(lab, "id"),
+                                "quality_p", "y", n_bins=10)
+
+
+def _sql_calibration_report():
+    # replay quality_score's probability CTEs at FULL precision (pv,
+    # not p_e6), then models.calibration_report's exact-integer bin
+    # arithmetic: e9-rounded probability sums, integer label counts,
+    # e6 floors — mean_p fits double exactly (sum < 2^53)
+    qp = _sql_quality_score()
+    head, _tail = qp.rsplit("SELECT doc_id,", 1)
+    return head + f"""
+, lab AS (
+  SELECT p.doc_id, p.pv,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM p JOIN documents d USING (doc_id)),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(pv * 10) AS INTEGER), 9) AS bin,
+         CAST(ROUND(pv * 1000000000.0, 0) AS BIGINT) AS pe9, y
+  FROM lab),
+cagg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pe9) AS BIGINT) AS sp,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM binned GROUP BY 1)
+SELECT bin, n,
+       CAST(FLOOR(CAST(sp AS DOUBLE) / n / 1000.0 + 0.5) AS BIGINT)
+         AS mean_p_e6,
+       CAST(FLOOR(sy * 1000000.0 / n + 0.5) AS BIGINT) AS rate_e6,
+       CAST(FLOOR(CAST(sp AS DOUBLE) / n / 1000.0 + 0.5)
+            - FLOOR(sy * 1000000.0 / n + 0.5) AS BIGINT) AS gap_e6
+FROM cagg
+"""
+
+
 def queries_round11_staged() -> dict:
     """Round-11 pre-staging (SURVEY.md §8): verified like the
     round-9/10 queues, promoted when a head-50 slot opens.  NB the
-    gate-slot budget — declared after the round-9/10 promotions is
-    192 of the ~200 staleness cap, so round-11+ additions are
-    rationed to the highest-value operators."""
+    gate-slot budget (§8 ledger): declared after the round-10
+    promotions + merges is 190 of the 200-slot staleness cap, so
+    round-11+ additions are rationed to the highest-value operators
+    and SHOULD ride a merge that frees their slot."""
     return {
-        "kn_bigram_score": _q_kn_bigram_score,
-        "streaming_psi": _q_streaming_psi,
+        "kmv_novelty": _q_kmv_novelty,
+        "calibration_report": _q_calibration_report,
     }
 
 
 def oracle_sql_round11_staged(
         ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
-    # streaming_psi drains to the identical relation batch psi_drift
-    # computes, so the twins SHARE the oracle (the streaming_cms /
-    # streaming_qhist convention)
     return {
-        "kn_bigram_score": _sql_kn_bigram_score(),
-        "streaming_psi": _sql_psi_drift(),
+        "kmv_novelty": _sql_kmv_novelty(),
+        "calibration_report": _sql_calibration_report(),
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-9 head (tools/rotate_gate.py +
-    # the never-green rule): the 11 queries promoted verbatim from
-    # the round-8 staging area (pre-checked hash-green at sf0.001
-    # and sf0.01 via tools/gate_pick.py), the 21 queries whose
-    # freshest driver evidence is round 5, and the 18 stalest
-    # round-6 entries.  r7 ∪ r8 ∪ r9 covers all 182 declared
-    # queries.  See SURVEY.md §8 and tests/test_gate_coverage.py
+    # (list(queries())[:50]).  Round-10 head (tools/rotate_gate.py +
+    # the never-green rule): the 12 queries promoted verbatim from
+    # the round-10/11 staging areas, the new quality_score gate, the
+    # 5 merge-survivor gates (each widened from a PAIR of retired
+    # near-duplicates, so they are never-green by name and must sit
+    # in the head), the 29 stalest round-6 entries, and 3 round-7
+    # fills.  r8 (union) r9 (union) r10 covers all 190 declared
+    # queries.  See SURVEY.md par.8 and tests/test_gate_coverage.py
     # before reordering.
     return {
-        # -- new in round 9 (11): promoted verbatim from the
-        # round-8 staging area --
-        "cms_top_terms": _q_cms_top_terms,
-        "hll_distinct": _q_hll_distinct,
-        "hll_by_type": _q_hll_by_type,
-        "text_readability": _q_text_readability,
-        "nb_lang": _q_nb_lang,
-        "hybrid_rrf": _q_hybrid_rrf,
-        "pagerank_hubs": _q_pagerank_hubs,
-        "streaming_cms": _q_streaming_cms,
-        "knn_label_purity": _q_knn_label_purity,
-        "textrank_keywords": _q_textrank_keywords,
-        "unigram_segments": _q_unigram_segments,
-        # -- stalest evidence: 21 round-5 + 18 round-6 entries --
-        "som_anomalies": _q_som_anomalies,
-        "text_gopher": _q_text_gopher,
-        "events_asof": _q_events_asof,
-        "events_interval": _q_events_interval,
-        "mixture_resample": _q_mixture_resample,
-        "som_predict": _q_som_predict,
-        "ab_report": _q_ab_report,
-        "doc_length_buckets": _q_doc_length_buckets,
-        "events_quantiles": _q_events_quantiles,
-        "dedup_substrings": _q_dedup_substrings,
-        "session_paths": _q_session_paths,
-        "text_lm_bigram": _q_text_lm_bigram,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q14": _q_tpch_q14,
-        "decontaminate_spans": _q_decontaminate_spans,
-        "index_compaction": _q_index_compaction,
-        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
-        "dedup_lines": _q_dedup_lines,
-        "text_repetition": _q_text_repetition,
-        "streaming_top_terms": _q_streaming_top_terms,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "pq_codes": _q_pq_codes,
-        "pq_adc": _q_pq_adc,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "text_entropy": _q_text_entropy,
-        "text_hash_embedding": _q_text_hash_embedding,
-        "pseudonymize": _q_pseudonymize,
-        "events_zscore": _q_events_zscore,
-        "streaming_zscore": _q_streaming_zscore,
-        "events_ks_drift": _q_events_ks_drift,
-        "fuzzy_join": _q_fuzzy_join,
-        # ---------------- tail (slots 51+), staleness order ----------------
+        # -- head slots 1-12: promoted verbatim from the round-10/11
+        # staging areas (pre-checked hash-green at sf0.001 + sf0.01) --
+        "quantile_hist": _q_quantile_hist,
+        "streaming_qhist": _q_streaming_qhist,
+        "kmv_overlap": _q_kmv_overlap,
+        "dsir_importance": _q_dsir_importance,
+        "trigram_backoff": _q_trigram_backoff,
+        "psi_drift": _q_psi_drift,
+        "streaming_hll": _q_streaming_hll,
+        "communities_lpa": _q_communities_lpa,
+        "wordpiece_vocab": _q_wordpiece_vocab,
+        "mad_outliers": _q_mad_outliers,
+        "kn_bigram_score": _q_kn_bigram_score,
+        "streaming_psi": _q_streaming_psi,
+        # -- slot 13: new round-10 gate (classifier scoring,
+        # VERDICT r9 #3) --
+        "quality_score": _q_quality_score,
+        # -- slots 14-18: round-10 merge survivors (each replaces a
+        # pair of near-duplicate gates; SURVEY.md par.8 slot ledger) --
+        "hll_report": _q_hll_report,
+        "som_qe": _q_som_qe,
+        "multimodal_audio": _q_multimodal_audio,
+        "hash_partition": _q_hash_partition,
+        "events_smoothing": _q_events_smoothing,
+        # -- slots 19-47: the 29 round-6-stale entries (policy: no
+        # evidence older than 3 rounds after this one) --
         "text_novelty": _q_text_novelty,
         "text_lang_consistency": _q_text_lang_consistency,
         "ivfpq_rerank": _q_ivfpq_rerank,
         "multimodal_phash": _q_multimodal_phash,
-        "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_video_fp": _q_multimodal_video_fp,
         "shard_layout": _q_shard_layout,
         "tpch_q3": _q_tpch_q3,
@@ -7280,8 +7484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_lines": _q_text_c4_lines,
         "semantic_dedup": _q_semantic_dedup,
         "som_activation_response": _q_som_activation_response,
-        "som_qe_rows": _q_som_qe_rows,
-        "som_quantization_error": _q_som_quantization_error,
         "som_labels_map": _q_som_labels_map,
         "som_topographic_error": _q_som_topographic_error,
         "som_train_epoch": _q_som_train_epoch,
@@ -7293,10 +7495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        # -- slots 48-50: stalest round-7 fill --
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_dict_coverage": _q_text_dict_coverage,
         "embedding_rp": _q_embedding_rp,
-        "events_ewma": _q_events_ewma,
+        # ---------------- tail (slots 51+), staleness order
+        # (round-7 evidence first, then round-8, then round-9) ----
         "knn_graph": _q_knn_graph,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "embedding_mrl": _q_embedding_mrl,
@@ -7323,7 +7527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
-        "events_moving_avg": _q_events_moving_avg,
         "events_json_stats": _q_events_json_stats,
         "table_profile": _q_table_profile,
         "data_quality": _q_data_quality,
@@ -7379,20 +7582,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_transitions": _q_streaming_user_transitions,
         "relational_revenue_topk": _q_relational_revenue_topk,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "multimodal_audio_stats": _q_multimodal_audio_stats,
         "events_sessionize": _q_events_sessionize,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_som_ivf": _q_ann_som_ivf,
         "dedup_components": _q_dedup_components,
         "fuzzy_dedup": _q_fuzzy_dedup,
-        "sample_hash": _q_sample_hash,
-        "split_by_hash": _q_split_by_hash,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "corpus_report": _q_corpus_report,
         "streaming_dedup": _q_streaming_dedup,
         "top_terms": _q_top_terms,
         "som_classify": _q_som_classify,
+        "cms_top_terms": _q_cms_top_terms,
+        "text_readability": _q_text_readability,
+        "nb_lang": _q_nb_lang,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "pagerank_hubs": _q_pagerank_hubs,
+        "streaming_cms": _q_streaming_cms,
+        "knn_label_purity": _q_knn_label_purity,
+        "textrank_keywords": _q_textrank_keywords,
+        "unigram_segments": _q_unigram_segments,
+        "som_anomalies": _q_som_anomalies,
+        "text_gopher": _q_text_gopher,
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
+        "mixture_resample": _q_mixture_resample,
+        "som_predict": _q_som_predict,
+        "ab_report": _q_ab_report,
+        "doc_length_buckets": _q_doc_length_buckets,
+        "events_quantiles": _q_events_quantiles,
+        "dedup_substrings": _q_dedup_substrings,
+        "session_paths": _q_session_paths,
+        "text_lm_bigram": _q_text_lm_bigram,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q14": _q_tpch_q14,
+        "decontaminate_spans": _q_decontaminate_spans,
+        "index_compaction": _q_index_compaction,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_lines": _q_dedup_lines,
+        "text_repetition": _q_text_repetition,
+        "streaming_top_terms": _q_streaming_top_terms,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "pq_codes": _q_pq_codes,
+        "pq_adc": _q_pq_adc,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "text_entropy": _q_text_entropy,
+        "text_hash_embedding": _q_text_hash_embedding,
+        "pseudonymize": _q_pseudonymize,
+        "events_zscore": _q_events_zscore,
+        "streaming_zscore": _q_streaming_zscore,
+        "events_ks_drift": _q_events_ks_drift,
+        "fuzzy_join": _q_fuzzy_join,
     }
 
 
@@ -7413,18 +7661,6 @@ def _sql_som_activation_response():
 SELECT CAST(bx AS INTEGER) AS bmu_x, CAST(by AS INTEGER) AS bmu_y,
        COUNT(*) AS n_wins
 FROM scored GROUP BY bx, by
-"""
-
-
-def _sql_som_qe_rows():
-    return _som_base_cte(f", {_MIN_DSQ} AS min_dsq") + """
-SELECT l_orderkey, l_linenumber, ROUND(sqrt(min_dsq), 4) AS qe FROM scored
-"""
-
-
-def _sql_som_quantization_error():
-    return _som_base_cte(f", {_MIN_DSQ} AS min_dsq") + """
-SELECT ROUND(AVG(sqrt(min_dsq)), 6) AS qe FROM scored
 """
 
 
@@ -7914,29 +8150,6 @@ def _duck_unit_hash(id_col: str, seed: int) -> str:
     return f"(({raw}) / 281474976710656.0)"
 
 
-def _sql_sample_hash():
-    return f"""
-SELECT doc_id, lang, source FROM documents
-WHERE {_duck_unit_hash('doc_id', 7)} < 0.25
-"""
-
-
-def _sql_split_by_hash():
-    # mirror split_by_hash's float accumulation exactly (repr round-trips)
-    total = float(sum(_SPLIT_WEIGHTS.values()))
-    names = list(_SPLIT_WEIGHTS)
-    u = _duck_unit_hash("doc_id", 1)
-    acc = 0.0
-    whens = []
-    for name in names[:-1]:
-        acc += _SPLIT_WEIGHTS[name] / total
-        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
-    return f"""
-SELECT doc_id, {case} AS split FROM documents
-"""
-
-
 def _sql_stratified_sample():
     u = _duck_unit_hash("doc_id", 11)
     rate = ("CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'de' THEN 0.5 "
@@ -8244,10 +8457,33 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 10 from the round-10/11 staging areas --
+        "quantile_hist": _sql_quantile_hist(),
+        "streaming_qhist": _sql_streaming_qhist(),
+        "kmv_overlap": _sql_kmv_overlap(),
+        "dsir_importance": _sql_dsir_importance(),
+        "trigram_backoff": _sql_trigram_backoff(),
+        "psi_drift": _sql_psi_drift(),
+        "streaming_hll": _sql_streaming_hll(),
+        "communities_lpa": _sql_communities_lpa(),
+        # data-dependent twin: the reference-learned vocabulary is
+        # embedded in the SQL, so the tier must match the run
+        "wordpiece_vocab": _sql_wordpiece_vocab(ivf_sf_dir),
+        "mad_outliers": _sql_mad_outliers(),
+        "kn_bigram_score": _sql_kn_bigram_score(),
+        # the drained streaming PSI equals batch psi_drift exactly
+        # (COMPLETE mode + spine completion): oracle shared
+        "streaming_psi": _sql_psi_drift(),
+        # -- new round-10 gates: classifier scoring + the 5 merge
+        # survivors (SURVEY.md par.8 slot ledger) --
+        "quality_score": _sql_quality_score(),
+        "hll_report": _sql_hll_report(),
+        "som_qe": _sql_som_qe(),
+        "multimodal_audio": _sql_multimodal_audio(),
+        "hash_partition": _sql_hash_partition(),
+        "events_smoothing": _sql_events_smoothing(),
         # -- promoted in round 9 from the round-8 staging area --
         "cms_top_terms": _sql_cms_top_terms(),
-        "hll_distinct": _sql_hll_distinct(),
-        "hll_by_type": _sql_hll_by_type(),
         "text_readability": _sql_text_readability(),
         "nb_lang": _sql_nb_lang(),
         "hybrid_rrf": _sql_hybrid_rrf(),
@@ -8267,7 +8503,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "dedup_paragraphs": _sql_dedup_paragraphs(),
         "text_dict_coverage": _sql_text_dict_coverage(),
         "embedding_rp": _sql_embedding_rp(),
-        "events_ewma": _sql_events_ewma(),
         "knn_graph": _sql_knn_graph(),
         "partitioned_roundtrip": _sql_partitioned_roundtrip(),
         "embedding_mrl": _sql_embedding_mrl(),
@@ -8305,7 +8540,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_lang_consistency": _sql_text_lang_consistency(),
         "ivfpq_rerank": _sql_ivfpq_rerank(),
         "multimodal_phash": _sql_multimodal_phash(),
-        "multimodal_audio_fp": _sql_multimodal_audio_fp(),
         "multimodal_video_fp": _sql_multimodal_video_fp(),
         # -- promoted in round 5 from the round-4 staging area --
         # streaming decontamination is stateless, so the drained
@@ -8369,8 +8603,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_c4_lines": _sql_text_c4_lines(),
         "semantic_dedup": _sql_semantic_dedup(ivf_sf_dir),
         "som_activation_response": _sql_som_activation_response(),
-        "som_qe_rows": _sql_som_qe_rows(),
-        "som_quantization_error": _sql_som_quantization_error(),
         "som_labels_map": _sql_som_labels_map(),
         "som_topographic_error": _sql_som_topographic_error(),
         "som_train_epoch": _sql_som_train_epoch(),
@@ -8404,7 +8636,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "streaming_user_transitions": _sql_streaming_user_transitions(),
         "relational_revenue_topk": _sql_relational_revenue_topk(),
         "multimodal_frame_sample": _sql_multimodal_frame_sample(),
-        "multimodal_audio_stats": _sql_multimodal_audio_stats(),
         "events_sessionize": _sql_events_sessionize(),
         # the approximate ops run in deterministic configurations whose
         # output IS exact (full-probe IVF; full-recall banded LSH), so
@@ -8418,8 +8649,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "fuzzy_dedup": _sql_fuzzy_dedup(),
         # deterministic content-hash sampling: same md5-nibble uniform on
         # both engines
-        "sample_hash": _sql_sample_hash(),
-        "split_by_hash": _sql_split_by_hash(),
         "stratified_sample": _sql_stratified_sample(),
         "pack_sequences": _sql_pack_sequences(),
         "corpus_report": _sql_corpus_report(),
@@ -8453,7 +8682,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_vocab": _sql_text_vocab(),
         "text_lm_score": _sql_text_lm_score(),
         "source_quota": _sql_source_quota(),
-        "events_moving_avg": _sql_events_moving_avg(),
         "events_pivot": _sql_events_pivot(),
         "streaming_interval_join": _sql_streaming_interval_join(),
         "streaming_qe_drift": _sql_streaming_qe_drift(),
@@ -8535,65 +8763,6 @@ SELECT rank, term, est, exact FROM rk WHERE rank <= 20
 
 
 _HLL_P = 9
-
-
-def _q_hll_distinct(spark, sf_dir):
-    """HyperLogLog distinct-user estimate (operators/sketches.py):
-    2^9 = 512 registers over events.user_id — register build is one
-    map-side-combined groupBy().max (the max IS the HLL merge), the
-    estimate one exact-integer harmonic sum with a single final
-    division; every register and the floored estimate replay exactly
-    in the oracle."""
-    from xpysom_dask_spark.operators import sketches as SK
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = readers.load_table(spark, sf_dir, "events")
-    regs = SK.hll_registers(
-        ev.select(F.col("user_id").cast("string").alias("k")), "k",
-        p=_HLL_P)
-    return SK.hll_estimate(regs, p=_HLL_P)
-
-
-def _sql_hll_distinct():
-    p = _HLL_P
-    m = 1 << p
-    rem_bits = 48 - p
-    # one headroom bit over the hash width (Σ 2^{49−p−M_j}): the
-    # saturated register's term is exactly 1, never a 0.5 whose BIGINT
-    # cast truncates in Spark but rounds in DuckDB
-    rem_pow2 = 1 << (rem_bits + 1)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * float(rem_pow2)  # same Python double as Spark
-    return f"""
-WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
-h AS (SELECT ({_duck_h48('k', 0)}) AS hv FROM u),
-reg AS (
-  SELECT CAST(hv // {1 << rem_bits} AS INTEGER) AS bucket,
-         CAST(MAX(CASE WHEN hv % {1 << rem_bits} = 0 THEN {rem_bits + 1}
-              ELSE {rem_bits + 1}
-                   - length(ltrim(bin(hv % {1 << rem_bits}), '0'))
-              END) AS INTEGER) AS rho
-  FROM h GROUP BY 1),
-agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
-         CAST(SUM(CAST(2.0 ** ({rem_bits + 1} - rho) AS BIGINT))
-              AS BIGINT) AS present_sum
-  FROM reg),
-calc AS (
-  SELECT CAST({m} - n_present AS BIGINT) AS n_zero,
-         CAST(present_sum + ({m} - n_present)
-              * CAST({rem_pow2} AS BIGINT) AS BIGINT) AS raw_sum
-  FROM agg)
-SELECT CAST({m} AS INTEGER) AS m, n_zero,
-       raw_sum AS raw_sum_scaled,
-       CAST(CASE WHEN {num!r} / CAST(raw_sum AS DOUBLE)
-                      < {2.5 * m!r} AND n_zero > 0
-            THEN FLOOR({float(m)!r}
-                       * ln({float(m)!r} / CAST(n_zero AS DOUBLE)))
-            ELSE FLOOR({num!r} / CAST(raw_sum AS DOUBLE))
-            END AS BIGINT) AS est
-FROM calc
-"""
 
 
 def _q_text_readability(spark, sf_dir):
@@ -8700,18 +8869,24 @@ def _q_hybrid_rrf(spark, sf_dir):
     fusion of bm25_topk (rare-term weighting) and jaccard_topk
     (set overlap) at k=20 each, fused to the top-10 — the
     calibration-free hybrid that consumes only ranks, so every score
-    is integer `div` arithmetic and replays exactly."""
+    is integer `div` arithmetic and replays exactly.  Both rankers
+    share ONE tokenized (id, term, tf) relation (doc_term_counts,
+    persisted) so the corpus is tokenized/shuffled once, not once
+    per ranker — the shared-candidate idiom of the r9 recall
+    sweep (VERDICT r9 #5)."""
     from xpysom_dask_spark.operators.text import (bm25_topk,
+                                                  doc_term_counts,
                                                   jaccard_topk,
                                                   rrf_fuse)
 
     docs = _docs(spark, sf_dir)
     qdocs = docs.where(_BM25_QDOCS).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext"))
+    dt = doc_term_counts(docs, "text", "doc_id").persist()
     bm = bm25_topk(docs, "text", "doc_id", qdocs, "qtext", "query_id",
-                   k=20, k1=_BM25_K1, b=_BM25_B)
+                   k=20, k1=_BM25_K1, b=_BM25_B, doc_terms=dt)
     jc = jaccard_topk(docs, "text", "doc_id", qdocs, "qtext",
-                      "query_id", k=20)
+                      "query_id", k=20, doc_terms=dt)
     return rrf_fuse([bm, jc], k=10)
 
 
@@ -8953,63 +9128,6 @@ edges AS (
 rk AS (SELECT id, r, ROW_NUMBER() OVER (ORDER BY r DESC, id) AS rank
        FROM it5)
 SELECT rank, id AS term, r AS rank_e6 FROM rk WHERE rank <= 20
-"""
-
-
-def _q_hll_by_type(spark, sf_dir):
-    """Grouped HyperLogLog (operators/sketches.py group_cols): the
-    warehouse pattern — approximate COUNT(DISTINCT user_id) per
-    event_type from one combinable aggregation whose state is
-    groups x 2^p rows.  Same exact-integer estimate as hll_distinct,
-    one row per event_type."""
-    from xpysom_dask_spark.operators import sketches as SK
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = readers.load_table(spark, sf_dir, "events")
-    regs = SK.hll_registers(
-        ev.select("event_type",
-                  F.col("user_id").cast("string").alias("k")),
-        "k", p=_HLL_P, group_cols=("event_type",))
-    return SK.hll_estimate(regs, p=_HLL_P, group_cols=("event_type",))
-
-
-def _sql_hll_by_type():
-    p = _HLL_P
-    m = 1 << p
-    rem_bits = 48 - p
-    rem_pow2 = 1 << (rem_bits + 1)   # Σ 2^{49−p−M_j} headroom bit
-    alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * float(rem_pow2)
-    return f"""
-WITH u AS (SELECT DISTINCT event_type,
-                  CAST(user_id AS VARCHAR) AS k FROM events),
-h AS (SELECT event_type, ({_duck_h48('k', 0)}) AS hv FROM u),
-reg AS (
-  SELECT event_type, CAST(hv // {1 << rem_bits} AS INTEGER) AS bucket,
-         CAST(MAX(CASE WHEN hv % {1 << rem_bits} = 0 THEN {rem_bits + 1}
-              ELSE {rem_bits + 1}
-                   - length(ltrim(bin(hv % {1 << rem_bits}), '0'))
-              END) AS INTEGER) AS rho
-  FROM h GROUP BY 1, 2),
-agg AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
-         CAST(SUM(CAST(2.0 ** ({rem_bits + 1} - rho) AS BIGINT))
-              AS BIGINT) AS present_sum
-  FROM reg GROUP BY 1),
-calc AS (
-  SELECT event_type, CAST({m} - n_present AS BIGINT) AS n_zero,
-         CAST(present_sum + ({m} - n_present)
-              * CAST({rem_pow2} AS BIGINT) AS BIGINT) AS raw_sum
-  FROM agg)
-SELECT event_type, CAST({m} AS INTEGER) AS m, n_zero,
-       raw_sum AS raw_sum_scaled,
-       CAST(CASE WHEN {num!r} / CAST(raw_sum AS DOUBLE)
-                      < {2.5 * m!r} AND n_zero > 0
-            THEN FLOOR({float(m)!r}
-                       * ln({float(m)!r} / CAST(n_zero AS DOUBLE)))
-            ELSE FLOOR({num!r} / CAST(raw_sum AS DOUBLE))
-            END AS BIGINT) AS est
-FROM calc
 """
 
 

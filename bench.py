@@ -619,20 +619,32 @@ def main():
         docs.withColumn("n_tok", T.token_count("text")),
         "doc_id", "n_tok", budget=256, n_groups=8).count())
     _q9 = dict(_entry.queries())
-    _q9.update(_entry.queries_round10_staged())
-    _q9.update(_entry.queries_round11_staged())
+    for _rn in range(5, 30):
+        _qf = getattr(_entry, f"queries_round{_rn}_staged", None)
+        if _qf:
+            _q9.update(_qf())
     for _nm in ("bm25_topk", "knn_graph_full", "cms_top_terms",
-                "hll_distinct", "text_readability", "nb_lang",
+                "text_readability", "nb_lang",
                 "hybrid_rrf", "pagerank_hubs", "knn_label_purity",
-                "textrank_keywords", "streaming_cms", "hll_by_type",
+                "textrank_keywords", "streaming_cms",
                 "unigram_segments",
-                # round-10 staged gates
+                # promoted in round 10
                 "quantile_hist", "streaming_qhist", "kmv_overlap",
                 "dsir_importance", "trigram_backoff", "psi_drift",
                 "streaming_hll", "communities_lpa",
                 "wordpiece_vocab", "mad_outliers",
+                "kn_bigram_score", "streaming_psi",
+                # new round-10 gates (hll_report/som_qe/
+                # multimodal_audio/hash_partition/events_smoothing
+                # replace the retired hll_distinct+hll_by_type,
+                # som_qe_rows+som_quantization_error,
+                # multimodal_audio_stats+_fp, sample_hash+
+                # split_by_hash, events_ewma+events_moving_avg pairs)
+                "quality_score", "hll_report", "som_qe",
+                "multimodal_audio", "hash_partition",
+                "events_smoothing",
                 # round-11 staged
-                "kn_bigram_score", "streaming_psi"):
+                "kmv_novelty", "calibration_report"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # round-9 additions: HTML extraction (the crawl pipeline's first

@@ -121,6 +121,51 @@ def main(sf_dir: str) -> None:
     print("kept mix by weak label:",
           {int(r["y"]): int(r["count"]) for r in mix})
 
+    # ---- stage 5: persist the model (npz, no pickle) ------------------
+    import tempfile
+
+    art = os.path.join(tempfile.mkdtemp(prefix="qc_model_"),
+                       "quality.npz")
+    models.save_classifier(m_hash, art)
+    m_loaded = models.load_classifier(art)
+    assert (m_loaded["w"] == m_hash["w"]).all()
+    print(f"model artifact: {art} "
+          f"({os.path.getsize(art)} bytes, npz round-trip exact)")
+
+    # ---- stage 6: stream-score new arrivals with the SAVED model ------
+    # the batch scorer is already the right streaming shape (stateless
+    # narrow pass, weights broadcast at query start), so classify_stream
+    # IS the batch plan under Structured Streaming
+    import uuid
+
+    from xpysom_dask_spark.streaming import classify_stream
+
+    arrivals_dir = tempfile.mkdtemp(prefix="qc_arrivals_")
+    lab.select("doc_id", "text").repartition(4) \
+        .write.mode("overwrite").parquet(arrivals_dir)
+    stream = spark.readStream \
+        .schema(lab.select("doc_id", "text").schema) \
+        .parquet(arrivals_dir)
+    name = "qc_stream_" + uuid.uuid4().hex[:8]
+    q = (classify_stream(stream, "text", "doc_id", m_loaded)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    drained = spark.table(name)
+    parity = drained.join(
+        scored.withColumnRenamed("quality_p", "batch_p"), "id") \
+        .agg(F.max(F.abs(F.col("quality_p") - F.col("batch_p"))))
+    print(f"stream-scored {drained.count()} docs; "
+          f"max |stream - batch| = {parity.first()[0]} (bit parity)")
+
+    # ---- stage 7: the quantile gate on the final scores ---------------
+    # keep the top 60% by score — ONE sketch-quantile job for the
+    # cutoff, then a map-side predicate; the corpus never shuffles
+    gated_final = models.filter_by_score(joined, "quality_p", 0.6)
+    n_in, n_out = joined.count(), gated_final.count()
+    print(f"filter_by_score(0.6): {n_in} -> {n_out} docs "
+          f"({n_out / n_in:.2f} kept)")
+
     spark.stop()
 
 

@@ -108,13 +108,23 @@ def test_current_order_meets_staleness_policy():
     slots get fresh rows, the tail keeps its archive) and fail if any
     declared query's newest green row would end the round more than
     MAX_STALENESS_ROUNDS old — e.g. the round-6 ordering frozen into
-    round 8 leaves the round-3 block 5 rounds stale and trips this."""
+    round 8 leaves the round-3 block 5 rounds stale and trips this.
+
+    VERDICT r9 #2: the coming round is derived from the COMMITTED
+    archive (git ls-files), not the on-disk glob — the driver drops the
+    current round's CORRECTNESS file after the snapshot commit, and
+    counting that untracked file projects a rotation that cannot have
+    happened yet (the red manufactured in every r7-r9 judged tree).
+    Evidence itself still counts from all files on disk: an untracked
+    green row is real evidence."""
     from tools.rotate_gate import (MAX_STALENESS_ROUNDS,
+                                   committed_correctness_paths,
                                    staleness_violations)
 
     latest = latest_green_rounds(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    next_round = max(latest.values(), default=0) + 1
+    committed = latest_green_rounds(committed_correctness_paths(REPO))
+    next_round = max(committed.values(), default=0) + 1
     declared = list(entrymod.queries())
     bad = staleness_violations(declared, latest, next_round)
     assert not bad, (

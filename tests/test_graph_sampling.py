@@ -617,6 +617,32 @@ def test_components_two_path_parity(spark):
     assert fused == dist == star
 
 
+def test_coreness_deep_degeneracy_bounded_plan(spark):
+    """High-degeneracy graph (VERDICT r9 #6): a 65-clique (core 64)
+    plus one pendant at every level k=1..63 forces ~64 shed shards,
+    so the distributed peel must truncate its accumulator's union
+    TREE (every ~16 shards) or the final plan is hundreds of unions
+    deep.  Exact parity with the driver-side reference peel."""
+    from xpysom_dask_spark.operators.graph import coreness
+
+    clique = list(range(65))
+    edges = [(a, b) for i, a in enumerate(clique)
+             for b in clique[i + 1:]]
+    # pendant 100+k attaches to the first k clique members -> core k
+    for k in range(1, 64):
+        edges += [(100 + k, m) for m in range(k)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    ref = _py_coreness(edges)
+    out = coreness(df, "id_a", "id_b", fuse_local_edges=0)
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert got == ref
+    assert got[0] == 64 and got[101] == 1 and got[163] == 63
+    # the truncation must keep the plan shallow: a 64-deep union
+    # chain stringifies enormous; bound the plan's total size
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") <= 20, plan.count("Union")
+
+
 def test_core_two_path_parity(spark):
     """Driver-fused coreness/k_core == the distributed peel."""
     import random

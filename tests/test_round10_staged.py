@@ -1,6 +1,6 @@
-"""Round-10 PRE-STAGED gate queries vs their oracles at sf0.001 —
-verified like the round-9 queue, promoted the round after
-(queries_round10_staged / oracle_sql_round10_staged; SURVEY.md §8)."""
+"""Round-10 promoted gate queries vs their oracles at sf0.001 — same
+comparison as test_oracle_parity, for the 12 entries promoted from the
+round-10/11 staging areas into the graded head-50 (SURVEY.md §8)."""
 
 import math
 import os
@@ -18,11 +18,17 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-STAGED = entrymod.queries_round10_staged()
+PROMOTED = ("quantile_hist", "streaming_qhist", "kmv_overlap",
+            "dsir_importance", "trigram_backoff", "psi_drift",
+            "streaming_hll", "communities_lpa", "wordpiece_vocab",
+            "mad_outliers", "kn_bigram_score", "streaming_psi")
+
+STAGED = {k: v for k, v in entrymod.queries().items() if k in PROMOTED}
 # SF_TINY: the wordpiece_vocab oracle is data-dependent (the
 # reference-learned vocabulary rides inside the SQL), so the tier
 # must match the one the queries run against
-ORACLES = entrymod.oracle_sql_round10_staged(SF_TINY)
+ORACLES = {k: v for k, v in entrymod.oracle_sql(SF_TINY).items()
+           if k in PROMOTED}
 
 
 def _norm(v):
@@ -38,13 +44,27 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def test_every_staged_query_has_an_oracle():
-    assert set(STAGED) == set(ORACLES)
-    assert not set(STAGED) & set(entrymod.queries())
+def test_promoted_queries_head_until_green():
+    # the driver checks queries()[:50]; a promoted entry must keep a
+    # head slot until it has a fully GREEN archived row (rows AND
+    # schema AND hash) — afterwards the rotation may move it out
+    import glob
+
+    from tools.rotate_gate import latest_green_rounds
+
+    assert set(ORACLES) == set(STAGED) == set(PROMOTED)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens = latest_green_rounds(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    names = list(entrymod.queries())
+    for name in PROMOTED:
+        if greens.get(name) is None:
+            assert names.index(name) < 50, \
+                f"{name} has no green row yet but sits outside the head"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_staged_query_matches_oracle(spark, name):
+def test_promoted_query_matches_oracle(spark, name):
     sdf = STAGED[name](spark, SF_TINY)
     srows = sdf.collect()
     con = duckdb.connect()

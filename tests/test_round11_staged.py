@@ -1,7 +1,10 @@
 """Round-11 PRE-STAGED gate queries vs their oracles at sf0.001
 (queries_round11_staged / oracle_sql_round11_staged; SURVEY.md §8 —
-rationed additions: the declared surface sits at 192 of the ~200
-staleness cap after the round-9/10 promotions)."""
+rationed additions: the declared surface sits at 190 of the 200-slot
+staleness cap after the round-10 promotions + merges, so new entries
+should ride a merge that frees their slot).  The PREVIOUS round-11
+queue (kn_bigram_score, streaming_psi) was promoted in round 10; its
+invariant tests below now read the promoted entries from queries()."""
 
 import math
 import os
@@ -39,7 +42,6 @@ def _multiset(cols, rows):
 def test_every_staged_query_has_an_oracle():
     assert set(STAGED) == set(ORACLES)
     assert not set(STAGED) & set(entrymod.queries())
-    assert not set(STAGED) & set(entrymod.queries_round10_staged())
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -63,7 +65,7 @@ def test_staged_query_matches_oracle(spark, name):
 def test_kn_scores_are_log_probabilities(spark):
     """Every per-doc sum is a sum of logs of probabilities < 1, so
     sum_e6 <= 0; n_bigrams is exactly token_count - 1."""
-    rows = STAGED["kn_bigram_score"](spark, SF_TINY).collect()
+    rows = entrymod.queries()["kn_bigram_score"](spark, SF_TINY).collect()
     assert rows and all(r["sum_e6"] <= 0 for r in rows)
     con = duckdb.connect()
     ntk = dict(con.execute(
@@ -108,7 +110,7 @@ def test_streaming_psi_equals_batch_psi_drift(spark):
                       bins=entrymod._PSI_BINS)
     brows = sorted(tuple(r) for r in batch.collect())
     srows = sorted(tuple(r) for r in
-                   STAGED["streaming_psi"](spark, SF_TINY).collect())
+                   entrymod.queries()["streaming_psi"](spark, SF_TINY).collect())
     assert srows == brows and len(srows) == entrymod._PSI_BINS
 
 

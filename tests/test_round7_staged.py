@@ -19,8 +19,10 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 PROMOTED = (
+    # events_ewma was merged into the round-10 events_smoothing gate
+    # (streaming_ewma still shares its oracle)
     "dedup_paragraphs", "text_dict_coverage", "embedding_rp",
-    "events_ewma", "knn_graph", "partitioned_roundtrip",
+    "knn_graph", "partitioned_roundtrip",
     "embedding_mrl", "graph_triangles", "lsh_recall_audit",
     "text_tfidf", "streaming_ewma", "pack_bins", "dedup_containment",
     "vocab_zipf")

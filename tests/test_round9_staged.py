@@ -18,10 +18,12 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-PROMOTED = ("cms_top_terms", "hll_distinct", "hll_by_type",
-            "text_readability", "nb_lang", "hybrid_rrf",
-            "pagerank_hubs", "streaming_cms", "knn_label_purity",
-            "textrank_keywords", "unigram_segments")
+# hll_distinct + hll_by_type were merged into the round-10 hll_report
+# gate (grouped registers + register-MAX rollup under 'ALL')
+PROMOTED = ("cms_top_terms", "text_readability", "nb_lang",
+            "hybrid_rrf", "pagerank_hubs", "streaming_cms",
+            "knn_label_purity", "textrank_keywords",
+            "unigram_segments")
 
 STAGED = {k: v for k, v in entrymod.queries().items() if k in PROMOTED}
 # SF_TINY: the unigram_segments oracle is data-dependent (vocabulary
@@ -91,10 +93,13 @@ def test_cms_gate_never_underestimates(spark):
 
 def test_hll_gate_close_to_exact_distinct(spark):
     """HLL p=9 has ~4.6% standard error; the gate estimate must land
-    within 4 sigma of the true distinct user count."""
+    within 4 sigma of the true distinct user count (the merged
+    hll_report gate's 'ALL' rollup row)."""
     import duckdb as dk
 
-    row = STAGED["hll_distinct"](spark, SF_TINY).collect()[0]
+    row = [r for r in
+           entrymod.queries()["hll_report"](spark, SF_TINY).collect()
+           if r["event_type"] == "ALL"][0]
     con = dk.connect()
     exact = con.execute(
         f"SELECT COUNT(DISTINCT user_id) FROM "

@@ -116,6 +116,30 @@ def test_jaccard_topk_exact(spark):
     assert got == [(1, 1, 750000), (2, 4, 500000), (3, 2, 400000)]
 
 
+def test_rankers_shared_doc_terms_bit_identical(spark):
+    """bm25_topk/jaccard_topk fed a shared doc_term_counts relation
+    must equal their self-tokenizing paths bit-for-bit (the round-10
+    hybrid refactor: tokenize the corpus ONCE per query batch)."""
+    docs = [(1, "a b c d"), (2, "a b x y"), (3, "p q r"),
+            (4, "a b c d e f"), (5, "a a a b")]
+    qs = [(100, "a b c"), (101, "x y q")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    qdf = spark.createDataFrame(qs, "qid bigint, qtext string")
+    dt = T.doc_term_counts(df, "text", "doc_id").persist()
+    try:
+        for fn, kw in ((T.bm25_topk, dict(k=5)),
+                       (T.jaccard_topk, dict(k=5))):
+            solo = sorted(map(tuple, fn(
+                df, "text", "doc_id", qdf, "qtext", "qid",
+                **kw).collect()))
+            shared = sorted(map(tuple, fn(
+                df, "text", "doc_id", qdf, "qtext", "qid",
+                doc_terms=dt, **kw).collect()))
+            assert solo == shared and solo
+    finally:
+        dt.unpersist()
+
+
 def test_rrf_fuse_matches_reference(spark):
     r1 = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3)],

@@ -43,10 +43,16 @@ DECLARED = ["som_train_epoch", "dedup_minhash", "bm25_topk",
             # tokenizer trained models, streaming/mergeable sketches,
             # hashed-feature importance weights
             "ivfpq_topk", "knn_graph_full", "bpe_subwords",
-            "dsir_importance", "quantile_hist"]
+            "dsir_importance", "quantile_hist",
+            # round-10 additions: classifier scoring + the 5 merge
+            # survivors (SURVEY.md par.8 slot ledger)
+            "quality_score", "hll_report", "som_qe",
+            "multimodal_audio", "hash_partition", "events_smoothing"]
 STAGED = ["wordpiece_vocab", "communities_lpa", "mad_outliers",
           "streaming_cms", "kmv_overlap", "unigram_segments",
-          "kn_bigram_score", "streaming_psi"]
+          "kn_bigram_score", "streaming_psi",
+          # round-11 staging queue
+          "kmv_novelty", "calibration_report"]
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
@@ -77,10 +83,17 @@ def run(sf_dir, names=None):
     spark = make_cluster_session()
     q = dict(entry.queries())
     o = dict(entry.oracle_sql(sf_dir))
-    q.update(entry.queries_round10_staged())
-    o.update(entry.oracle_sql_round10_staged(sf_dir))
-    q.update(entry.queries_round11_staged())
-    o.update(entry.oracle_sql_round11_staged(sf_dir))
+    # staged queues, whichever rounds currently exist (gate_pick idiom)
+    for rn in range(5, 30):
+        qf = getattr(entry, f"queries_round{rn}_staged", None)
+        of = getattr(entry, f"oracle_sql_round{rn}_staged", None)
+        if qf:
+            q.update(qf())
+        if of:
+            try:
+                o.update(of(sf_dir))
+            except TypeError:
+                o.update(of())
 
     con = duckdb.connect()
     for t in TABLES:

@@ -33,7 +33,15 @@ BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22",
                   # of the two G-row group lists (G = dimension
                   # cardinality, contract-bounded); sketch membership
                   # itself is a hash equi-join on the group key
-                  "kmv_overlap"}
+                  "kmv_overlap",
+                  # per-row QE + the corpus-QE scalar: the 1-row AVG
+                  # aggregate broadcast back over the scored relation
+                  # (the merged som_qe_rows+som_quantization_error
+                  # gate, round 10)
+                  "som_qe",
+                  # inclusion-exclusion of two 1-row KMV estimates
+                  # (base_est x union_est) — both sides single rows
+                  "kmv_novelty"}
 
 SF = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
 

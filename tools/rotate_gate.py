@@ -18,12 +18,32 @@ the ``queries()`` dict and re-running ``tests/test_gate_coverage.py``.
 import glob
 import json
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 GATE_SLOTS = 50
+
+
+def committed_correctness_paths(repo=REPO):
+    """CORRECTNESS_r*.json files tracked by git — the builder-visible
+    archive.  The driver drops the current round's file AFTER the
+    snapshot commit (untracked at judge time), so deriving the coming
+    round from ALL files on disk projects one round too far and flags a
+    rotation that cannot have happened yet (the r7-r9 judged-tree red).
+    Falls back to the on-disk glob outside a git checkout."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True
+        ).stdout.split()
+        if out:
+            return [os.path.join(repo, p) for p in out]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
 
 
 def is_green(row):
@@ -108,7 +128,8 @@ def main():
         marker = "  <-- head" if rank < head_left else ""
         print(f"{rank + 1:3d}. {name:32s} [{tag}]{marker}")
 
-    next_round = max(latest_green.values(), default=0) + 1
+    committed = latest_green_rounds(committed_correctness_paths())
+    next_round = max(committed.values(), default=0) + 1
     bad = staleness_violations(declared, latest_green, next_round)
     if bad:
         print(f"# STALENESS (policy: <= {MAX_STALENESS_ROUNDS} rounds "

@@ -1050,9 +1050,13 @@ def squash_repeated_lines(df: DataFrame, text_col: str,
                 lambda s: s.getField("line")), "\n").alias("__clean"),
         (F.sum("occ") - F.count(F.lit(1))).cast("int")
         .alias("n_lines_squashed")))
+    # unmatched rows (NULL id — the left-join key never matches — or
+    # NULL text) keep their INPUT text: a content-preserving op must
+    # never silently blank a document (ADVICE r9)
     return (df.join(rebuilt.withColumnRenamed("id", id_col), id_col,
                     "left")
-            .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+            .withColumn(text_col,
+                        F.coalesce("__clean", F.col(text_col)))
             .withColumn("n_lines_squashed",
                         F.coalesce("n_lines_squashed", F.lit(0)))
             .drop("__clean"))

@@ -709,6 +709,7 @@ def coreness(pairs: DataFrame, id_a: str = "id_a",
     out = None
     kk = 1
     layers = 0
+    shed_count = 0
     while not verts.isEmpty():
         # the emptiness test re-runs AFTER every layer, so a peel
         # completing in the final allowed layer returns normally
@@ -731,6 +732,13 @@ def coreness(pairs: DataFrame, id_a: str = "id_a",
             if shed.isEmpty():
                 break
             out = shed if out is None else out.unionByName(shed)
+            # each shed shard is checkpointed but the accumulator's
+            # union TREE is lineage too: on a high-degeneracy graph
+            # (core number in the hundreds) it would grow hundreds
+            # deep — truncate it every ~16 shards (VERDICT r9 #6)
+            shed_count += 1
+            if shed_count % 16 == 0:
+                out = out.localCheckpoint(eager=True)
             verts = deg.where(F.col("d") >= kk).select("id") \
                 .localCheckpoint(eager=True)
             e = (e.join(verts.withColumnRenamed("id", "a"), "a",

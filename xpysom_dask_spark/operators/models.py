@@ -263,6 +263,18 @@ def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
                                           * F.col(f"x{j}")))
                                 .alias(f"h{i}_{j}"))
             row = base.agg(*aggs).first()
+            # a feature near 1e30 overflows DECIMAL(38,0) after the
+            # e9 quantization and the SUM goes NULL — fail with the
+            # ridge_fit-style message, not a bare TypeError mid-
+            # iteration (ADVICE r9)
+            nulls = [k for k, v in row.asDict().items() if v is None]
+            if nulls:
+                raise ValueError(
+                    "logreg_fit: aggregate overflow — NULL sums for "
+                    f"{nulls[:4]} (iteration {it}): decimals must "
+                    f"cover the e{GRAD_DECIMALS}-quantized terms in "
+                    "DECIMAL(38,0), so feature magnitudes must stay "
+                    "below ~1e29; rescale the offending columns")
             g = np.empty(d + 1)
             g[0] = float(row["g_b"]) / s
             H = np.zeros((d + 1, d + 1))

@@ -742,7 +742,10 @@ def extract_urls(df, text_col: str, id_col: str):
 #: lists, it is frequently semantic (git refs, forum post anchors),
 #: and a canonicalizer that merges distinct resources silently drops
 #: real documents at the dedup step.
-_TRACKING_PARAM_RE = (r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|"
+#: (?i): param NAMES match case-insensitively ('?UTM_SOURCE=x' and
+#: '?Fbclid=zz' are the same trackers — ADVICE r9); VALUES are never
+#: touched.
+_TRACKING_PARAM_RE = (r"(?i)^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|"
                       r"mc_cid|mc_eid|igshid|ref_src|spm|yclid|"
                       r"_ga|mkt_tok)=")
 
@@ -780,7 +783,11 @@ def canonicalize_url(col) -> Column:
     valid = hostport.rlike(r"^[a-z0-9.\-]+(:[0-9]+)?$")
     rest = F.regexp_extract(
         u, r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]*(.*)$", 1)
-    host = F.regexp_replace(hostport, r"^www\.", "")
+    # strip 'www.' only when at least one more dot-separated label
+    # remains: http://www.com must NOT become http://com (a host whose
+    # registrable label IS 'www' — ADVICE r9); Java regex supports the
+    # lookahead
+    host = F.regexp_replace(hostport, r"^www\.(?=[^.:]+\.)", "")
     host = F.when(scheme == "http",
                   F.regexp_replace(host, r":80$", "")) \
             .when(scheme == "https",
@@ -1458,10 +1465,27 @@ def compression_ratio(df, text_col: str, id_col: str,
         fn, f"id bigint, n_bytes bigint, {out_col} double")
 
 
+def doc_term_counts(df, text_col: str, id_col: str):
+    """Per-document term counts ``(id_col, term, tf)`` — the shared
+    tokenized relation behind :func:`bm25_topk` and
+    :func:`jaccard_topk` (round-10 hybrid-retrieval refactor): one
+    token explode + ONE map-side-combined ``groupBy(id, term)`` — the
+    only corpus-keyed shuffle either ranker needs.  Persist it once
+    per query batch and pass it to both via ``doc_terms=`` so a
+    hybrid fusion tokenizes the corpus ONCE, not once per ranker —
+    at 100 TB the corpus scan dominates, so this halves the hybrid's
+    cost.  dl, df and distinct doc-term pairs all derive from this
+    relation without touching text again."""
+    return (df.select(F.col(id_col),
+                      F.explode(tokens(text_col)).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+
+
 def bm25_topk(df, text_col: str, id_col: str, query_df,
               query_text_col: str, query_id_col: str,
               k: int = 10, k1: float = 1.2, b: float = 0.75,
-              max_df: int | None = None):
+              max_df: int | None = None, doc_terms=None):
     """BM25 top-``k`` retrieval of corpus documents for a bounded query
     set: ``query_id, rank, doc_id, score_e6`` — the classical
     probabilistic ranking (Robertson/Lucene form), the retrieval
@@ -1513,10 +1537,13 @@ def bm25_topk(df, text_col: str, id_col: str, query_df,
     if max_df is not None and max_df < 1:
         raise ValueError(f"max_df must be >= 1 or None, got {max_df}")
 
-    toks = df.select(F.col(id_col).alias("__id"),
-                     F.explode(tokens(text_col)).alias("term"))
-    tf_rel = (toks.groupBy("__id", "term")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    # doc_terms: a pre-built doc_term_counts(df, text_col, id_col)
+    # relation (persist it to share ONE corpus tokenization across
+    # rankers — the hybrid-fusion shape)
+    if doc_terms is None:
+        doc_terms = doc_term_counts(df, text_col, id_col)
+    tf_rel = doc_terms.select(F.col(id_col).alias("__id"), "term",
+                              "tf")
     dl_rel = (tf_rel.groupBy("__id")
               .agg(F.sum("tf").cast("bigint").alias("dl")))
     dfreq = (tf_rel.groupBy("term")
@@ -1699,7 +1726,7 @@ def nb_classify(df, text_col: str, id_col: str, label_col: str,
 
 def jaccard_topk(df, text_col: str, id_col: str, query_df,
                  query_text_col: str, query_id_col: str,
-                 k: int = 10):
+                 k: int = 10, doc_terms=None):
     """Token-SET Jaccard top-``k`` retrieval: ``query_id, rank,
     doc_id, jaccard_e6`` — the lexical-overlap ranker that complements
     :func:`bm25_topk` (bm25 weights rare terms; Jaccard rewards
@@ -1718,9 +1745,15 @@ def jaccard_topk(df, text_col: str, id_col: str, query_df,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    dtok = (df.select(F.col(id_col).alias("__id"),
-                      F.explode(tokens(text_col)).alias("term"))
-            .distinct())
+    # doc_terms: a shared doc_term_counts relation — its (id, term)
+    # pairs are distinct by construction, so the ranker reuses the
+    # one corpus shuffle instead of re-tokenizing
+    if doc_terms is None:
+        dtok = (df.select(F.col(id_col).alias("__id"),
+                          F.explode(tokens(text_col)).alias("term"))
+                .distinct())
+    else:
+        dtok = doc_terms.select(F.col(id_col).alias("__id"), "term")
     dsz = dtok.groupBy("__id").agg(F.count(F.lit(1)).alias("nd"))
     qtok = (query_df.select(F.col(query_id_col).alias("query_id"),
                             F.explode(tokens(query_text_col))

@@ -14,6 +14,7 @@ from .decontam import (  # noqa: F401
 )
 from .dedup import dedup_stream  # noqa: F401
 from .scoring import (  # noqa: F401
+    classify_stream,
     score_stream,
     stream_zscore,
     windowed_activation_response,

@@ -1,0 +1,205 @@
+"""Round-10 merged-gate invariants (beyond the oracle parity the
+driver gate already enforces): each merge survivor must equal the
+solo operators it absorbed, bit-for-bit, and the new classifier
+scoring gate must match a pure-Python scorer differentially."""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_TINY
+
+
+# --------------------------------------------------------- hll_report
+
+
+def test_hll_report_all_row_is_the_register_max_merge(spark):
+    """The 'ALL' rollup must equal hll_estimate over GLOBALLY-built
+    registers — the merge property (max over groups == global max),
+    computed via a second independent path."""
+    from xpysom_dask_spark.operators import sketches as SK
+    from xpysom_dask_spark.sources import readers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, SF_TINY, "events")
+    direct = SK.hll_estimate(
+        SK.hll_registers(
+            ev.select(F.col("user_id").cast("string").alias("k")),
+            "k", p=entrymod._HLL_P),
+        p=entrymod._HLL_P).first()
+    rows = entrymod.queries()["hll_report"](spark, SF_TINY).collect()
+    all_row = [r for r in rows if r["event_type"] == "ALL"]
+    assert len(all_row) == 1
+    assert all_row[0]["est"] == direct["est"]
+    assert all_row[0]["raw_sum_scaled"] == direct["raw_sum_scaled"]
+    # one row per event_type + the rollup
+    types = {r["event_type"] for r in rows}
+    assert "ALL" in types and len(types) == len(rows)
+
+
+# ------------------------------------------------------------- som_qe
+
+
+def test_som_qe_scalar_is_the_rowwise_average(spark):
+    rows = entrymod.queries()["som_qe"](spark, SF_TINY).collect()
+    assert rows
+    corpus = {r["corpus_qe"] for r in rows}
+    assert len(corpus) == 1         # one broadcast scalar, every row
+    want = round(sum(r["qe"] for r in rows) / len(rows), 6)
+    # rounding order differs (scalar averages UNrounded qe), so allow
+    # the last-digit wobble of averaging 4dp-rounded values
+    assert abs(corpus.pop() - want) < 5e-5
+
+
+# --------------------------------------------------- multimodal_audio
+
+
+def test_multimodal_audio_equals_solo_operators(spark):
+    from xpysom_dask_spark.operators import multimodal
+
+    emb = entrymod._emb(spark, SF_TINY)
+    clips = multimodal.embeddings_as_audio(emb)
+    stats = {r["audio_id"]: r for r in
+             multimodal.audio_stats(clips).collect()}
+    sigs = {r["audio_id"]: r["bits"] for r in
+            multimodal.audio_fingerprint(clips).collect()}
+    merged = entrymod.queries()["multimodal_audio"](
+        spark, SF_TINY).collect()
+    assert len(merged) == len(stats) > 0
+    for r in merged:
+        s = stats[r["audio_id"]]
+        assert (r["n_samples"], r["s_sum"], r["s_sumsq"], r["s_min"],
+                r["s_max"], r["zero_crossings"]) == \
+               (s["n_samples"], s["s_sum"], s["s_sumsq"], s["s_min"],
+                s["s_max"], s["zero_crossings"])
+        assert [r["fp_w0"], r["fp_w1"]] == sigs[r["audio_id"]]
+
+
+# ----------------------------------------------------- hash_partition
+
+
+def test_hash_partition_equals_solo_operators(spark):
+    from xpysom_dask_spark.operators import sampling
+
+    docs = entrymod._docs(spark, SF_TINY)
+    split = {r["doc_id"]: r["split"] for r in sampling.split_by_hash(
+        docs, "doc_id", dict(entrymod._SPLIT_WEIGHTS),
+        seed=1).collect()}
+    sampled = {r["doc_id"] for r in sampling.hash_sample(
+        docs, "doc_id", 0.25, seed=7).collect()}
+    rows = entrymod.queries()["hash_partition"](spark,
+                                                SF_TINY).collect()
+    assert len(rows) == len(split) > 0
+    for r in rows:
+        assert r["split"] == split[r["doc_id"]]
+        assert r["in_sample"] == int(r["doc_id"] in sampled)
+
+
+# --------------------------------------------------- events_smoothing
+
+
+def test_events_smoothing_equals_solo_operators(spark):
+    from xpysom_dask_spark.operators import events as EV
+    from xpysom_dask_spark.operators.profile import ewma
+    from xpysom_dask_spark.sources import readers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = readers.load_table(spark, SF_TINY, "events")
+    ma = {r["event_id"]: (r["user_id"], r["ma"]) for r in
+          EV.moving_average(ev).collect()}
+    ew = {r["id"]: r["ewma"] for r in ewma(
+        ev.where(F.col("value").isNotNull()), "event_type", "value",
+        "ts", "event_id", alpha=entrymod._EWMA_ALPHA,
+        lag=entrymod._EWMA_LAG).collect()}
+    rows = entrymod.queries()["events_smoothing"](spark,
+                                                  SF_TINY).collect()
+    assert len(rows) == len(ew) > 0   # EWMA side defines the rows
+    for r in rows:
+        assert (r["user_id"], r["ma"]) == ma[r["event_id"]]
+        assert r["ewma_e6"] == math.floor(
+            ew[r["event_id"]] * 1e6 + 0.5)
+
+
+# ------------------------------------------------------ quality_score
+
+
+def _py_score(text, w, b, nb):
+    from xpysom_dask_spark.operators.models import _doc_buckets
+
+    bs, cs = _doc_buckets(text, nb, True)
+    z = b
+    if cs:
+        z = b + float(np.dot(w[np.asarray(bs, np.int64)],
+                             np.asarray(cs))) / float(sum(cs))
+    if z >= 0:
+        return 1.0 / (1.0 + math.exp(-z))
+    e = math.exp(z)
+    return e / (1.0 + e)
+
+
+def test_quality_score_matches_python_reference(spark):
+    """Differential: the gate's p_e6 equals a pure-Python replay of
+    featurize + margin + sigmoid on every document."""
+    m = entrymod._qc_model()
+    docs = {r["doc_id"]: r["text"] for r in
+            entrymod._docs(spark, SF_TINY).collect()}
+    rows = entrymod.queries()["quality_score"](spark,
+                                               SF_TINY).collect()
+    assert len(rows) == len(docs) > 0
+    for r in rows:
+        p = _py_score(docs[r["doc_id"]], m["w"], m["intercept"],
+                      m["n_buckets"])
+        assert r["p_e6"] == math.floor(p * 1e6 + 0.5), r["doc_id"]
+
+
+def test_quality_score_empty_text_scores_intercept(spark):
+    from xpysom_dask_spark.operators.models import logreg_score_hashed
+
+    m = entrymod._qc_model()
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "tok")],
+        "doc_id bigint, text string")
+    got = {r["id"]: r["quality_p"] for r in
+           logreg_score_hashed(df, "text", "doc_id", m).collect()}
+    p0 = 1.0 / (1.0 + math.exp(0.5))        # sigmoid(intercept=-0.5)
+    for i in (1, 2, 3):
+        assert abs(got[i] - p0) < 1e-12
+    assert 0.0 < got[4] < 1.0
+
+
+# ------------------------------------------------- round-11 staged ops
+
+
+def test_kmv_novelty_identical_and_disjoint(spark):
+    from xpysom_dask_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(40)], ["k"])
+    b = spark.createDataFrame([(f"x{i}",) for i in range(40)], ["k"])
+    ska = SK.kmv_sketch(a, "k", k=16)
+    skb = SK.kmv_sketch(b, "k", k=16)
+    same = SK.kmv_novelty(ska, ska, k=16).first()
+    assert same["novelty_est"] == 0
+    assert same["union_est"] == same["base_est"]
+    disj = SK.kmv_novelty(ska, skb, k=16).first()
+    assert disj["novelty_est"] > 0
+    assert disj["union_est"] >= disj["base_est"]
+
+
+def test_calibration_report_gate_shape(spark):
+    rows = entrymod.queries_round11_staged()["calibration_report"](
+        spark, SF_TINY).collect()
+    n_docs = entrymod._docs(spark, SF_TINY).count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["mean_p_e6"] <= 10**6
+        assert 0 <= r["rate_e6"] <= 10**6
+        assert r["gap_e6"] == r["mean_p_e6"] - r["rate_e6"]

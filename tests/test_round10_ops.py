@@ -203,3 +203,55 @@ def test_calibration_report_gate_shape(spark):
         assert 0 <= r["mean_p_e6"] <= 10**6
         assert 0 <= r["rate_e6"] <= 10**6
         assert r["gap_e6"] == r["mean_p_e6"] - r["rate_e6"]
+
+
+# ------------------------------------- IVF index maintenance (round 10)
+
+
+def test_ivf_occupancy_and_ingest_drift(spark, tmp_path):
+    """The append-or-retrain decision surface: occupancy counts every
+    index row exactly; PSI of a SAME-distribution batch is near zero,
+    PSI of a shifted batch (mass moved to one cell) crosses the 0.25
+    retrain threshold; appending then updates occupancy."""
+    from xpysom_dask_spark.operators import clustering as CL
+    from xpysom_dask_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 8) * 10.0
+    lab = rng.integers(0, 4, 400)
+    X = centers[lab] + rng.normal(0, 0.5, (400, 8))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(400)],
+        "vec_id bigint, embedding array<double>")
+    C = CL.kmeans_fit(emb, k=4, max_iter=5)
+    path = str(tmp_path / "ivf_maint")
+    SIM.build_kmeans_ivf_index(C, emb, path)
+
+    occ = SIM.ivf_occupancy(spark, path)
+    assert sum(r["n"] for r in occ.collect()) == 400
+
+    # same-distribution batch: PSI ~ 0 (stable -> append)
+    Y = centers[rng.integers(0, 4, 200)] + rng.normal(0, 0.5, (200, 8))
+    same = spark.createDataFrame(
+        [(1000 + i, Y[i].tolist()) for i in range(200)],
+        "vec_id bigint, embedding array<double>")
+    cells_same = CL.kmeans_assign(same, C)
+    psi_same = sum(r["term_e6"] for r in SIM.ivf_ingest_drift(
+        occ, cells_same, n_cells=4).collect()) / 1e6
+    assert 0 <= psi_same < 0.1, psi_same
+
+    # shifted batch: all mass in one cluster -> PSI >> 0.25 (retrain)
+    Z = centers[np.zeros(200, int)] + rng.normal(0, 0.5, (200, 8))
+    shifted = spark.createDataFrame(
+        [(2000 + i, Z[i].tolist()) for i in range(200)],
+        "vec_id bigint, embedding array<double>")
+    psi_shift = sum(r["term_e6"] for r in SIM.ivf_ingest_drift(
+        occ, CL.kmeans_assign(shifted, C), n_cells=4).collect()) / 1e6
+    assert psi_shift > 0.25, psi_shift
+
+    # append path keeps occupancy exact (the audit reruns per ingest)
+    SIM.build_kmeans_ivf_index(C, same, path, mode="append")
+    assert sum(r["n"] for r in
+               SIM.ivf_occupancy(spark, path).collect()) == 600
+    with pytest.raises(ValueError, match="n_cells"):
+        SIM.ivf_ingest_drift(occ, cells_same, n_cells=1)

@@ -1059,6 +1059,61 @@ def _kmeans_centroids_df(spark, C: np.ndarray):
         "cluster_id int, __centroid array<double>")
 
 
+def ivf_occupancy(spark, path: str) -> DataFrame:
+    """Per-cell row counts of a persisted IVF index —
+    ``(cluster_id, n)``.  The input to the index-maintenance decision:
+    ``build_*_ivf_index`` freezes the codebook and ``mode="append"``
+    ingests new batches without retraining, so SOMETHING must say when
+    the frozen codebook has drifted off the data — this relation (and
+    :func:`ivf_ingest_drift` on top of it) is that something.
+    Metadata-cheap: ``cluster_id`` is the partition column (directory
+    names) and the per-partition count is a parquet-footer aggregate —
+    no vector payload is read."""
+    idx = spark.read.parquet(path)
+    return (idx.groupBy(F.col("cluster_id").cast("int")
+                        .alias("cluster_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+def ivf_ingest_drift(occupancy: DataFrame, batch_cells: DataFrame,
+                     n_cells: int) -> DataFrame:
+    """Append-or-retrain decision surface: smoothed PSI between the
+    persisted index's cell-occupancy histogram and a NEW batch's
+    assignments under the SAME frozen codebook — ``(bin, ca, cb, n_a,
+    n_b, term_e6)``, one row per cell, ``Σ term_e6 / 1e6`` = the PSI.
+    The standard thresholds apply (<0.1 stable → append; >0.25
+    shifted → retrain + rebuild).
+
+    ``occupancy``: :func:`ivf_occupancy` of the index.
+    ``batch_cells``: any relation with a ``cluster_id`` column — the
+    new batch scored by the index's own codebook (``som.transform`` or
+    :func:`~.clustering.kmeans_assign`), codebook-agnostic by design.
+
+    Cost is one count aggregate over the batch plus constant-time
+    arithmetic on ≤ ``n_cells`` rows (the shared
+    :func:`~.profile.psi_terms_from_cells` tail, engine-exact) — the
+    audit is free next to the append itself, so run it ON EVERY
+    ingest."""
+    from .profile import psi_terms_from_cells
+
+    if n_cells < 2:
+        raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+    spark = occupancy.sparkSession
+    spine = spark.range(n_cells).select(
+        F.col("id").cast("int").alias("bin"))
+    new_occ = (batch_cells.groupBy(F.col("cluster_id").cast("int")
+                                   .alias("bin"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
+    m = (spine
+         .join(occupancy.select(F.col("cluster_id").alias("bin"),
+                                F.col("n").alias("ca")), "bin", "left")
+         .join(new_occ, "bin", "left")
+         .select("bin", F.coalesce("ca", F.lit(0)).cast("bigint")
+                 .alias("ca"),
+                 F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb")))
+    return psi_terms_from_cells(m, n_cells)
+
+
 def kmeans_ivf_topk_from_index(spark, path: str, centroids: np.ndarray,
                                queries_np: np.ndarray, query_ids,
                                k: int = 5, nprobe: int = 4,

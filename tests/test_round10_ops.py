@@ -255,3 +255,51 @@ def test_ivf_occupancy_and_ingest_drift(spark, tmp_path):
                SIM.ivf_occupancy(spark, path).collect()) == 600
     with pytest.raises(ValueError, match="n_cells"):
         SIM.ivf_ingest_drift(occ, cells_same, n_cells=1)
+
+
+def test_ivf_drift_stream_equals_batch_audit(spark, tmp_path):
+    """Drained streaming index-health monitor (spine-completed + the
+    shared PSI tail) == the batch ivf_ingest_drift row-for-row."""
+    import tempfile
+    import uuid
+
+    from xpysom_dask_spark.operators import clustering as CL
+    from xpysom_dask_spark.operators import similarity as SIM
+    from xpysom_dask_spark.operators.profile import psi_terms_from_cells
+    from xpysom_dask_spark.streaming import (ivf_drift_stream,
+                                             psi_complete_spine)
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 8) * 10.0
+    X = centers[rng.integers(0, 4, 300)] + rng.normal(0, 0.5, (300, 8))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(300)],
+        "vec_id bigint, embedding array<double>")
+    C = CL.kmeans_fit(emb, k=4, max_iter=5)
+    path = str(tmp_path / "ivf_stream")
+    SIM.build_kmeans_ivf_index(C, emb, path)
+    occ = SIM.ivf_occupancy(spark, path)
+
+    Y = centers[rng.integers(0, 3, 150)] + rng.normal(0, 0.5, (150, 8))
+    batch = spark.createDataFrame(
+        [(500 + i, Y[i].tolist()) for i in range(150)],
+        "vec_id bigint, embedding array<double>")
+    batch_cells = CL.kmeans_assign(batch, C).select("cluster_id")
+    want = sorted(tuple(r) for r in
+                  SIM.ivf_ingest_drift(occ, batch_cells, 4).collect())
+
+    tmp = tempfile.mkdtemp(prefix="ivfdrift_")
+    batch_cells.repartition(3).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(batch_cells.schema).parquet(tmp)
+    name = "q_ivf_drift_" + uuid.uuid4().hex[:8]
+    q = (ivf_drift_stream(stream, occ)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    drained = spark.table(name)
+    m = psi_complete_spine(
+        drained,
+        occ.select(F.col("cluster_id").alias("bin"),
+                   F.col("n").alias("count")), 4)
+    got = sorted(tuple(r) for r in psi_terms_from_cells(m, 4).collect())
+    assert got == want and len(got) == 4

@@ -35,4 +35,5 @@ from .sinks import (  # noqa: F401
 from .state import bmu_transitions  # noqa: F401
 from .training import StreamingSomTrainer  # noqa: F401
 from .sketches import (cms_stream, hist_stream, hll_stream,  # noqa: F401
-                       psi_complete_spine, psi_stream)
+                       ivf_drift_stream, psi_complete_spine,
+                       psi_stream)

@@ -137,3 +137,35 @@ def psi_complete_spine(drained: DataFrame, ref_cells: DataFrame,
                     .alias("ca"),
                     F.coalesce("cb", F.lit(0)).cast("bigint")
                     .alias("cb")))
+
+
+def ivf_drift_stream(stream_cells: DataFrame,
+                     occupancy: DataFrame) -> DataFrame:
+    """Live IVF index-health monitor: the streaming twin of
+    :func:`~..operators.similarity.ivf_ingest_drift` — maintain the
+    arriving vectors' per-cell assignment counts as a stateful
+    aggregation (state ≤ n_cells rows by construction, no watermark)
+    and attach the STATIC index occupancy per trigger via a broadcast
+    stream-static join.  ``stream_cells`` is the vector stream already
+    scored by the index's frozen codebook (``score_stream`` /
+    ``classify``-side assignment — the same stateless pass the batch
+    twin uses); ``occupancy`` is
+    :func:`~..operators.similarity.ivf_occupancy` of the index.
+
+    COMPLETE output mode; like :func:`psi_stream`, cells the stream
+    never touched are ABSENT — the reader completes the spine
+    (:func:`psi_complete_spine` with the occupancy renamed to
+    ``(bin, count)``) and feeds
+    :func:`~..operators.profile.psi_terms_from_cells`, so the live
+    append-vs-retrain PSI is constant-time batch arithmetic over
+    ≤ n_cells drained rows, bit-identical to the batch audit on the
+    same data (pinned by test)."""
+    cells = (stream_cells.groupBy(F.col("cluster_id").cast("int")
+                                  .alias("bin"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
+    ref = occupancy.select(F.col("cluster_id").cast("int").alias("bin"),
+                           F.col("n").cast("bigint").alias("ca"))
+    return (cells.join(F.broadcast(ref), "bin", "left")
+            .select("bin",
+                    F.coalesce("ca", F.lit(0)).cast("bigint")
+                    .alias("ca"), "cb"))

@@ -51,6 +51,27 @@ def main(sf_dir: str) -> None:
             spark, path, C, Q, qids, k=3, nprobe=2) \
             .orderBy("query_id", "rank").show(9)
 
+        print("== index maintenance: ingest + drift audit ==")
+        # a new vector batch arrives: score it with the FROZEN
+        # codebook, audit drift (PSI vs the index occupancy), then
+        # append — the audit is constant-time, so it runs per ingest
+        from pyspark.sql import functions as F
+
+        occ = SIM.ivf_occupancy(spark, path)
+        batch = emb.where("vec_id % 3 = 0") \
+            .withColumn("vec_id", F.col("vec_id") + 100000)
+        cells = CL.kmeans_assign(batch, C)
+        psi = sum(r["term_e6"] for r in SIM.ivf_ingest_drift(
+            occ, cells, n_cells=8).collect()) / 1e6
+        verdict = ("append" if psi < 0.1
+                   else "investigate" if psi < 0.25 else "RETRAIN")
+        print(f"ingest drift PSI = {psi:.4f} -> {verdict}")
+        SIM.build_kmeans_ivf_index(C, batch, path, mode="append",
+                                   quantize=True)
+        n = sum(r["n"] for r in
+                SIM.ivf_occupancy(spark, path).collect())
+        print(f"after append: {n} vectors indexed")
+
     print("== binary signatures -> Hamming shortlist -> cosine rerank ==")
     b = EMB.binarize_embeddings(emb, dim=64) \
         .select("vec_id", "embedding", "bits")

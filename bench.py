@@ -457,6 +457,20 @@ def main():
     timed("ann_kmeans_ivf", lambda: similarity.kmeans_ivf_topk(
         _cent, emb, _qvecs, _qids, k=5, nprobe=4).count())
 
+    # round-10 index-maintenance family: occupancy audit + the
+    # append-vs-retrain PSI over a persisted KMeans-IVF index
+    import tempfile as _tf10
+    _kivf_path = _tf10.mkdtemp(prefix="bench_kivf_")
+    timed("ivf_index_build", lambda: (
+        similarity.build_kmeans_ivf_index(_cent, emb, _kivf_path),
+        _kivf_path)[1])
+    _kocc = similarity.ivf_occupancy(spark, _kivf_path)
+    timed("ivf_occupancy", lambda: _kocc.count())
+    _kcells = CLU.kmeans_assign(
+        emb.where("vec_id % 2 = 1"), _cent).select("cluster_id")
+    timed("ivf_ingest_drift", lambda: similarity.ivf_ingest_drift(
+        _kocc, _kcells, n_cells=8).count())
+
     # round-4 session-3 operators
     from xpysom_dask_spark.operators import profile as PRF
     timed("upsample_mix", lambda: SMP.upsample_by_weight(

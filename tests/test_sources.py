@@ -190,3 +190,86 @@ def test_avro_gate_raises_actionably(spark):
         R.load_avro(spark, "/tmp/nope.avro")
     with _pt.raises(ImportError, match="spark.jars.packages"):
         W.write_avro(spark.range(1), "/tmp/nope.avro")
+
+
+# ------------------------------------------------------------ WARC source
+
+
+def _mk_warc_record(rtype, uri, body, rid="<urn:uuid:1>"):
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: {rid}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2026-08-16T00:00:00Z\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return head + body + b"\r\n\r\n"
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    """Both .warc and .warc.gz (concatenated members) parse to the
+    same records; payload bytes exact; http headers stripped by
+    payload_text; a misaligned file fails loudly."""
+    import gzip
+
+    import pytest as _pt
+
+    from xpysom_dask_spark.sources.warc import (payload_text,
+                                                read_warc)
+
+    html = b"<html><body>Hello &amp; welcome</body></html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    recs = (_mk_warc_record("warcinfo", "", b"software: test\r\n")
+            + _mk_warc_record("response", "http://a.example/x", http)
+            + _mk_warc_record("request", "http://a.example/x",
+                              b"GET /x HTTP/1.1\r\n"))
+    (tmp_path / "seg0.warc").write_bytes(recs)
+    # .gz variant: one gzip member per record (the crawl convention)
+    gz = b"".join(gzip.compress(_mk_warc_record(
+        "response", f"http://b.example/{i}",
+        b"HTTP/1.1 200 OK\r\n\r\ndoc body " + str(i).encode()))
+        for i in range(3))
+    (tmp_path / "seg1.warc.gz").write_bytes(gz)
+
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["warc_type"], []).append(r)
+    assert len(by_type["response"]) == 4
+    resp = [r for r in by_type["response"]
+            if r["target_uri"] == "http://a.example/x"][0]
+    assert bytes(resp["payload"]) == http
+    assert resp["content_length"] == len(http)
+
+    texts = {r["target_uri"]: r["text"] for r in payload_text(
+        read_warc(spark, str(tmp_path))
+        .where("warc_type = 'response'")).collect()}
+    assert texts["http://a.example/x"] == html.decode()
+    assert texts["http://b.example/1"] == "doc body 1"
+
+    (tmp_path / "bad.warc").write_bytes(b"NOT-A-WARC\r\n\r\nxx")
+    with _pt.raises(Exception, match="WARC"):
+        read_warc(spark, str(tmp_path / "bad.warc")).collect()
+
+
+def test_warc_to_text_pipeline_composes(spark, tmp_path):
+    """The crawl front door: read_warc -> payload_text -> html_to_text
+    -> canonicalize_url runs as one composed plan."""
+    from xpysom_dask_spark.operators import text as T
+    from xpysom_dask_spark.sources.warc import (payload_text,
+                                                read_warc)
+
+    body = (b"HTTP/1.1 200 OK\r\n\r\n<html><body><p>Alpha beta"
+            b"</p><script>no()</script></body></html>")
+    (tmp_path / "s.warc").write_bytes(_mk_warc_record(
+        "response", "HTTP://WWW.Site.com:80/a/?utm_source=x", body))
+    out = (payload_text(read_warc(spark, str(tmp_path))
+                        .where("warc_type = 'response'"))
+           .withColumn("clean", T.strip_html("text"))
+           .withColumn("url", T.canonicalize_url("target_uri"))
+           .select("url", "clean").collect())
+    assert len(out) == 1
+    assert out[0]["url"] == "http://site.com/a"
+    assert "Alpha beta" in out[0]["clean"]
+    assert "no()" not in out[0]["clean"]

@@ -167,6 +167,7 @@ def main(sf_dir: str) -> None:
           f"({n_out / n_in:.2f} kept)")
 
     spark.stop()
+    print("done.")
 
 
 if __name__ == "__main__":

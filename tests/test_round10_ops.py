@@ -303,3 +303,38 @@ def test_ivf_drift_stream_equals_batch_audit(spark, tmp_path):
                    F.col("n").alias("count")), 4)
     got = sorted(tuple(r) for r in psi_terms_from_cells(m, 4).collect())
     assert got == want and len(got) == 4
+
+
+def test_logreg_top_features_surfaces_planted_markers(spark):
+    """Interpretability audit: plant a spam tail in a deterministic
+    ~30% of docs, fit the hashed model, and the negative top-features
+    must surface the planted marker n-grams with their df counts —
+    the 'why is the filter dropping X' answer."""
+    from xpysom_dask_spark.operators import models as M
+
+    docs = entrymod._docs(spark, SF_TINY)
+    spam = F.crc32(F.col("doc_id").cast("string")) % 10 < 3
+    lab = (docs.withColumn("y", (~spam).cast("int"))
+           .withColumn("text", F.when(spam, F.concat_ws(
+               " ", "text",
+               F.lit("buyspam nowspam freespam")))
+               .otherwise(F.col("text"))))
+    m = M.logreg_fit_hashed(lab, "text", "doc_id", "y",
+                            n_buckets=1024, n_iter=8)
+    rep = M.logreg_top_features(lab, "text", m, top_k=10).collect()
+    neg_terms = {t for r in rep if r["direction"] == "neg"
+                 for t in r["terms"]}
+    planted = {"buyspam", "nowspam", "freespam"}
+    assert planted & neg_terms, sorted(neg_terms)[:12]
+    n_spam = lab.where(spam).count()
+    for r in rep:
+        assert r["rank"] >= 1 and r["weight_e6"] != 0
+        if set(r["terms"]) & planted and len(r["terms"]) == 1:
+            # a clean marker bucket's df is exactly the planted count
+            assert r["n_docs"] >= n_spam
+    # ranks ordered by |weight| within each direction
+    for d in ("pos", "neg"):
+        ws = [abs(r["weight_e6"]) for r in rep if r["direction"] == d]
+        assert ws == sorted(ws, reverse=True)
+    with pytest.raises(ValueError, match="top_k"):
+        M.logreg_top_features(lab, "text", m, top_k=0)

@@ -730,3 +730,106 @@ def probe_filter(df: DataFrame, model: dict, keep_fraction: float,
                          f"got {keep_fraction}")
     scored = ridge_score(df, model, out_col)
     return filter_by_score(scored, out_col, keep_fraction)
+
+
+def logreg_top_features(df: DataFrame, text_col: str, model: dict,
+                        top_k: int = 20,
+                        examples_per_bucket: int = 3) -> DataFrame:
+    """Interpretability audit for a :func:`logreg_fit_hashed` model:
+    ``(direction, bucket, weight_e6, rank, terms, n_docs)`` — the
+    ``top_k`` most positive and most negative hash buckets, each with
+    the commonest corpus n-grams that land in it (hashing is one-way,
+    so representative terms must come FROM the corpus) and its
+    document frequency.  The "why is the filter dropping X" answer a
+    production quality gate owes its operators — and the collision
+    audit in the same relation: a high-|w| bucket whose ``terms`` mix
+    spam markers with innocent n-grams is hash-collision collateral,
+    the signal to raise ``n_buckets``.
+
+    Plan: the top buckets are driver-side numpy (the model is small);
+    the corpus pass is one tokenize + fold restricted to those ≤2k
+    buckets (map-side filter BEFORE the shuffle, so traffic is
+    O(tokens in flagged buckets)); per-bucket term lists are a bounded
+    window top-N.  Weights are e6-scaled BIGINTs so the relation
+    replays exactly."""
+    from pyspark.sql import Window
+
+    if top_k < 1 or examples_per_bucket < 1:
+        raise ValueError(f"need top_k >= 1 and examples_per_bucket "
+                         f">= 1, got {top_k}, {examples_per_bucket}")
+    w = np.asarray(model["w"], dtype=np.float64)
+    nb = int(model["n_buckets"])
+    fold = bool(model["fold_bigrams"])
+    order = np.argsort(w)
+    picks = ([("neg", int(b)) for b in order[:top_k] if w[b] < 0]
+             + [("pos", int(b)) for b in order[::-1][:top_k]
+                if w[b] > 0])
+    spark = df.sparkSession
+    flagged = spark.createDataFrame(
+        [(d, b, int(np.floor(w[b] * 1e6 + 0.5))) for d, b in picks],
+        "direction string, bucket int, weight_e6 bigint")
+
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            dirs, bks, terms = [], [], []
+            bset = {b for _d, b in picks}
+            bdir = dict((b, d) for d, b in picks)
+            for t in pdf["__t"]:
+                bs, _cs = _doc_buckets(t, nb, fold)
+                # re-derive term -> bucket to label the flagged ones
+                import hashlib
+                import re
+
+                toks = [x for x in re.split(r"[ \t\n\x0b\f\r]+",
+                                            t or "") if x]
+                hs = [int(hashlib.md5(f"0:{x}".encode(
+                    "utf-8", "surrogatepass")).hexdigest()[:12], 16)
+                    for x in toks]
+                seen = set()
+                for tok, h in zip(toks, hs):
+                    b = h % nb
+                    if b in bset and (b, tok) not in seen:
+                        seen.add((b, tok))
+                        dirs.append(bdir[b])
+                        bks.append(b)
+                        terms.append(tok)
+                if fold:
+                    for (t1, t2), (h1, h2) in zip(
+                            zip(toks, toks[1:]), zip(hs, hs[1:])):
+                        b = ((h1 % _FOLD_MOD) * _FOLD_MULT + h2) % nb
+                        gram = f"{t1} {t2}"
+                        if b in bset and (b, gram) not in seen:
+                            seen.add((b, gram))
+                            dirs.append(bdir[b])
+                            bks.append(b)
+                            terms.append(gram)
+            yield pd.DataFrame({"direction": dirs, "bucket": bks,
+                                "term": terms})
+
+    hits = df.select(F.col(text_col).alias("__t")).mapInPandas(
+        fn, "direction string, bucket int, term string")
+    counted = (hits.groupBy("direction", "bucket", "term")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    top = Window.partitionBy("bucket").orderBy(
+        F.col("n_docs").desc(), F.col("term").asc())
+    per_bucket = (counted.withColumn("__r", F.row_number().over(top))
+                  .where(F.col("__r") <= int(examples_per_bucket))
+                  .groupBy("direction", "bucket")
+                  .agg(F.array_sort(F.collect_list(
+                      F.struct(F.col("__r").alias("r"), "term")))
+                      .alias("__ts"),
+                      F.sum("n_docs").cast("bigint").alias("n_docs")))
+    ranked = Window.partitionBy("direction").orderBy(
+        F.abs(F.col("weight_e6")).desc(), F.col("bucket").asc())
+    return (flagged.join(per_bucket, ["direction", "bucket"], "left")
+            .select("direction", "bucket", "weight_e6",
+                    F.row_number().over(ranked).alias("rank"),
+                    F.coalesce(
+                        F.transform(F.col("__ts"),
+                                    lambda s: s.getField("term")),
+                        F.array().cast("array<string>")).alias("terms"),
+                    F.coalesce("n_docs", F.lit(0)).cast("bigint")
+                    .alias("n_docs"))
+            .orderBy("direction", "rank"))

@@ -111,6 +111,14 @@ def main(sf_dir: str) -> None:
     print(f"hashed model: n_buckets={m_hash['n_buckets']} "
           f"train-accuracy={acc:.3f}")
 
+    # ---- stage 3b: WHY — the top-feature interpretability audit -------
+    rep = models.logreg_top_features(lab, "text", m_hash,
+                                     top_k=5).collect()
+    for r in rep:
+        if r["direction"] == "neg":
+            print(f"  neg bucket {r['bucket']:5d} w={r['weight_e6']/1e6:+.3f}"
+                  f" df={r['n_docs']} terms={r['terms'][:3]}")
+
     # ---- stage 4: calibration audit + the gate ------------------------
     rel = models.calibration_report(joined, "quality_p", "y").collect()
     ece = sum(r["n"] * abs(r["gap_e6"]) for r in rel) \

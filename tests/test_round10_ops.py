@@ -329,6 +329,10 @@ def test_logreg_top_features_surfaces_planted_markers(spark):
     n_spam = lab.where(spam).count()
     for r in rep:
         assert r["rank"] >= 1 and r["weight_e6"] != 0
+        # a nonzero weight can only come from corpus features, so on
+        # the TRAINING corpus every flagged bucket must resolve to at
+        # least one term (unigram or bigram — both hash paths)
+        assert r["n_docs"] >= 1 and r["terms"], r
         if set(r["terms"]) & planted and len(r["terms"]) == 1:
             # a clean marker bucket's df is exactly the planted count
             assert r["n_docs"] >= n_spam

@@ -795,16 +795,24 @@ def logreg_top_features(df: DataFrame, text_col: str, model: dict,
                         dirs.append(bdir[b])
                         bks.append(b)
                         terms.append(tok)
-                if fold:
-                    for (t1, t2), (h1, h2) in zip(
-                            zip(toks, toks[1:]), zip(hs, hs[1:])):
+                # bigrams take the model's own hash path: the 40-bit
+                # fold of the unigram hashes (fold_bigrams=True) or a
+                # fresh md5 of the joined gram (False) — _doc_buckets
+                for (t1, t2), (h1, h2) in zip(
+                        zip(toks, toks[1:]), zip(hs, hs[1:])):
+                    if fold:
                         b = ((h1 % _FOLD_MOD) * _FOLD_MULT + h2) % nb
-                        gram = f"{t1} {t2}"
-                        if b in bset and (b, gram) not in seen:
-                            seen.add((b, gram))
-                            dirs.append(bdir[b])
-                            bks.append(b)
-                            terms.append(gram)
+                    else:
+                        b = int(hashlib.md5(
+                            f"0:{t1} {t2}".encode(
+                                "utf-8", "surrogatepass"))
+                            .hexdigest()[:12], 16) % nb
+                    gram = f"{t1} {t2}"
+                    if b in bset and (b, gram) not in seen:
+                        seen.add((b, gram))
+                        dirs.append(bdir[b])
+                        bks.append(b)
+                        terms.append(gram)
             yield pd.DataFrame({"direction": dirs, "bucket": bks,
                                 "term": terms})
 

@@ -342,3 +342,36 @@ def test_logreg_top_features_surfaces_planted_markers(spark):
         assert ws == sorted(ws, reverse=True)
     with pytest.raises(ValueError, match="top_k"):
         M.logreg_top_features(lab, "text", m, top_k=0)
+
+
+def test_parquet_layout_report(spark, tmp_path):
+    """Footer-only layout audit: per-file rows/row-group stats exact
+    against pyarrow ground truth; small row groups show up; no files
+    fails loudly."""
+    from xpysom_dask_spark.operators.profile import parquet_layout_report
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS k",
+                                       "CAST(id AS STRING) AS s")
+    # force several files and small row groups
+    df.repartition(4).write.mode("overwrite") \
+        .option("parquet.block.size", 64 * 1024).parquet(p)
+    rep = parquet_layout_report(spark, p).collect()
+    assert len(rep) == 4
+    assert sum(r["n_rows"] for r in rep) == 10000
+    for r in rep:
+        assert r["n_columns"] == 3
+        assert r["size_bytes"] > 0
+        assert 0 < r["min_rg_rows"] <= r["max_rg_rows"] <= r["n_rows"]
+        assert r["n_row_groups"] >= 1
+        assert r["compressions"]
+    # ground truth for one file via pyarrow directly
+    import pyarrow.parquet as pq
+
+    f0 = rep[0]["file"]
+    md = pq.ParquetFile(f0[7:] if f0.startswith("file://")
+                        else f0).metadata
+    assert rep[0]["n_rows"] == md.num_rows
+    assert rep[0]["n_row_groups"] == md.num_row_groups
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|no files|Path"):
+        parquet_layout_report(spark, str(tmp_path / "missing")).collect()

@@ -762,3 +762,66 @@ def zipf_fit(df: DataFrame, text_col: str, id_col: str,
         "k", F.round(slope, decimals).alias("slope"),
         F.round(intercept, decimals).alias("intercept"),
         F.round(r2, decimals).alias("r2"))
+
+
+def parquet_layout_report(spark, path: str) -> DataFrame:
+    """Physical-layout audit of a parquet dataset — per file:
+    ``(file, size_bytes, n_rows, n_row_groups, min_rg_rows,
+    max_rg_rows, avg_rg_bytes, n_columns, compressions)`` — the health
+    check behind every 100 TB layout decision: row groups are the scan
+    parallelism quantum (``spark.sql.files.maxPartitionBytes`` splits
+    BETWEEN row groups, never inside one), so a table of 2 GB
+    row groups scans at 1/16 the achievable parallelism and a table of
+    10k tiny files drowns the driver in scheduling — both visible here
+    and in neither case in any logical plan.
+
+    Footer-only: each task reads its files' parquet FOOTERS via
+    pyarrow (kilobytes per file, never data pages), parallelized over
+    the file list — auditing a 100 TB table costs seconds.  Derive the
+    dataset summary with one ``agg`` (small-file count, rowgroup-size
+    quantiles); pair with ``skew_report`` for the value-side story.
+    """
+    import pandas as pd
+
+    files = spark.read.parquet(path).inputFiles()
+    if not files:
+        raise ValueError(f"parquet_layout_report: no files under "
+                         f"{path!r}")
+
+    def fn(batches):
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file"]:
+                local = uri[7:] if uri.startswith("file://") else uri
+                md = pq.ParquetFile(local).metadata
+                rg_rows = [md.row_group(i).num_rows
+                           for i in range(md.num_row_groups)]
+                rg_bytes = [md.row_group(i).total_byte_size
+                            for i in range(md.num_row_groups)]
+                comps = sorted({
+                    md.row_group(i).column(j).compression
+                    for i in range(md.num_row_groups)
+                    for j in range(md.num_columns)}) or ["NONE"]
+                rows.append((
+                    uri, int(_os.path.getsize(local)),
+                    int(md.num_rows), int(md.num_row_groups),
+                    int(min(rg_rows)) if rg_rows else 0,
+                    int(max(rg_rows)) if rg_rows else 0,
+                    int(sum(rg_bytes) / len(rg_bytes))
+                    if rg_bytes else 0,
+                    int(md.num_columns), ",".join(comps)))
+            yield pd.DataFrame(rows, columns=[
+                "file", "size_bytes", "n_rows", "n_row_groups",
+                "min_rg_rows", "max_rg_rows", "avg_rg_bytes",
+                "n_columns", "compressions"])
+
+    flist = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), 64))
+    return flist.mapInPandas(
+        fn, "file string, size_bytes bigint, n_rows bigint, "
+            "n_row_groups int, min_rg_rows bigint, max_rg_rows bigint, "
+            "avg_rg_bytes bigint, n_columns int, compressions string")

@@ -7436,8 +7436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5 merge-survivor gates (each widened from a PAIR of retired
     # near-duplicates, so they are never-green by name and must sit
     # in the head), the 29 stalest round-6 entries, and 3 round-7
-    # fills.  r8 (union) r9 (union) r10 covers all 190 declared
-    # queries.  See SURVEY.md par.8 and tests/test_gate_coverage.py
+    # fills.  r7 (union) r8 (union) r9 (union) r10 covers all 190
+    # declared queries (the tail's stalest evidence is round 7).  See SURVEY.md par.8 and tests/test_gate_coverage.py
     # before reordering.
     return {
         # -- head slots 1-12: promoted verbatim from the round-10/11

@@ -273,3 +273,36 @@ def test_warc_to_text_pipeline_composes(spark, tmp_path):
     assert out[0]["url"] == "http://site.com/a"
     assert "Alpha beta" in out[0]["clean"]
     assert "no()" not in out[0]["clean"]
+
+
+def test_warc_parser_roundtrip_property():
+    """Property: build records from random binary payloads (including
+    payloads containing CRLFCRLF / header-lookalike bytes), parse, and
+    every payload comes back byte-exact in order — plus the
+    mixed-endings case: LF-only headers whose payload contains
+    CRLFCRLF must split at the LF terminator, not inside the body."""
+    import random
+
+    from xpysom_dask_spark.sources.warc import _split_records
+
+    rng = random.Random(23)
+    payloads = []
+    for i in range(30):
+        n = rng.randint(0, 200)
+        body = bytes(rng.randrange(256) for _ in range(n))
+        if i % 5 == 0:
+            body = b"WARC/1.0\r\n\r\n" + body      # header lookalike
+        if i % 7 == 0:
+            body += b"\r\n\r\nContent-Length: 9\r\n"
+        payloads.append(body)
+    blob = b"".join(_mk_warc_record("response", f"http://x/{i}", b)
+                    for i, b in enumerate(payloads))
+    got = [p for _h, p in _split_records(blob)]
+    assert got == payloads
+
+    # LF-only headers, CRLFCRLF inside the payload
+    body = b"AB\r\n\r\nCD"
+    rec = (b"WARC/1.0\nWARC-Type: response\n"
+           b"Content-Length: %d\n\n" % len(body)) + body + b"\r\n\r\n"
+    [(hdrs, payload)] = list(_split_records(rec))
+    assert payload == body and hdrs["warc-type"] == "response"

@@ -48,14 +48,18 @@ def _split_records(blob: bytes):
             pos += 1
         if pos >= n:
             return
-        end = blob.find(b"\r\n\r\n", pos)
-        lf_only = False
-        if end == -1:
-            end = blob.find(b"\n\n", pos)
-            lf_only = end != -1
-            if end == -1:
-                raise ValueError(
-                    f"unterminated WARC header block at byte {pos}")
+        # whichever terminator comes FIRST ends the header block: an
+        # LF-only header block followed by a payload containing CRLFCRLF
+        # must not be split at the payload (mixed line endings happen)
+        crlf = blob.find(b"\r\n\r\n", pos)
+        lf = blob.find(b"\n\n", pos)
+        if crlf == -1 and lf == -1:
+            raise ValueError(
+                f"unterminated WARC header block at byte {pos}")
+        # (CRLFCRLF = 0d0a0d0a has no 0a0a adjacency, so the two finds
+        # never alias the same terminator)
+        lf_only = lf != -1 and (crlf == -1 or lf < crlf)
+        end = lf if lf_only else crlf
         head = blob[pos:end].decode("utf-8", "replace")
         lines = head.splitlines()
         if not lines or not lines[0].startswith("WARC/"):

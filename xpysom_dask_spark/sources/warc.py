@@ -52,7 +52,10 @@ def _split_records(blob: bytes):
         # LF-only header block followed by a payload containing CRLFCRLF
         # must not be split at the payload (mixed line endings happen)
         crlf = blob.find(b"\r\n\r\n", pos)
-        lf = blob.find(b"\n\n", pos)
+        # bound the LF-only probe at the CRLF hit: an earlier LF-only
+        # terminator can only live BEFORE it, and an unbounded find
+        # would rescan the rest of the blob per record (quadratic)
+        lf = blob.find(b"\n\n", pos, crlf + 2 if crlf != -1 else n)
         if crlf == -1 and lf == -1:
             raise ValueError(
                 f"unterminated WARC header block at byte {pos}")

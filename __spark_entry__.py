@@ -7088,8 +7088,12 @@ def _q_som_qe(spark, sf_dir):
     re-attached as a broadcast 1-row scalar (the whitelisted BNLJ
     idiom — never a global window over the corpus)."""
     som = _oracle_som()
-    scored = som.transform(_features(spark, sf_dir), ("qe",)) \
-        .persist()
+    # no .persist(): both consumers sit in ONE returned plan (the
+    # broadcast scalar is a branch of the same job), and a persist
+    # here leaks a cached relation per bench invocation — the r10
+    # ADVICE block-manager-churn finding.  The scoring pass re-runs
+    # once for the tiny agg branch; that is the cheaper trade.
+    scored = som.transform(_features(spark, sf_dir), ("qe",))
     corpus = scored.agg(
         F.round(F.avg("qe"), 6).alias("corpus_qe"))
     return (scored.select("l_orderkey", "l_linenumber",
@@ -7113,8 +7117,10 @@ def _q_multimodal_audio(spark, sf_dir):
     int16 PCM → exact integer sample statistics joined with the
     64-bit gain-robust signature words.  Binary decode kernels in
     Arrow batches; audio bytes never leave the executors."""
-    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir)) \
-        .persist()
+    # no .persist() (r10 ADVICE: leaked cache per bench invocation);
+    # the decode re-runs for the two join legs of one job — cheap
+    # next to churning the block-manager across repeated timed runs
+    clips = multimodal.embeddings_as_audio(_emb(spark, sf_dir))
     stats = multimodal.audio_stats(clips)
     sigs = multimodal.audio_fingerprint(clips).select(
         "audio_id",
@@ -7407,100 +7413,41 @@ FROM cagg
 
 
 def queries_round11_staged() -> dict:
-    """Round-11 pre-staging (SURVEY.md §8): verified like the
-    round-9/10 queues, promoted when a head-50 slot opens.  NB the
-    gate-slot budget (§8 ledger): declared after the round-10
-    promotions + merges is 190 of the 200-slot staleness cap, so
-    round-11+ additions are rationed to the highest-value operators
-    and SHOULD ride a merge that frees their slot."""
-    return {
-        "kmv_novelty": _q_kmv_novelty,
-        "calibration_report": _q_calibration_report,
-    }
+    """Round-12 pre-staging (SURVEY.md §8; name kept for the test
+    suite's import contract): verified like the round-9/10/11 queues,
+    promoted when a head-50 slot opens.  The previous round-11 queue
+    (kmv_novelty, calibration_report) was promoted at the round-11
+    rotation.  NB the gate-slot budget (§8 ledger): declared after the
+    round-11 promotions is 193 of the 200-slot staleness cap, so
+    additions are rationed and SHOULD ride a merge that frees their
+    slot."""
+    return {}
 
 
 def oracle_sql_round11_staged(
         ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
-    return {
-        "kmv_novelty": _sql_kmv_novelty(),
-        "calibration_report": _sql_calibration_report(),
-    }
+    return {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-10 head (tools/rotate_gate.py +
-    # the never-green rule): the 12 queries promoted verbatim from
-    # the round-10/11 staging areas, the new quality_score gate, the
-    # 5 merge-survivor gates (each widened from a PAIR of retired
-    # near-duplicates, so they are never-green by name and must sit
-    # in the head), the 29 stalest round-6 entries, and 3 round-7
-    # fills.  r7 (union) r8 (union) r9 (union) r10 covers all 190
-    # declared queries (the tail's stalest evidence is round 7).  See SURVEY.md par.8 and tests/test_gate_coverage.py
-    # before reordering.
+    # (list(queries())[:50]).  Round-11 head (tools/rotate_gate.py +
+    # the never-green rule): the 2 queries promoted from the round-11
+    # staging area (never-green by name, must sit in the head), then
+    # the 45 queries whose freshest green evidence is round 7 (exactly
+    # at the 3-round staleness cap) and 3 round-8 fills.  r8 (union)
+    # r9 (union) r10 (union) r11 covers all 192 declared queries.  See
+    # SURVEY.md par.8 and tests/test_gate_coverage.py before
+    # reordering.
     return {
-        # -- head slots 1-12: promoted verbatim from the round-10/11
-        # staging areas (pre-checked hash-green at sf0.001 + sf0.01) --
-        "quantile_hist": _q_quantile_hist,
-        "streaming_qhist": _q_streaming_qhist,
-        "kmv_overlap": _q_kmv_overlap,
-        "dsir_importance": _q_dsir_importance,
-        "trigram_backoff": _q_trigram_backoff,
-        "psi_drift": _q_psi_drift,
-        "streaming_hll": _q_streaming_hll,
-        "communities_lpa": _q_communities_lpa,
-        "wordpiece_vocab": _q_wordpiece_vocab,
-        "mad_outliers": _q_mad_outliers,
-        "kn_bigram_score": _q_kn_bigram_score,
-        "streaming_psi": _q_streaming_psi,
-        # -- slot 13: new round-10 gate (classifier scoring,
-        # VERDICT r9 #3) --
-        "quality_score": _q_quality_score,
-        # -- slots 14-18: round-10 merge survivors (each replaces a
-        # pair of near-duplicate gates; SURVEY.md par.8 slot ledger) --
-        "hll_report": _q_hll_report,
-        "som_qe": _q_som_qe,
-        "multimodal_audio": _q_multimodal_audio,
-        "hash_partition": _q_hash_partition,
-        "events_smoothing": _q_events_smoothing,
-        # -- slots 19-47: the 29 round-6-stale entries (policy: no
-        # evidence older than 3 rounds after this one) --
-        "text_novelty": _q_text_novelty,
-        "text_lang_consistency": _q_text_lang_consistency,
-        "ivfpq_rerank": _q_ivfpq_rerank,
-        "multimodal_phash": _q_multimodal_phash,
-        "multimodal_video_fp": _q_multimodal_video_fp,
-        "shard_layout": _q_shard_layout,
-        "tpch_q3": _q_tpch_q3,
-        "corpus_diff": _q_corpus_diff,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "orders_histogram": _q_orders_histogram,
-        "orders_corr": _q_orders_corr,
-        "temperature_mix": _q_temperature_mix,
-        "text_chunks": _q_text_chunks,
-        "text_collocations": _q_text_collocations,
-        "text_c4_lines": _q_text_c4_lines,
-        "semantic_dedup": _q_semantic_dedup,
-        "som_activation_response": _q_som_activation_response,
-        "som_labels_map": _q_som_labels_map,
-        "som_topographic_error": _q_som_topographic_error,
-        "som_train_epoch": _q_som_train_epoch,
-        "som_distance_map": _q_som_distance_map,
-        "som_feature_covariance": _q_som_feature_covariance,
-        "som_distance_map_hex": _q_som_distance_map_hex,
-        "som_train_epoch_hex": _q_som_train_epoch_hex,
-        "text_stats": _q_text_stats,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        # -- slots 48-50: stalest round-7 fill --
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "text_dict_coverage": _q_text_dict_coverage,
-        "embedding_rp": _q_embedding_rp,
-        # ---------------- tail (slots 51+), staleness order
-        # (round-7 evidence first, then round-8, then round-9) ----
+        # -- head slots 1-2: promoted from the round-11 staging
+        # area (pre-checked hash-green at sf0.001 + sf0.01) --
+        "kmv_novelty": _q_kmv_novelty,
+        "calibration_report": _q_calibration_report,
+        # -- slots 3-50: the 45 round-7-stale + 3 round-8-stale
+        # entries (tools/rotate_gate.py round-11 ordering; policy:
+        # no evidence older than 3 rounds after this round) --
         "knn_graph": _q_knn_graph,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "embedding_mrl": _q_embedding_mrl,
@@ -7549,6 +7496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_ffd": _q_pack_bins_ffd,
         "knn_graph_full": _q_knn_graph_full,
         "bm25_topk": _q_bm25_topk,
+        # ---------------- tail (slots 51+), staleness order
+        # (round-8 evidence first, then round-9, then round-10) --
         "contamination_report": _q_contamination_report,
         "ann_kmeans_ivf": _q_ann_kmeans_ivf,
         "tpch_q4": _q_tpch_q4,
@@ -7641,6 +7590,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_zscore": _q_streaming_zscore,
         "events_ks_drift": _q_events_ks_drift,
         "fuzzy_join": _q_fuzzy_join,
+        "quantile_hist": _q_quantile_hist,
+        "streaming_qhist": _q_streaming_qhist,
+        "kmv_overlap": _q_kmv_overlap,
+        "dsir_importance": _q_dsir_importance,
+        "trigram_backoff": _q_trigram_backoff,
+        "psi_drift": _q_psi_drift,
+        "streaming_hll": _q_streaming_hll,
+        "communities_lpa": _q_communities_lpa,
+        "wordpiece_vocab": _q_wordpiece_vocab,
+        "mad_outliers": _q_mad_outliers,
+        "kn_bigram_score": _q_kn_bigram_score,
+        "streaming_psi": _q_streaming_psi,
+        "quality_score": _q_quality_score,
+        "hll_report": _q_hll_report,
+        "som_qe": _q_som_qe,
+        "multimodal_audio": _q_multimodal_audio,
+        "hash_partition": _q_hash_partition,
+        "events_smoothing": _q_events_smoothing,
+        "text_novelty": _q_text_novelty,
+        "text_lang_consistency": _q_text_lang_consistency,
+        "ivfpq_rerank": _q_ivfpq_rerank,
+        "multimodal_phash": _q_multimodal_phash,
+        "multimodal_video_fp": _q_multimodal_video_fp,
+        "shard_layout": _q_shard_layout,
+        "tpch_q3": _q_tpch_q3,
+        "corpus_diff": _q_corpus_diff,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "orders_histogram": _q_orders_histogram,
+        "orders_corr": _q_orders_corr,
+        "temperature_mix": _q_temperature_mix,
+        "text_chunks": _q_text_chunks,
+        "text_collocations": _q_text_collocations,
+        "text_c4_lines": _q_text_c4_lines,
+        "semantic_dedup": _q_semantic_dedup,
+        "som_activation_response": _q_som_activation_response,
+        "som_labels_map": _q_som_labels_map,
+        "som_topographic_error": _q_som_topographic_error,
+        "som_train_epoch": _q_som_train_epoch,
+        "som_distance_map": _q_som_distance_map,
+        "som_feature_covariance": _q_som_feature_covariance,
+        "som_distance_map_hex": _q_som_distance_map_hex,
+        "som_train_epoch_hex": _q_som_train_epoch_hex,
+        "text_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_dict_coverage": _q_text_dict_coverage,
+        "embedding_rp": _q_embedding_rp,
     }
 
 
@@ -8457,6 +8456,9 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 11 from the round-11 staging area --
+        "kmv_novelty": _sql_kmv_novelty(),
+        "calibration_report": _sql_calibration_report(),
         # -- promoted in round 10 from the round-10/11 staging areas --
         "quantile_hist": _sql_quantile_hist(),
         "streaming_qhist": _sql_streaming_qhist(),

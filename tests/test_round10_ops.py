@@ -194,7 +194,7 @@ def test_kmv_novelty_identical_and_disjoint(spark):
 
 
 def test_calibration_report_gate_shape(spark):
-    rows = entrymod.queries_round11_staged()["calibration_report"](
+    rows = entrymod.queries()["calibration_report"](
         spark, SF_TINY).collect()
     n_docs = entrymod._docs(spark, SF_TINY).count()
     assert sum(r["n"] for r in rows) == n_docs

@@ -450,3 +450,20 @@ def test_knn_graph_full_probe_guard_errors_loudly(spark):
     # and the same data under the bound succeeds
     assert knn_graph(df, cents, k=3, nprobe=2,
                      max_cell_rows=50).count() == 120
+
+
+def test_lsh_default_auto_sizes_to_target_recall():
+    """VERDICT r10 #2 regression: the DEFAULT path is n_bands=None
+    (auto-size), so the band-recall estimate meets target_recall out
+    of the box at every threshold — the fixed-knob silent-under-recall
+    trap (estimated recall 0.10 at threshold=0.4 with n_bands=4)
+    cannot fire without an explicit override."""
+    import inspect
+
+    sig = inspect.signature(similarity.lsh_near_dup_pairs)
+    assert sig.parameters["n_bands"].default is None
+    for n_rows in (500, 60_000, 10_000_000):
+        for thr in (0.4, 0.8, 0.95, 0.99):
+            nb, bits = similarity.auto_lsh_config(n_rows, thr, 0.9)
+            assert similarity.lsh_band_recall(thr, nb, bits) >= 0.9, (
+                n_rows, thr, nb, bits)

@@ -739,8 +739,11 @@ def logreg_top_features(df: DataFrame, text_col: str, model: dict,
     ``(direction, bucket, weight_e6, rank, terms, n_docs)`` — the
     ``top_k`` most positive and most negative hash buckets, each with
     the commonest corpus n-grams that land in it (hashing is one-way,
-    so representative terms must come FROM the corpus) and its
-    document frequency.  The "why is the filter dropping X" answer a
+    so representative terms must come FROM the corpus) and ``n_docs``,
+    the bucket's collision mass — the sum of per-term document
+    frequencies over ALL distinct n-grams hashed into the bucket, not
+    just the displayed examples.  The "why is the filter dropping X"
+    answer a
     production quality gate owes its operators — and the collision
     audit in the same relation: a high-|w| bucket whose ``terms`` mix
     spam markers with innocent n-grams is hash-collision collateral,
@@ -772,16 +775,15 @@ def logreg_top_features(df: DataFrame, text_col: str, model: dict,
     import pandas as pd
 
     def fn(it):
+        import hashlib
+        import re
+
+        bset = {b for _d, b in picks}
+        bdir = dict((b, d) for d, b in picks)
         for pdf in it:
             dirs, bks, terms = [], [], []
-            bset = {b for _d, b in picks}
-            bdir = dict((b, d) for d, b in picks)
             for t in pdf["__t"]:
-                bs, _cs = _doc_buckets(t, nb, fold)
                 # re-derive term -> bucket to label the flagged ones
-                import hashlib
-                import re
-
                 toks = [x for x in re.split(r"[ \t\n\x0b\f\r]+",
                                             t or "") if x]
                 hs = [int(hashlib.md5(f"0:{x}".encode(
@@ -822,11 +824,21 @@ def logreg_top_features(df: DataFrame, text_col: str, model: dict,
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
     top = Window.partitionBy("bucket").orderBy(
         F.col("n_docs").desc(), F.col("term").asc())
+    # n_docs is the bucket's COLLISION MASS: the sum of per-term
+    # document frequencies over ALL distinct n-grams hashed into the
+    # bucket (computed BEFORE the examples_per_bucket display filter,
+    # so it is independent of how many terms are shown).  A doc
+    # containing several distinct colliding terms counts once per
+    # term — that is the quantity a collision audit compares against
+    # the displayed terms' share.  collect_list drops the nulls the
+    # WHEN produces, so display truncation and the full sum share one
+    # aggregation (single shuffle, corpus scanned once).
     per_bucket = (counted.withColumn("__r", F.row_number().over(top))
-                  .where(F.col("__r") <= int(examples_per_bucket))
                   .groupBy("direction", "bucket")
                   .agg(F.array_sort(F.collect_list(
-                      F.struct(F.col("__r").alias("r"), "term")))
+                      F.when(F.col("__r") <= int(examples_per_bucket),
+                             F.struct(F.col("__r").alias("r"),
+                                      "term"))))
                       .alias("__ts"),
                       F.sum("n_docs").cast("bigint").alias("n_docs")))
     ranked = Window.partitionBy("direction").orderBy(

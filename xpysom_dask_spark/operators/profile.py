@@ -789,15 +789,24 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
                          f"{path!r}")
 
     def fn(batches):
-        import os as _os
-
+        import pyarrow.fs as pafs
         import pyarrow.parquet as pq
 
         for pdf in batches:
             rows = []
             for uri in pdf["file"]:
-                local = uri[7:] if uri.startswith("file://") else uri
-                md = pq.ParquetFile(local).metadata
+                # resolve through pyarrow's filesystem layer so the
+                # audit works where 100 TB tables actually live
+                # (hdfs://, s3a://->s3, gs://, abfs://), not only on
+                # file:// — scheme-less paths fall back to local
+                scheme = uri.replace("s3a://", "s3://", 1) \
+                    if uri.startswith("s3a://") else uri
+                fs, fpath = pafs.FileSystem.from_uri(scheme) \
+                    if "://" in scheme \
+                    else (pafs.LocalFileSystem(), scheme)
+                info = fs.get_file_info(fpath)
+                with fs.open_input_file(fpath) as fh:
+                    md = pq.ParquetFile(fh).metadata
                 rg_rows = [md.row_group(i).num_rows
                            for i in range(md.num_row_groups)]
                 rg_bytes = [md.row_group(i).total_byte_size
@@ -807,7 +816,7 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
                     for i in range(md.num_row_groups)
                     for j in range(md.num_columns)}) or ["NONE"]
                 rows.append((
-                    uri, int(_os.path.getsize(local)),
+                    uri, int(info.size),
                     int(md.num_rows), int(md.num_row_groups),
                     int(min(rg_rows)) if rg_rows else 0,
                     int(max(rg_rows)) if rg_rows else 0,

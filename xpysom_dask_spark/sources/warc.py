@@ -164,9 +164,19 @@ def payload_text(df: DataFrame, payload_col: str = "payload",
             for raw in pdf[payload_col]:
                 b = bytes(raw) if raw is not None else b""
                 if b[:5] in (b"HTTP/",):
-                    cut = b.find(b"\r\n\r\n")
-                    if cut != -1:
-                        b = b[cut + 4:]
+                    # mirror _split_records: the EARLIER terminator
+                    # ends the header block, so LF-only HTTP headers
+                    # (which the WARC layer itself tolerates) don't
+                    # leak into the extracted text.  Bound the LF-only
+                    # probe at the CRLF hit — an earlier LF-only
+                    # terminator can only live before it.
+                    crlf = b.find(b"\r\n\r\n")
+                    lf = b.find(b"\n\n", 0,
+                                crlf + 2 if crlf != -1 else len(b))
+                    if lf != -1 and (crlf == -1 or lf < crlf):
+                        b = b[lf + 2:]
+                    elif crlf != -1:
+                        b = b[crlf + 4:]
                 texts.append(b.decode("utf-8", "replace"))
             out = pdf.copy()
             out[out_col] = texts

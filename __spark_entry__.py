@@ -7412,6 +7412,77 @@ FROM cagg
 """
 
 
+def _q_warc_ingest(spark, sf_dir):
+    """Crawl front door, driver-verified end-to-end (VERDICT r10 #6 —
+    WARC had test-only evidence): documents become HTTP response
+    payloads (CRLF headers for even doc_id, LF-ONLY headers for odd —
+    the tolerated-in-the-wild variant the r10 ADVICE found leaking
+    into extracted text), ship through ``write_warc`` as BOTH plain
+    ``.warc`` and per-record-gzip-member ``.warc.gz`` segments, come
+    back through ``read_warc`` → ``payload_text``, and the per-source
+    counts / char sums / md5-XOR content checksum (doc_id recovered
+    from the target URI) must equal the same aggregation on the
+    original table — so a dropped record, a mangled byte, a misfiled
+    header, or a leaked HTTP header block all change the result.
+    Parallelism is by segment file on both legs (sources/warc.py
+    layout contract); the checksum aggregation is one codegen'd
+    groupBy on a low-cardinality key."""
+    import tempfile
+
+    from xpysom_dask_spark.sources.warc import (payload_text,
+                                                read_warc, write_warc)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    http = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "
+                       "text/plain; charset=utf-8\r\n\r\n"),
+                 F.col("text"))
+    ).otherwise(
+        F.concat(F.lit("HTTP/1.1 200 OK\nContent-Type: "
+                       "text/plain\n\n"), F.col("text")))
+    staged = docs.select(
+        F.concat(F.lit("http://crawl.test/"), "source", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("target_uri"),
+        F.encode(http, "utf-8").alias("payload"),
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id").cast("string"),
+                 F.lit(">")).alias("rid"),
+        "doc_id")
+    tmp = tempfile.mkdtemp(prefix="warcgate_")
+    write_warc(staged.where("doc_id % 4 < 2").repartition(4), tmp,
+               record_id_col="rid")
+    write_warc(staged.where("doc_id % 4 >= 2").repartition(4), tmp,
+               record_id_col="rid", compress=True, mode="append")
+
+    back = payload_text(read_warc(spark, tmp)
+                        .where("warc_type = 'response'"))
+    parsed = back.select(
+        F.regexp_extract("target_uri",
+                         r"^http://crawl\.test/(.+)/(\d+)$", 1)
+        .alias("source"),
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "text")
+    chk = ("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), "
+           "':', text)), 1, 12), 16, 10) AS BIGINT)")
+    return (parsed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text").cast("bigint"))
+                 .alias("sum_chars"),
+                 F.expr(f"bit_xor({chk})").alias("content_xor")))
+
+
+def _sql_warc_ingest():
+    chk = _duck_md5hash48("concat(CAST(doc_id AS VARCHAR), ':', text)")
+    return f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       bit_xor({chk}) AS content_xor
+FROM documents
+GROUP BY source
+"""
+
+
 def queries_round11_staged() -> dict:
     """Round-12 pre-staging (SURVEY.md §8; name kept for the test
     suite's import contract): verified like the round-9/10/11 queues,
@@ -7445,7 +7516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # area (pre-checked hash-green at sf0.001 + sf0.01) --
         "kmv_novelty": _q_kmv_novelty,
         "calibration_report": _q_calibration_report,
-        # -- slots 3-50: the 45 round-7-stale + 3 round-8-stale
+        # -- slot 3: NEW round-11 gate (crawl front door; never-green
+        # so it must sit in the head; VERDICT r10 #6) --
+        "warc_ingest": _q_warc_ingest,
+        # -- slots 4-50: the 45 round-7-stale + 2 round-8-stale
         # entries (tools/rotate_gate.py round-11 ordering; policy:
         # no evidence older than 3 rounds after this round) --
         "knn_graph": _q_knn_graph,
@@ -8459,6 +8533,8 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         # -- promoted in round 11 from the round-11 staging area --
         "kmv_novelty": _sql_kmv_novelty(),
         "calibration_report": _sql_calibration_report(),
+        # -- new round-11 gate: crawl front door (VERDICT r10 #6) --
+        "warc_ingest": _sql_warc_ingest(),
         # -- promoted in round 10 from the round-10/11 staging areas --
         "quantile_hist": _sql_quantile_hist(),
         "streaming_qhist": _sql_streaming_qhist(),

@@ -306,3 +306,69 @@ def test_warc_parser_roundtrip_property():
            b"Content-Length: %d\n\n" % len(body)) + body + b"\r\n\r\n"
     [(hdrs, payload)] = list(_split_records(rec))
     assert payload == body and hdrs["warc-type"] == "response"
+
+
+def test_write_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    """write_warc -> read_warc round-trips payload bytes exactly, in
+    both .warc and per-record-gzip-member .warc.gz form; the manifest
+    accounts for every record; overwrite wipes stale segments."""
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.sources.warc import read_warc, write_warc
+
+    rows = [(f"http://t.example/{i}",
+             bytes([i % 256, 13, 10, 13, 10]) + f"body {i}".encode(),
+             f"<urn:uuid:{i}>")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, payload binary, rid string") \
+        .repartition(4)
+    out = str(tmp_path / "crawl")
+    man = write_warc(df, out, record_id_col="rid")
+    assert sum(r["n_records"] for r in man) == 40
+    assert all(r["file"].endswith(".warc") for r in man)
+    man_gz = write_warc(df, out, record_id_col="rid", compress=True,
+                        mode="append")
+    assert sum(r["n_records"] for r in man_gz) == 40
+    assert all(r["file"].endswith(".warc.gz") for r in man_gz)
+
+    back = read_warc(spark, out)
+    got = {(r["record_id"], r["file"].endswith(".gz")):
+           bytes(r["payload"]) for r in back.collect()}
+    assert len(got) == 80
+    for uri, payload, rid in rows:
+        assert got[(rid, False)] == payload  # CRLFCRLF inside body OK
+        assert got[(rid, True)] == payload
+    assert back.where(F.col("warc_type") != "response").count() == 0
+
+    # overwrite replaces the plain segments, leaves the .gz alone
+    man2 = write_warc(df.limit(10), out, record_id_col="rid")
+    assert sum(r["n_records"] for r in man2) == 10
+    assert read_warc(spark, out).count() == 50
+
+    with __import__("pytest").raises(ValueError, match="mode"):
+        write_warc(df, out, mode="error")
+
+
+def test_payload_text_lf_only_http_headers(spark, tmp_path):
+    """ADVICE r10: an http response with LF-only headers (tolerated at
+    the WARC layer) must ALSO have its header block stripped by
+    payload_text — earlier-terminator rule, same as _split_records."""
+    from xpysom_dask_spark.sources.warc import payload_text, read_warc
+
+    lf_http = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nlf body"
+    crlf_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                 b"crlf body")
+    # LF-only headers whose BODY contains CRLFCRLF: cut at the LF
+    # terminator, not inside the body
+    tricky = b"HTTP/1.1 200 OK\nX: y\n\nbefore\r\n\r\nafter"
+    recs = (_mk_warc_record("response", "http://e/1", lf_http)
+            + _mk_warc_record("response", "http://e/2", crlf_http)
+            + _mk_warc_record("response", "http://e/3", tricky))
+    (tmp_path / "s.warc").write_bytes(recs)
+    texts = {r["target_uri"]: r["text"]
+             for r in payload_text(read_warc(
+                 spark, str(tmp_path))).collect()}
+    assert texts["http://e/1"] == "lf body"
+    assert texts["http://e/2"] == "crlf body"
+    assert texts["http://e/3"] == "before\r\n\r\nafter"

@@ -186,3 +186,88 @@ def payload_text(df: DataFrame, payload_col: str = "payload",
                     for f in df.schema.fields)
     return df.mapInPandas(fn, f"{ddl}, {out_col} string") \
         .select(*cols, out_col)
+
+
+def write_warc(df: DataFrame, path: str, uri_col: str = "target_uri",
+               payload_col: str = "payload",
+               record_id_col: str | None = None,
+               warc_type: str = "response",
+               content_type: str = "application/http; msgtype=response",
+               warc_date: str = "2026-01-01T00:00:00Z",
+               compress: bool = False,
+               mode: str = "overwrite") -> list:
+    """WARC sink — re-shard a corpus back into the crawl interchange
+    container (ISO 28500).  One segment file per task (full write
+    parallelism — the same by-segment-file axis ``read_warc``
+    parallelizes on), records framed as ``WARC/1.0`` + header block +
+    exactly ``Content-Length`` payload bytes + CRLF CRLF trailer.
+
+    ``compress=True`` writes ``.warc.gz`` with ONE GZIP MEMBER PER
+    RECORD — the Common Crawl convention (members concatenate into a
+    valid gzip stream; ``read_warc``'s gunzip handles member
+    concatenation), which is what makes per-record random access via
+    (offset, length) index files possible on real crawls.
+
+    Payload bytes pass through verbatim (``Content-Length`` is
+    computed from the actual bytes), so write → read round-trips
+    bit-for-bit.  Executes eagerly and returns the manifest —
+    ``[(file, n_records, n_bytes), ...]`` one row per written segment
+    (empty partitions write nothing).  ``path`` must be a
+    task-reachable directory (shared filesystem on a real cluster).
+    """
+    import glob as _glob
+    import gzip as _gzip
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if compress else ".warc"
+    if mode == "overwrite":
+        for old in _glob.glob(os.path.join(path, f"part-*{suffix}")):
+            os.remove(old)
+    elif mode != "append":
+        raise ValueError(f"write_warc: mode must be 'overwrite' or "
+                         f"'append', got {mode!r}")
+
+    cols = [uri_col, payload_col] + (
+        [record_id_col] if record_id_col else [])
+    sel = df.select(*cols)
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        n, total = 0, 0
+        fh = None
+        for pdf in batches:
+            if fh is None and len(pdf):
+                fh = open(fname, "wb")
+            rids = (pdf[record_id_col] if record_id_col
+                    else [None] * len(pdf))
+            for uri, payload, rid in zip(pdf[uri_col],
+                                         pdf[payload_col], rids):
+                body = bytes(payload) if payload is not None else b""
+                rid = rid or f"<urn:xpysom:{pid}:{n}>"
+                head = (
+                    f"WARC/1.0\r\n"
+                    f"WARC-Type: {warc_type}\r\n"
+                    f"WARC-Record-ID: {rid}\r\n"
+                    f"WARC-Date: {warc_date}\r\n"
+                    f"WARC-Target-URI: {uri}\r\n"
+                    f"Content-Type: {content_type}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode("utf-8")
+                rec = head + body + b"\r\n\r\n"
+                fh.write(_gzip.compress(rec) if compress else rec)
+                n += 1
+                total += len(rec)
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame([(fname, n, total)],
+                               columns=["file", "n_records",
+                                        "n_bytes"])
+
+    return sel.mapInPandas(
+        fn, "file string, n_records bigint, n_bytes bigint").collect()

@@ -195,6 +195,47 @@ def main():
         timed("train_5ep_hex", lambda: hexsom.train(feats, 5))
 
     docs = readers.load_table(spark, SF_DIR, "documents")
+
+    # crawl_ingest: the WHOLE crawl front door end-to-end (VERDICT r10
+    # #4) — WARC segments → payload_text → strip_html →
+    # canonicalize_url → exact dedup → quality score.  Segment
+    # construction (write_warc from documents, 16 files = 16-task
+    # read parallelism, ~half gzip like a real crawl mirror) is
+    # UNTIMED setup; the timed leg starts at the binaryFile scan.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from xpysom_dask_spark.sources import warc as _W
+
+    _crawl = _tf.mkdtemp(prefix="benchcrawl_")
+    _staged = docs.select(
+        F.concat(F.lit("HTTP://WWW.Crawl.test:80/"), "source",
+                 F.lit("/"), F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=bench")).alias("target_uri"),
+        F.encode(F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                  "<html><body><p>"), F.col("text"),
+            F.lit("</p></body></html>")), "utf-8").alias("payload"))
+    _W.write_warc(_staged.repartition(8), _crawl)
+    _W.write_warc(_staged.repartition(8), _crawl, compress=True,
+                  mode="append")
+
+    def _crawl_ingest():
+        recs = _W.payload_text(
+            _W.read_warc(spark, _crawl)
+            .where("warc_type = 'response'"))
+        cleaned = (recs
+                   .withColumn("clean", T.strip_html("text"))
+                   .withColumn("url",
+                               T.canonicalize_url("target_uri")))
+        kept = dedup.dedup_exact_keep_first(cleaned, "clean", "url")
+        return kept.agg(
+            F.count(F.lit(1)),
+            F.sum(T.quality_score("clean"))).collect()
+
+    timed("crawl_ingest", _crawl_ingest)
+    _sh.rmtree(_crawl, ignore_errors=True)
+
     timed("text_fp", lambda: docs.select(
         T.md5_fingerprint("text"), T.min_shingle_fingerprint("text"),
         T.rolling_hash("text")).agg(F.count(F.lit(1))).collect())

@@ -319,3 +319,35 @@ def test_money_queries_partitioning_independent(spark):
             assert sorted(map(tuple, df.collect())) == before[name], name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_every_udf_bearing_function_ships_the_package():
+    """Cluster-mode invariant (round-11 regression): any public
+    function whose body creates an Arrow/Pandas UDF stage must call
+    ship_package itself (or route through a helper that does, in
+    which case the helper carries the call) — otherwise its closure
+    unpickles with ModuleNotFoundError on executors that don't have
+    the package on PYTHONPATH, and the bug hides whenever an earlier
+    query in the same session already shipped the zip (the round-10
+    full-sweep masking)."""
+    import ast
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "xpysom_dask_spark")
+    markers = (".mapInPandas(", ".mapInArrow(", ".applyInPandas(",
+               ".applyInPandasWithState(")
+    bad = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"),
+                          recursive=True):
+        src = open(path).read()
+        for node in ast.walk(ast.parse(src)):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if any(m in seg for m in markers) \
+                    and "ship_package(" not in seg:
+                bad.append(f"{os.path.relpath(path, pkg)}:"
+                           f"{node.lineno} {node.name}")
+    assert not bad, bad

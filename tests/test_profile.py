@@ -18,3 +18,65 @@ def test_ewma_drops_null_timestamps(spark):
     # id=3's frame is [10, 30] (the NULL-ts row contributes nothing):
     # (30*1 + 10*0.5) / 1.5
     assert out[3] == round(35.0 / 1.5, 6)
+
+
+def test_parquet_pruning_audit_sorted_vs_random(spark, tmp_path):
+    """Footer-stats pruning: a value-sorted layout must let a narrow
+    range predicate skip most row groups; the same data written in
+    hash-random order must skip ~none; the pruned-row count must
+    equal an exact pyarrow recomputation of the skipping rule."""
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators.profile import parquet_pruning_audit
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("pad"))
+    srt = str(tmp_path / "sorted")
+    rnd = str(tmp_path / "random")
+    # small row groups so one file holds many prunable units
+    (df.orderBy("k").coalesce(2).write
+       .option("parquet.block.size", 64 * 1024).parquet(srt))
+    (df.orderBy(F.md5(F.col("k").cast("string"))).coalesce(2).write
+       .option("parquet.block.size", 64 * 1024).parquet(rnd))
+
+    lo, hi = 10_000, 19_999
+    a_srt = parquet_pruning_audit(spark, srt, "k", lo, hi) \
+        .agg(F.sum("n_rows").alias("n"),
+             F.sum("rows_pruned").alias("p"),
+             F.sum("n_row_groups").alias("g"),
+             F.sum("rg_pruned").alias("gp"),
+             F.sum("rg_no_stats").alias("ns")).first()
+    a_rnd = parquet_pruning_audit(spark, rnd, "k", lo, hi) \
+        .agg(F.sum("n_rows").alias("n"),
+             F.sum("rows_pruned").alias("p"),
+             F.sum("rg_no_stats").alias("ns")).first()
+    assert a_srt["n"] == a_rnd["n"] == 200_000
+    assert a_srt["ns"] == 0 and a_rnd["ns"] == 0
+    assert a_srt["g"] > 4, "row groups too coarse for the test"
+    # sorted: predicate covers 5% of rows -> most groups disjoint
+    assert a_srt["p"] >= 0.7 * (200_000 - (hi - lo + 1))
+    assert a_srt["gp"] >= 1
+    # random: every group straddles the range -> nothing prunable
+    assert a_rnd["p"] == 0
+
+    # exact recomputation of the skipping rule via pyarrow
+    import glob
+    expect = 0
+    for f in glob.glob(srt + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.names.index("k")
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(ci).statistics
+            if st.max < lo or st.min > hi:
+                expect += md.row_group(i).num_rows
+    assert a_srt["p"] == expect
+
+    with pytest.raises(ValueError, match="column"):
+        parquet_pruning_audit(spark, srt, "nope", 0, 1)
+    # a missing path fails loudly at plan time (Spark's reader)
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|no files"):
+        parquet_pruning_audit(spark, str(tmp_path / "missing"), "k",
+                              0, 1)

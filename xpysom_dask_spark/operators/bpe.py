@@ -275,6 +275,9 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
     vocab — characters never seen in ``base_symbols`` — map to
     ``unk_id``).  The id table rides the same broadcast as the ranks;
     no join, no extra shuffle over the token stream."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     vocab = bpe_vocab(merges) if vocab is None else vocab
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((vocab, unk_id))

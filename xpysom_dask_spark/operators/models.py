@@ -502,6 +502,9 @@ def logreg_fit_hashed(df: DataFrame, text_col: str, id_col: str,
     "intercept", "n_buckets", "fold_bigrams", "n", "n_iter_run",
     "lr", "l2"}``.
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     if not 2 <= n_buckets <= MAX_HASHED_DIM:
         raise ValueError(
             f"logreg_fit_hashed: n_buckets must be 2..{MAX_HASHED_DIM} "
@@ -588,6 +591,9 @@ def logreg_score_hashed(df: DataFrame, text_col: str, id_col: str,
     Documents with no tokens score the intercept-only probability.
     The id column keeps its input type (the unigram.py typing
     lesson)."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     n_buckets = int(model["n_buckets"])
     fold = bool(model["fold_bigrams"])
     id_type = df.schema[id_col].dataType.simpleString()
@@ -755,6 +761,9 @@ def logreg_top_features(df: DataFrame, text_col: str, model: dict,
     O(tokens in flagged buckets)); per-bucket term lists are a bounded
     window top-N.  Weights are e6-scaled BIGINTs so the relation
     replays exactly."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     from pyspark.sql import Window
 
     if top_k < 1 or examples_per_bucket < 1:

@@ -1233,6 +1233,9 @@ def semantic_dedup(som, df: DataFrame, id_col: str = "vec_id",
     cell by construction, which is the entire point of clustering
     first; at 100 TB you size the codebook so cells stay ~10⁴.
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     cells = som.transform(df, ("cluster_id",), keep=[id_col, vec_col],

@@ -1440,6 +1440,9 @@ def compression_ratio(df, text_col: str, id_col: str,
     leave the executors; it is deliberately NOT in the oracle gate
     (DuckDB has no zlib) — the unit suite pins its behavior instead.
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     lvl = int(level)
     if not 1 <= lvl <= 9:
         raise ValueError(f"level must be in [1, 9], got {lvl}")

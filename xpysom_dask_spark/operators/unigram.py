@@ -131,6 +131,9 @@ def learn_unigram(df: DataFrame, text_col: str, vocab_size: int = 256,
     occurrences, Laplace-smoothed scores).  Words longer than
     ``max_word_len`` are excluded from training (the documented
     bound that keeps the Viterbi kernel O(len·max_piece_len))."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     if vocab_size < 2:
         raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
     if not 1 <= max_piece_len <= max_word_len:
@@ -196,6 +199,9 @@ def segment_words(df: DataFrame, text_col: str, vocab: DataFrame,
     the inspection/gate surface.  Unsegmentable words (characters
     outside the vocabulary) are omitted; words longer than
     ``max_word_len`` are excluded (the training bound)."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     rows = vocab.select("piece", "score_e6").collect()
     scores = {r["piece"]: int(r["score_e6"]) for r in rows}
     wc = (word_counts(df, text_col)
@@ -218,6 +224,9 @@ def unigram_token_count(df: DataFrame, text_col: str, id_col: str,
     broadcast of the per-word piece counts would re-shuffle the
     corpus; instead the kernel runs directly over the documents,
     re-using the in-batch word cache (words repeat heavily)."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     import pandas as pd
 
     rows = vocab.select("piece", "score_e6").collect()
@@ -274,6 +283,9 @@ def unigram_encode_ids(df: DataFrame, text_col: str, id_col: str,
     cache); characters outside the vocabulary make a word encode to
     the empty sequence (documented: train the vocab on a corpus
     covering the alphabet, or pre-filter)."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     import pandas as pd
 
     rows = vocab.select("piece", "score_e6").collect()

@@ -266,6 +266,9 @@ def wordpiece_encode_ids(df: DataFrame, text_col: str, tokens: list,
     space — the model-input mirror of ``bpe_encode_ids``.  The id
     table rides the same broadcast as the vocab set; no join, no
     extra shuffle over the token stream."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     ids = wordpiece_vocab_ids(tokens, unk)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(ids)

@@ -118,6 +118,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     the payload stays an opaque binary column until something
     explicitly decodes it (:func:`payload_text` for http responses).
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(spark)
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -154,6 +157,9 @@ def payload_text(df: DataFrame, payload_col: str = "payload",
     full http message), then UTF-8 with replacement — the lossy-but-
     total decode a crawl pipeline wants (charset sniffing is a
     quality SIGNAL, not a parse precondition).  One Arrow pass."""
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     import pandas as pd
 
     cols = df.columns
@@ -215,6 +221,9 @@ def write_warc(df: DataFrame, path: str, uri_col: str = "target_uri",
     (empty partitions write nothing).  ``path`` must be a
     task-reachable directory (shared filesystem on a real cluster).
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     import glob as _glob
     import gzip as _gzip
     import os

@@ -59,6 +59,9 @@ def bmu_transitions(som, stream_df, key_col: str, ts_col: str | None = None,
     co-locates each key's state with its rows — the scale-out property);
     scoring stays in the narrow pre-shuffle stage.
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(stream_df.sparkSession)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     # the output key column carries whatever type key_col has (string
@@ -143,6 +146,9 @@ def ewma_stream(stream_df, key_col: str, value_col: str, ts_col: str,
     parity (a file-source replay or a watermarked upstream sort);
     within a batch the kernel orders by (ts, id) itself.
     """
+    from ..plans.exchange import ship_package
+
+    ship_package(stream_df.sparkSession)
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -7483,21 +7483,165 @@ GROUP BY source
 """
 
 
+def _q_footer_stats(spark, sf_dir):
+    """Physical-metadata gate (round-12 staging; the footer-stats
+    surface VERDICT r10 #8 floated): per-column parquet FOOTER
+    statistics of the lineitem table — n_row_groups, value counts,
+    null counts, min/max — via profile.parquet_column_stats (the
+    pyarrow footer-only reader behind parquet_pruning_audit),
+    engine-cross-checked against DuckDB's parquet_metadata().  What
+    the footers CLAIM about the data is what every stats-aware scan
+    will silently trust; a writer that mis-stamps stats corrupts
+    query results without touching a data page, so the claim itself
+    deserves a driver gate."""
+    import os
+
+    from xpysom_dask_spark.operators.profile import parquet_column_stats
+
+    return parquet_column_stats(
+        spark, os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+
+
+def _sql_footer_stats(sf_dir):
+    # data-dependent oracle (the wordpiece_vocab idiom): DuckDB reads
+    # the SAME footers through its own parquet_metadata() table fn
+    return f"""
+SELECT path_in_schema AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+       CAST(SUM(num_values) AS BIGINT) AS n_values,
+       CAST(SUM(stats_null_count) AS BIGINT) AS null_count,
+       CAST(MIN(CAST(stats_min_value AS BIGINT)) AS BIGINT) AS min_val,
+       CAST(MAX(CAST(stats_max_value AS BIGINT)) AS BIGINT) AS max_val
+FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+WHERE path_in_schema IN ('l_orderkey', 'l_partkey', 'l_suppkey',
+                         'l_linenumber')
+GROUP BY 1
+"""
+
+
+def _q_multimodal_fp(spark, sf_dir):
+    """Round-12 merge survivor (stage now, promote at the rotation
+    while retiring multimodal_phash + multimodal_video_fp — the
+    standing §8 merge program): BOTH perceptual-fingerprint legs in
+    one relation, tagged by modality — image aHash Hamming top-3 and
+    video frame-concatenated-signature Hamming top-3, each exactly
+    the retired gate's output.  All kernels stay exercised:
+    embeddings_as_images, image_ahash, the video assembly + frame
+    fan-out + video_fingerprint composition, and hamming_topk on both
+    signature shapes."""
+    img = _q_multimodal_phash(spark, sf_dir) \
+        .select(F.lit("image").alias("modality"), "*")
+    vid = _q_multimodal_video_fp(spark, sf_dir) \
+        .select(F.lit("video").alias("modality"), "*")
+    return img.unionAll(vid)
+
+
+def _sql_multimodal_fp():
+    return (f"SELECT 'image' AS modality, * FROM (\n"
+            f"{_sql_multimodal_phash()}\n)\n"
+            f"UNION ALL\nSELECT 'video' AS modality, * FROM (\n"
+            f"{_sql_multimodal_video_fp()}\n)")
+
+
+def _q_kmv_report(spark, sf_dir):
+    """Round-12 merge survivor (stage now, promote at the rotation
+    while retiring kmv_overlap + kmv_novelty): the widened pairwise
+    sketch relation ``sketches.kmv_pair_report`` — per language pair,
+    the min-hash Jaccard (the kmv_overlap estimator) AND the
+    inclusion–exclusion distinct/novelty estimates (the kmv_novelty
+    estimator, applied per pair: est_a, est_b, union_est from the
+    same merged top-k the Jaccard already builds, novelty clamped at
+    0).  Everything on the ≤ groups·k sketch rows, all-integer."""
+    from xpysom_dask_spark.operators import sketches as SK
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(T.tokens("text"))
+                       .alias("term"))
+    sk = SK.kmv_sketch(toks, "term", k=_KMV_K, group_cols=("lang",))
+    return SK.kmv_pair_report(sk, _KMV_K, "lang")
+
+
+def _sql_kmv_report():
+    toks = _duck_tokens("text")
+    k = _KMV_K
+    num = (k - 1) * (1 << 48)
+
+    def est(n, kth):
+        return (f"CASE WHEN {n} < {k} THEN CAST({n} AS BIGINT) "
+                f"ELSE {num} // {kth} END")
+
+    return f"""
+WITH tk AS (
+  SELECT lang, unnest({toks}) AS term FROM documents),
+hs AS (SELECT DISTINCT lang, {_duck_h48('term', 0)} AS h FROM tk),
+rk AS (SELECT lang, h,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+       FROM hs),
+sk AS (SELECT lang, h FROM rk WHERE r <= {k}),
+per AS (SELECT lang, COUNT(*) AS n, MAX(h) AS kth FROM sk GROUP BY 1),
+pairs AS (
+  SELECT a.lang AS ga, b.lang AS gb
+  FROM (SELECT DISTINCT lang FROM sk) a
+  JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang),
+u AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.lang = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.lang = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.lang IN (p.ga, p.gb)
+  GROUP BY 1, 2, 3),
+ur AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rr
+  FROM u),
+pagg AS (
+  SELECT ga, gb, COUNT(*) AS n_sample,
+         SUM(in_a * in_b) AS n_common, MAX(h) AS ukth
+  FROM ur WHERE rr <= {k} GROUP BY 1, 2)
+SELECT p.ga, p.gb,
+       CAST(p.n_sample AS INTEGER) AS n_sample,
+       CAST(p.n_common AS INTEGER) AS n_common,
+       CAST((1000000 * CAST(p.n_common AS BIGINT))
+            // CAST(p.n_sample AS BIGINT) AS BIGINT) AS jaccard_e6,
+       CAST({est('pa.n', 'pa.kth')} AS BIGINT) AS est_a,
+       CAST({est('pb.n', 'pb.kth')} AS BIGINT) AS est_b,
+       CAST({est('p.n_sample', 'p.ukth')} AS BIGINT) AS union_est,
+       CAST(GREATEST(({est('p.n_sample', 'p.ukth')})
+                     - ({est('pa.n', 'pa.kth')}), 0) AS BIGINT)
+         AS novelty_ab,
+       CAST(GREATEST(({est('p.n_sample', 'p.ukth')})
+                     - ({est('pb.n', 'pb.kth')}), 0) AS BIGINT)
+         AS novelty_ba
+FROM pagg p
+JOIN per pa ON pa.lang = p.ga
+JOIN per pb ON pb.lang = p.gb
+"""
+
+
 def queries_round11_staged() -> dict:
     """Round-12 pre-staging (SURVEY.md §8; name kept for the test
     suite's import contract): verified like the round-9/10/11 queues,
     promoted when a head-50 slot opens.  The previous round-11 queue
     (kmv_novelty, calibration_report) was promoted at the round-11
-    rotation.  NB the gate-slot budget (§8 ledger): declared after the
-    round-11 promotions is 193 of the 200-slot staleness cap, so
-    additions are rationed and SHOULD ride a merge that frees their
-    slot."""
-    return {}
+    rotation.  Gate-slot budget (§8 ledger): declared after the
+    round-11 promotions + the warc_ingest gate is 193 of the 200-slot
+    staleness cap, so these entries RIDE MERGES — promoting the two
+    merge survivors retires their four parents (net −2), making room
+    for footer_stats (net −1 → 192 declared after the round-12
+    rotation)."""
+    return {
+        "footer_stats": _q_footer_stats,
+        "multimodal_fp": _q_multimodal_fp,
+        "kmv_report": _q_kmv_report,
+    }
 
 
 def oracle_sql_round11_staged(
         ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
-    return {}
+    return {
+        "footer_stats": _sql_footer_stats(ivf_sf_dir),
+        "multimodal_fp": _sql_multimodal_fp(),
+        "kmv_report": _sql_kmv_report(),
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

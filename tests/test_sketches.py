@@ -406,3 +406,41 @@ def test_kmv_novelty_estimates_set_difference(spark):
     row2 = SK.kmv_novelty(sa, contained, k=k).collect()[0]
     assert row2["union_est"] == row["base_est"]  # union sketch == base
     assert row2["novelty_est"] == 0
+
+
+def test_kmv_pair_report_exact_below_k_and_subset_novelty(spark):
+    """kmv_pair_report differential: with every group's distinct count
+    below k the sketch IS the set, so jaccard/est/union/novelty are
+    all exact set arithmetic; a subset group adds zero novelty over
+    its superset; output agrees column-for-column with kmv_overlap on
+    the shared fields."""
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators import sketches as SK
+
+    rows = ([("a", f"t{i}") for i in range(20)]
+            + [("b", f"t{i}") for i in range(10, 30)]   # |a∩b|=10
+            + [("c", f"t{i}") for i in range(5)])       # c ⊂ a
+    df = spark.createDataFrame(rows, "g string, term string")
+    sk = SK.kmv_sketch(df, "term", k=64, group_cols=("g",))
+    rep = {(r["ga"], r["gb"]): r
+           for r in SK.kmv_pair_report(sk, 64, "g").collect()}
+    ab = rep[("a", "b")]
+    assert ab["n_sample"] == 30 and ab["n_common"] == 10
+    assert ab["jaccard_e6"] == 1_000_000 * 10 // 30
+    assert ab["est_a"] == 20 and ab["est_b"] == 20
+    assert ab["union_est"] == 30
+    assert ab["novelty_ab"] == 10 and ab["novelty_ba"] == 10
+    ac = rep[("a", "c")]
+    assert ac["union_est"] == 20 and ac["est_a"] == 20
+    assert ac["novelty_ab"] == 0          # c adds nothing over a
+    assert ac["novelty_ba"] == 15
+    ov = {(r["ga"], r["gb"]): r
+          for r in SK.kmv_overlap(sk, 64, "g").collect()}
+    for key, r in rep.items():
+        for c in ("n_sample", "n_common", "jaccard_e6"):
+            assert r[c] == ov[key][c], (key, c)
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_pair_report(sk, 1, "g")

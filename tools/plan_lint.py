@@ -41,7 +41,12 @@ BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22",
                   "som_qe",
                   # inclusion-exclusion of two 1-row KMV estimates
                   # (base_est x union_est) — both sides single rows
-                  "kmv_novelty"}
+                  "kmv_novelty",
+                  # kmv_report (round-12 staged merge survivor)
+                  # inherits kmv_overlap's group-pair generator:
+                  # inequality join of the two G-row group lists
+                  # (G = dimension cardinality, contract-bounded)
+                  "kmv_report"}
 
 SF = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
 

@@ -919,3 +919,76 @@ def parquet_pruning_audit(spark, path: str, col: str,
         fn, "file string, n_row_groups int, n_rows bigint, "
             "rg_pruned int, rows_pruned bigint, bytes_pruned bigint, "
             "rg_no_stats int")
+
+
+def parquet_column_stats(spark, path: str, columns) -> DataFrame:
+    """Per-column footer statistics rolled up across every row group
+    and file: ``(column, n_row_groups, n_values, null_count, min_val,
+    max_val)`` for integer-typed ``columns`` (min/max as BIGINT so the
+    relation replays exactly in any engine).  The raw material of
+    :func:`parquet_pruning_audit` exposed as its own relation — what
+    the footers CLAIM about the data, checkable against what the data
+    says (a mismatch means a broken writer, the nastiest kind of silent
+    corruption because stats-aware scans will silently skip live rows).
+
+    Footer-only via pyarrow.fs (kilobytes per file, remote-FS capable),
+    parallelized over the file list; the rollup is one tiny groupBy on
+    the column name.
+    """
+    import pandas as pd
+
+    cols = list(columns)
+    rel = spark.read.parquet(path)
+    missing = [c for c in cols if c not in rel.columns]
+    if missing:
+        raise ValueError(f"parquet_column_stats: {missing} not in "
+                         f"{path} (has {rel.columns[:8]}...)")
+    files = rel.inputFiles()
+    if not files:
+        raise ValueError(f"parquet_column_stats: no files under "
+                         f"{path!r}")
+
+    def fn(batches):
+        import pyarrow.fs as pafs
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file"]:
+                scheme = uri.replace("s3a://", "s3://", 1) \
+                    if uri.startswith("s3a://") else uri
+                fs, fpath = pafs.FileSystem.from_uri(scheme) \
+                    if "://" in scheme \
+                    else (pafs.LocalFileSystem(), scheme)
+                with fs.open_input_file(fpath) as fh:
+                    md = pq.ParquetFile(fh).metadata
+                    names = md.schema.names
+                    for c in cols:
+                        ci = names.index(c)
+                        for i in range(md.num_row_groups):
+                            cc = md.row_group(i).column(ci)
+                            st = cc.statistics
+                            rows.append((
+                                c, cc.num_values,
+                                int(st.null_count)
+                                if st is not None
+                                and st.null_count is not None else 0,
+                                int(st.min) if st is not None
+                                and st.has_min_max else None,
+                                int(st.max) if st is not None
+                                and st.has_min_max else None))
+            yield pd.DataFrame(rows, columns=[
+                "column", "n_values", "null_count", "min_val",
+                "max_val"])
+
+    flist = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), 64))
+    per_rg = flist.mapInPandas(
+        fn, "column string, n_values bigint, null_count bigint, "
+            "min_val bigint, max_val bigint")
+    return (per_rg.groupBy("column")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_row_groups"),
+                 F.sum("n_values").cast("bigint").alias("n_values"),
+                 F.sum("null_count").cast("bigint").alias("null_count"),
+                 F.min("min_val").alias("min_val"),
+                 F.max("max_val").alias("max_val")))

@@ -481,3 +481,77 @@ def histogram_quantiles(hist: DataFrame, qs: tuple,
                     + F.lit(0.5)).cast("bigint").alias("value_e6"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kmv_pair_report(sketch: DataFrame, k: int,
+                    group_col: str) -> DataFrame:
+    """:func:`kmv_overlap` widened with the inclusion–exclusion leg —
+    per unordered group pair (ga < gb): ``(ga, gb, n_sample, n_common,
+    jaccard_e6, est_a, est_b, union_est, novelty_ab, novelty_ba)``.
+
+    One relation answers BOTH sketch-tier questions a corpus audit
+    asks of two sets: how much do they overlap (min-hash resemblance,
+    the :func:`kmv_overlap` estimator) and how much would B add on
+    top of A (``union_est − est_a``, clamped at 0 — the
+    :func:`kmv_novelty` estimator applied per pair; the k smallest of
+    the two samples' union is a valid KMV sample of A ∪ B, so the
+    union estimate reuses the merged top-k this relation already
+    builds for Jaccard).  Everything stays on the ≤ groups·k sketch
+    rows; estimates are all-integer (the ``div`` estimator of
+    :func:`kmv_estimate`), so the whole relation replays exactly in
+    an external SQL engine.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    s = sketch.select(F.col(group_col).alias("g"), "h")
+    num = (k - 1) * (1 << 48)
+    per = (s.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("int").alias("__n"),
+                F.max("h").cast("bigint").alias("__kth")))
+    est = F.when(F.col("__n") < k, F.col("__n").cast("bigint")) \
+        .otherwise(F.expr(f"CAST({num} AS BIGINT) div __kth")) \
+        .cast("bigint")
+    per = per.select("g", est.alias("__est"))
+    groups = s.select("g").distinct()
+    pairs = (groups.select(F.col("g").alias("ga"))
+             .join(groups.select(F.col("g").alias("gb")),
+                   F.col("ga") < F.col("gb")))
+    sides = pairs.select(
+        "ga", "gb", F.explode(F.array("ga", "gb")).alias("g"))
+    u = (sides.join(s, "g")
+         .groupBy("ga", "gb", "h")
+         .agg(F.max(F.when(F.col("g") == F.col("ga"), 1)
+                    .otherwise(0)).alias("in_a"),
+              F.max(F.when(F.col("g") == F.col("gb"), 1)
+                    .otherwise(0)).alias("in_b")))
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = (u.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k))
+    agg = (topk.groupBy("ga", "gb")
+           .agg(F.count(F.lit(1)).cast("int").alias("n_sample"),
+                F.sum((F.col("in_a") * F.col("in_b")).cast("bigint"))
+                .cast("int").alias("n_common"),
+                F.max("h").cast("bigint").alias("__ukth")))
+    uest = F.when(F.col("n_sample") < k,
+                  F.col("n_sample").cast("bigint")) \
+        .otherwise(F.expr(f"CAST({num} AS BIGINT) div __ukth")) \
+        .cast("bigint")
+    out = (agg
+           .join(F.broadcast(per.select(F.col("g").alias("ga"),
+                                        F.col("__est")
+                                        .alias("est_a"))), "ga")
+           .join(F.broadcast(per.select(F.col("g").alias("gb"),
+                                        F.col("__est")
+                                        .alias("est_b"))), "gb")
+           .withColumn("union_est", uest))
+    return out.select(
+        "ga", "gb", "n_sample", "n_common",
+        F.expr("CAST(1000000 * CAST(n_common AS BIGINT) "
+               "div n_sample AS BIGINT)").alias("jaccard_e6"),
+        "est_a", "est_b", "union_est",
+        F.greatest(F.col("union_est") - F.col("est_a"), F.lit(0))
+        .cast("bigint").alias("novelty_ab"),
+        F.greatest(F.col("union_est") - F.col("est_b"), F.lit(0))
+        .cast("bigint").alias("novelty_ba"))

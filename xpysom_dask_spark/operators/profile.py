@@ -876,6 +876,9 @@ def parquet_pruning_audit(spark, path: str, col: str,
     if col not in rel.columns:
         raise ValueError(f"parquet_pruning_audit: column {col!r} not "
                          f"in {path} (has {rel.columns[:8]}...)")
+    from ..plans.exchange import ship_package
+
+    ship_package(spark)
 
     def fn(batches):
         import pyarrow.fs as pafs
@@ -947,6 +950,9 @@ def parquet_column_stats(spark, path: str, columns) -> DataFrame:
     if not files:
         raise ValueError(f"parquet_column_stats: no files under "
                          f"{path!r}")
+    from ..plans.exchange import ship_package
+
+    ship_package(spark)
 
     def fn(batches):
         import pyarrow.fs as pafs

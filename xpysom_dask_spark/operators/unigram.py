@@ -131,15 +131,15 @@ def learn_unigram(df: DataFrame, text_col: str, vocab_size: int = 256,
     occurrences, Laplace-smoothed scores).  Words longer than
     ``max_word_len`` are excluded from training (the documented
     bound that keeps the Viterbi kernel O(len·max_piece_len))."""
-    from ..plans.exchange import ship_package
-
-    ship_package(df.sparkSession)
     if vocab_size < 2:
         raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
     if not 1 <= max_piece_len <= max_word_len:
         raise ValueError(
             f"need 1 <= max_piece_len <= max_word_len, got "
             f"{max_piece_len}/{max_word_len}")
+    from ..plans.exchange import ship_package
+
+    ship_package(df.sparkSession)
     cap = (8 * vocab_size if candidate_cap is None
            else int(candidate_cap))
     wc = (word_counts(df, text_col)

@@ -702,8 +702,11 @@ def main():
                 "quality_score", "hll_report", "som_qe",
                 "multimodal_audio", "hash_partition",
                 "events_smoothing",
-                # round-11 staged
-                "kmv_novelty", "calibration_report"):
+                # promoted in round 11 + the new crawl-gate
+                "kmv_novelty", "calibration_report", "warc_ingest",
+                # round-12 staged (footer metadata + the two merge
+                # survivors that will retire their four parents)
+                "footer_stats", "multimodal_fp", "kmv_report"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 
     # round-9 additions: HTML extraction (the crawl pipeline's first

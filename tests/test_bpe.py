@@ -149,3 +149,31 @@ def test_vocab_and_ids_roundtrip(spark):
             .replace(bpe.EOW, " ").strip()
         assert text == " ".join(r["text"].lower().split())
         assert all(i >= 0 for i in r["token_ids"])
+
+
+def test_bpe_decode_roundtrip(spark):
+    """encode → decode returns the encoder's normalization exactly
+    (lowercase, whitespace collapsed); ids → decode_ids agrees; an
+    out-of-table id decodes to the UNK token."""
+    texts = ["The cat sat  on\tthe mat", "low lower lowest",
+             "Spark engines  PLAN declaratively"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id bigint, text string")
+    merges = bpe.learn_bpe(df, "text", num_merges=12)
+    want = {i: " ".join(t.lower().split()) for i, t in enumerate(texts)}
+
+    enc = bpe.bpe_encode(df, "text", merges)
+    dec = {r["id"]: r["text_decoded"]
+           for r in bpe.bpe_decode(enc, "bpe_tokens").collect()}
+    assert dec == want
+
+    ids = bpe.bpe_encode_ids(df, "text", merges)
+    dec2 = {r["id"]: r["text_decoded"]
+            for r in bpe.bpe_decode_ids(ids, "token_ids",
+                                        merges).collect()}
+    assert dec2 == want
+
+    bad = spark.createDataFrame([(0, [99999, -5])],
+                                "id bigint, token_ids array<int>")
+    out = bpe.bpe_decode_ids(bad, "token_ids", merges).first()
+    assert out["text_decoded"] == "[UNK][UNK]"

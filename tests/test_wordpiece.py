@@ -185,3 +185,32 @@ def test_unicode_and_quote_corpus_roundtrip(spark):
         if cur:
             rebuilt.append(cur)
         assert rebuilt == words
+
+
+def test_wordpiece_decode_roundtrip(spark):
+    """encode → decode returns the encoder's normalization for fully
+    covered words; an uncovered word round-trips to [UNK] (the
+    documented lossy leg); decode_ids agrees with decode."""
+    texts = ["low lower lowest", "the cat sat"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id bigint, text string")
+    toks = WP.learn_wordpiece(df, "text", num_merges=30,
+                              driver_vocab_limit=1 << 20)
+    want = {i: " ".join(t.lower().split()) for i, t in enumerate(texts)}
+
+    enc = WP.wordpiece_encode(df, "text", set(toks))
+    dec = {r["id"]: r["text_decoded"]
+           for r in WP.wordpiece_decode(enc, "wp_tokens").collect()}
+    assert dec == want
+
+    ids = WP.wordpiece_encode_ids(df, "text", toks)
+    dec2 = {r["id"]: r["text_decoded"]
+            for r in WP.wordpiece_decode_ids(ids, "token_ids",
+                                             toks).collect()}
+    assert dec2 == want
+
+    oov = spark.createDataFrame([(0, "low zzqq")],
+                                "id bigint, text string")
+    enc3 = WP.wordpiece_encode(oov, "text", set(toks))
+    got = WP.wordpiece_decode(enc3, "wp_tokens").first()["text_decoded"]
+    assert got == "low [UNK]"

@@ -296,3 +296,62 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                        for f in df.schema.fields)
     out = enc.mapInPandas(to_ids, schema + ", `__bpe_syms` array<int>")
     return out.withColumnRenamed("__bpe_syms", out_col)
+
+
+def bpe_decode(df: DataFrame, tokens_col: str,
+               out_col: str = "text_decoded") -> DataFrame:
+    """Inverse of :func:`bpe_encode`: concatenate the subword symbols
+    and turn each end-of-word marker into a space — one whole-stage-
+    codegen expression (array_join + replace + trim), no UDF, so
+    detokenizing 100 TB costs scan speed.  Round-trips
+    ``bpe_encode``'s normalization exactly: decoded text equals the
+    original lowercased with whitespace collapsed to single spaces
+    (the same contract as ``text.tokens``)."""
+    return df.withColumn(
+        out_col, F.trim(F.expr(
+            f"replace(array_join({tokens_col}, ''), '{EOW}', ' ')")))
+
+
+def bpe_decode_ids(df: DataFrame, ids_col: str,
+                   merges: list[tuple[str, str]],
+                   vocab: dict[str, int] | None = None,
+                   out_col: str = "text_decoded",
+                   unk_id: int = -1,
+                   unk_token: str = "[UNK]") -> DataFrame:
+    """Inverse of :func:`bpe_encode_ids`: ids → symbols via the
+    broadcast inverse table (dense-id list indexing, O(1) per token),
+    then the :func:`bpe_decode` reassembly — one Arrow pass.
+    ``unk_id`` decodes to ``unk_token`` (lossy by construction, like
+    every real tokenizer's round trip through UNK)."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    vocab = bpe_vocab(merges) if vocab is None else vocab
+    inv = [None] * (max(vocab.values()) + 1)
+    for s, i in vocab.items():
+        inv[i] = s
+    bc = spark.sparkContext.broadcast((inv, int(unk_id), unk_token))
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def fn(batches):
+        iv, unk, unk_tok = bc.value
+        n = len(iv)
+        for pdf in batches:
+            texts = []
+            for ids in pdf[ids_col]:
+                syms = [unk_tok if i == unk or not 0 <= i < n
+                        or iv[i] is None else iv[i]
+                        for i in (ids if ids is not None else [])]
+                texts.append(
+                    "".join(syms).replace(EOW, " ").strip())
+            out = pdf.copy()
+            out["__dec"] = texts
+            yield out
+
+    return (df.mapInPandas(fn, schema + ", `__dec` string")
+            .withColumnRenamed("__dec", out_col))

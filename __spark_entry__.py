@@ -7088,12 +7088,17 @@ def _q_som_qe(spark, sf_dir):
     re-attached as a broadcast 1-row scalar (the whitelisted BNLJ
     idiom — never a global window over the corpus)."""
     som = _oracle_som()
-    # no .persist(): both consumers sit in ONE returned plan (the
-    # broadcast scalar is a branch of the same job), and a persist
-    # here leaks a cached relation per bench invocation — the r10
-    # ADVICE block-manager-churn finding.  The scoring pass re-runs
-    # once for the tiny agg branch; that is the cheaper trade.
-    scored = som.transform(_features(spark, sf_dir), ("qe",))
+    # localCheckpoint, NOT .persist(): both consumers (the broadcast
+    # scalar branch and the main projection) need the scored relation,
+    # so computing it once matters (dropping reuse entirely re-ran the
+    # BMU pass per branch — 1.2 s → 4.1 s solo), but a .persist() here
+    # leaks a cacheManager entry per bench invocation (the r10 ADVICE
+    # block-manager-churn finding; cacheManager holds a strong ref
+    # until unpersist).  localCheckpoint blocks carry no cacheManager
+    # entry — the ContextCleaner reclaims them when the driver-side
+    # ref is GC'd, so repeated timed runs stay leak-free.
+    scored = som.transform(_features(spark, sf_dir), ("qe",)) \
+        .localCheckpoint(eager=True)
     corpus = scored.agg(
         F.round(F.avg("qe"), 6).alias("corpus_qe"))
     return (scored.select("l_orderkey", "l_linenumber",

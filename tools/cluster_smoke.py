@@ -51,8 +51,13 @@ DECLARED = ["som_train_epoch", "dedup_minhash", "bm25_topk",
 STAGED = ["wordpiece_vocab", "communities_lpa", "mad_outliers",
           "streaming_cms", "kmv_overlap", "unigram_segments",
           "kn_bigram_score", "streaming_psi",
-          # round-11 staging queue
-          "kmv_novelty", "calibration_report"]
+          # promoted at the round-11 rotation (kept in the default
+          # subset — they exercise sketches.py / models.py closures
+          # that only ship via their own entry points)
+          "kmv_novelty", "calibration_report",
+          # round-11 gate + round-12 staging queue
+          "warc_ingest", "footer_stats", "multimodal_fp",
+          "kmv_report"]
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")

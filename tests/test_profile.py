@@ -80,3 +80,32 @@ def test_parquet_pruning_audit_sorted_vs_random(spark, tmp_path):
     with pytest.raises(Exception, match="PATH_NOT_FOUND|no files"):
         parquet_pruning_audit(spark, str(tmp_path / "missing"), "k",
                               0, 1)
+
+
+def test_parquet_column_stats_nulls_and_multifile(spark, tmp_path):
+    """Footer rollup across several files/row groups with NULLs: value
+    and null counts are exact, min/max span all row groups, and a
+    missing column fails loudly driver-side."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xpysom_dask_spark.operators.profile import parquet_column_stats
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id"))
+        .alias("v"),
+        (F.col("id") * 2).alias("w"))
+    out = str(tmp_path / "t")
+    (df.repartition(3).write
+       .option("parquet.block.size", 64 * 1024).parquet(out))
+    got = {r["column"]: r for r in
+           parquet_column_stats(spark, out, ["v", "w"]).collect()}
+    n_null = 50_000 - df.where("v is not null").count()
+    assert got["v"]["n_values"] == 50_000
+    assert got["v"]["null_count"] == n_null
+    assert got["v"]["min_val"] == 1 and got["v"]["max_val"] == 49_999
+    assert got["w"]["null_count"] == 0
+    assert got["w"]["min_val"] == 0 and got["w"]["max_val"] == 99_998
+    assert got["v"]["n_row_groups"] >= 3  # >= one group per file
+    with pytest.raises(ValueError, match="nope"):
+        parquet_column_stats(spark, out, ["nope"])

@@ -5287,23 +5287,6 @@ FROM tot t JOIN dom d ON d.id = t.id
 """
 
 
-def _q_multimodal_phash(spark, sf_dir):
-    """Perceptual-hash image near-dup (multimodal.image_ahash +
-    embeddings.hamming_topk): bitmaps → 64-bit average-hash signatures
-    (bit = pixel > image mean, 32 sign-safe bits per BIGINT word) →
-    exact Hamming top-3.  Everything integer: the u8 quantization, the
-    strict mean test, the XOR+popcount distances — bit-exact across
-    engines, and the oracle replays signature AND search from the
-    float embeddings."""
-    from xpysom_dask_spark.operators import embeddings as EMB
-
-    imgs = multimodal.embeddings_as_images(_emb(spark, sf_dir))
-    sigs = multimodal.image_ahash(imgs) \
-        .withColumnRenamed("image_id", "vec_id")
-    qs = sigs.where("vec_id < 5")
-    return EMB.hamming_topk(sigs, qs, k=3)
-
-
 def _sql_multimodal_phash():
     u8 = ("CAST(least(greatest(FLOOR((CAST(e.embedding[j] AS DOUBLE) "
           "+ 1.0) * 127.5), 0), 255) AS BIGINT)")
@@ -5339,33 +5322,6 @@ r AS (
 SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist
 FROM r WHERE rn <= 3
 """
-
-
-def _q_multimodal_video_fp(spark, sf_dir):
-    """Video near-dup (multimodal.video_fingerprint → hamming_topk):
-    embeddings → 8×8 frames → 4-frame raw videos → per-frame aHash
-    words concatenated in frame order → exact Hamming top-3 between
-    videos.  The full three-op composition (assembly, frame fan-out,
-    signature) replayed all-integer by the oracle."""
-    from xpysom_dask_spark.operators import embeddings as EMB
-
-    imgs = multimodal.embeddings_as_images(_emb(spark, sf_dir))
-    vids = (imgs.groupBy((F.col("image_id") / 4).cast("bigint")
-                         .alias("video_id"))
-            .agg(F.expr("array_sort(collect_list(struct(image_id, "
-                        "data)))").alias("frames"))
-            .select("video_id",
-                    F.expr("reduce(transform(frames, f -> f.data), "
-                           "X'', (acc, d) -> concat(acc, d))")
-                    .alias("data"),
-                    F.lit("raw").alias("format"),
-                    F.lit(8).alias("width"), F.lit(8).alias("height"),
-                    F.lit(1).alias("channels"),
-                    F.lit(4).alias("n_frames")))
-    sigs = multimodal.video_fingerprint(vids) \
-        .withColumnRenamed("video_id", "vec_id")
-    qs = sigs.where("vec_id < 3")
-    return EMB.hamming_topk(sigs, qs, k=3)
 
 
 def _sql_multimodal_video_fp():
@@ -6355,55 +6311,6 @@ GROUP BY 1, 2
 _KMV_K = 64
 
 
-def _q_kmv_overlap(spark, sf_dir):
-    """K-minimum-values set-resemblance gate (operators/sketches.py
-    kmv_sketch / kmv_overlap): pairwise token-set Jaccard between
-    the corpus's languages from k=64 min-hash samples — the overlap
-    leg of the sketch family (counts: CM, distincts: HLL, quantiles:
-    histogram; HLL registers can't be compared across sets, KMV
-    samples can).  Two-level no-raw-shuffle build; all-integer
-    resemblance arithmetic (1e6-scaled div), engine-exact replay."""
-    from xpysom_dask_spark.operators import sketches as SK
-
-    docs = _docs(spark, sf_dir)
-    toks = docs.select("lang", F.explode(T.tokens("text"))
-                       .alias("term"))
-    sk = SK.kmv_sketch(toks, "term", k=_KMV_K, group_cols=("lang",))
-    return SK.kmv_overlap(sk, _KMV_K, "lang")
-
-
-def _sql_kmv_overlap():
-    toks = _duck_tokens("text")
-    return f"""
-WITH tk AS (
-  SELECT lang, unnest({toks}) AS term FROM documents),
-hs AS (SELECT DISTINCT lang, {_duck_h48('term', 0)} AS h FROM tk),
-rk AS (SELECT lang, h,
-              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
-       FROM hs),
-sk AS (SELECT lang, h FROM rk WHERE r <= {_KMV_K}),
-pairs AS (
-  SELECT a.lang AS ga, b.lang AS gb
-  FROM (SELECT DISTINCT lang FROM sk) a
-  JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang),
-u AS (
-  SELECT p.ga, p.gb, s.h,
-         MAX(CASE WHEN s.lang = p.ga THEN 1 ELSE 0 END) AS in_a,
-         MAX(CASE WHEN s.lang = p.gb THEN 1 ELSE 0 END) AS in_b
-  FROM pairs p JOIN sk s ON s.lang IN (p.ga, p.gb)
-  GROUP BY 1, 2, 3),
-ur AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rr
-  FROM u)
-SELECT ga, gb,
-       CAST(COUNT(*) AS INTEGER) AS n_sample,
-       CAST(SUM(in_a * in_b) AS INTEGER) AS n_common,
-       CAST((1000000 * CAST(SUM(in_a * in_b) AS BIGINT))
-            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS jaccard_e6
-FROM ur WHERE rr <= {_KMV_K} GROUP BY 1, 2
-"""
-
-
 _DSIR_B = 1024
 
 
@@ -7323,47 +7230,6 @@ FROM p
 _KMV_K = 64
 
 
-def _q_kmv_novelty(spark, sf_dir):
-    """Sketch-tier corpus novelty (operators/sketches.py kmv_novelty,
-    Beyer et al. SIGMOD 2007): does the odd-doc_id half of the corpus
-    add new distinct texts over the even half?  Two k=64 KMV sketches
-    (two-level partition-local builds, min-of-mins union merge), one
-    inclusion–exclusion row — at 100 TB the "does this crawl snapshot
-    add anything" answer from two ≤ k-row relations instead of an
-    anti-join.  All-integer estimates replay exactly: the k smallest
-    of (top-k(A) ∪ top-k(B)) equal the k smallest of A ∪ B."""
-    from xpysom_dask_spark.operators import sketches as SK
-
-    docs = _docs(spark, sf_dir)
-    base = SK.kmv_sketch(docs.where("doc_id % 2 = 0"), "text",
-                         k=_KMV_K)
-    inc = SK.kmv_sketch(docs.where("doc_id % 2 = 1"), "text",
-                        k=_KMV_K)
-    return SK.kmv_novelty(base, inc, k=_KMV_K)
-
-
-def _sql_kmv_novelty():
-    k = _KMV_K
-    num = (k - 1) * (1 << 48)
-
-    def est(cte):
-        return (f"CASE WHEN (SELECT COUNT(*) FROM {cte}) < {k} "
-                f"THEN (SELECT COUNT(*) FROM {cte}) "
-                f"ELSE {num} // (SELECT MAX(h) FROM {cte}) END")
-
-    return f"""
-WITH bh AS (SELECT DISTINCT ({_duck_h48('text', 0)}) AS h
-            FROM documents WHERE doc_id % 2 = 0),
-uh AS (SELECT DISTINCT ({_duck_h48('text', 0)}) AS h FROM documents),
-bsk AS (SELECT h FROM bh ORDER BY h LIMIT {k}),
-usk AS (SELECT h FROM uh ORDER BY h LIMIT {k})
-SELECT CAST({est('bsk')} AS BIGINT) AS base_est,
-       CAST({est('usk')} AS BIGINT) AS union_est,
-       CAST(GREATEST(({est('usk')}) - ({est('bsk')}), 0) AS BIGINT)
-         AS novelty_est
-"""
-
-
 def _q_calibration_report(spark, sf_dir):
     """Classifier reliability table (operators/models.py
     calibration_report): the pinned quality model's probabilities
@@ -7650,104 +7516,48 @@ JOIN per pb ON pb.lang = p.gb
 
 
 def queries_round11_staged() -> dict:
-    """Round-12 pre-staging (SURVEY.md §8; name kept for the test
-    suite's import contract): verified like the round-9/10/11 queues,
-    promoted when a head-50 slot opens.  The previous round-11 queue
-    (kmv_novelty, calibration_report) was promoted at the round-11
-    rotation.  Gate-slot budget (§8 ledger): declared after the
-    round-11 promotions + the warc_ingest gate is 193 of the 200-slot
-    staleness cap, so these entries RIDE MERGES — promoting the two
-    merge survivors retires their four parents (net −2), making room
-    for footer_stats (net −1 → 192 declared after the round-12
-    rotation)."""
-    return {
-        "footer_stats": _q_footer_stats,
-        "multimodal_fp": _q_multimodal_fp,
-        "kmv_report": _q_kmv_report,
-    }
+    """Staging queue — EMPTY after the round-12 rotation (name kept
+    for the test suite's import contract): the round-12 queue
+    (footer_stats, multimodal_fp, kmv_report) was promoted into the
+    head-50 at the round-12 rotation; the two merge survivors retired
+    their four parents (multimodal_phash + multimodal_video_fp,
+    kmv_overlap + kmv_novelty), so the §8 ledger reads 193 + 3 − 4 =
+    192 declared of the 200-slot staleness cap (headroom 8).  Per the
+    standing §8 policy no NEW staged queues are opened — new operators
+    get test-only evidence or widen an existing gate."""
+    return {}
 
 
 def oracle_sql_round11_staged(
         ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
-    return {
-        "footer_stats": _sql_footer_stats(ivf_sf_dir),
-        "multimodal_fp": _sql_multimodal_fp(),
-        "kmv_report": _sql_kmv_report(),
-    }
+    return {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-11 head (tools/rotate_gate.py +
-    # the never-green rule): the 2 queries promoted from the round-11
-    # staging area (never-green by name, must sit in the head), then
-    # the 45 queries whose freshest green evidence is round 7 (exactly
-    # at the 3-round staleness cap) and 3 round-8 fills.  r8 (union)
-    # r9 (union) r10 (union) r11 covers all 192 declared queries.  See
-    # SURVEY.md par.8 and tests/test_gate_coverage.py before
-    # reordering.
+    # (list(queries())[:50]).  Round-12 head (tools/rotate_gate.py +
+    # the never-green rule): the 3 entries promoted from the round-12
+    # staging queue (never-green by name, must sit in the head — the
+    # two merge survivors retire their four parents, see the §8 slot
+    # ledger: 193 + 3 - 4 = 192 declared), then the 45 queries whose
+    # freshest green evidence is round 8 (exactly at the 3-round
+    # staleness cap) and 2 round-9 fills.  r9 (union) r10 (union) r11
+    # (union) r12 covers all 192 declared queries.  See SURVEY.md
+    # par.8 and tests/test_gate_coverage.py before reordering.
     return {
-        # -- head slots 1-2: promoted from the round-11 staging
-        # area (pre-checked hash-green at sf0.001 + sf0.01) --
-        "kmv_novelty": _q_kmv_novelty,
-        "calibration_report": _q_calibration_report,
-        # -- slot 3: NEW round-11 gate (crawl front door; never-green
-        # so it must sit in the head; VERDICT r10 #6) --
-        "warc_ingest": _q_warc_ingest,
-        # -- slots 4-50: the 45 round-7-stale + 2 round-8-stale
-        # entries (tools/rotate_gate.py round-11 ordering; policy:
-        # no evidence older than 3 rounds after this round) --
-        "knn_graph": _q_knn_graph,
-        "partitioned_roundtrip": _q_partitioned_roundtrip,
-        "embedding_mrl": _q_embedding_mrl,
-        "graph_triangles": _q_graph_triangles,
-        "lsh_recall_audit": _q_lsh_recall_audit,
-        "text_tfidf": _q_text_tfidf,
-        "streaming_ewma": _q_streaming_ewma,
-        "pack_bins": _q_pack_bins,
-        "dedup_containment": _q_dedup_containment,
-        "vocab_zipf": _q_vocab_zipf,
-        "curation_pipeline": _q_curation_pipeline,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "simhash_signatures": _q_simhash_signatures,
-        "text_quality": _q_text_quality,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "multimodal_image_stats": _q_multimodal_image_stats,
-        "som_win_map": _q_som_win_map,
-        "decontaminate": _q_decontaminate,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "dedup_incremental": _q_dedup_incremental,
-        "zorder_key": _q_zorder_key,
-        "dedup_spans": _q_dedup_spans,
-        "events_rollup": _q_events_rollup,
-        "events_pivot": _q_events_pivot,
-        "events_json_stats": _q_events_json_stats,
-        "table_profile": _q_table_profile,
-        "data_quality": _q_data_quality,
-        "text_vocab": _q_text_vocab,
-        "text_lm_score": _q_text_lm_score,
-        "pii_redact": _q_pii_redact,
-        "source_quota": _q_source_quota,
-        "importance_sample": _q_importance_sample,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "label_centroids": _q_label_centroids,
-        "ann_recall_curve": _q_ann_recall_curve,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "streaming_qe_drift": _q_streaming_qe_drift,
-        "hamming_topk": _q_hamming_topk,
-        "kmeans_assign": _q_kmeans_assign,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "token_budget_mix": _q_token_budget_mix,
-        "binary_rerank": _q_binary_rerank,
-        "pack_bins_ffd": _q_pack_bins_ffd,
-        "knn_graph_full": _q_knn_graph_full,
+        # -- head slots 1-3: promoted from the round-12 staging
+        # queue (pre-checked hash-green at sf0.001 + sf0.01);
+        # multimodal_fp replaces the retired multimodal_phash +
+        # multimodal_video_fp pair, kmv_report replaces the
+        # retired kmv_overlap + kmv_novelty pair --
+        "footer_stats": _q_footer_stats,
+        "multimodal_fp": _q_multimodal_fp,
+        "kmv_report": _q_kmv_report,
+        # -- slots 4-48: the 45 round-8-stale entries
+        # (tools/rotate_gate.py round-12 ordering; policy: no
+        # evidence older than 3 rounds after this round) --
         "bm25_topk": _q_bm25_topk,
-        # ---------------- tail (slots 51+), staleness order
-        # (round-8 evidence first, then round-9, then round-10) --
         "contamination_report": _q_contamination_report,
         "ann_kmeans_ivf": _q_ann_kmeans_ivf,
         "tpch_q4": _q_tpch_q4,
@@ -7792,8 +7602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "top_terms": _q_top_terms,
         "som_classify": _q_som_classify,
+        # -- slots 49-50: round-9 fills --
         "cms_top_terms": _q_cms_top_terms,
         "text_readability": _q_text_readability,
+        # ---------------- tail (slots 51+), staleness order
+        # (round-9 evidence first, then round-10, then round-11) --
         "nb_lang": _q_nb_lang,
         "hybrid_rrf": _q_hybrid_rrf,
         "pagerank_hubs": _q_pagerank_hubs,
@@ -7842,7 +7655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": _q_fuzzy_join,
         "quantile_hist": _q_quantile_hist,
         "streaming_qhist": _q_streaming_qhist,
-        "kmv_overlap": _q_kmv_overlap,
         "dsir_importance": _q_dsir_importance,
         "trigram_backoff": _q_trigram_backoff,
         "psi_drift": _q_psi_drift,
@@ -7861,8 +7673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": _q_text_novelty,
         "text_lang_consistency": _q_text_lang_consistency,
         "ivfpq_rerank": _q_ivfpq_rerank,
-        "multimodal_phash": _q_multimodal_phash,
-        "multimodal_video_fp": _q_multimodal_video_fp,
         "shard_layout": _q_shard_layout,
         "tpch_q3": _q_tpch_q3,
         "corpus_diff": _q_corpus_diff,
@@ -7890,6 +7700,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_dict_coverage": _q_text_dict_coverage,
         "embedding_rp": _q_embedding_rp,
+        "calibration_report": _q_calibration_report,
+        "warc_ingest": _q_warc_ingest,
+        "knn_graph": _q_knn_graph,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
+        "embedding_mrl": _q_embedding_mrl,
+        "graph_triangles": _q_graph_triangles,
+        "lsh_recall_audit": _q_lsh_recall_audit,
+        "text_tfidf": _q_text_tfidf,
+        "streaming_ewma": _q_streaming_ewma,
+        "pack_bins": _q_pack_bins,
+        "dedup_containment": _q_dedup_containment,
+        "vocab_zipf": _q_vocab_zipf,
+        "curation_pipeline": _q_curation_pipeline,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "simhash_signatures": _q_simhash_signatures,
+        "text_quality": _q_text_quality,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "multimodal_image_stats": _q_multimodal_image_stats,
+        "som_win_map": _q_som_win_map,
+        "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "dedup_incremental": _q_dedup_incremental,
+        "zorder_key": _q_zorder_key,
+        "dedup_spans": _q_dedup_spans,
+        "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
+        "events_json_stats": _q_events_json_stats,
+        "table_profile": _q_table_profile,
+        "data_quality": _q_data_quality,
+        "text_vocab": _q_text_vocab,
+        "text_lm_score": _q_text_lm_score,
+        "pii_redact": _q_pii_redact,
+        "source_quota": _q_source_quota,
+        "importance_sample": _q_importance_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "label_centroids": _q_label_centroids,
+        "ann_recall_curve": _q_ann_recall_curve,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_qe_drift": _q_streaming_qe_drift,
+        "hamming_topk": _q_hamming_topk,
+        "kmeans_assign": _q_kmeans_assign,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "token_budget_mix": _q_token_budget_mix,
+        "binary_rerank": _q_binary_rerank,
+        "pack_bins_ffd": _q_pack_bins_ffd,
+        "knn_graph_full": _q_knn_graph_full,
     }
 
 
@@ -8706,15 +8565,21 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
     embeddings); the driver's no-arg call gets sf0.01 — the scale it
     runs oracle SQL at — and the local parity test passes sf0.001."""
     return {
+        # -- promoted in round 12 from the round-12 staging queue
+        # (multimodal_fp / kmv_report are the merge survivors of the
+        # retired multimodal_phash+multimodal_video_fp and
+        # kmv_overlap+kmv_novelty pairs; footer_stats's oracle is
+        # data-dependent — DuckDB reads the same parquet footers) --
+        "footer_stats": _sql_footer_stats(ivf_sf_dir),
+        "multimodal_fp": _sql_multimodal_fp(),
+        "kmv_report": _sql_kmv_report(),
         # -- promoted in round 11 from the round-11 staging area --
-        "kmv_novelty": _sql_kmv_novelty(),
         "calibration_report": _sql_calibration_report(),
         # -- new round-11 gate: crawl front door (VERDICT r10 #6) --
         "warc_ingest": _sql_warc_ingest(),
         # -- promoted in round 10 from the round-10/11 staging areas --
         "quantile_hist": _sql_quantile_hist(),
         "streaming_qhist": _sql_streaming_qhist(),
-        "kmv_overlap": _sql_kmv_overlap(),
         "dsir_importance": _sql_dsir_importance(),
         "trigram_backoff": _sql_trigram_backoff(),
         "psi_drift": _sql_psi_drift(),
@@ -8793,8 +8658,6 @@ def oracle_sql(ivf_sf_dir: str = _ORACLE_SF_DIR) -> dict[str, str]:
         "text_novelty": _sql_text_novelty(),
         "text_lang_consistency": _sql_text_lang_consistency(),
         "ivfpq_rerank": _sql_ivfpq_rerank(),
-        "multimodal_phash": _sql_multimodal_phash(),
-        "multimodal_video_fp": _sql_multimodal_video_fp(),
         # -- promoted in round 5 from the round-4 staging area --
         # streaming decontamination is stateless, so the drained
         # stream equals batch `decontaminate` exactly: same SQL twin

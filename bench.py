@@ -579,9 +579,9 @@ def main():
         docs, "text", "doc_id").agg(F.sum("n_unique")).collect())
     timed("text_lang_consistency", lambda: T.language_consistency(
         docs, "text", "doc_id").agg(F.sum("n_langs")).collect())
-    import __spark_entry__ as _e3
-    timed("multimodal_video_fp", lambda: _e3.queries()
-          ["multimodal_video_fp"](spark, SF_DIR).count())
+    # multimodal_video_fp retired at the round-12 rotation — its
+    # video-signature leg now rides the merged multimodal_fp gate
+    # (timed in the gate loop below)
     timed("multimodal_audio_fp", lambda: EMB.hamming_topk(
         multimodal.audio_fingerprint(
             multimodal.embeddings_as_audio(emb))
@@ -687,8 +687,9 @@ def main():
                 "hybrid_rrf", "pagerank_hubs", "knn_label_purity",
                 "textrank_keywords", "streaming_cms",
                 "unigram_segments",
-                # promoted in round 10
-                "quantile_hist", "streaming_qhist", "kmv_overlap",
+                # promoted in round 10 (kmv_overlap retired into the
+                # round-12 kmv_report merge)
+                "quantile_hist", "streaming_qhist",
                 "dsir_importance", "trigram_backoff", "psi_drift",
                 "streaming_hll", "communities_lpa",
                 "wordpiece_vocab", "mad_outliers",
@@ -702,10 +703,12 @@ def main():
                 "quality_score", "hll_report", "som_qe",
                 "multimodal_audio", "hash_partition",
                 "events_smoothing",
-                # promoted in round 11 + the new crawl-gate
-                "kmv_novelty", "calibration_report", "warc_ingest",
-                # round-12 staged (footer metadata + the two merge
-                # survivors that will retire their four parents)
+                # promoted in round 11 + the crawl-gate (kmv_novelty
+                # retired into the round-12 kmv_report merge)
+                "calibration_report", "warc_ingest",
+                # promoted at the round-12 rotation (footer metadata
+                # + the two merge survivors that retired their four
+                # parents)
                 "footer_stats", "multimodal_fp", "kmv_report"):
         timed(_nm, lambda n=_nm: _q9[n](spark, SF_DIR).count())
 

@@ -18,7 +18,10 @@ from conftest import SF_TINY
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-PROMOTED = ("quantile_hist", "streaming_qhist", "kmv_overlap",
+# kmv_overlap was merged into the round-12 kmv_report gate (its
+# pairwise-Jaccard leg lives on there; the operator keeps its own
+# differential tests in test_sketches.py / below)
+PROMOTED = ("quantile_hist", "streaming_qhist",
             "dsir_importance", "trigram_backoff", "psi_drift",
             "streaming_hll", "communities_lpa", "wordpiece_vocab",
             "mad_outliers", "kn_bigram_score", "streaming_psi")

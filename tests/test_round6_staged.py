@@ -24,10 +24,11 @@ PROMOTED = (
     "jsonl_roundtrip", "pq_codes", "pq_adc", "orc_roundtrip",
     "ivfpq_topk", "text_entropy", "text_hash_embedding", "pseudonymize",
     "events_zscore", "streaming_zscore", "events_ks_drift", "fuzzy_join",
-    "text_novelty", "text_lang_consistency", "ivfpq_rerank",
+    "text_novelty", "text_lang_consistency", "ivfpq_rerank")
     # multimodal_audio_fp was merged into the round-10 multimodal_audio
-    # gate (its Hamming-search leg lives on in hamming_topk)
-    "multimodal_phash", "multimodal_video_fp")
+    # gate (its Hamming-search leg lives on in hamming_topk);
+    # multimodal_phash + multimodal_video_fp were merged into the
+    # round-12 multimodal_fp gate (both legs live on there verbatim)
 
 STAGED = {k: v for k, v in entrymod.queries().items() if k in PROMOTED}
 ORACLES = {k: v for k, v in entrymod.oracle_sql(SF_TINY).items()

@@ -49,13 +49,14 @@ DECLARED = ["som_train_epoch", "dedup_minhash", "bm25_topk",
             "quality_score", "hll_report", "som_qe",
             "multimodal_audio", "hash_partition", "events_smoothing"]
 STAGED = ["wordpiece_vocab", "communities_lpa", "mad_outliers",
-          "streaming_cms", "kmv_overlap", "unigram_segments",
+          "streaming_cms", "unigram_segments",
           "kn_bigram_score", "streaming_psi",
           # promoted at the round-11 rotation (kept in the default
           # subset — they exercise sketches.py / models.py closures
-          # that only ship via their own entry points)
-          "kmv_novelty", "calibration_report",
-          # round-11 gate + round-12 staging queue
+          # that only ship via their own entry points; kmv_overlap +
+          # kmv_novelty retired into the round-12 kmv_report merge)
+          "calibration_report",
+          # round-11 gate + the round-12 promotions
           "warc_ingest", "footer_stats", "multimodal_fp",
           "kmv_report"]
 

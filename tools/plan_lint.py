@@ -29,23 +29,17 @@ BNLJ_SCALAR_OK = {"text_lm_score", "text_lm_bigram", "tpch_q22",
                   # cell including count-0 ones, so the fanout is the
                   # output, not a plan accident
                   "nb_lang",
-                  # KMV overlap's group-pair generator: inequality join
-                  # of the two G-row group lists (G = dimension
-                  # cardinality, contract-bounded); sketch membership
-                  # itself is a hash equi-join on the group key
-                  "kmv_overlap",
                   # per-row QE + the corpus-QE scalar: the 1-row AVG
                   # aggregate broadcast back over the scored relation
                   # (the merged som_qe_rows+som_quantization_error
                   # gate, round 10)
                   "som_qe",
-                  # inclusion-exclusion of two 1-row KMV estimates
-                  # (base_est x union_est) — both sides single rows
-                  "kmv_novelty",
-                  # kmv_report (round-12 staged merge survivor)
-                  # inherits kmv_overlap's group-pair generator:
-                  # inequality join of the two G-row group lists
-                  # (G = dimension cardinality, contract-bounded)
+                  # kmv_report (the round-12 merge survivor that
+                  # retired kmv_overlap + kmv_novelty) inherits the
+                  # group-pair generator: inequality join of the two
+                  # G-row group lists (G = dimension cardinality,
+                  # contract-bounded); sketch membership itself is a
+                  # hash equi-join on the group key
                   "kmv_report"}
 
 SF = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")

@@ -8988,9 +8988,11 @@ def _q_hybrid_rrf(spark, sf_dir):
     calibration-free hybrid that consumes only ranks, so every score
     is integer `div` arithmetic and replays exactly.  Both rankers
     share ONE tokenized (id, term, tf) relation (doc_term_counts,
-    persisted) so the corpus is tokenized/shuffled once, not once
-    per ranker — the shared-candidate idiom of the r9 recall
-    sweep (VERDICT r9 #5)."""
+    localCheckpointed — eager, ContextCleaner-reclaimable, NO
+    cacheManager entry; a bare .persist() here leaked a cached
+    relation per invocation, VERDICT r11 #1 / the som_qe idiom) so
+    the corpus is tokenized/shuffled once, not once per ranker — the
+    shared-candidate idiom of the r9 recall sweep (VERDICT r9 #5)."""
     from xpysom_dask_spark.operators.text import (bm25_topk,
                                                   doc_term_counts,
                                                   jaccard_topk,
@@ -8999,7 +9001,8 @@ def _q_hybrid_rrf(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     qdocs = docs.where(_BM25_QDOCS).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext"))
-    dt = doc_term_counts(docs, "text", "doc_id").persist()
+    dt = doc_term_counts(docs, "text", "doc_id") \
+        .localCheckpoint(eager=True)
     bm = bm25_topk(docs, "text", "doc_id", qdocs, "qtext", "query_id",
                    k=20, k1=_BM25_K1, b=_BM25_B, doc_terms=dt)
     jc = jaccard_topk(docs, "text", "doc_id", qdocs, "qtext",

@@ -828,6 +828,23 @@ def main():
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+
+    # ---- session-end cache-leak audit (VERDICT r11 #1/#2, the som_qe
+    # round-11 lesson): every workload above must release what it
+    # caches — a leftover cacheManager entry both leaks memory across
+    # bench repeats AND silently contaminates warm timings, because
+    # Spark's cacheManager matches relations BY PLAN and a later
+    # invocation of the same gate silently reuses the stale cache.
+    # `feats` is the ONE deliberate session-scoped cache (the
+    # reference protocol's resident training input); after releasing
+    # it the SQL cache must be empty.  localCheckpoint blocks are NOT
+    # cacheManager entries (ContextCleaner reclaims them) and do not
+    # trip this.
+    feats.unpersist(blocking=True)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+        "cache leak: a workload left a persisted relation in the " \
+        "cacheManager after the sweep — find the un-unpersisted " \
+        ".persist() (gates must use localCheckpoint(eager=True))"
     spark.stop()
 
     sys.stdout.flush()

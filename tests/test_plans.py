@@ -351,3 +351,65 @@ def test_every_udf_bearing_function_ships_the_package():
                 bad.append(f"{os.path.relpath(path, pkg)}:"
                            f"{node.lineno} {node.name}")
     assert not bad, bad
+
+
+def test_gate_queries_never_bare_persist():
+    """VERDICT r11 #1 (the hybrid_rrf leak, and som_qe before it):
+    a gate query that calls ``.persist()`` strands a cacheManager
+    entry per invocation — Spark matches cached relations BY PLAN, so
+    repeated bench/driver invocations of the same gate silently reuse
+    the previous call's cache (fast-but-fake warm numbers) and the
+    entries accumulate until the session dies.  Gates that need to
+    reuse an expensive relation across two branches of one plan must
+    use ``localCheckpoint(eager=True)`` (materializes once, NO
+    cacheManager entry, ContextCleaner-reclaimable).  This is the
+    by-PATTERN guard the round-11 by-name fixes lacked: every
+    ``_q_*`` / ``_sql helper`` function in __spark_entry__.py and
+    every function in bench.py except the documented session-scoped
+    training input must be persist-free."""
+    import ast
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "__spark_entry__.py")).read()
+    bad = []
+    for node in ast.walk(ast.parse(src)):
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        if not node.name.startswith(("_q_", "entry")):
+            continue
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Call) \
+                    and isinstance(sub.func, ast.Attribute) \
+                    and sub.func.attr == "persist":
+                bad.append(f"__spark_entry__.py:{sub.lineno} "
+                           f"{node.name}")
+    # bench.py: exactly one deliberate session-scoped persist (the
+    # resident training-feature input, released + cacheManager-checked
+    # at session end) plus the paired skew_docs persist/unpersist
+    bsrc = open(os.path.join(repo, "bench.py")).read()
+    n_persist = bsrc.count(".persist()")
+    n_unpersist = bsrc.count(".unpersist(")
+    assert n_unpersist >= n_persist - 1, (
+        f"bench.py has {n_persist} persists but only {n_unpersist} "
+        "unpersists (only the resident feats cache may stay, and the "
+        "session-end cacheManager assertion releases even that)")
+    assert not bad, bad
+
+
+def test_repeated_gate_invocations_leave_cache_empty(spark):
+    """Runtime twin of the AST guard above (the som_qe/hybrid_rrf
+    leak class): invoking a relation-reusing gate repeatedly must
+    leave the SQL cacheManager EMPTY — a leaked entry would both
+    accumulate across bench repeats and contaminate later warm
+    timings via plan-matched cache reuse."""
+    import __spark_entry__ as entrymod
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "cache dirty before the gate ran"
+    for _ in range(2):
+        entrymod.queries()["hybrid_rrf"](spark, SF_TINY).collect()
+        assert cm.isEmpty(), (
+            "hybrid_rrf left a cacheManager entry behind — the "
+            "shared doc_term_counts relation must ride "
+            "localCheckpoint(eager=True), not .persist()")

@@ -7283,6 +7283,11 @@ FROM cagg
 """
 
 
+#: staged WARC segment dirs, one per (process, sf_dir) — see
+#: _q_warc_ingest's staging note
+_WARC_GATE_DIRS: dict = {}
+
+
 def _q_warc_ingest(spark, sf_dir):
     """Crawl front door, driver-verified end-to-end (VERDICT r10 #6 —
     WARC had test-only evidence): documents become HTTP response
@@ -7297,33 +7302,45 @@ def _q_warc_ingest(spark, sf_dir):
     header, or a leaked HTTP header block all change the result.
     Parallelism is by segment file on both legs (sources/warc.py
     layout contract); the checksum aggregation is one codegen'd
-    groupBy on a low-cardinality key."""
-    import tempfile
+    groupBy on a low-cardinality key.
 
+    The WARC segments are STAGED ONCE per (process, sf_dir) — r11
+    ADVICE: a fresh mkdtemp per invocation leaked a corpus-sized /tmp
+    directory per bench repeat AND billed segment construction to the
+    timed leg (unlike bench.py's crawl_ingest, which stages untimed);
+    the cache is registered for atexit removal."""
     from xpysom_dask_spark.sources.warc import (payload_text,
                                                 read_warc, write_warc)
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
-    http = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "
-                       "text/plain; charset=utf-8\r\n\r\n"),
-                 F.col("text"))
-    ).otherwise(
-        F.concat(F.lit("HTTP/1.1 200 OK\nContent-Type: "
-                       "text/plain\n\n"), F.col("text")))
-    staged = docs.select(
-        F.concat(F.lit("http://crawl.test/"), "source", F.lit("/"),
-                 F.col("doc_id").cast("string")).alias("target_uri"),
-        F.encode(http, "utf-8").alias("payload"),
-        F.concat(F.lit("<urn:doc:"), F.col("doc_id").cast("string"),
-                 F.lit(">")).alias("rid"),
-        "doc_id")
-    tmp = tempfile.mkdtemp(prefix="warcgate_")
-    write_warc(staged.where("doc_id % 4 < 2").repartition(4), tmp,
-               record_id_col="rid")
-    write_warc(staged.where("doc_id % 4 >= 2").repartition(4), tmp,
-               record_id_col="rid", compress=True, mode="append")
+    tmp = _WARC_GATE_DIRS.get(sf_dir)
+    if tmp is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        http = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "
+                           "text/plain; charset=utf-8\r\n\r\n"),
+                     F.col("text"))
+        ).otherwise(
+            F.concat(F.lit("HTTP/1.1 200 OK\nContent-Type: "
+                           "text/plain\n\n"), F.col("text")))
+        staged = docs.select(
+            F.concat(F.lit("http://crawl.test/"), "source", F.lit("/"),
+                     F.col("doc_id").cast("string")).alias("target_uri"),
+            F.encode(http, "utf-8").alias("payload"),
+            F.concat(F.lit("<urn:doc:"), F.col("doc_id").cast("string"),
+                     F.lit(">")).alias("rid"),
+            "doc_id")
+        tmp = tempfile.mkdtemp(prefix="warcgate_")
+        write_warc(staged.where("doc_id % 4 < 2").repartition(4), tmp,
+                   record_id_col="rid")
+        write_warc(staged.where("doc_id % 4 >= 2").repartition(4), tmp,
+                   record_id_col="rid", compress=True, mode="append")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        _WARC_GATE_DIRS[sf_dir] = tmp
 
     back = payload_text(read_warc(spark, tmp)
                         .where("warc_type = 'response'"))

@@ -109,3 +109,23 @@ def test_parquet_column_stats_nulls_and_multifile(spark, tmp_path):
     assert got["v"]["n_row_groups"] >= 3  # >= one group per file
     with pytest.raises(ValueError, match="nope"):
         parquet_column_stats(spark, out, ["nope"])
+
+
+def test_parquet_audits_reject_non_integer_columns(spark):
+    """r11 ADVICE: a string/date column must fail driver-side with a
+    clear ValueError, not an opaque executor stage error from
+    int(st.min) (or a silent bytes-vs-int miscompare)."""
+    import pytest
+
+    from xpysom_dask_spark.operators.profile import (
+        parquet_column_stats, parquet_pruning_audit)
+
+    from conftest import SF_TINY
+
+    path = f"{SF_TINY}/documents.parquet"
+    with pytest.raises(ValueError, match="integer-typed"):
+        parquet_pruning_audit(spark, path, "lang", lo=0, hi=10)
+    with pytest.raises(ValueError, match="integer-typed"):
+        parquet_column_stats(spark, path, ["doc_id", "text"])
+    # integer columns still pass the check and run
+    assert parquet_column_stats(spark, path, ["doc_id"]).count() == 1

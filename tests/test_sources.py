@@ -372,3 +372,41 @@ def test_payload_text_lf_only_http_headers(spark, tmp_path):
     assert texts["http://e/1"] == "lf body"
     assert texts["http://e/2"] == "crlf body"
     assert texts["http://e/3"] == "before\r\n\r\nafter"
+
+
+def test_write_warc_same_suffix_append_keeps_both_datasets(spark,
+                                                           tmp_path):
+    """ADVICE r11 (medium): append with the SAME compress setting used
+    to truncate the first dataset's part files (pid-only names +
+    'wb').  Per-call token names make the two writes disjoint: both
+    datasets must survive a same-suffix append round-trip, and no
+    hidden temp files may remain after the commit renames."""
+    import os
+
+    from xpysom_dask_spark.sources.warc import read_warc, write_warc
+
+    a = spark.createDataFrame(
+        [(f"http://a.example/{i}", f"first {i}".encode(),
+          f"<urn:a:{i}>") for i in range(12)],
+        "target_uri string, payload binary, rid string").repartition(3)
+    b = spark.createDataFrame(
+        [(f"http://b.example/{i}", f"second {i}".encode(),
+          f"<urn:b:{i}>") for i in range(7)],
+        "target_uri string, payload binary, rid string").repartition(3)
+    out = str(tmp_path / "crawl")
+    man_a = write_warc(a, out, record_id_col="rid")
+    man_b = write_warc(b, out, record_id_col="rid", mode="append")
+    assert sum(r["n_records"] for r in man_a) == 12
+    assert sum(r["n_records"] for r in man_b) == 7
+    # disjoint files, nothing truncated
+    assert not {r["file"] for r in man_a} & {r["file"] for r in man_b}
+    got = {r["record_id"]: bytes(r["payload"])
+           for r in read_warc(spark, out).collect()}
+    assert len(got) == 19
+    assert got["<urn:a:3>"] == b"first 3"
+    assert got["<urn:b:3>"] == b"second 3"
+    # task-commit protocol: no in-progress temp files left behind
+    assert not [f for f in os.listdir(out) if f.startswith(".")]
+    # overwrite still wipes every same-suffix segment, both tokens
+    man_c = write_warc(b, out, record_id_col="rid")
+    assert read_warc(spark, out).count() == 7, man_c

@@ -839,6 +839,25 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
             "avg_rg_bytes bigint, n_columns int, compressions string")
 
 
+#: Spark dtypes the footer auditors' integer-only contract accepts
+_INT_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integer_columns(fn_name, rel, cols):
+    """r11 ADVICE: the audited columns' integer-only contract was
+    documented but only enforced by an opaque executor-side
+    ``int(st.min)`` failure (or worse, a silent bytes-vs-int
+    miscompare for string stats) — check the Spark dtype driver-side
+    and fail with actionable coordinates instead."""
+    dtypes = dict(rel.dtypes)
+    bad = [(c, dtypes[c]) for c in cols if dtypes[c] not in _INT_DTYPES]
+    if bad:
+        raise ValueError(
+            f"{fn_name}: integer-typed columns only (footer min/max "
+            f"compare and replay as BIGINT); got {bad} — cast or "
+            f"choose an integer column")
+
+
 def parquet_pruning_audit(spark, path: str, col: str,
                           lo, hi) -> DataFrame:
     """Footer-stats pruning audit: for the range predicate
@@ -876,6 +895,7 @@ def parquet_pruning_audit(spark, path: str, col: str,
     if col not in rel.columns:
         raise ValueError(f"parquet_pruning_audit: column {col!r} not "
                          f"in {path} (has {rel.columns[:8]}...)")
+    _require_integer_columns("parquet_pruning_audit", rel, [col])
     from ..plans.exchange import ship_package
 
     ship_package(spark)
@@ -946,6 +966,7 @@ def parquet_column_stats(spark, path: str, columns) -> DataFrame:
     if missing:
         raise ValueError(f"parquet_column_stats: {missing} not in "
                          f"{path} (has {rel.columns[:8]}...)")
+    _require_integer_columns("parquet_column_stats", rel, cols)
     files = rel.inputFiles()
     if not files:
         raise ValueError(f"parquet_column_stats: no files under "

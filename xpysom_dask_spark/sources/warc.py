@@ -220,6 +220,16 @@ def write_warc(df: DataFrame, path: str, uri_col: str = "target_uri",
     ``[(file, n_records, n_bytes), ...]`` one row per written segment
     (empty partitions write nothing).  ``path`` must be a
     task-reachable directory (shared filesystem on a real cluster).
+
+    Segment names carry a per-call token
+    (``part-<token>-<pid>{suffix}``), so ``mode='append'`` NEVER
+    collides with an earlier write of the same compress setting (the
+    r11 ADVICE find: pid-only names + 'wb' silently truncated the
+    first dataset's segments).  Tasks write to a dot-prefixed
+    attempt-unique temp name and ``os.replace`` it on task success —
+    a retried/speculative attempt can't corrupt a finished segment,
+    a failed job leaves only hidden temp files that ``read_warc``'s
+    (Spark binaryFile) listing ignores.
     """
     from ..plans.exchange import ship_package
 
@@ -227,17 +237,20 @@ def write_warc(df: DataFrame, path: str, uri_col: str = "target_uri",
     import glob as _glob
     import gzip as _gzip
     import os
+    import uuid as _uuid
 
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
     suffix = ".warc.gz" if compress else ".warc"
     if mode == "overwrite":
-        for old in _glob.glob(os.path.join(path, f"part-*{suffix}")):
+        for old in _glob.glob(os.path.join(path, f"part-*{suffix}")) \
+                + _glob.glob(os.path.join(path, ".part-*")):
             os.remove(old)
     elif mode != "append":
         raise ValueError(f"write_warc: mode must be 'overwrite' or "
                          f"'append', got {mode!r}")
+    token = _uuid.uuid4().hex[:12]
 
     cols = [uri_col, payload_col] + (
         [record_id_col] if record_id_col else [])
@@ -246,13 +259,17 @@ def write_warc(df: DataFrame, path: str, uri_col: str = "target_uri",
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        fname = os.path.join(path, f"part-{token}-{pid:05d}{suffix}")
+        tmpname = os.path.join(
+            path, f".part-{token}-{pid:05d}.attempt-"
+                  f"{ctx.taskAttemptId()}{suffix}")
         n, total = 0, 0
         fh = None
         for pdf in batches:
             if fh is None and len(pdf):
-                fh = open(fname, "wb")
+                fh = open(tmpname, "wb")
             rids = (pdf[record_id_col] if record_id_col
                     else [None] * len(pdf))
             for uri, payload, rid in zip(pdf[uri_col],
@@ -274,6 +291,7 @@ def write_warc(df: DataFrame, path: str, uri_col: str = "target_uri",
                 total += len(rec)
         if fh is not None:
             fh.close()
+            os.replace(tmpname, fname)   # task-commit: atomic publish
             yield pd.DataFrame([(fname, n, total)],
                                columns=["file", "n_records",
                                         "n_bytes"])

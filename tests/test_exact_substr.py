@@ -1,0 +1,190 @@
+"""Differential tests for ``dedup.repeated_substring_spans`` against a
+generalized SUFFIX AUTOMATON reference (VERDICT r11 #4 / SURVEY par.8
+round-12 candidate): the operator claims the true ExactSubstr
+any-length->=L guarantee — every maximal character span covered by a
+substring of length >= min_len occurring >= 2 times in the corpus —
+via the union of duplicated stride-1 L-windows.  The reference derives
+the same coverage from first principles (longest repeated substring
+ending at every position, straight off the automaton's suffix links),
+so the two paths share NO code and NO formulation; the window-union ==
+any-length-coverage equivalence theorem is asserted inside the
+reference itself on every corpus.
+"""
+
+import random
+
+import pytest
+
+from xpysom_dask_spark.operators.dedup import repeated_substring_spans
+
+
+# ------------------------------------------------------------------ #
+# generalized suffix automaton reference (pure Python, O(n log sigma))
+
+def _sam_build(s):
+    """Blumer et al. suffix automaton; returns (trans, link, length,
+    cnt) with cnt[v] = number of end positions of v's substring class
+    (clone-aware propagation)."""
+    trans, link, length, cnt = [{}], [-1], [0], [0]
+    last = 0
+    for ch in s:
+        cur = len(trans)
+        trans.append({})
+        length.append(length[last] + 1)
+        link.append(-1)
+        cnt.append(1)
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(trans)
+                trans.append(dict(trans[q]))
+                length.append(length[p] + 1)
+                link.append(link[q])
+                cnt.append(0)
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # propagate occurrence counts up the links, longest first
+    for v in sorted(range(1, len(trans)), key=lambda v: -length[v]):
+        if link[v] > 0:
+            cnt[link[v]] += cnt[v]
+    return trans, link, length, cnt
+
+
+def _maxrep(s):
+    """maxrep[j] = length of the longest substring ending at j that
+    occurs >= 2 times in s (overlapping occurrences count)."""
+    trans, link, length, cnt = _sam_build(s)
+    out = [0] * len(s)
+    cur, ln = 0, 0
+    for j, ch in enumerate(s):
+        while cur != 0 and ch not in trans[cur]:
+            cur = link[cur]
+            ln = length[cur]
+        if ch in trans[cur]:
+            cur = trans[cur][ch]
+            ln += 1
+        # climb to the longest suffix whose class occurs >= 2 times
+        t, m = cur, ln
+        while t != 0 and cnt[t] < 2:
+            t = link[t]
+            m = length[t]
+        out[j] = m if t != 0 else 0
+    return out
+
+
+def _merge(intervals):
+    """Union of closed integer intervals -> sorted maximal intervals."""
+    spans = []
+    for a, b in sorted(intervals):
+        if spans and a <= spans[-1][1] + 1:
+            spans[-1][1] = max(spans[-1][1], b)
+        else:
+            spans.append([a, b])
+    return [tuple(x) for x in spans]
+
+
+def sam_reference_spans(texts, L):
+    """Expected operator output from the suffix-automaton view:
+    {doc_idx: [(start, length, n_windows), ...]}.  Asserts the
+    window-union == any-length-coverage equivalence en route."""
+    parts, offs = [], []
+    for i, t in enumerate(texts):
+        offs.append(sum(len(p) for p in parts))
+        parts.append(t)
+        parts.append(chr(0xE000 + i))      # unique, never repeats
+    s = "".join(parts)
+    mr = _maxrep(s)
+    exp = {}
+    for i, t in enumerate(texts):
+        o = offs[i]
+        # any-length coverage: union of [j - mr[j] + 1, j], mr >= L
+        cover = _merge([(j - mr[o + j] + 1, j)
+                        for j in range(len(t)) if mr[o + j] >= L])
+        # duplicated L-windows: start p iff the L-gram ending at
+        # p + L - 1 repeats (mr there >= L)
+        dup_p = [j - L + 1 for j in range(L - 1, len(t))
+                 if mr[o + j] >= L]
+        wcover = _merge([(p, p + L - 1) for p in dup_p])
+        assert wcover == cover, (i, wcover, cover)   # the theorem
+        exp[i] = [(a, b - a + 1,
+                   sum(1 for p in dup_p if a <= p <= b))
+                  for a, b in cover]
+    return {k: v for k, v in exp.items() if v}
+
+
+def _spark_spans(spark, texts, L, verify=True):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    rows = repeated_substring_spans(df, "text", "doc_id",
+                                    min_len=L, verify=verify).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["id"], []).append(
+            (r["start"], r["length"], r["n_windows"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+# ------------------------------------------------------------------ #
+# adversarial fixed corpora
+
+CORPORA = [
+    # periodic self-overlap: 'aaaa...' repeats at every offset
+    (["aaaaaaaaaa"], 3),
+    # period-2 overlapping repeats inside one doc
+    (["abababababab"], 4),
+    # cross-doc repeat, interior position
+    (["xx SHARED RUN OF TEXT yy", "zz SHARED RUN OF TEXT qq"], 10),
+    # repeat length exactly L, and one at L-1 (must NOT match)
+    (["aaQWERTYUIbb", "ccQWERTYUIdd", "eeQWERTYUff"], 8),
+    # two islands in one doc separated by a unique gap
+    (["PREFIXPREFIX--unique-middle--SUFFIXSUFFIX",
+      "PREFIXPREFIX..another.doc..SUFFIXSUFFIX"], 6),
+    # repeats straddling and abutting: merged coverage spans
+    (["abcabcabcXabcabc", "abcabc"], 3),
+    # short docs below L pass through silently
+    (["ab", "", "abcdefabcdef"], 3),
+]
+
+
+@pytest.mark.parametrize("texts,L", CORPORA)
+def test_spans_match_suffix_automaton_reference(spark, texts, L):
+    assert _spark_spans(spark, texts, L) == \
+        sam_reference_spans(texts, L)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_random_small_alphabet_corpora(spark, seed):
+    """Dense-overlap fuzz: tiny alphabet makes every corpus a thicket
+    of overlapping repeats at every length — the regime where a
+    stride/offset bug or an off-by-one in the interval union shows."""
+    rng = random.Random(seed)
+    texts = ["".join(rng.choice("abc") for _ in range(rng.randint(0, 70)))
+             for _ in range(8)]
+    for L in (3, 5):
+        assert _spark_spans(spark, texts, L) == \
+            sam_reference_spans(texts, L)
+
+
+def test_verify_false_md5_path_matches(spark):
+    """The 16-byte-key scale path must agree with collision-free
+    grouping (and with the reference) on the adversarial corpora."""
+    for texts, L in CORPORA[:5]:
+        assert _spark_spans(spark, texts, L, verify=False) == \
+            sam_reference_spans(texts, L)
+
+
+def test_min_len_validation():
+    with pytest.raises(ValueError, match="min_len"):
+        repeated_substring_spans(None, "text", "doc_id", min_len=0)

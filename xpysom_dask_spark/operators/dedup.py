@@ -1671,3 +1671,80 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                      / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
                     .alias("jaccard"))
             .where(F.col("containment") >= threshold))
+
+
+def repeated_substring_spans(df: DataFrame, text_col: str,
+                             id_col: str, min_len: int = 20,
+                             verify: bool = True) -> DataFrame:
+    """Exact repeated-substring coverage at CHARACTER granularity —
+    the true ExactSubstr guarantee of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better", whose reference
+    implementation builds a corpus suffix array): every maximal span
+    of characters that lies inside SOME substring of length >=
+    ``min_len`` occurring at two or more positions in the corpus
+    (intra- or cross-document, overlapping occurrences count).
+    Returns ``(id, start, length, n_windows)`` — 0-based char offset,
+    maximal-span length, and the number of duplicated ``min_len``
+    windows merged into the span.  Documents with no duplicated
+    content produce no rows; this is the ANALYSIS surface (what would
+    ExactSubstr excise, and where) — ``dedup_substrings`` is the
+    rewrite twin at token granularity.
+
+    Relational re-expression of the suffix-array formulation: a
+    position i is covered by a repeated substring of length >= L iff
+    some stride-1 L-char window containing i is itself duplicated
+    (any repeated s with |s| >= L contains a duplicated L-window over
+    every position it covers; a duplicated L-window IS a repeated
+    substring) — so the union of duplicated L-windows EQUALS the
+    any-length->=L coverage a suffix array/automaton derives, and the
+    per-document interval union below reconstructs the maximal spans.
+    The equivalence is asserted against a generalized suffix-automaton
+    reference on adversarial overlapping-repeat corpora in
+    tests/test_exact_substr.py.
+
+    ``verify=True`` groups windows ON THEIR CHARACTERS — collision-
+    FREE exactness, shuffling L chars/position (linear, but an L-fold
+    byte inflation).  ``verify=False`` ships the 16-byte md5 instead
+    (the ``dedup_substrings`` trade: 2^-128-per-pair collision odds,
+    constant-width shuffle rows) — the 100 TB default where L-fold
+    inflation matters more than cryptographic certainty.
+
+    Plan: windows built IN the scan projection (transform over
+    sequence — no Python), ONE window-function shuffle keyed on the
+    window (occurrence count; hot keys are the boilerplate itself,
+    bounded by dedup pressure — the dedup_substrings argument), one
+    per-document window pass for the gaps-and-islands interval union,
+    one map-side-combinable groupBy for the span rows.  Nothing
+    quadratic, nothing driver-side.
+    """
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {L}")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    win_expr = (f"transform(sequence(0, length(__t) - {L}), "
+                f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
+                f"AS w))")
+    wins = (base.where(F.length("__t") >= L)
+            .select("id", F.explode(F.expr(win_expr)).alias("s"))
+            .select("id", F.col("s.p").alias("p"),
+                    (F.col("s.w") if verify
+                     else F.md5(F.col("s.w"))).alias("k")))
+    cnt = Window.partitionBy("k")
+    dup = (wins.withColumn("__n", F.count(F.lit(1)).over(cnt))
+           .where(F.col("__n") >= 2)
+           .select("id", "p"))
+    ordered = Window.partitionBy("id").orderBy("p")
+    spans = (dup.withColumn(
+        "__new", F.when(
+            F.col("p") > F.lag("p", 1, -L).over(ordered) + L,
+            1).otherwise(0))
+        .withColumn("__span", F.sum("__new").over(
+            Window.partitionBy("id").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0))))
+    return (spans.groupBy("id", "__span")
+            .agg(F.min("p").cast("bigint").alias("start"),
+                 (F.max("p") - F.min("p") + L).cast("bigint")
+                 .alias("length"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+            .select("id", "start", "length", "n_windows"))

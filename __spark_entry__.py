@@ -7371,39 +7371,78 @@ GROUP BY source
 """
 
 
+#: footer_stats pruning-leg predicate: col BETWEEN 0 AND _FOOTER_HI
+_FOOTER_HI = 100
+_FOOTER_COLS = ("l_orderkey", "l_partkey", "l_suppkey",
+                "l_linenumber")
+
+
 def _q_footer_stats(spark, sf_dir):
-    """Physical-metadata gate (round-12 staging; the footer-stats
-    surface VERDICT r10 #8 floated): per-column parquet FOOTER
-    statistics of the lineitem table — n_row_groups, value counts,
-    null counts, min/max — via profile.parquet_column_stats (the
-    pyarrow footer-only reader behind parquet_pruning_audit),
+    """Physical-metadata gate (promoted at the round-12 rotation; the
+    footer-stats surface VERDICT r10 #8 floated): per-column parquet
+    FOOTER statistics of the lineitem table — n_row_groups, value
+    counts, null counts, min/max — via profile.parquet_column_stats,
     engine-cross-checked against DuckDB's parquet_metadata().  What
     the footers CLAIM about the data is what every stats-aware scan
     will silently trust; a writer that mis-stamps stats corrupts
     query results without touching a data page, so the claim itself
-    deserves a driver gate."""
+    deserves a driver gate.
+
+    Round-12 widening (VERDICT r11 #7 — parquet_pruning_audit had
+    only test evidence): each column also carries the PRUNING leg —
+    how many row groups / rows a stats-aware scan with the fixed
+    range predicate ``col BETWEEN 0 AND 100`` would skip on footer
+    min/max alone, plus the no-stats count that says the writer
+    dropped statistics.  Both engines derive the skip decision from
+    the same footers, so the claim replays exactly; l_orderkey's
+    generation-ordered layout prunes heavily while the random-layout
+    key columns prune ~nothing — the sorted-vs-random contrast the
+    audit exists to measure, inside one gate."""
     import os
 
-    from xpysom_dask_spark.operators.profile import parquet_column_stats
+    from xpysom_dask_spark.operators.profile import (
+        parquet_column_stats, parquet_pruning_audit_multi)
 
-    return parquet_column_stats(
-        spark, os.path.join(sf_dir, "lineitem.parquet"),
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    stats = parquet_column_stats(spark, path, list(_FOOTER_COLS))
+    prn = (parquet_pruning_audit_multi(spark, path,
+                                       list(_FOOTER_COLS), lo=0,
+                                       hi=_FOOTER_HI)
+           .groupBy("column")
+           .agg(F.sum("rg_pruned").cast("bigint").alias("rg_pruned"),
+                F.sum("rows_pruned").cast("bigint")
+                .alias("rows_pruned"),
+                F.sum("rg_no_stats").cast("bigint")
+                .alias("rg_no_stats")))
+    return stats.join(prn, "column")
 
 
 def _sql_footer_stats(sf_dir):
     # data-dependent oracle (the wordpiece_vocab idiom): DuckDB reads
-    # the SAME footers through its own parquet_metadata() table fn
+    # the SAME footers through its own parquet_metadata() table fn;
+    # the pruning leg replays the operator's skip rule
+    # (max < lo OR min > hi, no-stats row groups never pruned)
+    hi = _FOOTER_HI
+    pruned = (f"(stats_min_value IS NOT NULL AND "
+              f"stats_max_value IS NOT NULL AND "
+              f"(CAST(stats_max_value AS BIGINT) < 0 OR "
+              f"CAST(stats_min_value AS BIGINT) > {hi}))")
+    nostats = ("(stats_min_value IS NULL OR stats_max_value IS NULL)")
     return f"""
 SELECT path_in_schema AS column,
        CAST(COUNT(*) AS BIGINT) AS n_row_groups,
        CAST(SUM(num_values) AS BIGINT) AS n_values,
        CAST(SUM(stats_null_count) AS BIGINT) AS null_count,
        CAST(MIN(CAST(stats_min_value AS BIGINT)) AS BIGINT) AS min_val,
-       CAST(MAX(CAST(stats_max_value AS BIGINT)) AS BIGINT) AS max_val
+       CAST(MAX(CAST(stats_max_value AS BIGINT)) AS BIGINT) AS max_val,
+       CAST(SUM(CASE WHEN {pruned} THEN 1 ELSE 0 END) AS BIGINT)
+         AS rg_pruned,
+       CAST(SUM(CASE WHEN {pruned} THEN num_values ELSE 0 END)
+            AS BIGINT) AS rows_pruned,
+       CAST(SUM(CASE WHEN {nostats} THEN 1 ELSE 0 END) AS BIGINT)
+         AS rg_no_stats
 FROM parquet_metadata('{sf_dir}/lineitem.parquet')
-WHERE path_in_schema IN ('l_orderkey', 'l_partkey', 'l_suppkey',
-                         'l_linenumber')
+WHERE path_in_schema IN {tuple(_FOOTER_COLS)!r}
 GROUP BY 1
 """
 

@@ -1,16 +1,23 @@
-"""sf10 spot-probe: pin the exponent of the two sf1 outliers.
+"""sf10 spot-probe: pin the second decade of the steepest sf1 rows.
 
 VERDICT r7 #9: ``dedup_keep_best`` (6.4×) and ``text_novelty`` (4.6×)
 at 10× data are both explained as linear-in-total-chars (the renamed
 corpus carries ~1.3× chars/doc and 1× fixed costs amortize), but one
-more decade pins the exponent before a real cluster sees them.  Both
-ops read ONLY the documents table, so the tier is documents-only:
-500k docs = 100 word-RENAMED copies of the sf0.1 corpus (the
-bijective per-copy suffix — sf1_smoke's replication semantics; never
-interleave a salt token).
+more decade pins the exponent before a real cluster sees them.
 
-Usage: python tools/sf10_probe.py [--dir DIR]   (~2 GB in /tmp)
-Prints one markdown row per (op, tier) and a final JSON line.
+VERDICT r11 #5 extends the probe to the families most likely to
+regress super-linearly: the hashed classifier pair
+(``logreg_hashed_fit``/``score`` — the steepest sf0.1→sf1 decade rows
+at 4.8×/8.6×) and the WARC crawl front door (``warc_ingest`` —
+staged once untimed, so the warm rows time the read→extract→checksum
+legs).  All ops read ONLY the documents table, so the tier is
+documents-only: 500k docs = 100 word-RENAMED copies of the sf0.1
+corpus (the bijective per-copy suffix — sf1_smoke's replication
+semantics; never interleave a salt token).
+
+Usage: python tools/sf10_probe.py [--dir DIR] [--ops a,b]
+(~2 GB in /tmp).  Prints one markdown row per (op, tier) and a final
+JSON line.
 """
 
 import json
@@ -23,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 DEFAULT_DIR = "/tmp/sf10"
 COPIES = 100
-OPS = ("dedup_keep_best", "text_novelty")
+OPS = ("dedup_keep_best", "text_novelty",
+       # round-12 additions (VERDICT r11 #5)
+       "logreg_hashed_fit", "logreg_hashed_score", "warc_ingest")
 
 
 def gen(out_dir: str) -> None:
@@ -74,15 +83,40 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
 
+    import __spark_entry__ as entry
+    from xpysom_dask_spark.operators import models as MD
+    from xpysom_dask_spark.sources import readers
+
+    ops = args[args.index("--ops") + 1].split(",") if "--ops" in args \
+        else OPS
     qmap = entry.queries()
+    docs = readers.load_table(spark, out_dir, "documents")
+    lab = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    lrm = {}          # fit model handed to the score workload
+
+    def _fit():
+        lrm["m"] = MD.logreg_fit_hashed(
+            lab, "text", "doc_id", "y", n_buckets=1024, n_iter=6,
+            lr=1.0)
+        return 1
+
+    custom = {
+        "logreg_hashed_fit": _fit,
+        "logreg_hashed_score": lambda: MD.logreg_score_hashed(
+            docs, "text", "doc_id",
+            lrm.get("m") or _fit() and lrm["m"])
+            .agg(F.avg("quality_p")).collect(),
+    }
     results = {}
-    for name in OPS:
+    for name in ops:
+        fn = custom.get(name) or \
+            (lambda q=qmap[name]: q(spark, out_dir).count())
         runs = []
         for _ in range(3):
             t0 = time.time()
-            qmap[name](spark, out_dir).count()
+            fn()
             runs.append(time.time() - t0)
         results[name] = round(min(runs[1:]), 3)
         print(f"| {name} | {results[name]} s | (cold "

@@ -885,17 +885,32 @@ def parquet_pruning_audit(spark, path: str, col: str,
     pruning ratio; compare the same predicate across two layouts to
     grade a re-cluster before paying for it.
     """
+    return parquet_pruning_audit_multi(spark, path, [col], lo, hi) \
+        .drop("column")
+
+
+def parquet_pruning_audit_multi(spark, path: str, cols,
+                                lo, hi) -> DataFrame:
+    """:func:`parquet_pruning_audit` for SEVERAL columns in one footer
+    pass — ``(file, column, n_row_groups, n_rows, rg_pruned,
+    rows_pruned, bytes_pruned, rg_no_stats)``, one row per
+    (file, column).  Each footer is opened once regardless of how
+    many columns are audited (round-12: the footer_stats gate widening
+    audits 4 columns; 4 separate jobs cost 4 footer walks + 4 job
+    launches for metadata that one walk already holds)."""
     import pandas as pd
 
+    cols = list(cols)
     rel = spark.read.parquet(path)
     files = rel.inputFiles()
     if not files:
         raise ValueError(f"parquet_pruning_audit: no files under "
                          f"{path!r}")
-    if col not in rel.columns:
-        raise ValueError(f"parquet_pruning_audit: column {col!r} not "
+    missing = [c for c in cols if c not in rel.columns]
+    if missing:
+        raise ValueError(f"parquet_pruning_audit: column {missing} not "
                          f"in {path} (has {rel.columns[:8]}...)")
-    _require_integer_columns("parquet_pruning_audit", rel, [col])
+    _require_integer_columns("parquet_pruning_audit", rel, cols)
     from ..plans.exchange import ship_package
 
     ship_package(spark)
@@ -915,33 +930,35 @@ def parquet_pruning_audit(spark, path: str, col: str,
                 with fs.open_input_file(fpath) as fh:
                     md = pq.ParquetFile(fh).metadata
                     names = md.schema.names
-                    ci = names.index(col)
-                    n_rows = rg_pruned = rows_pruned = 0
-                    bytes_pruned = no_stats = 0
-                    for i in range(md.num_row_groups):
-                        rg = md.row_group(i)
-                        n_rows += rg.num_rows
-                        st = rg.column(ci).statistics
-                        if (st is None or not st.has_min_max):
-                            no_stats += 1
-                            continue
-                        if st.max < lo or st.min > hi:
-                            rg_pruned += 1
-                            rows_pruned += rg.num_rows
-                            bytes_pruned += rg.total_byte_size
-                rows.append((uri, md.num_row_groups, n_rows,
-                             rg_pruned, rows_pruned, bytes_pruned,
-                             no_stats))
+                    for col in cols:
+                        ci = names.index(col)
+                        n_rows = rg_pruned = rows_pruned = 0
+                        bytes_pruned = no_stats = 0
+                        for i in range(md.num_row_groups):
+                            rg = md.row_group(i)
+                            n_rows += rg.num_rows
+                            st = rg.column(ci).statistics
+                            if (st is None or not st.has_min_max):
+                                no_stats += 1
+                                continue
+                            if st.max < lo or st.min > hi:
+                                rg_pruned += 1
+                                rows_pruned += rg.num_rows
+                                bytes_pruned += rg.total_byte_size
+                        rows.append((uri, col, md.num_row_groups,
+                                     n_rows, rg_pruned, rows_pruned,
+                                     bytes_pruned, no_stats))
             yield pd.DataFrame(rows, columns=[
-                "file", "n_row_groups", "n_rows", "rg_pruned",
-                "rows_pruned", "bytes_pruned", "rg_no_stats"])
+                "file", "column", "n_row_groups", "n_rows",
+                "rg_pruned", "rows_pruned", "bytes_pruned",
+                "rg_no_stats"])
 
     flist = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(min(len(files), 64))
     return flist.mapInPandas(
-        fn, "file string, n_row_groups int, n_rows bigint, "
-            "rg_pruned int, rows_pruned bigint, bytes_pruned bigint, "
-            "rg_no_stats int")
+        fn, "file string, column string, n_row_groups int, "
+            "n_rows bigint, rg_pruned int, rows_pruned bigint, "
+            "bytes_pruned bigint, rg_no_stats int")
 
 
 def parquet_column_stats(spark, path: str, columns) -> DataFrame:

@@ -407,6 +407,13 @@ def main():
     timed("dedup_substrings", lambda: dedup.dedup_substrings(
         docs, "text", "doc_id", min_tokens=20)
         .agg(F.sum("n_removed")).collect())
+    # round-12: character-level ExactSubstr coverage spans (md5 keys —
+    # the 100 TB shuffle shape; the collision-free char-key path is
+    # differential-tested in tests/test_exact_substr.py)
+    timed("exact_substring_spans", lambda: dedup
+          .repeated_substring_spans(docs, "text", "doc_id",
+                                    min_len=40, verify=False)
+          .agg(F.sum("length"), F.sum("n_windows")).collect())
     timed("semantic_dedup", lambda: similarity.semantic_dedup(
         sd_som, emb, threshold=0.4).count())
 

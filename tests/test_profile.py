@@ -129,3 +129,23 @@ def test_parquet_audits_reject_non_integer_columns(spark):
         parquet_column_stats(spark, path, ["doc_id", "text"])
     # integer columns still pass the check and run
     assert parquet_column_stats(spark, path, ["doc_id"]).count() == 1
+
+
+def test_pruning_audit_multi_matches_single(spark):
+    """parquet_pruning_audit_multi is the one-footer-walk N-column
+    form; per column it must equal the single-column audit exactly."""
+    from conftest import SF_TINY
+    from xpysom_dask_spark.operators.profile import (
+        parquet_pruning_audit, parquet_pruning_audit_multi)
+
+    path = f"{SF_TINY}/lineitem.parquet"
+    cols = ["l_orderkey", "l_linenumber"]
+    multi = parquet_pruning_audit_multi(spark, path, cols,
+                                        lo=0, hi=50).collect()
+    for c in cols:
+        single = sorted(tuple(r) for r in parquet_pruning_audit(
+            spark, path, c, lo=0, hi=50).collect())
+        part = sorted(tuple(v for k, v in r.asDict().items()
+                            if k != "column")
+                      for r in multi if r["column"] == c)
+        assert part == single and len(single) >= 1

@@ -60,6 +60,11 @@ def main():
             "quality_score", "hll_report", "som_qe",
             "multimodal_audio", "hash_partition", "events_smoothing",
             "kmv_novelty", "calibration_report"):
+        if name not in qmap:
+            # retired at a later rotation (round-12 merges) — this
+            # tool documents the round-10 protocol, skip gracefully
+            print(f"| {name} | (retired gate, skipped) |", flush=True)
+            continue
         timed(name, lambda q=qmap[name]: q(spark, SF).count())
 
     print(json.dumps({"retime_r10": results}, separators=(",", ":")))

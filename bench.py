@@ -414,6 +414,11 @@ def main():
           .repeated_substring_spans(docs, "text", "doc_id",
                                     min_len=40, verify=False)
           .agg(F.sum("length"), F.sum("n_windows")).collect())
+    timed("exact_substring_excise", lambda: dedup
+          .dedup_substrings_chars(docs, "text", "doc_id",
+                                  min_len=40, verify=False)
+          .agg(F.sum("n_removed"),
+               F.sum(F.length("text_clean"))).collect())
     timed("semantic_dedup", lambda: similarity.semantic_dedup(
         sd_som, emb, threshold=0.4).count())
 

@@ -188,3 +188,78 @@ def test_verify_false_md5_path_matches(spark):
 def test_min_len_validation():
     with pytest.raises(ValueError, match="min_len"):
         repeated_substring_spans(None, "text", "doc_id", min_len=0)
+
+
+# ------------------------------------------------------------------ #
+# the rewrite twin: char-level ExactSubstr deletion
+
+def ref_excise(texts, L):
+    """Independent replay of the deletion rule: stride-1 L-grams in
+    (doc, position) order; every occurrence after the first marks its
+    characters; documents re-assemble from unmarked characters."""
+    first = {}
+    marked = {i: set() for i in range(len(texts))}
+    for i, t in enumerate(texts):
+        for p in range(len(t) - L + 1):
+            g = t[p:p + L]
+            if g in first:
+                marked[i].update(range(p, p + L))
+            else:
+                first[g] = (i, p)
+    out = {}
+    for i, t in enumerate(texts):
+        keep = [c for j, c in enumerate(t) if j not in marked[i]]
+        out[i] = ("".join(keep), len(t), len(marked[i]))
+    return out
+
+
+def _spark_excise(spark, texts, L, verify=True):
+    from xpysom_dask_spark.operators.dedup import dedup_substrings_chars
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    return {r["id"]: (r["text_clean"], r["n_chars"], r["n_removed"])
+            for r in dedup_substrings_chars(
+                df, "text", "doc_id", min_len=L, verify=verify)
+            .collect()}
+
+
+@pytest.mark.parametrize("texts,L", CORPORA)
+def test_excision_matches_python_reference(spark, texts, L):
+    assert _spark_excise(spark, texts, L) == ref_excise(texts, L)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_excision_random_corpora(spark, seed):
+    rng = random.Random(seed)
+    texts = ["".join(rng.choice("abd ") for _ in range(rng.randint(0, 80)))
+             for _ in range(8)]
+    for L in (4, 6):
+        got = _spark_excise(spark, texts, L)
+        exp = ref_excise(texts, L)
+        assert got == exp
+        # conservation: kept + removed == original, per doc
+        for i, (clean, n, rem) in got.items():
+            assert len(clean) + rem == n
+
+
+def test_excision_first_occurrence_survives_byte_exact(spark):
+    """The canonical copy keeps its bytes VERBATIM (no whitespace
+    normalization — the differentiator vs the token-level form), and
+    every later copy of the >=L run vanishes."""
+    boiler = "LICENSE  HEADER\tv1.0 exactly-as-written "  # 40 chars
+    texts = ["A" + boiler + "tail-one", "B" + boiler + "tail-two",
+             boiler + boiler]
+    got = _spark_excise(spark, texts, len(boiler))
+    assert got[0][0] == texts[0]                  # first wins, intact
+    assert boiler not in got[1][0]
+    assert got[1][0].startswith("B")
+    # doc 2 is boiler twice: both copies duplicate doc 0's window set
+    assert got[2][0] == ""
+    assert got[2][2] == 2 * len(boiler)
+
+
+def test_excision_md5_path_and_short_docs(spark):
+    texts = ["ab", "", "xyxyxyxyxyxy", "xyxyxyxyxyxy"]
+    assert _spark_excise(spark, texts, 5, verify=False) == \
+        ref_excise(texts, 5)

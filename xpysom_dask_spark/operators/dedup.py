@@ -1748,3 +1748,83 @@ def repeated_substring_spans(df: DataFrame, text_col: str,
                  .alias("length"),
                  F.count(F.lit(1)).cast("bigint").alias("n_windows"))
             .select("id", "start", "length", "n_windows"))
+
+
+def dedup_substrings_chars(df: DataFrame, text_col: str, id_col: str,
+                           min_len: int = 50,
+                           verify: bool = True) -> DataFrame:
+    """Character-level ExactSubstr DELETION (Lee et al.'s actual
+    rewrite step, which their suffix-array implementation performs on
+    byte offsets) — the excision twin of
+    :func:`repeated_substring_spans` and the char-granularity sibling
+    of the token-level :func:`dedup_substrings`: every ``min_len``-char
+    window that occurred anywhere earlier in the corpus (order:
+    (id, position)) marks its characters for deletion, and each
+    document is re-assembled from its unmarked characters — so ANY
+    duplicated character run of length >= min_len survives only at
+    its first occurrence, byte-exactly, with no tokenization
+    normalization at all (the token-level form re-joins on single
+    spaces; this one preserves every byte it keeps).
+
+    Returns ``(id, text_clean, n_chars, n_removed)``; documents
+    shorter than ``min_len`` pass through whole.  The canonical
+    (first) occurrence keeps its characters even when it overlaps a
+    later duplicate's removal — the deterministic first-wins rule of
+    the token-level operator.  ``verify`` as in
+    :func:`repeated_substring_spans` (char keys = collision-free,
+    md5 = the constant-width 100 TB shuffle).
+
+    Plan: the window build and first-occurrence window rank are the
+    spans operator's (one shuffle on the window key); marked
+    positions collapse per document via the same gaps-and-islands
+    interval union; re-assembly is ONE whole-stage-codegen
+    ``aggregate`` fold over the <= docs-length/L merged intervals —
+    characters never explode (the token-level form posexplodes every
+    token; here a document's text travels as one value end-to-end).
+    """
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {L}")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    win_expr = (f"transform(sequence(0, length(__t) - {L}), "
+                f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
+                f"AS w))")
+    wins = (base.where(F.length("__t") >= L)
+            .select("id", F.explode(F.expr(win_expr)).alias("s"))
+            .select("id", F.col("s.p").alias("p"),
+                    (F.col("s.w") if verify
+                     else F.md5(F.col("s.w"))).alias("k")))
+    rk = Window.partitionBy("k").orderBy(F.col("id").asc(),
+                                         F.col("p").asc())
+    marked = (wins.withColumn("__rk", F.row_number().over(rk))
+              .where(F.col("__rk") > 1).select("id", "p"))
+    ordered = Window.partitionBy("id").orderBy("p")
+    ivs = (marked.withColumn(
+        "__new", F.when(
+            F.col("p") > F.lag("p", 1, -L).over(ordered) + L,
+            1).otherwise(0))
+        .withColumn("__span", F.sum("__new").over(
+            Window.partitionBy("id").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "__span")
+        .agg(F.min("p").cast("int").alias("start"),
+             (F.max("p") + L - 1).cast("int").alias("end"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("start", "end")))
+             .alias("__ivs")))
+    fold = (
+        "aggregate(__ivs, struct(CAST('' AS STRING) AS s, 0 AS cur), "
+        "(acc, iv) -> struct(concat(acc.s, substring(__t, acc.cur + 1,"
+        " iv.start - acc.cur)), iv.end + 1), "
+        "acc -> concat(acc.s, substring(__t, acc.cur + 1, "
+        "length(__t) - acc.cur)))")
+    removed = ("aggregate(__ivs, 0, "
+               "(acc, iv) -> acc + iv.end - iv.start + 1)")
+    return (base.join(ivs, "id", "left")
+            .select("id",
+                    F.when(F.col("__ivs").isNull(), F.col("__t"))
+                    .otherwise(F.expr(fold)).alias("text_clean"),
+                    F.length("__t").cast("bigint").alias("n_chars"),
+                    F.coalesce(F.expr(removed), F.lit(0))
+                    .cast("bigint").alias("n_removed")))

@@ -263,3 +263,30 @@ def test_excision_md5_path_and_short_docs(spark):
     texts = ["ab", "", "xyxyxyxyxyxy", "xyxyxyxyxyxy"]
     assert _spark_excise(spark, texts, 5, verify=False) == \
         ref_excise(texts, 5)
+
+
+def test_results_invariant_under_repartitioning(spark):
+    """Both ops are exact computations: output must be bit-identical
+    whether the corpus arrives as 1 partition or 7."""
+    from xpysom_dask_spark.operators.dedup import dedup_substrings_chars
+
+    texts, L = CORPORA[5]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    exp_s = {k: sorted(v) for k, v in
+             sam_reference_spans(texts, L).items()}
+    exp_e = {i: (c, n, r) for i, (c, n, r)
+             in ref_excise(texts, L).items()}
+    for build in (lambda d: d.coalesce(1), lambda d: d.repartition(7)):
+        rows = repeated_substring_spans(
+            build(df), "text", "doc_id", min_len=L).collect()
+        got_s = {}
+        for r in rows:
+            got_s.setdefault(r["id"], []).append(
+                (r["start"], r["length"], r["n_windows"]))
+        assert {k: sorted(v) for k, v in got_s.items()} == exp_s
+        got_e = {r["id"]: (r["text_clean"], r["n_chars"],
+                           r["n_removed"])
+                 for r in dedup_substrings_chars(
+                     build(df), "text", "doc_id", min_len=L).collect()}
+        assert got_e == exp_e

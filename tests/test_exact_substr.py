@@ -290,3 +290,52 @@ def test_results_invariant_under_repartitioning(spark):
                  for r in dedup_substrings_chars(
                      build(df), "text", "doc_id", min_len=L).collect()}
         assert got_e == exp_e
+
+
+def test_prebuilt_windows_relation_matches_default(spark):
+    """The `windows=` fast path (scan once, reuse for spans AND
+    excision) must be output-identical to the default double-build."""
+    from xpysom_dask_spark.operators.dedup import (_char_windows,
+                                                   dedup_substrings_chars)
+
+    texts, L = CORPORA[5]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    base = df.selectExpr("doc_id AS id",
+                         "coalesce(text, '') AS __t")
+    wins = _char_windows(base, L, True).localCheckpoint(eager=True)
+    got = {r["id"]: (r["text_clean"], r["n_removed"])
+           for r in dedup_substrings_chars(
+               df, "text", "doc_id", min_len=L,
+               windows=wins).collect()}
+    exp = {i: (c, r) for i, (c, n, r) in ref_excise(texts, L).items()}
+    assert got == exp
+    sp = _spark_spans(spark, texts, L)
+    rows = repeated_substring_spans(df, "text", "doc_id", min_len=L,
+                                    windows=wins).collect()
+    got_s = {}
+    for r in rows:
+        got_s.setdefault(r["id"], []).append(
+            (r["start"], r["length"], r["n_windows"]))
+    assert {k: sorted(v) for k, v in got_s.items()} == sp
+
+
+def test_skew_safe_plan_matches_default(spark):
+    """skew_safe=True (map-side-combinable groupBy + equi-join, the
+    hot-boilerplate insurance policy) must be output-identical to the
+    default window-rank plan for BOTH operators."""
+    from xpysom_dask_spark.operators.dedup import dedup_substrings_chars
+
+    for texts, L in CORPORA[:6]:
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id bigint, text string")
+        a = sorted(tuple(r) for r in repeated_substring_spans(
+            df, "text", "doc_id", min_len=L).collect())
+        b = sorted(tuple(r) for r in repeated_substring_spans(
+            df, "text", "doc_id", min_len=L, skew_safe=True).collect())
+        assert a == b
+        c = sorted(tuple(r) for r in dedup_substrings_chars(
+            df, "text", "doc_id", min_len=L).collect())
+        d = sorted(tuple(r) for r in dedup_substrings_chars(
+            df, "text", "doc_id", min_len=L, skew_safe=True).collect())
+        assert c == d

@@ -1673,9 +1673,28 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
             .where(F.col("containment") >= threshold))
 
 
+def _char_windows(base: DataFrame, L: int, verify: bool) -> DataFrame:
+    """Stride-1 L-char windows of ``base(id, __t)`` as ``(id, p, k)``
+    rows — k is the window text itself (``verify=True``,
+    collision-free) or its md5 (constant-width shuffle rows).  Built
+    entirely in the scan projection; docs shorter than L produce no
+    rows (sequence() counts DOWN when length < L, so they must not
+    enter the build)."""
+    win_expr = (f"transform(sequence(0, length(__t) - {L}), "
+                f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
+                f"AS w))")
+    return (base.where(F.length("__t") >= L)
+            .select("id", F.explode(F.expr(win_expr)).alias("s"))
+            .select("id", F.col("s.p").alias("p"),
+                    (F.col("s.w") if verify
+                     else F.md5(F.col("s.w"))).alias("k")))
+
+
 def repeated_substring_spans(df: DataFrame, text_col: str,
                              id_col: str, min_len: int = 20,
-                             verify: bool = True) -> DataFrame:
+                             verify: bool = True,
+                             windows: DataFrame | None = None,
+                             skew_safe: bool = False) -> DataFrame:
     """Exact repeated-substring coverage at CHARACTER granularity —
     the true ExactSubstr guarantee of Lee et al. ("Deduplicating
     Training Data Makes Language Models Better", whose reference
@@ -1711,29 +1730,41 @@ def repeated_substring_spans(df: DataFrame, text_col: str,
 
     Plan: windows built IN the scan projection (transform over
     sequence — no Python), ONE window-function shuffle keyed on the
-    window (occurrence count; hot keys are the boilerplate itself,
-    bounded by dedup pressure — the dedup_substrings argument), one
-    per-document window pass for the gaps-and-islands interval union,
-    one map-side-combinable groupBy for the span rows.  Nothing
+    window for the occurrence count (hot keys are the duplicated
+    content itself, bounded by dedup pressure — the
+    dedup_substrings/dedup_spans argument), one per-document window
+    pass for the gaps-and-islands interval union, one
+    map-side-combinable groupBy for the span rows.  Nothing
     quadratic, nothing driver-side.
+
+    ``skew_safe=True`` swaps the count-over-window for a map-side-
+    combinable groupBy count + key equi-join (AQE skew-join
+    splittable) — for corpora where one boilerplate window could be
+    pathologically hot.  Measured trade at sf1: the join plan
+    evaluates the window build twice and moves the key set a second
+    time, costing ~2.5-3× the window form — so the window form is
+    the default and the join form is the insurance policy.  Callers
+    running spans AND excision over one corpus can materialize
+    ``_char_windows(base, L, verify)`` once (persist or
+    localCheckpoint) and pass it as ``windows``.
     """
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {L}")
     base = df.select(F.col(id_col).alias("id"),
                      F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
-    win_expr = (f"transform(sequence(0, length(__t) - {L}), "
-                f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
-                f"AS w))")
-    wins = (base.where(F.length("__t") >= L)
-            .select("id", F.explode(F.expr(win_expr)).alias("s"))
-            .select("id", F.col("s.p").alias("p"),
-                    (F.col("s.w") if verify
-                     else F.md5(F.col("s.w"))).alias("k")))
-    cnt = Window.partitionBy("k")
-    dup = (wins.withColumn("__n", F.count(F.lit(1)).over(cnt))
-           .where(F.col("__n") >= 2)
-           .select("id", "p"))
+    wins = windows if windows is not None \
+        else _char_windows(base, L, verify)
+    if skew_safe:
+        dupk = (wins.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") >= 2).select("k"))
+        dup = wins.join(dupk, "k").select("id", "p")
+    else:
+        cnt = Window.partitionBy("k")
+        dup = (wins.withColumn("__n", F.count(F.lit(1)).over(cnt))
+               .where(F.col("__n") >= 2)
+               .select("id", "p"))
     ordered = Window.partitionBy("id").orderBy("p")
     spans = (dup.withColumn(
         "__new", F.when(
@@ -1752,7 +1783,9 @@ def repeated_substring_spans(df: DataFrame, text_col: str,
 
 def dedup_substrings_chars(df: DataFrame, text_col: str, id_col: str,
                            min_len: int = 50,
-                           verify: bool = True) -> DataFrame:
+                           verify: bool = True,
+                           windows: DataFrame | None = None,
+                           skew_safe: bool = False) -> DataFrame:
     """Character-level ExactSubstr DELETION (Lee et al.'s actual
     rewrite step, which their suffix-array implementation performs on
     byte offsets) — the excision twin of
@@ -1775,30 +1808,41 @@ def dedup_substrings_chars(df: DataFrame, text_col: str, id_col: str,
     md5 = the constant-width 100 TB shuffle).
 
     Plan: the window build and first-occurrence window rank are the
-    spans operator's (one shuffle on the window key); marked
-    positions collapse per document via the same gaps-and-islands
-    interval union; re-assembly is ONE whole-stage-codegen
-    ``aggregate`` fold over the <= docs-length/L merged intervals —
-    characters never explode (the token-level form posexplodes every
-    token; here a document's text travels as one value end-to-end).
+    spans operator's (one shuffle on the window key; hot keys
+    bounded by dedup pressure — the dedup_substrings precedent);
+    marked positions collapse per document via the same
+    gaps-and-islands interval union; re-assembly is ONE
+    whole-stage-codegen ``aggregate`` fold over the <= len/L merged
+    intervals — characters never explode (the token-level form
+    posexplodes every token; here a document's text travels as one
+    value end-to-end).  ``windows`` / ``skew_safe`` as in
+    :func:`repeated_substring_spans` (the skew-safe form derives the
+    canonical occurrence from a map-side-combinable
+    ``min(struct(id, p))`` groupBy + equi-join instead of the
+    row_number window — same measured ~2.5-3× trade).
     """
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {L}")
     base = df.select(F.col(id_col).alias("id"),
                      F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
-    win_expr = (f"transform(sequence(0, length(__t) - {L}), "
-                f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
-                f"AS w))")
-    wins = (base.where(F.length("__t") >= L)
-            .select("id", F.explode(F.expr(win_expr)).alias("s"))
-            .select("id", F.col("s.p").alias("p"),
-                    (F.col("s.w") if verify
-                     else F.md5(F.col("s.w"))).alias("k")))
-    rk = Window.partitionBy("k").orderBy(F.col("id").asc(),
-                                         F.col("p").asc())
-    marked = (wins.withColumn("__rk", F.row_number().over(rk))
-              .where(F.col("__rk") > 1).select("id", "p"))
+    wins = windows if windows is not None \
+        else _char_windows(base, L, verify)
+    if skew_safe:
+        canon = (wins.groupBy("k")
+                 .agg(F.min(F.struct("id", "p")).alias("__c"),
+                      F.count(F.lit(1)).alias("__n"))
+                 .where(F.col("__n") >= 2)
+                 .select("k", "__c"))
+        marked = (wins.join(canon, "k")
+                  .where((F.col("id") != F.col("__c.id"))
+                         | (F.col("p") != F.col("__c.p")))
+                  .select("id", "p"))
+    else:
+        rk = Window.partitionBy("k").orderBy(F.col("id").asc(),
+                                             F.col("p").asc())
+        marked = (wins.withColumn("__rk", F.row_number().over(rk))
+                  .where(F.col("__rk") > 1).select("id", "p"))
     ordered = Window.partitionBy("id").orderBy("p")
     ivs = (marked.withColumn(
         "__new", F.when(

@@ -339,3 +339,72 @@ def test_skew_safe_plan_matches_default(spark):
         d = sorted(tuple(r) for r in dedup_substrings_chars(
             df, "text", "doc_id", min_len=L, skew_safe=True).collect())
         assert c == d
+
+
+# ------------------------------------------------------------------ #
+# distributed suffix array (prefix doubling)
+
+def ref_suffix_ranks(texts):
+    """Brute force: dense lexicographic rank of every suffix of every
+    doc; equal suffixes share a rank."""
+    sufs = sorted((t[p:], i, p)
+                  for i, t in enumerate(texts) for p in range(len(t)))
+    ranks, r, prev = {}, 0, None
+    for s, i, p in sufs:
+        if s != prev:
+            r += 1
+            prev = s
+        ranks[(i, p)] = r
+    return ranks
+
+
+def _spark_suffix_ranks(spark, texts, n_parts):
+    from xpysom_dask_spark.operators.dedup import suffix_array_ranks
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    return {(r["id"], r["p"]): r["rank"]
+            for r in suffix_array_ranks(df, "text", "doc_id",
+                                        n_parts=n_parts).collect()}
+
+
+@pytest.mark.parametrize("n_parts", [3, 16])
+def test_suffix_array_matches_brute_force(spark, n_parts):
+    """Adversarial corpora (periodic, overlapping, cross-doc shared
+    suffixes — ties must terminate the doubling at the fixed point,
+    not loop) at two partition counts, so the two-pass global-rank
+    boundary adjustment is exercised with keys split mid-class."""
+    for texts, _L in CORPORA:
+        texts = [t for t in texts if t]
+        if not texts:
+            continue
+        assert _spark_suffix_ranks(spark, texts, n_parts) == \
+            ref_suffix_ranks(texts)
+
+
+def test_suffix_array_fuzz(spark):
+    rng = random.Random(5)
+    texts = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 40)))
+             for _ in range(6)]
+    assert _spark_suffix_ranks(spark, texts, 8) == \
+        ref_suffix_ranks(texts)
+
+
+def test_suffix_array_rank_ties_are_identical_suffixes(spark):
+    """The repeated-content contract: rank collisions exactly identify
+    byte-identical suffixes (here the shared '...suffix' tails)."""
+    texts = ["alpha common-tail", "beta common-tail", "gamma unique"]
+    got = _spark_suffix_ranks(spark, texts, 4)
+    exp = ref_suffix_ranks(texts)
+    assert got == exp
+    # the 12 suffixes of the shared tail ' common-tail' tie, PLUS
+    # 'a common-tail' (alph·A common-tail == bet·A common-tail) = 13
+    from collections import Counter
+
+    tied = [rk for rk, n in Counter(got.values()).items() if n > 1]
+    assert len(tied) == len(" common-tail") + 1
+    # every tie class really is one byte-identical suffix string
+    by_rank = {}
+    for (i, p), rk in got.items():
+        by_rank.setdefault(rk, set()).add(texts[i][p:])
+    assert all(len(s) == 1 for s in by_rank.values())

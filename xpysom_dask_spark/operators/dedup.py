@@ -1872,3 +1872,156 @@ def dedup_substrings_chars(df: DataFrame, text_col: str, id_col: str,
                     F.length("__t").cast("bigint").alias("n_chars"),
                     F.coalesce(F.expr(removed), F.lit(0))
                     .cast("bigint").alias("n_removed")))
+
+
+def _global_dense_rank(df: DataFrame, key_cols, n_parts: int = 32
+                       ) -> DataFrame:
+    """Distributed global DENSE rank over ``key_cols`` (1-based; equal
+    keys share a rank) without ever collecting rows or funnelling the
+    relation through a single task: range-partition sort on the keys
+    (materialized ONCE — the range partitioner samples, so the stats
+    and assign passes must see the same physical partitions), local
+    dense ranks per partition (Arrow batches), then a driver-side
+    prefix-offset over ONE (first_key, last_key, n_distinct) row per
+    partition — the classic two-pass ranking that replaces Spark's
+    single-partition ``Window.orderBy`` ranking at scale."""
+    import pandas as pd
+
+    from ..plans.exchange import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    keys = list(key_cols)
+    srt = (df.repartitionByRange(n_parts, *keys)
+           .sortWithinPartitions(*keys)
+           .localCheckpoint(eager=True))
+
+    def stats(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        first = last = None
+        transitions = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kv = list(zip(*(pdf[c] for c in keys)))
+            if first is None:
+                first = kv[0]
+            elif kv[0] != last:
+                transitions += 1
+            for a, b in zip(kv, kv[1:]):
+                if b != a:
+                    transitions += 1
+            last = kv[-1]
+        if first is not None:
+            yield pd.DataFrame(
+                [(pid, repr(first), repr(last), transitions + 1)],
+                columns=["pid", "first_key", "last_key", "n_distinct"])
+
+    meta = srt.mapInPandas(
+        stats, "pid int, first_key string, last_key string, "
+               "n_distinct bigint").collect()
+    meta.sort(key=lambda r: r["pid"])
+    offsets, run = {}, 0
+    prev_last = None
+    for r in meta:
+        adj = 1 if prev_last is not None and \
+            r["first_key"] == prev_last else 0
+        offsets[r["pid"]] = run - adj
+        run += r["n_distinct"] - adj
+        prev_last = r["last_key"]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in srt.schema
+    ) + ", __rank bigint"
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = boff.value.get(pid, 0)
+        local = 0
+        prev = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kv = list(zip(*(pdf[c] for c in keys)))
+            ranks = []
+            for t in kv:
+                if prev is None or t != prev:
+                    local += 1
+                    prev = t
+                ranks.append(off + local)
+            pdf = pdf.copy()
+            pdf["__rank"] = ranks
+            yield pdf
+
+    return srt.mapInPandas(assign, out_schema)
+
+
+def suffix_array_ranks(df: DataFrame, text_col: str, id_col: str,
+                       n_parts: int = 32) -> DataFrame:
+    """Generalized SUFFIX ARRAY over the corpus by distributed prefix
+    doubling (Manber–Myers re-expressed relationally; the structure
+    Lee et al.'s ExactSubstr reference implementation builds
+    natively): one row per suffix — ``(id, p, rank)`` where ``rank``
+    is the 1-based DENSE lexicographic rank of the suffix
+    ``text[p:]`` among ALL suffixes of ALL documents; equal ranks ⇔
+    byte-identical suffixes (the repeated-content signal — a rank
+    collision at any length IS a duplicated suffix, which is how a
+    suffix array finds every repeated substring with no window
+    length to choose).  Sorting by ``rank`` (ties by (id, p)) yields
+    the suffix array itself.
+
+    O(log maxlen) rounds; round k extends each suffix's sort key
+    from 2^k to 2^(k+1) chars by pairing its rank with the rank of
+    the suffix 2^k positions later IN THE SAME DOCUMENT — a per-doc
+    ``lead`` window (distributed by doc), never a join.  The global
+    re-ranking of the (rank, next_rank) pairs each round uses
+    :func:`_global_dense_rank` — range-partition sort + two Arrow
+    passes + a driver prefix-sum over ONE row per partition — so no
+    step funnels the relation through a single task (the scalability
+    ceiling of naive ``Window.orderBy`` ranking).  Stops at the
+    fixed point: when a round refines NO rank class, equal ranks are
+    equal full suffixes (the standard prefix-doubling argument), so
+    cross-document identical suffixes terminate correctly as ties;
+    ``localCheckpoint`` per round truncates the iterative lineage
+    (the graph-operator idiom).
+
+    This is the EXACT-path companion of
+    :func:`repeated_substring_spans`: the window ops answer "what is
+    duplicated at length >= L" in one shuffle; the suffix array costs
+    O(log maxlen) distributed sorts and answers it for ALL lengths
+    at once.  Differential-tested against brute-force sorted
+    suffixes in tests/test_exact_substr.py.
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    sufs = (base.where(F.length("__t") > 0)
+            .select("id", F.posexplode(F.expr(
+                "split(__t, '(?!^)')")).alias("p", "__c"))
+            # Spark's split keeps the trailing empty match — drop the
+            # phantom empty suffix it would otherwise add per doc
+            .where(F.col("__c") != ""))
+    n_total = sufs.count()
+    if n_total == 0:
+        return sufs.select("id", "p",
+                           F.lit(0).cast("bigint").alias("rank"))
+    cur = (_global_dense_rank(sufs, ["__c"], n_parts)
+           .select("id", "p", F.col("__rank").alias("r")))
+    h = 1
+    prev_n = -1
+    while True:
+        n_ranks = cur.agg(F.countDistinct("r")).first()[0]
+        if n_ranks >= n_total or n_ranks == prev_n:
+            break
+        prev_n = n_ranks
+        byp = Window.partitionBy("id").orderBy("p")
+        paired = cur.withColumn("__rn", F.lead("r", h, -1).over(byp))
+        cur = (_global_dense_rank(paired, ["r", "__rn"], n_parts)
+               .select("id", "p", F.col("__rank").alias("r")))
+        h *= 2
+    return cur.select("id", "p", F.col("r").cast("bigint")
+                      .alias("rank"))

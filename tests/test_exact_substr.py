@@ -408,3 +408,130 @@ def test_suffix_array_rank_ties_are_identical_suffixes(spark):
     for (i, p), rk in got.items():
         by_rank.setdefault(rk, set()).add(texts[i][p:])
     assert all(len(s) == 1 for s in by_rank.values())
+
+
+# ------------------------------------------------------------------ #
+# distributed LCP array + longest repeated substring
+
+def ref_lcp_classes(texts):
+    """Brute force: sorted distinct suffix classes with
+    (rank, members {(id,p)}, lcp with next class)."""
+    import os.path
+
+    groups = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t)):
+            groups.setdefault(t[p:], set()).add((i, p))
+    keys = sorted(groups)
+    out = []
+    for r, s in enumerate(keys, start=1):
+        nxt = keys[r] if r < len(keys) else None
+        lcp = (len(os.path.commonprefix([s, nxt]))
+               if nxt is not None else None)
+        out.append((r, groups[s], len(s), len(groups[s]), lcp))
+    return out
+
+
+def ref_lrs_length(texts):
+    """Brute force longest-repeated-substring length (0 if none)."""
+    best = 0
+    for r, members, slen, n, lcp in ref_lcp_classes(texts):
+        if n >= 2:
+            best = max(best, slen)
+        if lcp:
+            best = max(best, lcp)
+    return best
+
+
+def _spark_lcp(spark, texts, n_parts=4):
+    from xpysom_dask_spark.operators.dedup import suffix_lcp_array
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    return sorted(tuple(r) for r in suffix_lcp_array(
+        df, "text", "doc_id", n_parts=n_parts).collect())
+
+
+@pytest.mark.parametrize("n_parts", [3, 16])
+def test_lcp_array_matches_brute_force(spark, n_parts):
+    for texts, _L in CORPORA:
+        texts = [t for t in texts if t]
+        if not texts:
+            continue
+        got = _spark_lcp(spark, texts, n_parts)
+        exp = sorted((r, min(m)[0], min(m)[1], slen, n, lcp)
+                     for r, m, slen, n, lcp in ref_lcp_classes(texts))
+        assert got == exp, texts
+
+
+def test_lcp_array_fuzz(spark):
+    rng = random.Random(11)
+    texts = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 30)))
+             for _ in range(5)]
+    got = _spark_lcp(spark, texts, 8)
+    exp = sorted((r, min(m)[0], min(m)[1], slen, n, lcp)
+                 for r, m, slen, n, lcp in ref_lcp_classes(texts))
+    assert got == exp, texts
+
+
+def test_lcp_array_empty_corpus(spark):
+    from xpysom_dask_spark.operators.dedup import suffix_lcp_array
+
+    df = spark.createDataFrame([(1, ""), (2, None)],
+                               "doc_id bigint, text string")
+    out = suffix_lcp_array(df, "text", "doc_id")
+    assert out.columns == ["rank", "id", "p", "suffix_len",
+                           "n_members", "lcp_next"]
+    assert out.count() == 0
+
+
+def test_longest_repeated_substring(spark):
+    from xpysom_dask_spark.operators.dedup import \
+        longest_repeated_substring
+
+    for texts, _L in CORPORA:
+        texts = [t for t in texts if t]
+        if not texts:
+            continue
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id bigint, text string")
+        rows = longest_repeated_substring(df, "text", "doc_id").collect()
+        exp_len = ref_lrs_length(texts)
+        if exp_len == 0:
+            assert rows == []
+            continue
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["length"] == exp_len, texts
+        # the located substring really is at (id, p) and repeats
+        sub = r["substring"]
+        assert len(sub) == exp_len
+        assert texts[r["id"]][r["p"]:r["p"] + exp_len] == sub
+        # overlapping occurrences count (str.count is non-overlapping
+        # and would miss e.g. 'aaaaaaaaa' twice inside 'aaaaaaaaaa')
+        occurrences = sum(
+            sum(1 for j in range(len(t) - exp_len + 1)
+                if t[j:j + exp_len] == sub) for t in texts)
+        assert occurrences >= 2
+
+
+def test_longest_repeated_substring_no_repeats(spark):
+    from xpysom_dask_spark.operators.dedup import \
+        longest_repeated_substring
+
+    df = spark.createDataFrame([(0, "abcdefg")],
+                               "doc_id bigint, text string")
+    assert longest_repeated_substring(df, "text", "doc_id").collect() \
+        == []
+
+
+def test_longest_repeated_substring_cross_doc(spark):
+    from xpysom_dask_spark.operators.dedup import \
+        longest_repeated_substring
+
+    texts = ["intro THE COMMON RUN outro", "pre THE COMMON RUN post"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    r = longest_repeated_substring(df, "text", "doc_id").collect()[0]
+    assert r["substring"] == " THE COMMON RUN "
+    assert r["length"] == len(" THE COMMON RUN ")

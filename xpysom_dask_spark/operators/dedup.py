@@ -1997,20 +1997,46 @@ def suffix_array_ranks(df: DataFrame, text_col: str, id_col: str,
     at once.  Differential-tested against brute-force sorted
     suffixes in tests/test_exact_substr.py.
     """
+    sufs = _suffix_char_rows(df, text_col, id_col)
+    n_total = sufs.count()
+    if n_total == 0:
+        return sufs.select("id", "p",
+                           F.lit(0).cast("bigint").alias("rank"))
+    cur, _snaps = _suffix_prefix_doubling(sufs, n_total, n_parts)
+    return cur.select("id", "p", F.col("r").cast("bigint")
+                      .alias("rank"))
+
+
+def _suffix_char_rows(df: DataFrame, text_col: str,
+                      id_col: str) -> DataFrame:
+    """One ``(id, p, __c)`` row per suffix: its start position and
+    FIRST character (the h=1 sort key of prefix doubling)."""
     base = df.select(F.col(id_col).alias("id"),
                      F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
-    sufs = (base.where(F.length("__t") > 0)
+    return (base.where(F.length("__t") > 0)
             .select("id", F.posexplode(F.expr(
                 "split(__t, '(?!^)')")).alias("p", "__c"))
             # Spark's split keeps the trailing empty match — drop the
             # phantom empty suffix it would otherwise add per doc
             .where(F.col("__c") != ""))
-    n_total = sufs.count()
-    if n_total == 0:
-        return sufs.select("id", "p",
-                           F.lit(0).cast("bigint").alias("rank"))
+
+
+def _suffix_prefix_doubling(sufs: DataFrame, n_total: int,
+                            n_parts: int):
+    """The prefix-doubling loop of :func:`suffix_array_ranks`,
+    returning BOTH the fixed-point ranks ``(id, p, r)`` and the
+    per-round snapshots ``[(h, rank_h_df), ...]`` where ``rank_h``
+    is the dense rank of every suffix by its first ``h`` characters
+    (``rank_h`` equality ⇔ the length-``h`` prefixes, truncated at
+    doc end, are byte-identical).  The snapshots are the classic
+    sparse structure for O(log n) LCP queries — see
+    :func:`suffix_lcp_array`.  Each round's ranks are
+    ``localCheckpoint``-ed so snapshot reuse re-reads blocks instead
+    of replaying the doubling lineage."""
     cur = (_global_dense_rank(sufs, ["__c"], n_parts)
-           .select("id", "p", F.col("__rank").alias("r")))
+           .select("id", "p", F.col("__rank").alias("r"))
+           .localCheckpoint(eager=True))
+    snaps = [(1, cur)]
     h = 1
     prev_n = -1
     while True:
@@ -2021,7 +2047,143 @@ def suffix_array_ranks(df: DataFrame, text_col: str, id_col: str,
         byp = Window.partitionBy("id").orderBy("p")
         paired = cur.withColumn("__rn", F.lead("r", h, -1).over(byp))
         cur = (_global_dense_rank(paired, ["r", "__rn"], n_parts)
-               .select("id", "p", F.col("__rank").alias("r")))
+               .select("id", "p", F.col("__rank").alias("r"))
+               .localCheckpoint(eager=True))
         h *= 2
-    return cur.select("id", "p", F.col("r").cast("bigint")
-                      .alias("rank"))
+        snaps.append((h, cur))
+    return cur, snaps
+
+
+def _lcp_adjacent_pairs(pairs: DataFrame, snaps) -> DataFrame:
+    """LCP for pairs of NON-identical suffixes ``(a_id, a_p, a_slen,
+    b_id, b_p, b_slen, ...)`` by greedy descent over the rank_h
+    snapshots, largest h first: if ``rank_h`` matches at the current
+    offset the next h characters are equal — advance by h; each power
+    is needed at most once because a pair from two DISTINCT final
+    rank classes has LCP < h_max (binary decomposition).  When ranks
+    match but fewer than h characters remain, the truncated prefixes
+    are byte-identical whole remainders — advance by the remainder
+    (subsequent offsets fall past doc end and the left joins miss, so
+    the value freezes).  Two equi-joins of the pair relation against
+    the N-row snapshot per round, O(log maxlen) rounds — the texts
+    themselves are never shipped, which is what makes this the
+    100 TB shape (an LCP UDF over suffix strings would move
+    O(corpus × suffix length) bytes)."""
+    cur = pairs.withColumn("lcp", F.lit(0).cast("bigint"))
+    for h, snap in sorted(snaps, key=lambda t: -t[0]):
+        ra = snap.select(F.col("id").alias("__aid"),
+                         F.col("p").alias("__app"),
+                         F.col("r").alias("__ra"))
+        rb = snap.select(F.col("id").alias("__bid"),
+                         F.col("p").alias("__bpp"),
+                         F.col("r").alias("__rb"))
+        cur = (cur
+               .join(ra, (F.col("a_id") == F.col("__aid"))
+                     & (F.col("a_p") + F.col("lcp") == F.col("__app")),
+                     "left")
+               .join(rb, (F.col("b_id") == F.col("__bid"))
+                     & (F.col("b_p") + F.col("lcp") == F.col("__bpp")),
+                     "left"))
+        eq = (F.col("__ra").isNotNull() & F.col("__rb").isNotNull()
+              & (F.col("__ra") == F.col("__rb")))
+        rem = F.least(F.col("a_slen") - F.col("lcp"),
+                      F.col("b_slen") - F.col("lcp"))
+        cur = (cur.withColumn(
+                   "lcp",
+                   F.when(eq & (rem >= h), F.col("lcp") + h)
+                    .when(eq, F.col("lcp") + rem)
+                    .otherwise(F.col("lcp")))
+               .drop("__aid", "__app", "__ra", "__bid", "__bpp", "__rb")
+               .localCheckpoint(eager=True))
+    return cur
+
+
+def suffix_lcp_array(df: DataFrame, text_col: str, id_col: str,
+                     n_parts: int = 32) -> DataFrame:
+    """Distributed LCP array over the generalized suffix array: one
+    row per RANK CLASS (byte-identical suffixes collapse — their
+    pairwise LCP is trivially the full suffix) with the class's
+    lexicographically-least representative, its size, and the
+    longest common prefix with the NEXT class in suffix-array order
+    — ``(rank, id, p, suffix_len, n_members, lcp_next)``,
+    ``lcp_next`` null for the last class.  Because max-LCP over all
+    suffix pairs is attained at an adjacent pair in sorted order,
+    this relation answers every repeated-substring-length question
+    exactly: a substring of length L repeats iff some class has
+    ``lcp_next >= L`` or ``n_members >= 2`` with ``suffix_len >= L``.
+
+    Built from the prefix-doubling snapshots (no extra sort): class
+    representatives by one groupBy over the fixed-point ranks, then
+    :func:`_lcp_adjacent_pairs` over the (class r, class r+1)
+    equi-join.  Cost: the suffix array itself + O(log maxlen)
+    pair-vs-snapshot joins.  Exact-path companion of the windowed
+    ops (see :func:`suffix_array_ranks`)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    lens = base.select("id",
+                       F.length("__t").cast("bigint").alias("__dlen"))
+    sufs = _suffix_char_rows(df, text_col, id_col)
+    n_total = sufs.count()
+    empty_schema = ("rank bigint, id bigint, p int, suffix_len bigint,"
+                    " n_members bigint, lcp_next bigint")
+    if n_total == 0:
+        return df.sparkSession.createDataFrame([], empty_schema)
+    final, snaps = _suffix_prefix_doubling(sufs, n_total, n_parts)
+    reps = (final.groupBy("r")
+            .agg(F.min(F.struct("id", "p")).alias("s"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select(F.col("r"), F.col("s.id").alias("id"),
+                    F.col("s.p").alias("p"), "n_members")
+            .join(lens, "id")
+            .withColumn("slen", F.col("__dlen") - F.col("p"))
+            .drop("__dlen")
+            .localCheckpoint(eager=True))
+    nxt = reps.select((F.col("r") - 1).alias("__rprev"),
+                      F.col("id").alias("b_id"),
+                      F.col("p").alias("b_p"),
+                      F.col("slen").alias("b_slen"))
+    pairs = (reps.select("r", "n_members",
+                         F.col("id").alias("a_id"),
+                         F.col("p").alias("a_p"),
+                         F.col("slen").alias("a_slen"))
+             .join(nxt, F.col("r") == F.col("__rprev"), "inner")
+             .drop("__rprev"))
+    lcps = _lcp_adjacent_pairs(pairs, snaps).select(
+        "r", F.col("lcp").alias("lcp_next"))
+    return (reps.join(lcps, "r", "left")
+            .select(F.col("r").cast("bigint").alias("rank"),
+                    "id", "p",
+                    F.col("slen").cast("bigint").alias("suffix_len"),
+                    F.col("n_members").cast("bigint"),
+                    F.col("lcp_next").cast("bigint")))
+
+
+def longest_repeated_substring(df: DataFrame, text_col: str,
+                               id_col: str, n_parts: int = 32
+                               ) -> DataFrame:
+    """The longest substring occurring ≥2 times anywhere in the
+    corpus (within one document or across documents), exactly — the
+    all-lengths question no windowed pass can answer without knowing
+    L up front.  Max over the LCP array of ``lcp_next`` (a repeat
+    shared by two distinct suffix classes) and ``suffix_len`` of any
+    class with ≥2 members (a duplicated whole suffix); ties broken
+    by least (id, p) over the candidate class representatives.
+    Returns one row ``(id, p, length, substring)`` locating one
+    occurrence, or zero rows when no substring repeats.
+    TakeOrdered(1) — no global sort."""
+    arr = suffix_lcp_array(df, text_col, id_col, n_parts)
+    cand = (arr.select(
+                "id", "p",
+                F.greatest(
+                    F.when(F.col("n_members") >= 2,
+                           F.col("suffix_len")).otherwise(F.lit(0)),
+                    F.coalesce(F.col("lcp_next"), F.lit(0)))
+                .alias("length"))
+            .where(F.col("length") >= 1))
+    best = cand.orderBy(F.col("length").desc(), "id", "p").limit(1)
+    base = df.select(F.col(id_col).alias("id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    return (best.join(base, "id")
+            .select("id", "p", "length",
+                    F.expr("substring(__t, p + 1, length)")
+                    .alias("substring")))

@@ -1885,6 +1885,15 @@ def _global_dense_rank(df: DataFrame, key_cols, n_parts: int = 32
     prefix-offset over ONE (first_key, last_key, n_distinct) row per
     partition — the classic two-pass ranking that replaces Spark's
     single-partition ``Window.orderBy`` ranking at scale."""
+    return _global_dense_rank_counted(df, key_cols, n_parts)[0]
+
+
+def _global_dense_rank_counted(df: DataFrame, key_cols,
+                               n_parts: int = 32):
+    """:func:`_global_dense_rank` plus the TOTAL number of distinct
+    key classes — free from the driver prefix-sum, so callers that
+    need the cardinality (the prefix-doubling fixed-point test) skip
+    a whole countDistinct pass per round."""
     import pandas as pd
 
     from ..plans.exchange import ship_package
@@ -1933,6 +1942,8 @@ def _global_dense_rank(df: DataFrame, key_cols, n_parts: int = 32
         prev_last = r["last_key"]
     boff = spark.sparkContext.broadcast(offsets)
 
+    n_classes = run
+
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in srt.schema
     ) + ", __rank bigint"
@@ -1958,7 +1969,7 @@ def _global_dense_rank(df: DataFrame, key_cols, n_parts: int = 32
             pdf["__rank"] = ranks
             yield pdf
 
-    return srt.mapInPandas(assign, out_schema)
+    return srt.mapInPandas(assign, out_schema), n_classes
 
 
 def suffix_array_ranks(df: DataFrame, text_col: str, id_col: str,
@@ -2032,22 +2043,30 @@ def _suffix_prefix_doubling(sufs: DataFrame, n_total: int,
     sparse structure for O(log n) LCP queries — see
     :func:`suffix_lcp_array`.  Each round's ranks are
     ``localCheckpoint``-ed so snapshot reuse re-reads blocks instead
-    of replaying the doubling lineage."""
-    cur = (_global_dense_rank(sufs, ["__c"], n_parts)
-           .select("id", "p", F.col("__rank").alias("r"))
+    of replaying the doubling lineage.  The fixed-point test reads
+    the class count straight off each round's driver prefix-sum
+    (:func:`_global_dense_rank_counted`) — no countDistinct job."""
+    ranked, n_ranks = _global_dense_rank_counted(sufs, ["__c"], n_parts)
+    cur = (ranked.select("id", "p", F.col("__rank").alias("r"))
            .localCheckpoint(eager=True))
     snaps = [(1, cur)]
     h = 1
     prev_n = -1
-    while True:
-        n_ranks = cur.agg(F.countDistinct("r")).first()[0]
-        if n_ranks >= n_total or n_ranks == prev_n:
-            break
+    while n_ranks < n_total and n_ranks != prev_n:
         prev_n = n_ranks
-        byp = Window.partitionBy("id").orderBy("p")
-        paired = cur.withColumn("__rn", F.lead("r", h, -1).over(byp))
-        cur = (_global_dense_rank(paired, ["r", "__rn"], n_parts)
-               .select("id", "p", F.col("__rank").alias("r"))
+        # pair each suffix's rank with the rank h positions later in
+        # the same doc — a hash-partitioned (id, p) self-join, NOT a
+        # partitionBy(id) window: a window puts every suffix of a
+        # document in ONE task, so a single giant document becomes
+        # the round's straggler; the join spreads by (id, p)
+        nxt = cur.select("id", (F.col("p") - h).alias("p"),
+                         F.col("r").alias("__rn"))
+        paired = (cur.join(nxt, ["id", "p"], "left")
+                  .withColumn("__rn", F.coalesce(F.col("__rn"),
+                                                 F.lit(-1))))
+        ranked, n_ranks = _global_dense_rank_counted(
+            paired, ["r", "__rn"], n_parts)
+        cur = (ranked.select("id", "p", F.col("__rank").alias("r"))
                .localCheckpoint(eager=True))
         h *= 2
         snaps.append((h, cur))

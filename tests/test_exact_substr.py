@@ -535,3 +535,93 @@ def test_longest_repeated_substring_cross_doc(spark):
     r = longest_repeated_substring(df, "text", "doc_id").collect()[0]
     assert r["substring"] == " THE COMMON RUN "
     assert r["length"] == len(" THE COMMON RUN ")
+
+
+# ------------------------------------------------------------------ #
+# suffix_maxrep + suffix-array-derived spans (two-path parity)
+
+def ref_maxrep_starting(texts):
+    """Brute force: maxrep[(i, p)] = length of the longest substring
+    starting at p of doc i occurring >= 2 times in the corpus
+    (overlapping occurrences count)."""
+    def occurs_twice(sub):
+        c = 0
+        for t in texts:
+            for j in range(len(t) - len(sub) + 1):
+                if t[j:j + len(sub)] == sub:
+                    c += 1
+                    if c >= 2:
+                        return True
+        return False
+
+    out = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t)):
+            m = 0
+            while p + m < len(t) and occurs_twice(t[p:p + m + 1]):
+                m += 1
+            out[(i, p)] = m
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [3, 16])
+def test_suffix_maxrep_matches_brute_force(spark, n_parts):
+    from xpysom_dask_spark.operators.dedup import suffix_maxrep
+
+    for texts, _L in CORPORA[:5]:
+        texts = [t for t in texts if t]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id bigint, text string")
+        got = {(r["id"], r["p"]): r["maxrep"]
+               for r in suffix_maxrep(df, "text", "doc_id",
+                                      n_parts=n_parts).collect()}
+        assert got == ref_maxrep_starting(texts), texts
+
+
+def test_spans_sa_matches_windowed_path(spark):
+    """THE cross-validation: the suffix-array coverage and the
+    duplicated-L-window coverage are two independent implementations
+    of the same ExactSubstr guarantee — byte-equal spans for every
+    corpus and every L."""
+    from xpysom_dask_spark.operators.dedup import \
+        repeated_substring_spans_sa
+
+    for texts, L in CORPORA:
+        texts = [t for t in texts if t]
+        if not texts:
+            continue
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id bigint, text string")
+        for LL in {L, 3}:
+            sa = sorted(tuple(r) for r in repeated_substring_spans_sa(
+                df, "text", "doc_id", min_len=LL).collect())
+            win = sorted((r["id"], r["start"], r["length"])
+                         for r in repeated_substring_spans(
+                             df, "text", "doc_id", min_len=LL).collect())
+            assert sa == win, (texts, LL)
+
+
+def test_spans_sa_fuzz(spark):
+    from xpysom_dask_spark.operators.dedup import \
+        repeated_substring_spans_sa
+
+    rng = random.Random(29)
+    texts = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 50)))
+             for _ in range(6)]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    for LL in (2, 4, 7):
+        sa = sorted(tuple(r) for r in repeated_substring_spans_sa(
+            df, "text", "doc_id", min_len=LL).collect())
+        win = sorted((r["id"], r["start"], r["length"])
+                     for r in repeated_substring_spans(
+                         df, "text", "doc_id", min_len=LL).collect())
+        assert sa == win, (texts, LL)
+
+
+def test_spans_sa_min_len_validation(spark):
+    from xpysom_dask_spark.operators.dedup import \
+        repeated_substring_spans_sa
+
+    with pytest.raises(ValueError, match="min_len"):
+        repeated_substring_spans_sa(None, "text", "doc_id", min_len=0)

@@ -2137,6 +2137,15 @@ def suffix_lcp_array(df: DataFrame, text_col: str, id_col: str,
     equi-join.  Cost: the suffix array itself + O(log maxlen)
     pair-vs-snapshot joins.  Exact-path companion of the windowed
     ops (see :func:`suffix_array_ranks`)."""
+    return _suffix_lcp_internal(df, text_col, id_col, n_parts)[1]
+
+
+def _suffix_lcp_internal(df: DataFrame, text_col: str, id_col: str,
+                         n_parts: int):
+    """Shared core of :func:`suffix_lcp_array` / :func:`suffix_maxrep`:
+    returns ``(final_ranks_or_None, lcp_array_df)`` so per-suffix
+    consumers can join class statistics back to every member without
+    re-running the doubling."""
     base = df.select(F.col(id_col).alias("id"),
                      F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
     lens = base.select("id",
@@ -2146,7 +2155,7 @@ def suffix_lcp_array(df: DataFrame, text_col: str, id_col: str,
     empty_schema = ("rank bigint, id bigint, p int, suffix_len bigint,"
                     " n_members bigint, lcp_next bigint")
     if n_total == 0:
-        return df.sparkSession.createDataFrame([], empty_schema)
+        return None, df.sparkSession.createDataFrame([], empty_schema)
     final, snaps = _suffix_prefix_doubling(sufs, n_total, n_parts)
     reps = (final.groupBy("r")
             .agg(F.min(F.struct("id", "p")).alias("s"),
@@ -2169,12 +2178,86 @@ def suffix_lcp_array(df: DataFrame, text_col: str, id_col: str,
              .drop("__rprev"))
     lcps = _lcp_adjacent_pairs(pairs, snaps).select(
         "r", F.col("lcp").alias("lcp_next"))
-    return (reps.join(lcps, "r", "left")
-            .select(F.col("r").cast("bigint").alias("rank"),
-                    "id", "p",
-                    F.col("slen").cast("bigint").alias("suffix_len"),
-                    F.col("n_members").cast("bigint"),
-                    F.col("lcp_next").cast("bigint")))
+    arr = (reps.join(lcps, "r", "left")
+           .select(F.col("r").cast("bigint").alias("rank"),
+                   "id", "p",
+                   F.col("slen").cast("bigint").alias("suffix_len"),
+                   F.col("n_members").cast("bigint"),
+                   F.col("lcp_next").cast("bigint")))
+    return final, arr
+
+
+def suffix_maxrep(df: DataFrame, text_col: str, id_col: str,
+                  n_parts: int = 32) -> DataFrame:
+    """Per-suffix longest-repeated-prefix: one row ``(id, p, maxrep)``
+    per suffix, ``maxrep`` = length of the longest substring STARTING
+    at position p that occurs ≥2 times in the corpus (overlapping
+    occurrences count; 0 when even the single character is unique).
+    Standard LCP-array identity: any repeat starting at p is a common
+    prefix of p's suffix and some other suffix, and max common prefix
+    over all other suffixes is attained at a sorted-order neighbour —
+    so per CLASS it is max(lcp with previous class, lcp with next
+    class, full suffix_len when the class has ≥2 members), and every
+    member of a class (byte-identical suffixes) shares the value.
+    One R-row self-shift of the LCP array + one broadcast-able join
+    back to the N-row rank relation — no new shuffle over the
+    corpus."""
+    final, arr = _suffix_lcp_internal(df, text_col, id_col, n_parts)
+    if final is None:
+        return df.sparkSession.createDataFrame(
+            [], "id bigint, p int, maxrep bigint")
+    prev = arr.select((F.col("rank") + 1).alias("rank"),
+                      F.col("lcp_next").alias("__lcp_prev"))
+    cls = (arr.join(prev, "rank", "left")
+           .select(F.col("rank").alias("__r"),
+                   F.greatest(
+                       F.when(F.col("n_members") >= 2,
+                              F.col("suffix_len")).otherwise(F.lit(0)),
+                       F.coalesce(F.col("lcp_next"), F.lit(0)),
+                       F.coalesce(F.col("__lcp_prev"), F.lit(0)))
+                   .cast("bigint").alias("maxrep")))
+    return (final.join(cls, final["r"] == cls["__r"])
+            .select("id", "p", "maxrep"))
+
+
+def repeated_substring_spans_sa(df: DataFrame, text_col: str,
+                                id_col: str, min_len: int = 20,
+                                n_parts: int = 32) -> DataFrame:
+    """:func:`repeated_substring_spans` coverage derived from the
+    SUFFIX ARRAY instead of duplicated L-windows: identical maximal
+    spans ``(id, start, length)`` for any ``min_len`` (cross-path
+    parity asserted in tests/test_exact_substr.py), but the doubling
+    cost is paid ONCE — each additional L is a filter over
+    :func:`suffix_maxrep` plus a per-document interval union, with no
+    new pass over the text.  Position p is covered iff some position
+    q ≤ p has ``maxrep(q) ≥ max(min_len, p - q + 1)``; since every
+    repeat starting at q is a prefix of the longest one, the union of
+    ``[q, q + maxrep(q) - 1]`` over ``maxrep(q) ≥ min_len`` IS the
+    any-length-≥L coverage.  Variable-width gaps-and-islands: a new
+    island starts where ``start`` exceeds the running max ``end`` of
+    all earlier intervals in the document plus one."""
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {L}")
+    mr = (suffix_maxrep(df, text_col, id_col, n_parts)
+          .where(F.col("maxrep") >= L))
+    iv = mr.select("id", F.col("p").cast("bigint").alias("start"),
+                   (F.col("p") + F.col("maxrep") - 1)
+                   .cast("bigint").alias("end"))
+    ordered = Window.partitionBy("id").orderBy("start")
+    run_end = F.max("end").over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1))
+    iv = (iv.withColumn(
+              "__new", F.when(F.col("start")
+                              > F.coalesce(run_end, F.lit(-2)) + 1,
+                              1).otherwise(0))
+          .withColumn("__span", F.sum("__new").over(
+              ordered.rowsBetween(Window.unboundedPreceding, 0))))
+    return (iv.groupBy("id", "__span")
+            .agg(F.min("start").alias("start"),
+                 (F.max("end") - F.min("start") + 1).alias("length"))
+            .select("id", F.col("start").cast("bigint").alias("start"),
+                    F.col("length").cast("bigint").alias("length")))
 
 
 def longest_repeated_substring(df: DataFrame, text_col: str,

@@ -79,3 +79,49 @@ sys.exit(0 if ok else 1)
     assert proc.returncode == 0, (proc.stdout[-1500:],
                                   proc.stderr[-1500:])
     assert "cluster_parity: OK" in proc.stdout
+
+
+def test_suffix_family_cluster_parity():
+    """The suffix-array family iterates mapInPandas rounds whose
+    closures carry broadcast offset dicts — verify the whole chain
+    (ranks -> maxrep -> spans parity vs the windowed path) against
+    brute force on a REAL two-executor cluster."""
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+from xpysom_dask_spark.operators.dedup import (
+    suffix_array_ranks, suffix_maxrep,
+    repeated_substring_spans, repeated_substring_spans_sa)
+
+spark = (SparkSession.builder.master("local-cluster[2,2,1024]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+texts = ["abcabcabcXabcabc", "abcabc", "aaaaaaaa"]
+df = spark.createDataFrame(list(enumerate(texts)),
+                           "doc_id bigint, text string")
+sufs = sorted((t[p:], i, p) for i, t in enumerate(texts)
+              for p in range(len(t)))
+exp, r, prev = {}, 0, None
+for s, i, p in sufs:
+    if s != prev:
+        r += 1
+        prev = s
+    exp[(i, p)] = r
+got = {(x["id"], x["p"]): x["rank"]
+       for x in suffix_array_ranks(df, "text", "doc_id", 5).collect()}
+assert got == exp, "ranks"
+sa = sorted(tuple(x) for x in repeated_substring_spans_sa(
+    df, "text", "doc_id", min_len=3).collect())
+win = sorted((x["id"], x["start"], x["length"])
+             for x in repeated_substring_spans(
+                 df, "text", "doc_id", min_len=3).collect())
+assert sa == win, (sa, win)
+print("SUFFIX_CLUSTER_OK")
+spark.stop()
+""" % (REPO,)
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, (proc.stdout[-1500:],
+                                  proc.stderr[-1500:])
+    assert "SUFFIX_CLUSTER_OK" in proc.stdout

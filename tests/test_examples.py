@@ -20,7 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     "curation_round5.py", "text_to_ann.py", "drift_monitoring.py",
     "corpus_audit_round6.py", "corpus_audit_round8.py",
     "corpus_audit_round9.py", "quality_classifier.py",
-    "crawl_ingest.py", "layout_audit_round11.py"])
+    "crawl_ingest.py", "layout_audit_round11.py",
+    "exact_substring_round12.py"])
 def test_example_runs(script):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), SF_TINY],

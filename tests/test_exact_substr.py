@@ -625,3 +625,28 @@ def test_spans_sa_min_len_validation(spark):
 
     with pytest.raises(ValueError, match="min_len"):
         repeated_substring_spans_sa(None, "text", "doc_id", min_len=0)
+
+
+def test_spill_dir_path_matches_default(spark, tmp_path):
+    """The parquet-spill snapshot path (the multi-10M-suffix /
+    fault-tolerant variant) must produce byte-identical LCP arrays
+    and spans to the localCheckpoint default."""
+    from xpysom_dask_spark.operators.dedup import (
+        repeated_substring_spans_sa, suffix_lcp_array)
+
+    texts = ["abcabcabcXabcabc", "abcabc", "aaaaaaaa", "xy SHARED zz",
+             "qq SHARED ww"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    base = sorted(tuple(r) for r in suffix_lcp_array(
+        df, "text", "doc_id", n_parts=4).collect())
+    spill = sorted(tuple(r) for r in suffix_lcp_array(
+        df, "text", "doc_id", n_parts=4,
+        spill_dir=str(tmp_path / "lcp")).collect())
+    assert base == spill
+    s1 = sorted(tuple(r) for r in repeated_substring_spans_sa(
+        df, "text", "doc_id", min_len=3).collect())
+    s2 = sorted(tuple(r) for r in repeated_substring_spans_sa(
+        df, "text", "doc_id", min_len=3,
+        spill_dir=str(tmp_path / "sp")).collect())
+    assert s1 == s2

@@ -2013,7 +2013,10 @@ def suffix_array_ranks(df: DataFrame, text_col: str, id_col: str,
     if n_total == 0:
         return sufs.select("id", "p",
                            F.lit(0).cast("bigint").alias("rank"))
-    cur, _snaps = _suffix_prefix_doubling(sufs, n_total, n_parts)
+    # ranks-only: no snapshot retention — each round's blocks are
+    # released as soon as the next round supersedes them
+    cur, _snaps = _suffix_prefix_doubling(sufs, n_total, n_parts,
+                                          keep_snaps=False)
     return cur.select("id", "p", F.col("r").cast("bigint")
                       .alias("rank"))
 
@@ -2033,7 +2036,8 @@ def _suffix_char_rows(df: DataFrame, text_col: str,
 
 
 def _suffix_prefix_doubling(sufs: DataFrame, n_total: int,
-                            n_parts: int):
+                            n_parts: int, keep_snaps: bool = True,
+                            spill_dir: str | None = None):
     """The prefix-doubling loop of :func:`suffix_array_ranks`,
     returning BOTH the fixed-point ranks ``(id, p, r)`` and the
     per-round snapshots ``[(h, rank_h_df), ...]`` where ``rank_h``
@@ -2041,14 +2045,34 @@ def _suffix_prefix_doubling(sufs: DataFrame, n_total: int,
     (``rank_h`` equality ⇔ the length-``h`` prefixes, truncated at
     doc end, are byte-identical).  The snapshots are the classic
     sparse structure for O(log n) LCP queries — see
-    :func:`suffix_lcp_array`.  Each round's ranks are
-    ``localCheckpoint``-ed so snapshot reuse re-reads blocks instead
-    of replaying the doubling lineage.  The fixed-point test reads
-    the class count straight off each round's driver prefix-sum
-    (:func:`_global_dense_rank_counted`) — no countDistinct job."""
+    :func:`suffix_lcp_array`.  The fixed-point test reads the class
+    count straight off each round's driver prefix-sum
+    (:func:`_global_dense_rank_counted`) — no countDistinct job.
+
+    Snapshot pinning: ``localCheckpoint`` (heap/disk blocks) by
+    default; with ``spill_dir`` set, each round writes
+    ``{spill_dir}/rank_h{h}`` as parquet and reads it back — all
+    O(log maxlen) generations live on DISK instead of the block
+    store, which is the difference between fitting and OOMing on a
+    multi-10M-suffix corpus (measured: the 16 GB heap that OOM'd
+    retaining 13×20M-row snapshots runs the same corpus with room to
+    spare spilled).  On a real cluster ``spill_dir`` is also the
+    fault-tolerance story — localCheckpoint blocks die with their
+    executor; parquet doesn't.  Caller owns the directory.  With
+    ``keep_snaps=False`` (the ranks-only path) no generation is
+    retained at all — superseded rounds are released as the Python
+    references drop."""
+    spark = sufs.sparkSession
+
+    def _pin(ranked_df, h):
+        if spill_dir is not None:
+            path = f"{spill_dir}/rank_h{h}"
+            ranked_df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return ranked_df.localCheckpoint(eager=True)
+
     ranked, n_ranks = _global_dense_rank_counted(sufs, ["__c"], n_parts)
-    cur = (ranked.select("id", "p", F.col("__rank").alias("r"))
-           .localCheckpoint(eager=True))
+    cur = _pin(ranked.select("id", "p", F.col("__rank").alias("r")), 1)
     snaps = [(1, cur)]
     h = 1
     prev_n = -1
@@ -2066,14 +2090,18 @@ def _suffix_prefix_doubling(sufs: DataFrame, n_total: int,
                                                  F.lit(-1))))
         ranked, n_ranks = _global_dense_rank_counted(
             paired, ["r", "__rn"], n_parts)
-        cur = (ranked.select("id", "p", F.col("__rank").alias("r"))
-               .localCheckpoint(eager=True))
         h *= 2
-        snaps.append((h, cur))
+        cur = _pin(ranked.select("id", "p", F.col("__rank").alias("r")),
+                   h)
+        if keep_snaps:
+            snaps.append((h, cur))
+        else:
+            snaps = [(h, cur)]
     return cur, snaps
 
 
-def _lcp_adjacent_pairs(pairs: DataFrame, snaps) -> DataFrame:
+def _lcp_adjacent_pairs(pairs: DataFrame, snaps,
+                        spill_dir: str | None = None) -> DataFrame:
     """LCP for pairs of NON-identical suffixes ``(a_id, a_p, a_slen,
     b_id, b_p, b_slen, ...)`` by greedy descent over the rank_h
     snapshots, largest h first: if ``rank_h`` matches at the current
@@ -2088,6 +2116,15 @@ def _lcp_adjacent_pairs(pairs: DataFrame, snaps) -> DataFrame:
     themselves are never shipped, which is what makes this the
     100 TB shape (an LCP UDF over suffix strings would move
     O(corpus × suffix length) bytes)."""
+    spark = pairs.sparkSession
+
+    def _pin(df, h):
+        if spill_dir is not None:
+            path = f"{spill_dir}/lcp_pairs_h{h}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
     cur = pairs.withColumn("lcp", F.lit(0).cast("bigint"))
     for h, snap in sorted(snaps, key=lambda t: -t[0]):
         ra = snap.select(F.col("id").alias("__aid"),
@@ -2112,13 +2149,14 @@ def _lcp_adjacent_pairs(pairs: DataFrame, snaps) -> DataFrame:
                    F.when(eq & (rem >= h), F.col("lcp") + h)
                     .when(eq, F.col("lcp") + rem)
                     .otherwise(F.col("lcp")))
-               .drop("__aid", "__app", "__ra", "__bid", "__bpp", "__rb")
-               .localCheckpoint(eager=True))
+               .drop("__aid", "__app", "__ra", "__bid", "__bpp", "__rb"))
+        cur = _pin(cur, h)
     return cur
 
 
 def suffix_lcp_array(df: DataFrame, text_col: str, id_col: str,
-                     n_parts: int = 32) -> DataFrame:
+                     n_parts: int = 32,
+                     spill_dir: str | None = None) -> DataFrame:
     """Distributed LCP array over the generalized suffix array: one
     row per RANK CLASS (byte-identical suffixes collapse — their
     pairwise LCP is trivially the full suffix) with the class's
@@ -2137,11 +2175,12 @@ def suffix_lcp_array(df: DataFrame, text_col: str, id_col: str,
     equi-join.  Cost: the suffix array itself + O(log maxlen)
     pair-vs-snapshot joins.  Exact-path companion of the windowed
     ops (see :func:`suffix_array_ranks`)."""
-    return _suffix_lcp_internal(df, text_col, id_col, n_parts)[1]
+    return _suffix_lcp_internal(df, text_col, id_col, n_parts,
+                                spill_dir)[1]
 
 
 def _suffix_lcp_internal(df: DataFrame, text_col: str, id_col: str,
-                         n_parts: int):
+                         n_parts: int, spill_dir: str | None = None):
     """Shared core of :func:`suffix_lcp_array` / :func:`suffix_maxrep`:
     returns ``(final_ranks_or_None, lcp_array_df)`` so per-suffix
     consumers can join class statistics back to every member without
@@ -2156,7 +2195,8 @@ def _suffix_lcp_internal(df: DataFrame, text_col: str, id_col: str,
                     " n_members bigint, lcp_next bigint")
     if n_total == 0:
         return None, df.sparkSession.createDataFrame([], empty_schema)
-    final, snaps = _suffix_prefix_doubling(sufs, n_total, n_parts)
+    final, snaps = _suffix_prefix_doubling(sufs, n_total, n_parts,
+                                           spill_dir=spill_dir)
     reps = (final.groupBy("r")
             .agg(F.min(F.struct("id", "p")).alias("s"),
                  F.count(F.lit(1)).alias("n_members"))
@@ -2176,7 +2216,7 @@ def _suffix_lcp_internal(df: DataFrame, text_col: str, id_col: str,
                          F.col("slen").alias("a_slen"))
              .join(nxt, F.col("r") == F.col("__rprev"), "inner")
              .drop("__rprev"))
-    lcps = _lcp_adjacent_pairs(pairs, snaps).select(
+    lcps = _lcp_adjacent_pairs(pairs, snaps, spill_dir).select(
         "r", F.col("lcp").alias("lcp_next"))
     arr = (reps.join(lcps, "r", "left")
            .select(F.col("r").cast("bigint").alias("rank"),
@@ -2188,7 +2228,8 @@ def _suffix_lcp_internal(df: DataFrame, text_col: str, id_col: str,
 
 
 def suffix_maxrep(df: DataFrame, text_col: str, id_col: str,
-                  n_parts: int = 32) -> DataFrame:
+                  n_parts: int = 32,
+                  spill_dir: str | None = None) -> DataFrame:
     """Per-suffix longest-repeated-prefix: one row ``(id, p, maxrep)``
     per suffix, ``maxrep`` = length of the longest substring STARTING
     at position p that occurs ≥2 times in the corpus (overlapping
@@ -2202,7 +2243,8 @@ def suffix_maxrep(df: DataFrame, text_col: str, id_col: str,
     One R-row self-shift of the LCP array + one broadcast-able join
     back to the N-row rank relation — no new shuffle over the
     corpus."""
-    final, arr = _suffix_lcp_internal(df, text_col, id_col, n_parts)
+    final, arr = _suffix_lcp_internal(df, text_col, id_col, n_parts,
+                                      spill_dir)
     if final is None:
         return df.sparkSession.createDataFrame(
             [], "id bigint, p int, maxrep bigint")
@@ -2222,7 +2264,9 @@ def suffix_maxrep(df: DataFrame, text_col: str, id_col: str,
 
 def repeated_substring_spans_sa(df: DataFrame, text_col: str,
                                 id_col: str, min_len: int = 20,
-                                n_parts: int = 32) -> DataFrame:
+                                n_parts: int = 32,
+                                spill_dir: str | None = None
+                                ) -> DataFrame:
     """:func:`repeated_substring_spans` coverage derived from the
     SUFFIX ARRAY instead of duplicated L-windows: identical maximal
     spans ``(id, start, length)`` for any ``min_len`` (cross-path
@@ -2239,7 +2283,7 @@ def repeated_substring_spans_sa(df: DataFrame, text_col: str,
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {L}")
-    mr = (suffix_maxrep(df, text_col, id_col, n_parts)
+    mr = (suffix_maxrep(df, text_col, id_col, n_parts, spill_dir)
           .where(F.col("maxrep") >= L))
     iv = mr.select("id", F.col("p").cast("bigint").alias("start"),
                    (F.col("p") + F.col("maxrep") - 1)
@@ -2261,7 +2305,8 @@ def repeated_substring_spans_sa(df: DataFrame, text_col: str,
 
 
 def longest_repeated_substring(df: DataFrame, text_col: str,
-                               id_col: str, n_parts: int = 32
+                               id_col: str, n_parts: int = 32,
+                               spill_dir: str | None = None
                                ) -> DataFrame:
     """The longest substring occurring ≥2 times anywhere in the
     corpus (within one document or across documents), exactly — the
@@ -2273,7 +2318,7 @@ def longest_repeated_substring(df: DataFrame, text_col: str,
     Returns one row ``(id, p, length, substring)`` locating one
     occurrence, or zero rows when no substring repeats.
     TakeOrdered(1) — no global sort."""
-    arr = suffix_lcp_array(df, text_col, id_col, n_parts)
+    arr = suffix_lcp_array(df, text_col, id_col, n_parts, spill_dir)
     cand = (arr.select(
                 "id", "p",
                 F.greatest(

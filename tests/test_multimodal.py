@@ -349,3 +349,73 @@ def test_jpeg_decodes_without_pillow_webp_still_gated():
         M.decode_image(b"\xff\xd8\xff\xe0fake", {"format": "jpeg"})
     with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
         M.decode_image(b"RIFF....WEBP", {"format": "webp"})
+
+
+def test_vectorized_fast_paths_match_per_row_fallback(spark):
+    """Optimization r12: the uniform-raw / equal-length whole-batch
+    vectorizations must be bit-identical to the per-row fallback loop.
+    Mixed batches (two image shapes / two clip lengths in one relation)
+    force the fallback; a uniform relation takes the fast path — both
+    are compared against an independent per-row NumPy reference."""
+    rng = np.random.RandomState(7)
+
+    def ref_stats(img):
+        m = img.astype(np.int64)
+        edge = (np.abs(np.diff(m, axis=1)).sum()
+                if m.shape[1] > 1 else 0)
+        return (m.size, int(m.sum()), int((m * m).sum()),
+                int(m.min()), int(m.max()), int(edge))
+
+    def ref_ahash(img, words_bits=32):
+        flat = img.astype(np.int64).reshape(-1)
+        mean = flat.sum() / flat.size
+        bit = (flat > mean).astype(np.int64)
+        nw = (len(bit) + words_bits - 1) // words_bits
+        return [int((bit[w * words_bits:(w + 1) * words_bits]
+                     << np.arange(len(bit[w * words_bits:
+                                          (w + 1) * words_bits]))).sum())
+                for w in range(nw)]
+
+    for shapes in ([(6, 9, 3)] * 12,                       # fast path
+                   [(6, 9, 3)] * 6 + [(4, 4, 1)] * 6):     # fallback
+        imgs = [rng.randint(0, 256, size=s, dtype=np.uint8)
+                for s in shapes]
+        rows = [(i, im.tobytes(), "raw", im.shape[1], im.shape[0],
+                 im.shape[2]) for i, im in enumerate(imgs)]
+        df = spark.createDataFrame(rows, M.IMAGE_SCHEMA).repartition(2)
+        got = {r["image_id"]: r for r in M.image_stats(df).collect()}
+        for i, im in enumerate(imgs):
+            assert (got[i]["n_px"], got[i]["px_sum"], got[i]["px_sumsq"],
+                    got[i]["px_min"], got[i]["px_max"],
+                    got[i]["edge_sum"]) == ref_stats(im)
+        gh = {r["image_id"]: list(r["bits"])
+              for r in M.image_ahash(df).collect()}
+        for i, im in enumerate(imgs):
+            assert gh[i] == ref_ahash(im)
+
+    # audio: 37 samples → a partial final 32-bit word (padding path)
+    for lens in ([37] * 10, [37] * 5 + [21] * 5):
+        clips = [rng.randint(-32768, 32767, size=n).astype("<i2")
+                 for n in lens]
+        rows = [(i, c.tobytes(), "pcm16", 8000, len(c))
+                for i, c in enumerate(clips)]
+        adf = spark.createDataFrame(rows, M.AUDIO_SCHEMA).repartition(2)
+        got = {r["audio_id"]: r for r in M.audio_stats(adf).collect()}
+        for i, c in enumerate(clips):
+            x = c.astype(np.int64)
+            zc = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
+            assert (got[i]["n_samples"], got[i]["s_sum"],
+                    got[i]["s_sumsq"], got[i]["s_min"], got[i]["s_max"],
+                    got[i]["zero_crossings"]) == (
+                len(x), int(x.sum()), int((x * x).sum()),
+                int(x.min()), int(x.max()), zc)
+        gf = {r["audio_id"]: list(r["bits"])
+              for r in M.audio_fingerprint(adf).collect()}
+        for i, c in enumerate(clips):
+            a = np.abs(c.astype(np.int64))
+            bit = (len(a) * a > int(a.sum())).astype(np.int64)
+            nw = (len(bit) + 31) // 32
+            want = [int((bit[w * 32:(w + 1) * 32]
+                         << np.arange(len(bit[w * 32:(w + 1) * 32])))
+                        .sum()) for w in range(nw)]
+            assert gf[i] == want

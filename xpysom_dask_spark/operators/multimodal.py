@@ -212,6 +212,47 @@ def decode_image(data: bytes, meta: dict) -> np.ndarray:
     return _IMAGE_DECODERS[fmt](data, meta)
 
 
+def _uniform_raw_block(pdf: pd.DataFrame) -> np.ndarray | None:
+    """(n, h·w·c) uint8 matrix when EVERY image row of the batch is
+    format 'raw' with one shared (h, w, c) — the vectorizable fast
+    path.  Returns None for mixed/compressed batches (callers fall
+    back to the per-row decode loop).  Raw rows whose byte length
+    disagrees with h·w·c keep raising through the per-row path, so
+    the error contract is unchanged."""
+    if not len(pdf):
+        return None
+    fmts = pdf["format"].to_numpy()
+    if not (fmts == "raw").all():
+        return None
+    h = pdf["height"].to_numpy()
+    w = pdf["width"].to_numpy()
+    c = pdf["channels"].to_numpy()
+    if (h != h[0]).any() or (w != w[0]).any() or (c != c[0]).any():
+        return None
+    size = int(h[0]) * int(w[0]) * int(c[0])
+    data = pdf["data"].to_numpy()
+    if any(len(d) != size for d in data):
+        return None
+    return np.frombuffer(b"".join(data), dtype=np.uint8) \
+        .reshape(len(pdf), size)
+
+
+def _pack_bits_rows(bits: np.ndarray, words_bits: int) -> list:
+    """Pack an (n, m) 0/1 int matrix into per-row lists of int64 words
+    (``words_bits`` bits per word, LSB-first) — the vectorized twin of
+    the per-row shift/sum loop; integer dot products are exact, so the
+    words are bit-identical."""
+    n, m = bits.shape
+    n_words = (m + words_bits - 1) // words_bits
+    pad = n_words * words_bits - m
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((n, pad), dtype=np.int64)], axis=1)
+    weights = (np.int64(1) << np.arange(words_bits, dtype=np.int64))
+    words = bits.reshape(n, n_words, words_bits).astype(np.int64) @ weights
+    return [row.tolist() for row in words]
+
+
 # ---------------------------------------------------------------------- #
 # image operators
 
@@ -237,7 +278,12 @@ def image_features(df: DataFrame, out_col: str = "features") -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for _, row in pdf.iterrows():
+            # per-row float reductions stay row-at-a-time NumPy (so the
+            # summation order — and therefore every float32 feature —
+            # is bit-identical to the historical kernel); only the
+            # pandas row-materialization overhead is removed (guide §4.2)
+            metas = pdf.to_dict("records")
+            for row in metas:
                 img = decode_image(row["data"], row) / np.float32(255.0)
                 gx = np.abs(np.diff(img, axis=1)).mean() if img.shape[1] > 1 else 0.0
                 feats.append(np.array(
@@ -262,7 +308,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 img = decode_image(row["data"], row)
                 h, w, c = img.shape
                 yi = (np.arange(target_h) * h // target_h)
@@ -289,8 +335,29 @@ def image_stats(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            blk = _uniform_raw_block(pdf)
+            if blk is not None:
+                # whole-batch vectorization (guide §4.2): every output
+                # is an exact int64 sum/min/max, so any summation order
+                # gives bit-identical results to the per-row loop
+                m = blk.astype(np.int64)
+                h = int(pdf["height"].iloc[0])
+                w = int(pdf["width"].iloc[0])
+                c = int(pdf["channels"].iloc[0])
+                imgs = m.reshape(len(pdf), h, w, c)
+                edge = (np.abs(np.diff(imgs, axis=2)).sum(axis=(1, 2, 3))
+                        if w > 1 else np.zeros(len(pdf), np.int64))
+                yield pd.DataFrame({
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "n_px": np.full(len(pdf), m.shape[1], np.int64),
+                    "px_sum": m.sum(axis=1),
+                    "px_sumsq": (m * m).sum(axis=1),
+                    "px_min": m.min(axis=1).astype(np.int32),
+                    "px_max": m.max(axis=1).astype(np.int32),
+                    "edge_sum": edge})
+                continue
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 img = decode_image(row["data"], row).astype(np.int64)
                 edge = (np.abs(np.diff(img, axis=1)).sum()
                         if img.shape[1] > 1 else 0)
@@ -346,8 +413,24 @@ def image_ahash(df: DataFrame, words_bits: int = 32,
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            blk = _uniform_raw_block(pdf)
+            if blk is not None:
+                # whole-batch vectorization: the mean test divides the
+                # exact int64 pixel sum by the pixel count (identical
+                # operands per image → identical double), and the
+                # strict > comparison + word packing are pure integer
+                # arithmetic — bit-identical to the per-row loop
+                m = blk.astype(np.int64)
+                means = m.sum(axis=1) / m.shape[1]
+                bits = (m > means[:, None]).astype(np.int64)
+                out = {"image_id": pdf["image_id"].to_numpy()}
+                for col in carry:
+                    out[col] = pdf[col].to_numpy()
+                out["bits"] = _pack_bits_rows(bits, words_bits)
+                yield pd.DataFrame(out)
+                continue
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 img = decode_image(row["data"], row).astype(np.int64)
                 flat = img.reshape(-1)
                 mean = flat.sum() / flat.size
@@ -390,7 +473,10 @@ def audio_features(df: DataFrame, out_col: str = "features") -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            # float reductions stay per-row (identical summation order
+            # → identical float32 features); only the pandas row
+            # overhead is removed (guide §4.2)
+            for row in pdf.to_dict("records"):
                 x = decode_audio(row["data"], row)
                 zc = (np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
                       / max(len(x) - 1, 1))
@@ -416,8 +502,29 @@ def audio_stats(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            data = pdf["data"].to_numpy() if len(pdf) else []
+            lens = {len(d) for d in data}
+            if len(lens) == 1 and lens != {0}:
+                # whole-batch vectorization over equal-length clips:
+                # every output is an exact int64 sum/min/max —
+                # bit-identical to the per-row loop (guide §4.2)
+                x = np.frombuffer(b"".join(data), dtype="<i2") \
+                    .astype(np.int64).reshape(len(data), -1)
+                n = x.shape[1]
+                zc = (np.count_nonzero((x[:, 1:] < 0) != (x[:, :-1] < 0),
+                                       axis=1).astype(np.int64)
+                      if n > 1 else np.zeros(len(data), np.int64))
+                yield pd.DataFrame({
+                    "audio_id": pdf["audio_id"].to_numpy(),
+                    "n_samples": np.full(len(data), n, np.int64),
+                    "s_sum": x.sum(axis=1),
+                    "s_sumsq": (x * x).sum(axis=1),
+                    "s_min": x.min(axis=1).astype(np.int32),
+                    "s_max": x.max(axis=1).astype(np.int32),
+                    "zero_crossings": zc})
+                continue
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 x = np.frombuffer(row["data"], dtype="<i2").astype(np.int64)
                 zc = int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))) \
                     if len(x) > 1 else 0
@@ -447,8 +554,22 @@ def audio_fingerprint(df: DataFrame, words_bits: int = 32) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            data = pdf["data"].to_numpy() if len(pdf) else []
+            lens = {len(d) for d in data}
+            if len(lens) == 1 and lens != {0}:
+                # whole-batch vectorization: the n·|s_j| > Σ|s| test is
+                # pure integer arithmetic, as is the word packing —
+                # bit-identical to the per-row loop (guide §4.2)
+                a = np.abs(np.frombuffer(b"".join(data), dtype="<i2")
+                           .astype(np.int64).reshape(len(data), -1))
+                n = a.shape[1]
+                bits = (n * a > a.sum(axis=1)[:, None]).astype(np.int64)
+                yield pd.DataFrame({
+                    "audio_id": pdf["audio_id"].to_numpy(),
+                    "bits": _pack_bits_rows(bits, words_bits)})
+                continue
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 pcm = np.frombuffer(row["data"], dtype="<i2") \
                     .astype(np.int64)
                 a = np.abs(pcm)
@@ -477,12 +598,16 @@ def embeddings_as_audio(emb: DataFrame, embedding_col: str = "embedding",
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # elementwise floor/clip is order-free — whole-batch
+            # vectorization is bit-identical to the per-row loop
+            ids = pdf[id_col].to_numpy() if len(pdf) else []
+            vecs = [np.asarray(v, dtype=np.float64)
+                    for v in pdf[embedding_col]]
             rows = []
-            for _, row in pdf.iterrows():
-                v = np.asarray(row[embedding_col], dtype=np.float64)
+            for rid, v in zip(ids, vecs):
                 i16 = np.clip(np.floor(v * 32767.0), -32768, 32767) \
                     .astype("<i2")
-                rows.append((row[id_col], i16.tobytes(), "pcm16",
+                rows.append((rid, i16.tobytes(), "pcm16",
                              sample_rate, len(i16)))
             yield pd.DataFrame(rows, columns=["audio_id", "data", "format",
                                               "sample_rate", "n_samples"])
@@ -508,7 +633,7 @@ def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 w, h, c = row["width"], row["height"], row["channels"]
                 frame_bytes = w * h * c
                 buf = row["data"]
@@ -571,11 +696,15 @@ def embeddings_as_images(emb: DataFrame, embedding_col: str = "embedding",
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # elementwise floor/clip is order-free — whole-batch
+            # vectorization is bit-identical to the per-row loop
+            ids = pdf[id_col].to_numpy() if len(pdf) else []
             rows = []
-            for _, row in pdf.iterrows():
-                v = np.asarray(row[embedding_col], dtype=np.float64)
-                u8 = np.clip(np.floor((v + 1.0) * 127.5), 0, 255).astype(np.uint8)
-                rows.append((row[id_col], u8.tobytes(), "raw",
+            for rid, v in zip(ids, pdf[embedding_col]):
+                u8 = np.clip(np.floor(
+                    (np.asarray(v, dtype=np.float64) + 1.0) * 127.5),
+                    0, 255).astype(np.uint8)
+                rows.append((rid, u8.tobytes(), "raw",
                              width, height, 1))
             yield pd.DataFrame(rows, columns=["image_id", "data", "format",
                                               "width", "height", "channels"])

@@ -513,7 +513,8 @@ def minhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
                             threshold: float = 0.8, n: int = 3,
-                            max_df: int | None = _MAX_DF_UNSET
+                            max_df: int | None = _MAX_DF_UNSET,
+                            shingles: DataFrame | None = None
                             ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via a shingle inverted
     index (no MinHash approximation in candidate generation):
@@ -536,7 +537,14 @@ def ngram_jaccard_near_dups(df: DataFrame, text_col: str, id_col: str,
     if max_df is _MAX_DF_UNSET:
         max_df = DEFAULT_MAX_DF
         _note_default_prune("ngram_jaccard_near_dups")
-    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    # shingles: a pre-materialized word_shingles(df, text_col, id_col,
+    # n) relation — callers that also need the shingles elsewhere
+    # (lsh_recall_audit pairs this ranker with a MinHash leg) pass it
+    # so the corpus is tokenized once, not once per leg
+    # (optimization r12, the doc_term_counts sharing idiom)
+    sh = (word_shingles(df, text_col, id_col, n)
+          .localCheckpoint(eager=True)
+          if shingles is None else shingles)
     posting = sh
     if max_df is not None:
         rare = (sh.groupBy("shingle")
@@ -1602,10 +1610,15 @@ def lsh_recall_audit(df: DataFrame, text_col: str, id_col: str,
     if max_df is _MAX_DF_UNSET:
         max_df = DEFAULT_MAX_DF
         _note_default_prune("lsh_recall_audit")
+    # ONE shingle materialization shared by both legs (optimization
+    # r12): the exact-Jaccard reference and the MinHash signatures
+    # each tokenized the corpus independently before
+    sh = word_shingles(df, text_col, id_col, n) \
+        .localCheckpoint(eager=True)
     exact = ngram_jaccard_near_dups(df, text_col, id_col,
                                     threshold=min_jaccard, n=n,
-                                    max_df=max_df)
-    sigs = minhash_signatures(df, text_col, id_col, k=k, n=n)
+                                    max_df=max_df, shingles=sh)
+    sigs = minhash_signatures_from_shingles(sh, k=k)
     cand = minhash_band_pairs(sigs, k=k, rows_per_band=rows_per_band) \
         .withColumn("__hit", F.lit(True))
     marked = exact.join(cand, ["id_a", "id_b"], "left")

@@ -441,10 +441,18 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     s = 10 ** decimals
     vi = (f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {s}, 0) "
           f"AS BIGINT)")
+    # eager checkpoints (optimization r12, guide §1.2): the lattice
+    # histogram h feeds three subtrees of the final report (median,
+    # deviation histogram, and the median's reuse in the close) and
+    # dev feeds two (mad, outlier count) — as sibling subtrees of ONE
+    # action, a lazy checkpoint is computed once per sibling, so the
+    # corpus scan ran up to 3×.  Both relations are bounded at
+    # groups × lattice-values rows.
     h = (df.where(F.col(value_col).isNotNull())
          .select(F.col(group_col).alias("grp"), F.expr(vi).alias("v"))
          .groupBy("grp", "v")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+         .localCheckpoint(eager=True))
 
     def lower_median(hist):
         """(grp, med) from a (grp, v, c) histogram: the
@@ -467,7 +475,7 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                    "c")
            .groupBy("grp", "v")
            .agg(F.sum("c").cast("bigint").alias("c"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     mad = lower_median(dev).select(
         "grp", F.col("med").alias("mad"))
     out = (dev.join(F.broadcast(mad), "grp")

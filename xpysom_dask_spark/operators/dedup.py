@@ -1689,10 +1689,13 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
 def _char_windows(base: DataFrame, L: int, verify: bool) -> DataFrame:
     """Stride-1 L-char windows of ``base(id, __t)`` as ``(id, p, k)``
     rows — k is the window text itself (``verify=True``,
-    collision-free) or its md5 (constant-width shuffle rows).  Built
-    entirely in the scan projection; docs shorter than L produce no
-    rows (sequence() counts DOWN when length < L, so they must not
-    enter the build)."""
+    collision-free) or its md5 as a 16-byte BINARY (constant-width
+    shuffle rows; ``unhex`` halves the key bytes vs the 32-char hex
+    form with the same 128-bit collision odds — optimization r12,
+    guide §2.3 narrower types: the window-count shuffle IS this
+    family's cost).  Built entirely in the scan projection; docs
+    shorter than L produce no rows (sequence() counts DOWN when
+    length < L, so they must not enter the build)."""
     win_expr = (f"transform(sequence(0, length(__t) - {L}), "
                 f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
                 f"AS w))")
@@ -1700,7 +1703,7 @@ def _char_windows(base: DataFrame, L: int, verify: bool) -> DataFrame:
             .select("id", F.explode(F.expr(win_expr)).alias("s"))
             .select("id", F.col("s.p").alias("p"),
                     (F.col("s.w") if verify
-                     else F.md5(F.col("s.w"))).alias("k")))
+                     else F.unhex(F.md5(F.col("s.w")))).alias("k")))
 
 
 def repeated_substring_spans(df: DataFrame, text_col: str,

@@ -550,33 +550,34 @@ def repetition_signals(df, text_col: str, id_col: str,
     base = base.withColumn(
         "tlen", F.length(F.array_join("t", " "))).localCheckpoint()
 
-    # ONE tagged explode for every n (optimization r12, guide §2.3/
-    # §2.4): the per-n pipelines each paid their own explode + two
-    # exchanges + a join back onto the report spine (~3 exchanges × 4
-    # n values).  Tagging each gram with its n and concatenating the
-    # per-n arrays folds all of that into one explode, one
-    # ``groupBy(id, tlen, gn, g)`` count and one conditional-aggregate
-    # ``groupBy(id, tlen)`` close — per-(n, gram) counts, tie-breaks
-    # and share arithmetic are unchanged, so every column is
-    # bit-identical (the gram string determines n uniquely anyway;
-    # gn stays in the key for clarity).
+    # ONE shuffle for every n (optimization r12, guide §2.3/§2.4):
+    # the per-n pipelines each paid their own explode + two exchanges
+    # + a join back onto the report spine (~3 exchanges × 4 n values).
+    # A UNION of the per-n explodes — each leg tagging its rows with
+    # the literal n — folds all of that into one exchange-free union,
+    # one ``groupBy(id, tlen, gn, g)`` count and one conditional-
+    # aggregate ``groupBy(id, tlen)`` close, while keeping the cheap
+    # plain-string explode of the per-n form (the measured alternative
+    # — per-row named_struct + array concat before one explode — costs
+    # 2.3× this warm: struct building dominates).  Per-(n, gram)
+    # counts, tie-breaks and share arithmetic are unchanged, so every
+    # column is bit-identical; base is localCheckpointed, so the four
+    # union legs re-scan an in-memory relation, not the corpus.
     ns = sorted(set(top_ns) | set(dup_ns))
-    parts = []
+    legs = []
     for n in ns:
         gram = "concat_ws(' ', " + ", ".join(
             f"element_at(t, i + {j})" for j in range(n)) + ")"
-        parts.append(
-            f"CASE WHEN size(t) < {n} THEN "
-            f"CAST(array() AS array<struct<gn:int,g:string>>) ELSE "
-            f"transform(sequence(1, size(t) - {n - 1}), "
-            f"i -> named_struct('gn', {n}, 'g', {gram})) END")
-    allgrams = ("concat(" + ", ".join(parts) + ")") if len(parts) > 1 \
-        else parts[0]
-    gc = (base.select("id", "tlen",
-                      F.explode(F.expr(allgrams)).alias("s"))
-          .select("id", "tlen", F.col("s.gn").alias("gn"),
-                  F.col("s.g").alias("g"))
-          .groupBy("id", "tlen", "gn", "g")
+        grams = (f"CASE WHEN size(t) < {n} THEN array() ELSE "
+                 f"transform(sequence(1, size(t) - {n - 1}), "
+                 f"i -> {gram}) END")
+        legs.append(base.select(
+            "id", "tlen", F.lit(n).alias("gn"),
+            F.explode(F.expr(grams)).alias("g")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    gc = (u.groupBy("id", "tlen", "gn", "g")
           .agg(F.count(F.lit(1)).alias("c")))
     aggs = []
     for n in ns:
@@ -2225,18 +2226,38 @@ def kneser_ney_bigram_score(df, text_col: str, id_col: str,
         return frame.select(*cols, F.explode(pairs).alias("p")) \
             .select(*(["__id"] if with_id else []), "p.x", "p.y")
 
-    n_xy = (_bi(lm, False).groupBy("x", "y")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n12")))
-    n_xy = n_xy.localCheckpoint(eager=False)
+    # ONE tokenize pass over the LM corpus (optimization r12, guide
+    # §1.2): pad the bigram explode with a NULL-successor row per
+    # final token, so EVERY token occurs as ``x`` exactly once per
+    # position — the grouped (x, y) relation then yields both the
+    # bigram table (y IS NOT NULL rows; identical n12 counts) and the
+    # vocabulary size (distinct x), where before the V scalar re-ran
+    # a second full tokenize + countDistinct over ``lm``.  ntot and V
+    # collapse into one scalar job over the bounded grouped relation.
+    toks_arr = tokens(text_col)
+    pairs_padded = F.expr(
+        "transform(sequence(1, size(__t)), i -> struct("
+        "element_at(__t, i) AS x, "
+        "CASE WHEN i < size(__t) THEN element_at(__t, i + 1) "
+        "END AS y))")
+    grouped = (lm.select(toks_arr.alias("__t"))
+               .where(F.size("__t") > 0)
+               .select(F.explode(pairs_padded).alias("p"))
+               .select("p.x", "p.y")
+               .groupBy("x", "y")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+               .localCheckpoint(eager=True))
+    n_xy = grouped.where(F.col("y").isNotNull())
     ctx = (n_xy.groupBy("x")
            .agg(F.sum("n12").cast("bigint").alias("c1"),
                 F.count(F.lit(1)).cast("bigint").alias("n1p")))
     cont = (n_xy.groupBy("y")
             .agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
-    stats = n_xy.agg(F.count(F.lit(1)).alias("ntot")).first()
+    stats = grouped.agg(
+        F.count(F.when(F.col("y").isNotNull(), 1)).alias("ntot"),
+        F.countDistinct("x").alias("v")).first()
     ntot = int(stats["ntot"] or 0)
-    vocab = int(lm.select(F.explode(tokens(text_col)).alias("u"))
-                .agg(F.countDistinct("u")).first()[0])
+    vocab = int(stats["v"] or 0)
     tv = ntot + vocab
     if tv == 0:
         # empty LM: every position is the unseen-context branch with

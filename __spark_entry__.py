@@ -149,7 +149,10 @@ def _duck_polyhash(col: str) -> str:
 # --------------------------------------------------------------------- #
 # per-process staged replay inputs
 
+import threading as _threading
+
 _STAGED_GATE_DIRS: dict = {}
+_STAGED_GATE_LOCK = _threading.Lock()
 
 
 def _staged_gate_dir(prefix: str, sf_dir: str, build) -> str:
@@ -162,23 +165,64 @@ def _staged_gate_dir(prefix: str, sf_dir: str, build) -> str:
     ``build(path)`` writes the deterministic derivative of ``sf_dir``
     into ``path``; the directory is registered for atexit removal.
     The streamed computation itself still runs in full on every
-    invocation — only the setup write is staged."""
-    key = (prefix, sf_dir)
-    path = _STAGED_GATE_DIRS.get(key)
-    if path is None:
-        import atexit
-        import shutil
-        import tempfile
+    invocation — only the setup write is staged.
 
-        path = tempfile.mkdtemp(prefix=prefix + "_")
-        try:
-            build(path)
-        except BaseException:
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _STAGED_GATE_DIRS[key] = path
+    Assumes ``sf_dir`` is IMMUTABLE for the process lifetime (true for
+    the read-only bench/oracle inputs; a caller that rewrites data
+    under ``sf_dir`` mid-process would replay the stale staging).  A
+    process-wide lock serialises concurrent first calls so a gate
+    invoked from several driver threads can neither double-build nor
+    leak a tmpdir (r12 ADVICE #3)."""
+    key = (prefix, sf_dir)
+    with _STAGED_GATE_LOCK:
+        path = _STAGED_GATE_DIRS.get(key)
+        if path is None:
+            import atexit
+            import shutil
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix=prefix + "_")
+            try:
+                build(path)
+            except BaseException:
+                shutil.rmtree(path, ignore_errors=True)
+                raise
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            _STAGED_GATE_DIRS[key] = path
     return path
+
+
+#: state-store partition count for the replay gates' streaming queries
+#: (optimization r13, guide §2.1 right-sizing): a stateful micro-batch
+#: pays per-partition state-store open/commit cost PER BATCH, and every
+#: replay gate's state is bounded (groups×bins sketch cells, per-user/
+#: per-key rows) at far below one partition's worth — inheriting the
+#: session's `spark.sql.shuffle.partitions` (= CPUS in the bench) just
+#: multiplies fixed state-store overhead by core count.  Parameterised
+#: for scale: a production deployment with large keyed state raises it
+#: via the env knob (state must fit per-partition memory); results are
+#: partition-count invariant (oracle-green at 4/8/32 partitions).
+#: Interleaved sf0.1 A/B (4 rounds, one session, min/med seconds):
+#: streaming_qhist 32p 1.82/2.00 -> 4p 0.98/1.19; streaming_cms
+#: 1.78/2.46 -> 1.22/1.34; streaming_hll 1.60/1.98 -> 0.91/1.00;
+#: streaming_psi 1.86/2.11 -> 1.19/1.40; stateless streaming_zscore
+#: flat (1.33/1.55 -> 1.32/1.40).
+_STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+
+
+def _drain_stream(spark, writer, timeout: int = 300):
+    """Start + drain an availableNow replay query with
+    ``spark.sql.shuffle.partitions`` pinned to :data:`_STREAM_SHUFFLE`
+    for the query's lifetime (the value is captured into the query's
+    checkpoint at batch 0; the session value is restored afterwards so
+    batch gates keep the caller's setting)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE)
+    try:
+        q = writer.start()
+        q.awaitTermination(timeout)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # --------------------------------------------------------------------- #
@@ -668,9 +712,9 @@ def _q_streaming_events_hourly_bmu(spark, sf_dir):
     out = windowed_activation_response(som, stream, "ts", window="1 hour",
                                        watermark="0 seconds")
     name = "q_stream_bmu_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return (spark.table(name)
             .select(F.col("window_start").cast("long").alias("hour_ts"),
                     "bmu_x", "bmu_y",
@@ -741,9 +785,9 @@ def _q_streaming_user_transitions(spark, sf_dir):
     stream = spark.readStream.schema(src.schema).parquet(tmp)
     out = bmu_transitions(som, stream, "user_id", ts_col="ts")
     name = "q_stream_trans_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True))
     return (spark.table(name)
             .select(F.col("key").alias("user_id"),
                     "n_events", "n_transitions", "last_cluster"))
@@ -1227,9 +1271,9 @@ def _q_streaming_dedup(spark, sf_dir):
     stream = spark.readStream.schema(docs.schema).parquet(tmp)
     out = dedup_stream(stream, "text")
     name = "q_stream_dedup_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True))
     return spark.table(name).select("fp").orderBy("fp")
 
 
@@ -1684,9 +1728,9 @@ def _q_streaming_sessions(spark, sf_dir):
     stream = spark.readStream.schema(src.schema).parquet(tmp)
     out = session_windows(stream, "user_id", "ts", gap="30 minutes")
     name = "q_sess_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return (spark.table(name)
             .select("user_id",
                     F.col("session_start").cast("long").alias("start_s"),
@@ -1846,9 +1890,9 @@ def _q_streaming_interval_join(spark, sf_dir):
     out = interval_join_stream(sc, sp, "user_id", "ts", "ts",
                                upper="1 hour")
     name = "q_ssjoin_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True))
     return spark.table(name).select(
         "user_id", F.col("l_event_id").alias("click_id"),
         F.col("r_event_id").alias("purchase_id"))
@@ -1892,9 +1936,9 @@ def _q_streaming_qe_drift(spark, sf_dir):
     out = windowed_qe_drift(_stream_som(), stream, "ts", window="1 hour",
                             watermark="0 seconds", micro_decimals=6)
     name = "q_qedrift_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return (spark.table(name)
             .select(F.col("window_start").cast("long").alias("hour_ts"),
                     F.col("mean_qe"),
@@ -4053,9 +4097,9 @@ def _q_streaming_decontaminate(spark, sf_dir):
     stream = spark.readStream.schema(train.schema).parquet(tmp)
     out = decontaminate_stream(stream, "text", "doc_id", ths, n=5)
     name = "q_stream_decontam_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True))
     return spark.table(name).select("doc_id", "lang")
 
 
@@ -4601,9 +4645,9 @@ def _q_streaming_top_terms(spark, sf_dir):
         .alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     name = "q_stream_topterms_" + uuid.uuid4().hex[:8]
-    q = (counts.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return (spark.table(name)
             .orderBy(F.col("n").desc(), "term").limit(20))
 
@@ -5154,9 +5198,9 @@ def _q_streaming_zscore(spark, sf_dir):
     out = stream_zscore(stream, mom, "event_type", "value",
                         decimals=2, threshold=2.0)
     name = "q_stream_zscore_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True))
     return spark.table(name).select(
         "event_id", "event_type",
         F.expr("CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT)")
@@ -5976,9 +6020,9 @@ def _q_streaming_ewma(spark, sf_dir):
     out = ewma_stream(stream, "event_type", "value", "ts", "event_id",
                       alpha=_EWMA_ALPHA, lag=_EWMA_LAG)
     name = "q_stream_ewma_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True))
     return spark.table(name).select(
         F.col("id").alias("event_id"), F.col("key").alias("event_type"),
         F.expr("CAST(FLOOR(ewma * 1000000.0 + 0.5) AS BIGINT)")
@@ -6381,9 +6425,9 @@ def _q_streaming_qhist(spark, sf_dir):
     cells = hist_stream(stream, "l_extendedprice", _QH_LO, _QH_HI,
                         _QH_BINS, group_cols=("l_returnflag",))
     name = "q_stream_qh_" + uuid.uuid4().hex[:8]
-    q = (cells.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return spark.table(name).select("l_returnflag", "bin", "count")
 
 
@@ -6608,9 +6652,9 @@ def _q_streaming_hll(spark, sf_dir):
     stream = spark.readStream.schema(ev.schema).parquet(tmp)
     regs = hll_stream(stream, "k", p=_HLL_P)
     name = "q_stream_hll_" + uuid.uuid4().hex[:8]
-    q = (regs.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, regs.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return spark.table(name).select("bucket", "rho")
 
 
@@ -6995,9 +7039,9 @@ def _q_streaming_psi(spark, sf_dir):
     cells = psi_stream(stream, "value", ref, _PSI_LO, _PSI_HI,
                        _PSI_BINS)
     name = "q_stream_psi_" + uuid.uuid4().hex[:8]
-    q = (cells.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     drained = spark.table(name)
     m = psi_complete_spine(drained, ref, _PSI_BINS)
     return psi_terms_from_cells(m, _PSI_BINS)
@@ -9314,9 +9358,9 @@ def _q_streaming_cms(spark, sf_dir):
     cells = cms_stream(toks, "term", depth=_CMS_DEPTH,
                        width=_CMS_WIDTH)
     name = "q_stream_cms_" + uuid.uuid4().hex[:8]
-    q = (cells.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _drain_stream(
+        spark, cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True))
     return spark.table(name).select("d", "w", "count")
 
 

@@ -447,8 +447,9 @@ def top_terms_tfidf(df, text_col: str, group_col: str, id_col: str,
     aggregation map-side combinable):
       1. explode lowercased tokens once → (group, doc, term);
       2. tf: groupBy (group, term); df: distinct (doc, term) → groupBy
-         term; N: scalar count — three aggregates over the SAME explode
-         (localCheckpoint shares it, as in dedup);
+         term; N: scalar count — three aggregates over the same cheap
+         explode (re-derived per consumer: materializing the exploded
+         corpus to share it costs more than the extra tokenize);
       3. join tf⋈df on term (df side is |vocab| rows — hash join),
          then one window top-k per group.
     """
@@ -457,11 +458,17 @@ def top_terms_tfidf(df, text_col: str, group_col: str, id_col: str,
     from ..plans.exchange import ensure_min_parallelism
 
     n_docs = df.count()
+    # no checkpoint on the exploded tokens (optimization r13): the
+    # eager localCheckpoint materialized a CORPUS-sized relation (every
+    # token row) to executor storage to save ONE re-tokenize between
+    # the tf and df consumers — the som_anomalies rule (never
+    # materialize the corpus to save a narrow pass) applies, and the
+    # interleaved sf0.1 A/B agrees in sign in both sessions: none
+    # med 1.55/1.45 s vs eager 1.70/1.72 (row-identical outputs).
     toks = (ensure_min_parallelism(df)
             .select(F.col(group_col).alias("grp"),
                     F.col(id_col).alias("doc"),
-                    F.explode(tokens(f"lower({text_col})")).alias("term"))
-            .localCheckpoint(eager=True))
+                    F.explode(tokens(f"lower({text_col})")).alias("term")))
     tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (toks.select("doc", "term").distinct()
              .groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -550,60 +557,49 @@ def repetition_signals(df, text_col: str, id_col: str,
     base = base.withColumn(
         "tlen", F.length(F.array_join("t", " "))).localCheckpoint()
 
-    # ONE shuffle for every n (optimization r12, guide §2.3/§2.4):
-    # the per-n pipelines each paid their own explode + two exchanges
-    # + a join back onto the report spine (~3 exchanges × 4 n values).
-    # A UNION of the per-n explodes — each leg tagging its rows with
-    # the literal n — folds all of that into one exchange-free union,
-    # one ``groupBy(id, tlen, gn, g)`` count and one conditional-
-    # aggregate ``groupBy(id, tlen)`` close, while keeping the cheap
-    # plain-string explode of the per-n form (the measured alternative
-    # — per-row named_struct + array concat before one explode — costs
-    # 2.3× this warm: struct building dominates).  Per-(n, gram)
-    # counts, tie-breaks and share arithmetic are unchanged, so every
-    # column is bit-identical; base is localCheckpointed, so the four
-    # union legs re-scan an in-memory relation, not the corpus.
-    ns = sorted(set(top_ns) | set(dup_ns))
-    legs = []
-    for n in ns:
+    # per-n pipelines (optimization r13 adjudication): round 12 folded
+    # the four n-legs into ONE tagged union + one groupBy(id, tlen,
+    # gn, g) (24 -> 6 Exchanges), but the driver's r12 bench showed it
+    # SLOWER in both its runs (1.31 -> 1.93 s @32c, 1.90 @8c), and a
+    # 5-round interleaved same-session A/B at sf0.1 confirms: per-n
+    # med 2.30 s / min 1.79 vs union med 2.64 / min 2.01, outputs
+    # row-identical.  The union never reduced shuffled BYTES -- each
+    # leg's grams cross an exchange either way, only the exchange
+    # COUNT fell -- so at 100 TB the two forms move the same traffic
+    # and the measured sf0.1 winner is the keeper.
+    out = base.select("id")
+    for n in sorted(set(top_ns) | set(dup_ns)):
         gram = "concat_ws(' ', " + ", ".join(
             f"element_at(t, i + {j})" for j in range(n)) + ")"
         grams = (f"CASE WHEN size(t) < {n} THEN array() ELSE "
                  f"transform(sequence(1, size(t) - {n - 1}), "
                  f"i -> {gram}) END")
-        legs.append(base.select(
-            "id", "tlen", F.lit(n).alias("gn"),
-            F.explode(F.expr(grams)).alias("g")))
-    u = legs[0]
-    for leg in legs[1:]:
-        u = u.unionByName(leg)
-    gc = (u.groupBy("id", "tlen", "gn", "g")
-          .agg(F.count(F.lit(1)).alias("c")))
-    aggs = []
-    for n in ns:
+        gc = (base.select("id", "tlen",
+                          F.explode(F.expr(grams)).alias("g"))
+              .groupBy("id", "tlen", "g")
+              .agg(F.count(F.lit(1)).alias("c")))
+        aggs = []
         if n in top_ns:
-            # min of (-count, gram): most frequent, ties → smallest
-            aggs.append(F.min(F.when(F.col("gn") == n, F.struct(
-                (-F.col("c")).alias("nc"), F.col("g"))))
-                .alias(f"__top{n}"))
+            # min of (-count, gram): most frequent, ties -> smallest
+            aggs.append(F.min(F.struct(
+                (-F.col("c")).alias("nc"), F.col("g"))).alias("top"))
         if n in dup_ns:
             aggs.append(F.sum(F.when(
-                (F.col("gn") == n) & (F.col("c") >= 2),
+                F.col("c") >= 2,
                 F.col("c") * F.length("g")).otherwise(0))
-                .alias(f"__dup{n}"))
-    per = gc.groupBy("id", "tlen").agg(*aggs)
-    safe_len = F.when(F.col("tlen") > 0, F.col("tlen").cast("double"))
-    cols = [F.col("id")]
-    for n in ns:
+                .alias("dupchars"))
+        per = gc.groupBy("id", "tlen").agg(*aggs)
+        cols = [F.col("id")]
+        safe_len = F.when(F.col("tlen") > 0, F.col("tlen").cast("double"))
         if n in top_ns:
             cols.append(F.coalesce(
-                (-F.col(f"__top{n}.nc")) * F.length(f"__top{n}.g")
-                / safe_len, F.lit(0.0)).alias(f"top{n}gram_share"))
+                (-F.col("top.nc")) * F.length("top.g") / safe_len,
+                F.lit(0.0)).alias(f"top{n}gram_share"))
         if n in dup_ns:
             cols.append(F.coalesce(
-                F.col(f"__dup{n}") / safe_len,
+                F.col("dupchars") / safe_len,
                 F.lit(0.0)).alias(f"dup{n}gram_share"))
-    out = base.select("id").join(per.select(*cols), "id", "left")
+        out = out.join(per.select(*cols), "id", "left")
 
     lines = (base.select("id",
                          F.explode("ls").alias("line"))
@@ -1726,10 +1722,20 @@ def nb_classify(df, text_col: str, id_col: str, label_col: str,
     # materialize the class model (≤ labels × vocab rows): it feeds
     # the vocab-size scalar job AND three subtrees of the score matrix
     # (terms, cls_tot, the left join) — without it the corpus was
-    # re-tokenized once per consumer (optimization r12, guide §1.2)
+    # re-tokenized once per consumer (optimization r12, guide §1.2).
+    # LAZY checkpoint (optimization r13): the r12 EAGER form serialized
+    # a dedicated materialization job in front of the pipeline (the
+    # driver's r12 bench flagged nb_lang regressed in both runs); lazy
+    # folds the materialization into the vocab_n count job — same 2
+    # corpus passes at scale, one fewer blocking job.  4-round
+    # interleaved A/B at sf0.1: eager med 2.29 s / lazy 2.17 / none
+    # 2.08 (all within the box's noise band, row-identical); lazy is
+    # kept over none because the checkpoint is what holds the final
+    # plan at 2 corpus tokenizes instead of ~5 (scans 12 -> 6 in the
+    # r12 plan capture) — the 100 TB story.
     cls_tf = (base.groupBy("label", "term")
               .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     cls_tot = (cls_tf.groupBy("label")
                .agg(F.sum("c").cast("bigint").alias("tot")))
     vocab_n = cls_tf.select("term").distinct().count()

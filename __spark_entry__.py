@@ -7732,77 +7732,17 @@ def oracle_sql_round11_staged(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS THE VERIFICATION CONTRACT: the driver
     # oracle-checks the FIRST 50 entries each round
-    # (list(queries())[:50]).  Round-12 head (tools/rotate_gate.py +
-    # the never-green rule): the 3 entries promoted from the round-12
-    # staging queue (never-green by name, must sit in the head — the
-    # two merge survivors retire their four parents, see the §8 slot
-    # ledger: 193 + 3 - 4 = 192 declared), then the 45 queries whose
-    # freshest green evidence is round 8 (exactly at the 3-round
-    # staleness cap) and 2 round-9 fills.  r9 (union) r10 (union) r11
-    # (union) r12 covers all 192 declared queries.  See SURVEY.md
-    # par.8 and tests/test_gate_coverage.py before reordering.
+    # (list(queries())[:50]).  Round-13 head (tools/rotate_gate.py
+    # ordering): the 46 queries whose freshest green evidence is
+    # round 9 (exactly at the 3-round staleness cap after r12's
+    # sample), then 4 round-10 fills; the tail keeps staleness
+    # order so r13 (union) r12 (union) r11 (union) r10 covers all
+    # 192 declared queries.  No query added, dropped, or renamed —
+    # reordering only (the optimization round changes no gate
+    # semantics).  See SURVEY.md par.8 and
+    # tests/test_gate_coverage.py before reordering.
     return {
-        # -- head slots 1-3: promoted from the round-12 staging
-        # queue (pre-checked hash-green at sf0.001 + sf0.01);
-        # multimodal_fp replaces the retired multimodal_phash +
-        # multimodal_video_fp pair, kmv_report replaces the
-        # retired kmv_overlap + kmv_novelty pair --
-        "footer_stats": _q_footer_stats,
-        "multimodal_fp": _q_multimodal_fp,
-        "kmv_report": _q_kmv_report,
-        # -- slots 4-48: the 45 round-8-stale entries
-        # (tools/rotate_gate.py round-12 ordering; policy: no
-        # evidence older than 3 rounds after this round) --
-        "bm25_topk": _q_bm25_topk,
-        "contamination_report": _q_contamination_report,
-        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "upsample_mix": _q_upsample_mix,
-        "split_no_leakage": _q_split_no_leakage,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "events_regr": _q_events_regr,
-        "hard_negatives": _q_hard_negatives,
-        "weighted_sample": _q_weighted_sample,
-        "streaming_decontaminate": _q_streaming_decontaminate,
-        "probe_scores": _q_probe_scores,
-        "bpe_subwords": _q_bpe_subwords,
-        "tpch_q12": _q_tpch_q12,
-        "text_token_ids": _q_text_token_ids,
-        "embedding_quantize": _q_embedding_quantize,
-        "embedding_pca": _q_embedding_pca,
-        "knn_cosine": _q_knn_cosine,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "events_hourly": _q_events_hourly,
-        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
-        "streaming_user_transitions": _q_streaming_user_transitions,
-        "relational_revenue_topk": _q_relational_revenue_topk,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "events_sessionize": _q_events_sessionize,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "ann_som_ivf": _q_ann_som_ivf,
-        "dedup_components": _q_dedup_components,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
-        "corpus_report": _q_corpus_report,
-        "streaming_dedup": _q_streaming_dedup,
-        "top_terms": _q_top_terms,
-        "som_classify": _q_som_classify,
-        # -- slots 49-50: round-9 fills --
-        "cms_top_terms": _q_cms_top_terms,
-        "text_readability": _q_text_readability,
-        # ---------------- tail (slots 51+), staleness order
-        # (round-9 evidence first, then round-10, then round-11) --
+        # -- freshest green evidence: r9 --
         "nb_lang": _q_nb_lang,
         "hybrid_rrf": _q_hybrid_rrf,
         "pagerank_hubs": _q_pagerank_hubs,
@@ -7849,6 +7789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_zscore": _q_streaming_zscore,
         "events_ks_drift": _q_events_ks_drift,
         "fuzzy_join": _q_fuzzy_join,
+        # -- freshest green evidence: r10 --
         "quantile_hist": _q_quantile_hist,
         "streaming_qhist": _q_streaming_qhist,
         "dsir_importance": _q_dsir_importance,
@@ -7896,6 +7837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_dict_coverage": _q_text_dict_coverage,
         "embedding_rp": _q_embedding_rp,
+        # -- freshest green evidence: r11 --
         "calibration_report": _q_calibration_report,
         "warc_ingest": _q_warc_ingest,
         "knn_graph": _q_knn_graph,
@@ -7945,6 +7887,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_rerank": _q_binary_rerank,
         "pack_bins_ffd": _q_pack_bins_ffd,
         "knn_graph_full": _q_knn_graph_full,
+        # -- freshest green evidence: r12 --
+        "footer_stats": _q_footer_stats,
+        "multimodal_fp": _q_multimodal_fp,
+        "kmv_report": _q_kmv_report,
+        "bm25_topk": _q_bm25_topk,
+        "contamination_report": _q_contamination_report,
+        "ann_kmeans_ivf": _q_ann_kmeans_ivf,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "upsample_mix": _q_upsample_mix,
+        "split_no_leakage": _q_split_no_leakage,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "events_regr": _q_events_regr,
+        "hard_negatives": _q_hard_negatives,
+        "weighted_sample": _q_weighted_sample,
+        "streaming_decontaminate": _q_streaming_decontaminate,
+        "probe_scores": _q_probe_scores,
+        "bpe_subwords": _q_bpe_subwords,
+        "tpch_q12": _q_tpch_q12,
+        "text_token_ids": _q_text_token_ids,
+        "embedding_quantize": _q_embedding_quantize,
+        "embedding_pca": _q_embedding_pca,
+        "knn_cosine": _q_knn_cosine,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_hourly": _q_events_hourly,
+        "streaming_events_hourly_bmu": _q_streaming_events_hourly_bmu,
+        "streaming_user_transitions": _q_streaming_user_transitions,
+        "relational_revenue_topk": _q_relational_revenue_topk,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "events_sessionize": _q_events_sessionize,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "ann_som_ivf": _q_ann_som_ivf,
+        "dedup_components": _q_dedup_components,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_report": _q_corpus_report,
+        "streaming_dedup": _q_streaming_dedup,
+        "top_terms": _q_top_terms,
+        "som_classify": _q_som_classify,
+        "cms_top_terms": _q_cms_top_terms,
+        "text_readability": _q_text_readability,
     }
 
 

@@ -177,3 +177,40 @@ def test_bpe_decode_roundtrip(spark):
                                 "id bigint, token_ids array<int>")
     out = bpe.bpe_decode_ids(bad, "token_ids", merges).first()
     assert out["text_decoded"] == "[UNK][UNK]"
+
+
+def test_incremental_local_loop_matches_recount_reference():
+    """optimization r13: _learn_local maintains pair counts
+    incrementally (retract/assert per rewritten word) instead of
+    recounting every round — differential vs the recount-per-round
+    reference on repeat-heavy random corpora (multi-occurrence pairs
+    inside one word exercise the multiplicity-aware retraction)."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(6):
+        wc = {}
+        for _ in range(rng.randint(30, 300)):
+            w = "".join(rng.choice("abcab")
+                        for _ in range(rng.randint(1, 10)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        nm = rng.randint(1, 50)
+        got = bpe._learn_local(dict(wc), nm, 2)
+
+        vocab = {}
+        for w, c in wc.items():
+            syms = tuple(list(w) + [bpe.EOW])
+            vocab[syms] = vocab.get(syms, 0) + c
+        want = []
+        for _ in range(nm):
+            pc = _ref_pair_counts(vocab)
+            if not pc:
+                break
+            pair, cnt = min(pc.items(),
+                            key=lambda kv: (-kv[1],
+                                            kv[0][0] + " " + kv[0][1]))
+            if cnt < 2:
+                break
+            want.append(pair)
+            vocab = _ref_merge(vocab, pair)
+        assert got == want

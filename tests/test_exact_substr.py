@@ -369,6 +369,7 @@ def _spark_suffix_ranks(spark, texts, n_parts):
 
 
 @pytest.mark.parametrize("n_parts", [3, 16])
+@pytest.mark.slow
 def test_suffix_array_matches_brute_force(spark, n_parts):
     """Adversarial corpora (periodic, overlapping, cross-doc shared
     suffixes — ties must terminate the doubling at the fixed point,
@@ -382,6 +383,7 @@ def test_suffix_array_matches_brute_force(spark, n_parts):
             ref_suffix_ranks(texts)
 
 
+@pytest.mark.slow
 def test_suffix_array_fuzz(spark):
     rng = random.Random(5)
     texts = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 40)))
@@ -453,6 +455,7 @@ def _spark_lcp(spark, texts, n_parts=4):
 
 
 @pytest.mark.parametrize("n_parts", [3, 16])
+@pytest.mark.slow
 def test_lcp_array_matches_brute_force(spark, n_parts):
     for texts, _L in CORPORA:
         texts = [t for t in texts if t]
@@ -464,6 +467,7 @@ def test_lcp_array_matches_brute_force(spark, n_parts):
         assert got == exp, texts
 
 
+@pytest.mark.slow
 def test_lcp_array_fuzz(spark):
     rng = random.Random(11)
     texts = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 30)))
@@ -485,6 +489,7 @@ def test_lcp_array_empty_corpus(spark):
     assert out.count() == 0
 
 
+@pytest.mark.slow
 def test_longest_repeated_substring(spark):
     from xpysom_dask_spark.operators.dedup import \
         longest_repeated_substring
@@ -525,6 +530,7 @@ def test_longest_repeated_substring_no_repeats(spark):
         == []
 
 
+@pytest.mark.slow
 def test_longest_repeated_substring_cross_doc(spark):
     from xpysom_dask_spark.operators.dedup import \
         longest_repeated_substring
@@ -565,6 +571,7 @@ def ref_maxrep_starting(texts):
 
 
 @pytest.mark.parametrize("n_parts", [3, 16])
+@pytest.mark.slow
 def test_suffix_maxrep_matches_brute_force(spark, n_parts):
     from xpysom_dask_spark.operators.dedup import suffix_maxrep
 
@@ -578,6 +585,7 @@ def test_suffix_maxrep_matches_brute_force(spark, n_parts):
         assert got == ref_maxrep_starting(texts), texts
 
 
+@pytest.mark.slow
 def test_spans_sa_matches_windowed_path(spark):
     """THE cross-validation: the suffix-array coverage and the
     duplicated-L-window coverage are two independent implementations
@@ -601,6 +609,7 @@ def test_spans_sa_matches_windowed_path(spark):
             assert sa == win, (texts, LL)
 
 
+@pytest.mark.slow
 def test_spans_sa_fuzz(spark):
     from xpysom_dask_spark.operators.dedup import \
         repeated_substring_spans_sa
@@ -627,6 +636,7 @@ def test_spans_sa_min_len_validation(spark):
         repeated_substring_spans_sa(None, "text", "doc_id", min_len=0)
 
 
+@pytest.mark.slow
 def test_spill_dir_path_matches_default(spark, tmp_path):
     """The parquet-spill snapshot path (the multi-10M-suffix /
     fault-tolerant variant) must produce byte-identical LCP arrays

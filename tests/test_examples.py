@@ -9,6 +9,10 @@ import pytest
 
 from conftest import SF_TINY
 
+# optimization r13 (VERDICT r12 #6): heavy soak/cluster/example
+# tests are deselected from the default run — see pytest.ini
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

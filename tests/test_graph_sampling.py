@@ -663,3 +663,22 @@ def test_core_two_path_parity(spark):
         d = {r["id"]: r["degree"] for r in
              k_core(df, k, fuse_local_edges=0).collect()}
         assert f == d, k
+
+
+def test_triangle_counts_two_path_parity(spark):
+    """optimization r13: triangle_counts gained the small-graph driver
+    fusion (the label_propagation/pagerank idiom) — the fused path and
+    the distributed compact-forward plan must agree bit-for-bit."""
+    import random
+
+    from xpysom_dask_spark.operators.graph import triangle_counts
+
+    rng = random.Random(31)
+    edges = {(rng.randint(0, 40), rng.randint(0, 40))
+             for _ in range(260)}
+    df = spark.createDataFrame(sorted(edges), "id_a bigint, id_b bigint")
+    fused = {(r["id"], r["n_triangles"])
+             for r in triangle_counts(df).collect()}
+    dist = {(r["id"], r["n_triangles"])
+            for r in triangle_counts(df, fuse_local_edges=0).collect()}
+    assert fused == dist and fused

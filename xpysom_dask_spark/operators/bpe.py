@@ -29,6 +29,9 @@ word in a batch is encoded once).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,9 +43,16 @@ EOW = "</w>"
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, count) vocabulary relation — the one corpus-sized pass.
     Same whitespace/lowercase normalization as the rest of the text
-    family (operators/text.py tokens)."""
+    family (operators/text.py tokens).  The tokenize+explode is the
+    CPU cost and runs before the first shuffle, so the scan is
+    repartitioned up to cluster parallelism first (optimization r13,
+    guide §2.5 — no-op at real scale; counts are exact integers, so
+    partitioning never changes the result)."""
+    from ..plans.exchange import ensure_min_parallelism
+
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
-    return (df.select(F.explode(F.expr(toks)).alias("word"))
+    return (ensure_min_parallelism(df)
+            .select(F.explode(F.expr(toks)).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("count")))
 
 
@@ -148,19 +158,33 @@ def _learn_local(word_count: dict, num_merges: int,
     """Driver-side merge loop over a collected (word → count) dict —
     the same statistics, argmax, and (count DESC, pair ASC) tie-break
     as the distributed rounds, so path choice never changes the merge
-    table (asserted by the two-path test)."""
-    vocab = {}
+    table (asserted by the two-path test).
+
+    Incremental form (optimization r13, the subword-nmt index idea):
+    pair counts and a pair → {words containing it} index are built
+    once; each round rewrites ONLY the words containing the winning
+    pair and adjusts the affected pair counts by exact deltas, instead
+    of recounting every adjacent pair of every word per round.  The
+    counts after each round equal the full recount by construction
+    (each rewritten word retracts all its old adjacent pairs and
+    asserts all its new ones), so argmax and tie-break see identical
+    statistics — pinned by the differential test against the
+    recount-per-round reference."""
+    vocab: dict[tuple, int] = {}
     for w, c in word_count.items():
         syms = tuple(list(w) + [EOW])
         vocab[syms] = vocab.get(syms, 0) + c
 
+    pc: dict[tuple[str, str], int] = {}
+    pw: dict[tuple[str, str], set] = {}
+    for syms, c in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] = pc.get(p, 0) + c
+            pw.setdefault(p, set()).add(syms)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pc: dict[tuple[str, str], int] = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pc[p] = pc.get(p, 0) + c
         if not pc:
             break
         pair, cnt = min(
@@ -171,8 +195,25 @@ def _learn_local(word_count: dict, num_merges: int,
         merges.append(pair)
         a, b = pair
         joined = a + b
-        out = {}
-        for syms, c in vocab.items():
+        for syms in list(pw.get(pair, ())):
+            c = vocab.pop(syms)
+            # retract the old word's adjacent pairs (multiplicity-
+            # aware: a pair can occur several times inside one word)
+            old: dict[tuple[str, str], int] = {}
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                old[p] = old.get(p, 0) + 1
+            for p, k in old.items():
+                n = pc[p] - c * k
+                if n:
+                    pc[p] = n
+                else:
+                    del pc[p]
+                ws = pw[p]
+                ws.discard(syms)
+                if not ws:
+                    del pw[p]
+            # rewrite, then assert the new word's pairs
             s, i, n = [], 0, len(syms)
             while i < n:
                 if i + 1 < n and syms[i] == a and syms[i + 1] == b:
@@ -182,8 +223,14 @@ def _learn_local(word_count: dict, num_merges: int,
                     s.append(syms[i])
                     i += 1
             t = tuple(s)
-            out[t] = out.get(t, 0) + c
-        vocab = out
+            vocab[t] = vocab.get(t, 0) + c
+            new: dict[tuple[str, str], int] = {}
+            for i in range(len(t) - 1):
+                p = (t[i], t[i + 1])
+                new[p] = new.get(p, 0) + 1
+            for p, k in new.items():
+                pc[p] = pc.get(p, 0) + c * k
+                pw.setdefault(p, set()).add(t)
     return merges
 
 
@@ -192,12 +239,17 @@ def bpe_encode(df: DataFrame, text_col: str,
                out_col: str = "bpe_tokens") -> DataFrame:
     """Append ``out_col``: the text's BPE subword tokens under the
     learned merge table (greedy lowest-rank-first, the standard BPE
-    encoder).  The rank dict broadcasts; each Arrow batch encodes every
-    DISTINCT word once (words repeat heavily, so the per-batch memo is
-    the dominant saving), then stitches documents back together.
-    """
-    import pandas as pd
+    encoder).  The rank dict broadcasts; every DISTINCT word is
+    encoded once per task (words repeat heavily, so the memo is the
+    dominant saving), then documents stitch back together.
 
+    Boundary shape (optimization r13, guide §4.1/§4.5): an ITERATOR
+    pandas_udf over the token-array column only — the previous
+    mapInPandas form declared the full row schema, so every payload
+    column (text, metadata) crossed JVM → Python → JVM even though the
+    kernel reads one column; as an expression, only the word arrays
+    cross and the rest of the row never leaves the JVM.  The iterator
+    form also hoists the word memo from per-batch to per-task."""
     from ..plans.exchange import ship_package
 
     spark = df.sparkSession
@@ -218,32 +270,25 @@ def bpe_encode(df: DataFrame, text_col: str,
             syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                       for f in df.schema.fields)
-
-    def fn(batches):
+    @F.pandas_udf("array<string>")
+    def enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         rk = bc.value
-        for pdf in batches:
-            memo: dict[str, list[str]] = {}
+        memo: dict[str, list[str]] = {}
+        for words_s in batches:
             toks_out = []
-            for words in pdf["__words"]:
-                doc = []
+            for words in words_s:
+                doc: list[str] = []
                 for w in words:
-                    enc = memo.get(w)
-                    if enc is None:
-                        enc = encode_word(w, rk)
-                        memo[w] = enc
-                    doc.extend(enc)
+                    e = memo.get(w)
+                    if e is None:
+                        e = encode_word(w, rk)
+                        memo[w] = e
+                    doc.extend(e)
                 toks_out.append(doc)
-            pdf = pdf.copy()
-            pdf["__words"] = toks_out
-            yield pdf
+            yield pd.Series(toks_out)
 
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
-    tagged = df.withColumn("__words", F.expr(toks))
-    out = tagged.mapInPandas(
-        fn, schema + ", `__words` array<string>")
-    return out.withColumnRenamed("__words", out_col)
+    return df.withColumn(out_col, enc(F.expr(toks)))
 
 
 def bpe_vocab(merges: list[tuple[str, str]],
@@ -274,28 +319,51 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
     array<int> under :func:`bpe_vocab`'s id space (symbols outside the
     vocab — characters never seen in ``base_symbols`` — map to
     ``unk_id``).  The id table rides the same broadcast as the ranks;
-    no join, no extra shuffle over the token stream."""
+    no join, no extra shuffle over the token stream — and a single
+    column-level pandas_udf (optimization r13, guide §4.1): the
+    previous form chained a second full-row mapInPandas, so every
+    payload column and the intermediate symbol arrays crossed the
+    boundary twice."""
     from ..plans.exchange import ship_package
 
-    ship_package(df.sparkSession)
-    vocab = bpe_vocab(merges) if vocab is None else vocab
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((vocab, unk_id))
-    enc = bpe_encode(df, text_col, merges, out_col="__bpe_syms")
+    ship_package(spark)
+    vocab = bpe_vocab(merges) if vocab is None else vocab
+    ranks = {f"{l} {r}": i for i, (l, r) in enumerate(merges)}
+    bc = spark.sparkContext.broadcast((ranks, vocab, int(unk_id)))
 
-    def to_ids(batches):
-        v, unk = bc.value
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__bpe_syms"] = [
-                [v.get(s, unk) for s in syms]
-                for syms in pdf["__bpe_syms"]]
-            yield pdf
+    def encode_word(word: str, rk: dict) -> list[str]:
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = rk.get(syms[i] + " " + syms[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
 
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                       for f in df.schema.fields)
-    out = enc.mapInPandas(to_ids, schema + ", `__bpe_syms` array<int>")
-    return out.withColumnRenamed("__bpe_syms", out_col)
+    @F.pandas_udf("array<int>")
+    def enc_ids(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rk, v, unk = bc.value
+        memo: dict[str, list[int]] = {}
+        for words_s in batches:
+            out = []
+            for words in words_s:
+                doc: list[int] = []
+                for w in words:
+                    e = memo.get(w)
+                    if e is None:
+                        e = [v.get(s, unk) for s in encode_word(w, rk)]
+                        memo[w] = e
+                    doc.extend(e)
+                out.append(doc)
+            yield pd.Series(out)
+
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    return df.withColumn(out_col, enc_ids(F.expr(toks)))
 
 
 def bpe_decode(df: DataFrame, tokens_col: str,
@@ -320,11 +388,11 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
                    unk_token: str = "[UNK]") -> DataFrame:
     """Inverse of :func:`bpe_encode_ids`: ids → symbols via the
     broadcast inverse table (dense-id list indexing, O(1) per token),
-    then the :func:`bpe_decode` reassembly — one Arrow pass.
+    then the :func:`bpe_decode` reassembly — one Arrow pass over the
+    ids column ONLY (optimization r13, guide §4.1: the previous
+    full-row mapInPandas shipped every payload column through Python).
     ``unk_id`` decodes to ``unk_token`` (lossy by construction, like
     every real tokenizer's round trip through UNK)."""
-    import pandas as pd
-
     from ..plans.exchange import ship_package
 
     spark = df.sparkSession
@@ -335,23 +403,18 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
         inv[i] = s
     bc = spark.sparkContext.broadcast((inv, int(unk_id), unk_token))
 
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                       for f in df.schema.fields)
-
-    def fn(batches):
+    @F.pandas_udf("string")
+    def dec(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         iv, unk, unk_tok = bc.value
         n = len(iv)
-        for pdf in batches:
+        for ids_s in batches:
             texts = []
-            for ids in pdf[ids_col]:
+            for ids in ids_s:
                 syms = [unk_tok if i == unk or not 0 <= i < n
                         or iv[i] is None else iv[i]
                         for i in (ids if ids is not None else [])]
                 texts.append(
                     "".join(syms).replace(EOW, " ").strip())
-            out = pdf.copy()
-            out["__dec"] = texts
-            yield out
+            yield pd.Series(texts)
 
-    return (df.mapInPandas(fn, schema + ", `__dec` string")
-            .withColumnRenamed("__dec", out_col))
+    return df.withColumn(out_col, dec(F.col(ids_col)))

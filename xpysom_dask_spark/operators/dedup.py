@@ -1106,12 +1106,20 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str,
     Spark's non-regex literal-split fast path (measured 2.1× on the
     sf0.1 corpus, BASELINE.md round-8 note).
     """
+    from ..plans.exchange import ensure_min_parallelism
+
     if _RX_SPECIAL.search(sep):
         # java.util.regex.Pattern.quote semantics: wrap in \Q…\E,
         # breaking out of the quote around any literal \E inside
         sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     else:
         sep_rx = sep
+    # zero-exchange operators inherit the SCAN's split count, so a
+    # small-but-CPU-quadratic table arriving as one file split runs
+    # the whole position test on one core (optimization r13, guide
+    # §2.5; measured 1.9 → 0.3 s at sf0.1, rows identical; no-op at
+    # real scale where the scan has many splits)
+    df = ensure_min_parallelism(df)
     arr = F.split(F.col(text_col), sep_rx)
     if max_segments is not None:
         arr = F.when(
@@ -1457,19 +1465,29 @@ def dedup_substrings(df: DataFrame, text_col: str, id_col: str,
     L = int(min_tokens)
     if L < 1:
         raise ValueError(f"min_tokens must be >= 1, got {L}")
+    from ..plans.exchange import ensure_min_parallelism
+
     t = (f"filter(split(coalesce({text_col}, ''), '\\\\s+'), "
          "x -> x != '')")
     base = df.select(F.col(id_col).alias("id"),
                      F.expr(t).alias("__toks"))
+    # tokenize/window/posexplode chains are CPU-bound narrow passes;
+    # repartition the tiny-scan case up to cluster parallelism so they
+    # never serialize on one file split (optimization r13, guide §2.5
+    # — no-op at real scale); positions explode before the per-window
+    # hash so no per-doc window-hash array materializes (the
+    # _char_windows build shape)
+    pbase = ensure_min_parallelism(base)
     # sequence(0, n-L) counts DOWN when n < L — short docs must not
     # enter the window build at all
-    wins = (base.where(F.size("__toks") >= L)
-            .select("id", F.explode(F.expr(
-                f"transform(sequence(0, size(__toks) - {L}), "
-                f"p -> struct(p AS p, md5(concat_ws(' ', "
-                f"slice(__toks, p + 1, {L}))) AS h))")).alias("w"))
-            .select("id", F.col("w.p").alias("p"),
-                    F.col("w.h").alias("h")))
+    wins = (pbase.where(F.size("__toks") >= L)
+            .select("id", "__toks",
+                    F.explode(F.expr(
+                        f"sequence(0, size(__toks) - {L})")).alias("p"))
+            .select("id", "p",
+                    F.md5(F.expr(
+                        f"concat_ws(' ', slice(__toks, p + 1, {L}))"))
+                    .alias("h")))
     rk = Window.partitionBy("h").orderBy(F.col("id").asc(),
                                          F.col("p").asc())
     marked = (wins.withColumn("__rk", F.row_number().over(rk))
@@ -1477,7 +1495,7 @@ def dedup_substrings(df: DataFrame, text_col: str, id_col: str,
               .select("id", F.explode(F.expr(
                   f"sequence(p, p + {L - 1})")).alias("pos"))
               .distinct())
-    toks = base.select("id", F.posexplode("__toks").alias("pos", "tok"))
+    toks = pbase.select("id", F.posexplode("__toks").alias("pos", "tok"))
     kept = toks.join(marked, ["id", "pos"], "left_anti")
     rebuilt = (kept.groupBy("id")
                .agg(F.concat_ws(" ", F.transform(
@@ -1693,17 +1711,29 @@ def _char_windows(base: DataFrame, L: int, verify: bool) -> DataFrame:
     shuffle rows; ``unhex`` halves the key bytes vs the 32-char hex
     form with the same 128-bit collision odds — optimization r12,
     guide §2.3 narrower types: the window-count shuffle IS this
-    family's cost).  Built entirely in the scan projection; docs
-    shorter than L produce no rows (sequence() counts DOWN when
-    length < L, so they must not enter the build)."""
-    win_expr = (f"transform(sequence(0, length(__t) - {L}), "
-                f"p -> struct(p AS p, substring(__t, p + 1, {L}) "
-                f"AS w))")
-    return (base.where(F.length("__t") >= L)
-            .select("id", F.explode(F.expr(win_expr)).alias("s"))
-            .select("id", F.col("s.p").alias("p"),
-                    (F.col("s.w") if verify
-                     else F.unhex(F.md5(F.col("s.w")))).alias("k")))
+    family's cost).  Docs shorter than L produce no rows (sequence()
+    counts DOWN when length < L, so they must not enter the build).
+
+    Build shape (optimization r13, guide §2.5 input skew + §1.2): the
+    window build is O(chars · L) CPU, so (a) the corpus is
+    repartitioned up to cluster parallelism first — a small-but-
+    expensive table otherwise arrives as ONE file split and the whole
+    explode+hash chain serializes on one core (no-op at real scale,
+    where the scan has many splits); (b) positions explode FIRST and
+    the substring/md5 is projected AFTER the explode, inside the same
+    whole-stage codegen — the previous transform() form materialized a
+    per-doc array of L-char window strings before exploding it.
+    Measured together at sf0.1: spans 4.4 → 1.3 s med, excise
+    6.2 → 1.8 s med, interleaved A/B, outputs byte-identical."""
+    from ..plans.exchange import ensure_min_parallelism
+
+    key = (F.expr(f"substring(__t, p + 1, {L})") if verify
+           else F.unhex(F.md5(F.expr(f"substring(__t, p + 1, {L})"))))
+    return (ensure_min_parallelism(base.where(F.length("__t") >= L))
+            .select("id", "__t",
+                    F.explode(F.expr(f"sequence(0, length(__t) - {L})"))
+                    .alias("p"))
+            .select("id", "p", key.alias("k")))
 
 
 def repeated_substring_spans(df: DataFrame, text_col: str,

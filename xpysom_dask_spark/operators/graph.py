@@ -347,7 +347,8 @@ def component_sizes(components: DataFrame) -> DataFrame:
 
 
 def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
-                    id_b: str = "id_b") -> DataFrame:
+                    id_b: str = "id_b",
+                    fuse_local_edges: int | None = None) -> DataFrame:
     """Per-vertex triangle participation counts over an undirected
     pair relation: ``(id, n_triangles)`` — the near-dup-graph density
     audit (a tight duplicate family is a clique, triangle-rich; a
@@ -367,11 +368,50 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
     one explode + count.  Every join keys on vertex ids; AQE handles
     residual skew.  Isolated vertices of the pair relation are
     returned with 0 (every vertex appears in some pair by
-    construction)."""
+    construction).
+
+    Graphs whose canonical edge set fits ``fuse_local_edges``
+    (default :data:`GRAPH_FUSE_LOCAL_EDGES`) run the identical
+    compact-forward enumeration on the driver in exact Python ints
+    (two-path parity tested) — the wedge self-join over a tiny graph
+    is pure job latency (optimization r13, the label_propagation /
+    pagerank fusion idiom)."""
+    fuse = (GRAPH_FUSE_LOCAL_EDGES if fuse_local_edges is None
+            else fuse_local_edges)
     e = (pairs.select(
         F.least(F.col(id_a), F.col(id_b)).alias("a"),
         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-        .where(F.col("a") != F.col("b")).distinct())
+        .where(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=True))
+    if e.count() <= fuse:
+        # driver fusion: same degree-ordered compact-forward plan in
+        # exact Python (each triangle counted once, all three
+        # endpoints credited — parity pinned by tests)
+        rows = [(r["a"], r["b"]) for r in e.collect()]
+        deg: dict = {}
+        for a, b in rows:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        out_adj: dict = {}
+        dirset = set()
+        for a, b in rows:
+            u, v = ((a, b) if (deg[a], a) < (deg[b], b) else (b, a))
+            out_adj.setdefault(u, []).append(v)
+            dirset.add((u, v))
+        tri = {v: 0 for v in deg}
+        for u, nbrs in out_adj.items():
+            ns = sorted(nbrs)
+            for i in range(len(ns) - 1):
+                for j in range(i + 1, len(ns)):
+                    v, w = ns[i], ns[j]
+                    if (v, w) in dirset or (w, v) in dirset:
+                        tri[u] += 1
+                        tri[v] += 1
+                        tri[w] += 1
+        id_t = pairs.schema[id_a].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            [(v, int(c)) for v, c in tri.items()],
+            f"id {id_t}, n_triangles bigint")
     deg = (e.select(F.col("a").alias("v"))
            .unionAll(e.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))

@@ -416,19 +416,37 @@ def corpus_report(df, text_col: str, group_cols=("lang",),
     (a mergeable sketch — constant memory per group, the 100 TB path);
     ``True`` switches to exact ``percentile`` (full value buffer per
     group) for oracle comparison and small corpora.
+
+    The per-row signals project ONCE before the aggregate
+    (optimization r13, guide §2.3 project-before-the-exchange):
+    ``quality_score`` embeds its own ``token_count``, so the aggregate
+    form split every document twice per row — the projection computes
+    the token count once and derives the quality score from it with
+    bit-identical arithmetic (same expressions, same order).
     """
+    n_tok = token_count(text_col)
     length = F.length(F.col(text_col)).cast("double")
+    # quality_score(text_col) ≡ 0.5·min(n_tok/100, 1) + 0.5·alpha_ratio
+    # with n_tok the SAME token_count — reusing the projected column
+    # keeps every double op identical
+    pre = df.select(
+        *[F.col(c) for c in group_cols],
+        n_tok.alias("__n_tok"),
+        length.alias("__len"),
+        alpha_ratio(text_col).alias("__alpha"))
+    quality = (0.5 * F.least(F.col("__n_tok") / F.lit(100.0), F.lit(1.0))
+               + 0.5 * F.col("__alpha")).cast("double")
     if exact_quantiles:
-        p50 = F.percentile(length, F.lit(0.5))
-        p90 = F.percentile(length, F.lit(0.9))
+        p50 = F.percentile(F.col("__len"), F.lit(0.5))
+        p90 = F.percentile(F.col("__len"), F.lit(0.9))
     else:
-        p50 = F.percentile_approx(length, F.lit(0.5), F.lit(10000))
-        p90 = F.percentile_approx(length, F.lit(0.9), F.lit(10000))
-    return (df.groupBy(*[F.col(c) for c in group_cols])
+        p50 = F.percentile_approx(F.col("__len"), F.lit(0.5), F.lit(10000))
+        p90 = F.percentile_approx(F.col("__len"), F.lit(0.9), F.lit(10000))
+    return (pre.groupBy(*[F.col(c) for c in group_cols])
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(token_count(text_col)).cast("bigint")
+                 F.sum(F.col("__n_tok")).cast("bigint")
                  .alias("n_tokens"),
-                 F.avg(quality_score(text_col)).alias("avg_quality"),
+                 F.avg(quality).alias("avg_quality"),
                  p50.alias("p50_chars"),
                  p90.alias("p90_chars")))
 
@@ -1065,8 +1083,15 @@ def language_consistency(df, text_col: str, id_col: str,
     Plan: the chunk explode (narrow, no shuffle) + per-chunk langid
     (pure codegen CASE) + one groupBy(id, lang) count + a tiny window
     over the post-aggregate (id, lang) relation — the only shuffle
-    carries (docs · langs-seen) rows."""
-    ch = chunk_tokens(df, text_col, id_col, window=window)
+    carries (docs · langs-seen) rows.  The pre-shuffle chunk+langid
+    chain is the CPU cost, so the scan is repartitioned up to cluster
+    parallelism first (optimization r13, guide §2.5 — a single-split
+    table otherwise language-IDs every chunk on one core; no-op at
+    real scale)."""
+    from ..plans.exchange import ensure_min_parallelism
+
+    ch = chunk_tokens(ensure_min_parallelism(df), text_col, id_col,
+                      window=window)
     per = ch.select("id", lang_id("chunk_text").alias("lg"))
     counts = per.groupBy("id", "lg") \
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))

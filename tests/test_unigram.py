@@ -234,3 +234,22 @@ def test_id_column_type_carried_through_arrow_schema(spark):
                                max_piece_len=4)
     assert dict(enc.dtypes)["id"] == "string"
     assert {r["id"] for r in enc.collect()} == got
+
+
+def test_learn_unigram_two_path_parity(spark):
+    """optimization r13: learn_unigram gained the driver-side EM
+    fusion (the learn_bpe two-level idiom) — the fused path and the
+    distributed EM rounds must produce the identical vocabulary
+    relation (pieces, counts, scores)."""
+    texts = ["the cattle battle rattled the little kettle",
+             "seattle cattle settle battle",
+             "rattle rattle little kettle kettle the the",
+             "abc abd abe abf cattle"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    fused = sorted(map(tuple, U.learn_unigram(
+        df, "text", vocab_size=24, max_piece_len=4,
+        n_iter=2).collect()))
+    dist = sorted(map(tuple, U.learn_unigram(
+        df, "text", vocab_size=24, max_piece_len=4,
+        n_iter=2, driver_words_limit=0).collect()))
+    assert fused == dist and fused

@@ -122,10 +122,21 @@ def candidate_pieces(wc: DataFrame, max_piece_len: int) -> DataFrame:
             .agg(F.sum("__c").cast("bigint").alias("weight")))
 
 
+#: distinct-word bound for the driver-side EM loop (the learn_bpe
+#: DRIVER_VOCAB_LIMIT idiom): below it the (word, count) relation
+#: collects once and the candidate selection + EM rounds run in pure
+#: Python — identical statistics, tie-breaks, and Laplace scores, so
+#: path choice never changes the vocabulary (two-path parity test);
+#: above it each EM round is one vocab-sized Spark job as before.
+DRIVER_WORDS_LIMIT = 200_000
+
+
 def learn_unigram(df: DataFrame, text_col: str, vocab_size: int = 256,
                   max_piece_len: int = 8, n_iter: int = 3,
                   candidate_cap: int | None = None,
-                  max_word_len: int = 32) -> DataFrame:
+                  max_word_len: int = 32,
+                  driver_words_limit: int = DRIVER_WORDS_LIMIT
+                  ) -> DataFrame:
     """Train the unigram vocabulary; returns the relation
     ``(piece, count, score_e6)`` (``count`` = final-round weighted
     occurrences, Laplace-smoothed scores).  Words longer than
@@ -145,6 +156,10 @@ def learn_unigram(df: DataFrame, text_col: str, vocab_size: int = 256,
     wc = (word_counts(df, text_col)
           .where(F.length("word") <= max_word_len)
           .localCheckpoint(eager=True))
+    if wc.count() <= driver_words_limit:
+        word_count = {r["word"]: int(r["count"]) for r in wc.collect()}
+        return _learn_local(df.sparkSession, word_count, vocab_size,
+                            max_piece_len, n_iter, cap)
 
     cand = candidate_pieces(wc, max_piece_len)
     chars = cand.where(F.length("piece") == 1)
@@ -188,6 +203,57 @@ def _smoothed_scores(counts: dict) -> dict:
     v = len(counts)
     return {p: math.floor(math.log((c + 1) / (total + v)) * 1e6)
             for p, c in counts.items()}
+
+
+def _learn_local(spark, word_count: dict, vocab_size: int,
+                 max_piece_len: int, n_iter: int, cap: int
+                 ) -> DataFrame:
+    """Driver-side EM over a collected (word → count) dict — the exact
+    statistics, candidate ordering (weight DESC, piece ASC), hard-EM
+    Viterbi (same ``_viterbi``), drop-unused rule, prune, and Laplace
+    scores as the distributed rounds (optimization r13, the learn_bpe
+    two-level idiom: n_iter vocab-sized Spark jobs on a tiny relation
+    are pure job latency).  Two-path parity pinned by test."""
+    # candidate_pieces: every substring occurrence up to max_piece_len
+    cand: dict[str, int] = {}
+    for w, c in word_count.items():
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                p = w[i:j]
+                cand[p] = cand.get(p, 0) + c
+    singles = {p: wgt for p, wgt in cand.items() if len(p) == 1}
+    multis = sorted(((p, wgt) for p, wgt in cand.items()
+                     if len(p) > 1), key=lambda pc: (-pc[1], pc[0]))
+    counts = dict(singles)
+    counts.update(dict(multis[:cap]))
+
+    for _ in range(n_iter):
+        scores = _smoothed_scores(counts)
+        used: dict[str, int] = {}
+        seg_cache: dict[str, list | None] = {}
+        for w, c in word_count.items():
+            pieces = seg_cache.get(w, False)
+            if pieces is False:
+                pieces, _sc = _viterbi(w, scores, max_piece_len)
+                seg_cache[w] = pieces
+            if pieces is None:
+                continue
+            for p in pieces:
+                used[p] = used.get(p, 0) + c
+        counts = {p: used.get(p, 0) for p in counts
+                  if len(p) == 1 or p in used}
+
+    fsingles = {p: c for p, c in counts.items() if len(p) == 1}
+    fmultis = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                     key=lambda pc: (-pc[1], pc[0]))
+    room = max(vocab_size - len(fsingles), 0)
+    final = dict(fsingles)
+    final.update(dict(fmultis[:room]))
+    scores = _smoothed_scores(final)
+    return spark.createDataFrame(
+        sorted((p, c, scores[p]) for p, c in final.items()),
+        "piece string, count bigint, score_e6 bigint")
 
 
 def segment_words(df: DataFrame, text_col: str, vocab: DataFrame,

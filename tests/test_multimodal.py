@@ -419,3 +419,35 @@ def test_vectorized_fast_paths_match_per_row_fallback(spark):
                          << np.arange(len(bit[w * 32:(w + 1) * 32])))
                         .sum()) for w in range(nw)]
             assert gf[i] == want
+
+
+def test_fast_path_byte_cap_falls_back_identically(spark, monkeypatch):
+    """r12 ADVICE #1: uniform batches above _FAST_PATH_MAX_BYTES must
+    take the per-row path (peak O(one payload)) and produce identical
+    rows — the cap changes memory shape only, never results."""
+    from xpysom_dask_spark.operators import multimodal as MM
+
+    imgs = spark.createDataFrame(
+        [(i, bytes(((i + j) % 251) for j in range(48)), "raw", 4, 4, 3)
+         for i in range(20)], MM.IMAGE_SCHEMA)
+    clips = spark.createDataFrame(
+        [(i, bytes(((i * 7 + j) % 256) for j in range(64)), "pcm16",
+          8000, 32) for i in range(20)], MM.AUDIO_SCHEMA)
+
+    fast_i = sorted(map(tuple, MM.image_stats(imgs).collect()))
+    fast_h = sorted((r["image_id"], tuple(r["bits"]))
+                    for r in MM.image_ahash(imgs).collect())
+    fast_a = sorted(map(tuple, MM.audio_stats(clips).collect()))
+    fast_f = sorted((r["audio_id"], tuple(r["bits"]))
+                    for r in MM.audio_fingerprint(clips).collect())
+
+    monkeypatch.setattr(MM, "_FAST_PATH_MAX_BYTES", 1)
+    slow_i = sorted(map(tuple, MM.image_stats(imgs).collect()))
+    slow_h = sorted((r["image_id"], tuple(r["bits"]))
+                    for r in MM.image_ahash(imgs).collect())
+    slow_a = sorted(map(tuple, MM.audio_stats(clips).collect()))
+    slow_f = sorted((r["audio_id"], tuple(r["bits"]))
+                    for r in MM.audio_fingerprint(clips).collect())
+
+    assert fast_i == slow_i and fast_h == slow_h
+    assert fast_a == slow_a and fast_f == slow_f

@@ -1774,9 +1774,10 @@ def repeated_substring_spans(df: DataFrame, text_col: str,
     constant-width shuffle rows) — the 100 TB default where L-fold
     inflation matters more than cryptographic certainty.
 
-    Plan: windows built IN the scan projection (transform over
-    sequence — no Python), ONE window-function shuffle keyed on the
-    window for the occurrence count (hot keys are the duplicated
+    Plan: window positions explode in the scan stage and the
+    window hash projects post-explode in the same codegen (no
+    Python; see _char_windows), ONE window-function shuffle keyed on
+    the window for the occurrence count (hot keys are the duplicated
     content itself, bounded by dedup pressure — the
     dedup_substrings/dedup_spans argument), one per-document window
     pass for the gaps-and-islands interval union, one

@@ -212,13 +212,29 @@ def decode_image(data: bytes, meta: dict) -> np.ndarray:
     return _IMAGE_DECODERS[fmt](data, meta)
 
 
-def _uniform_raw_block(pdf: pd.DataFrame) -> np.ndarray | None:
+#: byte cap for the whole-batch vectorized fast paths (r12 ADVICE #1):
+#: the uniform-batch kernels materialize int64 temporaries (m, m·m,
+#: bit matrices) at ~8-16× the raw batch bytes, and
+#: ``arrow.maxRecordsPerBatch`` caps ROWS, not bytes — so one uniform
+#: batch of large raw images/clips could OOM an executor where the
+#: per-row loop (peak O(one payload)) worked.  Batches above the cap
+#: fall back to the per-row path, which is bit-identical by the
+#: differential test.  Env-tunable for executors with more headroom.
+import os as _os
+
+_FAST_PATH_MAX_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_MM_FAST_BYTES", str(64 << 20)))
+
+
+def _uniform_raw_block(pdf: pd.DataFrame,
+                       max_bytes: int | None = None) -> np.ndarray | None:
     """(n, h·w·c) uint8 matrix when EVERY image row of the batch is
     format 'raw' with one shared (h, w, c) — the vectorizable fast
-    path.  Returns None for mixed/compressed batches (callers fall
-    back to the per-row decode loop).  Raw rows whose byte length
-    disagrees with h·w·c keep raising through the per-row path, so
-    the error contract is unchanged."""
+    path.  Returns None for mixed/compressed batches AND for uniform
+    batches whose raw bytes exceed :data:`_FAST_PATH_MAX_BYTES`
+    (callers fall back to the per-row decode loop).  Raw rows whose
+    byte length disagrees with h·w·c keep raising through the per-row
+    path, so the error contract is unchanged."""
     if not len(pdf):
         return None
     fmts = pdf["format"].to_numpy()
@@ -230,6 +246,9 @@ def _uniform_raw_block(pdf: pd.DataFrame) -> np.ndarray | None:
     if (h != h[0]).any() or (w != w[0]).any() or (c != c[0]).any():
         return None
     size = int(h[0]) * int(w[0]) * int(c[0])
+    cap = _FAST_PATH_MAX_BYTES if max_bytes is None else max_bytes
+    if size * len(pdf) > cap:
+        return None
     data = pdf["data"].to_numpy()
     if any(len(d) != size for d in data):
         return None
@@ -333,9 +352,11 @@ def image_stats(df: DataFrame) -> DataFrame:
     out_ddl = ("image_id bigint, n_px bigint, px_sum bigint, "
                "px_sumsq bigint, px_min int, px_max int, edge_sum bigint")
 
+    _cap = _FAST_PATH_MAX_BYTES
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blk = _uniform_raw_block(pdf)
+            blk = _uniform_raw_block(pdf, _cap)
             if blk is not None:
                 # whole-batch vectorization (guide §4.2): every output
                 # is an exact int64 sum/min/max, so any summation order
@@ -411,9 +432,11 @@ def image_ahash(df: DataFrame, words_bits: int = 32,
                + "".join(f", {c} {types[c]}" for c in carry)
                + ", bits array<bigint>")
 
+    _cap = _FAST_PATH_MAX_BYTES
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blk = _uniform_raw_block(pdf)
+            blk = _uniform_raw_block(pdf, _cap)
             if blk is not None:
                 # whole-batch vectorization: the mean test divides the
                 # exact int64 pixel sum by the pixel count (identical
@@ -500,11 +523,14 @@ def audio_stats(df: DataFrame) -> DataFrame:
     out_ddl = ("audio_id bigint, n_samples bigint, s_sum bigint, "
                "s_sumsq bigint, s_min int, s_max int, zero_crossings bigint")
 
+    _cap = _FAST_PATH_MAX_BYTES
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             data = pdf["data"].to_numpy() if len(pdf) else []
             lens = {len(d) for d in data}
-            if len(lens) == 1 and lens != {0}:
+            if (len(lens) == 1 and lens != {0}
+                    and next(iter(lens)) * len(data) <= _cap):
                 # whole-batch vectorization over equal-length clips:
                 # every output is an exact int64 sum/min/max —
                 # bit-identical to the per-row loop (guide §4.2)
@@ -552,11 +578,14 @@ def audio_fingerprint(df: DataFrame, words_bits: int = 32) -> DataFrame:
     _check_words_bits(words_bits)
     out_ddl = "audio_id bigint, bits array<bigint>"
 
+    _cap = _FAST_PATH_MAX_BYTES
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             data = pdf["data"].to_numpy() if len(pdf) else []
             lens = {len(d) for d in data}
-            if len(lens) == 1 and lens != {0}:
+            if (len(lens) == 1 and lens != {0}
+                    and next(iter(lens)) * len(data) <= _cap):
                 # whole-batch vectorization: the n·|s_j| > Σ|s| test is
                 # pure integer arithmetic, as is the word packing —
                 # bit-identical to the per-row loop (guide §4.2)
